@@ -1,0 +1,50 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Determinism helpers for oracle-comparable aggregates.
+  *
+  * The driver hash-compares each query's parquet output against DuckDB
+  * running `SparkEntry.oracleSql` on the same tables. Floating-point sums
+  * are order-dependent, and Spark's partial aggregation visits rows in a
+  * different order than DuckDB's scan — so any `sum(double)` over
+  * non-integer values is a hash-mismatch waiting to happen.
+  *
+  * Discipline used by every oracle-checked query:
+  *   - Per-row arithmetic stays in doubles (same IEEE expression tree on
+  *     both engines → bit-identical per-row values).
+  *   - Before summing, cast the per-row double to DECIMAL(18,6): decimal
+  *     addition is exact and associative, so the aggregate is
+  *     order-independent and engine-independent.
+  *   - Cast the final decimal back to DOUBLE (single deterministic
+  *     conversion) so both engines report the same schema.
+  *   - Averages are `exactSum / count` — one IEEE division on identical
+  *     operands.
+  *   - Integer sums are cast to BIGINT explicitly (DuckDB's sum(int) is
+  *     HUGEINT, Spark's is LongType).
+  *   - Every output row set carries a total ORDER BY with a unique
+  *     tiebreaker.
+  *
+  * This costs nothing at scale: decimal sum is still a single hash
+  * aggregate with map-side partials; the cast is codegen'd per row.
+  */
+object Det {
+  /** Exact, order-independent sum of a per-row double expression. */
+  def exactSum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast(DoubleType)
+
+  /** SQL fragment mirroring [[exactSum]] for the DuckDB oracle. */
+  def exactSumSql(expr: String): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(18,6))) AS DOUBLE)"
+
+  /** Deterministic average: exact decimal sum, one double division. */
+  def exactAvg(c: Column): Column = exactSum(c) / count(lit(1))
+
+  def exactAvgSql(expr: String): String = s"${exactSumSql(expr)} / count(*)"
+
+  /** Long count/sum with explicit BIGINT type on both engines. */
+  def longSum(c: Column): Column = sum(c).cast(LongType)
+  def longSumSql(expr: String): String = s"CAST(sum($expr) AS BIGINT)"
+}

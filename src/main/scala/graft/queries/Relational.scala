@@ -1,0 +1,397 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import Det._
+
+/** Core relational operator surface (SURVEY.md §2.2–§2.7).
+  *
+  * The reference's query layer is pandas filters plus hand-built SQL strings
+  * (`/root/reference/butterflyetl.py:83-108`,
+  * `/root/reference/catch_duplicates_script.py:56-68`). Here each capability
+  * is a declarative Spark plan so Catalyst gets pushdown/pruning/join
+  * selection; the scale notes on each query say why the plan survives
+  * 100 TB.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-shape pricing summary (aggregation family, SURVEY §2.5).
+    * Scale: single hash aggregate over a tiny (flag, status) key space →
+    * map-side partials reduce ~everything before the 6-row shuffle.
+    */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+        exactSum(col("l_extendedprice")).as("sum_base_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        exactAvg(col("l_extendedprice")).as("avg_price"),
+        exactAvg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q01Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  sum(l_quantity) AS sum_qty,
+       |  ${exactSumSql("l_extendedprice")} AS sum_base_price,
+       |  ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+       |  ${exactSumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+       |  sum(l_quantity) / count(*) AS avg_qty,
+       |  ${exactAvgSql("l_extendedprice")} AS avg_price,
+       |  ${exactAvgSql("l_discount")} AS avg_disc,
+       |  count(*) AS count_order
+       |FROM lineitem
+       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + projection pushed to the parquet scan (F3/P1).
+    * Scale: predicate + 4-column ReadSchema reach the scan
+    * (`PushedFilters`); on a date-partitioned layout this is partition
+    * pruning — the reference's per-day tables done right.
+    */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("2001-06-01 00:00:00").cast(TimestampType)
+        && col("l_quantity") > lit(45.0))
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  l_extendedprice * (1.0 - l_discount) AS net_price
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00' AND l_quantity > 45.0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** TPC-H Q3-shape shipping priority: 3-way join + agg + top-k.
+    * Scale: customer is the small side → broadcast; lineitem⋈orders is the
+    * big shuffle join on the join key both sides already produce; top-k is
+    * a TakeOrderedAndProject (no global sort materialization).
+    */
+  def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+    val li   = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01 00:00:00").cast(TimestampType))
+    li.join(broadcast(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("revenue"))
+      .orderBy(desc("revenue"), asc("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    s"""SELECT l_orderkey,
+       |  strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       |  ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
+
+  /** EXISTS via left-semi join (SURVEY §2.5 A5, §2.6).
+    * Scale: semi join never materializes the probe side's payload; Catalyst
+    * picks broadcast/shuffled-hash by stats.
+    */
+  def q04OrderPriority(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast(TimestampType)
+        && col("o_orderdate") < lit("1997-04-01 00:00:00").cast(TimestampType))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+    ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-shape multiway join: revenue by nation for one region.
+    * Scale: region/nation/supplier/customer are dims → all broadcast; the
+    * only shuffle is lineitem⋈orders plus the final 25-row aggregate.
+    */
+  def q05LocalSupplier(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(s, dir)
+    val cust   = Tables.customer(s, dir)
+    val sup    = Tables.supplier(s, dir)
+    val ord    = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType)
+        && col("o_orderdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+    val li     = Tables.lineitem(s, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), asc("n_name"))
+  }
+
+  val q05Sql: String =
+    s"""SELECT n_name,
+       |  ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  /** TPC-H Q6-shape scan-heavy filter + global aggregate.
+    * Scale: all four predicates push to parquet row-group stats; the
+    * aggregate is a 1-row reduce — this query is pure scan bandwidth.
+    */
+  def q06RevenueFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast(TimestampType)
+        && col("l_shipdate") < lit("1997-01-01 00:00:00").cast(TimestampType)
+        && col("l_discount") >= lit(0.02) && col("l_discount") <= lit(0.09)
+        && col("l_quantity") < lit(24.0))
+      .agg(exactSum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q06Sql: String =
+    s"""SELECT ${exactSumSql("l_extendedprice * l_discount")} AS revenue,
+       |  count(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  AND l_discount BETWEEN 0.02 AND 0.09
+       |  AND l_quantity < 24.0""".stripMargin
+
+  /** Top-k customers by revenue: join + agg + TakeOrderedAndProject.
+    * Scale: broadcast customer dim; limit-after-sort never globally sorts.
+    */
+  def q07TopCustomers(s: SparkSession, dir: String): DataFrame = {
+    val ord  = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(exactSum(col("o_totalprice")).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(desc("total_spent"), asc("c_custkey"))
+      .limit(15)
+  }
+
+  val q07Sql: String =
+    s"""SELECT c_custkey, c_name,
+       |  ${exactSumSql("o_totalprice")} AS total_spent,
+       |  count(*) AS n_orders
+       |FROM orders JOIN customer ON o_custkey = c_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY total_spent DESC, c_custkey ASC
+       |LIMIT 15""".stripMargin
+
+  /** Window functions: per-customer order ranking (SURVEY §2.9 surface).
+    * Scale: one shuffle on o_custkey; rank + running sum share the same
+    * window frame so a single sort serves both.
+    */
+  def q08WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rank_in_cust", row_number().over(w).cast(IntegerType))
+      .withColumn("cum_spent",
+        exactSumWindow(col("o_totalprice"), w))
+      .filter(col("rank_in_cust") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("rank_in_cust"), col("cum_spent"))
+      .orderBy("o_custkey", "rank_in_cust")
+  }
+
+  /** Running decimal-exact sum over a window (same determinism rules). */
+  private def exactSumWindow(c: org.apache.spark.sql.Column,
+      w: org.apache.spark.sql.expressions.WindowSpec): org.apache.spark.sql.Column =
+    sum(c.cast(DecimalType(18, 6)))
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      .cast(DoubleType)
+
+  val q08Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust, cum_spent FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    CAST(row_number() OVER w AS INT) AS rank_in_cust,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_spent
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+      |) WHERE rank_in_cust <= 3
+      |ORDER BY o_custkey, rank_in_cust""".stripMargin
+
+  /** Full-row duplicate-group detection (SURVEY §2.5 A1, §3.3): the
+    * reference builds this SQL by string concat over information_schema
+    * (`catch_duplicates_script.py:56-68`); here the column list is
+    * `df.columns` and the plan a single hash aggregate.
+    * Scale: group-by-all-columns hashes wide rows — project to the
+    * content columns that define identity first (done here).
+    */
+  def q09DuplicateGroups(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val d = docs.select(col("text"), col("lang"), col("source"))
+      // deterministic duplicate injection so the operator provably fires:
+      // re-append the first 50 documents
+      .unionAll(docs.filter(col("doc_id") < 50)
+        .select(col("text"), col("lang"), col("source")))
+    graft.operators.Dedup.findDuplicateGroups(d)
+      .orderBy("text", "lang", "source")
+  }
+
+  val q09Sql: String =
+    """SELECT text, lang, source, count(*) AS duplicate_count
+      |FROM (
+      |  SELECT text, lang, source FROM documents
+      |  UNION ALL
+      |  SELECT text, lang, source FROM documents WHERE doc_id < 50)
+      |GROUP BY text, lang, source
+      |HAVING count(*) > 1
+      |ORDER BY text, lang, source""".stripMargin
+
+  /** DISTINCT + aggregate distinct (SURVEY §2.7 D-family surface). */
+  def q10Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  val q10Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_orderkey) AS n_orders,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Set operations: EXCEPT/INTERSECT (SURVEY §2.7).
+    * Scale: both compile to aggregate/semi-join shapes — no row-by-row
+    * driver logic.
+    */
+  def q11SetOps(s: SparkSession, dir: String): DataFrame = {
+    val withOrders = Tables.orders(s, dir).select(col("o_custkey").as("custkey")).distinct()
+    val building = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    val exceptN    = building.except(withOrders).agg(count(lit(1)).as("n")).select(lit("building_without_orders").as("set_name"), col("n"))
+    val intersectN = building.intersect(withOrders).agg(count(lit(1)).as("n")).select(lit("building_with_orders").as("set_name"), col("n"))
+    exceptN.unionByName(intersectN).orderBy("set_name")
+  }
+
+  val q11Sql: String =
+    """SELECT 'building_without_orders' AS set_name, count(*) AS n FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT SELECT DISTINCT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT 'building_with_orders' AS set_name, count(*) AS n FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  INTERSECT SELECT DISTINCT o_custkey FROM orders)
+      |ORDER BY set_name""".stripMargin
+
+  /** ROLLUP grouping sets (SURVEY §2.5 extended surface). */
+  def q12Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n_rows"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val q12Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  /** Anti join: customers with no orders (NOT EXISTS). */
+  def q13AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey"))
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  val q13Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary"   -> q01PricingSummary _,
+    "q02_filter_project"    -> q02FilterProject _,
+    "q03_shipping_priority" -> q03ShippingPriority _,
+    "q04_order_priority"    -> q04OrderPriority _,
+    "q05_local_supplier"    -> q05LocalSupplier _,
+    "q06_revenue_filter"    -> q06RevenueFilter _,
+    "q07_top_customers"     -> q07TopCustomers _,
+    "q08_window_rank"       -> q08WindowRank _,
+    "q09_duplicate_groups"  -> q09DuplicateGroups _,
+    "q10_distinct"          -> q10Distinct _,
+    "q11_set_ops"           -> q11SetOps _,
+    "q12_rollup"            -> q12Rollup _,
+    "q13_anti_join"         -> q13AntiJoin _)
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary"   -> q01Sql,
+    "q02_filter_project"    -> q02Sql,
+    "q03_shipping_priority" -> q03Sql,
+    "q04_order_priority"    -> q04Sql,
+    "q05_local_supplier"    -> q05Sql,
+    "q06_revenue_filter"    -> q06Sql,
+    "q07_top_customers"     -> q07Sql,
+    "q08_window_rank"       -> q08Sql,
+    "q09_duplicate_groups"  -> q09Sql,
+    "q10_distinct"          -> q10Sql,
+    "q11_set_ops"           -> q11Sql,
+    "q12_rollup"            -> q12Sql,
+    "q13_anti_join"         -> q13Sql)
+}

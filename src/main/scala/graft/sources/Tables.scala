@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet loaders for the harness star schema (TESTDATA.md).
+  *
+  * The reference's sources are a paginated REST scan plus PostgreSQL table
+  * scans (SURVEY.md §2.1; `/root/reference/monarch_etl/gbif_client.py:56-164`,
+  * `/root/reference/butterflyetl.py:76`). In the Spark engine every source is
+  * a columnar scan with Catalyst predicate pushdown and column pruning — the
+  * reference ships its predicates as REST query params
+  * (`gbif_client.py:110-120`); here the same pushdown falls out of the
+  * declarative plan for free (`PushedFilters` in the parquet scan node).
+  *
+  * At 100 TB these loaders are the only place that needs to change: point
+  * them at a partitioned table (`date_only=`/`l_shipdate`-partitioned
+  * layout) and partition pruning replaces the reference's table-per-day
+  * naming scheme (`monarch_etl/table_naming.py:24-43`).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = load(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` text queries work. */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
