@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.DateTimeFunctions._
+import graft.sources.Tables
+import Det._
+
+/** Oracle-checked queries for the occurrence-ETL scalar semantics
+  * (SURVEY.md §2.4 C1/C2/C3/C9, §2.3 F3, §2.5 A3) — driven over the
+  * shared `events` table so the DuckDB oracle can independently
+  * recompute them. The DuckDB SQL re-implements the reference semantics
+  * from scratch (it is the judge, not a copy of the Spark plan).
+  */
+object EtlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** C1+C2: date rescue-normalize + robust parse over deterministic
+    * date-shaped strings derived from `events.ts`. Covers year-only,
+    * year-month, full date, range, and garbage in one pass.
+    */
+  def q14DateRescue(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val m = (col("event_id") % 5).cast(IntegerType)
+    val raw = when(m === 0, date_format(col("ts"), "yyyy"))
+      .when(m === 1, date_format(col("ts"), "yyyy-MM"))
+      .when(m === 2, date_format(col("ts"), "yyyy-MM-dd"))
+      .when(m === 3, concat(
+        date_format(col("ts"), "yyyy-MM-dd"), lit("/"),
+        date_format(date_add(col("ts"), 2), "yyyy-MM-dd")))
+      .otherwise(lit("not a date"))
+    ev.withColumn("raw_date", raw)
+      .withColumn("rescued", rescueEventDate(col("raw_date")))
+      .withColumn("parsed",
+        date_format(parseEventTs(col("rescued")), "yyyy-MM-dd HH:mm:ss"))
+      .select(col("event_id"), col("raw_date"), col("rescued"), col("parsed"))
+      .orderBy("event_id")
+  }
+
+  val q14Sql: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    CASE CAST(event_id % 5 AS INT)
+      |      WHEN 0 THEN strftime(ts, '%Y')
+      |      WHEN 1 THEN strftime(ts, '%Y-%m')
+      |      WHEN 2 THEN strftime(ts, '%Y-%m-%d')
+      |      WHEN 3 THEN strftime(ts, '%Y-%m-%d') || '/' || strftime(ts + INTERVAL 2 DAY, '%Y-%m-%d')
+      |      ELSE 'not a date' END AS raw_date
+      |  FROM events),
+      |fixed AS (
+      |  SELECT event_id, raw_date,
+      |    CASE
+      |      WHEN regexp_matches(trim(split_part(raw_date, '/', 1)), '^[0-9]{4}$')
+      |        THEN trim(split_part(raw_date, '/', 1)) || '-01-01'
+      |      WHEN length(trim(split_part(raw_date, '/', 1))) = 7
+      |           AND substr(trim(split_part(raw_date, '/', 1)), 5, 1) = '-'
+      |        THEN trim(split_part(raw_date, '/', 1)) || '-01'
+      |      ELSE trim(split_part(raw_date, '/', 1)) END AS rescued
+      |  FROM raw)
+      |SELECT event_id, raw_date, rescued,
+      |  strftime(TRY_CAST(rescued AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS parsed
+      |FROM fixed
+      |ORDER BY event_id""".stripMargin
+
+  /** C3: full temporal component derivation — year/month/day, Monday=0
+    * weekday, ISO week, date_only, time_only — over `events.ts`.
+    */
+  def q15Temporal(s: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    Tables.events(s, dir).select(
+      col("event_id"),
+      year(ts).cast(IntegerType).as("yr"),
+      month(ts).cast(IntegerType).as("mon"),
+      dayofmonth(ts).cast(IntegerType).as("dom"),
+      dayOfWeekMon0(ts).as("dow_mon0"),
+      weekofyear(ts).cast(IntegerType).as("iso_week"),
+      date_format(ts, "yyyy-MM-dd").as("date_only"),
+      timeOnly(ts).as("time_only"))
+      .orderBy("event_id")
+  }
+
+  val q15Sql: String =
+    """SELECT event_id,
+      |  CAST(year(ts) AS INT) AS yr,
+      |  CAST(month(ts) AS INT) AS mon,
+      |  CAST(day(ts) AS INT) AS dom,
+      |  CAST(isodow(ts) - 1 AS INT) AS dow_mon0,
+      |  CAST(weekofyear(ts) AS INT) AS iso_week,
+      |  strftime(ts, '%Y-%m-%d') AS date_only,
+      |  strftime(ts, '%H:%M:%S') AS time_only
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  /** A3+C9+D2 read side: the `data_inventory` catalog derivation — one
+    * row per ingested day with the reference's `{monthname}{dd}{yyyy}`
+    * table label and record count.
+    */
+  def q16Inventory(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("record_count"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("available_date"),
+        tableNameForDay(col("d")).as("table_name"),
+        col("record_count"))
+      .orderBy("available_date")
+
+  val q16Sql: String =
+    """SELECT strftime(d, '%Y-%m-%d') AS available_date,
+      |  lower(monthname(d)) || lpad(CAST(day(d) AS VARCHAR), 2, '0')
+      |    || CAST(year(d) AS VARCHAR) AS table_name,
+      |  n AS record_count
+      |FROM (SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1)
+      |ORDER BY available_date""".stripMargin
+
+  /** F3/§3.2: the Flask read API's year/month/day equality filters as
+    * native expressions (no string parsing), aggregated by event_type.
+    * On a date-partitioned warehouse these predicates become partition
+    * pruning.
+    */
+  def q17ReadPath(s: SparkSession, dir: String): DataFrame = {
+    val ts = col("ts")
+    Tables.events(s, dir)
+      .filter(year(ts) === 2024 && month(ts) === 1 && dayofmonth(ts) === 15)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), exactSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val q17Sql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+       |  ${exactSumSql("value")} AS sum_value
+       |FROM events
+       |WHERE year(ts) = 2024 AND month(ts) = 1 AND day(ts) = 15
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q14_date_rescue" -> q14DateRescue _,
+    "q15_temporal"    -> q15Temporal _,
+    "q16_inventory"   -> q16Inventory _,
+    "q17_read_path"   -> q17ReadPath _)
+
+  val oracle: Map[String, String] = Map(
+    "q14_date_rescue" -> q14Sql,
+    "q15_temporal"    -> q15Sql,
+    "q16_inventory"   -> q16Sql,
+    "q17_read_path"   -> q17Sql)
+}

@@ -1,0 +1,80 @@
+package graft.sinks
+
+import java.sql.{Date => SqlDate, Timestamp}
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.schema.Occurrence
+
+/** Sinks (SURVEY.md §2.8 K1–K3, §2.7 D2).
+  *
+  * The reference loads with `to_sql(if_exists='replace')` per day/month
+  * table (`/root/reference/monarch_etl/db_loader.py:50-59`) — a manual
+  * partition-overwrite. Here the same idempotency is dynamic partition
+  * overwrite over one `date_only`-partitioned table: reprocessing a day
+  * replaces exactly that day's partition and nothing else.
+  */
+object Writers {
+
+  /** K1: idempotent per-day load. Dynamic partition overwrite means only
+    * the partitions present in `df` are replaced — the Spark equivalent of
+    * the reference's drop-and-recreate-per-day-table.
+    *
+    * Scale: writes are partition-parallel; `partitionBy(date_only)` gives
+    * the read path partition pruning for the year/month/day filter API.
+    */
+  def writePartitionedByDay(df: DataFrame, path: String): Unit =
+    df.write
+      .partitionBy("date_only")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+
+  /** K2: plain append load (legacy `if_exists='append'`,
+    * `/root/reference/monarch_etl_gemini_ai.py:483`).
+    */
+  def appendPartitionedByDay(df: DataFrame, path: String): Unit =
+    df.write.partitionBy("date_only").mode(SaveMode.Append).parquet(path)
+
+  /** K3: rejection sidecar export (`/root/reference/monarch_etl/etl.py:63-67`).
+    * CSV with header, one directory per run.
+    */
+  def writeRejections(rejected: DataFrame, path: String): Unit =
+    rejected.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
+
+  /** D2: `data_inventory` upsert on `available_date`
+    * (`/root/reference/monarch_etl/inventory.py:52-66`: INSERT … ON
+    * CONFLICT DO UPDATE). The inventory is a tiny catalog table (one row
+    * per ingested day — O(10³) rows for decades), so a read-modify-write
+    * through the driver is the right call even at 100 TB of fact data;
+    * the fact table never participates.
+    */
+  def upsertInventory(
+      spark: SparkSession,
+      inventoryPath: String,
+      availableDate: SqlDate,
+      tableName: String,
+      recordCount: Long,
+      processedAt: Timestamp = new Timestamp(System.currentTimeMillis())): DataFrame = {
+    val newRow = spark.createDataFrame(
+      java.util.List.of(Row(availableDate, tableName, recordCount, processedAt)),
+      Occurrence.inventorySchema)
+    val existing =
+      try spark.read.schema(Occurrence.inventorySchema).parquet(inventoryPath)
+        // drop any stale row for the same key (ON CONFLICT DO UPDATE)
+        .filter(col("available_date") =!= lit(availableDate))
+      catch { case _: org.apache.spark.sql.AnalysisException => // first write
+        spark.createDataFrame(
+          java.util.List.of[Row](), Occurrence.inventorySchema)
+      }
+    // catalog-sized: materialize on the driver before overwriting the
+    // path we just read (cannot overwrite a lazily-read source in place)
+    val merged = existing.unionByName(newRow).collect().toList
+    val out = spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(merged).asJava,
+      Occurrence.inventorySchema)
+    out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(inventoryPath)
+    spark.read.parquet(inventoryPath)
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, Enrichment}
+import graft.pipeline.MonarchPipeline
+import graft.schema.Occurrence
+
+/** End-to-end §3.1 lifecycle on the family-A fixture: transform → write
+  * partitioned → inventory → read back with year/month/day filters →
+  * duplicate check (SURVEY.md §7.2 minimum slice).
+  */
+class PipelineSpec extends SparkSpec {
+
+  lazy val tmp: String = Files.createTempDirectory("graft-pipeline").toString
+
+  test("transform produces canonical schema and keeps the invariant") {
+    val result = MonarchPipeline.transform(RawFixture.df(spark))
+    assert(result.clean.schema == Occurrence.schema)
+    assert(result.clean.count() + result.rejected.count() == RawFixture.rows.size)
+  }
+
+  test("broadcast geocode enrichment fills county/city from the lookup dim") {
+    val lookup = spark.createDataFrame(
+      java.util.List.of(
+        Row(34.05, -118.24, "Los Angeles", "Los Angeles"),
+        Row(40.71, -74.0, "New York", "New York")),
+      StructType(Seq(
+        StructField("lat_cell", DoubleType), StructField("lon_cell", DoubleType),
+        StructField("county", StringType), StructField("cityOrTown", StringType))))
+    val geo = new Enrichment.BroadcastGeocode(lookup)
+    val result = MonarchPipeline.transform(RawFixture.df(spark), geo)
+    val byId = result.clean.collect().map(r => r.getAs[String]("gbifID") -> r).toMap
+    assert(byId("1").getAs[String]("county") == "Los Angeles")
+    assert(byId("2").getAs[String]("cityOrTown") == "New York")
+    assert(byId("3").getAs[String]("county") == null) // unmatched → null, like ref
+  }
+
+  test("batched mapPartitions geocode client enriches in batches") {
+    val fake: Seq[(Double, Double)] => Seq[(Option[String], Option[String])] =
+      coords => coords.map { case (lat, _) =>
+        if (lat > 40) (Some("North County"), Some("Northtown")) else (None, None)
+      }
+    val geo = new Enrichment.BatchedClientGeocode(fake, batchSize = 3)
+    val cleaned = graft.operators.Cleaning.clean(RawFixture.df(spark)).clean
+    val out = geo.attach(cleaned)
+    val rows = out.collect().map(r => r.getAs[String]("gbifID") -> r.getAs[String]("county")).toMap
+    assert(rows("2") == "North County") // lat 40.71
+    assert(rows("1") == null)           // lat 34.05
+  }
+
+  test("dayScan writes a partition, registers inventory, and is idempotent") {
+    val s1 = MonarchPipeline.dayScan(spark, RawFixture.df(spark), 2024, 3, 8,
+      s"$tmp/warehouse", s"$tmp/rejects", s"$tmp/inventory")
+    assert(s1.loaded == 1) // only gbifID=12 is on 2024-03-08
+    assert(s1.tableName == "march082024")
+
+    // rerun the same day — dynamic partition overwrite → same counts
+    val s2 = MonarchPipeline.dayScan(spark, RawFixture.df(spark), 2024, 3, 8,
+      s"$tmp/warehouse", s"$tmp/rejects", s"$tmp/inventory")
+    assert(s2.loaded == 1)
+
+    val inv = spark.read.parquet(s"$tmp/inventory")
+    assert(inv.count() == 1) // upsert key available_date, no dup rows
+    assert(inv.collect()(0).getAs[Long]("record_count") == 1L)
+  }
+
+  test("read path filters by year/month/day with partition pruning") {
+    // load a second day so the warehouse has 2 partitions
+    MonarchPipeline.dayScan(spark, RawFixture.df(spark), 2024, 3, 7,
+      s"$tmp/warehouse", s"$tmp/rejects", s"$tmp/inventory")
+
+    val all = MonarchPipeline.readOccurrences(spark, s"$tmp/warehouse")
+    assert(all.count() == 2)
+    val march8 = MonarchPipeline.readOccurrences(spark, s"$tmp/warehouse",
+      Some(2024), Some(3), Some(8))
+    assert(march8.count() == 1)
+    assert(march8.collect()(0).getAs[String]("gbifID") == "12")
+
+    // inventory now has 2 days
+    assert(spark.read.parquet(s"$tmp/inventory").count() == 2)
+  }
+
+  test("§3.3 duplicate-catch job finds no duplicates in a clean warehouse") {
+    val warehouse = spark.read.parquet(s"$tmp/warehouse")
+    assert(Dedup.findDuplicateGroups(warehouse).count() == 0)
+  }
+}
