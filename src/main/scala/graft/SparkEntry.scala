@@ -18,11 +18,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
-      graft.queries.EtlQueries.queries
+      graft.queries.EtlQueries.queries ++
+      graft.queries.TrainingData.queries ++
+      graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
-      graft.queries.EtlQueries.oracle
+      graft.queries.EtlQueries.oracle ++
+      graft.queries.TrainingData.oracle ++
+      graft.queries.StreamingQueries.oracle
 }

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis expression library (BASELINE.json north star: language
+  * ID, quality scoring, token counting, fingerprinting) — all native
+  * Catalyst expressions / higher-order functions, no UDFs, so every
+  * function runs distributed and codegen-friendly at 100 TB.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens; empty/blank input → empty array (pandas-free
+    * equivalent of the usual `str.split()` semantics).
+    */
+  def tokens(c: Column): Column = {
+    val t = trim(c)
+    when(t.isNull || length(t) === 0, array().cast(ArrayType(StringType)))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(tokens(c)).cast(IntegerType)
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-space symbols — the pre-tokenization regex family BPE
+    * tokenizers use. An upper-bound proxy for LLM token budgeting.
+    */
+  def bpeishTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("\\p{L}+|\\p{N}+|[^\\s\\p{L}\\p{N}]"), lit(0)))
+      .cast(IntegerType)
+
+  /** Count of sentence-punctuation characters. */
+  def punctCount(c: Column): Column =
+    length(regexp_replace(c, "[^.!?,;:]", "")).cast(IntegerType)
+
+  /** Ratio helpers are plain double divisions over exact int counts —
+    * deterministic across engines.
+    */
+  def punctRatio(c: Column): Column =
+    punctCount(c).cast(DoubleType) / greatest(length(c), lit(1)).cast(DoubleType)
+
+  def stopwordCount(c: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isInCollection(stopwords))).cast(IntegerType)
+
+  def stopwordRatio(c: Column, stopwords: Seq[String]): Column =
+    stopwordCount(c, stopwords).cast(DoubleType) /
+      greatest(tokenCount(c), lit(1)).cast(DoubleType)
+
+  /** Mean token length: exact integer sum of lengths / token count. */
+  def meanTokenLength(c: Column): Column = {
+    val totalLen = aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t))
+    totalLen.cast(DoubleType) / greatest(tokenCount(c), lit(1)).cast(DoubleType)
+  }
+
+  /** Character n-gram shingles (1-based substr; text shorter than n →
+    * empty array). Building block for MinHash / Jaccard dedup.
+    */
+  def charNGrams(c: Column, n: Int): Column =
+    when(c.isNull || length(c) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), length(c) - lit(n - 1)),
+        i => c.substr(i, lit(n))))
+
+  /** Word n-grams over whitespace tokens. */
+  def wordNGrams(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** English default stopword list for quality scoring. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by", "be")
+
+  /** Composite quality score in [0,1]: rewards stopword presence and
+    * sane token lengths, penalizes punctuation soup and very short docs.
+    * Weights are engine policy (the reference has no equivalent — this is
+    * the north-star extension); every term is deterministic arithmetic.
+    */
+  def qualityScore(c: Column): Column = {
+    val lenTerm = least(tokenCount(c).cast(DoubleType) / lit(100.0), lit(1.0))
+    val stopTerm = least(stopwordRatio(c, enStopwords) * lit(3.0), lit(1.0))
+    val punctTerm = greatest(lit(1.0) - punctRatio(c) * lit(10.0), lit(0.0))
+    val wordLen = meanTokenLength(c)
+    val wordLenTerm = when(wordLen >= 3.0 && wordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    lenTerm * lit(0.3) + stopTerm * lit(0.3) + punctTerm * lit(0.2) + wordLenTerm * lit(0.2)
+  }
+
+  /** Language profiles for the n-gram/stopword language-ID heuristic. */
+  private val langPatterns: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|in|that|for|with|was)\\b",
+    "es" -> "\\b(el|la|los|las|de|que|y|en|un|una|es|por)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|eine|mit|von|zu)\\b",
+    "fr" -> "\\b(le|les|des|et|est|une|du|dans|pour|que|qui)\\b")
+
+  /** Per-language match counts (deterministic regexp counts). */
+  def langScores(c: Column): Seq[(String, Column)] =
+    langPatterns.map { case (lang, pat) =>
+      lang -> size(regexp_extract_all(lower(c), lit(pat), lit(0))).cast(IntegerType)
+    }
+
+  /** Heuristic language ID over {en,es,de,fr,zh}: CJK characters win
+    * outright; otherwise argmax of stopword-profile hits with a fixed
+    * priority tiebreak (en > es > de > fr); no hits → "und" (undetermined).
+    */
+  def langIdHeuristic(c: Column): Column = {
+    val scores = langScores(c).toMap
+    val en = scores("en"); val es = scores("es"); val de = scores("de"); val fr = scores("fr")
+    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+      .when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+      .when(en >= es && en >= de && en >= fr, lit("en"))
+      .when(es >= de && es >= fr, lit("es"))
+      .when(de >= fr, lit("de"))
+      .otherwise(lit("fr"))
+  }
+
+  /** Whole-document 64-bit fingerprint over normalized content
+    * (lowercased, whitespace-collapsed) — exact-dup detection key.
+    */
+  def docFingerprint(c: Column): Column =
+    xxhash64(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Rolling-hash fingerprint: min of the 64-bit hashes of the char
+    * n-gram stream — one winnowing band; stable under small edits away
+    * from the minimizing shingle.
+    */
+  def rollingMinFingerprint(c: Column, n: Int = 8): Column =
+    array_min(transform(charNGrams(c, n), g => xxhash64(g)))
+
+  /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
+    * token's xxhash64, folded with higher-order functions (one pass,
+    * no shuffle, no UDF).
+    */
+  def simHash64(c: Column): Column = {
+    // bit positions are static → build the 64-element vote array in Scala
+    val bitVotes = (h: Column) =>
+      array((0 until 64).map(i =>
+        when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
+          .otherwise(lit(-1))): _*)
+    val zero = array((0 until 64).map(_ => lit(0)): _*)
+    val votes = aggregate(
+      transform(tokens(c), t => xxhash64(t)),
+      zero, (acc, h) => zip_with(acc, bitVotes(h), _ + _))
+    // pack the 64 sign bits into one long with bitwise OR of static
+    // powers (an arithmetic acc*2 fold overflows at bit 63 under ANSI)
+    (0 until 64).map(i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << (63 - i))).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+  }
+}

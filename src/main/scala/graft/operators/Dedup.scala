@@ -49,4 +49,141 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("fingerprint"))
       .agg(count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
+
+  // -------------------------------------------------------------------
+  // Near-duplicate detection (north-star training-data operators)
+  // -------------------------------------------------------------------
+
+  import graft.functions.TextFunctions._
+
+  /** MinHash signature of a shingle set: k independent hash slots, each
+    * the min over shingles of a seeded 64-bit hash. One projection per
+    * row, no shuffle.
+    */
+  def minHashSignature(shingles: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingles,
+        g => xxhash64(concat(g, lit("#"), i.cast(org.apache.spark.sql.types.StringType))))))
+
+  /** LSH band keys: split the k-slot signature into `bands` bands of
+    * `rowsPerBand` and hash each band. Two docs collide on a band key iff
+    * that whole band matches → near-dups (high Jaccard) collide with
+    * high probability.
+    */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(array_join(
+        transform(slice(sig, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand)),
+          h => h.cast(org.apache.spark.sql.types.StringType)), ",")))
+
+  /** MinHash+LSH candidate pairs (shingle → minhash → band → bucket
+    * self-join), the standard near-dup scale path:
+    *
+    * Scale: the only shuffle is on (band_idx, band_key) — never on
+    * content. All-pairs O(n²) becomes O(collisions). Identical docs all
+    * hash to the same bucket: at 100 TB add a bucket-size cap / salt on
+    * known-degenerate keys; AQE skew-join handles moderate skew.
+    *
+    * Returns distinct (id_a, id_b) with id_a < id_b.
+    */
+  def minHashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(
+        col(idCol).as("_id"),
+        array_distinct(charNGrams(col(textCol), shingleSize)).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_sig", minHashSignature(col("_sh"), numHashes))
+      .select(col("_id"),
+        posexplode(lshBandKeys(col("_sig"), bands, rowsPerBand))
+          .as(Seq("band_idx", "band_key")))
+    sigs.as("l").join(sigs.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard similarity of two text columns (exact verification
+    * for candidate pairs).
+    */
+  def ngramJaccard(a: Column, b: Column, n: Int = 5): Column = {
+    val sa = array_distinct(charNGrams(a, n))
+    val sb = array_distinct(charNGrams(b, n))
+    val union = size(array_union(sa, sb))
+    when(union === 0, lit(0.0))
+      .otherwise(size(array_intersect(sa, sb)).cast(org.apache.spark.sql.types.DoubleType) /
+        union.cast(org.apache.spark.sql.types.DoubleType))
+  }
+
+  /** MinHash candidates verified by exact n-gram Jaccard ≥ threshold.
+    * Scale: verification joins content back only for candidate ids — the
+    * expensive exact Jaccard runs on O(candidates), not O(n²).
+    */
+  def verifiedNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.6,
+      shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val candidates = minHashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
+    val content = df.select(col(idCol), col(textCol))
+    candidates
+      .join(content.select(col(idCol).as("id_a"), col(textCol).as("_text_a")), "id_a")
+      .join(content.select(col(idCol).as("id_b"), col(textCol).as("_text_b")), "id_b")
+      .withColumn("jaccard", ngramJaccard(col("_text_a"), col("_text_b"), shingleSize))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit SimHash per doc, banded into
+    * `nChunks` equal bit-chunks. Pigeonhole guarantee: any pair with
+    * hamming ≤ nChunks-1 shares at least one untouched chunk, so with
+    * `maxHamming < nChunks` recall is exactly 100% — candidates are
+    * verified by exact hamming distance, so precision is 100% too.
+    *
+    * Defaults (8 chunks, hamming ≤ 7) suit single-token edits on
+    * ~50-100-token docs, which flip ~5 bits of a token-set SimHash.
+    */
+  def simHashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7, nChunks: Int = 8): DataFrame = {
+    require(64 % nChunks == 0, "nChunks must divide 64")
+    require(maxHamming < nChunks,
+      s"pigeonhole guarantee needs maxHamming < nChunks ($maxHamming vs $nChunks)")
+    val chunkBits = 64 / nChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    val hashed = df.select(col(idCol).as("_id"), simHash64(col(textCol)).as("_sh"))
+    val banded = hashed.select(col("_id"), col("_sh"),
+      posexplode(array((0 until nChunks).map(b =>
+        shiftrightunsigned(col("_sh"), b * chunkBits).bitwiseAND(lit(mask))): _*))
+        .as(Seq("chunk_idx", "chunk_val")))
+    banded.as("l").join(banded.as("r"),
+        col("l.chunk_idx") === col("r.chunk_idx") &&
+          col("l.chunk_val") === col("r.chunk_val") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        graft.functions.VectorFunctions.hammingLong(col("l._sh"), col("r._sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH bucket join,
+    * then exact cosine verification within buckets.
+    * Scale: shuffle key is the packed signature; exact cosine runs on
+    * bucket collisions only.
+    */
+  def embeddingNearDupPairs(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minCosine: Double = 0.95, nBits: Int = 12): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val sig = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .withColumn("_sig", lshSignature(col("_v"), nBits, dim))
+    sig.as("l").join(sig.as("r"),
+        col("l._sig") === col("r._sig") && col("l._id") < col("r._id"))
+      .withColumn("cosine", cosine(col("l._v"), col("r._v")))
+      .filter(col("cosine") >= minCosine)
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"), col("cosine"))
+  }
 }

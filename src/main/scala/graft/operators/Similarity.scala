@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (BASELINE.json north star). Three tiers:
+  *
+  *  1. [[bruteForceTopK]] — exact, O(|queries|·n): the correctness
+  *     baseline; right answer at any scale where |queries| is small.
+  *  2. [[lshTopK]] — random-hyperplane bucket candidates + exact
+  *     re-rank: the 10⁹-vector scale path (shuffle on signature only).
+  *  3. [[ivfTopK]] — inverted-file: coarse centroids, probe the nearest
+  *     `nprobe` lists; centroid assignment is one broadcast join.
+  */
+object Similarity {
+
+  /** Exact cosine top-k: broadcast the (small) query side, cross-join
+    * against the corpus, per-query window top-k.
+    * Scale: corpus side never shuffles for the join (broadcast-nested-
+    * loop); the only shuffle is the final window by query id, bounded by
+    * |queries|·n candidate rows — prune first when n is huge (LSH/IVF).
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Decimal-exact inner-product top-k (oracle-comparable variant:
+    * engine-exact arithmetic, deterministic ranking).
+    */
+  def dotTopKExact(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), asc("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("dot", dotExact(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: candidates = corpus vectors whose signature is
+    * within `maxHamming` of the query signature (expanded via the
+    * banded chunks of [[graft.operators.Dedup.simHashNearDupPairs]]'
+    * scheme when maxHamming > 0 is needed; here: exact-signature match
+    * plus optional single-bit probes), re-ranked exactly.
+    *
+    * Recall/latency tradeoff is explicit: more bits → smaller buckets,
+    * lower recall; multi-probe recovers recall without rebucketing.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      dim: Int, nBits: Int = 12, multiProbeBits: Int = 1): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+      .withColumn("_sig", lshSignature(col("_cv"), nBits, dim))
+    // query probes: own signature + all signatures within `multiProbeBits`
+    // flipped bits (multi-probe LSH)
+    val probes: Column = {
+      val base = lshSignature(col("_qv"), nBits, dim)
+      if (multiProbeBits >= 1)
+        array_union(array(base),
+          array((0 until nBits).map(i => base.bitwiseXOR(lit(1L << i))): _*))
+      else array(base)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+      .withColumn("_probe", explode(probes))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(q, col("_sig") === col("_probe") && col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
+      .distinct()
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** IVF (inverted-file) ANN: coarse-quantize the corpus onto `nlist`
+    * deterministic centroids (sampled by id — at scale, a k-means fit
+    * would run once offline), then search only the `nprobe` nearest
+    * lists per query.
+    *
+    * Scale: centroids broadcast everywhere; corpus assignment is a
+    * one-off projection persisted with the data (partitioned by
+    * `centroid_id`), so a query touches nprobe/nlist of the corpus.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = corpus
+      .withColumn("_rn", row_number().over(Window.orderBy(col(idCol))))
+      .filter(col("_rn") <= nlist)
+      .select(col("_rn").as("centroid_id"), col(vecCol).as("_centroid"))
+
+    val assigned = assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
+    val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    assigned.join(probed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("_cv")))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  private def assignToCentroid(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, outId: String): DataFrame = {
+    val w = Window.partitionBy(col(outId)).orderBy(desc("_sim"), asc("centroid_id"))
+    df.select(col(idCol).as(outId), col(vecCol).as("_cv"))
+      .join(broadcast(centroids))
+      .withColumn("_sim", cosine(col("_cv"), col("_centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col(outId), col("centroid_id"), col("_cv"))
+  }
+
+  private def assignToCentroids(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, outId: String, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col(outId)).orderBy(desc("_sim"), asc("centroid_id"))
+    df.select(col(idCol).as(outId), col(vecCol).as("_qv"))
+      .join(broadcast(centroids))
+      .withColumn("_sim", cosine(col("_qv"), col("_centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nprobe)
+      .select(col(outId), col("centroid_id"), col("_qv"))
+  }
+}

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Document-corpus text analysis (BASELINE.json north star): language
+  * ID, quality scoring, token counting, fingerprinting — one projection
+  * per document, fully distributed, no UDFs.
+  */
+object TextAnalysis {
+
+  /** Attach the full text-analysis column set to a documents frame. */
+  def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    df
+      .withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpeish_tokens", bpeishTokenCount(t))
+      .withColumn("n_punct", punctCount(t))
+      .withColumn("punct_ratio", punctRatio(t))
+      .withColumn("stopword_ratio", stopwordRatio(t, enStopwords))
+      .withColumn("mean_token_len", meanTokenLength(t))
+      .withColumn("quality_score", qualityScore(t))
+      .withColumn("lang_pred", langIdHeuristic(t))
+      .withColumn("fingerprint", docFingerprint(t))
+      .withColumn("rolling_fp", rollingMinFingerprint(t))
+  }
+
+  /** Quality-gate filter: the standard pretraining-corpus cut. */
+  def qualityFilter(df: DataFrame, textCol: String = "text",
+      minTokens: Int = 10, minScore: Double = 0.3): DataFrame =
+    df.filter(tokenCount(col(textCol)) >= minTokens &&
+      qualityScore(col(textCol)) >= minScore)
+
+  /** Corpus-level language/quality summary. */
+  def corpusSummary(df: DataFrame, textCol: String = "text"): DataFrame =
+    analyze(df, textCol)
+      .groupBy(col("lang_pred"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"),
+        graft.queries.Det.exactAvg(col("quality_score")).as("avg_quality"))
+      .orderBy(col("lang_pred"))
+}

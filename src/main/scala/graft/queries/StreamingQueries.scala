@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+import Det._
+
+/** Batch-equivalent views of the streaming operators (SURVEY.md §2.9) —
+  * the same window/session semantics Structured Streaming runs
+  * incrementally, expressed over the static `events` table so the
+  * DuckDB oracle can check them.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows by event_type — the batch twin of
+    * `EventStreams.windowedCounts` (same `window()` bucketing the
+    * streaming query uses, checked against DuckDB `time_bucket`).
+    */
+  def q26TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams.windowedCounts(Tables.events(s, dir))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "event_type")
+
+  val q26Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-minute inactivity gap) as a batch
+    * window computation: lag → new-session flag → running sum = session
+    * id; per-session stats. The streaming twin is
+    * `EventStreams.sessionize` (flatMapGroupsWithState).
+    * Scale: one shuffle on user_id; windows sort within user only.
+    */
+  def q27Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        floor((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          / lit(1000000.0)).cast(LongType).as("duration_sec"))
+      .orderBy("user_id", "session_id")
+  }
+
+  val q27Sql: String =
+    """SELECT user_id, session_id, count(*) AS n_events,
+      |  CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0) AS BIGINT) AS duration_sec
+      |FROM (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |      FROM events)))
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q26_tumbling_window" -> q26TumblingWindow _,
+    "q27_sessionize"      -> q27Sessionize _)
+
+  val oracle: Map[String, String] = Map(
+    "q26_tumbling_window" -> q26Sql,
+    "q27_sessionize"      -> q27Sql)
+}

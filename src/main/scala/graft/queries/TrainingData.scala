@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Similarity}
+import graft.sources.Tables
+import Det._
+
+/** Training-data pipeline query surface (BASELINE.json north star):
+  * dedup, similarity search, text analysis over `documents` /
+  * `embeddings`. Oracle SQL provided wherever DuckDB can express the
+  * same semantics; the MinHash/SimHash graph queries get rows-only
+  * checks (their hash functions are engine-specific) and are instead
+  * verified against exact Jaccard/hamming ground truth in ScalaTest.
+  */
+object TrainingData {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: keep the lowest doc_id per md5(text) fingerprint.
+    * Scale: shuffles 16-byte hashes + ids, never content.
+    */
+  def q18ExactDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // duplicate injection (first 40 docs re-appended with shifted ids)
+    // so the "drop the copy, keep the original" behavior is observable
+    val withDups = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    Dedup.dedupByFingerprint(withDups, "text", "doc_id")
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  val q18Sql: String =
+    """SELECT doc_id, md5(text) AS fingerprint FROM (
+      |  SELECT doc_id, text,
+      |    row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM (
+      |    SELECT doc_id, text FROM documents
+      |    UNION ALL
+      |    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 40))
+      |WHERE rn = 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting + quality metrics per document (text analysis). */
+  def q19TextStats(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      bpeishTokenCount(t).as("n_bpeish"),
+      punctCount(t).as("n_punct"),
+      length(t).cast(IntegerType).as("n_chars"),
+      stopwordCount(t, enStopwords).as("n_stopwords"),
+      meanTokenLength(t).as("mean_token_len"))
+      .orderBy("doc_id")
+  }
+
+  // DuckDB reimplementation: same token/regex semantics, double division
+  val q19Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+      |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\s\p{L}\p{N}]')) AS INT) AS n_bpeish,
+      |  CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS INT) AS n_punct,
+      |  CAST(length(text) AS INT) AS n_chars,
+      |  CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |    t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
+      |                        'it','that','this','for','on','with','as','at','by','be'], t))) AS INT) AS n_stopwords,
+      |  CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE)
+      |    / greatest(len(string_split_regex(trim(text), '\s+')), 1) AS mean_token_len
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic + quality score per document, summarized.
+    * The corpus is synthetic English-ish for every `lang` label, so the
+    * oracle checks the HEURISTIC's determinism (same formula in SQL),
+    * not label recovery.
+    */
+  def q20LangQuality(s: SparkSession, dir: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), langIdHeuristic(t).as("lang_pred"),
+        qualityScore(t).as("quality"))
+      .groupBy(col("lang_pred"))
+      .agg(count(lit(1)).as("n_docs"), exactSum(col("quality")).as("sum_quality"))
+      .orderBy("lang_pred")
+  }
+
+  val q20Sql: String = {
+    val stop = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'it','that','this','for','on','with','as','at','by','be']"
+    // mirrors TextFunctions.qualityScore / langIdHeuristic term by term
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|is|in|that|for|with|was)\\b')) AS INT) AS s_en,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(el|la|los|las|de|que|y|en|un|una|es|por)\\b')) AS INT) AS s_es,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein|eine|mit|von|zu)\\b')) AS INT) AS s_de,
+       |    CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|et|est|une|du|dans|pour|que|qui)\\b')) AS INT) AS s_fr,
+       |    regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') AS has_cjk,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> list_contains($stop, t))) AS DOUBLE) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'), t -> length(t))) AS DOUBLE) AS tok_chars
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id,
+       |    CASE
+       |      WHEN has_cjk THEN 'zh'
+       |      WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+       |      WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |      WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |      WHEN s_de >= s_fr THEN 'de'
+       |      ELSE 'fr' END AS lang_pred,
+       |    least(n_tok / 100.0, 1.0) * 0.3
+       |      + least((n_stop / greatest(n_tok, 1)) * 3.0, 1.0) * 0.3
+       |      + greatest(1.0 - (n_punct / greatest(n_chars, 1)) * 10.0, 0.0) * 0.2
+       |      + (CASE WHEN tok_chars / greatest(n_tok, 1) BETWEEN 3.0 AND 10.0
+       |              THEN 1.0 ELSE 0.5 END) * 0.2 AS quality
+       |  FROM scored)
+       |SELECT lang_pred, count(*) AS n_docs,
+       |  CAST(sum(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+       |FROM q GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
+  /** MinHash+LSH near-dup pairs over a corpus with planted near-dups
+    * (each doc_id < 60 re-appended with its tail truncated — high but
+    * not perfect Jaccard), verified by exact n-gram Jaccard ≥ 0.5.
+    * No SQL oracle (hash functions are engine-specific); ScalaTest
+    * checks recall against exact all-pairs Jaccard ground truth.
+    */
+  def q21MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+    Dedup.verifiedNearDupPairs(planted, "doc_id", "text", minJaccard = 0.5)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** SimHash near-dup groups over the same planted corpus (hamming ≤ 7
+    * on 64-bit token-set SimHash, 8-chunk banding → guaranteed recall).
+    * Rows-only check + ScalaTest exactness property.
+    */
+  def q22SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        // append one token: tiny token-multiset perturbation
+        concat(col("text"), lit(" appended")).as("text")))
+    Dedup.simHashNearDupPairs(planted, "doc_id", "text")
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Embedding inner-product top-3 neighbors for query vectors
+    * vec_id < 5 — decimal-exact arithmetic so the DuckDB oracle (same
+    * per-element products, exact decimal sum via sequential list fold)
+    * hash-matches bit for bit.
+    */
+  def q23DotTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    Similarity.dotTopKExact(emb, queries, "vec_id", "embedding", k = 3)
+      .orderBy("query_id", "rank")
+  }
+
+  val q23Sql: String =
+    """SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |  CAST(list_reduce(
+      |    list_transform(list_zip(q.embedding, e.embedding),
+      |      x -> CAST(CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(20,12)) AS DECIMAL(32,12))),
+      |    (a, b) -> CAST(a + b AS DECIMAL(32,12))) AS DOUBLE) AS dot,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY q.vec_id
+      |    ORDER BY list_reduce(
+      |      list_transform(list_zip(q.embedding, e.embedding),
+      |        x -> CAST(CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(20,12)) AS DECIMAL(32,12))),
+      |      (a, b) -> CAST(a + b AS DECIMAL(32,12))) DESC, e.vec_id ASC) AS INT) AS rank
+      |FROM embeddings q JOIN embeddings e ON q.vec_id < 5 AND e.vec_id <> q.vec_id
+      |QUALIFY rank <= 3
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** S7-style unnest: posexplode the embedding arrays (vec_id < 20).
+    * Float values round-trip bit-exactly through both engines.
+    */
+  def q24UnnestEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "val")))
+      .withColumn("pos", col("pos").cast(IntegerType))
+      .orderBy("vec_id", "pos")
+
+  val q24Sql: String =
+    """SELECT vec_id,
+      |  CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+      |  unnest(embedding) AS val
+      |FROM embeddings
+      |WHERE vec_id < 20
+      |ORDER BY vec_id, pos""".stripMargin
+
+  /** Document fingerprints: whole-doc xxhash64 + rolling-min shingle
+    * fingerprint, grouped to dup-groups. xxhash64 seeds differ across
+    * engines → rows-only check; exactness covered by q18's md5 path and
+    * ScalaTest stability tests.
+    */
+  def q25Fingerprints(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    docs.select(col("doc_id"),
+      docFingerprint(col("text")).as("fingerprint"),
+      rollingMinFingerprint(col("text")).as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q18_exact_dedup"      -> q18ExactDedup _,
+    "q19_text_stats"       -> q19TextStats _,
+    "q20_lang_quality"     -> q20LangQuality _,
+    "q21_minhash_neardup"  -> q21MinhashNearDup _,
+    "q22_simhash_neardup"  -> q22SimhashNearDup _,
+    "q23_dot_topk"         -> q23DotTopK _,
+    "q24_unnest_embeddings" -> q24UnnestEmbeddings _,
+    "q25_fingerprints"     -> q25Fingerprints _)
+
+  val oracle: Map[String, String] = Map(
+    "q18_exact_dedup"      -> q18Sql,
+    "q19_text_stats"       -> q19Sql,
+    "q20_lang_quality"     -> q20Sql,
+    "q23_dot_topk"         -> q23Sql,
+    "q24_unnest_embeddings" -> q24Sql)
+}

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference has no streaming — its "incremental" story is a daily
+  * cron batch with full-partition replace
+  * (`/root/reference/.github/workflows/new_etl_pipeline.yml:5-13`,
+  * `monarch_etl/db_loader.py:50-59`). This module supplies the
+  * Spark-native upgrade path: the SAME transformation functions run on a
+  * batch DataFrame or a `readStream` DataFrame; watermarks bound state.
+  *
+  * Scale: windowed aggregation state is (windows × event_types) per
+  * trigger — bounded by the watermark horizon; sessionization state is
+  * one small record per active user key, dropped on event-time timeout.
+  */
+object EventStreams {
+
+  /** The events table schema as a streaming source schema. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Watermarked tumbling-window aggregation — works identically on a
+    * batch or streaming DataFrame (pass the same function to both; the
+    * streaming run additionally drops state behind the watermark).
+    */
+  def windowedCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("total_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Sliding-window variant. */
+  def slidingCounts(
+      events: DataFrame,
+      windowDur: String = "1 hour",
+      slide: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"))
+
+  // ------------------------------------------------------------------
+  // Stateful processing: per-user running profile + sessionization
+  // ------------------------------------------------------------------
+
+  final case class Event(
+      event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserProfile(user_id: Long, n_events: Long, total_value: Double)
+
+  /** `mapGroupsWithState` running per-user profile: emits the updated
+    * profile for each user seen in a trigger. State is one tiny record
+    * per user.
+    */
+  def runningUserProfiles(events: Dataset[Event]): Dataset[UserProfile] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserProfile, UserProfile](
+        GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserProfile]) =>
+          val prev = state.getOption.getOrElse(UserProfile(userId, 0L, 0.0))
+          val (n, v) = rows.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserProfile(userId, n, v)
+          state.update(next)
+          next
+      }
+  }
+
+  final case class Session(
+      user_id: Long, session_start: Timestamp, session_end: Timestamp,
+      n_events: Int)
+
+  /** Internal session accumulator (public: Catalyst codegen instantiates it). */
+  final case class SessionState(startMs: Long, lastMs: Long, n: Int)
+
+  /** Gap-based sessionization with `flatMapGroupsWithState` + event-time
+    * timeout: a session closes when no event arrives within `gapSec` of
+    * event time (enforced by the watermark). Emits closed sessions.
+    */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          if (sorted.isEmpty) {
+            // timeout fired: close the open session
+            cur.foreach { s =>
+              closed ::= Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+            }
+            state.remove()
+          } else {
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapSec * 1000 =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.startMs), new Timestamp(s.lastMs), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapSec * 1000)
+            }
+          }
+          closed.reverse.iterator
+      }
+  }
+}

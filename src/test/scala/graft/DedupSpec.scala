@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+
+  /** Corpus with planted near-duplicates: every doc_id < 30 gets a
+    * truncated-copy at id+10000. Restricted to 150 base docs so the
+    * exact all-pairs ground truth stays cheap.
+    */
+  lazy val planted: DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+    docs.unionAll(docs.filter(col("doc_id") < 30).select(
+      (col("doc_id") + 10000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+      .cache()
+  }
+
+  /** Exact all-pairs 5-gram Jaccard ground truth (small corpus only). */
+  lazy val exactPairs: Set[(Long, Long)] = {
+    val t = planted.select(col("doc_id"), col("text"))
+    t.as("l").join(t.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .withColumn("j", Dedup.ngramJaccard(col("l.text"), col("r.text"), 5))
+      .filter(col("j") >= 0.5)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("minhash+LSH verified pairs: full precision, high recall vs exact Jaccard") {
+    val got = Dedup.verifiedNearDupPairs(planted, "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision is 1.0 by construction (candidates are re-verified exactly)
+    assert(got.subsetOf(exactPairs))
+    // recall: banding (32 hashes, 8 bands) catches >= 80% at J >= 0.5
+    assert(exactPairs.nonEmpty)
+    val recall = got.size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"recall $recall over ${exactPairs.size} true pairs")
+    // every planted truncation pair with J >= 0.5 that LSH found is correct
+    assert(got.forall { case (a, b) => a < b })
+  }
+
+  test("simhash near-dup pairs: exact recall of the hamming<=7 pair set") {
+    import graft.functions.{TextFunctions, VectorFunctions}
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+    val perturbed = docs.unionAll(docs.filter(col("doc_id") < 30).select(
+      (col("doc_id") + 10000).as("doc_id"),
+      concat(col("text"), lit(" zzz")).as("text"))).cache()
+    // ground truth: ALL pairs with simhash hamming <= 7 (computed all-pairs)
+    val hashed = perturbed.select(col("doc_id"),
+      TextFunctions.simHash64(col("text")).as("sh"))
+    val truth = hashed.as("l").join(hashed.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .withColumn("h", VectorFunctions.hammingLong(col("l.sh"), col("r.sh")))
+      .filter(col("h") <= 7)
+      .select(col("l.doc_id"), col("r.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simHashNearDupPairs(perturbed, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // pigeonhole: 8 chunks, hamming <= 7 → banding can never miss a pair
+    assert(got == truth, s"got ${got.size} vs truth ${truth.size}")
+    // sanity: a single appended token keeps most planted pairs within 7 bits
+    val plantedFound = got.count { case (a, b) => b == a + 10000 }
+    assert(plantedFound >= 20, s"found only $plantedFound of 30 planted pairs")
+  }
+
+  test("embedding near-dup via LSH: identical vectors always collide") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .unionAll(emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 10000).as("vec_id"), col("embedding")))
+    val pairs = Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding",
+        dim = 64, minCosine = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // identical copies have identical signatures -> always candidates
+    val expected = (0L until 10L).map(i => (i, i + 10000)).toSet
+    assert(expected.subsetOf(pairs.toSet))
+  }
+
+  test("exact dedup by fingerprint keeps lowest id per content") {
+    val withDups = planted // truncated copies are NOT exact dups
+      .unionAll(planted.filter(col("doc_id") === 0)
+        .select(lit(99999L).as("doc_id"), col("text")))
+    val out = Dedup.dedupByFingerprint(withDups, "text", "doc_id")
+    assert(out.filter(col("doc_id") === 99999L).count() == 0) // copy dropped
+    assert(out.filter(col("doc_id") === 0L).count() == 1)     // original kept
+    assert(out.count() == planted.count())
+  }
+}

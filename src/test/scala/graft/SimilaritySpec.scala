@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends SparkSpec {
+
+  lazy val emb = Tables.embeddings(spark, sfDir).cache()
+  lazy val queries = emb.filter(col("vec_id") < 8)
+
+  lazy val exact: Map[Long, Seq[Long]] =
+    Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("neighbor_id")).toSeq
+      }
+
+  test("brute-force top-k returns k ranked neighbors per query") {
+    assert(exact.size == 8)
+    exact.values.foreach(n => assert(n.size == 10))
+  }
+
+  test("LSH ANN always finds planted identical twins at rank 1") {
+    // the ANN contract that matters at scale: a true near-duplicate
+    // (cosine ~ 1) shares the query's signature bucket and wins rank 1.
+    // (Mid-similarity top-k on random vectors is NOT an LSH guarantee.)
+    val twins = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 10000).as("vec_id"), col("embedding"))
+    val corpus = emb.select(col("vec_id"), col("embedding")).unionAll(twins)
+    val ann = Similarity.lshTopK(corpus, twins, "vec_id", "embedding",
+        k = 3, dim = 64, nBits = 8, multiProbeBits = 1)
+      .filter(col("rank") === 1)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id"))
+    assert(ann.length == 8)
+    ann.foreach { case (q, n) => assert(n == q - 10000, s"query $q top-1 was $n") }
+  }
+
+  test("LSH ANN candidates are a subset of correctly-ranked exact results") {
+    val ann = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        k = 10, dim = 64, nBits = 8, multiProbeBits = 1).collect()
+    // every reported (query, neighbor) cosine must match the exact cosine
+    // ranking among the candidate set — i.e. no wrong ordering, ranks 1..n
+    ann.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("IVF ANN with nprobe=8 of nlist=16 recovers most of the exact top-10") {
+    val ann = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        k = 10, nlist = 16, nprobe = 8)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) => q -> rows.map(_.getAs[Long]("neighbor_id")).toSet }
+    val recalls = exact.map { case (q, truth) =>
+      ann.get(q).map(found => truth.toSet.intersect(found).size / 10.0).getOrElse(0.0)
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean recall@10 = $mean")
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import graft.functions.VectorFunctions
+    val self = emb.limit(5)
+      .select(VectorFunctions.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
+  }
+}

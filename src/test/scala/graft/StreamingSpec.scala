@@ -1,0 +1,97 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("streaming windowed counts match the batch computation") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:15:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 10:55:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 11:05:00"), 1, "click", 4.0),
+      Event(5, ts("2024-01-01 12:30:00"), 2, "view", 5.0),
+      // late watermark advancer
+      Event(6, ts("2024-01-01 15:00:00"), 3, "click", 6.0))
+
+    val agg = EventStreams.windowedCounts(input.toDF(), "1 hour", "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_out").start()
+    try {
+      input.addData(events.take(5))
+      q.processAllAvailable()
+      input.addData(events.drop(5)) // advances watermark past earlier windows
+      q.processAllAvailable()
+      val streamed = spark.table("win_out")
+        .select("window_start", "event_type", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      // batch twin on the same data (windows before the final watermark)
+      val batch = EventStreams.windowedCounts(events.toDF(), "1 hour", "1 hour")
+        .filter(col("window_start") < lit(ts("2024-01-01 14:00:00")))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batch.subsetOf(streamed))
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running profiles accumulate across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val profiles = EventStreams.runningUserProfiles(input.toDS())
+    val q = profiles.writeStream.outputMode("update")
+      .format("memory").queryName("prof_out").start()
+    try {
+      input.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "view", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(3, ts("2024-01-01 10:02:00"), 1, "click", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("prof_out")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_value").as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSet == Set((1L, 3L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val sessions = EventStreams.sessionize(input.toDS(), gapSec = 600)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 30-min gap
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:05:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(3, ts("2024-01-01 10:40:00"), 1, "click", 1.0), // new session
+        Event(4, ts("2024-01-01 16:00:00"), 2, "click", 1.0)) // watermark push
+      q.processAllAvailable()
+      input.addData(
+        Event(5, ts("2024-01-01 20:00:00"), 3, "click", 1.0)) // more watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Timestamp]("session_start"),
+          r.getAs[Int]("n_events")))
+      // the first user-1 session (10:00-10:05, 2 events) must be closed
+      assert(rows.contains((1L, ts("2024-01-01 10:00:00"), 2)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions
+import graft.operators.{Multimodal, TextAnalysis}
+import graft.sources.Tables
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Row = {
+    val df = spark.createDataFrame(
+      java.util.List.of(Row(text)),
+      StructType(Seq(StructField("t", StringType))))
+    df.select(c).collect()(0)
+  }
+
+  test("token counting: whitespace and BPE-ish") {
+    assert(one("hello world  foo", TextFunctions.tokenCount(col("t"))).getInt(0) == 3)
+    assert(one("", TextFunctions.tokenCount(col("t"))).getInt(0) == 0)
+    assert(one("   ", TextFunctions.tokenCount(col("t"))).getInt(0) == 0)
+    // "don't stop" → don | ' | t | stop = 4 BPE-ish pieces
+    assert(one("don't stop", TextFunctions.bpeishTokenCount(col("t"))).getInt(0) == 4)
+    assert(one("abc123", TextFunctions.bpeishTokenCount(col("t"))).getInt(0) == 2)
+  }
+
+  test("language ID heuristic on clearly-marked languages") {
+    val cases = Map(
+      "the cat sat on the mat and it was happy" -> "en",
+      "el perro corre por la calle y es muy rápido" -> "es",
+      "der Hund und die Katze sind nicht zu Hause" -> "de",
+      "le chat est dans la maison et les oiseaux qui chantent" -> "fr",
+      "这是一个中文句子" -> "zh",
+      "xyzzy plugh qwerty" -> "und")
+    cases.foreach { case (text, expected) =>
+      val got = one(text, TextFunctions.langIdHeuristic(col("t"))).getString(0)
+      assert(got == expected, s"'$text' → $got, expected $expected")
+    }
+  }
+
+  test("quality score: real prose beats punctuation soup") {
+    val prose = "The quick brown fox jumps over the lazy dog and runs " +
+      "through the field with great joy in the morning light of day."
+    val soup = "!!! ??? ,,, ;;; ::: ... !!!"
+    val qProse = one(prose, TextFunctions.qualityScore(col("t"))).getDouble(0)
+    val qSoup = one(soup, TextFunctions.qualityScore(col("t"))).getDouble(0)
+    assert(qProse > qSoup)
+    assert(qProse > 0.5 && qSoup < 0.5)
+  }
+
+  test("char n-grams and word n-grams") {
+    val grams = one("abcde", TextFunctions.charNGrams(col("t"), 3)).getSeq[String](0)
+    assert(grams == Seq("abc", "bcd", "cde"))
+    assert(one("ab", TextFunctions.charNGrams(col("t"), 3)).getSeq[String](0).isEmpty)
+    val wgrams = one("a b c d", TextFunctions.wordNGrams(col("t"), 2)).getSeq[String](0)
+    assert(wgrams == Seq("a b", "b c", "c d"))
+  }
+
+  test("fingerprints: normalization-invariant, content-sensitive") {
+    val a = one("Hello   World", TextFunctions.docFingerprint(col("t"))).getLong(0)
+    val b = one("  hello world ", TextFunctions.docFingerprint(col("t"))).getLong(0)
+    val c = one("hello there", TextFunctions.docFingerprint(col("t"))).getLong(0)
+    assert(a == b) // case/whitespace-normalized
+    assert(a != c)
+  }
+
+  test("simhash: identical docs equal, small edits near, different docs far") {
+    import graft.functions.VectorFunctions.hammingLong
+    val texts = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog near the river bank today"),
+      ("b", "the quick brown fox jumps over the lazy dog near the river bank today"),
+      ("c", "the quick brown fox jumps over the lazy dog near the river bank zzz"),
+      ("d", "completely different words about spark catalyst optimizer internals"))
+    val df = spark.createDataFrame(texts).toDF("id", "t")
+      .withColumn("sh", TextFunctions.simHash64(col("t")))
+    val sh = df.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sh("a") == sh("b"))
+    assert(java.lang.Long.bitCount(sh("a") ^ sh("c")) <= 16)
+    assert(java.lang.Long.bitCount(sh("a") ^ sh("d")) > 16)
+  }
+
+  test("corpus summary aggregates lang and quality") {
+    val out = TextAnalysis.corpusSummary(Tables.documents(spark, sfDir)).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 500)
+  }
+
+  test("quality filter keeps a sane fraction of the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val kept = TextAnalysis.qualityFilter(docs).count()
+    assert(kept > 0 && kept <= docs.count())
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val media = Multimodal.mediaFromDocuments(
+    Tables.documents(spark, sfDir).limit(60)).cache()
+
+  test("media table has the canonical schema") {
+    assert(media.schema == Multimodal.mediaSchema.copy(
+      fields = Multimodal.mediaSchema.fields.map(f =>
+        media.schema(f.name).copy(name = f.name))))
+    assert(media.count() == 60)
+    val mods = media.select("modality").distinct().collect().map(_.getString(0)).toSet
+    assert(mods == Set("image", "audio", "video"))
+  }
+
+  test("byte stats: hash-identical content dedups before decode") {
+    val stats = Multimodal.withByteStats(media)
+    assert(stats.columns.contains("n_bytes") && stats.columns.contains("content_hash"))
+    assert(stats.filter(col("n_bytes") <= 0).count() == 0)
+  }
+
+  test("feature extraction: fixed-dim float features, deterministic") {
+    val f1 = Multimodal.extractFeatures(media, dim = 16, batchSize = 7)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1.values.forall(_.size == 16))
+    // deterministic across runs and batch sizes
+    val f2 = Multimodal.extractFeatures(media, dim = 16, batchSize = 64)
+      .select("media_id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(f1 == f2)
+  }
+
+  test("frame sampling produces n fixed-width frames") {
+    val frames = Multimodal.sampleFrames(media, n = 4, frameBytes = 8)
+      .select("frames").collect().map(_.getSeq[Array[Byte]](0))
+    assert(frames.forall(_.size == 4))
+    assert(frames.forall(_.forall(f => f.length <= 8)))
+  }
+
+  test("resize stub truncates payload to budget") {
+    val out = Multimodal.resizeStub(media, targetBytes = 10)
+      .select(length(col("content_resized"))).collect().map(_.getInt(0))
+    assert(out.forall(_ <= 10))
+  }
+}
