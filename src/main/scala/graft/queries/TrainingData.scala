@@ -50,7 +50,7 @@ object TrainingData {
   /** Token counting + quality metrics per document (text analysis). */
   def q19TextStats(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, dir).select(
+    Tables.widen(Tables.documents(s, dir)).select(
       col("doc_id"),
       tokenCount(t).as("n_tokens"),
       bpeishTokenCount(t).as("n_bpeish"),
@@ -83,7 +83,7 @@ object TrainingData {
     */
   def q20LangQuality(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, dir)
+    Tables.widen(Tables.documents(s, dir))
       .select(col("doc_id"), langIdHeuristic(t).as("lang_pred"),
         qualityScore(t).as("quality"))
       .groupBy(col("lang_pred"))
@@ -214,7 +214,7 @@ object TrainingData {
     * ScalaTest stability tests.
     */
   def q25Fingerprints(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+    val docs = Tables.widen(Tables.documents(s, dir))
     docs.select(col("doc_id"),
       docFingerprint(col("text")).as("fingerprint"),
       rollingMinFingerprint(col("text")).as("rolling_fp"))

@@ -51,4 +51,17 @@ object Tables {
   /** Register every table as a temp view so `spark.sql` text queries work. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+
+  /** Spread a narrow input across the cluster before per-row-heavy
+    * compute (shingling, minhash, simhash, regex batteries).
+    *
+    * A small parquet file arrives as ONE partition; a 46M-op expression
+    * chain on one core is a silent 30× slowdown on local[32] and a
+    * straggler on a real cluster. At 100 TB inputs already have
+    * thousands of partitions and this is a no-op.
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

@@ -22,11 +22,13 @@ class DedupSpec extends SparkSpec {
       .cache()
   }
 
-  /** Exact all-pairs 5-gram Jaccard ground truth (small corpus only). */
+  /** Exact all-pairs 7-gram Jaccard ground truth (small corpus only) —
+    * same shingle size as the operator's default.
+    */
   lazy val exactPairs: Set[(Long, Long)] = {
     val t = planted.select(col("doc_id"), col("text"))
     t.as("l").join(t.as("r"), col("l.doc_id") < col("r.doc_id"))
-      .withColumn("j", Dedup.ngramJaccard(col("l.text"), col("r.text"), 5))
+      .withColumn("j", Dedup.ngramJaccard(col("l.text"), col("r.text"), 7))
       .filter(col("j") >= 0.5)
       .select(col("l.doc_id"), col("r.doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
