@@ -112,4 +112,14 @@ object Multimodal {
     */
   def resizeStub(df: DataFrame, binCol: String = "content", targetBytes: Int = 256): DataFrame =
     df.withColumn("content_resized", substring(col(binCol), 1, targetBytes))
+
+  /** C13: binary → binary transform (the reference draws a text overlay
+    * on a PNG tile, `openweatherbasicmap.py:36-83`). STUB: prepends a
+    * deterministic tag to the payload — the dataflow shape (binary in,
+    * binary out, per-row, codegen-able concat) is the real thing; a real
+    * decoder+drawer slots into [[extractFeatures]]'s batch loop instead.
+    */
+  def overlayStub(df: DataFrame, binCol: String = "content", tag: String = "OVERLAY:"): DataFrame =
+    df.withColumn("content_overlaid",
+      concat(encode(lit(tag), "UTF-8"), col(binCol)))
 }

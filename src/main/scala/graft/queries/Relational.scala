@@ -365,7 +365,45 @@ object Relational {
       |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
       |ORDER BY c_custkey""".stripMargin
 
+  /** CUBE grouping sets over two dimensions (extends q12's ROLLUP). */
+  def q28Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("n_orders"), col("sum_price"))
+      .orderBy("orderstatus", "orderpriority")
+
+  val q28Sql: String =
+    s"""SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       |  coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       |  count(*) AS n_orders,
+       |  ${exactSumSql("o_totalprice")} AS sum_price
+       |FROM orders
+       |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY orderstatus, orderpriority""".stripMargin
+
+  /** Sketch aggregates: approx_count_distinct (HLL++) next to the exact
+    * count. No oracle (sketch estimates are engine-specific); the
+    * ScalaTest checks the estimate lands within HLL's error bound.
+    * Scale: the sketch is THE way to count distincts at 100 TB — fixed
+    * memory, one pass, mergeable across partitions.
+    */
+  def q29ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "q28_cube"            -> q28Cube _,
+    "q29_approx_distinct" -> q29ApproxDistinct _,
     "q01_pricing_summary"   -> q01PricingSummary _,
     "q02_filter_project"    -> q02FilterProject _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -381,6 +419,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q28_cube" -> q28Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_filter_project"    -> q02Sql,
     "q03_shipping_priority" -> q03Sql,
