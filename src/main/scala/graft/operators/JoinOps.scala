@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-path join utilities (the knobs a 100 TB job actually turns).
+  *
+  * Catalyst picks broadcast/shuffled-hash/sort-merge from stats, and
+  * AQE rebalances at runtime — these helpers cover the two cases that
+  * still need explicit structure: pathological key skew (salting) and
+  * repeated co-located joins (bucketing).
+  */
+object JoinOps {
+
+  /** Salted equi-join for skewed keys: explode the small side into
+    * `saltBuckets` copies, salt the big side uniformly, join on
+    * (key, salt). Turns one hot-key partition into `saltBuckets`
+    * even slices.
+    *
+    * Use when one side has degenerate hot keys (the near-dup band join
+    * on an all-identical corpus, a "null-ish" default key, a celebrity
+    * user id) and AQE's skew split isn't enough. Salt is derived from a
+    * uniform hash of the big side's whole row id — deterministic, no
+    * rand() (which breaks retries/speculation).
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      saltBuckets: Int = 8, joinType: String = "inner"): DataFrame = {
+    val saltedBig = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets))
+        .cast(IntegerType))
+    val saltedSmall = small
+      .withColumn("_salt", explode(array((0 until saltBuckets).map(lit): _*)))
+    saltedBig.join(saltedSmall,
+        saltedBig(key) === saltedSmall(key) &&
+          saltedBig("_salt") === saltedSmall("_salt"), joinType)
+      .drop("_salt")
+  }
+
+  /** Write both sides bucketed by the join key so subsequent joins are
+    * shuffle-free (bucket-local sort-merge). The Spark answer to the
+    * reference's "re-read the whole table per request" pattern: pay the
+    * layout cost once, join forever without an exchange.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two pre-bucketed tables on their bucket key. With matching
+    * bucket counts, the plan contains NO Exchange on either side.
+    */
+  def bucketedJoin(
+      spark: org.apache.spark.sql.SparkSession,
+      leftTable: String, rightTable: String, key: String,
+      joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+}

@@ -48,9 +48,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** Register every table as a temp view so `spark.sql` text queries work. */
+  /** Register every table as a temp view so `spark.sql` text queries
+    * work (events goes through its nanos-timestamp conversion).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 
   /** Spread a narrow input across the cluster before per-row-heavy
     * compute (shingling, minhash, simhash, regex batteries).

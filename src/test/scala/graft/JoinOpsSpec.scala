@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.JoinOps
+import graft.sources.Tables
+
+class JoinOpsSpec extends SparkSpec {
+
+  test("salted join returns identical results to a plain join") {
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    val plain = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // saltedJoin joins on big(key) === small(key): same column name on
+    // both sides, so rename first
+    val salted2 = JoinOps.saltedJoin(
+      li.withColumnRenamed("l_suppkey", "suppkey"),
+      sup.withColumnRenamed("s_suppkey", "suppkey"), "suppkey")
+      .groupBy(col("s_name")).agg(count(lit(1)).as("n"), sum("l_quantity").as("q"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted2 == plain)
+  }
+
+  test("salted join spreads a degenerate hot key across buckets") {
+    import spark.implicits._
+    // pathological skew: every big-side row has THE SAME key
+    val big = (1 to 10000).map(i => (1L, i)).toDF("k", "v")
+    val small = Seq((1L, "hot")).toDF("k", "name")
+    val out = JoinOps.saltedJoin(big, small, "k", saltBuckets = 8)
+    assert(out.count() == 10000)
+    // the salt column spread rows over multiple buckets pre-join
+    val saltSpread = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(8)))
+      .select("_salt").distinct().count()
+    assert(saltSpread > 4, s"salt spread only $saltSpread buckets")
+  }
+
+  test("bucketed tables join with no Exchange in the plan") {
+    JoinOps.writeBucketed(
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 4)
+    JoinOps.writeBucketed(
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+        .withColumnRenamed("l_orderkey", "o_orderkey"),
+      "lineitem_b", "o_orderkey", 4)
+    val joined = JoinOps.bucketedJoin(spark, "orders_b", "lineitem_b", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() ==
+      Tables.lineitem(spark, sfDir).join(
+        Tables.orders(spark, sfDir),
+        col("l_orderkey") === col("o_orderkey")).count())
+  }
+}
