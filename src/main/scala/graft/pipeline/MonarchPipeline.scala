@@ -85,6 +85,28 @@ object MonarchPipeline {
     f"${monthNames(month)}$day%02d$year"
   }
 
+  /** Inventory backfill (A2/A5 + `/root/reference/retroactive_table_log.py`):
+    * rebuild `data_inventory` from the warehouse itself — one row per
+    * `date_only` partition with its count and derived table label.
+    * The reference walks tables and runs COUNT(*) per table; here it is
+    * one aggregate over the partition column (partition pruning makes
+    * the scan metadata-cheap on a real warehouse).
+    */
+  def inventoryBackfill(
+      spark: SparkSession, warehousePath: String, inventoryPath: String): DataFrame = {
+    val byDay = spark.read.parquet(warehousePath)
+      .groupBy(col("date_only"))
+      .agg(count(lit(1)).as("record_count"))
+      .select(
+        col("date_only").as("available_date"),
+        DateTimeFunctions.tableNameForDay(col("date_only")).as("table_name"),
+        col("record_count").cast("long").as("record_count"),
+        current_timestamp().as("processed_at"))
+    byDay.coalesce(1).write.mode("overwrite")
+      .parquet(inventoryPath)
+    spark.read.parquet(inventoryPath)
+  }
+
   /** §3.2 read path: the Flask API's year/month/day equality filters
     * (`/root/reference/butterflyetl.py:83-108`) as partition-prunable
     * predicates over the warehouse table.

@@ -401,9 +401,96 @@ object Relational {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
       .orderBy("l_returnflag")
 
+  /** TPC-H Q17-shape correlated aggregate: lineitems below 30% of their
+    * part's average quantity. Decorrelated by Catalyst into an
+    * aggregate + join; the threshold is computed with exact decimal
+    * sums so both engines compare against the identical double.
+    * Scale: one shuffle on l_partkey for the per-part average, reused
+    * by the join.
+    */
+  def q30SmallQuantity(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val avgQty = li.groupBy(col("l_partkey").as("p_key"))
+      .agg(((sum(col("l_quantity")) / count(lit(1))) * lit(0.3)).as("threshold"))
+    li.join(avgQty, col("l_partkey") === col("p_key"))
+      .filter(col("l_quantity") < col("threshold"))
+      .agg(
+        exactSum(col("l_extendedprice")).as("total_price"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q30Sql: String =
+    s"""SELECT ${exactSumSql("l_extendedprice")} AS total_price,
+       |  count(*) AS n_items
+       |FROM lineitem l
+       |JOIN (SELECT l_partkey AS p_key,
+       |        (sum(l_quantity) / count(*)) * 0.3 AS threshold
+       |      FROM lineitem GROUP BY l_partkey) a
+       |  ON l.l_partkey = a.p_key
+       |WHERE l.l_quantity < a.threshold""".stripMargin
+
+  /** String-function battery (C10/C11 + general string surface). */
+  def q31StringOps(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      lower(trim(col("c_name"))).as("name_lower"),
+      upper(col("c_mktsegment")).as("segment_upper"),
+      lpad(col("c_custkey").cast(StringType), 8, "0").as("key_padded"),
+      concat(col("c_mktsegment"), lit(":"), col("c_name")).as("tagged"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(col("c_name")).cast(IntegerType).as("name_len"),
+      regexp_replace(col("c_name"), "[0-9]+", "#").as("name_masked"),
+      split(col("c_name"), "#").getItem(0).as("name_head"))
+      .orderBy("c_custkey")
+
+  val q31Sql: String =
+    """SELECT c_custkey,
+      |  lower(trim(c_name)) AS name_lower,
+      |  upper(c_mktsegment) AS segment_upper,
+      |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+      |  c_mktsegment || ':' || c_name AS tagged,
+      |  substr(c_name, 1, 8) AS name_prefix,
+      |  CAST(length(c_name) AS INT) AS name_len,
+      |  regexp_replace(c_name, '[0-9]+', '#', 'g') AS name_masked,
+      |  string_split(c_name, '#')[1] AS name_head
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
+  /** U1: union-by-name across heterogeneous projections (the page-
+    * accumulation pattern, made schema-safe).
+    */
+  def q32UnionByName(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("key"), lit("finished").as("kind"),
+        col("o_totalprice").as("amount"))
+    val b = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "O")
+      .select(lit("open").as("kind"), col("o_orderkey").as("key"),
+        col("o_totalprice").as("amount")) // different column ORDER on purpose
+    a.unionByName(b)
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"), exactSum(col("amount")).as("total"))
+      .orderBy("kind")
+  }
+
+  val q32Sql: String =
+    s"""SELECT kind, count(*) AS n, ${exactSumSql("amount")} AS total
+       |FROM (
+       |  SELECT o_orderkey AS key, 'finished' AS kind, o_totalprice AS amount
+       |  FROM orders WHERE o_orderstatus = 'F'
+       |  UNION ALL
+       |  SELECT o_orderkey AS key, 'open' AS kind, o_totalprice AS amount
+       |  FROM orders WHERE o_orderstatus = 'O')
+       |GROUP BY kind
+       |ORDER BY kind""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_cube"            -> q28Cube _,
     "q29_approx_distinct" -> q29ApproxDistinct _,
+    "q30_small_quantity"  -> q30SmallQuantity _,
+    "q31_string_ops"      -> q31StringOps _,
+    "q32_union_by_name"   -> q32UnionByName _,
     "q01_pricing_summary"   -> q01PricingSummary _,
     "q02_filter_project"    -> q02FilterProject _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -420,6 +507,9 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q28_cube" -> q28Sql,
+    "q30_small_quantity" -> q30Sql,
+    "q31_string_ops" -> q31Sql,
+    "q32_union_by_name" -> q32Sql,
     "q01_pricing_summary"   -> q01Sql,
     "q02_filter_project"    -> q02Sql,
     "q03_shipping_priority" -> q03Sql,

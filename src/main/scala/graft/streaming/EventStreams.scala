@@ -61,6 +61,32 @@ object EventStreams {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"))
 
+  /** Incremental file ingest: the reference's scheduled-batch cron
+    * (`new_etl_pipeline.yml`) upgraded to a file-source stream with
+    * `Trigger.AvailableNow` — process everything that has landed, then
+    * stop; checkpointing makes re-runs exactly-incremental (each file
+    * processed once), replacing the reference's "re-run the day and
+    * overwrite" idempotency with true incremental progress tracking.
+    * Transform is injected so the SAME batch pipeline (e.g.
+    * `MonarchPipeline.transform`) runs per micro-batch via foreachBatch.
+    */
+  def ingestAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      schema: StructType,
+      checkpointDir: String,
+      perBatch: (DataFrame, Long) => Unit): Unit = {
+    val q = spark.readStream
+      .schema(schema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(perBatch)
+      .start()
+    q.awaitTermination()
+  }
+
   // ------------------------------------------------------------------
   // Stateful processing: per-user running profile + sessionization
   // ------------------------------------------------------------------

@@ -4,8 +4,13 @@ import graft.queries.Relational
 
 class RelationalSpec extends SparkSpec {
 
-  test("every declared query has an oracle and runs at sf0.001") {
-    assert(Relational.oracle.keySet == Relational.queries.keySet)
+  test("oracle keys are a subset of queries and all queries run at sf0.001") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+    // every query without an oracle is a deliberate rows-only entry
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle == Set("q21_minhash_neardup", "q22_simhash_neardup",
+      "q25_fingerprints", "q29_approx_distinct"),
+      s"unexpected oracle-less queries: $noOracle")
     Relational.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val n = df.count()
