@@ -24,10 +24,14 @@ object Bench {
       // warm run: whole-stage codegen compilation, JIT, parquet footers
       // (steady-state throughput is what a long-running cluster job sees)
       run(fn, name)
+      // drop caches persisted by operators during the warm run so one
+      // query's cached state doesn't tax the next query's GC
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       run(fn, name)
       name -> (System.nanoTime() - t0) / 1e9
     }
+    spark.catalog.clearCache()
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -53,6 +53,7 @@ object GraftSqlFunctions {
     "lang_id"            -> fn1(TextFunctions.langIdHeuristic),
     "doc_fingerprint"    -> fn1(TextFunctions.docFingerprint),
     "simhash64"          -> fn1(TextFunctions.simHash64),
+    "simhash64_native"   -> fn1(graft.expressions.SimHash64Expression.simhash64Native),
     // vectors
     "vec_dot"            -> fn2(VectorFunctions.dot),
     "vec_cosine"         -> fn2(VectorFunctions.cosine),

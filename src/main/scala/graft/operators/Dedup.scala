@@ -103,7 +103,13 @@ object Dedup {
         col(idCol).as("_id"),
         array_distinct(charNGrams(col(textCol), shingleSize)).as("_sh"))
       .filter(size(col("_sh")) > 0)
-      .withColumn("_bands", lshBandKeys(minHashSignature(col("_sh"), numHashes), bands, rowsPerBand))
+      // codegen signature expression (parity proven in
+      // MinHashExpressionSpec): one generated loop instead of
+      // k×|shingles| interpreted HOF evaluations
+      .withColumn("_bands", lshBandKeys(
+        graft.expressions.MinHashSignatureExpression
+          .minhashSignatureNative(col("_sh"), numHashes),
+        bands, rowsPerBand))
       .persist()
   }
 
@@ -186,10 +192,10 @@ object Dedup {
     val chunkBits = 64 / nChunks
     val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val hashed = graft.sources.Tables.widen(df)
-      // materialize token hashes once, then 64 alloc-free bit folds
+      // codegen SimHash expression (parity with the HOF version proven
+      // in SimHashExpressionSpec; one generated loop, no allocations)
       .select(col(idCol).as("_id"),
-        transform(tokens(col(textCol)), t => xxhash64(t)).as("_th"))
-      .select(col("_id"), simHash64FromHashes(col("_th")).as("_sh"))
+        graft.expressions.SimHash64Expression.simhash64Native(col(textCol)).as("_sh"))
       .persist()
     val banded = hashed.select(col("_id"), col("_sh"),
       posexplode(array((0 until nChunks).map(b =>

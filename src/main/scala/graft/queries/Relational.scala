@@ -392,14 +392,25 @@ object Relational {
     * Scale: the sketch is THE way to count distincts at 100 TB — fixed
     * memory, one pass, mergeable across partitions.
     */
-  def q29ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  def q29ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // Two passes on purpose: mixing sketch and exact-distinct aggregates
+    // in ONE groupBy makes Spark's distinct rewrite carry the HLL
+    // register buffers (460+ columns) through the per-(flag, orderkey)
+    // partial aggregate — a multi-GB intermediate at sf0.1 and a
+    // non-starter at 100 TB. Separately, each pass is a lean one-shuffle
+    // aggregate; the final join is 3 rows.
+    val li = Tables.lineitem(s, dir)
+    val approx = li.groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+    approx.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("approx_orders"),
+        col("exact_orders"), col("approx_parts"))
       .orderBy("l_returnflag")
+  }
 
   /** TPC-H Q17-shape correlated aggregate: lineitems below 30% of their
     * part's average quantity. Decorrelated by Catalyst into an
