@@ -79,11 +79,46 @@ object StreamingQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** As-of join: each purchase gets the user's latest prior signup
+    * snapshot (no future leakage). The DuckDB oracle uses its NATIVE
+    * `ASOF LEFT JOIN` — an independent implementation of the same
+    * semantics, so this checks the composition, not a mirrored formula.
+    */
+  def q33AsOfJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("snap_ts"),
+        col("value").as("signup_value"))
+    graft.operators.AsOfJoin.asOfJoin(
+        purchases, signups, Seq("user_id"), "ts", "snap_ts",
+        rightPayload = Seq("signup_value"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("value"), col("signup_value"),
+        date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss").as("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  val q33Sql: String =
+    """SELECT p.event_id, p.user_id,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+      |  p.value, s.value AS signup_value,
+      |  strftime(s.ts, '%Y-%m-%d %H:%M:%S') AS signup_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_tumbling_window" -> q26TumblingWindow _,
-    "q27_sessionize"      -> q27Sessionize _)
+    "q27_sessionize"      -> q27Sessionize _,
+    "q33_asof_join"       -> q33AsOfJoin _)
 
   val oracle: Map[String, String] = Map(
     "q26_tumbling_window" -> q26Sql,
-    "q27_sessionize"      -> q27Sql)
+    "q27_sessionize"      -> q27Sql,
+    "q33_asof_join"       -> q33Sql)
 }
