@@ -13,6 +13,8 @@ object GraftSession {
   def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
+      // custom planner strategies (TopKPerKey two-phase operator)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       // oracle parity + sane timestamps everywhere
       .config("spark.sql.session.timeZone", "UTC")

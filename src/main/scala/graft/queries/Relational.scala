@@ -496,12 +496,34 @@ object Relational {
        |GROUP BY kind
        |ORDER BY kind""".stripMargin
 
+  /** Per-key top-k via the custom two-phase physical operator
+    * (`graft.plans.TopKPerKey`): top-3 orders per customer. The oracle
+    * is the window row_number formulation — an independent computation
+    * of the same semantics.
+    */
+  def q34TopKPerKey(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        Tables.orders(s, dir),
+        keys = Seq(col("o_custkey")),
+        order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "o_orderkey")
+
+  val q34Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice
+      |FROM orders
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q28_cube"            -> q28Cube _,
     "q29_approx_distinct" -> q29ApproxDistinct _,
     "q30_small_quantity"  -> q30SmallQuantity _,
     "q31_string_ops"      -> q31StringOps _,
     "q32_union_by_name"   -> q32UnionByName _,
+    "q34_topk_per_key"    -> q34TopKPerKey _,
     "q01_pricing_summary"   -> q01PricingSummary _,
     "q02_filter_project"    -> q02FilterProject _,
     "q03_shipping_priority" -> q03ShippingPriority _,
@@ -518,6 +540,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "q28_cube" -> q28Sql,
+    "q34_topk_per_key" -> q34Sql,
     "q30_small_quantity" -> q30Sql,
     "q31_string_ops" -> q31Sql,
     "q32_union_by_name" -> q32Sql,

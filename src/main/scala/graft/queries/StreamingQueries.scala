@@ -112,13 +112,41 @@ object StreamingQueries {
       |  ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** Range join: purchases inside a 10-minute window after an error by
+    * the same user (bucketed formulation; oracle is DuckDB's plain
+    * inequality join — an independent evaluation strategy).
+    */
+  def q35RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("start_ts"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("end_ts"))
+    graft.operators.RangeJoin.pointInInterval(
+        purchases, incidents, Seq("user_id"), "ts", "start_ts", "end_ts")
+      .select(col("purchase_id"), col("error_id"), col("user_id"))
+      .orderBy("purchase_id", "error_id")
+  }
+
+  val q35Sql: String =
+    """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON p.user_id = e.user_id
+      | AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+      |ORDER BY purchase_id, error_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_tumbling_window" -> q26TumblingWindow _,
     "q27_sessionize"      -> q27Sessionize _,
-    "q33_asof_join"       -> q33AsOfJoin _)
+    "q33_asof_join"       -> q33AsOfJoin _,
+    "q35_range_join"      -> q35RangeJoin _)
 
   val oracle: Map[String, String] = Map(
     "q26_tumbling_window" -> q26Sql,
     "q27_sessionize"      -> q27Sql,
-    "q33_asof_join"       -> q33Sql)
+    "q33_asof_join"       -> q33Sql,
+    "q35_range_join"      -> q35Sql)
 }
