@@ -138,15 +138,45 @@ object EtlQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Semi-structured JSON column handling (the GBIF raw-record shape,
+    * SURVEY §1.2): extract a field from the `props` JSON string, type
+    * it, aggregate. At scale this is `from_json` with an explicit
+    * schema pushed as far down as possible; here `get_json_object`
+    * keeps it scalar.
+    */
+  def q36JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).cast(LongType).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val q36Sql: String =
+    """SELECT event_type,
+      |  count(CAST(props->>'$.k' AS INT)) AS n_with_k,
+      |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+      |  min(CAST(props->>'$.k' AS INT)) AS min_k,
+      |  max(CAST(props->>'$.k' AS INT)) AS max_k
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q14_date_rescue" -> q14DateRescue _,
     "q15_temporal"    -> q15Temporal _,
     "q16_inventory"   -> q16Inventory _,
-    "q17_read_path"   -> q17ReadPath _)
+    "q17_read_path"   -> q17ReadPath _,
+    "q36_json_extract" -> q36JsonExtract _)
 
   val oracle: Map[String, String] = Map(
     "q14_date_rescue" -> q14Sql,
     "q15_temporal"    -> q15Sql,
     "q16_inventory"   -> q16Sql,
-    "q17_read_path"   -> q17Sql)
+    "q17_read_path"   -> q17Sql,
+    "q36_json_extract" -> q36Sql)
 }

@@ -517,7 +517,50 @@ object Relational {
       |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) <= 3
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** TPC-H Q7-shape volume shipping: revenue by (supplier nation,
+    * customer nation, year) for a nation pair. Scale: nations broadcast
+    * everywhere; the two fact-side joins shuffle once each on their
+    * natural keys.
+    */
+  def q37VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+      .filter(
+        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast(IntegerType).as("l_year"))
+      .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q37Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS INT) AS l_year,
+       |  ${exactSumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+       |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+       |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+       |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q37_volume_shipping" -> q37VolumeShipping _,
     "q28_cube"            -> q28Cube _,
     "q29_approx_distinct" -> q29ApproxDistinct _,
     "q30_small_quantity"  -> q30SmallQuantity _,
@@ -541,6 +584,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q28_cube" -> q28Sql,
     "q34_topk_per_key" -> q34Sql,
+    "q37_volume_shipping" -> q37Sql,
     "q30_small_quantity" -> q30Sql,
     "q31_string_ops" -> q31Sql,
     "q32_union_by_name" -> q32Sql,
