@@ -559,8 +559,33 @@ object Relational {
        |GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
 
+  /** Exact percentiles + median per group. Exact `percentile` (linear
+    * interpolation over the sorted group) is bit-identical between
+    * Spark and DuckDB's `quantile_cont` → oracle-checkable. At 100 TB
+    * the sort-per-group cost says use `approx_percentile` (t-digest)
+    * instead — declared surface, tested by bound in spec if needed.
+    */
+  def q38Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("median(l_quantity)").as("median_qty"))
+      .orderBy("l_returnflag")
+
+  val q38Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price,
+      |  quantile_cont(l_extendedprice, 0.9) AS p90_price,
+      |  median(l_quantity) AS median_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q37_volume_shipping" -> q37VolumeShipping _,
+    "q38_percentiles"     -> q38Percentiles _,
     "q28_cube"            -> q28Cube _,
     "q29_approx_distinct" -> q29ApproxDistinct _,
     "q30_small_quantity"  -> q30SmallQuantity _,
@@ -585,6 +610,7 @@ object Relational {
     "q28_cube" -> q28Sql,
     "q34_topk_per_key" -> q34Sql,
     "q37_volume_shipping" -> q37Sql,
+    "q38_percentiles" -> q38Sql,
     "q30_small_quantity" -> q30Sql,
     "q31_string_ops" -> q31Sql,
     "q32_union_by_name" -> q32Sql,
