@@ -221,7 +221,21 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** Deterministic train/val/test split summary (hash-stable, layout-
+    * independent — no rand()). xxhash64 is engine-specific → rows-only
+    * check; stability/disjointness/nesting proven in SamplingSpec.
+    */
+  def q39HashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+        Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(org.apache.spark.sql.types.LongType).as("total_chars"))
+      .orderBy("split")
+
   val queries: Map[String, Q] = Map(
+    "q39_hash_split"       -> q39HashSplit _,
     "q18_exact_dedup"      -> q18ExactDedup _,
     "q19_text_stats"       -> q19TextStats _,
     "q20_lang_quality"     -> q20LangQuality _,

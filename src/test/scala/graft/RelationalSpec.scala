@@ -9,7 +9,7 @@ class RelationalSpec extends SparkSpec {
     // every query without an oracle is a deliberate rows-only entry
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(noOracle == Set("q21_minhash_neardup", "q22_simhash_neardup",
-      "q25_fingerprints", "q29_approx_distinct"),
+      "q25_fingerprints", "q29_approx_distinct", "q39_hash_split"),
       s"unexpected oracle-less queries: $noOracle")
     Relational.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+import graft.sources.Tables
+
+class SamplingSpec extends SparkSpec {
+
+  lazy val docs = Tables.documents(spark, sfDir)
+
+  test("hash split: disjoint, complete over declared fractions, stable") {
+    val split = Sampling.hashSplit(docs, "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == docs.count()) // fractions cover 1.0
+    // roughly proportional (hash uniformity over 500 docs)
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+
+    // stability: identical assignment on a re-read, regardless of layout
+    val again = Sampling.hashSplit(docs.repartition(13), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(first == again)
+  }
+
+  test("hash sample: deterministic subset, fraction approximately honored") {
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, "doc_id", 0.2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1 == s2)
+    assert(s1.size > 50 && s1.size < 150) // ~100 of 500
+    // a larger fraction is a superset of a smaller one (nested samples)
+    val s3 = Sampling.hashSample(docs, "doc_id", 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("different salts decorrelate samples") {
+    val a = Sampling.hashSample(docs, "doc_id", 0.5, salt = "a")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "doc_id", 0.5, salt = "b")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != b)
+    val overlap = a.intersect(b).size.toDouble / math.max(a.size, 1)
+    assert(overlap > 0.25 && overlap < 0.75) // ~50% expected
+  }
+
+  test("stratified sample keeps per-stratum fractions") {
+    val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0, "fr" -> 0.5))
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("en") == base("en"))
+    assert(!counts.contains("de"))
+    assert(counts("fr") > 0 && counts("fr") < base("fr"))
+    assert(!counts.contains("es") && !counts.contains("zh")) // unlisted → dropped
+  }
+}
