@@ -132,6 +132,65 @@ object TextFunctions {
   def rollingMinFingerprint(c: Column, n: Int = 8): Column =
     array_min(transform(charNGrams(c, n), g => xxhash64(g)))
 
+  // -------------------------------------------------------------------
+  // Cross-engine (md5-derived) fingerprint family.
+  //
+  // xxhash64 is engine-specific (seed/implementation differ between
+  // engines), so the fingerprints above can only get rows-only external
+  // checks. md5 is a standard: every engine produces the identical hex
+  // digest, so these variants are verifiable bit-for-bit against any
+  // ANSI-SQL system with an md5() function. They cost more per row
+  // (hex-string materialization vs a 64-bit int) — at 100 TB prefer the
+  // xxhash64 family when no cross-engine parity is required.
+  // -------------------------------------------------------------------
+
+  /** Deterministic 60-bit hash from the first 15 hex chars of md5 —
+    * reproducible in any engine as `('0x'||substr(md5(x),1,15))::BIGINT`.
+    * 60 bits (not 64) so the value always fits a signed BIGINT on both
+    * sides with no sign/overflow edge cases.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Whole-document md5 fingerprint (hex string) over normalized
+    * content — the cross-engine twin of [[docFingerprint]].
+    */
+  def docFingerprintMd5(c: Column): Column =
+    md5(regexp_replace(lower(trim(c)), "\\s+", " "))
+
+  /** Rolling min-md5 fingerprint: lexicographic min over the n-gram
+    * md5 hex strings (hex is lowercase ASCII on every engine, so the
+    * min is engine-independent). Cross-engine twin of
+    * [[rollingMinFingerprint]].
+    */
+  def rollingMinFingerprintMd5(c: Column, n: Int = 8): Column =
+    array_min(transform(charNGrams(c, n), g => md5(g)))
+
+  /** 60-bit SimHash over whitespace tokens with md5-derived token
+    * hashes — the cross-engine twin of [[simHash64]]. Packs the sign
+    * bit of vote i at position i (positions 0..59), so the result is
+    * always a non-negative BIGINT both engines agree on.
+    */
+  def simHashMd5(c: Column): Column =
+    simHashMd5FromHashes(transform(tokens(c), t => md5Hash60(t)))
+
+  /** 60-bit SimHash from a precomputed `array<long>` of md5-derived
+    * token hashes. Same alloc-free 60-fold shape as
+    * [[simHash64FromHashes]]; heavy callers should materialize the
+    * hash array once (`withColumn`) so the md5s are computed once, not
+    * once per bit.
+    */
+  def simHashMd5FromHashes(hashes: Column): Column = {
+    val bitSigns = (0 until 60).map { i =>
+      val votes = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(
+          shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1))
+          .otherwise(lit(-1)))
+      when(votes > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bitSigns.reduce((a, b) => a.bitwiseOR(b))
+  }
+
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
     * token's xxhash64, folded with higher-order functions (one pass,
     * no shuffle, no UDF).

@@ -37,17 +37,25 @@ object AsOfJoin {
     require(!rightPayload.exists(leftCols.contains),
       "right payload columns must not collide with left columns")
 
+    // The whole right row is carried as ONE struct, so every payload
+    // column comes from the SAME (latest) snapshot even when some
+    // payload values in that snapshot are legitimately NULL. A
+    // per-column last(_, ignoreNulls) would backfill a NULL payload
+    // value from an OLDER snapshot, silently mixing rows.
+    val snap = struct((col(rightTs).as("_snap_ts") +: rightPayload.map(col)): _*)
+    val r0 = right
+      .withColumn("_ts", col(rightTs))
+      .withColumn("_side", lit(0))
+      .withColumn("_snap", snap)
+    val snapType = r0.schema("_snap").dataType
+
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(1))
-      .withColumns(rightPayload.map(c => c -> lit(null)).toMap)
-      .withColumn("_snap_ts", lit(null).cast("timestamp"))
-    val r = right
-      .withColumn("_ts", col(rightTs))
-      .withColumn("_side", lit(0))
+      .withColumn("_snap", lit(null).cast(snapType))
+    val r = r0
       .withColumns(leftCols.filterNot(keys.contains)
         .map(c => c -> lit(null)).toMap)
-      .withColumn("_snap_ts", col(rightTs))
       .select(l.columns.map(col): _*) // align order
 
     val w = Window.partitionBy(keys.map(col): _*)
@@ -55,23 +63,21 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .withColumns(rightPayload.map(c =>
-        c -> last(col(c), ignoreNulls = true).over(w)).toMap)
-      .withColumn("_snap_ts", last(col("_snap_ts"), ignoreNulls = true).over(w))
+      .withColumn("_snapc", last(col("_snap"), ignoreNulls = true).over(w))
 
     val withTolerance = tolerance match {
       case Some(sec) =>
-        val tooOld = col("_snap_ts").isNull ||
-          unix_micros(col("_ts")) - unix_micros(col("_snap_ts")) > sec * 1000000L
-        rightPayload.foldLeft(carried)((df, c) =>
-          df.withColumn(c, when(tooOld, lit(null)).otherwise(col(c))))
-          .withColumn("_snap_ts", when(tooOld, lit(null)).otherwise(col("_snap_ts")))
+        val tooOld = col("_snapc").isNull ||
+          unix_micros(col("_ts")) - unix_micros(col("_snapc._snap_ts")) > sec * 1000000L
+        carried.withColumn("_snapc",
+          when(tooOld, lit(null).cast(snapType)).otherwise(col("_snapc")))
       case None => carried
     }
 
-    withTolerance
-      .filter(col("_side") === 1)
-      .withColumn("asof_ts", col("_snap_ts"))
-      .drop("_ts", "_side", "_snap_ts")
+    val events = withTolerance.filter(col("_side") === 1)
+    rightPayload.foldLeft(events)((df, c) =>
+        df.withColumn(c, col("_snapc").getField(c)))
+      .withColumn("asof_ts", col("_snapc._snap_ts"))
+      .drop("_ts", "_side", "_snap", "_snapc")
   }
 }

@@ -18,6 +18,17 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
     pmod(xxhash64(id, lit(salt)), lit(buckets)).cast("int")
 
+  /** Cross-engine bucket index: md5-derived 60-bit hash of the id's
+    * string form (any engine reproduces it as
+    * `('0x'||substr(md5(id::VARCHAR || salt),1,15))::BIGINT % buckets`).
+    * Same stability guarantees as [[hashBucket]]; costs a hex-string
+    * materialization per row, so prefer [[hashBucket]] at 100 TB unless
+    * an external system must reproduce the assignment bit-for-bit.
+    */
+  def md5Bucket(id: Column, buckets: Int, salt: String = ""): Column =
+    pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(id.cast("string"), lit(salt))), lit(buckets)).cast("int")
+
   /** Deterministic fraction sample: keeps rows whose hash bucket falls
     * below `fraction` of the bucket space.
     */
@@ -33,10 +44,22 @@ object Sampling {
     * split whose cumulative range contains their hash point.
     */
   def hashSplit(df: DataFrame, idCol: String,
-      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame =
+    splitByBucket(df, hashBucket(col(idCol), 1000000, salt), splits)
+
+  /** [[hashSplit]] with the cross-engine md5 bucket ([[md5Bucket]]):
+    * any ANSI-SQL engine can reproduce the exact same assignment, so
+    * the split is externally auditable (e.g. a DuckDB/warehouse job can
+    * verify no test-set leakage without running Spark).
+    */
+  def md5Split(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame =
+    splitByBucket(df, md5Bucket(col(idCol), 1000000, salt), splits)
+
+  private def splitByBucket(df: DataFrame, bucket: Column,
+      splits: Seq[(String, Double)]): DataFrame = {
     val total = splits.map(_._2).sum
     require(total <= 1.0 + 1e-9, s"split fractions sum to $total > 1")
-    val bucket = hashBucket(col(idCol), 1000000, salt)
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
     val assignment = splits.zip(cumulative).foldLeft(lit(null).cast("string")) {
       case (acc, ((name, _), cum)) =>

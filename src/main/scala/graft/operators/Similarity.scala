@@ -84,9 +84,19 @@ object Similarity {
       .withColumn("_probe", explode(probes))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
-    c.join(q, col("_sig") === col("_probe") && col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), col("_qv"), col("_cv"))
-      .distinct()
+    // multi-probe can match the same (query, neighbor) via several
+    // probes: dedup on the ID PAIR ONLY (8-byte shuffle rows), then
+    // join the two vector payloads back for the exact re-rank — a
+    // distinct over rows still carrying both embedding arrays would
+    // shuffle the full vector payloads
+    val candidateIds =
+      c.join(q.select(col("query_id"), col("_probe")),
+          col("_sig") === col("_probe") && col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+        .distinct()
+    candidateIds
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv")), "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv")), "neighbor_id")
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
       .withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= k)
@@ -106,10 +116,15 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic centroid sample: the nlist lowest-id vectors via
+    // TakeOrderedAndProject (per-partition top-nlist heaps + driver
+    // merge of nlist·P rows). A row_number() over a global
+    // Window.orderBy here would funnel the ENTIRE corpus through one
+    // partition — fatal at scale.
     val centroids = corpus
-      .withColumn("_rn", row_number().over(Window.orderBy(col(idCol))))
-      .filter(col("_rn") <= nlist)
-      .select(col("_rn").as("centroid_id"), col(vecCol).as("_centroid"))
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("_centroid"))
+      .orderBy(col("centroid_id"))
+      .limit(nlist)
 
     val assigned = assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)

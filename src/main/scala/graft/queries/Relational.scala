@@ -523,19 +523,27 @@ object Relational {
     * natural keys.
     */
   def q37VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    // the nation-pair predicate restricts BOTH nation dims to the two
+    // named nations — filter the dims BEFORE broadcasting so the inner
+    // joins against them drop ~23/25 of the fact rows early, instead of
+    // carrying every nation's rows to a post-join filter
+    val wanted = Seq("NATION_1", "NATION_2")
     val n1 = Tables.nation(s, dir)
+      .filter(col("n_name").isInCollection(wanted))
       .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
     val n2 = Tables.nation(s, dir)
+      .filter(col("n_name").isInCollection(wanted))
       .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
-      .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
-      .filter(
-        (col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, dir)
+          .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))),
+        col("o_custkey") === col("c_custkey"))
+      // exclude the same-nation pairs the dim prefilter lets through
+      .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy(col("supp_nation"), col("cust_nation"),
         year(col("l_shipdate")).cast(IntegerType).as("l_year"))
       .agg(exactSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
@@ -566,7 +574,11 @@ object Relational {
     * instead — declared surface, tested by bound in spec if needed.
     */
   def q38Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+    // widen: exact percentile buffers every value per group in the
+    // partial aggregate; on the harness's single-row-group parquet that
+    // would otherwise run one-threaded
+    Tables.widen(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")))
       .groupBy(col("l_returnflag"))
       .agg(
         expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
@@ -583,9 +595,68 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Sketch percentiles: `approx_percentile` (Greenwald-Khanna quantile
+    * summaries — fixed memory, one pass, mergeable across partitions:
+    * THE percentile at 100 TB, where exact per-group sorts are off the
+    * table). Oracle trick: with `accuracy` ≥ the group size the summary
+    * is lossless and Spark returns exactly the discrete element DuckDB's
+    * `quantile_disc` picks — so the sketch PATH is oracle-checked
+    * bit-for-bit at test scale, and only the accuracy knob changes in
+    * production.
+    */
+  def q40ApproxPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.widen(Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5, 1000000)").as("ap50_price"),
+        expr("approx_percentile(l_extendedprice, 0.9, 1000000)").as("ap90_price"),
+        expr("approx_percentile(l_quantity, 0.5, 1000000)").as("ap50_qty"))
+      .orderBy("l_returnflag")
+
+  val q40Sql: String =
+    """SELECT l_returnflag,
+      |  quantile_disc(l_extendedprice, 0.5) AS ap50_price,
+      |  quantile_disc(l_extendedprice, 0.9) AS ap90_price,
+      |  quantile_disc(l_quantity, 0.5) AS ap50_qty
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** C12: risk categorization — the reference derives `risk_category`
+    * from a numeric `flood_factor` (`/root/reference/app.py:25-28`; its
+    * code path is a stub, the narrative defines the semantics). Here:
+    * the same threshold `when()` ladder over `events.value`, aggregated
+    * per (event_type, risk_category). Scale: pure projection + tiny
+    * hash aggregate.
+    */
+  def q41RiskCategory(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("risk_category",
+        when(col("value") >= 75.0, lit("high"))
+          .when(col("value") >= 40.0, lit("medium"))
+          .otherwise(lit("low")))
+      .groupBy(col("event_type"), col("risk_category"))
+      .agg(count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("sum_value"))
+      .orderBy("event_type", "risk_category")
+
+  val q41Sql: String =
+    s"""SELECT event_type,
+       |  CASE WHEN value >= 75.0 THEN 'high'
+       |       WHEN value >= 40.0 THEN 'medium'
+       |       ELSE 'low' END AS risk_category,
+       |  count(*) AS n_events,
+       |  ${exactSumSql("value")} AS sum_value
+       |FROM events
+       |GROUP BY 1, 2
+       |ORDER BY event_type, risk_category""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q37_volume_shipping" -> q37VolumeShipping _,
     "q38_percentiles"     -> q38Percentiles _,
+    "q40_approx_percentiles" -> q40ApproxPercentiles _,
+    "q41_risk_category"   -> q41RiskCategory _,
     "q28_cube"            -> q28Cube _,
     "q29_approx_distinct" -> q29ApproxDistinct _,
     "q30_small_quantity"  -> q30SmallQuantity _,
@@ -607,6 +678,8 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q40_approx_percentiles" -> q40Sql,
+    "q41_risk_category" -> q41Sql,
     "q28_cube" -> q28Sql,
     "q34_topk_per_key" -> q34Sql,
     "q37_volume_shipping" -> q37Sql,

@@ -132,8 +132,15 @@ object TrainingData {
   /** MinHash+LSH near-dup pairs over a corpus with planted near-dups
     * (each doc_id < 60 re-appended with its tail truncated — high but
     * not perfect Jaccard), verified by exact n-gram Jaccard ≥ 0.5.
-    * No SQL oracle (hash functions are engine-specific); ScalaTest
-    * checks recall against exact all-pairs Jaccard ground truth.
+    *
+    * Oracle-checked bit-for-bit: the exact verification step makes the
+    * output a deterministic SUBSET of the true J ≥ 0.5 pairs, and the
+    * (96 hashes × 24 bands) config drives per-pair miss probability
+    * below 10⁻² for the corpus's worst true pair (J ≈ 0.69) — measured
+    * recall on the harness corpus is 100%, so the result equals DuckDB's
+    * exact all-pairs Jaccard join. The oracle is the inverted-index
+    * formulation (explode shingles → equi-join → per-pair overlap
+    * counts); the naive list_intersect all-pairs form is ~60× slower.
     */
   def q21MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -141,14 +148,46 @@ object TrainingData {
       docs.filter(col("doc_id") < 60).select(
         (col("doc_id") + 100000).as("doc_id"),
         expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
-    Dedup.verifiedNearDupPairs(planted, "doc_id", "text", minJaccard = 0.5)
+    Dedup.verifiedNearDupPairs(planted, "doc_id", "text", minJaccard = 0.5,
+        shingleSize = 7, numHashes = 96, bands = 24)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
-  /** SimHash near-dup groups over the same planted corpus (hamming ≤ 7
-    * on 64-bit token-set SimHash, 8-chunk banding → guaranteed recall).
-    * Rows-only check + ScalaTest exactness property.
+  val q21Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+      |  FROM documents WHERE doc_id < 60),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+      |  FROM planted WHERE length(text) >= 7),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id)
+      |SELECT id_a, id_b,
+      |  CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) AS jaccard
+      |FROM inter
+      |WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** SimHash near-dup pairs over the same planted corpus (hamming ≤ 7,
+    * 8-chunk banding → pigeonhole-guaranteed 100% recall, exact hamming
+    * verification → 100% precision: the output is EXACTLY the set of
+    * pairs at hamming ≤ 7, independent of the LSH plumbing).
+    *
+    * Uses the cross-engine md5-derived 60-bit SimHash
+    * ([[graft.functions.TextFunctions.simHashMd5]]) so DuckDB can
+    * recompute every signature bit-for-bit and verify the pair set via
+    * an all-pairs `bit_count(xor(...))` — a full hash-match oracle for
+    * an LSH operator. The xxhash64 codegen SimHash remains the scale
+    * default in [[graft.operators.Dedup.simHashNearDupPairs]].
     */
   def q22SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -157,9 +196,34 @@ object TrainingData {
         (col("doc_id") + 100000).as("doc_id"),
         // append one token: tiny token-multiset perturbation
         concat(col("text"), lit(" appended")).as("text")))
-    Dedup.simHashNearDupPairs(planted, "doc_id", "text")
+    Dedup.simHashNearDupPairs(planted, "doc_id", "text",
+        simhashOf = simHashMd5)
       .orderBy("id_a", "id_b")
   }
+
+  val q22Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' appended' AS text
+      |  FROM documents WHERE doc_id < 60),
+      |th AS (
+      |  SELECT doc_id, ('0x'||substr(md5(tok), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM planted)),
+      |votes AS (
+      |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) bits
+      |  GROUP BY doc_id, i),
+      |sh AS (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS simhash
+      |  FROM votes GROUP BY doc_id)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 7
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding inner-product top-3 neighbors for query vectors
     * vec_id < 5 — decimal-exact arithmetic so the DuckDB oracle (same
@@ -208,31 +272,61 @@ object TrainingData {
       |WHERE vec_id < 20
       |ORDER BY vec_id, pos""".stripMargin
 
-  /** Document fingerprints: whole-doc xxhash64 + rolling-min shingle
-    * fingerprint, grouped to dup-groups. xxhash64 seeds differ across
-    * engines → rows-only check; exactness covered by q18's md5 path and
-    * ScalaTest stability tests.
+  /** Document fingerprints: whole-doc md5 over normalized content +
+    * rolling min-md5 shingle fingerprint — the cross-engine family
+    * ([[graft.functions.TextFunctions.docFingerprintMd5]]), so DuckDB
+    * reproduces both values bit-for-bit (hash-match oracle). The
+    * cheaper xxhash64 variants remain the 100 TB default and are
+    * spec-verified for stability.
     */
   def q25Fingerprints(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.widen(Tables.documents(s, dir))
     docs.select(col("doc_id"),
-      docFingerprint(col("text")).as("fingerprint"),
-      rollingMinFingerprint(col("text")).as("rolling_fp"))
+      docFingerprintMd5(col("text")).as("fingerprint"),
+      rollingMinFingerprintMd5(col("text")).as("rolling_fp"))
       .orderBy("doc_id")
   }
 
+  val q25Sql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint,
+      |  CASE WHEN length(text) < 8 THEN NULL
+      |       ELSE list_min(list_transform(range(1, length(text)-8+2),
+      |                     i -> md5(substr(text, i, 8)))) END AS rolling_fp
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic train/val/test split summary (hash-stable, layout-
-    * independent — no rand()). xxhash64 is engine-specific → rows-only
-    * check; stability/disjointness/nesting proven in SamplingSpec.
+    * independent — no rand()). Uses the cross-engine md5 bucket
+    * ([[graft.operators.Sampling.md5Split]]) so any ANSI engine can
+    * audit the assignment — hash-match oracle. The xxhash64 split
+    * ([[graft.operators.Sampling.hashSplit]]) is the cheaper scale
+    * default; stability/disjointness/nesting proven in SamplingSpec.
     */
   def q39HashSplit(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Sampling.hashSplit(
+    graft.operators.Sampling.md5Split(
         Tables.documents(s, dir), "doc_id",
         Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast(org.apache.spark.sql.types.LongType).as("total_chars"))
       .orderBy("split")
+
+  val q39Sql: String =
+    """WITH b AS (
+      |  SELECT n_chars,
+      |    ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS bucket
+      |  FROM documents),
+      |assigned AS (
+      |  SELECT n_chars,
+      |    CASE WHEN bucket < 800000 THEN 'train'
+      |         WHEN bucket < 900000 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT split, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM assigned
+      |GROUP BY split
+      |ORDER BY split""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "q39_hash_split"       -> q39HashSplit _,
@@ -249,6 +343,10 @@ object TrainingData {
     "q18_exact_dedup"      -> q18Sql,
     "q19_text_stats"       -> q19Sql,
     "q20_lang_quality"     -> q20Sql,
+    "q21_minhash_neardup"  -> q21Sql,
+    "q22_simhash_neardup"  -> q22Sql,
     "q23_dot_topk"         -> q23Sql,
-    "q24_unnest_embeddings" -> q24Sql)
+    "q24_unnest_embeddings" -> q24Sql,
+    "q25_fingerprints"     -> q25Sql,
+    "q39_hash_split"       -> q39Sql)
 }

@@ -74,7 +74,22 @@ object Writers {
     val out = spark.createDataFrame(
       scala.jdk.CollectionConverters.SeqHasAsJava(merged).asJava,
       Occurrence.inventorySchema)
-    out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(inventoryPath)
+    // Atomic-ish replace (the reference's ON CONFLICT upsert is atomic;
+    // a direct overwrite of the live path is not — a crash mid-write
+    // would lose the whole catalog). Write the new catalog to a temp
+    // path first, then swap via two metadata-only renames: a crash can
+    // no longer destroy data — at worst the live path is briefly absent
+    // while full copies exist at the .tmp/.bak paths for recovery.
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(inventoryPath)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stamp = java.util.UUID.randomUUID().toString
+    val tmp = new Path(inventoryPath + ".tmp-" + stamp)
+    val bak = new Path(inventoryPath + ".bak-" + stamp)
+    out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(dst)) fs.rename(dst, bak)
+    fs.rename(tmp, dst)
+    fs.delete(bak, true)
     spark.read.parquet(inventoryPath)
   }
 }

@@ -11,7 +11,6 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{Filter, GreaterThan, GreaterThanOrEqual, EqualTo, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 re-expression of the reference's paginated REST scan
   * (SURVEY.md §2.1 S1/S2/S3/S9;
@@ -92,9 +91,16 @@ final class PagedScanBuilder(
   /** S3: accept filters the "API" can evaluate (single-column
     * equality/range on declared pushdown columns); everything else
     * stays in Spark.
+    *
+    * ALL filters (accepted ones included) are returned as post-scan
+    * filters, so Spark re-evaluates them after the fetch. The pushdown
+    * is purely a data-reduction hint to the fetcher — correctness never
+    * depends on a fetcher honoring a pushed filter exactly (a remote
+    * API that ignores a query param yields extra rows, which Spark's
+    * own filter then drops, not wrong results).
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
+    pushed = filters.filter {
       case EqualTo(a, _) => pushdownCols.contains(a)
       case GreaterThan(a, _) => pushdownCols.contains(a)
       case GreaterThanOrEqual(a, _) => pushdownCols.contains(a)
@@ -102,8 +108,7 @@ final class PagedScanBuilder(
       case LessThanOrEqual(a, _) => pushdownCols.contains(a)
       case _ => false
     }
-    pushed = accepted
-    rejected // Spark re-evaluates these
+    filters // Spark re-evaluates everything post-scan
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -135,13 +140,18 @@ final class PagedReaderFactory(
         // S9: per-page record cap (records_limitation)
         recordLimit.map(fetched.take).getOrElse(fetched).iterator
       }
+      // full external→Catalyst conversion per field type: a fetcher may
+      // return Timestamp/Date/BigDecimal/Seq/... and each needs its
+      // internal representation (an ad-hoc String→UTF8String-only
+      // mapping builds corrupt InternalRows for every other type)
+      private val toCatalyst =
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(schema)
       private var current: Seq[Any] = _
       override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
       override def get(): InternalRow =
-        InternalRow.fromSeq(current.zip(schema.fields).map {
-          case (v: String, _) => UTF8String.fromString(v)
-          case (v, _) => v
-        })
+        toCatalyst(org.apache.spark.sql.Row.fromSeq(current))
+          .asInstanceOf[InternalRow]
       override def close(): Unit = ()
     }
   }
