@@ -58,6 +58,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(tight(5L).isEmpty)        // 5 min old → too stale
   }
 
+  test("NULL payload in the matching snapshot stays NULL (no backfill from older rows)") {
+    // two-payload quotes where the LATEST snapshot legitimately carries a
+    // NULL venue: the whole snapshot must be taken atomically — a
+    // per-column carry-forward would resurrect the OLDER row's venue
+    // next to the newer row's quote, mixing two snapshots
+    val quotes2 = Seq(
+      (100L, ts("2024-01-01 10:00:00"), Some(1.0), Some("NYSE")),
+      (100L, ts("2024-01-01 10:00:20"), Some(1.5), None) // newer, venue NULL
+    ).toDF("sym", "q_ts", "quote", "venue")
+    val out = AsOfJoin.asOfJoin(
+      trades.filter(col("trade_id") === 2L), quotes2,
+      Seq("sym"), "t_ts", "q_ts", Seq("quote", "venue"))
+      .collect().head
+    assert(out.getAs[Double]("quote") == 1.5)              // from 10:00:20
+    assert(out.getAs[String]("venue") == null,             // NOT "NYSE"
+      "venue was backfilled from an older snapshot")
+    assert(out.getAs[Timestamp]("asof_ts") == ts("2024-01-01 10:00:20"))
+  }
+
   test("row counts: exactly one output row per left row") {
     val out = AsOfJoin.asOfJoin(trades, quotes, Seq("sym"), "t_ts", "q_ts", Seq("quote"))
     assert(out.count() == trades.count())

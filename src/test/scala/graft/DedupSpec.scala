@@ -84,6 +84,40 @@ class DedupSpec extends SparkSpec {
     assert(expected.subsetOf(pairs.toSet))
   }
 
+  test("near-dup operators leave no cached frames behind") {
+    // start from a clean cache: other suites (and this one's fixtures)
+    // legitimately cache frames; this asserts the OPERATORS add nothing
+    spark.catalog.clearCache()
+    val mh = Dedup.verifiedNearDupPairs(planted, "doc_id", "text", minJaccard = 0.5)
+    mh.count()
+    val sh = Dedup.simHashNearDupPairs(planted, "doc_id", "text")
+    sh.count()
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64).count()
+    // the operators persist intermediates internally but must unpersist
+    // before returning: a long-lived session accumulates nothing
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "operator left persisted frames in the cache manager")
+  }
+
+  test("degenerate bucket: a flood of identical docs stays linear") {
+    // 1000 byte-identical documents — every band of every doc lands in
+    // ONE bucket; an uncapped self-join would build 1000*999/2 ≈ 500k
+    // pairs per band. The cap switches to representative linking:
+    // every copy pairs with the lowest id only.
+    val flood = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("text", lit("identical content repeated verbatim in every copy of this document"))
+    val pairs = Dedup.verifiedNearDupPairs(flood, "doc_id", "text",
+      minJaccard = 0.9, maxBucketSize = 100)
+    val got = pairs.collect()
+    // exactly the 999 star pairs (0, i), all at Jaccard 1.0
+    assert(got.length == 999, s"expected 999 star pairs, got ${got.length}")
+    assert(got.forall(r => r.getLong(0) == 0L && r.getDouble(2) == 1.0))
+    // same cap on the simhash path
+    val sh = Dedup.simHashNearDupPairs(flood, "doc_id", "text", maxBucketSize = 100)
+    assert(sh.count() == 999)
+  }
+
   test("exact dedup by fingerprint keeps lowest id per content") {
     val withDups = planted // truncated copies are NOT exact dups
       .unionAll(planted.filter(col("doc_id") === 0)

@@ -6,10 +6,11 @@ class RelationalSpec extends SparkSpec {
 
   test("oracle keys are a subset of queries and all queries run at sf0.001") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // every query without an oracle is a deliberate rows-only entry
+    // every query without an oracle is a deliberate rows-only entry —
+    // only the HLL sketch remains (estimates are engine-specific by
+    // nature; its error bound is asserted below instead)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q21_minhash_neardup", "q22_simhash_neardup",
-      "q25_fingerprints", "q29_approx_distinct", "q39_hash_split"),
+    assert(noOracle == Set("q29_approx_distinct"),
       s"unexpected oracle-less queries: $noOracle")
     Relational.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
@@ -46,5 +47,33 @@ class RelationalSpec extends SparkSpec {
     val df = Relational.q08WindowRank(spark, sfDir)
     val byCust = df.groupBy("o_custkey").count().collect()
     assert(byCust.forall(_.getAs[Long]("count") <= 3))
+  }
+
+  test("q40 sketch percentiles are lossless at test accuracy (== exact discrete element)") {
+    import org.apache.spark.sql.functions._
+    val approx = Relational.q40ApproxPercentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // independent exact computation: per-group sorted values, element at
+    // the quantile_disc position ceil(p*n)-1
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .collect().groupBy(_.getString(0))
+    approx.foreach { case (flag, (p50, p90, q50)) =>
+      val prices = li(flag).map(_.getDouble(1)).sorted
+      val qtys = li(flag).map(_.getDouble(2)).sorted
+      def disc(xs: Array[Double], p: Double) = xs(math.ceil(p * xs.length).toInt - 1)
+      assert(p50 == disc(prices, 0.5), s"$flag p50")
+      assert(p90 == disc(prices, 0.9), s"$flag p90")
+      assert(q50 == disc(qtys, 0.5), s"$flag q50")
+    }
+  }
+
+  test("q41 risk categories partition all events and thresholds hold") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.q41RiskCategory(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == graft.sources.Tables.events(spark, sfDir).count())
+    assert(rows.map(_.getAs[String]("risk_category")).toSet
+      .subsetOf(Set("low", "medium", "high")))
   }
 }

@@ -62,6 +62,23 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean recall@10 = $mean")
   }
 
+  test("ANN plans never sort data through a global (empty-partition) window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // a Window with no partitionSpec funnels the whole input through ONE
+    // partition — the classic silent scale-killer this asserts against
+    def globalWindows(df: org.apache.spark.sql.DataFrame): Seq[WindowExec] =
+      df.queryExecution.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3)
+    ivf.count()
+    assert(globalWindows(ivf).isEmpty, "ivfTopK plans a global window")
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      k = 3, dim = 64, nBits = 8)
+    lsh.count()
+    assert(globalWindows(lsh).isEmpty, "lshTopK plans a global window")
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions
     val self = emb.limit(5)

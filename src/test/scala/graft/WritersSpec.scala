@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.{Date => SqlDate, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.sinks.Writers
+
+class WritersSpec extends SparkSpec {
+
+  private def freshPath(): String =
+    java.nio.file.Files.createTempDirectory("graft-inv").toString + "/inventory"
+
+  private val t0 = new Timestamp(1700000000000L)
+
+  test("inventory upsert: insert then update-on-conflict (reference ON CONFLICT semantics)") {
+    val path = freshPath()
+    Writers.upsertInventory(spark, path,
+      SqlDate.valueOf("2024-06-01"), "monarch_2024_06", 100L, t0)
+    Writers.upsertInventory(spark, path,
+      SqlDate.valueOf("2024-06-02"), "monarch_2024_06", 50L, t0)
+    // same key again with a new count → replaces, not duplicates
+    val out = Writers.upsertInventory(spark, path,
+      SqlDate.valueOf("2024-06-01"), "monarch_2024_06", 111L, t0)
+    assert(out.count() == 2)
+    val day1 = out.filter(col("available_date") === lit(SqlDate.valueOf("2024-06-01")))
+      .collect()
+    assert(day1.length == 1 && day1.head.getAs[Long]("record_count") == 111L)
+  }
+
+  test("inventory upsert swaps atomically: no temp/backup leftovers, catalog always readable") {
+    val path = freshPath()
+    Writers.upsertInventory(spark, path,
+      SqlDate.valueOf("2024-06-01"), "t", 1L, t0)
+    // a stale temp dir from a crashed previous run must not break the swap
+    val parent = new java.io.File(path).getParentFile
+    val stale = new java.io.File(path + ".tmp-stale")
+    stale.mkdirs()
+    Writers.upsertInventory(spark, path,
+      SqlDate.valueOf("2024-06-02"), "t", 2L, t0)
+    // live path readable with both rows; no .bak-* residue from the swap
+    assert(spark.read.parquet(path).count() == 2)
+    val residue = parent.listFiles().map(_.getName)
+      .filter(n => n.contains(".bak-"))
+    assert(residue.isEmpty, s"leftover swap dirs: ${residue.mkString(",")}")
+  }
+}
