@@ -95,19 +95,36 @@ object Dedup {
       shingleSize: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    graft.sources.Tables.widen(df)
+    val sigs = graft.sources.Tables.widen(df)
       .select(
         col(idCol).as("_id"),
-        array_distinct(charNGrams(col(textCol), shingleSize)).as("_sh"))
+        // sorted ONCE per doc so pairwise verification can use the
+        // alloc-free merge-walk intersection (SortedOverlapExpression)
+        // instead of a hash-set array_intersect per candidate pair
+        array_sort(array_distinct(charNGrams(col(textCol), shingleSize))).as("_sh"))
       .filter(size(col("_sh")) > 0)
       // codegen signature expression (parity proven in
       // MinHashExpressionSpec): one generated loop instead of
-      // k×|shingles| interpreted HOF evaluations
-      .withColumn("_bands", lshBandKeys(
-        graft.expressions.MinHashSignatureExpression
-          .minhashSignatureNative(col("_sh"), numHashes),
-        bands, rowsPerBand))
+      // k×|shingles| interpreted HOF evaluations. The signature is
+      // materialized as its OWN column before banding: inlining it into
+      // lshBandKeys would paste the (non-cheap) expression into every
+      // band lambda — `bands`× signature computations per row. `_sig`
+      // stays in the cached frame so CollapseProject can't re-inline it.
+      .withColumn("_sig", graft.expressions.MinHashSignatureExpression
+        .minhashSignatureNative(col("_sh"), numHashes))
+      // native band keys (bit-identical to lshBandKeys, parity in spec):
+      // the HOF version's nested transforms are CodegenFallback and drag
+      // the stage into the interpreted row path
+      .withColumn("_bands", graft.expressions.BandKeysExpression
+        .bandKeysNative(col("_sig"), bands, rowsPerBand))
       .persist()
+    // materialize the cache NOW: the downstream plan reads this frame
+    // from up to five branches (both self-join sides, the bucket stats,
+    // and both verification sides) — if the first action races them
+    // into an unmaterialized cache, each branch recomputes the full
+    // shingle+minhash projection
+    sigs.count()
+    sigs
   }
 
   /** Bucket-capped pairwise expansion of banded rows.
@@ -128,19 +145,26 @@ object Dedup {
   private def cappedBandPairs(
       bandRows: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val keys = keyCols.map(col)
-    val stats = bandRows.groupBy(keys: _*)
+    // Degenerate keys are BY CONSTRUCTION few (each one represents >
+    // maxBucketSize near-identical documents), so they travel as a
+    // broadcast: the common path is a map-side anti-join that adds no
+    // shuffle to the pairwise join below — not a stats join-back, which
+    // would re-shuffle every band row.
+    val degenerate = bandRows.groupBy(keys: _*)
       .agg(count(lit(1)).as("_n"), min(col("_id")).as("_rep"))
-    val annotated = bandRows.join(stats, keyCols)
-    val small = annotated.filter(col("_n") <= maxBucketSize)
-      .select((keys :+ col("_id")): _*)
+      .filter(col("_n") > maxBucketSize)
+    val small = bandRows.join(broadcast(degenerate.select(keys: _*)),
+      keyCols, "left_anti")
     val smallPairs = small.as("l").join(small.as("r"),
         keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
           .reduce(_ && _) && col("l._id") < col("r._id"))
       .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
-    // degenerate buckets: star-link to the representative (rep is the
-    // bucket min, so rep < _id always holds)
-    val bigPairs = annotated
-      .filter(col("_n") > maxBucketSize && col("_id") =!= col("_rep"))
+    // degenerate buckets: star-link members to the representative (rep
+    // is the bucket min, so rep < _id always holds) — O(bucket) pairs
+    // that preserve the connected component
+    val bigPairs = bandRows
+      .join(broadcast(degenerate), keyCols)
+      .filter(col("_id") =!= col("_rep"))
       .select(col("_rep").as("id_a"), col("_id").as("id_b"))
     smallPairs.unionByName(bigPairs).distinct()
   }
@@ -198,10 +222,16 @@ object Dedup {
       // O(candidates), with no re-shingling per pair
       val shA = sigs.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))
       val shB = sigs.select(col("_id").as("id_b"), col("_sh").as("_sh_b"))
+      // |A ∩ B| via one merge walk over the pre-sorted shingle arrays;
+      // |A ∪ B| = |A| + |B| − |A ∩ B| (sets are distinct by construction)
+      val overlap = graft.expressions.SortedOverlapExpression
+        .sortedOverlap(col("_sh_a"), col("_sh_b"))
       candidates.join(shA, "id_a").join(shB, "id_b")
+        .withColumn("_ov", overlap)
         .withColumn("jaccard",
-          size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(org.apache.spark.sql.types.DoubleType) /
-            size(array_union(col("_sh_a"), col("_sh_b"))).cast(org.apache.spark.sql.types.DoubleType))
+          col("_ov").cast(org.apache.spark.sql.types.DoubleType) /
+            (size(col("_sh_a")) + size(col("_sh_b")) - col("_ov"))
+              .cast(org.apache.spark.sql.types.DoubleType))
         .filter(col("jaccard") >= minJaccard)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .localCheckpoint(true)
@@ -237,6 +267,9 @@ object Dedup {
     val hashed = graft.sources.Tables.widen(df)
       .select(col(idCol).as("_id"), simhashOf(col(textCol)).as("_sh"))
       .persist()
+    // eager materialization — same multi-branch cache-race rationale as
+    // shingleBands
+    hashed.count()
     try {
       val banded = hashed.select(col("_id"),
         posexplode(array((0 until nChunks).map(b =>
@@ -269,6 +302,7 @@ object Dedup {
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), nBits, dim))
       .persist()
+    sig.count() // eager: both self-join sides read the cache, not the plan
     try {
       sig.as("l").join(sig.as("r"),
           col("l._sig") === col("r._sig") && col("l._id") < col("r._id"))

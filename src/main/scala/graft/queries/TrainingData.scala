@@ -197,7 +197,7 @@ object TrainingData {
         // append one token: tiny token-multiset perturbation
         concat(col("text"), lit(" appended")).as("text")))
     Dedup.simHashNearDupPairs(planted, "doc_id", "text",
-        simhashOf = simHashMd5)
+        simhashOf = graft.expressions.SimHashMd5Expression.simhashMd5Native(_))
       .orderBy("id_a", "id_b")
   }
 

@@ -20,6 +20,19 @@ class MinHashExpressionSpec extends SparkSpec {
     assert(mismatches == 0, s"$mismatches signatures disagree")
   }
 
+  test("codegen band keys match the HOF lshBandKeys") {
+    import graft.expressions.BandKeysExpression.bandKeysNative
+    val sig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        minhashSignatureNative(
+          array_distinct(TextFunctions.charNGrams(col("text"), 7)), 32).as("sig"))
+    val both = sig.select(col("doc_id"),
+      Dedup.lshBandKeys(col("sig"), 8, 4).as("hof"),
+      bandKeysNative(col("sig"), 8, 4).as("native"))
+    val mismatches = both.filter(col("hof") =!= col("native")).count()
+    assert(mismatches == 0, s"$mismatches band-key arrays disagree")
+  }
+
   test("empty shingle set yields all-MaxValue slots (no elements to min over)") {
     import spark.implicits._
     val df = Seq(Seq.empty[String], Seq("abcdefg")).toDF("sh")

@@ -36,6 +36,21 @@ class SimHashExpressionSpec extends SparkSpec {
       s"expression not in a codegen stage:\n$plan")
   }
 
+  test("md5 codegen variant matches the HOF simHashMd5 on the corpus") {
+    import graft.expressions.SimHashMd5Expression.simhashMd5Native
+    val docs = Tables.documents(spark, sfDir)
+    val both = docs.select(
+      col("doc_id"),
+      TextFunctions.simHashMd5(col("text")).as("hof"),
+      simhashMd5Native(col("text")).as("native"))
+    val mismatches = both.filter(col("hof") =!= col("native")).count()
+    assert(mismatches == 0, s"$mismatches docs disagree")
+    // 60-bit packing: always non-negative, below 2^60
+    val range = docs.select(simhashMd5Native(col("text")).as("sh"))
+      .filter(col("sh") < 0 || col("sh") >= (1L << 60)).count()
+    assert(range == 0)
+  }
+
   test("type error is reported at analysis, not runtime") {
     val docs = Tables.documents(spark, sfDir)
     val e = intercept[Exception] {
