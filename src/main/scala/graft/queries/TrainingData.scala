@@ -328,7 +328,47 @@ object TrainingData {
       |GROUP BY split
       |ORDER BY split""".stripMargin
 
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH bucket
+    * candidates + exact cosine verification, over a corpus with planted
+    * identical twins (vec_id < 20 re-appended). Identical vectors share
+    * every LSH bit, so the planted pairs are found with certainty; the
+    * synthetic corpus has no natural pair at cosine ≥ 0.95, so the
+    * result is exactly the planted set. The output carries ONLY the id
+    * pair — set equality is engine-independent, no float comparison in
+    * the oracle — while the DuckDB side verifies via exact all-pairs
+    * cosine (quadratic: fine at 2k vectors, the reason the LSH path
+    * exists at 10⁹).
+    */
+  def q42EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding",
+        dim = 64, minCosine = 0.95)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q42Sql: String =
+    """WITH planted AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                     (a, b) -> a + b)) AS nrm
+      |  FROM planted)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+      |      / (a.nrm * b.nrm) >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q42_embedding_neardup" -> q42EmbeddingNearDup _,
     "q39_hash_split"       -> q39HashSplit _,
     "q18_exact_dedup"      -> q18ExactDedup _,
     "q19_text_stats"       -> q19TextStats _,
@@ -348,5 +388,6 @@ object TrainingData {
     "q23_dot_topk"         -> q23Sql,
     "q24_unnest_embeddings" -> q24Sql,
     "q25_fingerprints"     -> q25Sql,
-    "q39_hash_split"       -> q39Sql)
+    "q39_hash_split"       -> q39Sql,
+    "q42_embedding_neardup" -> q42Sql)
 }
