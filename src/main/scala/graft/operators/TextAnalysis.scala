@@ -42,4 +42,35 @@ object TextAnalysis {
         sum(col("n_tokens").cast("long")).as("total_tokens"),
         graft.queries.Det.exactAvg(col("quality_score")).as("avg_quality"))
       .orderBy(col("lang_pred"))
+
+  /** Benchmark decontamination: flag every training document that
+    * shares at least one verbatim character n-gram with an evaluation
+    * set — the standard pre-training hygiene pass (a contaminated doc
+    * inflates eval scores without generalization).
+    *
+    * Returns (id, n_hits): one row per contaminated document with the
+    * count of DISTINCT benchmark n-grams it contains. Exact by
+    * construction — no probabilistic recall story, so the result is
+    * engine-independent and oracle-checkable.
+    *
+    * Scale: eval sets are tiny next to a 100 TB corpus, so the
+    * benchmark n-gram set BROADCASTS; the corpus side never shuffles
+    * content — the only shuffle is the per-doc hit count on (id). At
+    * truly huge benchmark sets, swap the broadcast for a bloom-filter
+    * prefilter plus this join on survivors.
+    */
+  def flagContaminated(
+      docs: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      n: Int = 30): DataFrame = {
+    val benchGrams = bench
+      .select(explode(array_distinct(charNGrams(col(benchTextCol), n))).as("_g"))
+      .distinct()
+    val docGrams = graft.sources.Tables.widen(docs)
+      .select(col(idCol),
+        explode(array_distinct(charNGrams(col(textCol), n))).as("_g"))
+    docGrams.join(broadcast(benchGrams), "_g")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+  }
 }

@@ -367,7 +367,39 @@ object TrainingData {
       |      / (a.nrm * b.nrm) >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Benchmark decontamination: training docs sharing a verbatim
+    * 30-char n-gram with a simulated eval set (a 120-char slice of each
+    * doc_id < 30). Exact on both engines — the planted sources are
+    * flagged by construction, plus any document that genuinely repeats
+    * one of those 30-char substrings verbatim.
+    */
+  def q43Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val bench = docs.filter(col("doc_id") < 30)
+      .select(expr("substring(text, 21, 120)").as("btext"))
+    graft.operators.TextAnalysis
+      .flagContaminated(docs, "doc_id", "text", bench, "btext", n = 30)
+      .orderBy("doc_id")
+  }
+
+  val q43Sql: String =
+    """WITH bench AS (
+      |  SELECT substr(text, 21, 120) AS btext FROM documents WHERE doc_id < 30),
+      |bg AS (
+      |  SELECT DISTINCT unnest(list_distinct(list_transform(
+      |    range(1, length(btext)-30+2), i -> substr(btext, i, 30)))) AS g
+      |  FROM bench WHERE length(btext) >= 30),
+      |dg AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, length(text)-30+2), i -> substr(text, i, 30)))) AS g
+      |  FROM documents WHERE length(text) >= 30)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+      |FROM dg JOIN bg USING (g)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q43_decontaminate"    -> q43Decontaminate _,
     "q42_embedding_neardup" -> q42EmbeddingNearDup _,
     "q39_hash_split"       -> q39HashSplit _,
     "q18_exact_dedup"      -> q18ExactDedup _,
@@ -389,5 +421,6 @@ object TrainingData {
     "q24_unnest_embeddings" -> q24Sql,
     "q25_fingerprints"     -> q25Sql,
     "q39_hash_split"       -> q39Sql,
-    "q42_embedding_neardup" -> q42Sql)
+    "q42_embedding_neardup" -> q42Sql,
+    "q43_decontaminate"    -> q43Sql)
 }

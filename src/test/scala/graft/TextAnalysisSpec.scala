@@ -99,6 +99,34 @@ class MultimodalSpec extends SparkSpec {
   lazy val media = Multimodal.mediaFromDocuments(
     Tables.documents(spark, sfDir).limit(60)).cache()
 
+  test("decontamination flags exactly the docs containing benchmark n-grams") {
+    import graft.operators.TextAnalysis
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    // eval set = verbatim slices of doc_id < 10 → those docs must flag
+    val bench = docs.filter(col("doc_id") < 10)
+      .select(expr("substring(text, 11, 100)").as("btext"))
+    val flagged = TextAnalysis
+      .flagContaminated(docs, "doc_id", "text", bench, "btext", n = 30)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 10L).foreach { id =>
+      assert(flagged.contains(id), s"planted source doc $id not flagged")
+    }
+    // a benchmark with no verbatim overlap flags nothing
+    val foreign = spark.range(1).select(
+      lit("zZqQxXvVwWyYzZqQxXvVwWyYzZqQxXvVwW-never-in-corpus").as("btext"))
+    assert(TextAnalysis
+      .flagContaminated(docs, "doc_id", "text", foreign, "btext", n = 30)
+      .count() == 0)
+    // the benchmark n-gram side must broadcast (eval sets are tiny;
+    // the corpus side must not shuffle content)
+    val plan = TextAnalysis
+      .flagContaminated(docs, "doc_id", "text", bench, "btext", n = 30)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark grams not broadcast:\n$plan")
+  }
+
   test("media table has the canonical schema") {
     assert(media.schema == Multimodal.mediaSchema.copy(
       fields = Multimodal.mediaSchema.fields.map(f =>
