@@ -580,10 +580,16 @@ object Relational {
     Tables.widen(Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")))
       .groupBy(col("l_returnflag"))
+      // one percentile buffer per (group, column), not per (group,
+      // requested p): the array form sorts each group's values once and
+      // reads both quantiles from the same sorted run
       .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_extendedprice, array(0.5, 0.9))").as("_pp"),
         expr("median(l_quantity)").as("median_qty"))
+      .select(col("l_returnflag"),
+        col("_pp").getItem(0).as("p50_price"),
+        col("_pp").getItem(1).as("p90_price"),
+        col("median_qty"))
       .orderBy("l_returnflag")
 
   val q38Sql: String =
@@ -608,10 +614,15 @@ object Relational {
     Tables.widen(Tables.lineitem(s, dir)
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")))
       .groupBy(col("l_returnflag"))
+      // array form: ONE quantile summary per (group, column) serves
+      // both requested quantiles
       .agg(
-        expr("approx_percentile(l_extendedprice, 0.5, 1000000)").as("ap50_price"),
-        expr("approx_percentile(l_extendedprice, 0.9, 1000000)").as("ap90_price"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000000)").as("_ap"),
         expr("approx_percentile(l_quantity, 0.5, 1000000)").as("ap50_qty"))
+      .select(col("l_returnflag"),
+        col("_ap").getItem(0).as("ap50_price"),
+        col("_ap").getItem(1).as("ap90_price"),
+        col("ap50_qty"))
       .orderBy("l_returnflag")
 
   val q40Sql: String =
