@@ -138,15 +138,49 @@ object StreamingQueries {
       | AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
       |ORDER BY purchase_id, error_id""".stripMargin
 
+  /** Replay-safe event dedup, batch twin of
+    * `EventStreams.dedupEvents` (the streaming path is
+    * `dropDuplicatesWithinWatermark`; stream == batch proven in
+    * StreamingSpec). Planted replays: every event_id < 500 delivered
+    * twice, byte-identical — so whichever copy the dedup keeps, the
+    * downstream aggregate is the same on both engines.
+    */
+  def q44StreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val replayed = ev.unionAll(ev.filter(col("event_id") < 500))
+    graft.streaming.EventStreams.dedupEvents(replayed, Seq("event_id"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        exactSum(col("value")).as("total_value"))
+      .orderBy("event_type")
+  }
+
+  val q44Sql: String =
+    s"""WITH replayed AS (
+       |  SELECT * FROM events
+       |  UNION ALL
+       |  SELECT * FROM events WHERE event_id < 500),
+       |deduped AS (
+       |  SELECT * FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY event_id) AS rn FROM replayed)
+       |  WHERE rn = 1)
+       |SELECT event_type, count(*) AS n_events,
+       |  ${exactSumSql("value")} AS total_value
+       |FROM deduped
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q26_tumbling_window" -> q26TumblingWindow _,
     "q27_sessionize"      -> q27Sessionize _,
     "q33_asof_join"       -> q33AsOfJoin _,
-    "q35_range_join"      -> q35RangeJoin _)
+    "q35_range_join"      -> q35RangeJoin _,
+    "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
     "q26_tumbling_window" -> q26Sql,
     "q27_sessionize"      -> q27Sql,
     "q33_asof_join"       -> q33Sql,
-    "q35_range_join"      -> q35Sql)
+    "q35_range_join"      -> q35Sql,
+    "q44_stream_dedup"    -> q44Sql)
 }

@@ -87,6 +87,24 @@ object EventStreams {
     q.awaitTermination()
   }
 
+  /** Exactly-once event dedup — the streaming guard against source
+    * replays/at-least-once delivery (a re-delivered event must not
+    * double-count downstream aggregates).
+    *
+    * Streaming: `dropDuplicatesWithinWatermark` keeps one row per key
+    * with state bounded by the watermark horizon (a key's dedup record
+    * is dropped once no duplicate can still arrive) — at 100 TB/day
+    * this is the only dedup whose state does not grow without bound.
+    * Batch: plain `dropDuplicates` — same semantics over a static
+    * frame, so the two paths are twin-checkable.
+    */
+  def dedupEvents(
+      events: DataFrame, keys: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   // ------------------------------------------------------------------
   // Stateful processing: per-user running profile + sessionization
   // ------------------------------------------------------------------

@@ -47,6 +47,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events; stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val base = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0),
+      Event(3, ts("2024-01-01 10:02:00"), 1, "click", 3.0))
+    val deduped = EventStreams.dedupEvents(input.toDF(), Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(base)
+      q.processAllAvailable()
+      input.addData(base.take(2)) // replay within the watermark horizon
+      q.processAllAvailable()
+      val streamed = spark.table("dedup_out")
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      val batch = EventStreams.dedupEvents((base ++ base.take(2)).toDF(), Seq("event_id"))
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(streamed.toSeq == Seq(1L, 2L, 3L), s"stream kept ${streamed.toSeq}")
+      assert(batch.toSeq == streamed.toSeq)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running profiles accumulate across triggers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
