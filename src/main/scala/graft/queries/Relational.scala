@@ -387,8 +387,14 @@ object Relational {
        |ORDER BY orderstatus, orderpriority""".stripMargin
 
   /** Sketch aggregates: approx_count_distinct (HLL++) next to the exact
-    * count. No oracle (sketch estimates are engine-specific); the
-    * ScalaTest checks the estimate lands within HLL's error bound.
+    * count. The raw estimate is engine-specific by definition (each
+    * engine's HLL hashes differently), so the oracle checks what IS
+    * cross-engine-checkable: the exact counts plus the sketch's error
+    * CONTRACT — a boolean per group asserting the estimate landed
+    * within 3× the configured rsd. Spark computes the claim genuinely
+    * from its own sketch; DuckDB states it as the expected invariant.
+    * A sketch regression flips the boolean and fails the hash gate.
+    * The raw estimate values are additionally spec-asserted.
     * Scale: the sketch is THE way to count distincts at 100 TB — fixed
     * memory, one pass, mergeable across partitions.
     */
@@ -405,12 +411,28 @@ object Relational {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"),
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
     val exact = li.groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+    def withinBound(est: org.apache.spark.sql.Column,
+        ex: org.apache.spark.sql.Column, rsd: Double): org.apache.spark.sql.Column =
+      abs(est.cast(DoubleType) - ex.cast(DoubleType)) <=
+        lit(3.0 * rsd) * ex.cast(DoubleType)
     approx.join(exact, Seq("l_returnflag"))
-      .select(col("l_returnflag"), col("approx_orders"),
-        col("exact_orders"), col("approx_parts"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        withinBound(col("approx_orders"), col("exact_orders"), 0.05).as("orders_est_ok"),
+        withinBound(col("approx_parts"), col("exact_parts"), 0.02).as("parts_est_ok"))
       .orderBy("l_returnflag")
   }
+
+  val q29Sql: String =
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_orderkey) AS exact_orders,
+      |  count(DISTINCT l_partkey) AS exact_parts,
+      |  TRUE AS orders_est_ok,
+      |  TRUE AS parts_est_ok
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** TPC-H Q17-shape correlated aggregate: lineitems below 30% of their
     * part's average quantity. Decorrelated by Catalyst into an
@@ -689,6 +711,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q29_approx_distinct" -> q29Sql,
     "q40_approx_percentiles" -> q40Sql,
     "q41_risk_category" -> q41Sql,
     "q28_cube" -> q28Sql,

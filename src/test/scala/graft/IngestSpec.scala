@@ -72,12 +72,25 @@ class IngestSpec extends SparkSpec {
   }
 
   test("q29: HLL approx distinct lands within error bound of exact") {
+    // the query's own bound flags (oracle-checked claim)
     val rows = graft.queries.Relational.q29ApproxDistinct(spark, sfDir).collect()
+    assert(rows.nonEmpty)
     rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_orders").toDouble
-      val exact = r.getAs[Long]("exact_orders").toDouble
-      assert(math.abs(approx - exact) / exact < 0.1,
-        s"approx $approx vs exact $exact")
+      assert(r.getAs[Boolean]("orders_est_ok"), r.toString)
+      assert(r.getAs[Boolean]("parts_est_ok"), r.toString)
+    }
+    // and the RAW estimates directly (the value the query no longer
+    // exports is still within HLL's documented error)
+    import org.apache.spark.sql.functions._
+    val raw = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey")).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact"))
+      .collect()
+    raw.foreach { r =>
+      val a = r.getAs[Long]("approx").toDouble
+      val e = r.getAs[Long]("exact").toDouble
+      assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
     }
   }
 }

@@ -6,12 +6,11 @@ class RelationalSpec extends SparkSpec {
 
   test("oracle keys are a subset of queries and all queries run at sf0.001") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // every query without an oracle is a deliberate rows-only entry —
-    // only the HLL sketch remains (estimates are engine-specific by
-    // nature; its error bound is asserted below instead)
+    // EVERY query now has an oracle: even the HLL sketch exports exact
+    // counts plus its error-bound claim (the raw estimate stays
+    // spec-asserted in IngestSpec — it is engine-specific by nature)
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(noOracle == Set("q29_approx_distinct"),
-      s"unexpected oracle-less queries: $noOracle")
+    assert(noOracle.isEmpty, s"unexpected oracle-less queries: $noOracle")
     Relational.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       val n = df.count()
