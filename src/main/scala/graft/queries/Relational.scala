@@ -685,7 +685,81 @@ object Relational {
        |GROUP BY 1, 2
        |ORDER BY event_type, risk_category""".stripMargin
 
+  /** TPC-H Q2-shape correlated scalar subquery: parts whose cheapest
+    * supplier offer equals the global minimum for that part — the
+    * classic "argmin per group via correlated MIN" Catalyst must
+    * decorrelate into an aggregate + join (verify with `Explain`: no
+    * per-row subquery execution survives planning).
+    * Scale: one shuffle on ps_partkey for the per-part min, reused by
+    * the join probe.
+    */
+  def q45MinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      // the harness star schema has no partsupp; lineitem's
+      // (partkey, suppkey, extendedprice) triple plays its role
+      .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val minCost = ps.groupBy(col("l_partkey").as("_pk"))
+      .agg(min(col("l_extendedprice")).as("_min_price"))
+    ps.join(minCost, col("l_partkey") === col("_pk")
+        && col("l_extendedprice") === col("_min_price"))
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .filter(col("p_size") === 15)
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        col("l_extendedprice").as("min_price"))
+      .orderBy("p_partkey", "s_name")
+  }
+
+  val q45Sql: String =
+    """SELECT p_partkey, p_name, s_name, l_extendedprice AS min_price
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE p_size = 15
+      |  AND l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = lineitem.l_partkey)
+      |ORDER BY p_partkey, s_name""".stripMargin
+
+  /** Window-function battery: lag/lead/ntile/percent_rank/dense_rank +
+    * first/last over one per-customer frame — the §2.9 analytic surface
+    * beyond row_number. All functions share a single (partition, sort),
+    * so the plan pays ONE shuffle + ONE sort for the whole battery.
+    */
+  def q46WindowBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast(IntegerType).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        dense_rank().over(w).cast(IntegerType).as("drank"),
+        first(col("o_totalprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("first_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q46Sql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w AS prev_price,
+      |  lead(o_totalprice, 1) OVER w AS next_price,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  CAST(dense_rank() OVER w AS INT) AS drank,
+      |  first_value(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+      |FROM orders
+      |WHERE o_custkey < 200
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q45_min_cost_supplier" -> q45MinCostSupplier _,
+    "q46_window_battery"  -> q46WindowBattery _,
     "q37_volume_shipping" -> q37VolumeShipping _,
     "q38_percentiles"     -> q38Percentiles _,
     "q40_approx_percentiles" -> q40ApproxPercentiles _,
@@ -711,6 +785,8 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q45_min_cost_supplier" -> q45Sql,
+    "q46_window_battery" -> q46Sql,
     "q29_approx_distinct" -> q29Sql,
     "q40_approx_percentiles" -> q40Sql,
     "q41_risk_category" -> q41Sql,
