@@ -757,7 +757,43 @@ object Relational {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** Pivot: long→wide reshape, one count+sum column pair per event
+    * type. The pivot value list is EXPLICIT — with an inferred list
+    * Spark first runs a distinct scan to discover columns (an extra
+    * job) and the output schema becomes data-dependent, which breaks
+    * both at 100 TB and under an oracle. Scale: explicit-list pivot is
+    * a single hash aggregate with `count/sum(CASE WHEN ...)` partials —
+    * exactly the SQL the oracle states.
+    */
+  def q47Pivot(s: SparkSession, dir: String): DataFrame = {
+    val kinds = Seq("click", "error", "purchase", "signup", "view")
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", kinds)
+      .agg(count(lit(1)).as("n"), exactSum(col("value")).as("val"))
+      .select(col("user_id") +: kinds.flatMap(k => Seq(
+        coalesce(col(s"${k}_n"), lit(0L)).as(s"${k}_n"),
+        col(s"${k}_val"))): _*)
+      .filter(col("user_id") < 500)
+      .orderBy("user_id")
+  }
+
+  val q47Sql: String = {
+    val kinds = Seq("click", "error", "purchase", "signup", "view")
+    val cols = kinds.map { k =>
+      s"""  count(*) FILTER (event_type = '$k') AS ${k}_n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) FILTER (event_type = '$k') AS DOUBLE) AS ${k}_val""".stripMargin
+    }.mkString(",\n")
+    s"""SELECT user_id,
+       |$cols
+       |FROM events
+       |WHERE user_id < 500
+       |GROUP BY user_id
+       |ORDER BY user_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
     "q37_volume_shipping" -> q37VolumeShipping _,
@@ -785,6 +821,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,
     "q29_approx_distinct" -> q29Sql,
