@@ -398,7 +398,36 @@ object TrainingData {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Binary media stats: the multimodal storage pattern (opaque
+    * `binary` column + typed metadata, `operators/Multimodal.scala`)
+    * exercised end-to-end with an oracle. Text bytes stand in for media
+    * payloads (the container has no image/audio codecs — the DATAFLOW
+    * is the thing under test): byte length, content digest, and head
+    * samples in base64/hex — the metadata a media-ingest pipeline
+    * derives before any decode. All operations are on BinaryType
+    * columns in Spark and byte-equivalent BLOB/string ops in DuckDB.
+    */
+  def q48BinaryMediaStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text").cast(org.apache.spark.sql.types.BinaryType))
+        .cast(IntegerType).as("n_bytes"),
+      md5(col("text").cast(org.apache.spark.sql.types.BinaryType)).as("content_md5"),
+      base64(expr("cast(substring(text, 1, 24) as binary)")).as("head_b64"),
+      lower(hex(expr("cast(substring(text, 1, 12) as binary)"))).as("head_hex"))
+      .orderBy("doc_id")
+
+  val q48Sql: String =
+    """SELECT doc_id,
+      |  CAST(strlen(text) AS INT) AS n_bytes,
+      |  md5(text) AS content_md5,
+      |  to_base64(encode(substr(text, 1, 24))) AS head_b64,
+      |  lower(hex(encode(substr(text, 1, 12)))) AS head_hex
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q48_binary_media_stats" -> q48BinaryMediaStats _,
     "q43_decontaminate"    -> q43Decontaminate _,
     "q42_embedding_neardup" -> q42EmbeddingNearDup _,
     "q39_hash_split"       -> q39HashSplit _,
@@ -422,5 +451,6 @@ object TrainingData {
     "q25_fingerprints"     -> q25Sql,
     "q39_hash_split"       -> q39Sql,
     "q42_embedding_neardup" -> q42Sql,
-    "q43_decontaminate"    -> q43Sql)
+    "q43_decontaminate"    -> q43Sql,
+    "q48_binary_media_stats" -> q48Sql)
 }
