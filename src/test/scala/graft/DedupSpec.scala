@@ -118,6 +118,30 @@ class DedupSpec extends SparkSpec {
     assert(sh.count() == 999)
   }
 
+  test("degenerate bucket: a flood of identical embeddings stays linear") {
+    // 1200 identical vectors — every chunk of every copy lands in one
+    // bucket per band; uncapped this is ~720k pairs per chunk. The cap
+    // star-links to the representative: exactly the 1199 (0, i) pairs.
+    val vec = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0)
+    val flood = spark.range(0, 1200).toDF("vec_id")
+      .withColumn("embedding", typedLit(vec))
+    val got = Dedup.embeddingNearDupPairs(flood, "vec_id", "embedding",
+      dim = 64, minCosine = 0.99, maxBucketSize = 100).collect()
+    assert(got.length == 1199, s"expected 1199 star pairs, got ${got.length}")
+    assert(got.forall(r => r.getLong(0) == 0L && math.abs(r.getDouble(2) - 1.0) < 1e-12))
+    // the capped run is observable via the metric (and a WARN log)
+    assert(Dedup.lastCappedBucketCount.get() > 0,
+      "capped run not reflected in lastCappedBucketCount")
+  }
+
+  test("uncapped runs report zero capped buckets") {
+    val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+    Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64).count()
+    assert(Dedup.lastCappedBucketCount.get() == 0L)
+  }
+
   test("exact dedup by fingerprint keeps lowest id per content") {
     val withDups = planted // truncated copies are NOT exact dups
       .unionAll(planted.filter(col("doc_id") === 0)

@@ -51,6 +51,37 @@ class SimHashExpressionSpec extends SparkSpec {
     assert(range == 0)
   }
 
+  test("native and HOF agree on tab/newline-bounded and whitespace-only text") {
+    import spark.implicits._
+    import graft.expressions.SimHashMd5Expression.simhashMd5Native
+    // trim (both engines) strips 0x20 only, so a \s+ split of
+    // tab/newline-bounded text yields empty tokens — all three
+    // formulations must agree to EXCLUDE them from the vote
+    val df = Seq(
+      Some("\thello world"), Some("hello world\n"), Some("\nhello\tworld\t"),
+      Some("\t"), Some("\t\n \t"), Some("   "), Some(""), None).toDF("t")
+    val rows = df.select(
+      TextFunctions.simHash64(col("t")).as("hof64"),
+      simhash64Native(col("t")).as("nat64"),
+      TextFunctions.simHashMd5(col("t")).as("hofMd5"),
+      simhashMd5Native(col("t")).as("natMd5")).collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) == r.isNullAt(1) &&
+        (r.isNullAt(0) || r.getLong(0) == r.getLong(1)),
+        s"row $i: 64-bit hof=${r.get(0)} native=${r.get(1)}")
+      assert(r.isNullAt(2) == r.isNullAt(3) &&
+        (r.isNullAt(2) || r.getLong(2) == r.getLong(3)),
+        s"row $i: md5 hof=${r.get(2)} native=${r.get(3)}")
+    }
+    // tab-bounded text must hash like its clean twin (empty tokens ignored)
+    val clean = Seq("hello world").toDF("t")
+      .select(simhash64Native(col("t"))).collect().head.getLong(0)
+    assert(rows(0).getLong(1) == clean && rows(1).getLong(1) == clean)
+    // whitespace-only → zero tokens → 0, and NULL stays NULL, in all four
+    Seq(3, 4, 5, 6).foreach(i => assert(rows(i).getLong(0) == 0L && rows(i).getLong(2) == 0L))
+    assert(rows(7).isNullAt(0) && rows(7).isNullAt(2))
+  }
+
   test("type error is reported at analysis, not runtime") {
     val docs = Tables.documents(spark, sfDir)
     val e = intercept[Exception] {

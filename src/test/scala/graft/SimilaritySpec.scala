@@ -62,6 +62,31 @@ class SimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, s"mean recall@10 = $mean")
   }
 
+  test("multi-probe radius 2 reaches hamming-2 buckets radius 1 cannot") {
+    import graft.functions.VectorFunctions
+    val sigs = emb.select(col("vec_id"),
+        VectorFunctions.lshSignature(col("embedding"), 12, 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // find a (query, corpus) pair whose signatures differ in EXACTLY 2 bits
+    val pair = (for {
+      (q, sq) <- sigs.iterator
+      (c, sc) <- sigs.iterator
+      if q != c && java.lang.Long.bitCount(sq ^ sc) == 2
+    } yield (q, c)).take(1).toSeq.headOption
+    assert(pair.nonEmpty, "corpus holds no signature pair at hamming 2 — retune nBits")
+    val (qid, cid) = pair.get
+    val qdf = emb.filter(col("vec_id") === qid)
+    def found(radius: Int): Set[Long] =
+      Similarity.lshTopK(emb, qdf, "vec_id", "embedding",
+          k = 1000000, dim = 64, nBits = 12, multiProbeBits = radius)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // radius 1 probes only single-bit flips: the hamming-2 bucket is out
+    // of reach; radius 2 must enumerate ALL ≤2-bit masks and find it
+    assert(!found(1).contains(cid), s"hamming-2 neighbor $cid reachable at radius 1")
+    assert(found(2).contains(cid),
+      s"multiProbeBits=2 did not reach the hamming-2 bucket of $cid")
+  }
+
   test("ANN plans never sort data through a global (empty-partition) window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // a Window with no partitionSpec funnels the whole input through ONE

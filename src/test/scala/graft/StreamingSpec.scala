@@ -72,6 +72,17 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("base events table has unique event_ids (q44 replay-identity assumption)") {
+    // q44's oracle and Spark dedup both pick an arbitrary copy per
+    // event_id; they agree because every planted replay is byte-identical
+    // — which holds only while event_id is unique in the BASE table. A
+    // future dataset violating this must fail loudly here, not as a
+    // nondeterministic oracle mismatch.
+    val dups = graft.sources.Tables.events(spark, sfDir)
+      .groupBy(col("event_id")).count().filter(col("count") > 1).count()
+    assert(dups == 0L, s"$dups duplicated event_ids in the base events table")
+  }
+
   test("mapGroupsWithState running profiles accumulate across triggers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -166,4 +166,62 @@ class MultimodalSpec extends SparkSpec {
       .select(length(col("content_resized"))).collect().map(_.getInt(0))
     assert(out.forall(_ <= 10))
   }
+
+  test("real image round-trip: synthesize PNG → overlay text → decode") {
+    // generated PNGs (real ImageIO encode), reference-style Java2D text
+    // overlay, then a real decode of the OVERLAID bytes: dimensions and
+    // untouched pixels must survive the whole chain
+    val base = spark.range(0, 12).toDF("id").select(
+      col("id"),
+      (lit(40) + col("id")).cast(org.apache.spark.sql.types.IntegerType).as("w"),
+      (lit(30) + col("id")).cast(org.apache.spark.sql.types.IntegerType).as("h"),
+      lit(200).cast(org.apache.spark.sql.types.IntegerType).as("r"),
+      (col("id") % 256).cast(org.apache.spark.sql.types.IntegerType).as("g"),
+      lit(7).cast(org.apache.spark.sql.types.IntegerType).as("b"),
+      concat(lit("Z:1 X:"), col("id")).as("overlay_text"))
+    val overlaid = Multimodal.overlayImage(
+      Multimodal.synthesizeImages(base, "w", "h", "r", "g", "b"))
+    val out = Multimodal.decodeImageMeta(overlaid, binCol = "content_overlaid")
+      .select("id", "img_width", "img_height", "img_format", "img_pixel00")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3), r.getString(4)))
+    assert(out.length == 12)
+    out.foreach { case (id, w, h, fmt, px) =>
+      assert(w == 40 + id && h == 30 + id, s"image $id decoded as ${w}x$h")
+      assert(fmt == "png")
+      assert(px == f"c8${id % 256}%02x07", s"image $id corner pixel $px") // fill survives
+    }
+    // the overlay genuinely changed pixels: overlaid bytes ≠ original
+    val changed = overlaid.filter(
+      md5(col("content")) =!= md5(col("content_overlaid"))).count()
+    assert(changed == 12, "overlay produced byte-identical images")
+  }
+
+  test("undecodable payloads degrade to NULL metadata, not failures") {
+    val out = Multimodal.decodeImageMeta(media) // text bytes, not images
+      .select("img_width", "img_height", "img_format", "img_pixel00").collect()
+    assert(out.forall(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)))
+    // and the overlay path yields NULL output for them
+    val ov = Multimodal.overlayImage(
+      media.withColumn("overlay_text", lit("x")))
+    assert(ov.filter(col("content_overlaid").isNotNull).count() == 0)
+  }
+
+  test("image features are real pixel histograms for decodable images") {
+    val base = spark.range(0, 3).toDF("id").select(
+      col("id"),
+      lit(32).cast(org.apache.spark.sql.types.IntegerType).as("w"),
+      lit(32).cast(org.apache.spark.sql.types.IntegerType).as("h"),
+      // pure white → all mass in the TOP luminance bin
+      lit(255).cast(org.apache.spark.sql.types.IntegerType).as("r"),
+      lit(255).cast(org.apache.spark.sql.types.IntegerType).as("g"),
+      lit(255).cast(org.apache.spark.sql.types.IntegerType).as("b"))
+    val png = Multimodal.synthesizeImages(base, "w", "h", "r", "g", "b")
+    val feats = Multimodal.extractFeatures(png, dim = 16)
+      .select("features").collect().map(_.getSeq[Float](0))
+    feats.foreach { f =>
+      assert(f.size == 16)
+      assert(math.abs(f.last - 1.0f) < 1e-6, s"white image histogram: $f")
+      assert(f.init.forall(_ == 0.0f))
+    }
+  }
 }

@@ -44,4 +44,26 @@ class WritersSpec extends SparkSpec {
       .filter(n => n.contains(".bak-"))
     assert(residue.isEmpty, s"leftover swap dirs: ${residue.mkString(",")}")
   }
+
+  test("inventory upsert is single-writer: a held lock rejects a second writer") {
+    val path = freshPath()
+    Writers.upsertInventory(spark, path,
+      SqlDate.valueOf("2024-06-01"), "t", 1L, t0)
+    // simulate a concurrent (or crashed) writer holding the lock
+    val lock = new java.io.File(path + ".lock")
+    assert(lock.createNewFile(), "could not plant the lock")
+    val e = intercept[IllegalStateException] {
+      Writers.upsertInventory(spark, path,
+        SqlDate.valueOf("2024-06-02"), "t", 2L, t0)
+    }
+    assert(e.getMessage.contains("single-writer"))
+    // the failed attempt must not have touched the live catalog
+    assert(spark.read.parquet(path).count() == 1)
+    // operator removes the stale lock → the next upsert proceeds
+    assert(lock.delete())
+    assert(Writers.upsertInventory(spark, path,
+      SqlDate.valueOf("2024-06-02"), "t", 2L, t0).count() == 2)
+    // and the lock is released after a successful run
+    assert(!lock.exists(), "lock not released after upsert")
+  }
 }
