@@ -372,6 +372,53 @@ object TrainingData {
       |      / (a.nrm * b.nrm) >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding near-dup with NEAR-BUT-NOT-IDENTICAL planted pairs:
+    * each planted copy perturbs the first component by +0.04 (float
+    * arithmetic — bit-identical in both engines), so the planted
+    * cosine is ≈ 0.999: high, but the signatures are no longer equal
+    * bit-for-bit. This exercises the banded (pigeonhole-chunk) LSH
+    * recall path that identical twins (q42) cannot: the pair is found
+    * only if at least one signature chunk survives the perturbation —
+    * hence the recall-tuned (48-bit, 4-chunk) banding here (per-pair
+    * miss ≈ 4·10⁻⁴ at this cosine; verified 20/20 on the harness
+    * corpora at sf0.01 AND sf0.1). Output is the id-pair set; DuckDB
+    * verifies against exact all-pairs cosine ≥ 0.95 (both engines fold
+    * the SAME stored floats in the same order, and every true pair
+    * sits ≈0.999 — far from the threshold — so set equality is
+    * robust).
+    */
+  def q42bEmbeddingNearDupNear(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") < 20).select(
+        (col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(0.04f)).otherwise(x)).as("embedding")))
+    Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding",
+        dim = 64, minCosine = 0.95, nBits = 48, nChunks = 4)
+      .select(col("id_a"), col("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q42bSql: String =
+    """WITH planted AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id,
+      |    list_concat([embedding[1] + 0.04::FLOAT], embedding[2:]) AS embedding
+      |  FROM embeddings WHERE vec_id < 20),
+      |n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                     (a, b) -> a + b)) AS nrm
+      |  FROM planted)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |        x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+      |      / (a.nrm * b.nrm) >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Benchmark decontamination: training docs sharing a verbatim
     * 30-char n-gram with a simulated eval set (a 120-char slice of each
     * doc_id < 30). Exact on both engines — the planted sources are
@@ -477,6 +524,7 @@ object TrainingData {
     "q48_binary_media_stats" -> q48BinaryMediaStats _,
     "q43_decontaminate"    -> q43Decontaminate _,
     "q42_embedding_neardup" -> q42EmbeddingNearDup _,
+    "q42b_embedding_neardup_near" -> q42bEmbeddingNearDupNear _,
     "q39_hash_split"       -> q39HashSplit _,
     "q18_exact_dedup"      -> q18ExactDedup _,
     "q19_text_stats"       -> q19TextStats _,
@@ -498,6 +546,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Sql,
     "q39_hash_split"       -> q39Sql,
     "q42_embedding_neardup" -> q42Sql,
+    "q42b_embedding_neardup_near" -> q42bSql,
     "q43_decontaminate"    -> q43Sql,
     "q48_binary_media_stats" -> q48Sql,
     "q49_image_roundtrip"  -> q49Sql)

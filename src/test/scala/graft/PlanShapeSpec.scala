@@ -1,0 +1,103 @@
+package graft
+
+/** CI-enforced plan-shape audit: the scale properties the engine
+  * promises (pushdown, broadcast dims, no cartesian products, no
+  * single-partition funnels, no UDFs in plans) asserted as tests, so a
+  * future change that silently regresses a plan fails here — not in a
+  * 100 TB deployment.
+  *
+  * Note: the near-dup operators (q21/q22/q42…) materialize eagerly and
+  * return a localCheckpoint scan, so their interesting plan shape is
+  * asserted in their own specs (DedupSpec flood/cache tests); here they
+  * still participate in the "no cartesian / no UDF" sweeps via the
+  * plans built BEFORE checkpointing is reached.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Physical-plan string per query, built once. Building a plan is
+    * cheap; the handful of eager (checkpointing) operators execute at
+    * sf0.001, which keeps this suite fast.
+    */
+  lazy val plans: Map[String, String] =
+    SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    }.toMap
+
+  test("no query plans a cartesian product") {
+    // the exact-ANN baseline is intentionally a broadcast-nested-loop
+    // (documented); CartesianProduct — both sides materialized per
+    // partition pair — must never appear
+    val bad = plans.collect { case (n, p) if p.contains("CartesianProduct") => n }
+    assert(bad.isEmpty, s"cartesian products in: ${bad.mkString(", ")}")
+  }
+
+  test("no query funnels rows through a single-partition exchange") {
+    // Exchange SinglePartition = the whole dataset through one task —
+    // the classic global-window/global-sort scale killer. Final
+    // presentation orderBy plans as rangepartitioning, never this.
+    //
+    // Whitelisted: scalar global aggregates, where the ONLY rows
+    // crossing the single-partition exchange are per-task partial
+    // aggregation buffers (#partitions rows, not data) — the correct
+    // plan for a one-row answer at any scale.
+    val scalarAggregates = Set(
+      "q06_revenue_filter",   // one global sum row
+      "q11_set_ops",          // counts of set-op branches
+      "q30_small_quantity")   // TPC-H Q17 scalar: one avg row
+    val bad = plans.collect {
+      case (n, p) if p.contains("SinglePartition") && !scalarAggregates(n) => n
+    }
+    assert(bad.isEmpty, s"single-partition exchanges in: ${bad.mkString(", ")}")
+    // the whitelist itself must hold: partial aggregation below the
+    // exchange (only agg buffers cross), never a raw-data exchange
+    scalarAggregates.foreach { n =>
+      assert(plans(n).contains("partial"),
+        s"$n exchanges to one partition without partial aggregation")
+    }
+  }
+
+  test("no query plan contains a UDF") {
+    val bad = plans.collect {
+      case (n, p) if p.contains("ScalaUDF") || p.contains("BatchEval") => n
+    }
+    assert(bad.isEmpty, s"UDFs in plans of: ${bad.mkString(", ")}")
+  }
+
+  test("selective scans push their filters into the parquet reader") {
+    // regressing one of these to a post-scan filter re-reads full
+    // row-groups at 100 TB
+    val expectPushdown = Seq(
+      "q02_filter_project", "q03_shipping_priority", "q06_revenue_filter",
+      "q17_read_path")
+    val re = "PushedFilters: \\[[^\\]]".r
+    val bad = expectPushdown.filterNot(n => re.findFirstIn(plans(n)).nonEmpty)
+    assert(bad.isEmpty, s"no parquet pushdown in: ${bad.mkString(", ")}")
+  }
+
+  test("dimension-sided joins broadcast the dimension") {
+    val expectBroadcast = Seq(
+      "q03_shipping_priority", "q05_local_supplier", "q07_top_customers",
+      "q37_volume_shipping", "q43_decontaminate", "q45_min_cost_supplier")
+    val bad = expectBroadcast.filterNot { n =>
+      val p = plans(n)
+      p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange") ||
+        p.contains("BroadcastNestedLoopJoin")
+    }
+    assert(bad.isEmpty, s"dim side not broadcast in: ${bad.mkString(", ")}")
+  }
+
+  test("hot aggregation queries stay inside whole-stage codegen") {
+    // "*(n)" marks operators fused into a generated stage; a plan with
+    // none at all has fallen out of codegen entirely. Codegen insertion
+    // happens at execution under AQE, so these run first.
+    val hot = Seq("q01_pricing_summary", "q02_filter_project",
+      "q06_revenue_filter", "q08_window_rank", "q19_text_stats")
+    val bad = hot.filterNot { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      df.collect() // finalize THIS df's AQE plan (count() spawns its own)
+      df.queryExecution.executedPlan.toString.contains("*(")
+    }
+    assert(bad.isEmpty, s"no whole-stage codegen span in: ${bad.mkString(", ")}")
+  }
+}
