@@ -265,14 +265,28 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
-  /** SimHash near-dup pairs: 64-bit SimHash per doc, banded into
-    * `nChunks` equal bit-chunks. Pigeonhole guarantee: any pair with
-    * hamming ≤ nChunks-1 shares at least one untouched chunk, so with
-    * `maxHamming < nChunks` recall is exactly 100% — candidates are
-    * verified by exact hamming distance, so precision is 100% too.
+  /** SimHash near-dup pairs: 64-bit SimHash per doc, banded by the
+    * multi-block (Manku/WWW'07-style) scheme: the hash is split into
+    * `nBlocks` bit-blocks and a band key is built from EVERY combination
+    * of `nBlocks − maxHamming` blocks. Pigeonhole guarantee: ≤
+    * maxHamming flipped bits touch at most maxHamming blocks, so some
+    * combination of the remaining blocks is completely clean — recall is
+    * exactly 100%, and exact hamming verification makes precision 100%
+    * too (the output is EXACTLY the hamming ≤ maxHamming pair set,
+    * independent of banding).
     *
-    * Defaults (8 chunks, hamming ≤ 7) suit single-token edits on
-    * ~50-100-token docs, which flip ~5 bits of a token-set SimHash.
+    * Why combinations instead of single blocks: with one block per band
+    * the key is only 64/nBlocks bits wide, so bucket occupancy — and
+    * the O(bucket²) candidate join — grows linearly with the corpus (a
+    * measured 12× super-linear blow-up at a 10× scale-up). Multi-block
+    * keys are (nBlocks − maxHamming)·64/nBlocks bits wide: the default
+    * `nBlocks = -1` auto-picks the smallest block count whose key space
+    * keeps expected occupancy ≈ `targetBucketSize` (t = 8 → 8-bit keys,
+    * t = 9 → ~14, t = 10 → ~19 at maxHamming 7; band count C(t, t−k)
+    * capped at 256), so candidates stay ∝ corpus size.
+    *
+    * Defaults (hamming ≤ 7) suit single-token edits on ~50-100-token
+    * docs, which flip ~5 bits of a token-set SimHash.
     *
     * `simhashOf` selects the hash family: the default codegen xxhash64
     * SimHash (fastest), or [[graft.functions.TextFunctions.simHashMd5]]
@@ -282,30 +296,47 @@ object Dedup {
     */
   def simHashNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 7, nChunks: Int = 8,
-      maxBucketSize: Int = 10000,
+      maxHamming: Int = 7, nBlocks: Int = -1,
+      maxBucketSize: Int = 10000, targetBucketSize: Int = 16,
       simhashOf: Column => Column =
         graft.expressions.SimHash64Expression.simhash64Native(_)): DataFrame = {
-    require(64 % nChunks == 0, "nChunks must divide 64")
-    require(maxHamming < nChunks,
-      s"pigeonhole guarantee needs maxHamming < nChunks ($maxHamming vs $nChunks)")
-    val chunkBits = 64 / nChunks
-    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
+    def nCombos(t: Int, r: Int): Long =
+      (1 to r).foldLeft(1L)((acc, i) => acc * (t - r + i) / i)
     val hashed = graft.sources.Tables.widen(df)
       .select(col(idCol).as("_id"), simhashOf(col(textCol)).as("_sh"))
       .persist()
     // eager materialization — same multi-branch cache-race rationale as
-    // shingleBands
-    hashed.count()
+    // shingleBands; the count also drives the banding auto-tune
+    val n = hashed.count()
+    val t =
+      if (nBlocks > 0) { require(nBlocks > maxHamming, "need nBlocks > maxHamming"); nBlocks }
+      else {
+        val needBits =
+          math.log(math.max(n, 1).toDouble / targetBucketSize) / math.log(2)
+        val allowed = (maxHamming + 1 to 12)
+          .filter(c => nCombos(c, c - maxHamming) <= 256)
+        allowed.find(c => (c - maxHamming) * 64.0 / c >= needBits)
+          .getOrElse(allowed.last)
+      }
+    // block bit-ranges (uneven widths are fine for the pigeonhole)
+    val sizes = (0 until t).map(i => 64 / t + (if (i < 64 % t) 1 else 0))
+    val starts = sizes.scanLeft(0)(_ + _)
+    def blockVal(b: Int): Column =
+      shiftrightunsigned(col("_sh"), starts(b))
+        .bitwiseAND(lit(if (sizes(b) == 64) -1L else (1L << sizes(b)) - 1))
+    val combos = (0 until t).combinations(t - maxHamming).toSeq
     try {
+      // one band row per (doc, block-combination); the key concatenates
+      // the selected block values — ids and ≤63-bit keys shuffle, never
+      // content or hashes
+      val bandKeys = combos.map(_.foldLeft(lit(0L)) { (acc, b) =>
+        shiftleft(acc, sizes(b)).bitwiseOR(blockVal(b))
+      })
       val banded = hashed.select(col("_id"),
-        posexplode(array((0 until nChunks).map(b =>
-          shiftrightunsigned(col("_sh"), b * chunkBits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("chunk_idx", "chunk_val")))
-      // candidate pairs shuffle ids only; the 8-byte simhash values are
-      // joined back afterwards from the (id, hash) frame for the exact
-      // hamming verification
-      val pairs = cappedBandPairs(banded, Seq("chunk_idx", "chunk_val"), maxBucketSize)
+        posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+      val pairs = cappedBandPairs(banded, Seq("band_idx", "band_key"), maxBucketSize)
+      // the 8-byte simhash values are joined back for the exact hamming
+      // verification — O(candidates) work
       val hA = hashed.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))
       val hB = hashed.select(col("_id").as("id_b"), col("_sh").as("_sh_b"))
       pairs.join(hA, "id_a").join(hB, "id_b")
@@ -336,37 +367,49 @@ object Dedup {
     *
     * Chunk width (`nBits / nChunks`) is the recall/cost dial: wider
     * chunks → smaller buckets (2^chunkBits values per chunk) but lower
-    * probability a near-pair keeps a chunk clean. Defaults (36 bits, 3
-    * chunks of 12) hold recall ≈ 99% for cosine ≈ 0.998 pairs while a
-    * 10⁹-vector corpus still spreads over 4096 buckets per chunk; a
-    * larger corpus should raise `nBits` with chunk width, not count.
+    * probability a near-pair keeps a chunk clean. The default
+    * (`nBits = -1`) AUTO-TUNES width to the corpus: chunkBits =
+    * ⌈log₂(n / targetBucketSize)⌉ (clamped to [4, 15]) keeps expected
+    * bucket occupancy ≈ `targetBucketSize` at ANY corpus size, so
+    * candidate-pair count grows linearly with n (n/bucket constant) —
+    * a fixed width that is right at 10⁶ vectors is a quadratic
+    * candidate blow-up at 10⁹. Pass an explicit `nBits` only when a
+    * pinned banding matters more than scale-proportionality (e.g. a
+    * recall-calibrated oracle query).
     */
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      minCosine: Double = 0.95, nBits: Int = 36, nChunks: Int = 3,
-      maxBucketSize: Int = 10000): DataFrame = {
+      minCosine: Double = 0.95, nBits: Int = -1, nChunks: Int = 3,
+      maxBucketSize: Int = 10000, targetBucketSize: Int = 16): DataFrame = {
     import graft.functions.VectorFunctions._
-    require(nBits % nChunks == 0, "nChunks must divide nBits")
-    val chunkBits = nBits / nChunks
-    val mask = if (chunkBits == 64) -1L else (1L << chunkBits) - 1
-    val sig = graft.sources.Tables.widen(df)
+    // only (id, vector) is cached — the signature is consumed by the
+    // single banding branch below, so caching it would waste memory
+    val vecs = graft.sources.Tables.widen(df)
       .select(col(idCol).as("_id"), col(vecCol).as("_v"))
-      .withColumn("_sig", lshSignature(col("_v"), nBits, dim))
       .persist()
-    sig.count() // eager: bucket join + both verify sides read the cache
+    val n = vecs.count() // eager cache + the corpus size that tunes banding
+    val chunkBits =
+      if (nBits > 0) { require(nBits % nChunks == 0, "nChunks must divide nBits"); nBits / nChunks }
+      else math.min(15, math.max(4, math.ceil(
+        math.log(math.max(n, 1).toDouble / targetBucketSize) / math.log(2)).toInt))
+    val bits = chunkBits * nChunks
+    require(bits <= 63, s"signature must fit a long (got $bits bits)")
+    val mask = (1L << chunkBits) - 1
     try {
-      val banded = sig.select(col("_id"),
-        posexplode(array((0 until nChunks).map(c =>
-          shiftrightunsigned(col("_sig"), c * chunkBits).bitwiseAND(lit(mask))): _*))
-          .as(Seq("chunk_idx", "chunk_val")))
+      val banded = vecs
+        .withColumn("_sig", lshSignature(col("_v"), bits, dim))
+        .select(col("_id"),
+          posexplode(array((0 until nChunks).map(c =>
+            shiftrightunsigned(col("_sig"), c * chunkBits).bitwiseAND(lit(mask))): _*))
+            .as(Seq("chunk_idx", "chunk_val")))
       val pairs = cappedBandPairs(banded, Seq("chunk_idx", "chunk_val"), maxBucketSize)
-      val vA = sig.select(col("_id").as("id_a"), col("_v").as("_va"))
-      val vB = sig.select(col("_id").as("id_b"), col("_v").as("_vb"))
+      val vA = vecs.select(col("_id").as("id_a"), col("_v").as("_va"))
+      val vB = vecs.select(col("_id").as("id_b"), col("_v").as("_vb"))
       pairs.join(vA, "id_a").join(vB, "id_b")
         .withColumn("cosine", cosine(col("_va"), col("_vb")))
         .filter(col("cosine") >= minCosine)
         .select(col("id_a"), col("id_b"), col("cosine"))
         .localCheckpoint(true)
-    } finally sig.unpersist()
+    } finally vecs.unpersist()
   }
 }

@@ -60,11 +60,25 @@ object Multimodal {
   // ---------------------------------------------------------------
 
   /** Set before any AWT class initializes so font/graphics work with no
-    * display attached (executors are always headless).
+    * display attached (executors are always headless), and switch
+    * ImageIO to in-memory stream caches: the default is a temp FILE per
+    * encode/decode — two disk round-trips per image, which at thousands
+    * of images per partition turns a CPU-bound codec into an I/O-bound
+    * one (measured ~3× on the q49 bench).
     */
-  private def ensureHeadless(): Unit =
+  private lazy val initCodec: Unit = {
     if (System.getProperty("java.awt.headless") == null)
       System.setProperty("java.awt.headless", "true")
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+  private def ensureHeadless(): Unit = initCodec
+
+  /** One Font per JVM — font construction/metrics resolution is
+    * synchronized in the font subsystem; per-row construction serializes
+    * partitions against each other.
+    */
+  private lazy val overlayFont =
+    new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 12)
 
   /** Container format from magic bytes (no decode); null if unknown. */
   private[operators] def detectFormat(bytes: Array[Byte]): String = {
@@ -118,7 +132,7 @@ object Multimodal {
     val img = decodeImage(bytes)
     if (img == null) return null
     val g2 = img.createGraphics()
-    g2.setFont(new java.awt.Font(java.awt.Font.SANS_SERIF, java.awt.Font.BOLD, 12))
+    g2.setFont(overlayFont)
     val yBase = 10 + g2.getFontMetrics.getAscent // PIL anchors at top-left; drawString at baseline
     // 1-px outline: the 8 neighbor offsets in black, then the main text
     for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) {

@@ -379,9 +379,10 @@ object TrainingData {
     * bit-for-bit. This exercises the banded (pigeonhole-chunk) LSH
     * recall path that identical twins (q42) cannot: the pair is found
     * only if at least one signature chunk survives the perturbation —
-    * hence the recall-tuned (48-bit, 4-chunk) banding here (per-pair
-    * miss ≈ 4·10⁻⁴ at this cosine; verified 20/20 on the harness
-    * corpora at sf0.01 AND sf0.1). Output is the id-pair set; DuckDB
+    * hence 4 chunks here (vs the default 3) with auto-tuned width:
+    * per-pair miss stays ≤ ~10⁻³ at this cosine across corpus sizes
+    * (verified 20/20 on the harness corpora at sf0.01 AND sf0.1 and on
+    * the 10× synthetic scale-up). Output is the id-pair set; DuckDB
     * verifies against exact all-pairs cosine ≥ 0.95 (both engines fold
     * the SAME stored floats in the same order, and every true pair
     * sits ≈0.999 — far from the threshold — so set equality is
@@ -395,7 +396,7 @@ object TrainingData {
         transform(col("embedding"),
           (x, i) => when(i === 0, x + lit(0.04f)).otherwise(x)).as("embedding")))
     Dedup.embeddingNearDupPairs(planted, "vec_id", "embedding",
-        dim = 64, minCosine = 0.95, nBits = 48, nChunks = 4)
+        dim = 64, minCosine = 0.95, nChunks = 4)
       .select(col("id_a"), col("id_b"))
       .orderBy("id_a", "id_b")
   }
