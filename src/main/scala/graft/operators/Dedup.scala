@@ -161,18 +161,25 @@ object Dedup {
     // shuffle to the pairwise join below — not a stats join-back, which
     // would re-shuffle every band row.
     //
-    // Materialized eagerly (localCheckpoint): the frame feeds TWO
-    // broadcasts below, which would otherwise each recompute the
-    // aggregation — and the count doubles as the capped-run metric.
-    val degenerate = bandRows.groupBy(keys: _*)
+    // Materialized by an explicit driver collect into a LocalRelation:
+    // the rows would land on the driver ANYWAY (that is what a
+    // BroadcastExchange does), but a LocalRelation costs one job
+    // instead of checkpoint + count + two broadcast-build jobs, the
+    // row count doubles as the capped-run metric for free, and — in
+    // the common uncapped case — Catalyst sees a provably EMPTY
+    // relation and optimizes the whole degenerate branch away at plan
+    // time (PropagateEmptyRelation: the anti-join collapses to the
+    // band rows, star-pair union to nothing).
+    val degAgg = bandRows.groupBy(keys: _*)
       .agg(count(lit(1)).as("_n"), min(col("_id")).as("_rep"))
       .filter(col("_n") > maxBucketSize)
-      .localCheckpoint(true)
-    val nCapped = degenerate.count()
-    lastCappedBucketCount.set(nCapped)
-    if (nCapped > 0)
-      log.warn(s"cappedBandPairs: $nCapped bucket(s) exceeded maxBucketSize=$maxBucketSize — " +
+    val degRows = degAgg.collect()
+    lastCappedBucketCount.set(degRows.length.toLong)
+    if (degRows.nonEmpty)
+      log.warn(s"cappedBandPairs: ${degRows.length} bucket(s) exceeded maxBucketSize=$maxBucketSize — " +
         "their pairs are star-linked to the bucket representative (component-preserving, NOT all-pairs)")
+    val degenerate = bandRows.sparkSession.createDataFrame(
+      java.util.Arrays.asList(degRows: _*), degAgg.schema)
     val small = bandRows.join(broadcast(degenerate.select(keys: _*)),
       keyCols, "left_anti")
     val smallPairs = small.as("l").join(small.as("r"),
