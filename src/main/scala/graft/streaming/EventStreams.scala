@@ -105,6 +105,37 @@ object EventStreams {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Watermarked stream-stream interval join: left events matched to
+    * the right-side events that preceded them by at most `windowSec`
+    * seconds for the same key — the streaming twin of
+    * [[graft.operators.RangeJoin.pointInInterval]] (q35's batch
+    * semantics). Both sides carry watermarks and the join condition
+    * bounds the event-time distance, which is exactly what lets Spark
+    * BOUND THE JOIN STATE: a buffered right row is evicted once the
+    * left watermark passes its interval end, so state is (right rate ×
+    * interval + watermark slack), not the whole history — the property
+    * that makes a stream-stream join survive an unbounded stream.
+    *
+    * Works identically on batch frames (watermarks are no-ops there),
+    * so stream == batch is twin-checkable in StreamingSpec.
+    */
+  def joinWithinInterval(
+      left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String = "ts", rightTs: String = "ts",
+      windowSec: Long = 600, watermark: String = "2 hours"): DataFrame = {
+    val l = left.withColumnRenamed(leftTs, "_l_ts")
+      .withWatermark("_l_ts", watermark)
+    val r = right
+      .withColumnRenamed(keyCol, "_r_key")
+      .withColumnRenamed(rightTs, "_r_ts")
+      .withWatermark("_r_ts", watermark)
+    l.join(r,
+      col(keyCol) === col("_r_key") &&
+        col("_l_ts") >= col("_r_ts") &&
+        col("_l_ts") <= col("_r_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .drop("_r_key")
+  }
+
   // ------------------------------------------------------------------
   // Stateful processing: per-user running profile + sessionization
   // ------------------------------------------------------------------

@@ -72,6 +72,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: stream == batch, matches planted intervals") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Event]
+    val rows = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "error", 0.0),
+      Event(2, ts("2024-01-01 10:05:00"), 1, "purchase", 5.0),  // within 10 min of error 1
+      Event(3, ts("2024-01-01 10:20:00"), 1, "purchase", 7.0),  // outside the window
+      Event(4, ts("2024-01-01 10:01:00"), 2, "purchase", 9.0),  // other user: no error
+      Event(5, ts("2024-01-01 11:00:00"), 1, "error", 0.0),
+      Event(6, ts("2024-01-01 11:09:00"), 1, "purchase", 1.0),  // within 10 min of error 5
+      // late watermark driver so all joinable pairs are emitted
+      Event(7, ts("2024-01-01 15:00:00"), 9, "view", 0.0))
+    def split(df: org.apache.spark.sql.DataFrame) = (
+      df.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("ts")),
+      df.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"), col("ts")))
+    val (sp, se) = split(input.toDF())
+    val joined = EventStreams.joinWithinInterval(sp, se, "user_id",
+      rightTs = "ts", windowSec = 600)
+      .select("purchase_id", "error_id")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable()
+      input.addData(Seq(Event(8, ts("2024-01-01 16:00:00"), 9, "view", 0.0)))
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val (bp, be) = split(rows.toDF())
+      val batch = EventStreams.joinWithinInterval(bp, be, "user_id",
+          rightTs = "ts", windowSec = 600)
+        .select("purchase_id", "error_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((2L, 1L), (6L, 5L)), s"stream got $streamed")
+      assert(batch == streamed, s"batch $batch != stream $streamed")
+    } finally q.stop()
+  }
+
   test("base events table has unique event_ids (q44 replay-identity assumption)") {
     // q44's oracle and Spark dedup both pick an arbitrary copy per
     // event_id; they agree because every planted replay is byte-identical
