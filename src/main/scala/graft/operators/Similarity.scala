@@ -118,15 +118,11 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic centroid sample: the nlist lowest-id vectors via
-    // TakeOrderedAndProject (per-partition top-nlist heaps + driver
-    // merge of nlist·P rows). A row_number() over a global
-    // Window.orderBy here would funnel the ENTIRE corpus through one
-    // partition — fatal at scale.
-    val centroids = corpus
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("_centroid"))
-      .orderBy(col("centroid_id"))
-      .limit(nlist)
+    // deterministic centroid sample via TakeOrderedAndProject
+    // (per-partition top-nlist heaps + driver merge of nlist·P rows).
+    // A row_number() over a global Window.orderBy here would funnel
+    // the ENTIRE corpus through one partition — fatal at scale.
+    val centroids = centroidSample(corpus, idCol, vecCol, nlist)
 
     val assigned = assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
@@ -140,6 +136,65 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** Persist the IVF index: centroids plus the corpus assignment,
+    * written `partitionBy(centroid_id)` — the layout that makes the
+    * "query touches nprobe/nlist of the corpus" claim physical: a
+    * probe-filtered read PRUNES PARTITION DIRECTORIES (visible as
+    * `PartitionFilters` in the scan), it does not scan-and-discard.
+    * The assignment is the one-off offline cost; queries amortize it.
+    */
+  def writeIvfIndex(
+      corpus: DataFrame, path: String,
+      idCol: String, vecCol: String, nlist: Int = 16): Unit = {
+    val centroids = centroidSample(corpus, idCol, vecCol, nlist)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
+      .select(col("neighbor_id"), col("_cv").as("embedding"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
+  /** ANN search against a persisted IVF index: assign queries to their
+    * `nprobe` nearest centroids, then read ONLY those index partitions
+    * (the probed centroid set is ≤ nlist ids — a bounded driver-side
+    * literal that becomes a partition-pruning filter) and re-rank
+    * exactly. Same result contract as [[ivfTopK]] with the same
+    * (nlist, nprobe); the difference is the corpus assignment is read,
+    * not recomputed.
+    */
+  def ivfTopKFromIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int = 4): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
+    // bounded collect: distinct probed centroids ≤ nlist (a handful of
+    // longs) — the literal IN-list is what turns into PartitionFilters
+    val probedCentroids = probed.select(col("centroid_id"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val index = spark.read.parquet(s"$path/index")
+      .filter(col("centroid_id").isin(probedCentroids: _*))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    index.join(probed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("_qv"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic centroid sample shared by [[ivfTopK]] and
+    * [[writeIvfIndex]]: the nlist lowest-id vectors via
+    * TakeOrderedAndProject (never a global window).
+    */
+  private def centroidSample(
+      corpus: DataFrame, idCol: String, vecCol: String, nlist: Int): DataFrame =
+    corpus
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("_centroid"))
+      .orderBy(col("centroid_id"))
+      .limit(nlist)
 
   private def assignToCentroid(
       df: DataFrame, centroids: DataFrame,

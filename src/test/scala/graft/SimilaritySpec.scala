@@ -104,6 +104,30 @@ class SimilaritySpec extends SparkSpec {
     assert(globalWindows(lsh).isEmpty, "lshTopK plans a global window")
   }
 
+  test("persisted IVF index: pruned partition read, same results as in-memory IVF") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    Similarity.writeIvfIndex(emb, path, "vec_id", "embedding", nlist = 16)
+    // the index directory is physically partitioned by centroid
+    val parts = new java.io.File(path + "/index").listFiles()
+      .map(_.getName).filter(_.startsWith("centroid_id="))
+    assert(parts.length == 16, s"expected 16 centroid partitions, got ${parts.length}")
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, path, queries,
+      "vec_id", "embedding", k = 10, nprobe = 4)
+    // pruning is in the PLAN, not just the result: the scan must carry
+    // a centroid_id partition filter (pruned read, not scan-and-discard)
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [centroid_id")
+      || plan.contains("PartitionFilters: [dynamicpruning")
+      || """PartitionFilters: \[.*centroid_id""".r.findFirstIn(plan).nonEmpty,
+      s"no partition pruning in index scan:\n$plan")
+    // identical contract to the in-memory path at the same (nlist, nprobe)
+    val inMem = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 10, nlist = 16, nprobe = 4)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(canon(fromIndex) == canon(inMem))
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions
     val self = emb.limit(5)
