@@ -354,6 +354,68 @@ object Dedup {
     } finally hashed.unpersist()
   }
 
+  /** Connected components over an undirected near-dup pair set:
+    * label(v) converges to the minimum id reachable from v — the
+    * canonical representative every keep-lowest-id dedup policy wants.
+    * Output: (id, component_id) for every id appearing in a pair.
+    *
+    * Algorithm: iterative min-label propagation — per round each node
+    * takes the min of its own label and its neighbors' labels (one
+    * join + one aggregation per round, all distributed). Rounds needed
+    * = graph diameter; near-dup clusters are dense (quasi-cliques from
+    * banded LSH, stars from [[cappedBandPairs]] capping), so diameter
+    * is small in practice. Each round is `localCheckpoint`ed: the
+    * lineage is CUT per iteration — without that, round k's plan
+    * contains k nested joins and Catalyst re-optimizes an
+    * exponentially growing tree.
+    *
+    * Scale: state is one (id, label) row per node and the edge list;
+    * shuffle per round is edges + labels on id. The `maxIter` guard
+    * throws rather than silently returning unconverged labels.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    edges.count()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("comp", col("id"))
+        .localCheckpoint(true)
+      var changed = 1L
+      var iter = 0
+      while (changed > 0) {
+        if (iter >= maxIter)
+          throw new IllegalStateException(
+            s"connectedComponents did not converge in $maxIter rounds (graph diameter too large)")
+        val neighborMin = edges
+          .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("_nc")).as("_nbr"))
+        val updated = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), col("comp"),
+            least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("_next"))
+          .localCheckpoint(true)
+        changed = updated.filter(col("_next") < col("comp")).count()
+        labels = updated.select(col("id"), col("_next").as("comp"))
+        iter += 1
+      }
+      labels.select(col("id"), col("comp").as("component_id"))
+    } finally edges.unpersist()
+  }
+
+  /** Near-dup remediation: drop every row whose id belongs to a
+    * component but is not its minimum — the multi-copy generalization
+    * of [[dedupByFingerprint]]'s keep-lowest-id policy. Rows not in
+    * any pair pass through untouched (left-anti on the non-canonical
+    * id set, which is small relative to the corpus).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val doomed = connectedComponents(pairs)
+      .filter(col("id") =!= col("component_id"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs: random-hyperplane LSH signatures,
     * banded into `nChunks` equal bit-chunks (pigeonhole: any pair whose
     * signatures differ in fewer than `nChunks` bits shares at least one

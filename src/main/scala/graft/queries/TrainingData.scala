@@ -520,7 +520,63 @@ object TrainingData {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Near-dup components: the q21 pair graph (exact-verified J ≥ 0.5
+    * pairs over the planted corpus) collapsed to connected components —
+    * (doc_id, component_id = min reachable id), the canonical-document
+    * assignment a keep-one-per-cluster dedup applies. The DuckDB
+    * oracle is an INDEPENDENT formulation: recursive-CTE transitive
+    * closure over the same exact pair set, then min per node — so this
+    * checks the distributed label-propagation against a from-first-
+    * principles graph reachability computation.
+    */
+  def q50DedupComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+    val pairs = Dedup.verifiedNearDupPairs(planted, "doc_id", "text",
+      minJaccard = 0.5, shingleSize = 7, numHashes = 96, bands = 24)
+    Dedup.connectedComponents(pairs)
+      .select(col("id").as("doc_id"), col("component_id"))
+      .orderBy("doc_id")
+  }
+
+  val q50Sql: String =
+    """WITH RECURSIVE planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+      |  FROM documents WHERE doc_id < 60),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+      |  FROM planted WHERE length(text) >= 7),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION
+      |  SELECT id_b AS s, id_a AS d FROM pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+      |SELECT s AS doc_id, least(min(d), s) AS component_id
+      |FROM reach
+      |GROUP BY s
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q50_dedup_components" -> q50DedupComponents _,
     "q49_image_roundtrip"  -> q49ImageRoundtrip _,
     "q48_binary_media_stats" -> q48BinaryMediaStats _,
     "q43_decontaminate"    -> q43Decontaminate _,
@@ -550,5 +606,6 @@ object TrainingData {
     "q42b_embedding_neardup_near" -> q42bSql,
     "q43_decontaminate"    -> q43Sql,
     "q48_binary_media_stats" -> q48Sql,
-    "q49_image_roundtrip"  -> q49Sql)
+    "q49_image_roundtrip"  -> q49Sql,
+    "q50_dedup_components" -> q50Sql)
 }

@@ -142,6 +142,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lastCappedBucketCount.get() == 0L)
   }
 
+  test("connected components: min-label propagation across chains and stars") {
+    import spark.implicits._
+    // path graph 10-11-12-13-14 (diameter 4: exercises multi-round
+    // propagation), star 0-{1,2,3} (capped-bucket shape), isolated pair
+    val pairs = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (0L, 1L), (0L, 2L), (0L, 3L),
+      (20L, 21L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Seq(10L, 11L, 12L, 13L, 14L).foreach(v => assert(comp(v) == 10L, s"node $v"))
+    Seq(0L, 1L, 2L, 3L).foreach(v => assert(comp(v) == 0L, s"node $v"))
+    Seq(20L, 21L).foreach(v => assert(comp(v) == 20L, s"node $v"))
+    // non-convergence within maxIter must throw, not silently mislabel
+    val chain = (100L until 110L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2).collect()
+    }
+  }
+
+  test("dropNearDuplicates keeps one canonical row per component") {
+    import spark.implicits._
+    val rows = (0L until 10L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val pairs = Seq((1L, 4L), (4L, 7L), (2L, 9L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicates(rows, "id", pairs)
+      .select("id").collect().map(_.getLong(0)).toSet
+    // components {1,4,7} -> keep 1; {2,9} -> keep 2; others untouched
+    assert(kept == Set(0L, 1L, 2L, 3L, 5L, 6L, 8L))
+  }
+
   test("exact dedup by fingerprint keeps lowest id per content") {
     val withDups = planted // truncated copies are NOT exact dups
       .unionAll(planted.filter(col("doc_id") === 0)
