@@ -58,7 +58,13 @@ object GraftSqlFunctions {
     "vec_dot"            -> fn2(VectorFunctions.dot),
     "vec_cosine"         -> fn2(VectorFunctions.cosine),
     "vec_euclidean"      -> fn2(VectorFunctions.euclidean),
-    "hamming64"          -> fn2(VectorFunctions.hammingLong))
+    "hamming64"          -> fn2(VectorFunctions.hammingLong),
+    // cross-engine (md5-derived) fingerprint family — auditable from
+    // any ANSI engine with md5()
+    "md5_hash60"          -> fn1(TextFunctions.md5Hash60),
+    "doc_fingerprint_md5" -> fn1(TextFunctions.docFingerprintMd5),
+    "simhash_md5"         -> fn1(TextFunctions.simHashMd5),
+    "simhash_md5_native"  -> fn1(graft.expressions.SimHashMd5Expression.simhashMd5Native))
 
   /** Register every function as a session temp function. */
   def registerAll(spark: SparkSession): Unit = {

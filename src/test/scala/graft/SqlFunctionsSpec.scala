@@ -39,6 +39,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(pipeline.getString(1) == "march082024")
   }
 
+  test("md5 fingerprint family is SQL-reachable and matches built-in md5 semantics") {
+    GraftSqlFunctions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT md5_hash60('hello') AS h,
+        |  conv(substring(md5('hello'), 1, 15), 16, 10) AS expect_h,
+        |  doc_fingerprint_md5('  Hello   World ') AS fp,
+        |  md5('hello world') AS expect_fp,
+        |  simhash_md5('hello world') AS sh_hof,
+        |  simhash_md5_native('hello world') AS sh_nat""".stripMargin).collect()(0)
+    assert(r.getLong(0).toString == r.getString(1))
+    assert(r.getString(2) == r.getString(3)) // normalize: lower + ws-collapse
+    assert(r.getLong(4) == r.getLong(5))     // HOF == codegen native
+    assert(r.getLong(4) >= 0L && r.getLong(4) < (1L << 60))
+  }
+
   test("argument arity errors are clear") {
     GraftSqlFunctions.registerAll(spark)
     val e = intercept[Exception] {
