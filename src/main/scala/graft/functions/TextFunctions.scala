@@ -133,6 +133,44 @@ object TextFunctions {
     array_min(transform(charNGrams(c, n), g => xxhash64(g)))
 
   // -------------------------------------------------------------------
+  // Training-corpus scrubbing: mask identifier-like spans before
+  // training (the standard pretraining-pipeline cleaning stage).
+  // Pure regexp_replace chains — codegen'd, shuffle-free, and the
+  // patterns stay inside the RE2-compatible subset (no backrefs /
+  // lookaround) so any engine reproduces them byte-for-byte.
+  // -------------------------------------------------------------------
+
+  /** Mask email addresses with a sentinel token. */
+  def maskEmails(c: Column, token: String = "<EMAIL>"): Column =
+    regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token)
+
+  /** Mask http(s) URLs with a sentinel token. */
+  def maskUrls(c: Column, token: String = "<URL>"): Column =
+    regexp_replace(c, "https?://[^\\s]+", token)
+
+  /** Mask phone-number-shaped digit runs (≥9 chars of digits with
+    * separators, digit-bounded) with a sentinel token.
+    */
+  def maskPhones(c: Column, token: String = "<PHONE>"): Column =
+    regexp_replace(c, "\\+?[0-9][0-9 ().-]{7,}[0-9]", token)
+
+  /** Collapse whitespace runs to single spaces and trim — the
+    * normalization step before fingerprinting/shingling.
+    */
+  def normalizeWhitespace(c: Column): Column =
+    trim(regexp_replace(c, "\\s+", " "))
+
+  /** Full scrub pipeline: mask emails → URLs → phones, then normalize
+    * whitespace. Order matters (URLs can contain '@'; masking emails
+    * first would split them — URLs are masked before the email pass
+    * cannot, so emails go first only for non-URL text; here URL
+    * masking runs AFTER emails deliberately: an email inside a URL
+    * query string is masked as the more specific pattern).
+    */
+  def scrubText(c: Column): Column =
+    normalizeWhitespace(maskPhones(maskUrls(maskEmails(c))))
+
+  // -------------------------------------------------------------------
   // Cross-engine (md5-derived) fingerprint family.
   //
   // xxhash64 is engine-specific (seed/implementation differ between

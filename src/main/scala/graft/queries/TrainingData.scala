@@ -575,7 +575,58 @@ object TrainingData {
       |GROUP BY s
       |ORDER BY doc_id""".stripMargin
 
+  /** Training-corpus PII scrub: plant a deterministic email / URL /
+    * phone per document, run the full mask-and-normalize pipeline
+    * ([[graft.functions.TextFunctions.scrubText]]), and emit the md5
+    * of the scrubbed text plus per-kind match counts. The DuckDB
+    * oracle replays the identical RE2-compatible regex chain — an
+    * md5 hash-match proves the masking is byte-identical cross-engine
+    * on every document.
+    */
+  def q51ScrubPii(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.widen(Tables.documents(s, dir))
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com or https://ex.org/d/"),
+        col("doc_id"), lit(" tel +1 (555) 010-"),
+        lpad((col("doc_id") % 10000).cast(org.apache.spark.sql.types.StringType), 4, "0"))
+        .as("text"))
+    planted.select(col("doc_id"),
+      md5(scrubText(col("text"))).as("scrubbed_md5"),
+      size(regexp_extract_all(col("text"),
+        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+        .cast(IntegerType).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0)))
+        .cast(IntegerType).as("n_urls"),
+      size(regexp_extract_all(col("text"),
+        lit("\\+?[0-9][0-9 ().-]{7,}[0-9]"), lit(0)))
+        .cast(IntegerType).as("n_phones"))
+      .orderBy("doc_id")
+  }
+
+  val q51Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com or https://ex.org/d/'
+      |      || doc_id || ' tel +1 (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  md5(trim(regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text,
+      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |        'https?://[^\s]+', '<URL>', 'g'),
+      |      '\+?[0-9][0-9 ().-]{7,}[0-9]', '<PHONE>', 'g'),
+      |    '\s+', ' ', 'g'))) AS scrubbed_md5,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+      |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ().-]{7,}[0-9]')) AS INT) AS n_phones
+      |FROM planted
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q51_scrub_pii"        -> q51ScrubPii _,
     "q50_dedup_components" -> q50DedupComponents _,
     "q49_image_roundtrip"  -> q49ImageRoundtrip _,
     "q48_binary_media_stats" -> q48BinaryMediaStats _,
@@ -607,5 +658,6 @@ object TrainingData {
     "q43_decontaminate"    -> q43Sql,
     "q48_binary_media_stats" -> q48Sql,
     "q49_image_roundtrip"  -> q49Sql,
-    "q50_dedup_components" -> q50Sql)
+    "q50_dedup_components" -> q50Sql,
+    "q51_scrub_pii"        -> q51Sql)
 }

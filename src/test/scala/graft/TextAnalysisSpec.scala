@@ -92,6 +92,27 @@ class TextAnalysisSpec extends SparkSpec {
     val kept = TextAnalysis.qualityFilter(docs).count()
     assert(kept > 0 && kept <= docs.count())
   }
+
+  test("PII scrub masks identifiers and leaves clean text intact") {
+    import spark.implicits._
+    import graft.functions.TextFunctions._
+    val cases = Seq(
+      "mail me at jane.doe+x@sub.example.co.uk today",
+      "see https://a.io/p?q=1&u=bob@x.org for details",
+      "call +44 (0)20 7946 0958 now",
+      "two mails a@b.de and c@d.fr here",
+      "no identifiers   in\tthis  text",
+      "").toDF("t")
+    val out = cases.select(scrubText(col("t")).as("s")).collect().map(_.getString(0))
+    assert(out(0) == "mail me at <EMAIL> today")
+    // the email inside the URL is consumed by the URL mask (whole token)
+    assert(out(1) == "see <URL> for details")
+    assert(out(2) == "call <PHONE> now")
+    assert(out(3) == "two mails <EMAIL> and <EMAIL> here")
+    // clean text only gets whitespace normalization
+    assert(out(4) == "no identifiers in this text")
+    assert(out(5) == "")
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
