@@ -161,11 +161,10 @@ object TextFunctions {
     trim(regexp_replace(c, "\\s+", " "))
 
   /** Full scrub pipeline: mask emails → URLs → phones, then normalize
-    * whitespace. Order matters (URLs can contain '@'; masking emails
-    * first would split them — URLs are masked before the email pass
-    * cannot, so emails go first only for non-URL text; here URL
-    * masking runs AFTER emails deliberately: an email inside a URL
-    * query string is masked as the more specific pattern).
+    * whitespace. Ordering note: an email inside a URL query string is
+    * replaced by the email pass first, but the URL pass's `[^\s]+`
+    * then absorbs the sentinel into one `<URL>` token — so the whole
+    * URL masks as a unit either way (spec-asserted).
     */
   def scrubText(c: Column): Column =
     normalizeWhitespace(maskPhones(maskUrls(maskEmails(c))))
