@@ -27,6 +27,30 @@ object TextAnalysis {
       .withColumn("rolling_fp", rollingMinFingerprint(t))
   }
 
+  /** Document-term matrix: per-(doc, term) frequency joined with each
+    * term's global document frequency — the TF-IDF core (tokenize →
+    * tf → df). The idf weight (`ln((N+1)/(df+1)) + 1`) is one
+    * projection away, but tf/df stay the canonical output here: they
+    * are exact integers every engine agrees on (cross-engine `ln`
+    * differs in the last ulp), so the matrix itself is
+    * oracle-checkable bit-for-bit.
+    *
+    * Scale: one shuffle on (doc, term) for tf (map-side partial
+    * count), one on term for df, one term-keyed join back — the
+    * vocabulary is the join key side, never document content; AQE
+    * reuses the tf exchange feeding both branches.
+    */
+  def termStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = graft.sources.Tables.widen(df)
+      .select(col(idCol).as("doc_id"),
+        explode(nonEmptyTokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
+
   /** Quality-gate filter: the standard pretraining-corpus cut. */
   def qualityFilter(df: DataFrame, textCol: String = "text",
       minTokens: Int = 10, minScore: Double = 0.3): DataFrame =

@@ -625,7 +625,41 @@ object TrainingData {
       |FROM planted
       |ORDER BY doc_id""".stripMargin
 
+  /** Document-term matrix + per-doc top terms: tf/df from
+    * [[graft.operators.TextAnalysis.termStats]], then the top-3 terms
+    * per document by (tf desc, term asc) through the custom two-phase
+    * [[graft.plans.TopKPerKey]] physical operator (map-side bounded
+    * heaps before the shuffle — the right top-k at any corpus size).
+    * Oracle: the same matrix in SQL with a window row_number — an
+    * independent formulation of both the matrix and the top-k.
+    */
+  def q52TermMatrix(s: SparkSession, dir: String): DataFrame = {
+    val stats = graft.operators.TextAnalysis.termStats(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.plans.TopKPerKey.topKPerKey(
+        stats,
+        keys = Seq(col("doc_id")),
+        order = Seq(col("tf").desc, col("term").asc),
+        k = 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "term")
+  }
+
+  val q52Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                       t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      |SELECT doc_id, term, tf, df
+      |FROM tf JOIN dfreq USING (term)
+      |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 3
+      |ORDER BY doc_id, term""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q52_term_matrix"      -> q52TermMatrix _,
     "q51_scrub_pii"        -> q51ScrubPii _,
     "q50_dedup_components" -> q50DedupComponents _,
     "q49_image_roundtrip"  -> q49ImageRoundtrip _,
@@ -659,5 +693,6 @@ object TrainingData {
     "q48_binary_media_stats" -> q48Sql,
     "q49_image_roundtrip"  -> q49Sql,
     "q50_dedup_components" -> q50Sql,
-    "q51_scrub_pii"        -> q51Sql)
+    "q51_scrub_pii"        -> q51Sql,
+    "q52_term_matrix"      -> q52Sql)
 }

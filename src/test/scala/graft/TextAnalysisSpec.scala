@@ -93,6 +93,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept > 0 && kept <= docs.count())
   }
 
+  test("term stats: tf and df on a known tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog"),
+      (3L, "")).toDF("doc_id", "text")
+    val stats = TextAnalysis.termStats(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stats((1L, "the")) == (2L, 2L)) // tf 2 in doc 1; appears in 2 docs
+    assert(stats((2L, "the")) == (1L, 2L))
+    assert(stats((1L, "cat")) == (1L, 1L))
+    assert(stats((2L, "dog")) == (1L, 1L))
+    assert(!stats.keySet.exists(_._1 == 3L)) // empty doc contributes nothing
+    // tf per doc sums to the doc's token count
+    assert(stats.collect { case ((d, _), (tf, _)) if d == 1L => tf }.sum == 6L)
+  }
+
   test("PII scrub masks identifiers and leaves clean text intact") {
     import spark.implicits._
     import graft.functions.TextFunctions._
