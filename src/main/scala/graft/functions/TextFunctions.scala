@@ -140,19 +140,27 @@ object TextFunctions {
   // lookaround) so any engine reproduces them byte-for-byte.
   // -------------------------------------------------------------------
 
+  /** The scrub patterns, shared by the mask functions, the q51 oracle
+    * query (match counts), and its SQL twin — one definition so the
+    * counts can never silently diverge from what [[scrubText]] masks.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern: String = "https?://[^\\s]+"
+  val phonePattern: String = "\\+?[0-9][0-9 ().-]{7,}[0-9]"
+
   /** Mask email addresses with a sentinel token. */
   def maskEmails(c: Column, token: String = "<EMAIL>"): Column =
-    regexp_replace(c, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", token)
+    regexp_replace(c, emailPattern, token)
 
   /** Mask http(s) URLs with a sentinel token. */
   def maskUrls(c: Column, token: String = "<URL>"): Column =
-    regexp_replace(c, "https?://[^\\s]+", token)
+    regexp_replace(c, urlPattern, token)
 
   /** Mask phone-number-shaped digit runs (≥9 chars of digits with
     * separators, digit-bounded) with a sentinel token.
     */
   def maskPhones(c: Column, token: String = "<PHONE>"): Column =
-    regexp_replace(c, "\\+?[0-9][0-9 ().-]{7,}[0-9]", token)
+    regexp_replace(c, phonePattern, token)
 
   /** Collapse whitespace runs to single spaces and trim — the
     * normalization step before fingerprinting/shingling.

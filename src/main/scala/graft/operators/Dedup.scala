@@ -318,9 +318,13 @@ object Dedup {
     val t =
       if (nBlocks > 0) { require(nBlocks > maxHamming, "need nBlocks > maxHamming"); nBlocks }
       else {
+        require(maxHamming >= 0 && maxHamming < 63,
+          s"maxHamming must be in [0, 62], got $maxHamming")
         val needBits =
           math.log(math.max(n, 1).toDouble / targetBucketSize) / math.log(2)
-        val allowed = (maxHamming + 1 to 12)
+        // candidate block counts: t = k+1 alone gives C(k+1, 1) = k+1
+        // bands (always ≤ 256 for k ≤ 62), so the range is never empty
+        val allowed = (maxHamming + 1 to math.max(12, maxHamming + 3))
           .filter(c => nCombos(c, c - maxHamming) <= 256)
         allowed.find(c => (c - maxHamming) * 64.0 / c >= needBits)
           .getOrElse(allowed.last)

@@ -98,8 +98,12 @@ object Multimodal {
   private[operators] def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
     if (bytes == null) return null
     ensureHeadless()
+    // NonFatal, not just IOException: the JDK plugin readers throw
+    // RuntimeExceptions (ArrayIndexOutOfBounds, NegativeArraySize,
+    // CMMException, …) on a corrupt body behind a valid magic header —
+    // one malformed crawled image must not kill a 100 TB job
     try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
   }
 
   private[operators] def encodePng(img: java.awt.image.BufferedImage): Array[Byte] = {
@@ -129,6 +133,7 @@ object Multimodal {
     * re-encoded as PNG. Null for undecodable payloads.
     */
   private[operators] def overlayBytes(bytes: Array[Byte], text: String): Array[Byte] = {
+    if (text == null) return null // same degrade-to-NULL contract as an undecodable payload
     val img = decodeImage(bytes)
     if (img == null) return null
     val g2 = img.createGraphics()
@@ -261,7 +266,8 @@ object Multimodal {
     val txtIdx = df.schema.fieldIndex(textCol)
     df.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap(_.map { r =>
-        val out = overlayBytes(r.getAs[Array[Byte]](binIdx), r.getString(txtIdx))
+        val txt = if (r.isNullAt(txtIdx)) null else r.getString(txtIdx)
+        val out = overlayBytes(r.getAs[Array[Byte]](binIdx), txt)
         Row.fromSeq(r.toSeq :+ out)
       })
     }(Encoders.row(outSchema))

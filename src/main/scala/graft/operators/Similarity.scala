@@ -168,7 +168,11 @@ object Similarity {
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
+    // materialized once: both the centroid-id collect below AND the
+    // final join read `probed` — unchecked, the broadcast-and-window
+    // assignment pass would execute twice
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
+      .localCheckpoint(true)
     // bounded collect: distinct probed centroids ≤ nlist (a handful of
     // longs) — the literal IN-list is what turns into PartitionFilters
     val probedCentroids = probed.select(col("centroid_id"))

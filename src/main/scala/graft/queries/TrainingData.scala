@@ -593,37 +593,38 @@ object TrainingData {
         .as("text"))
     planted.select(col("doc_id"),
       md5(scrubText(col("text"))).as("scrubbed_md5"),
-      size(regexp_extract_all(col("text"),
-        lit("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(emailPattern), lit(0)))
         .cast(IntegerType).as("n_emails"),
-      size(regexp_extract_all(col("text"), lit("https?://[^\\s]+"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(urlPattern), lit(0)))
         .cast(IntegerType).as("n_urls"),
-      size(regexp_extract_all(col("text"),
-        lit("\\+?[0-9][0-9 ().-]{7,}[0-9]"), lit(0)))
+      size(regexp_extract_all(col("text"), lit(phonePattern), lit(0)))
         .cast(IntegerType).as("n_phones"))
       .orderBy("doc_id")
   }
 
+  // the SQL twin interpolates the SAME pattern constants the Spark side
+  // masks/counts with (Java's "\\s" renders as the raw "\s" DuckDB
+  // expects; none of the patterns contain a single quote)
   val q51Sql: String =
-    """WITH planted AS (
-      |  SELECT doc_id,
-      |    text || ' contact user' || doc_id || '@example.com or https://ex.org/d/'
-      |      || doc_id || ' tel +1 (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
-      |  FROM documents)
-      |SELECT doc_id,
-      |  md5(trim(regexp_replace(
-      |    regexp_replace(
-      |      regexp_replace(
-      |        regexp_replace(text,
-      |          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |        'https?://[^\s]+', '<URL>', 'g'),
-      |      '\+?[0-9][0-9 ().-]{7,}[0-9]', '<PHONE>', 'g'),
-      |    '\s+', ' ', 'g'))) AS scrubbed_md5,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
-      |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
-      |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ().-]{7,}[0-9]')) AS INT) AS n_phones
-      |FROM planted
-      |ORDER BY doc_id""".stripMargin
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    text || ' contact user' || doc_id || '@example.com or https://ex.org/d/'
+       |      || doc_id || ' tel +1 (555) 010-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  md5(trim(regexp_replace(
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(text,
+       |          '$emailPattern', '<EMAIL>', 'g'),
+       |        '$urlPattern', '<URL>', 'g'),
+       |      '$phonePattern', '<PHONE>', 'g'),
+       |    '\\s+', ' ', 'g'))) AS scrubbed_md5,
+       |  CAST(len(regexp_extract_all(text, '$emailPattern')) AS INT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$urlPattern')) AS INT) AS n_urls,
+       |  CAST(len(regexp_extract_all(text, '$phonePattern')) AS INT) AS n_phones
+       |FROM planted
+       |ORDER BY doc_id""".stripMargin
 
   /** Document-term matrix + per-doc top terms: tf/df from
     * [[graft.operators.TextAnalysis.termStats]], then the top-3 terms

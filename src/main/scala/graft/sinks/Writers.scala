@@ -97,14 +97,25 @@ object Writers {
     val dst = new Path(inventoryPath)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(inventoryPath + ".lock")
-    val lockStream =
-      try fs.create(lock, false)
-      catch { case e: java.io.IOException =>
-        throw new IllegalStateException(
-          s"upsertInventory: another writer holds $lock (or a crashed run left it); " +
-            "inventory upserts are single-writer", e)
-      }
-    lockStream.close()
+    // Acquire the lock ATOMICALLY per filesystem: HDFS makes
+    // create(overwrite=false) an atomic namespace operation, but the
+    // local FS implements it as exists-then-create (two concurrent
+    // local writers could both pass) — there, java.io.File
+    // .createNewFile is O_EXCL-atomic and is used instead.
+    def fail(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"upsertInventory: another writer holds $lock (or a crashed run left it); " +
+          "inventory upserts are single-writer", cause)
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lock.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      if (!f.createNewFile()) fail(null)
+    } else {
+      val lockStream =
+        try fs.create(lock, false)
+        catch { case e: java.io.IOException => fail(e) }
+      lockStream.close()
+    }
     try {
       val stamp = java.util.UUID.randomUUID().toString
       val tmp = new Path(inventoryPath + ".tmp-" + stamp)

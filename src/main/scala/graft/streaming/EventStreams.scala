@@ -119,10 +119,17 @@ object EventStreams {
     * Works identically on batch frames (watermarks are no-ops there),
     * so stream == batch is twin-checkable in StreamingSpec.
     */
+  /** Output schema: the left frame's columns keep their names (its
+    * timestamp included); the right frame's timestamp comes back as
+    * `<rightTs>_right` so a same-named pair never collides. Other
+    * same-named non-key columns should be renamed by the caller before
+    * joining (as with any join).
+    */
   def joinWithinInterval(
       left: DataFrame, right: DataFrame, keyCol: String,
       leftTs: String = "ts", rightTs: String = "ts",
       windowSec: Long = 600, watermark: String = "2 hours"): DataFrame = {
+    val rightTsOut = rightTs + "_right"
     val l = left.withColumnRenamed(leftTs, "_l_ts")
       .withWatermark("_l_ts", watermark)
     val r = right
@@ -134,6 +141,8 @@ object EventStreams {
         col("_l_ts") >= col("_r_ts") &&
         col("_l_ts") <= col("_r_ts") + expr(s"INTERVAL $windowSec SECONDS"))
       .drop("_r_key")
+      .withColumnRenamed("_l_ts", leftTs)
+      .withColumnRenamed("_r_ts", rightTsOut)
   }
 
   // ------------------------------------------------------------------

@@ -244,6 +244,29 @@ class MultimodalSpec extends SparkSpec {
     assert(ov.filter(col("content_overlaid").isNotNull).count() == 0)
   }
 
+  test("corrupt image bodies and NULL overlay text degrade, not crash") {
+    import spark.implicits._
+    // valid PNG magic, garbage body: JDK readers throw RuntimeExceptions
+    // here, which must surface as NULL rows, not task failures
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10) ++
+      Array.fill[Byte](48)(7)
+    val df = Seq((1L, corrupt)).toDF("id", "content")
+    val meta = Multimodal.decodeImageMeta(df).select("img_width").collect()
+    assert(meta.head.isNullAt(0))
+    // NULL overlay text on a perfectly decodable image → NULL output
+    val good = spark.range(1).toDF("id").select(
+      col("id"),
+      lit(20).cast(org.apache.spark.sql.types.IntegerType).as("w"),
+      lit(20).cast(org.apache.spark.sql.types.IntegerType).as("h"),
+      lit(1).cast(org.apache.spark.sql.types.IntegerType).as("r"),
+      lit(2).cast(org.apache.spark.sql.types.IntegerType).as("g"),
+      lit(3).cast(org.apache.spark.sql.types.IntegerType).as("b"),
+      lit(null).cast(org.apache.spark.sql.types.StringType).as("overlay_text"))
+    val ov = Multimodal.overlayImage(Multimodal.synthesizeImages(good, "w", "h", "r", "g", "b"))
+      .select("content_overlaid").collect()
+    assert(ov.head.isNullAt(0))
+  }
+
   test("image features are real pixel histograms for decodable images") {
     val base = spark.range(0, 3).toDF("id").select(
       col("id"),

@@ -36,7 +36,8 @@ def main(specs):
             slopes.append(s)
             row.append(f"{s:.2f}")
         print("| " + " | ".join(row) + " |")
-        worst.append((max(slopes), n, slopes))
+        if slopes:  # single-run invocation: table only, no slope ranking
+            worst.append((max(slopes), n, slopes))
     print()
     totals = [t for _, _, t in runs]
     print("| TOTAL | " + " | ".join(f"{t:.1f}" for t in totals) + " | " +
