@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** End-to-end training-corpus preparation: the composition every
+  * operator in this library exists for, in the order a production
+  * pretraining pipeline runs it (each stage is the library operator —
+  * nothing here is new logic, which is the point: the pieces compose).
+  *
+  *   1. scrub   — mask identifier-like spans, normalize whitespace
+  *                ([[graft.functions.TextFunctions.scrubText]])
+  *   2. gate    — drop low-quality docs (token count + quality score)
+  *   3. exact   — drop byte-duplicate content, keep lowest id
+  *   4. near    — MinHash+LSH near-dup pairs → connected components →
+  *                keep each cluster's canonical (lowest-id) doc
+  *   5. split   — deterministic hash-based train/val/test assignment
+  *
+  * Scale shape: stages 1-2 are pure projections/filters (no shuffle);
+  * stage 3 shuffles (hash, id) only; stage 4 shuffles band keys + ids
+  * and verifies candidates only; stage 5 is a projection. Content
+  * crosses a shuffle exactly once (stage 3's window carries the text
+  * payload alongside the 16-byte hash — at 100 TB swap the payload for
+  * an id-join like stage 4 if rows are very wide).
+  */
+object TrainingPipeline {
+
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minTokens: Int = 10,
+      minScore: Double = 0.3,
+      minJaccard: Double = 0.6,
+      shingleSize: Int = 7,
+      numHashes: Int = 96,
+      bands: Int = 24,
+      splits: Seq[(String, Double)] =
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+
+  /** Run the full preparation; returns the cleaned corpus with a
+    * `split` column. Deterministic end to end: no rand(), no
+    * timestamps — re-running on the same input yields byte-identical
+    * output (the property that makes a 100 TB pipeline re-entrant).
+    */
+  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 1. scrub (projection only)
+    val scrubbed = docs.withColumn(cfg.textCol, scrubText(col(cfg.textCol)))
+    // 2. quality gate
+    val gated = TextAnalysis.qualityFilter(
+      scrubbed, cfg.textCol, cfg.minTokens, cfg.minScore)
+    // 3. exact dedup on content fingerprint
+    val exact = Dedup.dedupByFingerprint(gated, cfg.textCol, cfg.idCol)
+    // 4. near-dup clusters → keep canonical doc per cluster
+    val pairs = Dedup.verifiedNearDupPairs(
+      exact, cfg.idCol, cfg.textCol, cfg.minJaccard,
+      cfg.shingleSize, cfg.numHashes, cfg.bands)
+    val nearDeduped = Dedup.dropNearDuplicates(exact, cfg.idCol, pairs)
+    // 5. deterministic split
+    Sampling.hashSplit(nearDeduped, cfg.idCol, cfg.splits)
+  }
+}

@@ -89,4 +89,35 @@ class PipelineSpec extends SparkSpec {
     val warehouse = spark.read.parquet(s"$tmp/warehouse")
     assert(Dedup.findDuplicateGroups(warehouse).count() == 0)
   }
+
+  test("training pipeline: scrub → gate → exact dedup → near dedup → split") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val base = "the quick brown fox jumps over the lazy dog and then it runs " +
+      "far away to the old barn where it sleeps for a while in the warm hay " +
+      "before it wakes and hunts again near the river bank at dawn with care"
+    val docs = Seq(
+      (1L, base + " contact me at fox@example.com please"),
+      (2L, base + " contact me at fox@example.com please"), // exact dup of 1 (after scrub)
+      (3L, base + " and some extra trailing words here now"), // near dup of 1
+      (4L, "too short"),                                      // fails the gate
+      (5L, "completely different content about winter snow storms blowing " +
+        "across the frozen plains while travelers huddle in small cabins " +
+        "drinking hot tea and telling long stories until the late night hours")
+    ).toDF("doc_id", "text")
+    val out = graft.pipeline.TrainingPipeline.prepare(docs,
+      graft.pipeline.TrainingPipeline.Config(minJaccard = 0.5))
+    val rows = out.collect()
+    val kept = rows.map(_.getAs[Long]("doc_id")).toSet
+    // 2 exact-dropped, 3 near-dropped (cluster canonical = 1), 4 gated out
+    assert(kept == Set(1L, 5L), s"kept $kept")
+    // PII scrubbed in the surviving text
+    val t1 = rows.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text")
+    assert(t1.contains("<EMAIL>") && !t1.contains("example.com"))
+    // split assigned and deterministic end to end
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    val rerun = graft.pipeline.TrainingPipeline.prepare(docs,
+      graft.pipeline.TrainingPipeline.Config(minJaccard = 0.5)).collect()
+    assert(rerun.map(_.toString).sorted.sameElements(rows.map(_.toString).sorted))
+  }
 }
