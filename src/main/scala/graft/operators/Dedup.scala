@@ -272,6 +272,89 @@ object Dedup {
     } finally sigs.unpersist()
   }
 
+  /** Persist a MinHash index for INCREMENTAL dedup: (id, sorted
+    * shingle set, band keys) written to parquet, so a daily increment
+    * dedups against the whole history without recomputing a single
+    * corpus signature. The index stores the shingle arrays (needed for
+    * exact verification) — it is content-scale, the standard
+    * space/time trade of a dedup index; band keys alone would force a
+    * re-shingle of every matched corpus doc at query time.
+    */
+  def writeMinHashIndex(
+      df: DataFrame, path: String, idCol: String, textCol: String,
+      shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24): Unit = {
+    val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
+    try sigs.select(col("_id"), col("_sh"), col("_bands"))
+      .write.mode("overwrite").parquet(path)
+    finally sigs.unpersist()
+  }
+
+  /** Near-dup pairs of an INCREMENT against a persisted
+    * [[writeMinHashIndex]] corpus index: band the new docs (same
+    * seeds, so keys align), bucket-join against the stored band keys,
+    * and verify candidates by exact Jaccard using the new side's
+    * cached shingles and the index's stored ones. Output:
+    * (new_id, corpus_id, jaccard) — feed into [[dropNearDuplicates]]
+    * (or drop all matched new ids) before appending the increment.
+    *
+    * MUST use the same (shingleSize, numHashes, bands) as the index.
+    *
+    * Scale: the join shuffles (band_idx, band_key, id) only; corpus
+    * band keys whose bucket exceeds `maxBucketSize` (an already-
+    * flooded corpus cluster) link each new doc to that bucket's
+    * lowest-id representative only — component-preserving, O(new)
+    * pairs — via the same broadcast-LocalRelation scheme as
+    * [[cappedBandPairs]].
+    */
+  def incrementalNearDupPairs(
+      newDocs: DataFrame, indexPath: String, idCol: String, textCol: String,
+      minJaccard: Double = 0.6,
+      shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val index = spark.read.parquet(indexPath)
+    val sigs = shingleBands(newDocs, idCol, textCol, shingleSize, numHashes, bands)
+    try {
+      val newBands = sigs.select(col("_id").as("new_id"),
+        posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
+      val idxBands = index.select(col("_id").as("corpus_id"),
+        posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
+      val keys = Seq("band_idx", "band_key")
+      val degAgg = idxBands.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n"), min(col("corpus_id")).as("_rep"))
+        .filter(col("_n") > maxBucketSize)
+      val degRows = degAgg.collect()
+      lastCappedBucketCount.set(degRows.length.toLong)
+      if (degRows.nonEmpty)
+        log.warn(s"incrementalNearDupPairs: ${degRows.length} corpus bucket(s) over " +
+          s"maxBucketSize=$maxBucketSize — new docs link to those buckets' representatives only")
+      val degenerate = spark.createDataFrame(
+        java.util.Arrays.asList(degRows: _*), degAgg.schema)
+      val smallIdx = idxBands.join(broadcast(degenerate.select(keys.map(col): _*)),
+        keys, "left_anti")
+      val smallCand = newBands.join(smallIdx, keys)
+        .filter(col("new_id") =!= col("corpus_id"))
+        .select(col("new_id"), col("corpus_id"))
+      val bigCand = newBands.join(broadcast(degenerate), keys)
+        .filter(col("new_id") =!= col("_rep"))
+        .select(col("new_id"), col("_rep").as("corpus_id"))
+      val candidates = smallCand.unionByName(bigCand).distinct()
+      val shN = sigs.select(col("_id").as("new_id"), col("_sh").as("_sh_a"))
+      val shC = index.select(col("_id").as("corpus_id"), col("_sh").as("_sh_b"))
+      val overlap = graft.expressions.SortedOverlapExpression
+        .sortedOverlap(col("_sh_a"), col("_sh_b"))
+      candidates.join(shN, "new_id").join(shC, "corpus_id")
+        .withColumn("_ov", overlap)
+        .withColumn("jaccard",
+          col("_ov").cast(org.apache.spark.sql.types.DoubleType) /
+            (size(col("_sh_a")) + size(col("_sh_b")) - col("_ov"))
+              .cast(org.apache.spark.sql.types.DoubleType))
+        .filter(col("jaccard") >= minJaccard)
+        .select(col("new_id"), col("corpus_id"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally sigs.unpersist()
+  }
+
   /** SimHash near-dup pairs: 64-bit SimHash per doc, banded by the
     * multi-block (Manku/WWW'07-style) scheme: the hash is split into
     * `nBlocks` bit-blocks and a band key is built from EVERY combination

@@ -142,6 +142,36 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lastCappedBucketCount.get() == 0L)
   }
 
+  test("incremental near-dup against a persisted index matches the batch computation") {
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-mh").toString + "/idx"
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    Dedup.writeMinHashIndex(corpus, idxPath, "doc_id", "text")
+    // increment: near-dups of corpus docs 0-9 (+100000) plus untouched docs
+    val increment = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 20).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        when(col("doc_id") < 10,
+          expr("substring(text, 1, greatest(length(text) - 15, 40))"))
+          .otherwise(concat(lit("prefix that rewrites this doc entirely "),
+            expr("reverse(text)"))).as("text"))
+    val inc = Dedup.incrementalNearDupPairs(increment, idxPath, "doc_id", "text",
+        minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ground truth: the batch operator over corpus ∪ increment,
+    // restricted to (new × corpus) pairs — same seeds ⇒ same candidates
+    val batch = Dedup.verifiedNearDupPairs(
+        corpus.unionByName(increment), "doc_id", "text", minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a < 100000L && b >= 100000L }
+      .map { case (a, b, j) => (b, a, j) }.toSet
+    assert(inc == batch, s"incremental ${inc.size} vs batch ${batch.size}")
+    // every truncated copy found its source; rewritten docs matched nothing
+    val matchedNew = inc.map(_._1)
+    (0L until 10L).foreach(i => assert(matchedNew.contains(i + 100000L), s"doc $i"))
+    assert(inc.forall(_._1 < 100010L))
+  }
+
   test("connected components: min-label propagation across chains and stars") {
     import spark.implicits._
     // path graph 10-11-12-13-14 (diameter 4: exercises multi-round
