@@ -4,6 +4,15 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** A near-dup pair result plus the number of degenerate (over-cap)
+  * buckets THIS call saw — the reliable, per-call form of the
+  * best-effort [[Dedup.lastCappedBucketCount]] global.
+  * `cappedBucketCount == 0` ⇒ the pair output is complete (no bucket
+  * hit the cap and no `is_star` row exists); `> 0` ⇒ that many buckets
+  * were star-linked (their pairs carry `is_star = true`).
+  */
+final case class CappedPairs(pairs: DataFrame, cappedBucketCount: Long)
+
 /** Deduplication operators (SURVEY.md §2.5 A1, §2.7 D1/D2 + the
   * training-data-pipeline extensions from BASELINE.json's north star).
   *
@@ -130,7 +139,9 @@ object Dedup {
   /** Bucket-capped pairwise expansion of banded rows.
     *
     * Input: (`_id`, band/chunk key columns). Output: distinct
-    * (id_a < id_b) candidate pairs.
+    * (id_a < id_b, is_star) candidate pairs — `is_star = true` marks a
+    * pair emitted by representative linking rather than the full
+    * pairwise expansion (a pair found BOTH ways reports false).
     *
     * The self-join is O(bucket²) per band key — fine for genuine
     * near-dup buckets, fatal when a corpus contains thousands of
@@ -140,20 +151,29 @@ object Dedup {
     * member pairs with the bucket's minimum id only — O(bucket) pairs
     * that preserve the connected component (copy ↔ lowest-id copy), so
     * downstream keep-lowest-id dedup is unaffected while the pair count
-    * stays linear.
+    * stays linear. Star pairs are NOT exact-verified downstream (the
+    * verifying operators exempt `is_star` rows from their threshold
+    * filter): dropping a star pair that fails verification could split
+    * the component of an over-cap bucket whose members are near-dups of
+    * each other but not of the representative. The conservative failure
+    * mode of a capped bucket is therefore an under-split (extra links
+    * through the representative), never a lost duplicate; consumers
+    * that want verified pairs only can `filter(!col("is_star"))`.
     */
-  /** Diagnostic metric: number of degenerate (capped) buckets seen by
-    * the most recent [[cappedBandPairs]]-based operator call in this
-    * JVM. 0 ⇒ the pair output was complete (no bucket hit the cap);
-    * > 0 ⇒ star-linked (component-preserving but not all-pairs) in that
-    * many buckets. A capped run is also logged at WARN.
+  /** Best-effort diagnostic: number of degenerate (capped) buckets seen
+    * by the most recent capped-band operator call in this JVM. One
+    * global last-write-wins cell — concurrent operator calls in the
+    * same session clobber each other, so for anything load-bearing use
+    * the `*Metered` operator variants, which return the count PER CALL
+    * in [[CappedPairs]]. A capped run is also logged at WARN, and its
+    * pairs are identifiable in-band via the `is_star` column.
     */
   val lastCappedBucketCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
   private def cappedBandPairs(
-      bandRows: DataFrame, keyCols: Seq[String], maxBucketSize: Int): DataFrame = {
+      bandRows: DataFrame, keyCols: Seq[String], maxBucketSize: Int): CappedPairs = {
     val keys = keyCols.map(col)
     // Degenerate keys are BY CONSTRUCTION few (each one represents >
     // maxBucketSize near-identical documents), so they travel as a
@@ -185,15 +205,23 @@ object Dedup {
     val smallPairs = small.as("l").join(small.as("r"),
         keyCols.map(k => col(s"l.$k") === col(s"r.$k"))
           .reduce(_ && _) && col("l._id") < col("r._id"))
-      .select(col("l._id").as("id_a"), col("r._id").as("id_b"))
+      .select(col("l._id").as("id_a"), col("r._id").as("id_b"),
+        lit(false).as("is_star"))
     // degenerate buckets: star-link members to the representative (rep
     // is the bucket min, so rep < _id always holds) — O(bucket) pairs
     // that preserve the connected component
     val bigPairs = bandRows
       .join(broadcast(degenerate), keyCols)
       .filter(col("_id") =!= col("_rep"))
-      .select(col("_rep").as("id_a"), col("_id").as("id_b"))
-    smallPairs.unionByName(bigPairs).distinct()
+      .select(col("_rep").as("id_a"), col("_id").as("id_b"),
+        lit(true).as("is_star"))
+    // same shuffle as the old distinct(), but a pair seen both ways
+    // (fully expanded in one band, star-linked in another) must come
+    // out verifiable: min(false, true) = false
+    val pairs = smallPairs.unionByName(bigPairs)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("is_star")).as("is_star"))
+    CappedPairs(pairs, degRows.length.toLong)
   }
 
   /** Band tuning note: rows-per-band sets the candidate false-positive
@@ -208,13 +236,21 @@ object Dedup {
   def minHashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleSize: Int = 7, numHashes: Int = 32, bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    minHashCandidatePairsMetered(df, idCol, textCol,
+      shingleSize, numHashes, bands, maxBucketSize).pairs
+
+  /** [[minHashCandidatePairs]] with the per-call capped-bucket count. */
+  def minHashCandidatePairsMetered(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 7, numHashes: Int = 32, bands: Int = 4,
+      maxBucketSize: Int = 10000): CappedPairs = {
     val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
     try {
       val bandRows = sigs.select(col("_id"),
         posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
-      cappedBandPairs(bandRows, Seq("band_idx", "band_key"), maxBucketSize)
-        .localCheckpoint(true)
+      val cp = cappedBandPairs(bandRows, Seq("band_idx", "band_key"), maxBucketSize)
+      cp.copy(pairs = cp.pairs.localCheckpoint(true))
     } finally sigs.unpersist()
   }
 
@@ -237,20 +273,35 @@ object Dedup {
     * Completeness caveat: candidates route through [[cappedBandPairs]],
     * so if any band bucket exceeds `maxBucketSize` the output is NOT
     * "all verified pairs with J ≥ minJaccard" — degenerate buckets
-    * contribute only star pairs to their representative. Such runs are
-    * detectable: [[lastCappedBucketCount]] > 0 and a WARN log line.
-    * Uncapped runs (every judged corpus here) are exact-complete.
+    * contribute star pairs to their representative, and those star
+    * pairs are retained REGARDLESS of the threshold (with `is_star =
+    * true` and their measured `jaccard`, possibly < `minJaccard`):
+    * filtering them out could split the component of a bucket whose
+    * members are near-dups of each other but not of the
+    * representative. Capped runs are detectable three ways: the
+    * `is_star` column, the per-call count in the `Metered` variant,
+    * and a WARN log line. Uncapped runs (every judged corpus here)
+    * have `is_star` uniformly false and are exact-complete.
     */
   def verifiedNearDupPairs(
       df: DataFrame, idCol: String, textCol: String,
       minJaccard: Double = 0.6,
       shingleSize: Int = 7, numHashes: Int = 32, bands: Int = 4,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    verifiedNearDupPairsMetered(df, idCol, textCol, minJaccard,
+      shingleSize, numHashes, bands, maxBucketSize).pairs
+
+  /** [[verifiedNearDupPairs]] with the per-call capped-bucket count. */
+  def verifiedNearDupPairsMetered(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccard: Double = 0.6,
+      shingleSize: Int = 7, numHashes: Int = 32, bands: Int = 4,
+      maxBucketSize: Int = 10000): CappedPairs = {
     val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
     try {
       val bandRows = sigs.select(col("_id"),
         posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
-      val candidates =
+      val cp =
         cappedBandPairs(bandRows, Seq("band_idx", "band_key"), maxBucketSize)
       // verification reuses the cached shingle arrays — exact Jaccard on
       // O(candidates), with no re-shingling per pair
@@ -260,15 +311,17 @@ object Dedup {
       // |A ∪ B| = |A| + |B| − |A ∩ B| (sets are distinct by construction)
       val overlap = graft.expressions.SortedOverlapExpression
         .sortedOverlap(col("_sh_a"), col("_sh_b"))
-      candidates.join(shA, "id_a").join(shB, "id_b")
+      val verified = cp.pairs.join(shA, "id_a").join(shB, "id_b")
         .withColumn("_ov", overlap)
         .withColumn("jaccard",
           col("_ov").cast(org.apache.spark.sql.types.DoubleType) /
             (size(col("_sh_a")) + size(col("_sh_b")) - col("_ov"))
               .cast(org.apache.spark.sql.types.DoubleType))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
+        // star pairs pass unconditionally — see the completeness caveat
+        .filter(col("jaccard") >= minJaccard || col("is_star"))
+        .select(col("id_a"), col("id_b"), col("jaccard"), col("is_star"))
         .localCheckpoint(true)
+      CappedPairs(verified, cp.cappedBucketCount)
     } finally sigs.unpersist()
   }
 
@@ -294,8 +347,9 @@ object Dedup {
     * seeds, so keys align), bucket-join against the stored band keys,
     * and verify candidates by exact Jaccard using the new side's
     * cached shingles and the index's stored ones. Output:
-    * (new_id, corpus_id, jaccard) — feed into [[dropNearDuplicates]]
-    * (or drop all matched new ids) before appending the increment.
+    * (new_id, corpus_id, jaccard, is_star) — feed into
+    * [[dropNearDuplicates]] (or drop all matched new ids) before
+    * appending the increment.
     *
     * MUST use the same (shingleSize, numHashes, bands) as the index.
     *
@@ -310,7 +364,16 @@ object Dedup {
       newDocs: DataFrame, indexPath: String, idCol: String, textCol: String,
       minJaccard: Double = 0.6,
       shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame =
+    incrementalNearDupPairsMetered(newDocs, indexPath, idCol, textCol,
+      minJaccard, shingleSize, numHashes, bands, maxBucketSize).pairs
+
+  /** [[incrementalNearDupPairs]] with the per-call capped-bucket count. */
+  def incrementalNearDupPairsMetered(
+      newDocs: DataFrame, indexPath: String, idCol: String, textCol: String,
+      minJaccard: Double = 0.6,
+      shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24,
+      maxBucketSize: Int = 10000): CappedPairs = {
     val spark = newDocs.sparkSession
     val index = spark.read.parquet(indexPath)
     val sigs = shingleBands(newDocs, idCol, textCol, shingleSize, numHashes, bands)
@@ -334,24 +397,29 @@ object Dedup {
         keys, "left_anti")
       val smallCand = newBands.join(smallIdx, keys)
         .filter(col("new_id") =!= col("corpus_id"))
-        .select(col("new_id"), col("corpus_id"))
+        .select(col("new_id"), col("corpus_id"), lit(false).as("is_star"))
       val bigCand = newBands.join(broadcast(degenerate), keys)
         .filter(col("new_id") =!= col("_rep"))
-        .select(col("new_id"), col("_rep").as("corpus_id"))
-      val candidates = smallCand.unionByName(bigCand).distinct()
+        .select(col("new_id"), col("_rep").as("corpus_id"), lit(true).as("is_star"))
+      val candidates = smallCand.unionByName(bigCand)
+        .groupBy(col("new_id"), col("corpus_id"))
+        .agg(min(col("is_star")).as("is_star"))
       val shN = sigs.select(col("_id").as("new_id"), col("_sh").as("_sh_a"))
       val shC = index.select(col("_id").as("corpus_id"), col("_sh").as("_sh_b"))
       val overlap = graft.expressions.SortedOverlapExpression
         .sortedOverlap(col("_sh_a"), col("_sh_b"))
-      candidates.join(shN, "new_id").join(shC, "corpus_id")
+      val verified = candidates.join(shN, "new_id").join(shC, "corpus_id")
         .withColumn("_ov", overlap)
         .withColumn("jaccard",
           col("_ov").cast(org.apache.spark.sql.types.DoubleType) /
             (size(col("_sh_a")) + size(col("_sh_b")) - col("_ov"))
               .cast(org.apache.spark.sql.types.DoubleType))
-        .filter(col("jaccard") >= minJaccard)
-        .select(col("new_id"), col("corpus_id"), col("jaccard"))
+        // star pairs pass unconditionally — component preservation, see
+        // the [[cappedBandPairs]] contract
+        .filter(col("jaccard") >= minJaccard || col("is_star"))
+        .select(col("new_id"), col("corpus_id"), col("jaccard"), col("is_star"))
         .localCheckpoint(true)
+      CappedPairs(verified, degRows.length.toLong)
     } finally sigs.unpersist()
   }
 
@@ -389,9 +457,21 @@ object Dedup {
       maxHamming: Int = 7, nBlocks: Int = -1,
       maxBucketSize: Int = 10000, targetBucketSize: Int = 16,
       simhashOf: Column => Column =
-        graft.expressions.SimHash64Expression.simhash64Native(_)): DataFrame = {
-    def nCombos(t: Int, r: Int): Long =
-      (1 to r).foldLeft(1L)((acc, i) => acc * (t - r + i) / i)
+        graft.expressions.SimHash64Expression.simhash64Native(_)): DataFrame =
+    simHashNearDupPairsMetered(df, idCol, textCol, maxHamming, nBlocks,
+      maxBucketSize, targetBucketSize, simhashOf).pairs
+
+  /** [[simHashNearDupPairs]] with the per-call capped-bucket count. */
+  def simHashNearDupPairsMetered(
+      df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 7, nBlocks: Int = -1,
+      maxBucketSize: Int = 10000, targetBucketSize: Int = 16,
+      simhashOf: Column => Column =
+        graft.expressions.SimHash64Expression.simhash64Native(_)): CappedPairs = {
+    // BigInt: intermediate products overflow Long well inside the
+    // plausible-argument range (e.g. C(64, 32))
+    def nCombos(t: Int, r: Int): BigInt =
+      (1 to r).foldLeft(BigInt(1))((acc, i) => acc * (t - r + i) / i)
     val hashed = graft.sources.Tables.widen(df)
       .select(col(idCol).as("_id"), simhashOf(col(textCol)).as("_sh"))
       .persist()
@@ -399,7 +479,19 @@ object Dedup {
     // shingleBands; the count also drives the banding auto-tune
     val n = hashed.count()
     val t =
-      if (nBlocks > 0) { require(nBlocks > maxHamming, "need nBlocks > maxHamming"); nBlocks }
+      if (nBlocks > 0) {
+        require(nBlocks > maxHamming, "need nBlocks > maxHamming")
+        require(nBlocks <= 64, s"a 64-bit simhash has at most 64 blocks, got $nBlocks")
+        // the auto-tune path caps band count at 256; an explicit
+        // nBlocks must honor a bound too — C(32, 25) ≈ 3.4M band keys
+        // per row would blow up both the driver-side combination
+        // enumeration and the per-row band array
+        val bands = nCombos(nBlocks, nBlocks - maxHamming)
+        require(bands <= 1024,
+          s"nBlocks=$nBlocks with maxHamming=$maxHamming yields C($nBlocks,${nBlocks - maxHamming}) " +
+            s"= $bands band combinations (> 1024); use fewer blocks or the auto-tune default")
+        nBlocks
+      }
       else {
         require(maxHamming >= 0 && maxHamming < 63,
           s"maxHamming must be in [0, 62], got $maxHamming")
@@ -428,16 +520,20 @@ object Dedup {
       })
       val banded = hashed.select(col("_id"),
         posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
-      val pairs = cappedBandPairs(banded, Seq("band_idx", "band_key"), maxBucketSize)
+      val cp = cappedBandPairs(banded, Seq("band_idx", "band_key"), maxBucketSize)
       // the 8-byte simhash values are joined back for the exact hamming
       // verification — O(candidates) work
       val hA = hashed.select(col("_id").as("id_a"), col("_sh").as("_sh_a"))
       val hB = hashed.select(col("_id").as("id_b"), col("_sh").as("_sh_b"))
-      pairs.join(hA, "id_a").join(hB, "id_b")
+      val verified = cp.pairs.join(hA, "id_a").join(hB, "id_b")
         .select(col("id_a"), col("id_b"),
-          graft.functions.VectorFunctions.hammingLong(col("_sh_a"), col("_sh_b")).as("hamming"))
-        .filter(col("hamming") <= maxHamming)
+          graft.functions.VectorFunctions.hammingLong(col("_sh_a"), col("_sh_b")).as("hamming"),
+          col("is_star"))
+        // star pairs pass unconditionally — component preservation, see
+        // the [[cappedBandPairs]] contract
+        .filter(col("hamming") <= maxHamming || col("is_star"))
         .localCheckpoint(true)
+      CappedPairs(verified, cp.cappedBucketCount)
     } finally hashed.unpersist()
   }
 
@@ -536,7 +632,15 @@ object Dedup {
   def embeddingNearDupPairs(
       df: DataFrame, idCol: String, vecCol: String, dim: Int,
       minCosine: Double = 0.95, nBits: Int = -1, nChunks: Int = 3,
-      maxBucketSize: Int = 10000, targetBucketSize: Int = 16): DataFrame = {
+      maxBucketSize: Int = 10000, targetBucketSize: Int = 16): DataFrame =
+    embeddingNearDupPairsMetered(df, idCol, vecCol, dim, minCosine,
+      nBits, nChunks, maxBucketSize, targetBucketSize).pairs
+
+  /** [[embeddingNearDupPairs]] with the per-call capped-bucket count. */
+  def embeddingNearDupPairsMetered(
+      df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      minCosine: Double = 0.95, nBits: Int = -1, nChunks: Int = 3,
+      maxBucketSize: Int = 10000, targetBucketSize: Int = 16): CappedPairs = {
     import graft.functions.VectorFunctions._
     // only (id, vector) is cached — the signature is consumed by the
     // single banding branch below, so caching it would waste memory
@@ -558,14 +662,17 @@ object Dedup {
           posexplode(array((0 until nChunks).map(c =>
             shiftrightunsigned(col("_sig"), c * chunkBits).bitwiseAND(lit(mask))): _*))
             .as(Seq("chunk_idx", "chunk_val")))
-      val pairs = cappedBandPairs(banded, Seq("chunk_idx", "chunk_val"), maxBucketSize)
+      val cp = cappedBandPairs(banded, Seq("chunk_idx", "chunk_val"), maxBucketSize)
       val vA = vecs.select(col("_id").as("id_a"), col("_v").as("_va"))
       val vB = vecs.select(col("_id").as("id_b"), col("_v").as("_vb"))
-      pairs.join(vA, "id_a").join(vB, "id_b")
+      val verified = cp.pairs.join(vA, "id_a").join(vB, "id_b")
         .withColumn("cosine", cosine(col("_va"), col("_vb")))
-        .filter(col("cosine") >= minCosine)
-        .select(col("id_a"), col("id_b"), col("cosine"))
+        // star pairs pass unconditionally — component preservation, see
+        // the [[cappedBandPairs]] contract
+        .filter(col("cosine") >= minCosine || col("is_star"))
+        .select(col("id_a"), col("id_b"), col("cosine"), col("is_star"))
         .localCheckpoint(true)
+      CappedPairs(verified, cp.cappedBucketCount)
     } finally vecs.unpersist()
   }
 }

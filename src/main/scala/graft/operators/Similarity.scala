@@ -175,8 +175,11 @@ object Similarity {
       .localCheckpoint(true)
     // bounded collect: distinct probed centroids ≤ nlist (a handful of
     // longs) — the literal IN-list is what turns into PartitionFilters
+    // getAs[Number]: the centroid id inherits the corpus id column's
+    // type — an IntegerType corpus writes INT32 centroid ids, which a
+    // getLong would reject with a ClassCastException at query time
     val probedCentroids = probed.select(col("centroid_id"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+      .distinct().collect().map(_.getAs[Number](0).longValue).toSeq
     val index = spark.read.parquet(s"$path/index")
       .filter(col("centroid_id").isin(probedCentroids: _*))
     val w = Window.partitionBy(col("query_id"))

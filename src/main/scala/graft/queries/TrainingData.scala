@@ -198,6 +198,7 @@ object TrainingData {
         concat(col("text"), lit(" appended")).as("text")))
     Dedup.simHashNearDupPairs(planted, "doc_id", "text",
         simhashOf = graft.expressions.SimHashMd5Expression.simhashMd5Native(_))
+      .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
   }
 

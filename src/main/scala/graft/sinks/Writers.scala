@@ -17,6 +17,8 @@ import graft.schema.Occurrence
   */
 object Writers {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** K1: idempotent per-day load. Dynamic partition overwrite means only
     * the partitions present in `df` are replaced — the Spark equivalent of
     * the reference's drop-and-recreate-per-day-table.
@@ -111,6 +113,19 @@ object Writers {
       Option(f.getParentFile).foreach(_.mkdirs())
       if (!f.createNewFile()) fail(null)
     } else {
+      // Supported-scheme guard: only HDFS promises an atomic
+      // create(overwrite = false) (a namespace op under the NameNode
+      // lock). Object stores (s3a, gcs, abfs, …) implement it as
+      // exists-then-create, so two writers could BOTH acquire the lock
+      // and race the rename swap — and rename itself is a non-atomic
+      // copy there. Warn loudly rather than fail: the swap still
+      // protects against crashes (full copies always exist), just not
+      // against a concurrent writer, which the caller must rule out
+      // externally (e.g. a scheduler-level mutex).
+      if (fs.getScheme != "hdfs")
+        log.warn(s"upsertInventory: lock file on scheme '${fs.getScheme}' is NOT atomic " +
+          "(create-if-absent is exists-then-create on object stores); single-writer " +
+          "must be enforced externally. Atomic lock schemes: file, hdfs.")
       val lockStream =
         try fs.create(lock, false)
         catch { case e: java.io.IOException => fail(e) }

@@ -127,18 +127,72 @@ class DedupSpec extends SparkSpec {
       .collect().head.getSeq[Float](0)
     val flood = spark.range(0, 1200).toDF("vec_id")
       .withColumn("embedding", typedLit(vec))
-    val got = Dedup.embeddingNearDupPairs(flood, "vec_id", "embedding",
-      dim = 64, minCosine = 0.99, maxBucketSize = 100).collect()
+    val metered = Dedup.embeddingNearDupPairsMetered(flood, "vec_id", "embedding",
+      dim = 64, minCosine = 0.99, maxBucketSize = 100)
+    val got = metered.pairs.collect()
     assert(got.length == 1199, s"expected 1199 star pairs, got ${got.length}")
     assert(got.forall(r => r.getLong(0) == 0L && math.abs(r.getDouble(2) - 1.0) < 1e-12))
-    // the capped run is observable via the metric (and a WARN log)
+    // star pairs are flagged in-band
+    assert(got.forall(_.getBoolean(3)), "flood pairs not flagged is_star")
+    // the capped run is observable per call (and via the best-effort
+    // global + a WARN log)
+    assert(metered.cappedBucketCount > 0,
+      "capped run not reflected in the per-call metric")
     assert(Dedup.lastCappedBucketCount.get() > 0,
       "capped run not reflected in lastCappedBucketCount")
   }
 
+  test("star pairs survive verification: over-cap bucket members that miss the threshold keep their link") {
+    // A capped bucket whose members are near-dups of EACH OTHER but not
+    // (quite) of the representative: 150 copies of vector v plus 60
+    // copies of a slightly perturbed v' (cosine(v, v') ≈ 0.9993 — below
+    // the 0.9999 threshold, but v' shares v's sign pattern so both
+    // flood the same LSH bucket). Without the is_star exemption the 60
+    // (0, v'_i) star links would fail cosine verification and v's
+    // component would split off all v' copies — which are EXACT dups of
+    // each other and must stay connected for keep-lowest-id dedup.
+    val vec = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") === 0).select(col("embedding"))
+      .collect().head.getSeq[Float](0)
+    val base = spark.range(0, 150).toDF("vec_id")
+      .withColumn("embedding", typedLit(vec))
+    val perturbedVec = vec.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + math.signum(x + 0.01f) * 0.8f else x }
+    val near = spark.range(150, 210).toDF("vec_id")
+      .withColumn("embedding", typedLit(perturbedVec))
+    val metered = Dedup.embeddingNearDupPairsMetered(
+      base.unionByName(near), "vec_id", "embedding",
+      dim = 64, minCosine = 0.9999, maxBucketSize = 100)
+    assert(metered.cappedBucketCount > 0, "bucket did not hit the cap")
+    val got = metered.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // every member — identical OR merely-near — is star-linked to rep 0
+    assert(got.map(_._2).toSet == (1L until 210L).toSet,
+      s"component split: only ${got.length} of 209 members linked")
+    // the below-threshold links are there BECAUSE they are star pairs
+    val belowThreshold = got.filter(_._3 < 0.9999)
+    assert(belowThreshold.nonEmpty && belowThreshold.forall(_._4),
+      "below-threshold star links missing or unflagged")
+  }
+
+  test("explicit nBlocks rejects combination blow-ups the auto-tune path would never pick") {
+    // C(32, 25) ≈ 3.4M band keys per row — driver-side enumeration and
+    // per-row array both explode; must fail fast, not OOM
+    val docs = Tables.documents(spark, sfDir).limit(10).select(col("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 7, nBlocks = 32)
+    }
+    assert(e.getMessage.contains("band combinations"))
+    // a sane explicit config still works
+    assert(Dedup.simHashNearDupPairs(docs, "doc_id", "text",
+      maxHamming = 3, nBlocks = 6).count() >= 0)
+  }
+
   test("uncapped runs report zero capped buckets") {
     val emb = Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-    Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding", dim = 64).count()
+    val metered = Dedup.embeddingNearDupPairsMetered(emb, "vec_id", "embedding", dim = 64)
+    metered.pairs.count()
+    assert(metered.cappedBucketCount == 0L)
     assert(Dedup.lastCappedBucketCount.get() == 0L)
   }
 

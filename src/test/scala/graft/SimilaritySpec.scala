@@ -128,6 +128,19 @@ class SimilaritySpec extends SparkSpec {
     assert(canon(fromIndex) == canon(inMem))
   }
 
+  test("persisted IVF index accepts an IntegerType id corpus") {
+    // partition-value inference reads centroid_id back as INT32 when the
+    // corpus ids are ints; the probed-centroid collect must not assume
+    // longs (regression: ClassCastException at query time even though
+    // writeIvfIndex succeeded)
+    val intEmb = emb.withColumn("vec_id", col("vec_id").cast("int"))
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-int").toString + "/idx"
+    Similarity.writeIvfIndex(intEmb, path, "vec_id", "embedding", nlist = 8)
+    val got = Similarity.ivfTopKFromIndex(spark, path,
+      intEmb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 5, nprobe = 2)
+    assert(got.count() == 15, "int-id index query returned wrong row count")
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions
     val self = emb.limit(5)
