@@ -54,10 +54,19 @@ object JoinOps {
 
   /** Join two pre-bucketed tables on their bucket key. With matching
     * bucket counts, the plan contains NO Exchange on either side.
+    *
+    * `forceSortMerge` adds a merge hint: when one side is small enough
+    * that Catalyst would broadcast it, the hint keeps the bucket-local
+    * sort-merge plan instead — the shape whose cost profile carries to
+    * 100 TB (a broadcast plan on a test-sized dim proves nothing about
+    * the full-size join the bucketing exists for).
     */
   def bucketedJoin(
       spark: org.apache.spark.sql.SparkSession,
       leftTable: String, rightTable: String, key: String,
-      joinType: String = "inner"): DataFrame =
-    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+      joinType: String = "inner", forceSortMerge: Boolean = false): DataFrame = {
+    val left = spark.table(leftTable)
+    (if (forceSortMerge) left.hint("merge") else left)
+      .join(spark.table(rightTable), Seq(key), joinType)
+  }
 }

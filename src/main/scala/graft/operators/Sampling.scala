@@ -69,6 +69,28 @@ object Sampling {
     df.withColumn("split", assignment).filter(col("split").isNotNull)
   }
 
+  /** Deterministic per-stratum CAP: keep at most `cap` rows per stratum
+    * value, chosen by hash order — the balanced-corpus construction
+    * step (e.g. "at most N documents per language/domain" so one
+    * dominant stratum cannot swamp a training mix). Hash ordering makes
+    * the kept set a stable pseudo-random sample of each stratum, not
+    * its first-N ids; the md5 order is reproducible by any engine.
+    *
+    * Scale: one shuffle on the stratum key + a per-stratum top-cap
+    * sort. A pathologically hot stratum concentrates its sort in one
+    * partition — at that point pre-filter with [[stratifiedHashSample]]
+    * (a shuffle-free projection) down to ~cap-scale, then cap exactly.
+    */
+  def stratumCap(df: DataFrame, idCol: String, stratumCol: String,
+      cap: Int, salt: String = ""): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap)
+      .drop("_rn")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with the
     * same hash-stability guarantee (`sampleBy` without the RNG).
     */

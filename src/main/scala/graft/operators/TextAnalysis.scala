@@ -51,6 +51,68 @@ object TextAnalysis {
     tf.join(dfreq, "term").select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
 
+  /** Intra-document repetition statistics — the Gopher/RefinedWeb-style
+    * repetition signals a pretraining corpus is filtered on (heavily
+    * repetitive documents are boilerplate/spam and poison LM training):
+    *
+    *  - `dup_token_frac`: fraction of tokens that are repeats of an
+    *    earlier token (`1 − distinct/total`),
+    *  - `top_bigram_n` / `top_bigram_frac`: occurrences of the most
+    *    frequent token bigram and its share of all bigrams.
+    *
+    * Scale: token stats are a pure projection; the bigram mode needs
+    * one shuffle on (doc, bigram) + one on doc — both count-sized, the
+    * text itself never shuffles. (A per-row HOF could avoid the shuffle
+    * but needs an O(bigrams) hash map per row in a lambda — the
+    * aggregate formulation lets Tungsten spill instead.)
+    */
+  def repetitionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = graft.sources.Tables.widen(df)
+      .select(col(idCol).as("doc_id"),
+        nonEmptyTokens(lower(col(textCol))).as("_toks"))
+    val tokStats = base.select(
+      col("doc_id"),
+      size(col("_toks")).cast("int").as("n_tokens"),
+      size(array_distinct(col("_toks"))).cast("int").as("n_distinct"))
+    // bigrams of adjacent tokens; guard size<2 (Spark's sequence(1, 0)
+    // DESCENDS rather than returning empty)
+    val bigrams = base.select(col("doc_id"),
+      explode(when(size(col("_toks")) >= 2,
+        transform(sequence(lit(1), size(col("_toks")) - 1),
+          i => concat_ws(" ", element_at(col("_toks"), i),
+            element_at(col("_toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("_bg"))
+    val bgStats = bigrams.groupBy(col("doc_id"), col("_bg"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("_c")).as("top_bigram_n"),
+        sum(col("_c")).as("n_bigrams"))
+    tokStats.join(bgStats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_distinct"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") /
+          greatest(col("n_tokens"), lit(1)).cast("double")).as("dup_token_frac"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        (coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_bigrams"), lit(0L)), lit(1L)).cast("double"))
+          .as("top_bigram_frac"))
+  }
+
+  /** Repetition gate: drop documents above either repetition threshold
+    * (the remediation counterpart of [[repetitionStats]]).
+    */
+  def repetitionFilter(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxDupTokenFrac: Double = 0.5,
+      maxTopBigramFrac: Double = 0.18): DataFrame = {
+    val keep = repetitionStats(df, idCol, textCol)
+      .filter(col("dup_token_frac") <= maxDupTokenFrac &&
+        col("top_bigram_frac") <= maxTopBigramFrac)
+      .select(col("doc_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
   /** Quality-gate filter: the standard pretraining-corpus cut. */
   def qualityFilter(df: DataFrame, textCol: String = "text",
       minTokens: Int = 10, minScore: Double = 0.3): DataFrame =

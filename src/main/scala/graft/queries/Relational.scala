@@ -792,7 +792,56 @@ object Relational {
        |ORDER BY user_id""".stripMargin
   }
 
+  /** Bucketed co-located join ([[graft.operators.JoinOps]]): customers
+    * and orders are written bucketed+sorted on the customer key, then
+    * joined WITHOUT any exchange — the pay-layout-once answer to every
+    * recurring big×big join (at 100 TB the join-side shuffle, not the
+    * join itself, is the bill). The merge hint pins the bucket-local
+    * sort-merge plan even though the test-sized dim would broadcast;
+    * PlanShapeSpec asserts the no-Exchange/no-Sort shape. The oracle
+    * is the same join/aggregate over the unbucketed tables — layout
+    * must never change results.
+    *
+    * Table names carry a per-dataset suffix; reruns in one session
+    * overwrite in place, and stale same-name tables from a previous
+    * session's warehouse directory are dropped + deleted first (an
+    * in-memory catalog forgets them but their files survive).
+    */
+  def q57BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinOps
+    val suffix = (dir.hashCode & 0x7fffffff).toString
+    val ct = s"customer_bkt_$suffix"
+    val ot = s"orders_bkt_$suffix"
+    val warehouse = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"))
+    val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(ct, ot).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS `$t`")
+      fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
+    }
+    JoinOps.writeBucketed(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      ct, "c_custkey", buckets = 8)
+    JoinOps.writeBucketed(
+      Tables.orders(s, dir)
+        .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+      ot, "c_custkey", buckets = 8)
+    JoinOps.bucketedJoin(s, ct, ot, "c_custkey", forceSortMerge = true)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q57Sql: String =
+    s"""SELECT c_mktsegment, count(*) AS n_orders,
+       |  ${exactSumSql("o_totalprice")} AS total_price
+       |FROM customer JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_mktsegment
+       |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q57_bucketed_join"   -> q57BucketedJoin _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
@@ -821,6 +870,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q57_bucketed_join" -> q57Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,

@@ -176,7 +176,45 @@ object StreamingQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** The static dimension q58 enriches with — shared by the Spark
+    * side, the SQL oracle (as a VALUES list) and the streaming parity
+    * spec so all three agree by construction.
+    */
+  val eventCategories: Seq[(String, String)] = Seq(
+    "click" -> "engagement", "view" -> "engagement",
+    "signup" -> "acquisition", "purchase" -> "revenue",
+    "error" -> "reliability")
+
+  /** Stream-static enrichment join — the batch twin of
+    * [[graft.streaming.EventStreams.enrichedWindowedCounts]]: events
+    * joined to a broadcast static dimension (event_type → category),
+    * aggregated per category in 1-hour event-time windows. The
+    * streaming run of the SAME function is parity-checked in
+    * StreamingSpec; here DuckDB checks the semantics.
+    */
+  def q58StreamStatic(s: SparkSession, dir: String): DataFrame = {
+    val dim = s.createDataFrame(eventCategories).toDF("event_type", "category")
+    graft.streaming.EventStreams.enrichedWindowedCounts(Tables.events(s, dir), dim)
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("category"), col("n_events"), col("total_value"))
+      .orderBy("window_start", "category")
+  }
+
+  val q58Sql: String = {
+    val dimValues = eventCategories
+      .map { case (t, c) => s"('$t', '$c')" }.mkString(", ")
+    s"""WITH dim(event_type, category) AS (VALUES $dimValues)
+       |SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       |  category, count(*) AS n_events,
+       |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       |FROM events JOIN dim USING (event_type)
+       |GROUP BY 1, 2
+       |ORDER BY window_start, category""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_stream_static"   -> q58StreamStatic _,
     "q26_tumbling_window" -> q26TumblingWindow _,
     "q27_sessionize"      -> q27Sessionize _,
     "q33_asof_join"       -> q33AsOfJoin _,
@@ -184,6 +222,7 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q58_stream_static"   -> q58Sql,
     "q26_tumbling_window" -> q26Sql,
     "q27_sessionize"      -> q27Sql,
     "q33_asof_join"       -> q33Sql,

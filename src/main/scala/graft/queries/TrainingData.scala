@@ -660,7 +660,151 @@ object TrainingData {
       |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term ASC) <= 3
       |ORDER BY doc_id, term""".stripMargin
 
+  /** Intra-document repetition stats + gate verdict
+    * ([[graft.operators.TextAnalysis.repetitionStats]]) over the corpus
+    * plus planted boilerplate (each of the first 10 docs re-appended as
+    * its first 50 chars repeated 20×, which any repetition filter must
+    * catch). All counts are exact integers; the two fractions are one
+    * double division each (cross-engine bit-identical); `keep` is the
+    * Gopher-style gate both engines evaluate from those fractions.
+    */
+  def q53Repetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      repeat(concat(substring(col("text"), 1, 50), lit(" ")), 20).as("text")))
+    graft.operators.TextAnalysis.repetitionStats(planted, "doc_id", "text")
+      .withColumn("keep",
+        col("dup_token_frac") <= 0.5 && col("top_bigram_frac") <= 0.18)
+      .orderBy("doc_id")
+  }
+
+  val q53Sql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    repeat(substr(text, 1, 50) || ' ', 20) AS text
+      |  FROM documents WHERE doc_id < 10),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> length(x) > 0) AS toks
+      |  FROM planted),
+      |b AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS bg
+      |  FROM t WHERE len(toks) >= 2),
+      |bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+      |bs AS (SELECT doc_id, max(c) AS top_bigram_n,
+      |              CAST(sum(c) AS BIGINT) AS n_bigrams
+      |       FROM bc GROUP BY 1)
+      |SELECT t.doc_id,
+      |  CAST(len(toks) AS INT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+      |  CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+      |    / CAST(greatest(len(toks), 1) AS DOUBLE) AS dup_token_frac,
+      |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+      |  COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)
+      |    / CAST(greatest(COALESCE(n_bigrams, 0), 1) AS DOUBLE) AS top_bigram_frac,
+      |  (CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+      |     / CAST(greatest(len(toks), 1) AS DOUBLE)) <= 0.5
+      |   AND (CAST(COALESCE(top_bigram_n, 0) AS DOUBLE)
+      |     / CAST(greatest(COALESCE(n_bigrams, 0), 1) AS DOUBLE)) <= 0.18 AS keep
+      |FROM t LEFT JOIN bs ON t.doc_id = bs.doc_id
+      |ORDER BY t.doc_id""".stripMargin
+
+  /** Sequence-packing manifest ([[graft.operators.Packing]]): documents
+    * assigned to fixed-512-token training sequences by sharded
+    * concat-and-chunk (8 shards — no global window at any scale), then
+    * summarized per pack. Pure integer arithmetic end to end (integer
+    * division for the chunk index), so the oracle is a bit-exact window
+    * cumsum in SQL.
+    */
+  def q54PackManifest(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packManifest(
+        Tables.widen(Tables.documents(s, dir)), "doc_id",
+        tokenCount(col("text")), seqLen = 512, nShards = 8)
+      .orderBy("shard", "pack_id")
+
+  val q54Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard, n_tok,
+      |    COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+      |  FROM tk)
+      |SELECT shard, CAST(poff // 512 AS BIGINT) AS pack_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+      |  min(doc_id) AS first_id, max(doc_id) AS last_id
+      |FROM o
+      |GROUP BY 1, 2
+      |ORDER BY shard, pack_id""".stripMargin
+
+  /** Per-document corpus-frequency profile: join each document's terms
+    * back to the corpus document-frequency table
+    * ([[graft.operators.TextAnalysis.termStats]]) and aggregate — the
+    * two-pass "score documents against corpus statistics" shape every
+    * frequency-based quality heuristic uses (df mass ≈ how much of the
+    * doc is common vocabulary; hapax count ≈ how much is unique to it).
+    * Exact integers only, so cross-engine equality is bit-for-bit.
+    */
+  def q55DocFreqProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.termStats(Tables.documents(s, dir))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum(col("df")).as("df_mass"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .orderBy("doc_id")
+
+  val q55Sql: String =
+    """WITH terms AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                       t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+      |SELECT doc_id,
+      |  count(*) AS n_terms,
+      |  CAST(sum(df) AS BIGINT) AS df_mass,
+      |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |FROM tf JOIN dfreq USING (term)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Balanced-corpus cap ([[graft.operators.Sampling.stratumCap]]): at
+    * most 50 documents per language, chosen by md5-hash order — the
+    * "no stratum swamps the training mix" construction, deterministic
+    * and reproducible by any engine (the kept set is a function of
+    * doc_id alone).
+    */
+  def q56LangCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratumCap(
+        Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", cap = 50)
+      .orderBy("lang", "doc_id")
+
+  val q56Sql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 50
+      |ORDER BY lang, doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q53_repetition"       -> q53Repetition _,
+    "q54_pack_manifest"    -> q54PackManifest _,
+    "q55_doc_freq_profile" -> q55DocFreqProfile _,
+    "q56_lang_cap"         -> q56LangCap _,
     "q52_term_matrix"      -> q52TermMatrix _,
     "q51_scrub_pii"        -> q51ScrubPii _,
     "q50_dedup_components" -> q50DedupComponents _,
@@ -680,6 +824,10 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q53_repetition"       -> q53Sql,
+    "q54_pack_manifest"    -> q54Sql,
+    "q55_doc_freq_profile" -> q55Sql,
+    "q56_lang_cap"         -> q56Sql,
     "q18_exact_dedup"      -> q18Sql,
     "q19_text_stats"       -> q19Sql,
     "q20_lang_quality"     -> q20Sql,

@@ -87,6 +87,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"dim side not broadcast in: ${bad.mkString(", ")}")
   }
 
+  test("bucketed join: sort-merge with no exchange keyed on the join key") {
+    // the whole point of the bucketed layout: the join consumes bucket
+    // files directly — a shuffle on the join key means the layout was
+    // ignored (mismatched bucket counts, disabled bucketing, a lost
+    // output partitioning). The aggregate AFTER the join still
+    // exchanges on c_mktsegment; only a c_custkey exchange is a bug.
+    val p = plans("q57_bucketed_join")
+    assert(p.contains("SortMergeJoin"), s"bucketed join not sort-merge:\n$p")
+    assert(!p.contains("hashpartitioning(c_custkey"),
+      s"bucketed join re-shuffles on the bucket key:\n$p")
+    assert(p.contains("SelectedBucketsCount"),
+      s"join sides are not bucketed scans:\n$p")
+  }
+
   test("hot aggregation queries stay inside whole-stage codegen") {
     // "*(n)" marks operators fused into a generated stage; a plan with
     // none at all has fallen out of codegen entirely. Codegen insertion

@@ -52,6 +52,28 @@ class SamplingSpec extends SparkSpec {
     assert(overlap > 0.25 && overlap < 0.75) // ~50% expected
   }
 
+  test("stratum cap: per-stratum bound, deterministic, layout-independent") {
+    val capped = Sampling.stratumCap(docs, "doc_id", "lang", cap = 20)
+    val perLang = capped.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullPerLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every stratum present, capped at min(cap, stratum size)
+    assert(perLang.keySet == fullPerLang.keySet)
+    perLang.foreach { case (lang, n) =>
+      assert(n == math.min(20L, fullPerLang(lang)), s"$lang kept $n")
+    }
+    // deterministic + invariant under physical layout
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratumCap(df, "doc_id", "lang", cap = 20)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(docs) == ids(docs.repartition(13)))
+    // a different salt picks a different (but equally-sized) subset
+    val salted = Sampling.stratumCap(docs, "doc_id", "lang", cap = 20, salt = "v2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(salted.size == ids(docs).size && salted != ids(docs))
+  }
+
   test("stratified sample keeps per-stratum fractions") {
     val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.0, "fr" -> 0.5))

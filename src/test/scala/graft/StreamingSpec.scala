@@ -47,6 +47,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join: stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dim = graft.queries.StreamingQueries.eventCategories
+      .toDF("event_type", "category")
+    val input = MemoryStream[Event]
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:15:00"), 2, "purchase", 2.0),
+      Event(3, ts("2024-01-01 10:55:00"), 1, "view", 3.0),
+      Event(4, ts("2024-01-01 11:05:00"), 1, "error", 4.0),
+      // watermark advancer
+      Event(5, ts("2024-01-01 15:00:00"), 3, "click", 6.0))
+    val agg = EventStreams.enrichedWindowedCounts(input.toDF(), dim, "1 hour", "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData(events.take(4))
+      q.processAllAvailable()
+      input.addData(events.drop(4))
+      q.processAllAvailable()
+      val streamed = spark.table("enrich_out")
+        .select("window_start", "category", "n_events", "total_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventStreams.enrichedWindowedCounts(events.toDF(), dim, "1 hour", "1 hour")
+        .filter(col("window_start") < lit(ts("2024-01-01 14:00:00")))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(batch.nonEmpty && batch.subsetOf(streamed))
+      // click+view fold into one 'engagement' row per window
+      assert(streamed.exists { case (_, c, n, v) => c == "engagement" && n == 2 && v == 4.0 })
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events; stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

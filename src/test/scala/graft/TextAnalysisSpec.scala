@@ -110,6 +110,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats.collect { case ((d, _), (tf, _)) if d == 1L => tf }.sum == 6L)
   }
 
+  test("repetition stats: exact counts on a hand-computed corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a"), // 5 tokens, 2 distinct; bigrams: "a b"×2, "b a"×2
+      (2L, "x y z"),     // no repetition; bigrams "x y", "y z"
+      (3L, "solo")       // single token → no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(got(1L) == (5, 2, 0.6, 2L, 4L, 0.5))
+    assert(got(2L) == (3, 3, 0.0, 1L, 2L, 0.5))
+    assert(got(3L) == (1, 1, 0.0, 0L, 0L, 0.0))
+  }
+
+  test("repetition filter drops boilerplate, keeps prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now " * 40),                                    // pure boilerplate
+      (2L, "the quick brown fox jumps over the lazy dog again")
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.repetitionFilter(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L), s"expected only the prose doc, kept $kept")
+  }
+
   test("PII scrub masks identifiers and leaves clean text intact") {
     import spark.implicits._
     import graft.functions.TextFunctions._
