@@ -22,4 +22,20 @@ object SchemaEnforce {
       else lit(null).cast(t).as(c)
     }: _*)
   }
+
+  /** Generic form of [[enforceSchema]] for any canonical column list
+    * (e.g. downstream of a [[graft.sources.Ingest.readEvolved]]
+    * schema-merged read): present columns keep their type, missing
+    * ones become string NULLs. Pass `types` to pin the type of
+    * columns that may be absent.
+    */
+  def conform(df: DataFrame, columns: Seq[String],
+      types: Map[String, String] = Map.empty): DataFrame = {
+    val present = df.columns.toSet
+    df.select(columns.map { c =>
+      if (present.contains(c))
+        types.get(c).map(col(c).cast(_).as(c)).getOrElse(col(c))
+      else lit(null).cast(types.getOrElse(c, "string")).as(c)
+    }: _*)
+  }
 }

@@ -45,6 +45,50 @@ object Writers {
   def writeRejections(rejected: DataFrame, path: String): Unit =
     rejected.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
 
+  /** Small-files compaction: rewrite a parquet directory into
+    * ≈`targetFileBytes`-sized files. Streaming sinks, per-day dynamic
+    * partition overwrites, and high-parallelism writes all fragment a
+    * table into thousands of KB-scale files; at 100 TB the resulting
+    * per-file open/footer overhead dominates scan time and the
+    * NameNode/object-store listing itself becomes the bottleneck —
+    * periodic compaction is the standard remedy.
+    *
+    * The rewrite targets the file count from the CURRENT on-disk bytes
+    * (`ceil(bytes / targetFileBytes)`), uses a round-robin
+    * `repartition(n)` (no column skew — output files are uniformly
+    * sized), and swaps via the same checked tmp/bak rename pattern as
+    * [[upsertInventory]], so a crash mid-compaction never loses the
+    * live directory. Returns the output file count.
+    *
+    * Partitioned tables: compact each partition directory independently
+    * (call this per leaf directory) — compacting across partition
+    * boundaries would destroy the partition pruning the layout exists
+    * for.
+    */
+  def compactParquet(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(path)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(dst).getLength
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val df = spark.read.parquet(path)
+    val stamp = java.util.UUID.randomUUID().toString
+    val tmp = new Path(path + ".tmp-" + stamp)
+    val bak = new Path(path + ".bak-" + stamp)
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compactParquet: rename $dst -> $bak failed")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(bak, dst)
+      throw new java.io.IOException(s"compactParquet: rename $tmp -> $dst failed")
+    }
+    fs.delete(bak, true)
+    nFiles
+  }
+
   /** D2: `data_inventory` upsert on `available_date`
     * (`/root/reference/monarch_etl/inventory.py:52-66`: INSERT … ON
     * CONFLICT DO UPDATE). The inventory is a tiny catalog table (one row

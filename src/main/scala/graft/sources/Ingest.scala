@@ -54,6 +54,21 @@ object Ingest {
       .load(dir)
       .select(col("path"), col("length"), col("content"))
 
+  /** Schema-evolution read: union historical parquet batches whose
+    * schemas drifted (columns added over time — the reference's GBIF
+    * feed did exactly this, which is why P2 add-missing-as-NULL
+    * exists). `mergeSchema` unifies the footers at read time: rows
+    * from pre-drift batches surface the added columns as NULL, and the
+    * scan still prunes columns/pushes filters per file. For a STABLE
+    * contract downstream, compose with
+    * [[graft.operators.SchemaEnforce]] to pin the canonical column
+    * order. Footer merging reads every file's footer — on a
+    * million-file table pin the expected schema with `.schema(...)`
+    * instead and let old files fill NULLs for free.
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
+
   /** K4: JSON read-API response — `to_dict(orient='records')` →
     * `jsonify` (`butterflyetl.py:110-112`). The engine's contract is
     * the DataFrame; this is the serialization boundary for a thin HTTP

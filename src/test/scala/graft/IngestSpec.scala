@@ -93,4 +93,25 @@ class IngestSpec extends SparkSpec {
       assert(math.abs(a - e) / e < 0.1, s"approx $a vs exact $e")
     }
   }
+
+  test("schema-evolution read: drifted batches merge; old rows NULL-fill added columns") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    // batch 1: original schema; batch 2: a column added mid-history
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$base/batch1")
+    Seq((3L, "c", 30), (4L, "d", 40)).toDF("id", "v", "added")
+      .write.parquet(s"$base/batch2")
+    val merged = Ingest.readEvolved(spark, s"$base/batch1", s"$base/batch2")
+    assert(merged.columns.toSet == Set("id", "v", "added"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("added"))).toMap
+    assert(rows(1L).isEmpty && rows(2L).isEmpty, "pre-drift rows must NULL-fill")
+    assert(rows(3L).contains(30) && rows(4L).contains(40))
+    // canonical downstream contract via SchemaEnforce: stable order
+    val pinned = graft.operators.SchemaEnforce.conform(
+      merged, Seq("id", "v", "added", "never_seen"))
+    assert(pinned.columns.toSeq == Seq("id", "v", "added", "never_seen"))
+    assert(pinned.filter(col("never_seen").isNotNull).count() == 0)
+  }
 }

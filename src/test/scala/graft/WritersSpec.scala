@@ -66,4 +66,34 @@ class WritersSpec extends SparkSpec {
     // and the lock is released after a successful run
     assert(!lock.exists(), "lock not released after upsert")
   }
+
+  test("compaction: fragmented table rewritten to the target file count, data intact") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    // fragment: 64 partitions → 64 small files
+    val df = spark.range(0, 10000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+    df.repartition(64).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles == 64, s"fixture expected 64 files, got $parquetFiles")
+    val before = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // generous target → everything folds into one file
+    val n = Writers.compactParquet(spark, path, targetFileBytes = 1L << 30)
+    assert(n == 1 && parquetFiles == 1, s"expected 1 file, got $parquetFiles")
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction changed the data")
+    // no tmp/bak leftovers
+    val siblings = new java.io.File(path).getParentFile.listFiles().map(_.getName)
+    assert(!siblings.exists(s => s.contains(".tmp-") || s.contains(".bak-")),
+      s"compaction left temp dirs: ${siblings.mkString(", ")}")
+    // a tighter target yields multiple ≈equal files
+    val bytes = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n2 = Writers.compactParquet(spark, path, targetFileBytes = bytes / 3)
+    assert(n2 >= 3 && parquetFiles == n2, s"expected >=3 files, got $n2/$parquetFiles")
+    assert(spark.read.parquet(path).count() == 10000)
+  }
 }
