@@ -38,7 +38,11 @@ object TrainingPipeline {
       numHashes: Int = 96,
       bands: Int = 24,
       splits: Seq[(String, Double)] =
-        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+      // md5-based split assignment instead of xxhash64: any ANSI engine
+      // reproduces it bit-for-bit (external audits, the q59 oracle);
+      // costs a per-row hex materialization, so default off at scale
+      auditableSplit: Boolean = false)
 
   /** Run the full preparation; returns the cleaned corpus with a
     * `split` column. Deterministic end to end: no rand(), no
@@ -59,6 +63,7 @@ object TrainingPipeline {
       cfg.shingleSize, cfg.numHashes, cfg.bands)
     val nearDeduped = Dedup.dropNearDuplicates(exact, cfg.idCol, pairs)
     // 5. deterministic split
-    Sampling.hashSplit(nearDeduped, cfg.idCol, cfg.splits)
+    if (cfg.auditableSplit) Sampling.md5Split(nearDeduped, cfg.idCol, cfg.splits)
+    else Sampling.hashSplit(nearDeduped, cfg.idCol, cfg.splits)
   }
 }

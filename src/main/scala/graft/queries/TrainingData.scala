@@ -800,7 +800,171 @@ object TrainingData {
       |WHERE rn <= 50
       |ORDER BY lang, doc_id""".stripMargin
 
+  /** The WHOLE training pipeline, hash-matched cross-engine:
+    * [[graft.pipeline.TrainingPipeline.prepare]] (scrub → quality gate
+    * → exact dedup → near-dup components → deterministic split) over a
+    * corpus with planted near-dup truncations, emitting
+    * (doc_id, split, md5-of-prepared-text). The DuckDB oracle replays
+    * every stage from first principles — the regex scrub chain (q51's
+    * mirror), the q20 quality formula, a row_number exact dedup, exact
+    * all-pairs Jaccard + recursive-CTE components (q21/q50's mirrors),
+    * and the md5 split (q39's mirror) — so one hash verifies the
+    * composition end to end, not just each stage in isolation.
+    * `auditableSplit` swaps stage 5 to the md5 bucket any engine can
+    * recompute.
+    *
+    * Exactness note: the near-dup stage is exact for the same reason
+    * q21 is — banded-LSH candidates at (96, 24) have measured 100%
+    * recall at J ≥ 0.5 on this corpus (the gate applies J ≥ 0.6,
+    * a subset), and exact Jaccard verification makes precision 1.
+    */
+  def q59TrainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+    graft.pipeline.TrainingPipeline.prepare(planted,
+        graft.pipeline.TrainingPipeline.Config(auditableSplit = true))
+      .select(col("doc_id"), col("split"), md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q59Sql: String = {
+    val stop = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'it','that','this','for','on','with','as','at','by','be']"
+    s"""WITH RECURSIVE planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+       |  FROM documents WHERE doc_id < 60),
+       |scrubbed AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(text,
+       |            '$emailPattern', '<EMAIL>', 'g'),
+       |          '$urlPattern', '<URL>', 'g'),
+       |        '$phonePattern', '<PHONE>', 'g'),
+       |      '\\s+', ' ', 'g')) AS text
+       |  FROM planted),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> list_contains($stop, t))) AS DOUBLE) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+       |      t -> length(t))) AS DOUBLE) AS tok_chars
+       |  FROM scrubbed),
+       |gated AS (
+       |  SELECT doc_id, text FROM scored
+       |  WHERE n_tok >= 10
+       |    AND least(n_tok / 100.0, 1.0) * 0.3
+       |      + least((n_stop / greatest(n_tok, 1)) * 3.0, 1.0) * 0.3
+       |      + greatest(1.0 - (n_punct / greatest(n_chars, 1)) * 10.0, 0.0) * 0.2
+       |      + (CASE WHEN tok_chars / greatest(n_tok, 1) BETWEEN 3.0 AND 10.0
+       |              THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.3),
+       |deduped AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM gated)
+       |  WHERE rn = 1),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+       |  FROM deduped WHERE length(text) >= 7),
+       |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS d FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |doomed AS (
+       |  SELECT s AS doc_id FROM reach GROUP BY s
+       |  HAVING least(min(d), s) < s)
+       |SELECT doc_id,
+       |  CASE WHEN bucket < 800000 THEN 'train'
+       |       WHEN bucket < 900000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  md5(text) AS content_md5
+       |FROM (
+       |  SELECT doc_id, text,
+       |    ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS bucket
+       |  FROM deduped
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM doomed))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Incremental near-dup dedup against a PERSISTED MinHash index
+    * ([[graft.operators.Dedup.writeMinHashIndex]] /
+    * [[graft.operators.Dedup.incrementalNearDupPairs]]): the corpus is
+    * indexed once, then a 40-doc increment (truncated near-dups of
+    * corpus docs) is banded against the stored band keys and verified
+    * by exact Jaccard — the daily-increment shape that avoids
+    * recomputing a single corpus signature. The oracle is the exact
+    * inverted-index new×corpus Jaccard join; same exactness argument
+    * as q21 (measured-100%-recall banding + exact verification).
+    */
+  def q60IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // fixed per-dataset path so repeated runs overwrite, not accumulate
+    val idxPath = sys.props("java.io.tmpdir") +
+      s"/graft_q60_idx_${dir.hashCode & 0x7fffffff}"
+    Dedup.writeMinHashIndex(docs, idxPath, "doc_id", "text")
+    val increment = docs.filter(col("doc_id") < 40).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text"))
+    Dedup.incrementalNearDupPairs(increment, idxPath, "doc_id", "text",
+        minJaccard = 0.5)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  val q60Sql: String =
+    """WITH newdocs AS (
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+      |  FROM documents WHERE doc_id < 40),
+      |shc AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+      |  FROM documents WHERE length(text) >= 7),
+      |shn AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+      |  FROM newdocs WHERE length(text) >= 7),
+      |exc AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shc),
+      |exn AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shn),
+      |inter AS (
+      |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+      |    count(*) AS i, any_value(n.n) AS nn, any_value(c.n) AS nc
+      |  FROM exn n JOIN exc c ON n.g = c.g
+      |  GROUP BY 1, 2)
+      |SELECT new_id, corpus_id,
+      |  CAST(i AS DOUBLE) / CAST(nn + nc - i AS DOUBLE) AS jaccard
+      |FROM inter
+      |WHERE CAST(i AS DOUBLE) / CAST(nn + nc - i AS DOUBLE) >= 0.5
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q59_training_pipeline" -> q59TrainingPipeline _,
+    "q60_incremental_neardup" -> q60IncrementalNearDup _,
     "q53_repetition"       -> q53Repetition _,
     "q54_pack_manifest"    -> q54PackManifest _,
     "q55_doc_freq_profile" -> q55DocFreqProfile _,
@@ -824,6 +988,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q59_training_pipeline" -> q59Sql,
+    "q60_incremental_neardup" -> q60Sql,
     "q53_repetition"       -> q53Sql,
     "q54_pack_manifest"    -> q54Sql,
     "q55_doc_freq_profile" -> q55Sql,
