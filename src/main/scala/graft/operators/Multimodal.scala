@@ -12,8 +12,11 @@ import org.apache.spark.sql.types._
   * `/root/reference/openweatherbasicmap.py:36-83`: white text with a
   * 1-px black outline at (10,10), re-encoded as PNG), pixel-histogram
   * features, and decoded width/height metadata — zero external
-  * dependencies. Audio/video payloads (no codecs in the JDK) fall back
-  * to a deterministic byte-level feature stub (`fakeDecode`), clearly
+  * dependencies. The AUDIO modality is real for PCM WAV: JDK
+  * `javax.sound.sampled` header+sample decode (rate/channels/frames/
+  * duration metadata, per-segment RMS energy features). Compressed
+  * audio (mp3/ogg) and video have no JDK codec and fall back to a
+  * deterministic byte-level feature stub (`fakeDecode`), clearly
   * marked; swapping in a real codec changes one function, not the
   * dataflow (partition-local batched `mapPartitions`, binary payloads
   * never crossing a shuffle).
@@ -88,6 +91,8 @@ object Multimodal {
     else if ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff) "jpeg"
     else if (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') "wav"
     else null
   }
 
@@ -177,9 +182,89 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------
-  // STUB decoder for the audio/video modalities — deterministic fake
-  // features from bytes (the JDK has no audio/video codecs; a real
-  // deployment replaces this one function, the dataflow is unchanged).
+  // Real JDK audio codec (javax.sound.sampled) — PCM WAV decode.
+  // ---------------------------------------------------------------
+
+  /** Open a PCM WAV payload as an AudioInputStream; null when the
+    * payload is not decodable PCM audio (same degrade-to-NULL contract
+    * as [[decodeImage]]). JDK WAV parsing needs no audio device, so it
+    * works on headless executors.
+    */
+  private[operators] def decodeWav(
+      bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    if (bytes == null) return null
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val enc = in.getFormat.getEncoding
+      if (enc == AudioFormat.Encoding.PCM_SIGNED ||
+        enc == AudioFormat.Encoding.PCM_UNSIGNED) in else { in.close(); null }
+    } catch {
+      // the JDK sound readers throw unchecked exceptions on malformed
+      // headers, like the ImageIO readers do on corrupt bodies
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** Audio features over decoded samples: RMS energy per time segment
+    * (`dim` equal slices of the sample stream) — the audio analogue of
+    * the image luminance histogram: real decoded-signal statistics,
+    * deterministic, fixed-size. Supports the standard 16-bit
+    * little-endian PCM layout; null (→ caller falls back) otherwise.
+    */
+  private[operators] def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val in = decodeWav(bytes)
+    if (in == null) return null
+    try {
+      val f = in.getFormat
+      if (f.getSampleSizeInBits != 16 || f.isBigEndian) return null
+      val data = in.readAllBytes()
+      val nSamp = data.length / 2
+      if (nSamp == 0) return new Array[Float](dim)
+      val sumSq = new Array[Double](dim)
+      val count = new Array[Long](dim)
+      var i = 0
+      while (i < nSamp) {
+        val s = ((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort / 32768.0
+        val seg = math.min((i.toLong * dim / nSamp).toInt, dim - 1)
+        sumSq(seg) += s * s
+        count(seg) += 1
+        i += 1
+      }
+      Array.tabulate(dim)(j =>
+        if (count(j) == 0) 0f else math.sqrt(sumSq(j) / count(j)).toFloat)
+    } finally in.close()
+  }
+
+  /** Synthesize a 16-bit mono PCM WAV sine tone (test/bench fixture —
+    * the audio analogue of [[makePng]]).
+    */
+  private[operators] def makeWav(
+      sampleRate: Int, nSamples: Int, freqHz: Double, amplitude: Double): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nSamples * 2)
+    var i = 0
+    while (i < nSamples) {
+      val v = math.round(
+        math.sin(2 * math.Pi * freqHz * i / sampleRate) * amplitude * 32767).toShort
+      data(2 * i) = (v & 0xff).toByte
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // STUB decoder for the remaining modalities (video, compressed
+  // audio) — deterministic fake features from bytes (no JDK codec; a
+  // real deployment replaces this one function, the dataflow is
+  // unchanged).
   // ---------------------------------------------------------------
   private[operators] def fakeDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return Array.fill(dim)(0f)
@@ -200,9 +285,11 @@ object Multimodal {
     * GPU/native decoder wants — and the output carries a fixed-size
     * `features: array<float>` column.
     *
-    * Decodable images (PNG/JPEG via ImageIO) get REAL pixel features — a
-    * normalized luminance histogram; everything else (audio/video, no
-    * JDK codec) falls back to the deterministic byte-level stub.
+    * Decodable images (PNG/JPEG via ImageIO) get REAL pixel features —
+    * a normalized luminance histogram; decodable PCM WAV gets REAL
+    * audio features — per-segment RMS energy; everything else (video,
+    * compressed audio — no JDK codec) falls back to the deterministic
+    * byte-level stub.
     *
     * Scale: decode parallelism = partitions; batching amortizes decoder
     * setup; the binary payload never crosses a shuffle.
@@ -217,12 +304,50 @@ object Multimodal {
         // batch boundary = where a real decoder would run vectorized
         batch.map { r =>
           val bytes = r.getAs[Array[Byte]](binIdx)
-          val img = if (detectFormat(bytes) != null) decodeImage(bytes) else null
+          val fmt = detectFormat(bytes)
+          val img = if (fmt != null && fmt != "wav") decodeImage(bytes) else null
           val feats =
-            if (img != null) imageFeatures(img, dim) else fakeDecode(bytes, dim)
+            if (img != null) imageFeatures(img, dim)
+            else if (fmt == "wav") {
+              val wf = wavFeatures(bytes, dim)
+              if (wf != null) wf else fakeDecode(bytes, dim)
+            } else fakeDecode(bytes, dim)
           Row.fromSeq(r.toSeq :+ feats.toSeq)
         }
       }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode audio metadata (REAL javax.sound.sampled decode): sample
+    * rate, channel count, frame count and duration from the WAV
+    * header; NULLs for undecodable payloads (same contract as
+    * [[decodeImageMeta]]). Appends `audio_sample_rate`,
+    * `audio_channels`, `audio_frames`, `audio_duration_sec`.
+    */
+  def decodeAudioMeta(df: DataFrame, binCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("audio_sample_rate", DoubleType, nullable = true),
+      StructField("audio_channels", IntegerType, nullable = true),
+      StructField("audio_frames", LongType, nullable = true),
+      StructField("audio_duration_sec", DoubleType, nullable = true)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val in = decodeWav(bytes)
+        if (in == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else try {
+          val f = in.getFormat
+          val frames = in.getFrameLength
+          // Seq[Any]: a bare Seq(double, int, long, double) would
+          // numerically WIDEN every element to Double and break the
+          // row encoder on the INT/BIGINT fields
+          Row.fromSeq(r.toSeq ++ Seq[Any](
+            f.getSampleRate.toDouble, f.getChannels, frames,
+            frames / f.getSampleRate.toDouble))
+        } finally in.close()
+      })
     }(Encoders.row(outSchema))
   }
 
@@ -289,6 +414,26 @@ object Multimodal {
         val png = makePng(r.getInt(idx(0)), r.getInt(idx(1)),
           r.getInt(idx(2)), r.getInt(idx(3)), r.getInt(idx(4)))
         Row.fromSeq(r.toSeq :+ png)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Synthesize PCM WAV tone payloads from per-row parameter columns
+    * (the audio analogue of [[synthesizeImages]]): `rateCol` (Hz),
+    * `samplesCol` (frame count), `freqCol` (tone Hz), fixed 0.5
+    * amplitude. Appends `outCol` as the encoded WAV bytes.
+    */
+  def synthesizeWavs(df: DataFrame,
+      rateCol: String, samplesCol: String, freqCol: String,
+      outCol: String = "content", batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idx = Seq(rateCol, samplesCol, freqCol).map(df.schema.fieldIndex)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val wav = makeWav(r.getInt(idx(0)), r.getInt(idx(1)),
+          r.getInt(idx(2)).toDouble, amplitude = 0.5)
+        Row.fromSeq(r.toSeq :+ wav)
       })
     }(Encoders.row(outSchema))
   }

@@ -962,7 +962,42 @@ object TrainingData {
       |WHERE CAST(i AS DOUBLE) / CAST(nn + nc - i AS DOUBLE) >= 0.5
       |ORDER BY new_id, corpus_id""".stripMargin
 
+  /** WAV audio round-trip (the audio twin of q49): synthesize a PCM
+    * WAV tone per document with doc_id-derived parameters
+    * ([[graft.operators.Multimodal.synthesizeWavs]]), decode it back
+    * with the REAL JDK audio codec
+    * ([[graft.operators.Multimodal.decodeAudioMeta]]), and report the
+    * decoded header facts. The oracle recomputes the expected values
+    * from the same formulas — a decoded frame count/duration can only
+    * match if the WAV encode→decode round-trip actually ran. Sample
+    * content (RMS energy features) is spec-verified; the oracle checks
+    * the header surface (exact integers + one exact double division).
+    */
+  def q61WavRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val params = Tables.widen(Tables.documents(s, dir)).select(
+      col("doc_id"),
+      lit(8000).as("rate"),
+      (lit(4000) + (col("doc_id") % 5).cast(IntegerType) * 800).as("n_samples"),
+      (lit(200) + (col("doc_id") % 7).cast(IntegerType) * 50).as("freq"))
+    val wavs = graft.operators.Multimodal.synthesizeWavs(
+      params, "rate", "n_samples", "freq")
+    graft.operators.Multimodal.decodeAudioMeta(wavs)
+      .select(col("doc_id"), col("audio_sample_rate"), col("audio_channels"),
+        col("audio_frames"), col("audio_duration_sec"))
+      .orderBy("doc_id")
+  }
+
+  val q61Sql: String =
+    """SELECT doc_id,
+      |  8000.0 AS audio_sample_rate,
+      |  1 AS audio_channels,
+      |  CAST(4000 + (doc_id % 5) * 800 AS BIGINT) AS audio_frames,
+      |  CAST(4000 + (doc_id % 5) * 800 AS BIGINT) / 8000.0 AS audio_duration_sec
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
     "q60_incremental_neardup" -> q60IncrementalNearDup _,
     "q53_repetition"       -> q53Repetition _,
@@ -988,6 +1023,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,
     "q60_incremental_neardup" -> q60Sql,
     "q53_repetition"       -> q53Sql,

@@ -260,6 +260,40 @@ class MultimodalSpec extends SparkSpec {
     assert(changed == 12, "overlay produced byte-identical images")
   }
 
+  test("real WAV round-trip: synthesize tone → decode header + RMS features") {
+    import spark.implicits._
+    val params = Seq((1L, 8000, 4000, 440), (2L, 16000, 8000, 220))
+      .toDF("id", "rate", "n_samples", "freq")
+    val wavs = Multimodal.synthesizeWavs(params, "rate", "n_samples", "freq")
+    val meta = Multimodal.decodeAudioMeta(wavs)
+      .select("id", "audio_sample_rate", "audio_channels", "audio_frames",
+        "audio_duration_sec")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getInt(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(meta(1L) == (8000.0, 1, 4000L, 0.5))
+    assert(meta(2L) == (16000.0, 1, 8000L, 0.5))
+    // features are REAL signal statistics: a constant-amplitude sine's
+    // per-segment RMS is amplitude/sqrt(2) ≈ 0.3536 in every segment
+    val feats = Multimodal.extractFeatures(wavs, dim = 8)
+      .select("features").collect().map(_.getSeq[Float](0))
+    feats.foreach { f =>
+      assert(f.length == 8)
+      f.foreach(v => assert(math.abs(v - 0.5 / math.sqrt(2)) < 0.01,
+        s"segment RMS $v not ~0.3536 — stub features, not decoded audio?"))
+    }
+  }
+
+  test("corrupt WAV bodies degrade to NULL audio metadata") {
+    import spark.implicits._
+    val junk = Seq((1L, Array[Byte]('R', 'I', 'F', 'F', 1, 2, 3, 4, 'W', 'A', 'V', 'E', 9)),
+      (2L, "not audio at all".getBytes("UTF-8")))
+      .toDF("id", "content")
+    val meta = Multimodal.decodeAudioMeta(junk)
+      .select("id", "audio_sample_rate").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(meta(1L) && meta(2L), "corrupt payloads must yield NULL metadata")
+  }
+
   test("undecodable payloads degrade to NULL metadata, not failures") {
     val out = Multimodal.decodeImageMeta(media) // text bytes, not images
       .select("img_width", "img_height", "img_format", "img_pixel00").collect()
