@@ -353,12 +353,12 @@ object Dedup {
     *
     * MUST use the same (shingleSize, numHashes, bands) as the index.
     *
-    * Scale: the join shuffles (band_idx, band_key, id) only; corpus
-    * band keys whose bucket exceeds `maxBucketSize` (an already-
-    * flooded corpus cluster) link each new doc to that bucket's
-    * lowest-id representative only — component-preserving, O(new)
-    * pairs — via the same broadcast-LocalRelation scheme as
-    * [[cappedBandPairs]].
+    * Scale: the join shuffles (band_idx, band_key, id) only; band keys
+    * whose bucket exceeds `maxBucketSize` on EITHER side (an already-
+    * flooded corpus cluster, or a boilerplate-flooded increment) link
+    * each new doc to that bucket's lowest-corpus-id representative
+    * only — component-preserving, O(new) pairs — via the same
+    * broadcast-LocalRelation scheme as [[cappedBandPairs]].
     */
   def incrementalNearDupPairs(
       newDocs: DataFrame, indexPath: String, idCol: String, textCol: String,
@@ -383,14 +383,27 @@ object Dedup {
       val idxBands = index.select(col("_id").as("corpus_id"),
         posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
       val keys = Seq("band_idx", "band_key")
-      val degAgg = idxBands.groupBy(keys.map(col): _*)
+      // A bucket is degenerate when EITHER side floods it: an over-cap
+      // corpus bucket (an already-flooded corpus cluster) OR an
+      // over-cap increment bucket (a boilerplate-heavy increment — the
+      // common daily-dedup input). Either way the full |new|×|idx|
+      // expansion is replaced by star links to the corpus bucket's
+      // representative: O(new) pairs per bucket.
+      val idxAgg = idxBands.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("_n"), min(col("corpus_id")).as("_rep"))
-        .filter(col("_n") > maxBucketSize)
+      val degNewKeys = newBands.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("_n_new"))
+        .filter(col("_n_new") > maxBucketSize)
+        .select(keys.map(col): _*)
+      val degAgg = idxAgg.filter(col("_n") > maxBucketSize)
+        .unionByName(idxAgg.join(degNewKeys, keys, "left_semi"))
+        .dropDuplicates(keys)
       val degRows = degAgg.collect()
       lastCappedBucketCount.set(degRows.length.toLong)
       if (degRows.nonEmpty)
-        log.warn(s"incrementalNearDupPairs: ${degRows.length} corpus bucket(s) over " +
-          s"maxBucketSize=$maxBucketSize — new docs link to those buckets' representatives only")
+        log.warn(s"incrementalNearDupPairs: ${degRows.length} bucket(s) over " +
+          s"maxBucketSize=$maxBucketSize (corpus- or increment-side flood) — " +
+          "new docs link to those buckets' corpus representatives only")
       val degenerate = spark.createDataFrame(
         java.util.Arrays.asList(degRows: _*), degAgg.schema)
       val smallIdx = idxBands.join(broadcast(degenerate.select(keys.map(col): _*)),
@@ -472,6 +485,21 @@ object Dedup {
     // plausible-argument range (e.g. C(64, 32))
     def nCombos(t: Int, r: Int): BigInt =
       (1 to r).foldLeft(BigInt(1))((acc, i) => acc * (t - r + i) / i)
+    // validate explicit arguments BEFORE any work: a rejected nBlocks
+    // must fail in microseconds, not after a full corpus scan — and
+    // must not leave a persisted frame behind
+    if (nBlocks > 0) {
+      require(nBlocks > maxHamming, "need nBlocks > maxHamming")
+      require(nBlocks <= 64, s"a 64-bit simhash has at most 64 blocks, got $nBlocks")
+      // the auto-tune path caps band count at 256; an explicit
+      // nBlocks must honor a bound too — C(32, 25) ≈ 3.4M band keys
+      // per row would blow up both the driver-side combination
+      // enumeration and the per-row band array
+      val bands = nCombos(nBlocks, nBlocks - maxHamming)
+      require(bands <= 1024,
+        s"nBlocks=$nBlocks with maxHamming=$maxHamming yields C($nBlocks,${nBlocks - maxHamming}) " +
+          s"= $bands band combinations (> 1024); use fewer blocks or the auto-tune default")
+    }
     val hashed = graft.sources.Tables.widen(df)
       .select(col(idCol).as("_id"), simhashOf(col(textCol)).as("_sh"))
       .persist()
@@ -479,19 +507,7 @@ object Dedup {
     // shingleBands; the count also drives the banding auto-tune
     val n = hashed.count()
     val t =
-      if (nBlocks > 0) {
-        require(nBlocks > maxHamming, "need nBlocks > maxHamming")
-        require(nBlocks <= 64, s"a 64-bit simhash has at most 64 blocks, got $nBlocks")
-        // the auto-tune path caps band count at 256; an explicit
-        // nBlocks must honor a bound too — C(32, 25) ≈ 3.4M band keys
-        // per row would blow up both the driver-side combination
-        // enumeration and the per-row band array
-        val bands = nCombos(nBlocks, nBlocks - maxHamming)
-        require(bands <= 1024,
-          s"nBlocks=$nBlocks with maxHamming=$maxHamming yields C($nBlocks,${nBlocks - maxHamming}) " +
-            s"= $bands band combinations (> 1024); use fewer blocks or the auto-tune default")
-        nBlocks
-      }
+      if (nBlocks > 0) nBlocks
       else {
         require(maxHamming >= 0 && maxHamming < 63,
           s"maxHamming must be in [0, 62], got $maxHamming")

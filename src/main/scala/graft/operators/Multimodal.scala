@@ -210,15 +210,20 @@ object Multimodal {
   /** Audio features over decoded samples: RMS energy per time segment
     * (`dim` equal slices of the sample stream) — the audio analogue of
     * the image luminance histogram: real decoded-signal statistics,
-    * deterministic, fixed-size. Supports the standard 16-bit
-    * little-endian PCM layout; null (→ caller falls back) otherwise.
+    * deterministic, fixed-size. Supports the standard SIGNED 16-bit
+    * little-endian PCM layout; null (→ caller falls back) otherwise —
+    * including PCM_UNSIGNED, whose samples this signed decode would
+    * read maximally wrong (silence at 0x8000 → -32768), not slightly
+    * wrong.
     */
   private[operators] def wavFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
     val in = decodeWav(bytes)
     if (in == null) return null
     try {
       val f = in.getFormat
-      if (f.getSampleSizeInBits != 16 || f.isBigEndian) return null
+      if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+        f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        return null
       val data = in.readAllBytes()
       val nSamp = data.length / 2
       if (nSamp == 0) return new Array[Float](dim)

@@ -37,7 +37,16 @@ object Packing {
     * boundary crossing is resolved at tensorization, not here).
     */
   def packSequences(df: DataFrame, idCol: String, tokensCol: Column,
-      seqLen: Int, nShards: Int = 64): DataFrame = {
+      seqLen: Int, nShards: Int = 64): DataFrame =
+    packedWithTokens(df, idCol, tokensCol, seqLen, nShards).drop("_tok")
+
+  /** Shared core keeping the materialized `_tok` column so the
+    * manifest can aggregate it without re-evaluating `tokensCol` (for
+    * a text-derived count, tokenization is the dominant per-row cost —
+    * evaluating it twice doubles the operator).
+    */
+  private def packedWithTokens(df: DataFrame, idCol: String, tokensCol: Column,
+      seqLen: Int, nShards: Int): DataFrame = {
     require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val shard = pmod(col(idCol), lit(nShards.toLong)).cast("int")
@@ -52,7 +61,6 @@ object Packing {
       // integer division (`div`) keeps the arithmetic exact at any
       // corpus size — a double floor() loses exactness past 2^53
       .withColumn("pack_id", expr(s"pack_offset div $seqLen"))
-      .drop("_tok")
   }
 
   /** Pack-level summary: document count, token budget used, id range —
@@ -60,11 +68,11 @@ object Packing {
     */
   def packManifest(df: DataFrame, idCol: String, tokensCol: Column,
       seqLen: Int, nShards: Int = 64): DataFrame =
-    packSequences(df, idCol, tokensCol, seqLen, nShards)
+    packedWithTokens(df, idCol, tokensCol, seqLen, nShards)
       .groupBy(col("shard"), col("pack_id"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(tokensCol.cast("long")).as("pack_tokens"),
+        sum(col("_tok")).as("pack_tokens"),
         min(col(idCol)).as("first_id"),
         max(col(idCol)).as("last_id"))
 }

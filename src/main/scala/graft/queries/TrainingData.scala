@@ -923,9 +923,14 @@ object TrainingData {
     */
   def q60IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    // fixed per-dataset path so repeated runs overwrite, not accumulate
+    // per-(dataset, JVM) path: repeated runs in one session overwrite
+    // rather than accumulate, while two processes benchmarking the
+    // same dataset concurrently (bench + verify) never race on one
+    // index directory
+    val jvmTag = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.hashCode & 0x7fffffff
     val idxPath = sys.props("java.io.tmpdir") +
-      s"/graft_q60_idx_${dir.hashCode & 0x7fffffff}"
+      s"/graft_q60_idx_${dir.hashCode & 0x7fffffff}_$jvmTag"
     Dedup.writeMinHashIndex(docs, idxPath, "doc_id", "text")
     val increment = docs.filter(col("doc_id") < 40).select(
       (col("doc_id") + 100000).as("doc_id"),

@@ -19,6 +19,39 @@ object Writers {
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Acquire a create-if-absent lock file guarding a rename-swap.
+    * Atomic per filesystem: HDFS makes create(overwrite=false) an
+    * atomic namespace op; the local FS implements it as
+    * exists-then-create (two concurrent local writers could both
+    * pass), so there java.io.File.createNewFile (O_EXCL) is used
+    * instead. Other schemes (object stores) get a loud WARN — their
+    * create-if-absent is not atomic and single-writer must be
+    * enforced externally. Throws IllegalStateException when the lock
+    * is already held.
+    */
+  private def acquireSwapLock(
+      fs: org.apache.hadoop.fs.FileSystem,
+      lock: org.apache.hadoop.fs.Path, what: String): Unit = {
+    def fail(cause: Throwable): Nothing =
+      throw new IllegalStateException(
+        s"$what: another writer holds $lock (or a crashed run left it); " +
+          "swaps are single-writer", cause)
+    if (fs.getScheme == "file") {
+      val f = new java.io.File(lock.toUri.getPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      if (!f.createNewFile()) fail(null)
+    } else {
+      if (fs.getScheme != "hdfs")
+        log.warn(s"$what: lock file on scheme '${fs.getScheme}' is NOT atomic " +
+          "(create-if-absent is exists-then-create on object stores); single-writer " +
+          "must be enforced externally. Atomic lock schemes: file, hdfs.")
+      val lockStream =
+        try fs.create(lock, false)
+        catch { case e: java.io.IOException => fail(e) }
+      lockStream.close()
+    }
+  }
+
   /** K1: idempotent per-day load. Dynamic partition overwrite means only
     * the partitions present in `df` are replaced — the Spark equivalent of
     * the reference's drop-and-recreate-per-day-table.
@@ -56,9 +89,16 @@ object Writers {
     * The rewrite targets the file count from the CURRENT on-disk bytes
     * (`ceil(bytes / targetFileBytes)`), uses a round-robin
     * `repartition(n)` (no column skew — output files are uniformly
-    * sized), and swaps via the same checked tmp/bak rename pattern as
-    * [[upsertInventory]], so a crash mid-compaction never loses the
-    * live directory. Returns the output file count.
+    * sized), and swaps via the same lock + checked tmp/bak rename
+    * pattern as [[upsertInventory]]: a crash mid-compaction never
+    * loses DATA (full copies always exist at the live, `.tmp` or
+    * `.bak` path), though a crash in the instant between the two
+    * renames can leave the live path absent until the `.bak` copy is
+    * restored — the same recovery contract as the inventory swap. The
+    * lock file (`<path>.compact.lock`) rejects a concurrent
+    * compaction/swap of the same directory; a crashed run leaves it
+    * behind — remove it manually after verifying no writer is live.
+    * Returns the output file count.
     *
     * Partitioned tables: compact each partition directory independently
     * (call this per leaf directory) — compacting across partition
@@ -72,21 +112,25 @@ object Writers {
     import org.apache.hadoop.fs.Path
     val dst = new Path(path)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val totalBytes = fs.getContentSummary(dst).getLength
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val df = spark.read.parquet(path)
-    val stamp = java.util.UUID.randomUUID().toString
-    val tmp = new Path(path + ".tmp-" + stamp)
-    val bak = new Path(path + ".bak-" + stamp)
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(dst, bak))
-      throw new java.io.IOException(s"compactParquet: rename $dst -> $bak failed")
-    if (!fs.rename(tmp, dst)) {
-      fs.rename(bak, dst)
-      throw new java.io.IOException(s"compactParquet: rename $tmp -> $dst failed")
-    }
-    fs.delete(bak, true)
-    nFiles
+    val lock = new Path(path + ".compact.lock")
+    acquireSwapLock(fs, lock, "compactParquet")
+    try {
+      val totalBytes = fs.getContentSummary(dst).getLength
+      val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val df = spark.read.parquet(path)
+      val stamp = java.util.UUID.randomUUID().toString
+      val tmp = new Path(path + ".tmp-" + stamp)
+      val bak = new Path(path + ".bak-" + stamp)
+      df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      if (!fs.rename(dst, bak))
+        throw new java.io.IOException(s"compactParquet: rename $dst -> $bak failed")
+      if (!fs.rename(tmp, dst)) {
+        fs.rename(bak, dst)
+        throw new java.io.IOException(s"compactParquet: rename $tmp -> $dst failed")
+      }
+      fs.delete(bak, true)
+      nFiles
+    } finally fs.delete(lock, false)
   }
 
   /** D2: `data_inventory` upsert on `available_date`
@@ -143,38 +187,7 @@ object Writers {
     val dst = new Path(inventoryPath)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(inventoryPath + ".lock")
-    // Acquire the lock ATOMICALLY per filesystem: HDFS makes
-    // create(overwrite=false) an atomic namespace operation, but the
-    // local FS implements it as exists-then-create (two concurrent
-    // local writers could both pass) — there, java.io.File
-    // .createNewFile is O_EXCL-atomic and is used instead.
-    def fail(cause: Throwable): Nothing =
-      throw new IllegalStateException(
-        s"upsertInventory: another writer holds $lock (or a crashed run left it); " +
-          "inventory upserts are single-writer", cause)
-    if (fs.getScheme == "file") {
-      val f = new java.io.File(lock.toUri.getPath)
-      Option(f.getParentFile).foreach(_.mkdirs())
-      if (!f.createNewFile()) fail(null)
-    } else {
-      // Supported-scheme guard: only HDFS promises an atomic
-      // create(overwrite = false) (a namespace op under the NameNode
-      // lock). Object stores (s3a, gcs, abfs, …) implement it as
-      // exists-then-create, so two writers could BOTH acquire the lock
-      // and race the rename swap — and rename itself is a non-atomic
-      // copy there. Warn loudly rather than fail: the swap still
-      // protects against crashes (full copies always exist), just not
-      // against a concurrent writer, which the caller must rule out
-      // externally (e.g. a scheduler-level mutex).
-      if (fs.getScheme != "hdfs")
-        log.warn(s"upsertInventory: lock file on scheme '${fs.getScheme}' is NOT atomic " +
-          "(create-if-absent is exists-then-create on object stores); single-writer " +
-          "must be enforced externally. Atomic lock schemes: file, hdfs.")
-      val lockStream =
-        try fs.create(lock, false)
-        catch { case e: java.io.IOException => fail(e) }
-      lockStream.close()
-    }
+    acquireSwapLock(fs, lock, "upsertInventory")
     try {
       val stamp = java.util.UUID.randomUUID().toString
       val tmp = new Path(inventoryPath + ".tmp-" + stamp)

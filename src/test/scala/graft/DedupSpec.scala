@@ -196,6 +196,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lastCappedBucketCount.get() == 0L)
   }
 
+  test("incremental dedup: an increment-side flood stays linear (star-linked)") {
+    // the daily-dedup pathology on the NEW side: a boilerplate-heavy
+    // increment floods a bucket the corpus barely touches — uncapped,
+    // smallCand expands |new|×|idx| rows per band
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-mh-flood").toString + "/idx"
+    val corpus = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    Dedup.writeMinHashIndex(corpus, idxPath, "doc_id", "text")
+    val doc0Text = corpus.filter(col("doc_id") === 0)
+      .select("text").collect().head.getString(0)
+    val flood = spark.range(200000, 201500).toDF("doc_id")
+      .withColumn("text", lit(doc0Text))
+    val metered = Dedup.incrementalNearDupPairsMetered(
+      flood, idxPath, "doc_id", "text", minJaccard = 0.5, maxBucketSize = 100)
+    assert(metered.cappedBucketCount > 0, "increment-side flood did not trip the cap")
+    val got = metered.pairs.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    // every flood doc star-links to the bucket representative (corpus
+    // doc 0 — identical text, so the bucket min), O(new) pairs total
+    assert(got.length == 1500, s"expected 1500 star pairs, got ${got.length}")
+    assert(got.forall { case (_, c, j, star) => c == 0L && j == 1.0 && star })
+    assert(got.map(_._1).toSet == (200000L until 201500L).toSet)
+  }
+
   test("incremental near-dup against a persisted index matches the batch computation") {
     val idxPath = java.nio.file.Files.createTempDirectory("graft-mh").toString + "/idx"
     val corpus = Tables.documents(spark, sfDir)
