@@ -185,6 +185,26 @@ object Multimodal {
   // Real JDK audio codec (javax.sound.sampled) — PCM WAV decode.
   // ---------------------------------------------------------------
 
+  /** Audio SPI providers, resolved ONCE per JVM. Every
+    * `AudioSystem.getAudioInputStream`/`AudioSystem.write` call walks
+    * the provider registry through a `static synchronized` lookup
+    * (JDK13Services.getProviders) — under a 32-thread decode loop the
+    * whole stage serializes on that lock (measured ~4× on the q61
+    * bench at sf1; the audio twin of ImageIO's per-call temp-file
+    * cache, fixed the same way: resolve the provider once, call it
+    * directly per row).
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
   /** Open a PCM WAV payload as an AudioInputStream; null when the
     * payload is not decodable PCM audio (same degrade-to-NULL contract
     * as [[decodeImage]]). JDK WAV parsing needs no audio device, so it
@@ -193,10 +213,15 @@ object Multimodal {
   private[operators] def decodeWav(
       bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
     if (bytes == null) return null
-    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import javax.sound.sampled.AudioFormat
     try {
-      val in = AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val stream = new java.io.ByteArrayInputStream(bytes)
+      val in = audioReaders.iterator.flatMap { r =>
+        stream.reset()
+        try Some(r.getAudioInputStream(stream))
+        catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
+      }.nextOption().orNull
+      if (in == null) return null
       val enc = in.getFormat.getEncoding
       if (enc == AudioFormat.Encoding.PCM_SIGNED ||
         enc == AudioFormat.Encoding.PCM_UNSIGNED) in else { in.close(); null }
@@ -261,7 +286,11 @@ object Multimodal {
     val ais = new AudioInputStream(
       new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    // direct provider call — AudioSystem.write serializes on the
+    // synchronized provider registry (see audioWriters)
+    audioWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+      .getOrElse(throw new IllegalStateException("no WAVE writer provider in this JVM"))
+      .write(ais, AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
   }
 

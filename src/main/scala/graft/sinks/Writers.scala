@@ -78,6 +78,30 @@ object Writers {
   def writeRejections(rejected: DataFrame, path: String): Unit =
     rejected.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
 
+  /** Range-clustered write: globally range-partition on `clusterCols`
+    * and sort within each partition before writing parquet. Every
+    * output file then covers a narrow, (near-)disjoint range of the
+    * cluster key, so parquet's per-row-group min/max statistics let a
+    * selective scan SKIP whole files/row-groups — the poor man's
+    * Z-order, and the single highest-leverage layout decision for a
+    * 100 TB table queried by range (time, id, geo cell): pruning
+    * happens before any I/O, complementing partition pruning (which
+    * handles only the directory-level key).
+    *
+    * `nFiles` sizes the output (range partitioner sampling keeps files
+    * balanced under skew). Returns the path for chaining.
+    */
+  def writeRangeClustered(df: DataFrame, path: String,
+      clusterCols: Seq[String], nFiles: Int): String = {
+    require(clusterCols.nonEmpty, "need at least one cluster column")
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
   /** Small-files compaction: rewrite a parquet directory into
     * ≈`targetFileBytes`-sized files. Streaming sinks, per-day dynamic
     * partition overwrites, and high-parallelism writes all fragment a

@@ -67,6 +67,33 @@ class WritersSpec extends SparkSpec {
     assert(!lock.exists(), "lock not released after upsert")
   }
 
+  test("range-clustered write: output files cover disjoint key ranges (file-skipping layout)") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-cluster").toString + "/t"
+    // deliberately scrambled input: without clustering, every file
+    // would span the whole key range and min/max stats prune nothing
+    val df = spark.range(0, 20000).toDF("id")
+      .withColumn("k", pmod(col("id") * 7919, lit(20000)))
+      .repartition(16)
+    Writers.writeRangeClustered(df, path, Seq("k"), nFiles = 4)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 4, s"expected 4 clustered files, got ${files.length}")
+    // per-file (min, max) of the cluster key must be pairwise disjoint —
+    // that disjointness IS what lets parquet row-group stats skip files
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min("k"), max("k")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) =>
+        assert(hi < lo, s"file ranges overlap: hi=$hi lo=$lo")
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(path).count() == 20000)
+  }
+
   test("compaction: fragmented table rewritten to the target file count, data intact") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
