@@ -69,6 +69,55 @@ object Sampling {
     df.withColumn("split", assignment).filter(col("split").isNotNull)
   }
 
+  /** Scalable deterministic sequential ids: assign 0..n−1 in
+    * `orderCol` order WITHOUT a global window (a `row_number() OVER
+    * (ORDER BY …)` funnels the entire dataset through ONE partition —
+    * the classic scale-killer this operator exists to replace; the
+    * training-data use is assigning dense corpus ids after dedup).
+    *
+    * Two passes over a range-partitioned, partition-sorted frame:
+    * pass 1 collects one row count per partition (a driver array of
+    * `nParts` longs), pass 2 numbers each partition from its
+    * cumulative offset. The frame is persisted between passes so both
+    * see the SAME range boundaries (range sampling re-executes — and
+    * can re-sample — otherwise). Output ids equal the global rank in
+    * `orderCol` order and are independent of partitioning, sampling,
+    * and cluster size, provided `orderCol` values are unique (ties
+    * have no defined rank — document or pre-disambiguate).
+    */
+  def assignSequentialIds(df: DataFrame, orderCol: String,
+      outCol: String = "seq_id", nParts: Int = 0): DataFrame = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts =
+      if (nParts > 0) nParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, col(orderCol))
+      .sortWithinPartitions(orderCol).persist()
+    ranged.count() // materialize: both passes must read ONE layout
+    val counts = ranged.mapPartitions { it =>
+      Iterator.single((TaskContext.getPartitionId(), it.size.toLong))
+    }(Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong))
+      .collect().toMap
+    val offsets: Map[Int, Long] = {
+      val sorted = counts.toSeq.sortBy(_._1)
+      sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+    }
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, LongType, nullable = false))
+    val result = ranged.mapPartitions { it =>
+      var i = offsets(TaskContext.getPartitionId())
+      it.map { r => val out = Row.fromSeq(r.toSeq :+ i); i += 1; out }
+    }(Encoders.row(outSchema))
+      // cut lineage + materialize BEFORE unpersisting the ranged frame
+      // (a later action would otherwise re-execute the exchange and
+      // could re-sample different range boundaries than `offsets` saw)
+      .localCheckpoint(true)
+    ranged.unpersist()
+    result
+  }
+
   /** Deterministic per-stratum CAP: keep at most `cap` rows per stratum
     * value, chosen by hash order — the balanced-corpus construction
     * step (e.g. "at most N documents per language/domain" so one

@@ -347,6 +347,45 @@ object Relational {
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
 
+  /** Explicit GROUPING SETS — the general form q12's ROLLUP and q28's
+    * CUBE are sugar for: four hand-picked aggregation granularities in
+    * ONE pass over the fact table (Spark expands the sets with a
+    * single Expand node feeding one hash aggregate — at 100 TB that is
+    * one scan instead of four). `grouping_id()` disambiguates rows
+    * whose group columns collide with real data; both engines use the
+    * Postgres bit convention (first grouping column = most significant
+    * bit).
+    */
+  def q62GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(
+          Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")),
+          Seq(col("l_linenumber")),
+          Seq.empty),
+        col("l_returnflag"), col("l_linestatus"), col("l_linenumber"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        coalesce(col("l_linenumber").cast(StringType), lit("ALL")).as("linenumber"),
+        col("gid"), col("n_rows"), col("sum_qty"))
+      .orderBy("gid", "returnflag", "linestatus", "linenumber")
+
+  val q62Sql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  coalesce(CAST(l_linenumber AS VARCHAR), 'ALL') AS linenumber,
+      |  CAST(GROUPING(l_returnflag, l_linestatus, l_linenumber) AS INT) AS gid,
+      |  count(*) AS n_rows,
+      |  sum(l_quantity) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linenumber), ())
+      |ORDER BY gid, returnflag, linestatus, linenumber""".stripMargin
+
   /** Anti join: customers with no orders (NOT EXISTS). */
   def q13AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(s, dir)
@@ -841,6 +880,7 @@ object Relational {
        |ORDER BY c_mktsegment""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q62_grouping_sets"   -> q62GroupingSets _,
     "q57_bucketed_join"   -> q57BucketedJoin _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
@@ -870,6 +910,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q62_grouping_sets" -> q62Sql,
     "q57_bucketed_join" -> q57Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,

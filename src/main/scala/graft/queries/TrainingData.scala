@@ -1001,7 +1001,30 @@ object TrainingData {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Scalable sequential corpus-id assignment
+    * ([[graft.operators.Sampling.assignSequentialIds]]): dense 0..n−1
+    * ids in doc_id order over a FILTERED corpus (so ids ≠ doc_ids),
+    * computed with range partitioning + per-partition offsets — never
+    * a global window. The oracle is the global-window formulation
+    * (`row_number() OVER (ORDER BY …)`), i.e. exactly the plan shape
+    * the operator avoids — proving the scalable formulation computes
+    * the identical ranking.
+    */
+  def q63SequentialIds(s: SparkSession, dir: String): DataFrame = {
+    val nonEn = Tables.documents(s, dir)
+      .filter(col("lang") =!= "en").select(col("doc_id"), col("lang"))
+    graft.operators.Sampling.assignSequentialIds(nonEn, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val q63Sql: String =
+    """SELECT doc_id, lang,
+      |  row_number() OVER (ORDER BY doc_id) - 1 AS seq_id
+      |FROM documents WHERE lang <> 'en'
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
     "q60_incremental_neardup" -> q60IncrementalNearDup _,
@@ -1028,6 +1051,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,
     "q60_incremental_neardup" -> q60Sql,

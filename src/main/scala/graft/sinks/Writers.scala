@@ -78,6 +78,44 @@ object Writers {
   def writeRejections(rejected: DataFrame, path: String): Unit =
     rejected.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
 
+  /** Partition-pruned MERGE (upsert) into a partitioned parquet table
+    * — the fact-table-scale upsert `upsertInventory` is NOT (that one
+    * is a driver-side read-modify-write for a catalog-sized table):
+    *
+    *   1. affected partitions = the distinct `partitionCol` values in
+    *      `updates` (a bounded driver collect: days touched, not rows),
+    *   2. read ONLY those partitions (partition-pruned scan),
+    *      anti-join away rows whose key is being replaced, union the
+    *      updates (insert-or-replace semantics),
+    *   3. dynamic partition overwrite rewrites ONLY those partitions —
+    *      the rest of the 100 TB table is never read or written.
+    *
+    * The merged rows are materialized (localCheckpoint) before the
+    * write because the write overwrites the very partitions the plan
+    * reads — materialization bounds memory to the touched partitions,
+    * which is the same working set any MERGE implementation holds.
+    * Not atomic across partitions (a table format provides that); each
+    * partition swap is per-directory like every dynamic overwrite.
+    */
+  def mergeIntoPartitioned(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, partitionCol: String): Unit = {
+    val touched = updates.select(col(partitionCol)).distinct()
+      .collect().map(_.get(0))
+    require(touched.nonEmpty, "mergeIntoPartitioned: updates are empty")
+    val existing = spark.read.parquet(path)
+      .filter(col(partitionCol).isin(touched: _*))
+    val merged = existing
+      .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(updates)
+      .localCheckpoint(true)
+    merged.write
+      .partitionBy(partitionCol)
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Range-clustered write: globally range-partition on `clusterCols`
     * and sort within each partition before writing parquet. Every
     * output file then covers a narrow, (near-)disjoint range of the

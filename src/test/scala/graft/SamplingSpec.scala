@@ -74,6 +74,27 @@ class SamplingSpec extends SparkSpec {
     assert(salted.size == ids(docs).size && salted != ids(docs))
   }
 
+  test("sequential ids: dense 0..n-1 in key order, layout-independent, no global window") {
+    val filtered = docs.filter(col("lang") =!= "en").select("doc_id", "lang")
+    val n = filtered.count()
+    def ids(df: org.apache.spark.sql.DataFrame, parts: Int) =
+      Sampling.assignSequentialIds(df, "doc_id", nParts = parts)
+        .select("doc_id", "seq_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ids(filtered, 4)
+    // dense, complete, rank-ordered
+    assert(got.values.toSeq.sorted == (0L until n).toSeq)
+    val byRank = got.toSeq.sortBy(_._2).map(_._1)
+    assert(byRank == byRank.sorted, "seq ids not in doc_id order")
+    // identical under different input layout and partition count
+    assert(ids(filtered.repartition(11), 7) == got)
+    // the plan never funnels rows through one partition: the whole
+    // point vs row_number() over a global ORDER BY
+    val plan = Sampling.assignSequentialIds(filtered, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), s"global funnel in plan:\n$plan")
+  }
+
   test("stratified sample keeps per-stratum fractions") {
     val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.0, "fr" -> 0.5))

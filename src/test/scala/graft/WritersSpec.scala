@@ -67,6 +67,33 @@ class WritersSpec extends SparkSpec {
     assert(!lock.exists(), "lock not released after upsert")
   }
 
+  test("partitioned merge: touched partitions upserted, untouched partition files not rewritten") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-merge").toString + "/t"
+    Seq(
+      (1L, "d1", 10), (2L, "d1", 20),
+      (3L, "d2", 30), (4L, "d2", 40),
+      (5L, "d3", 50)
+    ).toDF("k", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    def filesOf(day: String) =
+      new java.io.File(s"$path/day=$day").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    val d1Before = filesOf("d1"); val d3Before = filesOf("d3")
+    // update k=3, insert k=6 — both in day d2; d1/d3 untouched
+    val updates = Seq((3L, "d2", 300), (6L, "d2", 60)).toDF("k", "day", "v")
+    Writers.mergeIntoPartitioned(spark, path, updates, "k", "day")
+    val after = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(after == Map(1L -> 10, 2L -> 20, 3L -> 300, 4L -> 40, 5L -> 50, 6L -> 60),
+      s"merge result wrong: $after")
+    // the untouched partitions' physical files were not rewritten
+    assert(filesOf("d1") == d1Before, "day=d1 files rewritten by a d2-only merge")
+    assert(filesOf("d3") == d3Before, "day=d3 files rewritten by a d2-only merge")
+  }
+
   test("range-clustered write: output files cover disjoint key ranges (file-skipping layout)") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-cluster").toString + "/t"
