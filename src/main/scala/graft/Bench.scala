@@ -49,13 +49,20 @@ object Bench {
       name -> (if (samples.forall(_ >= 0)) samples.min else -1.0)
     }
     spark.catalog.clearCache()
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal timings (ms resolution is all a multi-second suite can
+    // claim): at 64+ queries the 17-char full-precision doubles grew the
+    // one-line JSON past the driver's tail-capture window in round 4
+    // (BENCH_r04 parsed: null) — compactness is part of the contract.
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val ok = results.filter(_._2 >= 0)
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
     val nFailed = results.size - ok.size
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$nFailed,"sf":"$sfDir"}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       val w = new java.io.PrintWriter(new java.io.File(path))

@@ -20,6 +20,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.EtlQueries.queries ++
       graft.queries.TrainingData.queries ++
+      graft.queries.StorageQueries.queries ++
       graft.queries.StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
     graft.queries.Relational.oracle ++
       graft.queries.EtlQueries.oracle ++
       graft.queries.TrainingData.oracle ++
+      graft.queries.StorageQueries.oracle ++
       graft.queries.StreamingQueries.oracle
 }

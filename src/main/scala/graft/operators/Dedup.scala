@@ -558,19 +558,27 @@ object Dedup {
     * canonical representative every keep-lowest-id dedup policy wants.
     * Output: (id, component_id) for every id appearing in a pair.
     *
-    * Algorithm: iterative min-label propagation — per round each node
-    * takes the min of its own label and its neighbors' labels (one
-    * join + one aggregation per round, all distributed). Rounds needed
-    * = graph diameter; near-dup clusters are dense (quasi-cliques from
-    * banded LSH, stars from [[cappedBandPairs]] capping), so diameter
-    * is small in practice. Each round is `localCheckpoint`ed: the
-    * lineage is CUT per iteration — without that, round k's plan
-    * contains k nested joins and Catalyst re-optimizes an
-    * exponentially growing tree.
+    * Algorithm: min-label propagation WITH pointer jumping — per round
+    * each node (1) takes the min of its own label and its neighbors'
+    * labels (one join + one aggregation, all distributed), then
+    * (2) shortcuts to its label's label (one self-join): label(v) :=
+    * label(label(v)). Labels are node ids, monotonically decreasing,
+    * so the jump is always defined and always sound (label(p) ≤ p ≤
+    * v's old label). Propagation alone needs diameter-many rounds —
+    * fine for the dense quasi-cliques/stars banded LSH produces, but a
+    * pathological CHAIN (pairwise-similar boilerplate) has diameter
+    * O(n); the jump halves the remaining label-tree depth every round,
+    * so convergence is O(log diameter) and a 10⁶-long chain finishes
+    * in ~20 rounds instead of hitting the guard at 25. Each round is
+    * `localCheckpoint`ed: the lineage is CUT per iteration — without
+    * that, round k's plan contains k nested joins and Catalyst
+    * re-optimizes an exponentially growing tree.
     *
     * Scale: state is one (id, label) row per node and the edge list;
-    * shuffle per round is edges + labels on id. The `maxIter` guard
-    * throws rather than silently returning unconverged labels.
+    * shuffle per round is edges + labels on id, plus one labels-sized
+    * self-join for the jump. The `maxIter` guard throws rather than
+    * silently returning unconverged labels; at O(log d) rounds the
+    * default 25 covers any graph that fits on a cluster.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -590,12 +598,23 @@ object Dedup {
         val neighborMin = edges
           .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("_nc")).as("_nbr"))
-        val updated = labels.join(neighborMin, Seq("id"), "left")
+        // (1) propagate: min over self + neighborhood. Checkpointed
+        // eagerly because the jump below self-joins it (two lazy
+        // branches would recompute the propagation twice).
+        val prop = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("comp"),
-            least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("_next"))
+            least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("_p"))
           .localCheckpoint(true)
-        changed = updated.filter(col("_next") < col("comp")).count()
-        labels = updated.select(col("id"), col("_next").as("comp"))
+        // (2) pointer jump: _next = prop's label OF the label. Left
+        // join: a label is always a node id, but the coalesce keeps the
+        // round total even if a frontier row is missing.
+        val jumped = prop
+          .join(prop.select(col("id").as("_p"), col("_p").as("_pp")), Seq("_p"), "left")
+          .select(col("id"), col("comp"),
+            least(col("_p"), coalesce(col("_pp"), col("_p"))).as("_next"))
+          .localCheckpoint(true)
+        changed = jumped.filter(col("_next") < col("comp")).count()
+        labels = jumped.select(col("id"), col("_next").as("comp"))
         iter += 1
       }
       labels.select(col("id"), col("comp").as("component_id"))

@@ -215,10 +215,12 @@ object Multimodal {
     if (bytes == null) return null
     import javax.sound.sampled.AudioFormat
     try {
-      val stream = new java.io.ByteArrayInputStream(bytes)
+      // fresh stream per reader attempt: reset() returns to the MARK a
+      // prior reader set, not to position 0 — a provider that marks at a
+      // non-zero offset before rejecting would make every later reader
+      // parse from the wrong offset and mis-reject valid payloads
       val in = audioReaders.iterator.flatMap { r =>
-        stream.reset()
-        try Some(r.getAudioInputStream(stream))
+        try Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
         catch { case _: javax.sound.sampled.UnsupportedAudioFileException => None }
       }.nextOption().orNull
       if (in == null) return null
@@ -376,10 +378,18 @@ object Multimodal {
           val frames = in.getFrameLength
           // Seq[Any]: a bare Seq(double, int, long, double) would
           // numerically WIDEN every element to Double and break the
-          // row encoder on the INT/BIGINT fields
-          Row.fromSeq(r.toSeq ++ Seq[Any](
-            f.getSampleRate.toDouble, f.getChannels, frames,
-            frames / f.getSampleRate.toDouble))
+          // row encoder on the INT/BIGINT fields.
+          // getFrameLength == AudioSystem.NOT_SPECIFIED (-1) for readers
+          // that cannot determine length — degrade those two fields to
+          // NULL (the documented contract), never emit a negative count
+          // or duration.
+          if (frames < 0)
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              f.getSampleRate.toDouble, f.getChannels, null, null))
+          else
+            Row.fromSeq(r.toSeq ++ Seq[Any](
+              f.getSampleRate.toDouble, f.getChannels, frames,
+              frames / f.getSampleRate.toDouble))
         } finally in.close()
       })
     }(Encoders.row(outSchema))

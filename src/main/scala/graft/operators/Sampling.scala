@@ -125,20 +125,29 @@ object Sampling {
     * the kept set a stable pseudo-random sample of each stratum, not
     * its first-N ids; the md5 order is reproducible by any engine.
     *
-    * Scale: one shuffle on the stratum key + a per-stratum top-cap
-    * sort. A pathologically hot stratum concentrates its sort in one
-    * partition — at that point pre-filter with [[stratifiedHashSample]]
-    * (a shuffle-free projection) down to ~cap-scale, then cap exactly.
+    * Scale — two-phase by construction: routes through the
+    * [[graft.plans.TopKPerKey]] physical operator, whose map-side
+    * bounded heaps keep at most `cap` rows per (input-partition,
+    * stratum) BEFORE the exchange; the reduce side merges ≤
+    * cap × partitions survivors per stratum. A pathologically hot
+    * stratum (10⁹ rows of one language) therefore never funnels
+    * through a single-partition sort — the naive window formulation
+    * (`row_number().over(partitionBy(stratum).orderBy(hash))`) would
+    * shuffle and fully sort every row of the hot stratum in one task.
+    * Result-identical to that window formulation: both keep exactly
+    * the `cap` lowest rows per stratum under the total (md5, id)
+    * order (id uniqueness makes the order total, so the kept SET is
+    * well-defined either way).
     */
   def stratumCap(df: DataFrame, idCol: String, stratumCol: String,
-      cap: Int, salt: String = ""): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(stratumCol))
-      .orderBy(md5(concat(col(idCol).cast("string"), lit(salt))), col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= cap)
-      .drop("_rn")
-  }
+      cap: Int, salt: String = ""): DataFrame =
+    graft.plans.TopKPerKey.topKPerKey(
+        df.withColumn("_capkey",
+          md5(concat(col(idCol).cast("string"), lit(salt)))),
+        keys = Seq(col(stratumCol)),
+        order = Seq(col("_capkey").asc, col(idCol).asc),
+        k = cap)
+      .drop("_capkey")
 
   /** Stratified deterministic sample: per-stratum fractions with the
     * same hash-stability guarantee (`sampleBy` without the RNG).

@@ -44,12 +44,30 @@ object TrainingPipeline {
       // costs a per-row hex materialization, so default off at scale
       auditableSplit: Boolean = false)
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** [[prepare]]'s result plus the near-dup stage's capped-bucket count.
+    * `cappedBucketCount > 0` means some LSH buckets were star-linked:
+    * the near-dup drop may then remove docs whose measured similarity
+    * to the bucket representative is below `minJaccard` (the lossier
+    * capped semantics — see [[graft.operators.Dedup.cappedBandPairs]]).
+    */
+  final case class Prepared(corpus: DataFrame, cappedBucketCount: Long)
+
   /** Run the full preparation; returns the cleaned corpus with a
     * `split` column. Deterministic end to end: no rand(), no
     * timestamps — re-running on the same input yields byte-identical
     * output (the property that makes a 100 TB pipeline re-entrant).
     */
-  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame =
+    prepareMetered(docs, cfg).corpus
+
+  /** [[prepare]] with the near-dup capped-bucket count surfaced at the
+    * PIPELINE level (not only in Dedup's own logs): a capped run can
+    * drop docs that never verified against their representative, and
+    * that data-loss mode must be visible to the pipeline caller.
+    */
+  def prepareMetered(docs: DataFrame, cfg: Config = Config()): Prepared = {
     // 1. scrub (projection only)
     val scrubbed = docs.withColumn(cfg.textCol, scrubText(col(cfg.textCol)))
     // 2. quality gate
@@ -58,12 +76,18 @@ object TrainingPipeline {
     // 3. exact dedup on content fingerprint
     val exact = Dedup.dedupByFingerprint(gated, cfg.textCol, cfg.idCol)
     // 4. near-dup clusters → keep canonical doc per cluster
-    val pairs = Dedup.verifiedNearDupPairs(
+    val cp = Dedup.verifiedNearDupPairsMetered(
       exact, cfg.idCol, cfg.textCol, cfg.minJaccard,
       cfg.shingleSize, cfg.numHashes, cfg.bands)
-    val nearDeduped = Dedup.dropNearDuplicates(exact, cfg.idCol, pairs)
+    if (cp.cappedBucketCount > 0)
+      log.warn(s"TrainingPipeline.prepare: ${cp.cappedBucketCount} over-cap LSH bucket(s) " +
+        "were star-linked — near-dup drops in those buckets are unverified " +
+        "(possible below-threshold drops); see Dedup.cappedBandPairs")
+    val nearDeduped = Dedup.dropNearDuplicates(exact, cfg.idCol, cp.pairs)
     // 5. deterministic split
-    if (cfg.auditableSplit) Sampling.md5Split(nearDeduped, cfg.idCol, cfg.splits)
-    else Sampling.hashSplit(nearDeduped, cfg.idCol, cfg.splits)
+    val split =
+      if (cfg.auditableSplit) Sampling.md5Split(nearDeduped, cfg.idCol, cfg.splits)
+      else Sampling.hashSplit(nearDeduped, cfg.idCol, cfg.splits)
+    Prepared(split, cp.cappedBucketCount)
   }
 }

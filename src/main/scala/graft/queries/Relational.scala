@@ -879,9 +879,49 @@ object Relational {
        |GROUP BY c_mktsegment
        |ORDER BY c_mktsegment""".stripMargin
 
+  /** q57's PROBE measured on its own: identical exchange-free bucketed
+    * join + aggregate, but the bucketed tables are built only when the
+    * session doesn't already have them — so under the bench harness
+    * (warm run + 2 timed samples per query) the warm run pays the
+    * one-off layout cost and the timed samples measure what a
+    * recurring production join actually costs against a pre-built
+    * layout. q57 keeps layout+probe in one timed region (its oracle
+    * point is that layout never changes results); this entry is the
+    * join-only number the 55× q57/oracle ratio was hiding. Same
+    * oracle SQL — the result is the same by construction.
+    */
+  def q57bBucketedJoinProbe(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinOps
+    val suffix = (dir.hashCode & 0x7fffffff).toString + "_probe"
+    val ct = s"customer_bkt_$suffix"
+    val ot = s"orders_bkt_$suffix"
+    if (!s.catalog.tableExists(ct) || !s.catalog.tableExists(ot)) {
+      val warehouse = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"))
+      val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(ct, ot).foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS `$t`")
+        fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
+      }
+      JoinOps.writeBucketed(
+        Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+        ct, "c_custkey", buckets = 8)
+      JoinOps.writeBucketed(
+        Tables.orders(s, dir)
+          .select(col("o_custkey").as("c_custkey"), col("o_totalprice")),
+        ot, "c_custkey", buckets = 8)
+    }
+    JoinOps.bucketedJoin(s, ct, ot, "c_custkey", forceSortMerge = true)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        exactSum(col("o_totalprice")).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
   val queries: Map[String, Q] = Map(
     "q62_grouping_sets"   -> q62GroupingSets _,
     "q57_bucketed_join"   -> q57BucketedJoin _,
+    "q57b_bucketed_probe" -> q57bBucketedJoinProbe _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
@@ -912,6 +952,7 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q62_grouping_sets" -> q62Sql,
     "q57_bucketed_join" -> q57Sql,
+    "q57b_bucketed_probe" -> q57Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,

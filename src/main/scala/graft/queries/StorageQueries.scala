@@ -1,0 +1,153 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Storage-layout operator query surface: the operators behind the
+  * 100 TB layout story ([[graft.sinks.Writers]] compaction /
+  * range-clustering / partition-pruned MERGE, and
+  * [[graft.sources.Ingest.readEvolved]] schema-evolution reads), each
+  * proven against a DuckDB oracle. The layout claims themselves
+  * (file-count targets, disjoint file ranges, untouched-partition
+  * preservation, PlanShape pruning asserts) live in WritersSpec /
+  * PlanShapeSpec; what the oracle adds is the invariant a layout
+  * operator must never break: THE ROWS DO NOT CHANGE. Each query runs
+  * write → layout-op → read-back inside the timed region and emits the
+  * full row set; the oracle recomputes the expected rows straight from
+  * the source table.
+  */
+object StorageQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-(dataset, JVM) scratch directory — same contract as
+    * TrainingData's index paths: re-runs in one session overwrite,
+    * concurrent processes (bench + verify) never collide.
+    */
+  private def scratchPath(tag: String, dir: String): String = {
+    val jvmTag = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.hashCode & 0x7fffffff
+    sys.props("java.io.tmpdir") +
+      s"/graft_${tag}_${dir.hashCode & 0x7fffffff}_$jvmTag"
+  }
+
+  private def docsProjection(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** Small-files compaction round-trip
+    * ([[graft.sinks.Writers.compactParquet]]): fragment the documents
+    * projection into 64 small files, compact to ≈8 MiB targets (the
+    * lock + tmp/bak rename-swap path), read the compacted table back.
+    * Row identity through the rewrite is the oracle contract; the
+    * file-count arithmetic and crash-safety are WritersSpec's.
+    */
+  def q67Compaction(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q67", dir) + "/t"
+    docsProjection(s, dir).repartition(64)
+      .write.mode("overwrite").parquet(path)
+    graft.sinks.Writers.compactParquet(s, path, targetFileBytes = 8L << 20)
+    s.read.parquet(path)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    """SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Range-clustered rewrite round-trip
+    * ([[graft.sinks.Writers.writeRangeClustered]]): write the documents
+    * projection range-partitioned + sorted on (n_chars, doc_id) — the
+    * min/max file-skipping layout for the non-partition key — and read
+    * it back. Disjoint per-file ranges are asserted in WritersSpec and
+    * pruning in PlanShapeSpec; the oracle pins row identity.
+    */
+  def q68RangeCluster(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q68", dir) + "/t"
+    graft.sinks.Writers.writeRangeClustered(
+      docsProjection(s, dir), path, Seq("n_chars", "doc_id"), nFiles = 8)
+    s.read.parquet(path)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String = q67Sql
+
+  /** Partition-pruned MERGE semantics
+    * ([[graft.sinks.Writers.mergeIntoPartitioned]]): load documents
+    * partitioned by `lang`, merge an update set (every doc_id % 7 == 0
+    * row with a recomputed value, plus 20 brand-new keys), read the
+    * table back. The DuckDB oracle is a FULL-TABLE SQL merge twin
+    * (base minus updated keys, union updates) — the partition-pruned
+    * implementation must reproduce exactly what the naive whole-table
+    * formulation produces. Untouched-partition file preservation is
+    * WritersSpec's assert.
+    */
+  def q69MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q69", dir) + "/t"
+    docsProjection(s, dir)
+      .write.partitionBy("lang").mode("overwrite").parquet(path)
+    val docs = Tables.documents(s, dir)
+    val updates = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("lang"), (col("n_chars") * 2 + 1).as("n_chars"))
+      .unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 500000).as("doc_id"), col("lang"), col("n_chars")))
+    graft.sinks.Writers.mergeIntoPartitioned(s, path, updates, "doc_id", "lang")
+    s.read.parquet(path)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q69Sql: String =
+    """WITH updates AS (
+      |  SELECT doc_id, lang, CAST(n_chars * 2 + 1 AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000 AS doc_id, lang, n_chars
+      |  FROM documents WHERE doc_id < 20)
+      |SELECT doc_id, lang, n_chars FROM (
+      |  SELECT doc_id, lang, n_chars FROM documents
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM updates)
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars FROM updates)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Schema-evolution read ([[graft.sources.Ingest.readEvolved]]): two
+    * batches written with DIFFERENT schemas (batch 2 adds `n_chars`),
+    * unified by a mergeSchema read — old rows surface the new column
+    * as NULL, no rewrite of batch 1. The oracle reconstructs the same
+    * union with an explicit NULL column.
+    */
+  def q70SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val base = scratchPath("q70", dir)
+    val docs = Tables.documents(s, dir)
+    docs.filter(col("doc_id") % 2 === 0).select(col("doc_id"), col("lang"))
+      .write.mode("overwrite").parquet(base + "/batch1")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(base + "/batch2")
+    graft.sources.Ingest.readEvolved(s, base + "/batch1", base + "/batch2")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q70Sql: String =
+    """SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+      |FROM documents WHERE doc_id % 2 = 0
+      |UNION ALL
+      |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q67_compaction"       -> q67Compaction _,
+    "q68_range_cluster"    -> q68RangeCluster _,
+    "q69_merge_upsert"     -> q69MergeUpsert _,
+    "q70_schema_evolution" -> q70SchemaEvolution _)
+
+  val oracle: Map[String, String] = Map(
+    "q67_compaction"       -> q67Sql,
+    "q68_range_cluster"    -> q68Sql,
+    "q69_merge_upsert"     -> q69Sql,
+    "q70_schema_evolution" -> q70Sql)
+}

@@ -1001,6 +1001,125 @@ object TrainingData {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-(dataset, JVM) temp path for queries that persist an index or
+    * table inside the timed region: repeated runs in one session
+    * overwrite rather than accumulate, while two processes working on
+    * the same dataset concurrently (bench + verify) never race on one
+    * directory.
+    */
+  private def scratchPath(tag: String, dir: String): String = {
+    val jvmTag = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.hashCode & 0x7fffffff
+    sys.props("java.io.tmpdir") +
+      s"/graft_${tag}_${dir.hashCode & 0x7fffffff}_$jvmTag"
+  }
+
+  /** ANN-LSH recall contract ([[graft.operators.Similarity.lshTopK]] —
+    * the 10⁹-vector scale path, on the oracle surface): plant an
+    * identical twin (vec_id + 100000) for every vec_id < 20, query with
+    * the originals, and emit each query's TOP-1 neighbor through the
+    * full LSH path (signature bucketing → multi-probe expansion →
+    * id-pair dedup → exact cosine re-rank). Identical vectors share
+    * every signature bit, so the twin is a candidate with certainty,
+    * and its exact cosine (≈1) dominates every natural pair (the
+    * synthetic corpus tops out far below — q42's argument), so LSH
+    * top-1 == brute-force top-1. The DuckDB oracle recomputes the
+    * brute-force side from scratch (exact all-pairs cosine, same
+    * (cosine desc, id asc) tie-break): a bucketing bug that loses the
+    * twin, or a re-rank bug that misorders it, breaks the match.
+    * Output is the id pair only — no float crosses engines.
+    */
+  def q64LshTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val queries = emb.filter(col("vec_id") < 20)
+    Similarity.lshTopK(planted, queries, "vec_id", "embedding", k = 1,
+        dim = 64, nBits = 12, multiProbeBits = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id")
+  }
+
+  val q64Sql: String =
+    """WITH planted AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 20),
+      |n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                     (a, b) -> a + b)) AS nrm
+      |  FROM planted)
+      |SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      |FROM n q JOIN n c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+      |QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY
+      |  list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+      |    / (q.nrm * c.nrm) DESC, c.vec_id ASC) = 1
+      |ORDER BY query_id""".stripMargin
+
+  /** ANN-IVF recall contract through the PERSISTED index
+    * ([[graft.operators.Similarity.writeIvfIndex]] +
+    * [[graft.operators.Similarity.ivfTopKFromIndex]]): same planted-twin
+    * construction as q64, but the corpus assignment is written
+    * `partitionBy(centroid_id)` and the query path reads ONLY the
+    * probed partitions (partition pruning — the physical claim behind
+    * "a query touches nprobe/nlist of the corpus"). The twin is
+    * assigned to the query vector's own nearest centroid (identical
+    * vectors, identical arithmetic, identical tie-break), so nprobe ≥ 1
+    * guarantees its list is probed and exact re-rank puts it at rank 1.
+    * Same brute-force DuckDB oracle as q64: index write, partition-
+    * pruned read, centroid assignment, and re-rank all have to be right
+    * for the match.
+    */
+  def q65IvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val idxPath = scratchPath("q65_idx", dir)
+    Similarity.writeIvfIndex(planted, idxPath, "vec_id", "embedding", nlist = 16)
+    val queries = emb.filter(col("vec_id") < 20)
+    Similarity.ivfTopKFromIndex(s, idxPath, queries, "vec_id", "embedding",
+        k = 1, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id")
+  }
+
+  val q65Sql: String = q64Sql
+
+  /** Row-level packing surface ([[graft.operators.Packing.packSequences]]):
+    * the per-document (shard, pack_id, pack_offset) assignment — q54
+    * checks the pack-level manifest; this checks every document's
+    * placement. Pure integer arithmetic end to end: the sharded
+    * exclusive prefix sum (never a global window) and the exact `div`
+    * chunk index, mirrored in SQL by a window cumsum with HUGEINT→
+    * BIGINT casts.
+    */
+  def q66PackRows(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packSequences(
+        Tables.widen(Tables.documents(s, dir)), "doc_id",
+        tokenCount(col("text")), seqLen = 512, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("pack_offset"))
+      .orderBy("doc_id")
+
+  val q66Sql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |o AS (
+      |  SELECT doc_id, shard,
+      |    COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS poff
+      |  FROM tk)
+      |SELECT doc_id, shard,
+      |  CAST(poff // 512 AS BIGINT) AS pack_id,
+      |  CAST(poff AS BIGINT) AS pack_offset
+      |FROM o
+      |ORDER BY doc_id""".stripMargin
+
   /** Scalable sequential corpus-id assignment
     * ([[graft.operators.Sampling.assignSequentialIds]]): dense 0..n−1
     * ids in doc_id order over a FILTERED corpus (so ids ≠ doc_ids),
@@ -1024,6 +1143,9 @@ object TrainingData {
       |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q64_lsh_topk"         -> q64LshTopK _,
+    "q65_ivf_topk"         -> q65IvfTopK _,
+    "q66_pack_rows"        -> q66PackRows _,
     "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
@@ -1051,6 +1173,9 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q64_lsh_topk"         -> q64Sql,
+    "q65_ivf_topk"         -> q65Sql,
+    "q66_pack_rows"        -> q66Sql,
     "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,

@@ -103,8 +103,19 @@ object Writers {
     val touched = updates.select(col(partitionCol)).distinct()
       .collect().map(_.get(0))
     require(touched.nonEmpty, "mergeIntoPartitioned: updates are empty")
-    val existing = spark.read.parquet(path)
-      .filter(col(partitionCol).isin(touched: _*))
+    // NULL partition values need a null-safe membership test: a plain
+    // `isin` evaluates to NULL (not true) for rows in the null partition
+    // (__HIVE_DEFAULT_PARTITION__), silently dropping their existing
+    // rows from the merge and losing them in the dynamic overwrite.
+    val nonNullTouched = touched.filter(_ != null)
+    val membership = {
+      val base =
+        if (nonNullTouched.isEmpty) lit(false)
+        else col(partitionCol).isin(nonNullTouched: _*)
+      if (touched.exists(_ == null)) base || col(partitionCol).isNull
+      else base
+    }
+    val existing = spark.read.parquet(path).filter(membership)
     val merged = existing
       .join(updates.select(col(keyCol)), Seq(keyCol), "left_anti")
       .unionByName(updates)
@@ -176,6 +187,12 @@ object Writers {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(path + ".compact.lock")
     acquireSwapLock(fs, lock, "compactParquet")
+    // If the tmp->dst swap fails AND the bak->dst restore also fails, the
+    // live path is absent: releasing the lock there would let a concurrent
+    // writer acquire it against a directory whose data lives only at the
+    // .bak path. Keep the lock held in that (doubly-failed) state so the
+    // inconsistency must be repaired manually before any other writer runs.
+    var keepLock = false
     try {
       val totalBytes = fs.getContentSummary(dst).getLength
       val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -187,12 +204,19 @@ object Writers {
       if (!fs.rename(dst, bak))
         throw new java.io.IOException(s"compactParquet: rename $dst -> $bak failed")
       if (!fs.rename(tmp, dst)) {
-        fs.rename(bak, dst)
+        if (!fs.rename(bak, dst)) {
+          keepLock = true
+          throw new java.io.IOException(
+            s"compactParquet: rename $tmp -> $dst failed AND restoring " +
+              s"$bak -> $dst failed; live path $dst is ABSENT. Data is " +
+              s"preserved at $bak (original) and $tmp (compacted); lock " +
+              s"$lock retained — restore $bak to $dst manually, then remove the lock")
+        }
         throw new java.io.IOException(s"compactParquet: rename $tmp -> $dst failed")
       }
       fs.delete(bak, true)
       nFiles
-    } finally fs.delete(lock, false)
+    } finally if (!keepLock) fs.delete(lock, false)
   }
 
   /** D2: `data_inventory` upsert on `available_date`
@@ -250,6 +274,9 @@ object Writers {
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val lock = new Path(inventoryPath + ".lock")
     acquireSwapLock(fs, lock, "upsertInventory")
+    // same contract as compactParquet: if both the swap and the restore
+    // rename fail, keep the lock so no writer runs against an absent path
+    var keepLock = false
     try {
       val stamp = java.util.UUID.randomUUID().toString
       val tmp = new Path(inventoryPath + ".tmp-" + stamp)
@@ -261,13 +288,20 @@ object Writers {
       if (!fs.rename(tmp, dst)) {
         // put the previous catalog back before failing: the live path
         // must not be left absent when a full copy exists
-        if (hadPrior) fs.rename(bak, dst)
+        if (hadPrior && !fs.rename(bak, dst)) {
+          keepLock = true
+          throw new java.io.IOException(
+            s"upsertInventory: rename $tmp -> $dst failed AND restoring " +
+              s"$bak -> $dst failed; live path $dst is ABSENT. Data is " +
+              s"preserved at $bak and $tmp; lock $lock retained — restore " +
+              s"$bak to $dst manually, then remove the lock")
+        }
         throw new java.io.IOException(s"upsertInventory: rename $tmp -> $dst failed")
       }
       // swap verified — the .bak is now redundant; a failed delete only
       // strands a stale backup (harmless), so its result is not fatal
       if (hadPrior) fs.delete(bak, true)
-    } finally fs.delete(lock, false)
+    } finally if (!keepLock) fs.delete(lock, false)
     spark.read.parquet(inventoryPath)
   }
 }

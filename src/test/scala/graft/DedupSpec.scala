@@ -270,6 +270,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components: diameter-50 chain converges in O(log d) rounds (pointer jumping)") {
+    import spark.implicits._
+    // a pathological high-diameter graph (pairwise-similar boilerplate
+    // chain) — plain min-label propagation needs 50 rounds and would hit
+    // the default guard at 25; the pointer jump halves remaining depth
+    // per round, so ~8 rounds suffice. maxIter = 10 proves the log bound,
+    // not just "under 25".
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 51)
+    (0L to 50L).foreach(v => assert(comp(v) == 0L, s"node $v"))
+  }
+
   test("dropNearDuplicates keeps one canonical row per component") {
     import spark.implicits._
     val rows = (0L until 10L).map(i => (i, s"row$i")).toDF("id", "payload")

@@ -74,6 +74,35 @@ class SamplingSpec extends SparkSpec {
     assert(salted.size == ids(docs).size && salted != ids(docs))
   }
 
+  test("stratum cap: a 10^6-row hot stratum caps without a full-stratum single-partition sort") {
+    import org.apache.spark.sql.functions._
+    // one pathologically hot stratum (10^6 rows) + one tiny one: the
+    // window formulation would shuffle and sort all 10^6 hot rows in a
+    // single task; the TopKPerKey route keeps <= cap per (partition,
+    // stratum) map-side, so the post-exchange merge sees at most
+    // cap * nPartitions rows per stratum
+    val hot = spark.range(0, 1000000).toDF("doc_id")
+      .withColumn("lang", lit("en"))
+      .unionAll(spark.range(2000000, 2000040).toDF("doc_id")
+        .withColumn("lang", lit("xx")))
+      .repartition(16)
+    val capped = Sampling.stratumCap(hot, "doc_id", "lang", cap = 50)
+    val got = capped.collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.count(_._2 == "en") == 50)
+    assert(got.count(_._2 == "xx") == 40) // under-cap stratum kept whole
+    // exact agreement with the window formulation's kept set (the
+    // semantics contract: cap lowest per stratum by (md5(id), id))
+    val expectEn = spark.range(0, 1000000).toDF("doc_id")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .orderBy("h", "doc_id").limit(50)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.filter(_._2 == "en").map(_._1).toSet == expectEn)
+    // the physical plan is the two-phase TopKPerKey pair, not a Window
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), s"expected TopKPerKeyExec in plan:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected Window in plan:\n$plan")
+  }
+
   test("sequential ids: dense 0..n-1 in key order, layout-independent, no global window") {
     val filtered = docs.filter(col("lang") =!= "en").select("doc_id", "lang")
     val n = filtered.count()

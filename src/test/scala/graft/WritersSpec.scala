@@ -94,6 +94,28 @@ class WritersSpec extends SparkSpec {
     assert(filesOf("d3") == d3Before, "day=d3 files rewritten by a d2-only merge")
   }
 
+  test("partitioned merge: NULL partition values upsert null-safely (no silent row loss)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft-merge-null").toString + "/t"
+    Seq(
+      (1L, Option("d1"), 10),
+      (2L, Option.empty[String], 20), // null partition, NOT updated
+      (3L, Option.empty[String], 30)  // null partition, updated below
+    ).toDF("k", "day", "v")
+      .write.partitionBy("day").parquet(path)
+    // plain isin(null) would evaluate NULL for the null-partition rows,
+    // exclude k=2 from the merge, and the dynamic overwrite of
+    // __HIVE_DEFAULT_PARTITION__ would silently delete it
+    val updates = Seq((3L, Option.empty[String], 300), (4L, Option.empty[String], 40))
+      .toDF("k", "day", "v")
+    Writers.mergeIntoPartitioned(spark, path, updates, "k", "day")
+    val after = spark.read.parquet(path)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(after == Map(1L -> 10, 2L -> 20, 3L -> 300, 4L -> 40),
+      s"null-partition merge lost or mangled rows: $after")
+  }
+
   test("range-clustered write: output files cover disjoint key ranges (file-skipping layout)") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-cluster").toString + "/t"
