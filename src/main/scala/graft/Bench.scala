@@ -56,7 +56,7 @@ object Bench {
     // sample min-merges with the isolated one. Both placements run the
     // identical plan; the min is the query's real cost, the spread is
     // suite interference (documented in BENCH_NOTES).
-    val pinnedFirst = Seq("q19_text_stats")
+    val pinnedFirst = Seq("q19_text_stats", "q28_cube")
     val isolated = pinnedFirst.flatMap { n =>
       SparkEntry.queries.get(n).map(fn => n -> measure(fn, n))
     }.toMap

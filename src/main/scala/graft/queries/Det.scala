@@ -47,4 +47,18 @@ object Det {
   /** Long count/sum with explicit BIGINT type on both engines. */
   def longSum(c: Column): Column = sum(c).cast(LongType)
   def longSumSql(expr: String): String = s"CAST(sum($expr) AS BIGINT)"
+
+  /** Per-(tag, dataset, JVM) scratch directory for queries that persist
+    * an index or table inside the timed region: repeated runs in one
+    * session overwrite rather than accumulate, while two processes
+    * working on the same dataset concurrently (bench + verify) never
+    * race on one directory. The single shared implementation — the
+    * collision-avoidance recipe must not fork per call site.
+    */
+  def scratchPath(tag: String, dir: String): String = {
+    val jvmTag = java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName.hashCode & 0x7fffffff
+    sys.props("java.io.tmpdir") +
+      s"/graft_${tag}_${dir.hashCode & 0x7fffffff}_$jvmTag"
+  }
 }

@@ -892,7 +892,15 @@ object Relational {
     */
   def q57bBucketedJoinProbe(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.JoinOps
-    val suffix = (dir.hashCode & 0x7fffffff).toString + "_probe"
+    // the skip-if-exists cache must key on the DATA, not just the path:
+    // regenerated fixtures at the same path (ScaleData reruns) would
+    // otherwise keep serving the stale bucketed layout while the oracle
+    // recomputes from the new parquet
+    val fingerprint = Seq("customer.parquet", "orders.parquet").map { f =>
+      val p = new java.io.File(s"$dir/$f")
+      s"${p.lastModified}:${p.length}"
+    }.mkString("|")
+    val suffix = ((dir + fingerprint).hashCode & 0x7fffffff).toString + "_probe"
     val ct = s"customer_bkt_$suffix"
     val ot = s"orders_bkt_$suffix"
     if (!s.catalog.tableExists(ct) || !s.catalog.tableExists(ot)) {

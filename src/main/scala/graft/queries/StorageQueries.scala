@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
+import Det.scratchPath
 
 /** Storage-layout operator query surface: the operators behind the
   * 100 TB layout story ([[graft.sinks.Writers]] compaction /
@@ -21,17 +22,6 @@ import graft.sources.Tables
 object StorageQueries {
 
   type Q = (SparkSession, String) => DataFrame
-
-  /** Per-(dataset, JVM) scratch directory — same contract as
-    * TrainingData's index paths: re-runs in one session overwrite,
-    * concurrent processes (bench + verify) never collide.
-    */
-  private def scratchPath(tag: String, dir: String): String = {
-    val jvmTag = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName.hashCode & 0x7fffffff
-    sys.props("java.io.tmpdir") +
-      s"/graft_${tag}_${dir.hashCode & 0x7fffffff}_$jvmTag"
-  }
 
   private def docsProjection(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))

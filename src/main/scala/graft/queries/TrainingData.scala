@@ -731,7 +731,8 @@ object TrainingData {
   val q54Sql: String =
     """WITH tk AS (
       |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
       |  FROM documents),
       |o AS (
       |  SELECT doc_id, shard, n_tok,
@@ -927,10 +928,7 @@ object TrainingData {
     // rather than accumulate, while two processes benchmarking the
     // same dataset concurrently (bench + verify) never race on one
     // index directory
-    val jvmTag = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName.hashCode & 0x7fffffff
-    val idxPath = sys.props("java.io.tmpdir") +
-      s"/graft_q60_idx_${dir.hashCode & 0x7fffffff}_$jvmTag"
+    val idxPath = scratchPath("q60_idx", dir)
     Dedup.writeMinHashIndex(docs, idxPath, "doc_id", "text")
     val increment = docs.filter(col("doc_id") < 40).select(
       (col("doc_id") + 100000).as("doc_id"),
@@ -1000,19 +998,6 @@ object TrainingData {
       |  CAST(4000 + (doc_id % 5) * 800 AS BIGINT) / 8000.0 AS audio_duration_sec
       |FROM documents
       |ORDER BY doc_id""".stripMargin
-
-  /** Per-(dataset, JVM) temp path for queries that persist an index or
-    * table inside the timed region: repeated runs in one session
-    * overwrite rather than accumulate, while two processes working on
-    * the same dataset concurrently (bench + verify) never race on one
-    * directory.
-    */
-  private def scratchPath(tag: String, dir: String): String = {
-    val jvmTag = java.lang.management.ManagementFactory
-      .getRuntimeMXBean.getName.hashCode & 0x7fffffff
-    sys.props("java.io.tmpdir") +
-      s"/graft_${tag}_${dir.hashCode & 0x7fffffff}_$jvmTag"
-  }
 
   /** ANN-LSH recall contract ([[graft.operators.Similarity.lshTopK]] —
     * the 10⁹-vector scale path, on the oracle surface): plant an
@@ -1104,10 +1089,14 @@ object TrainingData {
       .select(col("doc_id"), col("shard"), col("pack_id"), col("pack_offset"))
       .orderBy("doc_id")
 
+  // the CASE guard mirrors Spark tokenCount's empty/NULL → 0 contract
+  // (a bare len(string_split_regex(trim(''), ...)) is 1 in DuckDB, and
+  // one blank doc would shift the prefix sum of its whole shard tail)
   val q66Sql: String =
     """WITH tk AS (
       |  SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-      |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tok
       |  FROM documents),
       |o AS (
       |  SELECT doc_id, shard,
