@@ -166,17 +166,66 @@ object EtlQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** J1 geocode enrichment through the real operator
+    * ([[graft.operators.Enrichment.BroadcastGeocode]]): the reference's
+    * per-row HTTP reverse-geocode (`monarch_etl/enrichment.py:46-59`)
+    * re-expressed as a broadcast left join against a rounded-cell
+    * dimension. Coordinates are integer-derived doubles (one IEEE
+    * expression tree, identical in both engines) so the rounded cell
+    * keys join bit-for-bit; unmatched rows keep NULLs (the reference's
+    * leave-None-on-failure contract — exercised at sf0.1 where fact
+    * cells fall outside the dimension's key range). Output carries only
+    * integers/strings — no float crosses the hash gate.
+    */
+  def q71GeocodeEnrich(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Enrichment
+    val cust = Tables.customer(s, dir)
+    val facts = cust.select(
+      col("c_custkey"),
+      (col("c_custkey") % 1800 / 10.0 - 90.0).as("decimalLatitude"),
+      (col("c_custkey") % 3600 / 10.0 - 180.0).as("decimalLongitude"))
+    // dimension keyed on the custkey-derived cell — custkey < 1800 makes
+    // (lat_cell, lon_cell) unique per row, so the left join never fans out
+    val dim = cust.filter(col("c_custkey") < 1800).select(
+      round(col("c_custkey") / 10.0 - 90.0, 2).as("lat_cell"),
+      round(col("c_custkey") / 10.0 - 180.0, 2).as("lon_cell"),
+      concat(lit("cty_"), col("c_custkey") % 97).as("county"),
+      concat(lit("city_"), col("c_custkey") % 53).as("cityOrTown"))
+    new Enrichment.BroadcastGeocode(dim).attach(facts)
+      .select(col("c_custkey"), col("county"),
+        col("cityOrTown").as("city_or_town"))
+      .orderBy("c_custkey")
+  }
+
+  val q71Sql: String =
+    """WITH facts AS (
+      |  SELECT c_custkey,
+      |    round(c_custkey % 1800 / 10.0 - 90.0, 2) AS lat_cell,
+      |    round(c_custkey % 3600 / 10.0 - 180.0, 2) AS lon_cell
+      |  FROM customer),
+      |dim AS (
+      |  SELECT round(c_custkey / 10.0 - 90.0, 2) AS lat_cell,
+      |    round(c_custkey / 10.0 - 180.0, 2) AS lon_cell,
+      |    'cty_' || (c_custkey % 97) AS county,
+      |    'city_' || (c_custkey % 53) AS city_or_town
+      |  FROM customer WHERE c_custkey < 1800)
+      |SELECT f.c_custkey, d.county, d.city_or_town
+      |FROM facts f LEFT JOIN dim d USING (lat_cell, lon_cell)
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q14_date_rescue" -> q14DateRescue _,
     "q15_temporal"    -> q15Temporal _,
     "q16_inventory"   -> q16Inventory _,
     "q17_read_path"   -> q17ReadPath _,
-    "q36_json_extract" -> q36JsonExtract _)
+    "q36_json_extract" -> q36JsonExtract _,
+    "q71_geocode_enrich" -> q71GeocodeEnrich _)
 
   val oracle: Map[String, String] = Map(
     "q14_date_rescue" -> q14Sql,
     "q15_temporal"    -> q15Sql,
     "q16_inventory"   -> q16Sql,
     "q17_read_path"   -> q17Sql,
-    "q36_json_extract" -> q36Sql)
+    "q36_json_extract" -> q36Sql,
+    "q71_geocode_enrich" -> q71Sql)
 }
