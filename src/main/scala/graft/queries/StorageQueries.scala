@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sinks.Writers
 import graft.sources.Tables
 import Det.scratchPath
 
@@ -129,15 +130,56 @@ object StorageQueries {
       |SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
       |ORDER BY doc_id""".stripMargin
 
+  /** K1 dynamic partition overwrite — the reference's core load
+    * semantics (`to_sql(if_exists='replace')` per day table,
+    * `/root/reference/monarch_etl/db_loader.py:50-59`) as
+    * [[graft.sinks.Writers.writePartitionedByDay]]: full load, then
+    * "reprocess" the earliest day with HALF its rows and recomputed
+    * values. The overwrite must replace exactly that partition —
+    * dropped rows stay dropped (replace, not append/merge), other
+    * days' rows are untouched. The oracle reconstructs the
+    * post-reprocess state from the source table.
+    */
+  def q72PartitionOverwrite(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q72", dir) + "/t"
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), to_date(col("ts")).as("date_only"), col("value"))
+    Writers.writePartitionedByDay(ev, path)
+    // bounded driver scalar: the day being reprocessed
+    val minDay = ev.agg(min(col("date_only"))).collect()(0).getDate(0)
+    val redo = ev
+      .filter(col("date_only") === lit(minDay) && col("event_id") % 2 === 0)
+      .withColumn("value", col("value") * 2)
+    Writers.writePartitionedByDay(redo, path)
+    s.read.parquet(path)
+      .select(col("event_id"),
+        date_format(col("date_only"), "yyyy-MM-dd").as("day"),
+        col("value"))
+      .orderBy("event_id")
+  }
+
+  val q72Sql: String =
+    """WITH ev AS (
+      |  SELECT event_id, CAST(ts AS DATE) AS d, value FROM events),
+      |m AS (SELECT min(d) AS md FROM ev)
+      |SELECT event_id, strftime(d, '%Y-%m-%d') AS day, value
+      |FROM ev, m WHERE d <> md
+      |UNION ALL
+      |SELECT event_id, strftime(d, '%Y-%m-%d') AS day, value * 2 AS value
+      |FROM ev, m WHERE d = md AND event_id % 2 = 0
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q67_compaction"       -> q67Compaction _,
     "q68_range_cluster"    -> q68RangeCluster _,
     "q69_merge_upsert"     -> q69MergeUpsert _,
-    "q70_schema_evolution" -> q70SchemaEvolution _)
+    "q70_schema_evolution" -> q70SchemaEvolution _,
+    "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
     "q67_compaction"       -> q67Sql,
     "q68_range_cluster"    -> q68Sql,
     "q69_merge_upsert"     -> q69Sql,
-    "q70_schema_evolution" -> q70Sql)
+    "q70_schema_evolution" -> q70Sql,
+    "q72_partition_overwrite" -> q72Sql)
 }
