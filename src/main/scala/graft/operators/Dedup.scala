@@ -46,18 +46,36 @@ object Dedup {
   def dropExactDuplicates(df: DataFrame): DataFrame = df.dropDuplicates()
 
   /** Exact content dedup by fingerprint: keep the lowest-id row per
-    * normalized-content hash. Scale: one shuffle on a 128-bit hash (md5)
-    * — never on the content itself; payload columns ride along, content
-    * can be 100 KB+ per row without blowing the sort buffer because the
-    * window only orders by (hash, id).
+    * normalized-content hash.
+    *
+    * Scale (the id-join formulation, default since r6): winners are
+    * `groupBy(_fp).agg(min(id))` — the ONLY exchange that aggregation
+    * plans carries 24-byte (hash, id) rows, map-side combined — and the
+    * survivors come back via a left-semi join on (fingerprint, id). The
+    * content column never has to cross an exchange: at test scale the
+    * winner set broadcasts; at 100 TB, store the corpus bucketed on
+    * `idCol` (see [[graft.operators.JoinOps.writeBucketed]]) and the
+    * probe side joins in place. The previous window-by-_fp formulation
+    * shipped every content payload through the shuffle — at 100 TB that
+    * single crossing IS the pipeline's dominant cost.
+    *
+    * Requires `idCol` to identify rows (the normal case — a document
+    * id): rows tying on (fingerprint, MIN id) would all survive, where
+    * the old window formulation kept an arbitrary one.
     */
   def dedupByFingerprint(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("_fp")).orderBy(col(idCol))
-    df.withColumn("_fp", md5(col(contentCol)))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_fp", "_rn")
+    val withFp = df.withColumn("_fp", md5(col(contentCol)))
+    // fresh column names on the winner side: a self-derived frame reusing
+    // `_fp`/idCol would hit ambiguous-attribute resolution in the join
+    val winners = withFp
+      .select(col("_fp").as("_win_fp"), col(idCol).as("_win_id"))
+      .groupBy(col("_win_fp"))
+      .agg(min(col("_win_id")).as("_win_id"))
+    withFp
+      .join(winners,
+        col("_fp") === col("_win_fp") && col(idCol) === col("_win_id"),
+        "left_semi")
+      .drop("_fp")
   }
 
   /** Content-hash duplicate groups: md5 fingerprint → group sizes > 1. */

@@ -15,7 +15,8 @@ import graft.functions.VectorFunctions._
   *  2. [[lshTopK]] — random-hyperplane bucket candidates + exact
   *     re-rank: the 10⁹-vector scale path (shuffle on signature only).
   *  3. [[ivfTopK]] — inverted-file: coarse centroids, probe the nearest
-  *     `nprobe` lists; centroid assignment is one broadcast join.
+  *     `nprobe` lists; centroid assignment is a zero-shuffle projection
+  *     against collected centroid literals.
   */
 object Similarity {
 
@@ -110,9 +111,9 @@ object Similarity {
     * would run once offline), then search only the `nprobe` nearest
     * lists per query.
     *
-    * Scale: centroids broadcast everywhere; corpus assignment is a
-    * one-off projection persisted with the data (partitioned by
-    * `centroid_id`), so a query touches nprobe/nlist of the corpus.
+    * Scale: centroid assignment is a zero-shuffle per-row projection
+    * ([[assignNearest]]); the persisted form (partitioned by
+    * `centroid_id`) means a query touches nprobe/nlist of the corpus.
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
@@ -169,8 +170,8 @@ object Similarity {
       nprobe: Int = 4): DataFrame = {
     val centroids = spark.read.parquet(s"$path/centroids")
     // materialized once: both the centroid-id collect below AND the
-    // final join read `probed` — unchecked, the broadcast-and-window
-    // assignment pass would execute twice
+    // final join read `probed` — unchecked, the scoring projection
+    // (nlist cosines per query row) would execute twice
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
       .localCheckpoint(true)
     // bounded collect: distinct probed centroids ≤ nlist (a handful of
@@ -203,27 +204,59 @@ object Similarity {
       .orderBy(col("centroid_id"))
       .limit(nlist)
 
-  private def assignToCentroid(
+  private[graft] def assignToCentroid(
       df: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, outId: String): DataFrame = {
-    val w = Window.partitionBy(col(outId)).orderBy(desc("_sim"), asc("centroid_id"))
-    df.select(col(idCol).as(outId), col(vecCol).as("_cv"))
-      .join(broadcast(centroids))
-      .withColumn("_sim", cosine(col("_cv"), col("_centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .select(col(outId), col("centroid_id"), col("_cv"))
-  }
+      idCol: String, vecCol: String, outId: String): DataFrame =
+    assignNearest(df, centroids, idCol, vecCol, outId, "_cv", nprobe = 1)
 
-  private def assignToCentroids(
+  private[graft] def assignToCentroids(
       df: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, outId: String, nprobe: Int): DataFrame = {
-    val w = Window.partitionBy(col(outId)).orderBy(desc("_sim"), asc("centroid_id"))
-    df.select(col(idCol).as(outId), col(vecCol).as("_qv"))
-      .join(broadcast(centroids))
-      .withColumn("_sim", cosine(col("_qv"), col("_centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= nprobe)
-      .select(col(outId), col("centroid_id"), col("_qv"))
+      idCol: String, vecCol: String, outId: String, nprobe: Int): DataFrame =
+    assignNearest(df, centroids, idCol, vecCol, outId, "_qv", nprobe)
+
+  /** Zero-shuffle nearest-centroid assignment (shared by the index
+    * build and the query probe): the ≤`nlist` centroids are collected —
+    * they are `orderBy.limit(nlist)` driver-sized by construction — and
+    * each row's `nprobe` nearest centroids come out of ONE native
+    * projection: score every centroid literal, sort the scored array,
+    * keep the first `nprobe`, explode.
+    *
+    * This replaces a broadcast-expand + window formulation whose
+    * `Window.partitionBy(id)` sent every corpus vector through an
+    * exchange nlist-amplified, payload included — at 10⁹ vectors ×
+    * nlist=1024 the difference between an overnight index build and an
+    * impossible one. Now the build plan is scan → projection → write:
+    * no Exchange at all (PlanShapeSpec asserts it).
+    *
+    * Tie-break parity with the window it replaces
+    * (`row_number over (desc(_sim), asc(centroid_id))`): the array sort
+    * key is the struct (negated cosine, centroid_id) — lexicographic
+    * struct ordering gives cosine desc then id asc — with NULL cosine
+    * (zero vectors) mapped to Double.MaxValue, matching desc-nulls-last.
+    */
+  private def assignNearest(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, outId: String, vecOut: String,
+      nprobe: Int): DataFrame = {
+    // bounded collect: ≤ nlist rows, each one centroid id + one vector
+    val vecType = centroids.schema("_centroid").dataType
+    val cents = centroids.select(col("centroid_id"), col("_centroid")).collect()
+    require(cents.nonEmpty, "assignNearest: empty centroid set")
+    val scored = cents.map { r =>
+      val cvec: Column = vecType match {
+        case ArrayType(FloatType, _)  => typedlit(r.getSeq[Float](1))
+        case ArrayType(DoubleType, _) => typedlit(r.getSeq[Double](1))
+        case t => throw new IllegalArgumentException(
+          s"assignNearest: unsupported vector type $t")
+      }
+      val sim = cosine(col(vecOut), cvec)
+      struct(
+        when(sim.isNull, lit(Double.MaxValue)).otherwise(-sim).as("negsim"),
+        lit(r.get(0)).as("cid")) // lit preserves the id column's type
+    }
+    val best = slice(array_sort(array(scored.toIndexedSeq: _*)), 1, nprobe)
+    df.select(col(idCol).as(outId), col(vecCol).as(vecOut))
+      .withColumn("_best", explode(best))
+      .select(col(outId), col("_best.cid").as("centroid_id"), col(vecOut))
   }
 }

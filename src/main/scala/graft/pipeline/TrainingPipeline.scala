@@ -20,11 +20,12 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *   5. split   — deterministic hash-based train/val/test assignment
   *
   * Scale shape: stages 1-2 are pure projections/filters (no shuffle);
-  * stage 3 shuffles (hash, id) only; stage 4 shuffles band keys + ids
-  * and verifies candidates only; stage 5 is a projection. Content
-  * crosses a shuffle exactly once (stage 3's window carries the text
-  * payload alongside the 16-byte hash — at 100 TB swap the payload for
-  * an id-join like stage 4 if rows are very wide).
+  * stage 3 shuffles (hash, id) pairs only — winners resolve by
+  * min-id aggregation and rejoin by id, so the text payload never
+  * crosses an exchange (the id-join default since r6; see
+  * [[graft.operators.Dedup.dedupByFingerprint]]); stage 4 shuffles
+  * band keys + ids and verifies candidates only; stage 5 is a
+  * projection.
   */
 object TrainingPipeline {
 

@@ -101,6 +101,49 @@ class PlanShapeSpec extends SparkSpec {
       s"join sides are not bucketed scans:\n$p")
   }
 
+  test("exact dedup never ships document content through an exchange") {
+    // the r5 scale nit: the old window-by-fingerprint formulation sent
+    // every text payload through its shuffle. The id-join formulation
+    // exchanges (hash, id) pairs only — asserted on the FINAL adaptive
+    // plan's shuffle outputs, not the plan string.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = SparkEntry.queries("q18_exact_dedup")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val bad = flatten(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike if e.output.exists(_.name == "text") => e
+    }
+    assert(bad.isEmpty,
+      s"content column crosses an exchange in q18:\n${bad.mkString("\n")}")
+  }
+
+  test("IVF index build: centroid assignment plans NO exchange at all") {
+    // the r5 scale nit: the old broadcast-expand + window formulation
+    // sent every corpus vector through an exchange nlist times during
+    // index build. The assignment must now be scan → projection →
+    // explode — a 10⁹-vector build is then embarrassingly parallel.
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val centroids = emb
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("_centroid"))
+      .orderBy(col("centroid_id")).limit(8)
+    val assigned = graft.operators.Similarity
+      .assignToCentroid(emb, centroids, "vec_id", "embedding", "neighbor_id")
+    val p = assigned.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"IVF build assignment shuffles the corpus:\n$p")
+  }
+
   test("hot aggregation queries stay inside whole-stage codegen") {
     // "*(n)" marks operators fused into a generated stage; a plan with
     // none at all has fallen out of codegen entirely. Codegen insertion
