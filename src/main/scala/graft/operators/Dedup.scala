@@ -592,13 +592,23 @@ object Dedup {
     * that, round k's plan contains k nested joins and Catalyst
     * re-optimizes an exponentially growing tree.
     *
+    * The jump is RAMPED, not unconditional: the common case (dense
+    * LSH quasi-cliques/stars) converges in 2-3 propagation rounds, and
+    * paying the jump's extra self-join + eager materialization there
+    * doubles per-round cost for nothing. The first `jumpAfter` rounds
+    * run plain propagation; the jump switches on only if the graph is
+    * still unconverged after them — i.e. exactly when the remaining
+    * structure is deep enough for the O(log d) shortcut to matter. A
+    * diameter-d chain then costs jumpAfter + O(log d) rounds.
+    *
     * Scale: state is one (id, label) row per node and the edge list;
-    * shuffle per round is edges + labels on id, plus one labels-sized
-    * self-join for the jump. The `maxIter` guard throws rather than
+    * shuffle per round is edges + labels on id, plus (jump rounds only)
+    * one labels-sized self-join. The `maxIter` guard throws rather than
     * silently returning unconverged labels; at O(log d) rounds the
     * default 25 covers any graph that fits on a cluster.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      jumpAfter: Int = 2): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().persist()
@@ -616,23 +626,31 @@ object Dedup {
         val neighborMin = edges
           .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("_nc")).as("_nbr"))
-        // (1) propagate: min over self + neighborhood. Checkpointed
-        // eagerly because the jump below self-joins it (two lazy
-        // branches would recompute the propagation twice).
-        val prop = labels.join(neighborMin, Seq("id"), "left")
+        // (1) propagate: min over self + neighborhood
+        val propCore = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("comp"),
             least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("_p"))
-          .localCheckpoint(true)
-        // (2) pointer jump: _next = prop's label OF the label. Left
-        // join: a label is always a node id, but the coalesce keeps the
-        // round total even if a frontier row is missing.
-        val jumped = prop
-          .join(prop.select(col("id").as("_p"), col("_p").as("_pp")), Seq("_p"), "left")
-          .select(col("id"), col("comp"),
-            least(col("_p"), coalesce(col("_pp"), col("_p"))).as("_next"))
-          .localCheckpoint(true)
-        changed = jumped.filter(col("_next") < col("comp")).count()
-        labels = jumped.select(col("id"), col("_next").as("comp"))
+        val stepped =
+          if (iter < jumpAfter) {
+            // ramp rounds: plain propagation, one materialization
+            propCore.select(col("id"), col("comp"), col("_p").as("_next"))
+              .localCheckpoint(true)
+          } else {
+            // still unconverged past the ramp → deep structure remains.
+            // Checkpoint the propagation eagerly because the jump
+            // self-joins it (two lazy branches would recompute it twice).
+            val prop = propCore.localCheckpoint(true)
+            // (2) pointer jump: _next = prop's label OF the label. Left
+            // join: a label is always a node id, but the coalesce keeps
+            // the round total even if a frontier row is missing.
+            prop
+              .join(prop.select(col("id").as("_p"), col("_p").as("_pp")), Seq("_p"), "left")
+              .select(col("id"), col("comp"),
+                least(col("_p"), coalesce(col("_pp"), col("_p"))).as("_next"))
+              .localCheckpoint(true)
+          }
+        changed = stepped.filter(col("_next") < col("comp")).count()
+        labels = stepped.select(col("id"), col("_next").as("comp"))
         iter += 1
       }
       labels.select(col("id"), col("comp").as("component_id"))

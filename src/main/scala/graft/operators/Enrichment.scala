@@ -26,9 +26,16 @@ object Enrichment {
     * rounded (lat, lon) cells. Unmatched rows keep NULLs — matching the
     * reference's "leave None on failure" behavior (`enrichment.py:52-59`).
     *
-    * Scale: the dimension is bounded by distinct coordinate cells (at 2
-    * decimals, ≤ ~65M cells worldwide, far fewer in practice) → broadcast;
-    * the fact side never shuffles.
+    * Scale: a typical dimension is bounded by distinct OBSERVED
+    * coordinate cells → broadcast, and the fact side never shuffles.
+    * But a full-globe precision-2 dimension (~65M cells) is far past
+    * sane broadcast sizes, so the explicit `broadcast()` hint — which
+    * would OVERRIDE `spark.sql.autoBroadcastJoinThreshold` and pin the
+    * whole dim in every executor — is applied only while the dim's
+    * estimated plan size fits the session's threshold. Past it, the
+    * join is left unhinted: Catalyst plans a shuffle join, which is the
+    * correct (if slower) shape for an outsized dim; pre-bucket both
+    * sides on the cell key if the join recurs.
     */
   final class BroadcastGeocode(lookup: DataFrame, precision: Int = 2)
       extends GeocodeProvider {
@@ -37,13 +44,22 @@ object Enrichment {
       val keyed = df
         .withColumn("_lat_cell", round(col("decimalLatitude"), precision))
         .withColumn("_lon_cell", round(col("decimalLongitude"), precision))
-      keyed.join(
-          broadcast(lookup.select(
-            col("lat_cell").as("_lat_cell"),
-            col("lon_cell").as("_lon_cell"),
-            col("county").as("_geo_county"),
-            col("cityOrTown").as("_geo_city"))),
-          Seq("_lat_cell", "_lon_cell"), "left")
+      val dim = lookup.select(
+        col("lat_cell").as("_lat_cell"),
+        col("lon_cell").as("_lon_cell"),
+        col("county").as("_geo_county"),
+        col("cityOrTown").as("_geo_city"))
+      // guard the hint with the same stats Catalyst's auto-broadcast
+      // uses; -1 (threshold disabled) means never hint
+      val raw = lookup.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val threshold =
+        if (raw.trim.startsWith("-")) -1L
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw)
+      val dimBytes = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+      val hinted =
+        if (threshold > 0 && dimBytes <= threshold) broadcast(dim) else dim
+      keyed.join(hinted, Seq("_lat_cell", "_lon_cell"), "left")
         .withColumn("county", col("_geo_county"))
         .withColumn("cityOrTown", col("_geo_city"))
         .drop("_lat_cell", "_lon_cell", "_geo_county", "_geo_city")

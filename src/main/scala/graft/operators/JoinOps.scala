@@ -16,7 +16,8 @@ object JoinOps {
   /** Salted equi-join for skewed keys: explode the small side into
     * `saltBuckets` copies, salt the big side uniformly, join on
     * (key, salt). Turns one hot-key partition into `saltBuckets`
-    * even slices.
+    * even slices. The returned frame carries the BIG side's key column
+    * (the small side's duplicate copy is dropped along with the salt).
     *
     * Use when one side has degenerate hot keys (the near-dup band join
     * on an all-identical corpus, a "null-ish" default key, a celebrity
@@ -27,16 +28,23 @@ object JoinOps {
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
       saltBuckets: Int = 8, joinType: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets))
-        .cast(IntegerType))
+    val saltedBig = big.withColumn("_salt", saltColumn(big, saltBuckets))
     val saltedSmall = small
       .withColumn("_salt", explode(array((0 until saltBuckets).map(lit): _*)))
     saltedBig.join(saltedSmall,
         saltedBig(key) === saltedSmall(key) &&
           saltedBig("_salt") === saltedSmall("_salt"), joinType)
+      .drop(saltedSmall(key))
       .drop("_salt")
   }
+
+  /** The deterministic salt [[saltedJoin]] assigns the big side —
+    * exposed so specs (and skew diagnostics) can observe the exact
+    * bucket spread the join will see.
+    */
+  private[graft] def saltColumn(big: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(struct(big.columns.map(col): _*)), lit(saltBuckets))
+      .cast(IntegerType)
 
   /** Write both sides bucketed by the join key so subsequent joins are
     * shuffle-free (bucket-local sort-merge). The Spark answer to the

@@ -54,11 +54,36 @@ object Det {
     * working on the same dataset concurrently (bench + verify) never
     * race on one directory. The single shared implementation — the
     * collision-avoidance recipe must not fork per call site.
+    *
+    * Every path handed out is deleted by a JVM shutdown hook: without
+    * it, each bench/verify process strands full parquet copies
+    * (q60/q65/q67-q75 write whole datasets) under java.io.tmpdir.
+    * Only THIS JVM's dirs are swept — a concurrent process's scratch
+    * (different jvmTag) is never touched.
     */
   def scratchPath(tag: String, dir: String): String = {
     val jvmTag = java.lang.management.ManagementFactory
       .getRuntimeMXBean.getName.hashCode & 0x7fffffff
-    sys.props("java.io.tmpdir") +
+    val p = sys.props("java.io.tmpdir") +
       s"/graft_${tag}_${dir.hashCode & 0x7fffffff}_$jvmTag"
+    registerScratchCleanup(p)
+    p
+  }
+
+  private val scratchDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val cleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def registerScratchCleanup(path: String): Unit = {
+    scratchDirs.add(path)
+    if (cleanupHooked.compareAndSet(false, true)) {
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def delete(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(delete))
+          f.delete(): Unit
+        }
+        scratchDirs.forEach(p => delete(new java.io.File(p)))
+      }, "graft-scratch-cleanup"))
+    }
   }
 }

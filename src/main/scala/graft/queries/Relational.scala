@@ -895,10 +895,20 @@ object Relational {
     // the skip-if-exists cache must key on the DATA, not just the path:
     // regenerated fixtures at the same path (ScaleData reruns) would
     // otherwise keep serving the stale bucketed layout while the oracle
-    // recomputes from the new parquet
+    // recomputes from the new parquet. Fingerprint = the Hadoop FS
+    // part-file listing (name:size:mtime per file) — java.io.File
+    // metadata on the top-level DIRECTORY is filesystem-dependent
+    // (directory length is meaningless, mtime is coarse) and reads a
+    // constant for non-local paths
+    val hconf = s.sparkContext.hadoopConfiguration
     val fingerprint = Seq("customer.parquet", "orders.parquet").map { f =>
-      val p = new java.io.File(s"$dir/$f")
-      s"${p.lastModified}:${p.length}"
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$f")
+      val pfs = p.getFileSystem(hconf)
+      if (!pfs.exists(p)) "absent"
+      else pfs.listStatus(p)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString(",")
     }.mkString("|")
     val suffix = ((dir + fingerprint).hashCode & 0x7fffffff).toString + "_probe"
     val ct = s"customer_bkt_$suffix"
@@ -907,6 +917,20 @@ object Relational {
       val warehouse = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
+      // evict every '_probe' cache generation except the current one:
+      // tables built under a previous data fingerprint are unreachable
+      // (their suffix never comes up again) and would otherwise
+      // accumulate a dataset-sized layout per fixture regeneration —
+      // both as catalog entries and as orphaned warehouse directories
+      // from previous sessions
+      val isStaleProbe = (n: String) =>
+        (n.startsWith("customer_bkt_") || n.startsWith("orders_bkt_")) &&
+          n.endsWith("_probe") && n != ct && n != ot
+      s.catalog.listTables().collect().map(_.name).filter(isStaleProbe)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      if (fs.exists(warehouse))
+        fs.listStatus(warehouse).map(_.getPath.getName).filter(isStaleProbe)
+          .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(warehouse, n), true))
       Seq(ct, ot).foreach { t =>
         s.sql(s"DROP TABLE IF EXISTS `$t`")
         fs.delete(new org.apache.hadoop.fs.Path(warehouse, t), true)
@@ -926,10 +950,54 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Salted skew join on the oracle gate
+    * ([[graft.operators.JoinOps.saltedJoin]] — the last spec-only scale
+    * helper, now cross-engine-checked): plant a degenerate hot key
+    * carrying ~40% of the fact table (every lineitem row whose orderkey
+    * lands in 4 of 10 residue classes is re-keyed to supplier 1 — the
+    * "celebrity key" shape AQE's size-based skew split can miss when
+    * stats lag), then join through the salted path. The oracle is the
+    * PLAIN SQL join: salting must never change results — the same
+    * layout-never-changes-results contract q57 pins for bucketing. The
+    * mechanism itself (hot key's rows spread across all saltBuckets
+    * (key, salt) shuffle slices) is asserted in JoinOpsSpec.
+    *
+    * Scale: without salting, one task sorts/joins 40% of the fact table
+    * — at 100 TB that task never finishes; with `saltBuckets = 8` the
+    * hot key becomes 8 even slices and the dim side replicates 8× (dim
+    * rows × 8 is still dim-sized).
+    */
+  def q73SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinOps
+    val fact = Tables.lineitem(s, dir).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 4, lit(1L))
+        .otherwise(col("l_suppkey")).as("skewkey"),
+      col("l_extendedprice"))
+    val dim = Tables.supplier(s, dir)
+      .select(col("s_suppkey").as("skewkey"), col("s_name"))
+    JoinOps.saltedJoin(fact, dim, "skewkey", saltBuckets = 8)
+      .groupBy(col("skewkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        exactSum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("skewkey")
+  }
+
+  val q73Sql: String =
+    s"""WITH fact AS (
+       |  SELECT CASE WHEN l_orderkey % 10 < 4 THEN 1 ELSE l_suppkey END AS skewkey,
+       |         l_extendedprice
+       |  FROM lineitem)
+       |SELECT skewkey, s_name, count(*) AS n_rows,
+       |  ${exactSumSql("l_extendedprice")} AS sum_price
+       |FROM fact JOIN supplier ON skewkey = s_suppkey
+       |GROUP BY skewkey, s_name
+       |ORDER BY skewkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q62_grouping_sets"   -> q62GroupingSets _,
     "q57_bucketed_join"   -> q57BucketedJoin _,
     "q57b_bucketed_probe" -> q57bBucketedJoinProbe _,
+    "q73_salted_join"     -> q73SaltedJoin _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
@@ -961,6 +1029,7 @@ object Relational {
     "q62_grouping_sets" -> q62Sql,
     "q57_bucketed_join" -> q57Sql,
     "q57b_bucketed_probe" -> q57Sql,
+    "q73_salted_join" -> q73Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,

@@ -169,7 +169,30 @@ object StorageQueries {
       |FROM ev, m WHERE d = md AND event_id % 2 = 0
       |ORDER BY event_id""".stripMargin
 
+  /** Partition-aware compaction
+    * ([[graft.sinks.Writers.compactPartitionedTable]] — q67's sibling
+    * for the partitioned-table shape): load documents partitioned by
+    * `lang` with every partition fragmented into 16 files, compact each
+    * LEAF directory independently, read the partitioned table back.
+    * Per-leaf file-count targets + healthy-partition skip (files
+    * byte-identical) are WritersSpec's asserts; the oracle pins the
+    * invariant: the rows — including the partition column round-trip —
+    * do not change.
+    */
+  def q75PartitionedCompaction(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q75", dir) + "/t"
+    docsProjection(s, dir).repartition(16)
+      .write.partitionBy("lang").mode("overwrite").parquet(path)
+    Writers.compactPartitionedTable(s, path, targetFileBytes = 8L << 20)
+    s.read.parquet(path)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q75Sql: String = q67Sql
+
   val queries: Map[String, Q] = Map(
+    "q75_partitioned_compaction" -> q75PartitionedCompaction _,
     "q67_compaction"       -> q67Compaction _,
     "q68_range_cluster"    -> q68RangeCluster _,
     "q69_merge_upsert"     -> q69MergeUpsert _,
@@ -177,6 +200,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q75_partitioned_compaction" -> q75Sql,
     "q67_compaction"       -> q67Sql,
     "q68_range_cluster"    -> q68Sql,
     "q69_merge_upsert"     -> q69Sql,

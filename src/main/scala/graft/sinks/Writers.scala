@@ -219,6 +219,62 @@ object Writers {
     } finally if (!keepLock) fs.delete(lock, false)
   }
 
+  /** Partition-aware compaction: enumerate a partitioned table's LEAF
+    * partition directories (hive `key=value` layout, any nesting depth)
+    * and compact each independently through [[compactParquet]] — the
+    * operational shape a 100 TB partitioned table needs: compacting
+    * across partition boundaries would destroy the directory-level
+    * pruning the layout exists for, so the unit of work is the leaf.
+    *
+    * Leaves already at-or-under their target file count are SKIPPED
+    * (no rewrite, files byte-identical) — a maintenance pass over a
+    * mostly-healthy table touches only the fragmented partitions.
+    * An unpartitioned directory degenerates to one leaf = the root,
+    * i.e. plain [[compactParquet]].
+    *
+    * Driver-side work is one directory listing per level (bounded by
+    * partition count — the same enumeration any table-maintenance pass
+    * performs); each leaf rewrite is a distributed job. Leaves are
+    * independent: each takes its own `.compact.lock`, so concurrent
+    * maintenance jobs can split the leaf set between them.
+    *
+    * Returns leaf path → output file count (post-compaction for
+    * rewritten leaves, current count for skipped ones).
+    */
+  def compactPartitionedTable(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(root).isDirectory,
+      s"compactPartitionedTable: $path is not a directory")
+    // leaf = a directory with no subdirectories; metadata sidecars
+    // (_SUCCESS, .crc) never make a directory a non-leaf
+    def leaves(p: Path): Seq[Path] = {
+      val dirs = fs.listStatus(p)
+        .filter(_.isDirectory)
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+      if (dirs.isEmpty) Seq(p) else dirs.toSeq.flatMap(d => leaves(d.getPath))
+    }
+    leaves(root).map { leaf =>
+      val dataFiles = fs.listStatus(leaf).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+      val bytes = dataFiles.map(_.getLen).sum
+      val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val n =
+        if (dataFiles.length <= target) dataFiles.length // healthy: skip
+        else compactParquet(spark, leaf.toString, targetFileBytes)
+      leaf.toString -> n
+    }.toMap
+  }
+
   /** D2: `data_inventory` upsert on `available_date`
     * (`/root/reference/monarch_etl/inventory.py:52-66`: INSERT … ON
     * CONFLICT DO UPDATE). The inventory is a tiny catalog table (one row

@@ -274,9 +274,9 @@ class DedupSpec extends SparkSpec {
     import spark.implicits._
     // a pathological high-diameter graph (pairwise-similar boilerplate
     // chain) — plain min-label propagation needs 50 rounds and would hit
-    // the default guard at 25; the pointer jump halves remaining depth
-    // per round, so ~8 rounds suffice. maxIter = 10 proves the log bound,
-    // not just "under 25".
+    // the default guard at 25; after the 2-round propagation ramp the
+    // pointer jump halves remaining depth per round, so ~7 rounds
+    // suffice. maxIter = 10 proves the log bound, not just "under 25".
     val chain = (0L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = Dedup.connectedComponents(chain, maxIter = 10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

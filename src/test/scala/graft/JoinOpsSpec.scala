@@ -37,6 +37,28 @@ class JoinOpsSpec extends SparkSpec {
     assert(saltSpread > 4, s"salt spread only $saltSpread buckets")
   }
 
+  test("salted join spreads the q73 hot key across all saltBuckets shuffle slices") {
+    // the q73 construction: ~40% of lineitem re-keyed onto supplier 1
+    val fact = Tables.lineitem(spark, sfDir).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 4, lit(1L))
+        .otherwise(col("l_suppkey")).as("skewkey"),
+      col("l_extendedprice"))
+    val hot = fact.filter(col("skewkey") === 1L)
+    val (total, hotN) = (fact.count(), hot.count())
+    assert(hotN >= total * 3 / 10,
+      s"hot key carries only $hotN of $total rows — the planted skew broke")
+    // mechanism: the hot key's rows carry every salt value, so the join
+    // shuffles them as saltBuckets distinct (key, salt) slices instead
+    // of one degenerate partition
+    val salted = hot.withColumn("_salt", JoinOps.saltColumn(fact, 8))
+    assert(salted.select("_salt").distinct().count() == 8)
+    // and those slices land in distinct shuffle tasks (deterministic
+    // for the fixed hash): partition exactly how the join partitions
+    val parts = salted.repartition(32, col("skewkey"), col("_salt"))
+      .select(spark_partition_id()).distinct().count()
+    assert(parts >= 4, s"hot key's 8 salt slices landed in only $parts tasks")
+  }
+
   test("bucketed tables join with no Exchange in the plan") {
     JoinOps.writeBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice"),

@@ -40,6 +40,39 @@ class PipelineSpec extends SparkSpec {
     assert(byId("3").getAs[String]("county") == null) // unmatched → null, like ref
   }
 
+  test("broadcast geocode guard: over-threshold dim falls back to a shuffle join") {
+    // an outsized dimension must NOT be force-broadcast: the explicit
+    // hint overrides autoBroadcastJoinThreshold, so the guard drops the
+    // hint when the dim's estimated size exceeds the threshold. With
+    // the hint gone (and the threshold too small for auto-broadcast),
+    // the plan contains no BroadcastExchange — and results are
+    // identical to the broadcast path.
+    val lookup = spark.createDataFrame(
+      java.util.List.of(
+        Row(34.05, -118.24, "Los Angeles", "Los Angeles"),
+        Row(40.71, -74.0, "New York", "New York")),
+      StructType(Seq(
+        StructField("lat_cell", DoubleType), StructField("lon_cell", DoubleType),
+        StructField("county", StringType), StructField("cityOrTown", StringType))))
+    val cleaned = graft.operators.Cleaning.clean(RawFixture.df(spark)).clean
+    val broadcastPlan = new Enrichment.BroadcastGeocode(lookup).attach(cleaned)
+    assert(broadcastPlan.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"), "small dim should stay broadcast")
+    val expected = broadcastPlan.collect()
+      .map(r => (r.getAs[String]("gbifID"), r.getAs[String]("county"))).toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1")
+      val guarded = new Enrichment.BroadcastGeocode(lookup).attach(cleaned)
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"over-threshold dim still broadcast:\n$plan")
+      assert(guarded.collect()
+        .map(r => (r.getAs[String]("gbifID"), r.getAs[String]("county"))).toSet
+        == expected, "fallback join changed results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("batched mapPartitions geocode client enriches in batches") {
     val fake: Seq[(Double, Double)] => Seq[(Option[String], Option[String])] =
       coords => coords.map { case (lat, _) =>

@@ -172,4 +172,46 @@ class WritersSpec extends SparkSpec {
     assert(n2 >= 3 && parquetFiles == n2, s"expected >=3 files, got $n2/$parquetFiles")
     assert(spark.read.parquet(path).count() == 10000)
   }
+
+  test("partitioned compaction: fragmented leaves compact, healthy leaves stay byte-identical") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-pcompact").toString + "/t"
+    // partition a: fragmented into 16 files; partition b: already one
+    // file (healthy) — written separately so the layouts differ
+    val a = spark.range(0, 8000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .withColumn("part", lit("a"))
+    val b = spark.range(8000, 12000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .withColumn("part", lit("b"))
+    a.repartition(16).write.partitionBy("part").parquet(path)
+    b.coalesce(1).write.partitionBy("part").mode("append").parquet(path)
+    def leafFiles(leaf: String) = new java.io.File(s"$path/part=$leaf").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(leafFiles("a").length == 16 && leafFiles("b").length == 1)
+    val bBefore = leafFiles("b").map(f => (f.getName, f.length, f.lastModified))
+    val before = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val counts = Writers.compactPartitionedTable(spark, path, targetFileBytes = 1L << 30)
+    // per-leaf targets: fragmented leaf folded to 1, healthy leaf
+    // skipped (keys are FS-qualified, e.g. file:/tmp/... — match by leaf)
+    def leafCount(leaf: String): Int =
+      counts.collectFirst { case (k, v) if k.endsWith(s"/part=$leaf") => v }.get
+    assert(counts.size == 2, s"expected 2 leaves, got $counts")
+    assert(leafCount("a") == 1 && leafFiles("a").length == 1,
+      s"fragmented leaf not compacted: $counts")
+    assert(leafCount("b") == 1)
+    // the healthy leaf was never rewritten: same file names, sizes, mtimes
+    val bAfter = leafFiles("b").map(f => (f.getName, f.length, f.lastModified))
+    assert(bAfter.sameElements(bBefore),
+      s"healthy partition rewritten: $bBefore -> $bAfter")
+    // row identity through the rewrite, partition column included
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before, "partitioned compaction changed the data")
+    // no lock/tmp/bak leftovers anywhere in the table
+    val leftovers = new java.io.File(path).listFiles().map(_.getName)
+      .filter(s => s.contains(".tmp-") || s.contains(".bak-") || s.contains(".lock"))
+    assert(leftovers.isEmpty, s"leftovers: ${leftovers.mkString(", ")}")
+  }
 }
