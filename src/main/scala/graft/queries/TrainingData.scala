@@ -1044,6 +1044,82 @@ object TrainingData {
       |    / (q.nrm * c.nrm) DESC, c.vec_id ASC) = 1
       |ORDER BY query_id""".stripMargin
 
+  /** The q74 fixture: a (query, twin) pair at EXACT LSH signature
+    * hamming distance 2 under the engine's fixed hyperplanes (nBits=12,
+    * dim=64, planeSeed=42), cosine(query, twin) = 0.9984 while the max
+    * natural corpus cosine vs the query is ≤ 0.41 at every SF. All
+    * coordinates are 1/128 dyadic rationals — exactly representable as
+    * FLOAT and as short decimal literals, so the SAME bits appear in
+    * these constants, in [[multiProbeSqlList]]'s DuckDB literals, and
+    * on disk. Generated by construction (push the base vector across
+    * exactly its two smallest-margin hyperplanes) by
+    * [[graft.tools.PlantMultiProbeTwin]]; SimilaritySpec re-verifies
+    * the distance-2 and cosine-dominance properties on every run.
+    */
+  object MultiProbeFixture {
+    val queryVec: Array[Float] = Array(-0.90625f, -0.6171875f, -0.328125f, -0.0390625f, 0.25f, 0.5390625f, 0.828125f, -0.875f, -0.5859375f, -0.296875f, -0.0078125f, 0.28125f, 0.5703125f, 0.859375f, -0.84375f, -0.5546875f, -0.265625f, 0.0234375f, 0.3125f, 0.6015625f, 0.890625f, -0.8125f, -0.5234375f, -0.234375f, 0.0546875f, 0.34375f, 0.6328125f, 0.921875f, -0.78125f, -0.4921875f, -0.203125f, 0.0859375f, 0.375f, 0.6640625f, 0.953125f, -0.75f, -0.4609375f, -0.171875f, 0.1171875f, 0.40625f, 0.6953125f, 0.984375f, -0.71875f, -0.4296875f, -0.140625f, 0.1484375f, 0.4375f, 0.7265625f, -0.9765625f, -0.6875f, -0.3984375f, -0.109375f, 0.1796875f, 0.46875f, 0.7578125f, -0.9453125f, -0.65625f, -0.3671875f, -0.078125f, 0.2109375f, 0.5f, 0.7890625f, -0.9140625f, -0.625f)
+    val twinVec: Array[Float] = Array(-0.859375f, -0.6171875f, -0.328125f, -0.0390625f, 0.296875f, 0.5390625f, 0.828125f, -0.921875f, -0.6328125f, -0.25f, -0.0078125f, 0.28125f, 0.5703125f, 0.90625f, -0.890625f, -0.6015625f, -0.265625f, 0.0234375f, 0.3125f, 0.6015625f, 0.890625f, -0.8125f, -0.5234375f, -0.234375f, 0.0078125f, 0.390625f, 0.6328125f, 0.875f, -0.828125f, -0.4453125f, -0.15625f, 0.0859375f, 0.375f, 0.6640625f, 0.90625f, -0.703125f, -0.4609375f, -0.125f, 0.0703125f, 0.453125f, 0.7421875f, 0.984375f, -0.71875f, -0.4296875f, -0.140625f, 0.1484375f, 0.4375f, 0.6796875f, -0.9765625f, -0.640625f, -0.3984375f, -0.15625f, 0.1796875f, 0.421875f, 0.7109375f, -0.8984375f, -0.65625f, -0.3203125f, -0.125f, 0.2578125f, 0.453125f, 0.7890625f, -0.9609375f, -0.671875f)
+    val queryId = 900000L
+    val twinId = 900001L
+    def sqlList(v: Array[Float]): String =
+      v.map(x => (BigDecimal(math.round(x * 128)) / 128).toString)
+        .mkString("[", ", ", "]")
+  }
+
+  /** Multi-probe LSH at radius 2, proven to WORK — not just to not
+    * break ([[graft.operators.Similarity.lshTopK]] `multiProbeBits`):
+    * q64's planted twins are IDENTICAL vectors, which collide on every
+    * signature bit, so its probe expansion never has to fire. Here the
+    * planted twin ([[MultiProbeFixture]]) sits at signature hamming
+    * distance EXACTLY 2 from the query — invisible to exact-signature
+    * bucketing and to radius-1 probing (SimilaritySpec proves both
+    * miss) — while its 0.9984 cosine makes it the unambiguous
+    * brute-force top-1 (max natural cosine ≤ 0.41). The DuckDB oracle
+    * recomputes brute force over corpus ∪ twin from the same literal
+    * vectors: only a correctly-enumerated radius-2 probe expansion
+    * (all C(12,1)+C(12,2) XOR masks, bucket join, exact re-rank)
+    * produces the matching (query_id, neighbor_id) row.
+    */
+  def q74MultiProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import MultiProbeFixture._
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val corpus = emb.unionByName(
+      Seq((twinId, twinVec.toSeq)).toDF("vec_id", "embedding"))
+    val queries = Seq((queryId, queryVec.toSeq)).toDF("vec_id", "embedding")
+    Similarity.lshTopK(corpus, queries, "vec_id", "embedding", k = 1,
+        dim = 64, nBits = 12, multiProbeBits = 2)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id")
+  }
+
+  val q74Sql: String = {
+    import MultiProbeFixture._
+    s"""WITH planted AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT ${twinId} AS vec_id, CAST(${sqlList(twinVec)} AS FLOAT[]) AS embedding),
+       |n AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM planted),
+       |q AS (
+       |  SELECT CAST(${queryId} AS BIGINT) AS vec_id, CAST(${sqlList(queryVec)} AS FLOAT[]) AS embedding),
+       |nq AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM q)
+       |SELECT nq.vec_id AS query_id, c.vec_id AS neighbor_id
+       |FROM nq JOIN n c ON c.vec_id <> nq.vec_id
+       |QUALIFY row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+       |  list_reduce(list_transform(list_zip(nq.embedding, c.embedding),
+       |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |    / (nq.nrm * c.nrm) DESC, c.vec_id ASC) = 1
+       |ORDER BY query_id""".stripMargin
+  }
+
   /** ANN-IVF recall contract through the PERSISTED index
     * ([[graft.operators.Similarity.writeIvfIndex]] +
     * [[graft.operators.Similarity.ivfTopKFromIndex]]): same planted-twin
@@ -1133,6 +1209,7 @@ object TrainingData {
 
   val queries: Map[String, Q] = Map(
     "q64_lsh_topk"         -> q64LshTopK _,
+    "q74_lsh_multiprobe"   -> q74MultiProbe _,
     "q65_ivf_topk"         -> q65IvfTopK _,
     "q66_pack_rows"        -> q66PackRows _,
     "q63_sequential_ids"   -> q63SequentialIds _,
@@ -1163,6 +1240,7 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q64_lsh_topk"         -> q64Sql,
+    "q74_lsh_multiprobe"   -> q74Sql,
     "q65_ivf_topk"         -> q65Sql,
     "q66_pack_rows"        -> q66Sql,
     "q63_sequential_ids"   -> q63Sql,

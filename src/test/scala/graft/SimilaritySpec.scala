@@ -87,6 +87,44 @@ class SimilaritySpec extends SparkSpec {
       s"multiProbeBits=2 did not reach the hamming-2 bucket of $cid")
   }
 
+  test("q74 fixture: planted twin sits at signature distance exactly 2 and only radius 2 finds it") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    import graft.queries.TrainingData.MultiProbeFixture._
+    // the constructed properties the hard-coded constants must keep
+    // (re-verified here so a hyperplane-seed or signature change can
+    // never silently rot the q74 oracle): distance EXACTLY 2, and the
+    // twin's cosine dominates every natural corpus vector
+    val pair = Seq((queryId, queryVec.toSeq), (twinId, twinVec.toSeq))
+      .toDF("vec_id", "embedding")
+    val sigs = pair.select(col("vec_id"),
+        VectorFunctions.lshSignature(col("embedding"), 12, 64).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sigs(queryId) ^ sigs(twinId)) == 2)
+    val qLit = typedlit(queryVec.toSeq)
+    val twinCos = VectorFunctions.cosine(qLit, typedlit(twinVec.toSeq))
+    val maxNatural = emb
+      .agg(max(VectorFunctions.cosine(col("embedding"), qLit)).as("m"),
+        max(twinCos).as("t"))
+      .collect()(0)
+    assert(maxNatural.getDouble(1) > 0.99, "twin cosine degraded")
+    assert(maxNatural.getDouble(0) < maxNatural.getDouble(1) - 0.5,
+      s"twin no longer dominates: natural ${maxNatural.getDouble(0)}")
+    // the end-to-end contract: radius 2 puts the twin at rank 1;
+    // radius 1 (and 0) cannot even see its bucket — the probe
+    // expansion is doing the work, not a lucky collision
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Seq((twinId, twinVec.toSeq)).toDF("vec_id", "embedding"))
+    val queries = Seq((queryId, queryVec.toSeq)).toDF("vec_id", "embedding")
+    def top1(radius: Int): Set[Long] =
+      Similarity.lshTopK(corpus, queries, "vec_id", "embedding",
+          k = 1, dim = 64, nBits = 12, multiProbeBits = radius)
+        .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(top1(2) == Set(twinId), "radius 2 missed the planted twin")
+    assert(!top1(1).contains(twinId), "radius 1 unexpectedly reached a hamming-2 bucket")
+    assert(!top1(0).contains(twinId), "exact-signature bucketing unexpectedly matched")
+  }
+
   test("ANN plans never sort data through a global (empty-partition) window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // a Window with no partitionSpec funnels the whole input through ONE
