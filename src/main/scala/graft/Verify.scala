@@ -13,8 +13,13 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.local(cpus.toInt)
     new java.io.File(outDir).mkdirs()
+    // subset matching accepts full names or prefixes ("q73" matches
+    // "q73_salted_join") — an exact-only match made "q73,q75" silently
+    // run NOTHING, which read as success
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) =>
+        only.forall(_.exists(p => name == p || name.startsWith(p)))
+      }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

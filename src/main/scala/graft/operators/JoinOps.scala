@@ -24,11 +24,20 @@ object JoinOps {
     * user id) and AQE's skew split isn't enough. Salt is derived from a
     * uniform hash of the big side's whole row id — deterministic, no
     * rand() (which breaks retries/speculation).
+    *
+    * `forceSortMerge` mirrors [[bucketedJoin]]'s flag: on a test-sized
+    * dim Catalyst would broadcast the small side — a plan with no
+    * exchange to skew, which exercises nothing — so the hint pins the
+    * shuffled sort-merge shape whose cost profile the salting exists
+    * for (at 100 TB the replicated dim has outgrown the broadcast
+    * threshold anyway).
     */
   def saltedJoin(
       big: DataFrame, small: DataFrame, key: String,
-      saltBuckets: Int = 8, joinType: String = "inner"): DataFrame = {
-    val saltedBig = big.withColumn("_salt", saltColumn(big, saltBuckets))
+      saltBuckets: Int = 8, joinType: String = "inner",
+      forceSortMerge: Boolean = false): DataFrame = {
+    val saltedBig0 = big.withColumn("_salt", saltColumn(big, saltBuckets))
+    val saltedBig = if (forceSortMerge) saltedBig0.hint("merge") else saltedBig0
     val saltedSmall = small
       .withColumn("_salt", explode(array((0 until saltBuckets).map(lit): _*)))
     saltedBig.join(saltedSmall,

@@ -975,7 +975,8 @@ object Relational {
       col("l_extendedprice"))
     val dim = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("skewkey"), col("s_name"))
-    JoinOps.saltedJoin(fact, dim, "skewkey", saltBuckets = 8)
+    JoinOps.saltedJoin(fact, dim, "skewkey", saltBuckets = 8,
+        forceSortMerge = true)
       .groupBy(col("skewkey"), col("s_name"))
       .agg(count(lit(1)).as("n_rows"),
         exactSum(col("l_extendedprice")).as("sum_price"))

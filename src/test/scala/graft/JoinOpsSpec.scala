@@ -57,6 +57,17 @@ class JoinOpsSpec extends SparkSpec {
     val parts = salted.repartition(32, col("skewkey"), col("_salt"))
       .select(spark_partition_id()).distinct().count()
     assert(parts >= 4, s"hot key's 8 salt slices landed in only $parts tasks")
+    // forceSortMerge pins the shuffled join shape (a broadcast of the
+    // test-sized dim would leave no exchange to skew): the executed
+    // plan must be a sort-merge join keyed on BOTH skewkey and _salt
+    val dim = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("skewkey"), col("s_name"))
+    val joined = JoinOps.saltedJoin(fact, dim, "skewkey", saltBuckets = 8,
+      forceSortMerge = true)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"salted join not sort-merge:\n$plan")
+    assert(plan.contains("_salt"), s"salt missing from join keys:\n$plan")
+    assert(!plan.contains("BroadcastHashJoin"), s"dim still broadcast:\n$plan")
   }
 
   test("bucketed tables join with no Exchange in the plan") {
