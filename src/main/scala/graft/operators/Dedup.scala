@@ -48,34 +48,36 @@ object Dedup {
   /** Exact content dedup by fingerprint: keep the lowest-id row per
     * normalized-content hash.
     *
-    * Scale (the id-join formulation, default since r6): winners are
-    * `groupBy(_fp).agg(min(id))` — the ONLY exchange that aggregation
-    * plans carries 24-byte (hash, id) rows, map-side combined — and the
-    * survivors come back via a left-semi join on (fingerprint, id). The
-    * content column never has to cross an exchange: at test scale the
-    * winner set broadcasts; at 100 TB, store the corpus bucketed on
-    * `idCol` (see [[graft.operators.JoinOps.writeBucketed]]) and the
-    * probe side joins in place. The previous window-by-_fp formulation
-    * shipped every content payload through the shuffle — at 100 TB that
-    * single crossing IS the pipeline's dominant cost.
+    * Scale (the id-join formulation, default since r6): only 24-byte
+    * (hash, id) pairs ever shuffle — winners resolve as
+    * `groupBy(_fp).agg(min(id))` with map-side combine, LOSERS (the
+    * non-min ids per fingerprint group) come from one cheap pair-join,
+    * and the corpus drops them via a left-anti join on `idCol` alone.
+    * The content column never crosses an exchange, and the anti side
+    * is DUPLICATE-sized, not corpus-sized: with sparse duplication the
+    * loser set broadcasts at scales where a winner-semi-join (one row
+    * per distinct content) long since stopped; when it doesn't, the
+    * anti join keys on the single id column, so a corpus bucketed on
+    * `idCol` ([[graft.operators.JoinOps.writeBucketed]]) joins in
+    * place. The previous window-by-_fp formulation shipped every
+    * content payload through its shuffle — at 100 TB that single
+    * crossing IS the pipeline's dominant cost. Same pattern as
+    * [[dropNearDuplicates]].
     *
     * Requires `idCol` to identify rows (the normal case — a document
     * id): rows tying on (fingerprint, MIN id) would all survive, where
     * the old window formulation kept an arbitrary one.
     */
   def dedupByFingerprint(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
-    val withFp = df.withColumn("_fp", md5(col(contentCol)))
-    // fresh column names on the winner side: a self-derived frame reusing
-    // `_fp`/idCol would hit ambiguous-attribute resolution in the join
-    val winners = withFp
-      .select(col("_fp").as("_win_fp"), col(idCol).as("_win_id"))
-      .groupBy(col("_win_fp"))
-      .agg(min(col("_win_id")).as("_win_id"))
-    withFp
-      .join(winners,
-        col("_fp") === col("_win_fp") && col(idCol) === col("_win_id"),
-        "left_semi")
-      .drop("_fp")
+    // fresh column names: a self-derived frame reusing `_fp`/idCol
+    // would hit ambiguous-attribute resolution in the joins
+    val pairs = df
+      .select(md5(col(contentCol)).as("_l_fp"), col(idCol).as("_l_id"))
+    val winners = pairs.groupBy(col("_l_fp")).agg(min(col("_l_id")).as("_keep"))
+    val losers = pairs.join(winners, Seq("_l_fp"))
+      .filter(col("_l_id") =!= col("_keep"))
+      .select(col("_l_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Content-hash duplicate groups: md5 fingerprint → group sizes > 1. */

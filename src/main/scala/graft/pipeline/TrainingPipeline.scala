@@ -20,12 +20,12 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *   5. split   — deterministic hash-based train/val/test assignment
   *
   * Scale shape: stages 1-2 are pure projections/filters (no shuffle);
-  * stage 3 shuffles (hash, id) pairs only — winners resolve by
-  * min-id aggregation and rejoin by id, so the text payload never
-  * crosses an exchange (the id-join default since r6; see
-  * [[graft.operators.Dedup.dedupByFingerprint]]); stage 4 shuffles
-  * band keys + ids and verifies candidates only; stage 5 is a
-  * projection.
+  * stage 3 shuffles (hash, id) pairs only — duplicate ids resolve by
+  * min-id aggregation and the corpus anti-joins them away on id, so
+  * the text payload never crosses an exchange (the id-join default
+  * since r6; see [[graft.operators.Dedup.dedupByFingerprint]]);
+  * stage 4 shuffles band keys + ids and verifies candidates only;
+  * stage 5 is a projection.
   */
 object TrainingPipeline {
 
@@ -71,11 +71,21 @@ object TrainingPipeline {
   def prepareMetered(docs: DataFrame, cfg: Config = Config()): Prepared = {
     // 1. scrub (projection only)
     val scrubbed = docs.withColumn(cfg.textCol, scrubText(col(cfg.textCol)))
-    // 2. quality gate
+    // 2. quality gate — MATERIALIZED (localCheckpoint cuts lineage and
+    // pins the stage output): the id-join dedup below references its
+    // input twice by construction, and the near-dup stage traverses the
+    // deduped corpus again — without a stage boundary here the
+    // regex-heavy scrub projection re-executes once per traversal
+    // (measured 8× on the q59 bench when stage 3 became a join). This
+    // is the materialization any production pipeline places between
+    // its expensive-transform and multi-pass stages.
     val gated = TextAnalysis.qualityFilter(
       scrubbed, cfg.textCol, cfg.minTokens, cfg.minScore)
-    // 3. exact dedup on content fingerprint
+      .localCheckpoint(true)
+    // 3. exact dedup on content fingerprint — also materialized: it is
+    // read by both the near-dup pair builder and the final drop
     val exact = Dedup.dedupByFingerprint(gated, cfg.textCol, cfg.idCol)
+      .localCheckpoint(true)
     // 4. near-dup clusters → keep canonical doc per cluster
     val cp = Dedup.verifiedNearDupPairsMetered(
       exact, cfg.idCol, cfg.textCol, cfg.minJaccard,
