@@ -48,12 +48,19 @@ class RelationalSpec extends SparkSpec {
     assert(byCust.forall(_.getAs[Long]("count") <= 3))
   }
 
-  test("q40 sketch percentiles are lossless at test accuracy (== exact discrete element)") {
+  test("sketch percentiles are lossless at lossless accuracy (== exact discrete element)") {
     import org.apache.spark.sql.functions._
-    val approx = Relational.q40ApproxPercentiles(spark, sfDir).collect()
+    // the r3-r5 q40 ORACLE property, kept as a spec after q40 moved to
+    // production accuracy: with accuracy ≥ group size the GK summary is
+    // exact and returns the discrete element at position ceil(p*n)-1
+    val approx = graft.sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000000)").as("_ap"),
+        expr("approx_percentile(l_quantity, 0.5, 1000000)").as("_q50"))
+      .select(col("l_returnflag"), col("_ap").getItem(0), col("_ap").getItem(1), col("_q50"))
+      .collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    // independent exact computation: per-group sorted values, element at
-    // the quantile_disc position ceil(p*n)-1
     val li = graft.sources.Tables.lineitem(spark, sfDir)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
       .collect().groupBy(_.getString(0))
@@ -65,6 +72,16 @@ class RelationalSpec extends SparkSpec {
       assert(p90 == disc(prices, 0.9), s"$flag p90")
       assert(q50 == disc(qtys, 0.5), s"$flag q50")
     }
+  }
+
+  test("q40 production-accuracy sketch satisfies its GK rank contract") {
+    val rows = Relational.q40ApproxPercentiles(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"GK contract violated: $r")
+    }
+    assert(rows.map(_.getAs[Long]("n_rows")).sum ==
+      graft.sources.Tables.lineitem(spark, sfDir).count())
   }
 
   test("q41 risk categories partition all events and thresholds hold") {
