@@ -214,34 +214,68 @@ object Similarity {
       idCol: String, vecCol: String, outId: String, nprobe: Int): DataFrame =
     assignNearest(df, centroids, idCol, vecCol, outId, "_qv", nprobe)
 
-  /** Zero-shuffle nearest-centroid assignment (shared by the index
-    * build and the query probe): the ≤`nlist` centroids are collected —
-    * they are `orderBy.limit(nlist)` driver-sized by construction — and
-    * each row's `nprobe` nearest centroids come out of ONE native
-    * projection: score every centroid literal, sort the scored array,
-    * keep the first `nprobe`, explode.
+  /** Nearest-centroid assignment (shared by the index build and the
+    * query probe), two regimes:
     *
-    * This replaces a broadcast-expand + window formulation whose
-    * `Window.partitionBy(id)` sent every corpus vector through an
-    * exchange nlist-amplified, payload included — at 10⁹ vectors ×
-    * nlist=1024 the difference between an overnight index build and an
-    * impossible one. Now the build plan is scan → projection → write:
-    * no Exchange at all (PlanShapeSpec asserts it).
+    * **Literal regime** (nlist × dim ≤ [[maxLiteralCells]], the normal
+    * IVF shape at test and mid scale): the ≤`nlist` centroids are
+    * collected — they are `orderBy.limit(nlist)` driver-sized by
+    * construction — and each row's `nprobe` nearest centroids come out
+    * of ONE native projection: score every centroid literal, sort the
+    * scored array, keep the first `nprobe`, explode. ZERO shuffle: the
+    * build plan is scan → projection → write (PlanShapeSpec asserts no
+    * Exchange at all).
     *
-    * Tie-break parity with the window it replaces
-    * (`row_number over (desc(_sim), asc(centroid_id))`): the array sort
-    * key is the struct (negated cosine, centroid_id) — lexicographic
-    * struct ordering gives cosine desc then id asc — with NULL cosine
-    * (zero vectors) mapped to Double.MaxValue, matching desc-nulls-last.
+    * **Aggregate regime** (huge indexes — a 10⁹-vector corpus wants
+    * nlist ~3·10⁴, and 3·10⁴ × dim literals would blow plan/codegen
+    * limits): broadcast-join the centroid table, score per (row,
+    * centroid) MAP-SIDE, and reduce to the argmin with a `min_by`
+    * aggregation — partial aggregation collapses the nlist-amplified
+    * scored rows inside each task, so the exchange carries the corpus
+    * exactly ONCE (payload included, un-amplified). Never the window
+    * formulation this module dropped in r6, whose exchange was
+    * nlist-amplified. Only the nprobe = 1 (corpus-assignment) case can
+    * take this path; the probe side is query-sized and always fits the
+    * literal regime.
+    *
+    * Tie-break parity across both regimes and with the window they
+    * replace (`row_number over (desc(_sim), asc(centroid_id))`): the
+    * ordering key is the struct (negated cosine, centroid_id) —
+    * lexicographic struct ordering gives cosine desc then id asc —
+    * with NULL cosine (zero vectors) mapped to Double.MaxValue,
+    * matching desc-nulls-last.
     */
   private def assignNearest(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, outId: String, vecOut: String,
+      nprobe: Int): DataFrame = {
+    val nlist = centroids.limit(maxLiteralCells + 1).count()
+    require(nlist > 0, "assignNearest: empty centroid set")
+    val dim = centroids.select(size(col("_centroid"))).head().getInt(0)
+    if (nlist * dim <= maxLiteralCells)
+      assignNearestLiteral(df, centroids, idCol, vecCol, outId, vecOut, nprobe)
+    else {
+      require(nprobe == 1,
+        s"assignNearest: nlist=$nlist x dim=$dim exceeds the literal-plan budget " +
+          s"($maxLiteralCells cells) and the aggregate path supports nprobe=1 only " +
+          "(corpus assignment); probe query batches with <= budget-sized centroid sets")
+      assignNearestAgg(df, centroids, idCol, vecCol, outId, vecOut)
+    }
+  }
+
+  /** Plan-size budget for embedding centroids as literals: ~256k cells
+    * ≈ 2 MB of doubles in the plan — well under codegen/proto limits,
+    * far above any test fixture.
+    */
+  private[graft] val maxLiteralCells = 1 << 18
+
+  private[graft] def assignNearestLiteral(
       df: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, outId: String, vecOut: String,
       nprobe: Int): DataFrame = {
     // bounded collect: ≤ nlist rows, each one centroid id + one vector
     val vecType = centroids.schema("_centroid").dataType
     val cents = centroids.select(col("centroid_id"), col("_centroid")).collect()
-    require(cents.nonEmpty, "assignNearest: empty centroid set")
     val scored = cents.map { r =>
       val cvec: Column = vecType match {
         case ArrayType(FloatType, _)  => typedlit(r.getSeq[Float](1))
@@ -258,5 +292,23 @@ object Similarity {
     df.select(col(idCol).as(outId), col(vecCol).as(vecOut))
       .withColumn("_best", explode(best))
       .select(col(outId), col("_best.cid").as("centroid_id"), col(vecOut))
+  }
+
+  private[graft] def assignNearestAgg(
+      df: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, outId: String, vecOut: String): DataFrame = {
+    val sim = cosine(col(vecOut), col("_centroid"))
+    df.select(col(idCol).as(outId), col(vecCol).as(vecOut))
+      .join(broadcast(centroids))
+      .select(col(outId), col(vecOut), col("centroid_id"),
+        when(sim.isNull, lit(Double.MaxValue)).otherwise(-sim).as("_negsim"))
+      .groupBy(col(outId))
+      .agg(
+        min_by(col("centroid_id"), struct(col("_negsim"), col("centroid_id")))
+          .as("centroid_id"),
+        // every row in the group carries the same vector (it rode the
+        // broadcast expansion), so first() is deterministic here
+        first(col(vecOut)).as(vecOut))
+      .select(col(outId), col("centroid_id"), col(vecOut))
   }
 }

@@ -131,6 +131,28 @@ class SimilaritySpec extends SparkSpec {
     assert(!top1(0).contains(twinId), "exact-signature bucketing unexpectedly matched")
   }
 
+  test("IVF centroid assignment: literal and aggregate regimes agree exactly") {
+    // the literal regime (centroids embedded in one projection, zero
+    // shuffle) serves nlist x dim up to the plan budget; past it the
+    // build switches to broadcast-join + min_by aggregation (corpus
+    // crosses the exchange ONCE, never nlist-amplified). Both must
+    // produce the identical assignment, tie-breaks included.
+    import graft.operators.Similarity
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val centroids = corpus
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("_centroid"))
+      .orderBy("centroid_id").limit(8)
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("neighbor_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaLiteral = collect(Similarity.assignNearestLiteral(
+      corpus, centroids, "vec_id", "embedding", "neighbor_id", "_cv", nprobe = 1))
+    val viaAgg = collect(Similarity.assignNearestAgg(
+      corpus, centroids, "vec_id", "embedding", "neighbor_id", "_cv"))
+    assert(viaLiteral == viaAgg,
+      s"regimes disagree on ${(viaLiteral diff viaAgg) ++ (viaAgg diff viaLiteral)}")
+  }
+
   test("ANN plans never sort data through a global (empty-partition) window") {
     import org.apache.spark.sql.execution.window.WindowExec
     // a Window with no partitionSpec funnels the whole input through ONE
