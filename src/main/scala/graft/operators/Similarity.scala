@@ -118,12 +118,16 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
     // deterministic centroid sample via TakeOrderedAndProject
     // (per-partition top-nlist heaps + driver merge of nlist·P rows).
     // A row_number() over a global Window.orderBy here would funnel
     // the ENTIRE corpus through one partition — fatal at scale.
-    val centroids = centroidSample(corpus, idCol, vecCol, nlist)
+    // refineIters > 0 runs the deterministic k-means fit instead
+    // ([[fitCentroids]]) — better-balanced lists, same contract.
+    val centroids =
+      if (refineIters > 0) fitCentroids(corpus, idCol, vecCol, nlist, refineIters)
+      else centroidSample(corpus, idCol, vecCol, nlist)
 
     val assigned = assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
@@ -147,8 +151,11 @@ object Similarity {
     */
   def writeIvfIndex(
       corpus: DataFrame, path: String,
-      idCol: String, vecCol: String, nlist: Int = 16): Unit = {
-    val centroids = centroidSample(corpus, idCol, vecCol, nlist)
+      idCol: String, vecCol: String, nlist: Int = 16,
+      refineIters: Int = 0): Unit = {
+    val centroids =
+      if (refineIters > 0) fitCentroids(corpus, idCol, vecCol, nlist, refineIters)
+      else centroidSample(corpus, idCol, vecCol, nlist)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
       .select(col("neighbor_id"), col("_cv").as("embedding"), col("centroid_id"))
@@ -203,6 +210,69 @@ object Similarity {
       .select(col(idCol).as("centroid_id"), col(vecCol).as("_centroid"))
       .orderBy(col("centroid_id"))
       .limit(nlist)
+
+  /** Deterministic distributed k-means (Lloyd) refinement for IVF
+    * centroids — the offline fit [[ivfTopK]]'s scaladoc defers to.
+    * Seeds from [[centroidSample]], then per iteration: assign every
+    * corpus vector to its nearest centroid (the same two-regime
+    * assignment the index build uses — zero-shuffle literal projection
+    * or min_by aggregation, never a window) and recompute each
+    * centroid as its list's per-dimension mean. Returns
+    * (centroid_id, _centroid) with the seed ids as stable labels,
+    * ready to feed an index build; empty lists keep their previous
+    * centroid (standard Lloyd handling).
+    *
+    * DETERMINISM is load-bearing: a plain `avg(double)` folds in
+    * partial-aggregation order and yields different centroids run to
+    * run — a rebuilt index would silently re-bucket. The means here
+    * use decimal-exact sums (the `graft.queries.Det` discipline):
+    * decimal addition is associative, so the fit is bit-stable for a
+    * given corpus regardless of partitioning. A spec asserts two runs
+    * produce identical centroids and that refinement does not worsen
+    * mean assignment cosine.
+    *
+    * Scale shape per iteration: one assignment pass, then a
+    * per-dimension aggregation — `posexplode` amplifies rows ×dim but
+    * hash partial aggregation collapses them to ≤ nlist × dim rows per
+    * task before the exchange, the standard distributed-k-means
+    * profile. The centroid means themselves (nlist × dim cells) are
+    * driver-bounded by the same budget the assignment uses.
+    */
+  def fitCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int = 16, iters: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val elemType = corpus.schema(vecCol).dataType match {
+      case ArrayType(t, _) => t
+      case t => throw new IllegalArgumentException(s"$vecCol is not a vector: $t")
+    }
+    var centroids = centroidSample(corpus, idCol, vecCol, nlist)
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val assigned =
+        assignToCentroid(corpus, centroids, idCol, vecCol, "_kid")
+      // per-(centroid, dimension) exact-decimal mean: associative sum,
+      // one final double division — order-independent, bit-stable
+      val dimMeans = assigned
+        .select(col("centroid_id"), posexplode(col("_cv")).as(Seq("_pos", "_x")))
+        .groupBy(col("centroid_id"), col("_pos"))
+        .agg((sum(col("_x").cast(DecimalType(28, 8))).cast(DoubleType) /
+          count(lit(1))).as("_m"))
+      val refit = dimMeans
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("_pos").as("p"), col("_m").as("m"))))
+          .as("_pm"))
+        .select(col("centroid_id"),
+          transform(col("_pm"), x => x.getField("m").cast(elemType)).as("_refit"))
+      // empty lists vanish from `refit`: keep their previous centroid
+      centroids = centroids
+        .join(refit, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("_refit"), col("_centroid")).as("_centroid"))
+        .localCheckpoint(true)
+    }
+    centroids
+  }
 
   private[graft] def assignToCentroid(
       df: DataFrame, centroids: DataFrame,

@@ -1150,6 +1150,90 @@ object TrainingData {
 
   val q65Sql: String = q64Sql
 
+  /** Deterministic distributed k-means on the oracle gate
+    * ([[graft.operators.Similarity.fitCentroids]] — the IVF offline
+    * fit): seed 16 centroids by lowest vec_id, run TWO full Lloyd
+    * iterations (assign → decimal-exact per-dimension means, empty
+    * lists keep their centroid), assign the corpus to the final
+    * centroids, and emit per-centroid membership COUNTS — an
+    * integer-only contract, so no float crosses engines, yet any
+    * divergence anywhere in the iteration (a mean off by one ulp, a
+    * tie broken differently, a float cast rounded differently)
+    * re-buckets some vector and breaks the count match. The DuckDB
+    * twin replays both iterations in SQL with the identical
+    * arithmetic: the q64 cosine formula, (cosine DESC, centroid ASC)
+    * assignment tie-break, DECIMAL(28,8) sums with one double
+    * division, means cast back to REAL. This is exactly the
+    * bit-stability property the operator exists for: a re-run fit
+    * must never silently re-bucket a persisted index.
+    */
+  def q76KmeansCounts(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.fitCentroids(corpus, "vec_id", "embedding",
+      nlist = 16, iters = 2)
+    Similarity.assignToCentroid(corpus, cents, "vec_id", "embedding", "_id")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy("centroid_id")
+  }
+
+  // one Lloyd step in SQL: assign by cosine (q64's formula, same
+  // tie-break), then per-dimension decimal-exact means, empty lists
+  // keeping the previous centroid
+  private def kmeansStepSql(prev: String, out: String): String =
+    s"""a_$out AS (
+       |  SELECT e.vec_id, c.cid, e.embedding
+       |  FROM n_e e CROSS JOIN n_$prev c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |      / (e.nrm * c.nrm) DESC, c.cid ASC) = 1),
+       |m_$out AS (
+       |  SELECT cid, pos,
+       |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m
+       |  FROM (SELECT cid, unnest(range(len(embedding))) AS pos,
+       |          unnest(embedding) AS x
+       |        FROM a_$out)
+       |  GROUP BY cid, pos),
+       |r_$out AS (
+       |  SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS c
+       |  FROM m_$out GROUP BY cid),
+       |$out AS (
+       |  SELECT p.cid, COALESCE(r.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN r_$out r ON p.cid = r.cid),
+       |n_$out AS (
+       |  SELECT cid, c,
+       |    sqrt(list_reduce(list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM $out)""".stripMargin
+
+  val q76Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |n_e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM e),
+       |seed AS (SELECT vec_id AS cid, embedding AS c FROM e ORDER BY vec_id LIMIT 16),
+       |n_seed AS (
+       |  SELECT cid, c,
+       |    sqrt(list_reduce(list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM seed),
+       |${kmeansStepSql("seed", "it1")},
+       |${kmeansStepSql("it1", "it2")},
+       |final_assign AS (
+       |  SELECT e.vec_id, c.cid
+       |  FROM n_e e CROSS JOIN n_it2 c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |      / (e.nrm * c.nrm) DESC, c.cid ASC) = 1)
+       |SELECT cid AS centroid_id, count(*) AS n_members
+       |FROM final_assign
+       |GROUP BY cid
+       |ORDER BY centroid_id""".stripMargin
+
   /** Row-level packing surface ([[graft.operators.Packing.packSequences]]):
     * the per-document (shard, pack_id, pack_offset) assignment — q54
     * checks the pack-level manifest; this checks every document's
@@ -1210,6 +1294,7 @@ object TrainingData {
   val queries: Map[String, Q] = Map(
     "q64_lsh_topk"         -> q64LshTopK _,
     "q74_lsh_multiprobe"   -> q74MultiProbe _,
+    "q76_kmeans_counts"    -> q76KmeansCounts _,
     "q65_ivf_topk"         -> q65IvfTopK _,
     "q66_pack_rows"        -> q66PackRows _,
     "q63_sequential_ids"   -> q63SequentialIds _,
@@ -1241,6 +1326,7 @@ object TrainingData {
   val oracle: Map[String, String] = Map(
     "q64_lsh_topk"         -> q64Sql,
     "q74_lsh_multiprobe"   -> q74Sql,
+    "q76_kmeans_counts"    -> q76Sql,
     "q65_ivf_topk"         -> q65Sql,
     "q66_pack_rows"        -> q66Sql,
     "q63_sequential_ids"   -> q63Sql,

@@ -131,6 +131,45 @@ class SimilaritySpec extends SparkSpec {
     assert(!top1(0).contains(twinId), "exact-signature bucketing unexpectedly matched")
   }
 
+  test("k-means refinement: bit-deterministic, never worsens assignment quality, preserves IVF recall") {
+    import graft.operators.Similarity
+    import graft.functions.VectorFunctions
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    def fit(iters: Int) = Similarity
+      .fitCentroids(corpus, "vec_id", "embedding", nlist = 8, iters = iters)
+    // bit-determinism: decimal-exact means — two fits over different
+    // partitionings of the same data must agree exactly
+    def snapshot(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toList).toMap
+    val run1 = snapshot(fit(2))
+    val run2 = snapshot(Similarity.fitCentroids(
+      corpus.repartition(7), "vec_id", "embedding", nlist = 8, iters = 2))
+    assert(run1 == run2, "k-means fit is not partition-independent")
+    // quality: mean cosine of each vector to its assigned centroid
+    // must not degrade vs the id-sampled seed
+    def meanCos(cents: org.apache.spark.sql.DataFrame): Double =
+      Similarity.assignToCentroid(corpus, cents, "vec_id", "embedding", "_id")
+        .join(cents, Seq("centroid_id"))
+        .agg(avg(VectorFunctions.cosine(col("_cv"), col("_centroid"))))
+        .head().getDouble(0)
+    val (seedQ, refinedQ) = (meanCos(fit(0)), meanCos(fit(2)))
+    assert(refinedQ >= seedQ - 1e-9,
+      s"refinement degraded assignment quality: $seedQ -> $refinedQ")
+    // recall: a planted identical twin still lands at rank 1 through
+    // ivfTopK with refined centroids (twin and query share arithmetic,
+    // so nprobe >= 1 always probes the twin's list)
+    import spark.implicits._
+    val planted = corpus.unionByName(
+      corpus.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")))
+    val queries = corpus.filter(col("vec_id") < 5)
+    val top1 = Similarity.ivfTopK(planted, queries, "vec_id", "embedding",
+        k = 1, nlist = 8, nprobe = 2, refineIters = 2)
+      .collect().map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    (0L until 5L).foreach(q =>
+      assert(top1(q) == q + 900000L, s"refined IVF lost the twin of $q"))
+  }
+
   test("IVF centroid assignment: literal and aggregate regimes agree exactly") {
     // the literal regime (centroids embedded in one projection, zero
     // shuffle) serves nlist x dim up to the plan budget; past it the
