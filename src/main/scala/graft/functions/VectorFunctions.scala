@@ -15,11 +15,14 @@ import org.apache.spark.sql.types._
   */
 object VectorFunctions {
 
-  /** Inner product in double precision (sequential fold, deterministic). */
+  /** Inner product in double precision (sequential fold, deterministic).
+    * A codegen'd primitive loop ([[graft.expressions.DotProductExpression]])
+    * computing bit-for-bit what the HOF formulation
+    * `aggregate(zip_with(a, b, double(x)*double(y)), 0.0, acc+v)`
+    * computed before r6 — minus the interpreted per-element lambda tax.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    graft.expressions.DotProductExpression.dotProduct(a, b)
 
   /** Decimal-exact inner product: per-element double product rounded to
     * DECIMAL(20,12), summed exactly — order-independent, engine-exact.
@@ -74,10 +77,8 @@ object VectorFunctions {
   def lshSignature(v: Column, nBits: Int, dim: Int, planeSeed: Long = 42L): Column = {
     require(nBits <= 63, "signature must fit a long")
     val bits = (0 until nBits).map { i =>
-      val proj = aggregate(
-        zip_with(v, typedlit(plane(planeSeed, i, dim).toSeq),
-          (x, r) => x.cast(DoubleType) * r),
-        lit(0.0), (acc, x) => acc + x)
+      val proj = graft.expressions.DotProductExpression.dotProduct(
+        v, typedlit(plane(planeSeed, i, dim).toSeq))
       when(proj > 0.0, lit(1L)).otherwise(lit(0L))
     }
     bits.foldLeft(lit(0L))((acc, b) => acc * lit(2L) + b)
