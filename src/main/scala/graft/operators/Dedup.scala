@@ -67,6 +67,13 @@ object Dedup {
     * Requires `idCol` to identify rows (the normal case — a document
     * id): rows tying on (fingerprint, MIN id) would all survive, where
     * the old window formulation kept an arbitrary one.
+    *
+    * NULL content forms its own group (null-safe `<=>` join key): all
+    * null-content rows share the null fingerprint and exactly one — the
+    * lowest id — survives, matching the window-over-md5 formulation
+    * (SQL window PARTITION BY groups NULLs together). A plain equi-join
+    * here would silently drop null keys and let every null-content row
+    * survive.
     */
   def dedupByFingerprint(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     // fresh column names: a self-derived frame reusing `_fp`/idCol
@@ -74,7 +81,10 @@ object Dedup {
     val pairs = df
       .select(md5(col(contentCol)).as("_l_fp"), col(idCol).as("_l_id"))
     val winners = pairs.groupBy(col("_l_fp")).agg(min(col("_l_id")).as("_keep"))
-    val losers = pairs.join(winners, Seq("_l_fp"))
+      .withColumnRenamed("_l_fp", "_w_fp")
+    // EqualNullSafe is still an equi-join key for Catalyst (hash join,
+    // never a cartesian) — it just keeps the null-fingerprint group
+    val losers = pairs.join(winners, col("_l_fp") <=> col("_w_fp"))
       .filter(col("_l_id") =!= col("_keep"))
       .select(col("_l_id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -303,4 +303,20 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 0L).count() == 1)     // original kept
     assert(out.count() == planted.count())
   }
+
+  test("exact dedup treats NULL content as one group (null-safe join)") {
+    import spark.implicits._
+    // md5(NULL) is NULL: a plain equi-join on the fingerprint would drop
+    // the null key and let every null-content row survive, silently
+    // diverging from the window-over-md5 formulation (SQL windows group
+    // NULLs together). The null-safe <=> join keeps exactly one.
+    val rows = Seq(
+      (1L, Some("alpha")), (2L, None: Option[String]), (3L, Some("alpha")),
+      (4L, None), (5L, Some("beta")), (6L, None)
+    ).toDF("doc_id", "text")
+    val kept = Dedup.dedupByFingerprint(rows, "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // "alpha" group -> 1, null group -> 2 (lowest id), "beta" -> 5
+    assert(kept == Set(1L, 2L, 5L))
+  }
 }
