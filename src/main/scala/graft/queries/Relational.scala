@@ -1004,14 +1004,18 @@ object Relational {
     */
   def q73SaltedJoin(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.JoinOps
+    // carry lineitem's natural row id so the salt hashes (key, id) —
+    // the 100 TB path (r7): a full-width row hash per fact row costs
+    // more than the join's own CPU, and would silently reshuffle if a
+    // caller widened the projection
     val fact = Tables.lineitem(s, dir).select(
       when(pmod(col("l_orderkey"), lit(10)) < 4, lit(1L))
         .otherwise(col("l_suppkey")).as("skewkey"),
-      col("l_extendedprice"))
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val dim = Tables.supplier(s, dir)
       .select(col("s_suppkey").as("skewkey"), col("s_name"))
     JoinOps.saltedJoin(fact, dim, "skewkey", saltBuckets = 8,
-        forceSortMerge = true)
+        forceSortMerge = true, idCols = Seq("l_orderkey", "l_linenumber"))
       .groupBy(col("skewkey"), col("s_name"))
       .agg(count(lit(1)).as("n_rows"),
         exactSum(col("l_extendedprice")).as("sum_price"))

