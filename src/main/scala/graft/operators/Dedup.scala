@@ -68,23 +68,28 @@ object Dedup {
     * id): rows tying on (fingerprint, MIN id) would all survive, where
     * the old window formulation kept an arbitrary one.
     *
-    * NULL content forms its own group (null-safe `<=>` join key): all
-    * null-content rows share the null fingerprint and exactly one — the
-    * lowest id — survives, matching the window-over-md5 formulation
-    * (SQL window PARTITION BY groups NULLs together). A plain equi-join
-    * here would silently drop null keys and let every null-content row
-    * survive.
+    * NULL content forms its own group: the fingerprint coalesces
+    * md5(content) — NULL for null content — to a sentinel outside
+    * md5's hex alphabet, so all null-content rows share one group key
+    * and exactly one (the lowest id) survives, matching the
+    * window-over-md5 formulation (SQL window PARTITION BY groups NULLs
+    * together). A bare md5 key would drop null rows from the equi-join
+    * and let every null-content row survive; a null-safe `<=>` join
+    * would keep them but defeats Catalyst's join cardinality
+    * estimation (EqualNullSafe is not an equality for stats), which
+    * de-broadcasts the final anti join and ships content through an
+    * exchange — the exact regression PlanShapeSpec's q18 assert exists
+    * to catch.
     */
   def dedupByFingerprint(df: DataFrame, contentCol: String, idCol: String): DataFrame = {
     // fresh column names: a self-derived frame reusing `_fp`/idCol
     // would hit ambiguous-attribute resolution in the joins
+    val nullFp = "_null_content_" // not 32-char hex: cannot collide
     val pairs = df
-      .select(md5(col(contentCol)).as("_l_fp"), col(idCol).as("_l_id"))
+      .select(coalesce(md5(col(contentCol)), lit(nullFp)).as("_l_fp"),
+        col(idCol).as("_l_id"))
     val winners = pairs.groupBy(col("_l_fp")).agg(min(col("_l_id")).as("_keep"))
-      .withColumnRenamed("_l_fp", "_w_fp")
-    // EqualNullSafe is still an equi-join key for Catalyst (hash join,
-    // never a cartesian) — it just keeps the null-fingerprint group
-    val losers = pairs.join(winners, col("_l_fp") <=> col("_w_fp"))
+    val losers = pairs.join(winners, Seq("_l_fp"))
       .filter(col("_l_id") =!= col("_keep"))
       .select(col("_l_id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")

@@ -118,7 +118,8 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0): DataFrame = {
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0,
+      literalCellBudget: Int = maxLiteralCells): DataFrame = {
     // deterministic centroid sample via TakeOrderedAndProject
     // (per-partition top-nlist heaps + driver merge of nlist·P rows).
     // A row_number() over a global Window.orderBy here would funnel
@@ -126,10 +127,12 @@ object Similarity {
     // refineIters > 0 runs the deterministic k-means fit instead
     // ([[fitCentroids]]) — better-balanced lists, same contract.
     val centroids =
-      if (refineIters > 0) fitCentroids(corpus, idCol, vecCol, nlist, refineIters)
+      if (refineIters > 0)
+        fitCentroids(corpus, idCol, vecCol, nlist, refineIters, literalCellBudget)
       else centroidSample(corpus, idCol, vecCol, nlist)
 
-    val assigned = assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
+    val assigned = assignToCentroid(corpus, centroids, idCol, vecCol,
+      "neighbor_id", literalCellBudget)
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
 
     val w = Window.partitionBy(col("query_id"))
@@ -152,12 +155,15 @@ object Similarity {
   def writeIvfIndex(
       corpus: DataFrame, path: String,
       idCol: String, vecCol: String, nlist: Int = 16,
-      refineIters: Int = 0): Unit = {
+      refineIters: Int = 0,
+      literalCellBudget: Int = maxLiteralCells): Unit = {
     val centroids =
-      if (refineIters > 0) fitCentroids(corpus, idCol, vecCol, nlist, refineIters)
+      if (refineIters > 0)
+        fitCentroids(corpus, idCol, vecCol, nlist, refineIters, literalCellBudget)
       else centroidSample(corpus, idCol, vecCol, nlist)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id")
+    assignToCentroid(corpus, centroids, idCol, vecCol, "neighbor_id",
+      literalCellBudget)
       .select(col("neighbor_id"), col("_cv").as("embedding"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
@@ -240,7 +246,8 @@ object Similarity {
     */
   def fitCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int = 16, iters: Int = 2): DataFrame = {
+      nlist: Int = 16, iters: Int = 2,
+      literalCellBudget: Int = maxLiteralCells): DataFrame = {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val elemType = corpus.schema(vecCol).dataType match {
       case ArrayType(t, _) => t
@@ -250,7 +257,8 @@ object Similarity {
       .localCheckpoint(true)
     for (_ <- 0 until iters) {
       val assigned =
-        assignToCentroid(corpus, centroids, idCol, vecCol, "_kid")
+        assignToCentroid(corpus, centroids, idCol, vecCol, "_kid",
+          literalCellBudget)
       // per-(centroid, dimension) exact-decimal mean: associative sum,
       // one final double division — order-independent, bit-stable
       val dimMeans = assigned
@@ -276,8 +284,10 @@ object Similarity {
 
   private[graft] def assignToCentroid(
       df: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, outId: String): DataFrame =
-    assignNearest(df, centroids, idCol, vecCol, outId, "_cv", nprobe = 1)
+      idCol: String, vecCol: String, outId: String,
+      literalCellBudget: Int = maxLiteralCells): DataFrame =
+    assignNearest(df, centroids, idCol, vecCol, outId, "_cv", nprobe = 1,
+      literalCellBudget)
 
   private[graft] def assignToCentroids(
       df: DataFrame, centroids: DataFrame,
@@ -314,15 +324,21 @@ object Similarity {
     * lexicographic struct ordering gives cosine desc then id asc —
     * with NULL cosine (zero vectors) mapped to Double.MaxValue,
     * matching desc-nulls-last.
+    *
+    * `literalCellBudget` (r7) injects the regime threshold so the
+    * aggregate path — the one that actually runs at 10⁹-vector scale —
+    * is exercisable on the cross-engine oracle gate (q65b forces it
+    * with budget 1) and in plan-shape CI, not just in regime-parity
+    * specs. Production callers leave the default.
     */
   private def assignNearest(
       df: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, outId: String, vecOut: String,
-      nprobe: Int): DataFrame = {
+      nprobe: Int, literalCellBudget: Int = maxLiteralCells): DataFrame = {
     val nlist = centroids.limit(maxLiteralCells + 1).count()
     require(nlist > 0, "assignNearest: empty centroid set")
     val dim = centroids.select(size(col("_centroid"))).head().getInt(0)
-    if (nlist * dim <= maxLiteralCells)
+    if (nlist * dim <= literalCellBudget)
       assignNearestLiteral(df, centroids, idCol, vecCol, outId, vecOut, nprobe)
     else {
       require(nprobe == 1,

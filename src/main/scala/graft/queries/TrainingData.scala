@@ -1150,6 +1150,33 @@ object TrainingData {
 
   val q65Sql: String = q64Sql
 
+  /** q65's twin forced through the AGGREGATE assignment regime
+    * (`literalCellBudget = 1` — every fixture otherwise fits the
+    * literal budget, so the `min_by` path that actually runs at
+    * 10⁹-vector/nlist~3·10⁴ scale would never face a cross-engine
+    * oracle): identical construction, identical expected output,
+    * identical DuckDB brute-force twin. The index build's corpus
+    * assignment goes broadcast-join → map-side partial `min_by` →
+    * one corpus-sized exchange (PlanShapeSpec asserts the shape);
+    * the probe side stays literal (query-sized by contract).
+    */
+  def q65bIvfTopKAgg(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val idxPath = scratchPath("q65b_idx", dir)
+    Similarity.writeIvfIndex(planted, idxPath, "vec_id", "embedding",
+      nlist = 16, literalCellBudget = 1)
+    val queries = emb.filter(col("vec_id") < 20)
+    Similarity.ivfTopKFromIndex(s, idxPath, queries, "vec_id", "embedding",
+        k = 1, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id")
+  }
+
+  val q65bSql: String = q64Sql
+
   /** Deterministic distributed k-means on the oracle gate
     * ([[graft.operators.Similarity.fitCentroids]] — the IVF offline
     * fit): seed 16 centroids by lowest vec_id, run TWO full Lloyd
@@ -1296,6 +1323,7 @@ object TrainingData {
     "q74_lsh_multiprobe"   -> q74MultiProbe _,
     "q76_kmeans_counts"    -> q76KmeansCounts _,
     "q65_ivf_topk"         -> q65IvfTopK _,
+    "q65b_ivf_topk_agg"    -> q65bIvfTopKAgg _,
     "q66_pack_rows"        -> q66PackRows _,
     "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
@@ -1328,6 +1356,7 @@ object TrainingData {
     "q74_lsh_multiprobe"   -> q74Sql,
     "q76_kmeans_counts"    -> q76Sql,
     "q65_ivf_topk"         -> q65Sql,
+    "q65b_ivf_topk_agg"    -> q65bSql,
     "q66_pack_rows"        -> q66Sql,
     "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,

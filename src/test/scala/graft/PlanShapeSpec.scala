@@ -144,6 +144,54 @@ class PlanShapeSpec extends SparkSpec {
       s"IVF build assignment shuffles the corpus:\n$p")
   }
 
+  test("IVF aggregate-regime assignment: corpus crosses ONE exchange, partially aggregated") {
+    // the 10⁹-vector path (nlist × dim past the literal budget): the
+    // plan must be broadcast-join → map-side partial min_by → ONE
+    // corpus-keyed exchange → final aggregate. Partial aggregation
+    // before the shuffle is what keeps the exchange un-amplified (≤ one
+    // row per corpus id per task, never nlist× the corpus).
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Final, Partial}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val centroids = emb
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("_centroid"))
+      .orderBy(col("centroid_id")).limit(8)
+    val assigned = graft.operators.Similarity.assignToCentroid(
+      emb, centroids, "vec_id", "embedding", "neighbor_id",
+      literalCellBudget = 1)
+    assigned.collect() // finalize the AQE plan
+    val nodes = flatten(assigned.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case e: ShuffleExchangeLike => e }
+    assert(shuffles.size == 1,
+      s"aggregate-regime assignment should shuffle exactly once, got ${shuffles.size}")
+    val partialBelow = flatten(shuffles.head.child).exists {
+      case h: BaseAggregateExec =>
+        h.aggregateExpressions.exists(_.mode == Partial)
+      case _ => false
+    }
+    assert(partialBelow,
+      "no partial aggregate below the exchange — the shuffle would carry nlist-amplified rows")
+    val finalAbove = nodes.exists {
+      case h: BaseAggregateExec =>
+        h.aggregateExpressions.exists(_.mode == Final)
+      case _ => false
+    }
+    assert(finalAbove, "no final aggregate above the exchange")
+  }
+
   test("hot aggregation queries stay inside whole-stage codegen") {
     // "*(n)" marks operators fused into a generated stage; a plan with
     // none at all has fallen out of codegen entirely. Codegen insertion
