@@ -238,13 +238,33 @@ object Writers {
     * independent: each takes its own `.compact.lock`, so concurrent
     * maintenance jobs can split the leaf set between them.
     *
+    * Leaf jobs are submitted from a bounded thread pool
+    * (`maxConcurrentLeaves`, r7 — Spark schedules concurrent jobs
+    * natively): a serial driver loop at 10⁴ fragmented leaves
+    * serializes 10⁴ job round-trips while the cluster idles between
+    * them; with the pool, the scheduler always has work queued. The
+    * per-leaf locks already made concurrency safe.
+    *
     * Returns leaf path → output file count (post-compaction for
     * rewritten leaves, current count for skipped ones).
     */
   def compactPartitionedTable(
       spark: SparkSession, path: String,
-      targetFileBytes: Long = 128L << 20): Map[String, Int] = {
+      targetFileBytes: Long = 128L << 20,
+      maxConcurrentLeaves: Int = 8): Map[String, Int] =
+    compactPartitionedTableHooked(spark, path, targetFileBytes,
+      maxConcurrentLeaves, (_, _, _) => ())
+
+  /** [[compactPartitionedTable]] with a per-leaf observation hook
+    * `(leafPath, startNanos, endNanos)` — lets WritersSpec prove leaf
+    * jobs actually overlap, without polluting the public return type.
+    */
+  private[graft] def compactPartitionedTableHooked(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long, maxConcurrentLeaves: Int,
+      hook: (String, Long, Long) => Unit): Map[String, Int] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    require(maxConcurrentLeaves > 0, "maxConcurrentLeaves must be positive")
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -261,18 +281,32 @@ object Writers {
         }
       if (dirs.isEmpty) Seq(p) else dirs.toSeq.flatMap(d => leaves(d.getPath))
     }
-    leaves(root).map { leaf =>
-      val dataFiles = fs.listStatus(leaf).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val leafSeq = leaves(root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrentLeaves, math.max(1, leafSeq.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = leafSeq.map { leaf =>
+        scala.concurrent.Future {
+          val t0 = System.nanoTime()
+          val dataFiles = fs.listStatus(leaf).filter { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          }
+          val bytes = dataFiles.map(_.getLen).sum
+          val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+          val n =
+            if (dataFiles.length <= target) dataFiles.length // healthy: skip
+            else compactParquet(spark, leaf.toString, targetFileBytes)
+          hook(leaf.toString, t0, System.nanoTime())
+          leaf.toString -> n
+        }
       }
-      val bytes = dataFiles.map(_.getLen).sum
-      val target = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val n =
-        if (dataFiles.length <= target) dataFiles.length // healthy: skip
-        else compactParquet(spark, leaf.toString, targetFileBytes)
-      leaf.toString -> n
-    }.toMap
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futures),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
   }
 
   /** D2: `data_inventory` upsert on `available_date`

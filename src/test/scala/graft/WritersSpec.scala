@@ -214,4 +214,52 @@ class WritersSpec extends SparkSpec {
       .filter(s => s.contains(".tmp-") || s.contains(".bak-") || s.contains(".lock"))
     assert(leftovers.isEmpty, s"leftovers: ${leftovers.mkString(", ")}")
   }
+
+  test("partitioned compaction: fragmented leaves compact CONCURRENTLY") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ccompact").toString + "/t"
+    // 3 fragmented leaves (16 files each) + 1 healthy leaf
+    (0 until 3).foreach { i =>
+      spark.range(i * 4000, (i + 1) * 4000).toDF("id")
+        .withColumn("payload", md5(col("id").cast("string")))
+        .withColumn("part", lit(s"f$i"))
+        .repartition(16).write.partitionBy("part").mode("append").parquet(path)
+    }
+    spark.range(12000, 16000).toDF("id")
+      .withColumn("payload", md5(col("id").cast("string")))
+      .withColumn("part", lit("h"))
+      .coalesce(1).write.partitionBy("part").mode("append").parquet(path)
+    def leafFiles(leaf: String) = new java.io.File(s"$path/part=$leaf").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val hBefore = leafFiles("h").map(f => (f.getName, f.length, f.lastModified))
+    val before = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // observe per-leaf (start, end) spans through the spec hook
+    val spans = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    val counts = Writers.compactPartitionedTableHooked(
+      spark, path, targetFileBytes = 1L << 30, maxConcurrentLeaves = 4,
+      (leaf, t0, t1) => { spans.put(leaf, (t0, t1)); () })
+    assert(counts.size == 4, s"expected 4 leaves, got $counts")
+    (0 until 3).foreach(i => assert(leafFiles(s"f$i").length == 1,
+      s"leaf f$i not compacted"))
+    // the serial driver loop this replaces had zero overlap by
+    // construction; with a 4-thread pool the 3 fragmented leaf jobs
+    // start together, so at least one pair of spans must overlap
+    import scala.jdk.CollectionConverters._
+    val fragSpans = spans.asScala.collect {
+      case (k, span) if !k.endsWith("/part=h") => span
+    }.toSeq
+    val overlaps = fragSpans.combinations(2).count {
+      case Seq((s1, e1), (s2, e2)) => s1 < e2 && s2 < e1
+      case _ => false
+    }
+    assert(overlaps >= 1,
+      s"no fragmented-leaf compactions overlapped: spans=$fragSpans")
+    // identical results + healthy leaf untouched, same as the serial path
+    val after = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(after == before, "concurrent compaction changed the data")
+    val hAfter = leafFiles("h").map(f => (f.getName, f.length, f.lastModified))
+    assert(hAfter.sameElements(hBefore), "healthy partition rewritten")
+  }
 }
