@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -376,6 +376,48 @@ object Dedup {
       .write.mode("overwrite").parquet(path)
     finally sigs.unpersist()
   }
+
+  /** Append an increment's signatures to a persisted
+    * [[writeMinHashIndex]] index — the daily-job accretion path: after
+    * deduping an increment against the index, the SURVIVORS join it so
+    * tomorrow's increment dedups against them too. MUST use the same
+    * (shingleSize, numHashes, bands) as the index (same seeds ⇒ band
+    * keys align); there is no metadata handshake, the caller owns the
+    * parameter discipline.
+    */
+  def appendToMinHashIndex(
+      df: DataFrame, path: String, idCol: String, textCol: String,
+      shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24): Unit = {
+    val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
+    try sigs.select(col("_id"), col("_sh"), col("_bands"))
+      .write.mode("append").parquet(path)
+    finally sigs.unpersist()
+  }
+
+  /** RETENTION for the persisted index (r7 — closes the "appends
+    * forever" accretion nit): every [[appendToMinHashIndex]] adds a
+    * file-per-partition batch, so a year of daily increments turns the
+    * index into thousands of small files and every
+    * [[incrementalNearDupPairs]] read pays the per-file open cost.
+    * This folds the index back to `targetFileBytes`-sized files
+    * through the same checked tmp/bak rename-swap + `.compact.lock`
+    * machinery as table compaction ([[graft.sinks.Writers]]) — safe to
+    * run concurrently with readers and with a daily append job (the
+    * lock serializes against other WRITERS; parquet readers resolve
+    * files at plan time against the live directory).
+    *
+    * Row-level bloat is NOT reclaimed here (compaction preserves every
+    * row): ids re-appended after edits, or docs since deleted from the
+    * corpus, stay in the index and keep matching. The re-index
+    * threshold: once accumulated appends exceed ~30% of the base
+    * corpus — or any deletion sweep has run — rebuild with
+    * [[writeMinHashIndex]] from the current corpus instead of
+    * compacting; same cost as one full signature pass.
+    */
+  def compactMinHashIndex(
+      spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Map[String, Int] =
+    graft.sinks.Writers.compactPartitionedTable(spark, path, targetFileBytes)
 
   /** Near-dup pairs of an INCREMENT against a persisted
     * [[writeMinHashIndex]] corpus index: band the new docs (same

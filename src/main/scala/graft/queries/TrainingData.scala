@@ -939,6 +939,70 @@ object TrainingData {
       .orderBy("new_id", "corpus_id")
   }
 
+  /** The index RETENTION path on the oracle gate (r7): base index +
+    * a daily-style append ([[graft.operators.Dedup.appendToMinHashIndex]])
+    * + file compaction ([[graft.operators.Dedup.compactMinHashIndex]]),
+    * then the same increment query as q60 — proving (a) appended
+    * signature rows are matched exactly like base rows, and (b)
+    * compaction is read-transparent: the DuckDB oracle computes exact
+    * Jaccard of the increment against corpus ∪ appended docs, knowing
+    * nothing of the file layout, so any row lost or duplicated by the
+    * rename-swap would break the hash. The appended batch is a
+    * second, differently-truncated copy of the first 40 docs (ids
+    * +200000) — the increment's truncations match BOTH the originals
+    * and the appended near-dups, so the append visibly changes the
+    * answer.
+    */
+  def q60bIndexCompaction(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val idxPath = scratchPath("q60b_idx", dir)
+    Dedup.writeMinHashIndex(docs, idxPath, "doc_id", "text")
+    val appended = docs.filter(col("doc_id") < 40).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 30, 40))").as("text"))
+    Dedup.appendToMinHashIndex(appended, idxPath, "doc_id", "text")
+    Dedup.compactMinHashIndex(s, idxPath)
+    val increment = docs.filter(col("doc_id") < 40).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text"))
+    Dedup.incrementalNearDupPairs(increment, idxPath, "doc_id", "text",
+        minJaccard = 0.5)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+      .orderBy("new_id", "corpus_id")
+  }
+
+  val q60bSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 30, 40)) AS text
+      |  FROM documents WHERE doc_id < 40),
+      |newdocs AS (
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+      |  FROM documents WHERE doc_id < 40),
+      |shc AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+      |  FROM corpus WHERE length(text) >= 7),
+      |shn AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+      |  FROM newdocs WHERE length(text) >= 7),
+      |exc AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shc),
+      |exn AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shn),
+      |inter AS (
+      |  SELECT n.doc_id AS new_id, c.doc_id AS corpus_id,
+      |    count(*) AS i, any_value(n.n) AS nn, any_value(c.n) AS nc
+      |  FROM exn n JOIN exc c ON n.g = c.g
+      |  GROUP BY 1, 2)
+      |SELECT new_id, corpus_id,
+      |  CAST(i AS DOUBLE) / CAST(nn + nc - i AS DOUBLE) AS jaccard
+      |FROM inter
+      |WHERE CAST(i AS DOUBLE) / CAST(nn + nc - i AS DOUBLE) >= 0.5
+      |ORDER BY new_id, corpus_id""".stripMargin
+
   val q60Sql: String =
     """WITH newdocs AS (
       |  SELECT doc_id + 100000 AS doc_id,
@@ -1329,6 +1393,7 @@ object TrainingData {
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
     "q60_incremental_neardup" -> q60IncrementalNearDup _,
+    "q60b_index_compaction" -> q60bIndexCompaction _,
     "q53_repetition"       -> q53Repetition _,
     "q54_pack_manifest"    -> q54PackManifest _,
     "q55_doc_freq_profile" -> q55DocFreqProfile _,
@@ -1362,6 +1427,7 @@ object TrainingData {
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,
     "q60_incremental_neardup" -> q60Sql,
+    "q60b_index_compaction" -> q60bSql,
     "q53_repetition"       -> q53Sql,
     "q54_pack_manifest"    -> q54Sql,
     "q55_doc_freq_profile" -> q55Sql,

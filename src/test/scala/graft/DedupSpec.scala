@@ -304,6 +304,40 @@ class DedupSpec extends SparkSpec {
     assert(out.count() == planted.count())
   }
 
+  test("minhash index: append + compaction is read-transparent") {
+    // the retention story: daily appends fragment the index into
+    // file-per-partition batches; compaction folds the files while the
+    // query answer stays IDENTICAL (compaction preserves every row)
+    val docs = planted.filter(col("doc_id") < 200)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString + "/idx"
+    Dedup.writeMinHashIndex(docs, idxDir, "doc_id", "text")
+    // three append batches, like three daily increments
+    (1 to 3).foreach { day =>
+      val inc = docs.filter(col("doc_id") < 10).select(
+        (col("doc_id") + day * 1000).as("doc_id"), col("text"))
+      Dedup.appendToMinHashIndex(inc, idxDir, "doc_id", "text")
+    }
+    def files() = new java.io.File(idxDir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val fragmented = files()
+    val increment = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text"))
+    def pairs() = Dedup.incrementalNearDupPairs(
+        increment, idxDir, "doc_id", "text", minJaccard = 0.5)
+      .select("new_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    // appended rows must be live: each increment doc matches its
+    // appended near-identical copies (ids +1000/+2000/+3000) too
+    assert(before.exists { case (_, c) => c >= 1000 && c < 4000 },
+      s"appended index rows never matched: $before")
+    Dedup.compactMinHashIndex(spark, idxDir, targetFileBytes = 1L << 30)
+    assert(files() < fragmented,
+      s"compaction did not reduce files: $fragmented -> ${files()}")
+    assert(pairs() == before, "compaction changed the query answer")
+  }
+
   test("exact dedup treats NULL content as one group (null-safe join)") {
     import spark.implicits._
     // md5(NULL) is NULL: a plain equi-join on the fingerprint would drop
