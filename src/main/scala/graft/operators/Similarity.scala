@@ -323,7 +323,12 @@ object Similarity {
     * ordering key is the struct (negated cosine, centroid_id) —
     * lexicographic struct ordering gives cosine desc then id asc —
     * with NULL cosine (zero vectors) mapped to Double.MaxValue,
-    * matching desc-nulls-last.
+    * matching desc-nulls-last. NaN/Inf vector ELEMENTS are
+    * unsupported: a NaN cosine sorts LAST here (both regimes agree),
+    * whereas the pre-r6 window's `desc(_sim)` sorted NaN first and
+    * would have crowned the NaN centroid nearest — behavior not worth
+    * reproducing. Sanitize embeddings upstream; the parity contract
+    * covers finite and zero/NULL vectors only.
     *
     * `literalCellBudget` (r7) injects the regime threshold so the
     * aggregate path — the one that actually runs at 10⁹-vector scale —

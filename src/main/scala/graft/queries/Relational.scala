@@ -945,21 +945,30 @@ object Relational {
         .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
         .sorted.mkString(",")
     }.mkString("|")
-    val suffix = ((dir + fingerprint).hashCode & 0x7fffffff).toString + "_probe"
+    // two-component suffix (r7): <dirHash>_<dataHash>_probe. Eviction
+    // below is scoped to THIS dir-hash, so a concurrent JVM running
+    // q57b against a different dataset/SF in a shared warehouse (the
+    // documented bench+verify concurrency pattern, cross-SF) can never
+    // have its live tables deleted mid-query — its generations carry a
+    // different dir component and are invisible here.
+    val dirHash = (dir.hashCode & 0x7fffffff).toString
+    val suffix = dirHash + "_" +
+      (fingerprint.hashCode & 0x7fffffff).toString + "_probe"
     val ct = s"customer_bkt_$suffix"
     val ot = s"orders_bkt_$suffix"
     if (!s.catalog.tableExists(ct) || !s.catalog.tableExists(ot)) {
       val warehouse = new org.apache.hadoop.fs.Path(
         s.conf.get("spark.sql.warehouse.dir"))
       val fs = warehouse.getFileSystem(s.sparkContext.hadoopConfiguration)
-      // evict every '_probe' cache generation except the current one:
-      // tables built under a previous data fingerprint are unreachable
-      // (their suffix never comes up again) and would otherwise
-      // accumulate a dataset-sized layout per fixture regeneration —
-      // both as catalog entries and as orphaned warehouse directories
-      // from previous sessions
+      // evict stale cache generations OF THIS DATASET DIR only:
+      // same-dir tables built under a previous data fingerprint are
+      // unreachable (their suffix never comes up again) and would
+      // otherwise accumulate a dataset-sized layout per fixture
+      // regeneration — both as catalog entries and as orphaned
+      // warehouse directories from previous sessions
       val isStaleProbe = (n: String) =>
-        (n.startsWith("customer_bkt_") || n.startsWith("orders_bkt_")) &&
+        (n.startsWith(s"customer_bkt_${dirHash}_") ||
+          n.startsWith(s"orders_bkt_${dirHash}_")) &&
           n.endsWith("_probe") && n != ct && n != ot
       s.catalog.listTables().collect().map(_.name).filter(isStaleProbe)
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
