@@ -1325,6 +1325,79 @@ object TrainingData {
        |GROUP BY cid
        |ORDER BY centroid_id""".stripMargin
 
+  /** Distributed BPE tokenizer training on the oracle gate
+    * ([[graft.operators.Bpe.learnBpeMerges]]): learn the first 3 merge
+    * rules from the documents corpus. The output is the merge TABLE —
+    * (iter, left, right, pair_count) — so any divergence anywhere in
+    * the loop (a word miscounted, a pair double-counted across an
+    * overlap, a tie broken differently, a merge mis-applied before the
+    * next count) changes a winner or its count and breaks the hash.
+    * The DuckDB twin replays all 3 iterations in SQL: word-frequency
+    * table, per-position pair explode, (count DESC, left, right)
+    * argmax, and a window-based leftmost-first merge rewrite
+    * (consecutive-match runs keep alternating positions — the
+    * sequential fold's overlap semantics, reconstructed relationally).
+    * Same iterate-then-replay oracle pattern as q76's k-means.
+    */
+  def q77BpeMerges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.learnBpeMerges(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", iters = 3)
+      .orderBy("iter")
+
+  // one BPE iteration in SQL over word-symbol table `prev` →
+  // best-pair table b_<out> and merged table <out>
+  private def bpeStepSql(prev: String, out: String): String =
+    s"""p_$out AS (
+       |  SELECT word, freq, sym, unnest(range(1, len(sym))) AS i FROM $prev),
+       |c_$out AS (
+       |  SELECT sym[i] AS l, sym[i+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+       |  FROM p_$out GROUP BY 1, 2),
+       |b_$out AS (SELECT l, r, n FROM c_$out ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+       |pos_$out AS (
+       |  SELECT word, freq, sym, unnest(range(1, len(sym) + 1)) AS i FROM $prev),
+       |m_$out AS (
+       |  SELECT p.word, p.freq, p.i, p.sym[p.i] AS tok,
+       |    (p.i < len(p.sym) AND p.sym[p.i] = b.l AND p.sym[p.i+1] = b.r) AS m,
+       |    b.l || b.r AS fused
+       |  FROM pos_$out p CROSS JOIN b_$out b),
+       |runs_$out AS (
+       |  SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS grp
+       |  FROM m_$out WHERE m),
+       |keep_$out AS (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, row_number() OVER (PARTITION BY word, grp ORDER BY i) AS rn
+       |    FROM runs_$out) WHERE rn % 2 = 1),
+       |$out AS (
+       |  SELECT m.word, any_value(m.freq) AS freq,
+       |    list(CASE WHEN k.i IS NOT NULL THEN m.fused ELSE m.tok END ORDER BY m.i) AS sym
+       |  FROM m_$out m
+       |  LEFT JOIN keep_$out k  ON m.word = k.word  AND m.i = k.i
+       |  LEFT JOIN keep_$out k2 ON m.word = k2.word AND m.i = k2.i + 1
+       |  WHERE k2.i IS NULL
+       |  GROUP BY m.word)""".stripMargin
+
+  val q77Sql: String =
+    s"""WITH wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, length(word) + 1), i -> word[i]) AS sym
+       |  FROM wf),
+       |${bpeStepSql("s0", "s1")},
+       |${bpeStepSql("s1", "s2")},
+       |${bpeStepSql("s2", "s3")}
+       |SELECT * FROM (
+       |  SELECT 1 AS iter, l AS "left", r AS "right", n AS pair_count FROM b_s1
+       |  UNION ALL
+       |  SELECT 2, l, r, n FROM b_s2
+       |  UNION ALL
+       |  SELECT 3, l, r, n FROM b_s3)
+       |ORDER BY iter""".stripMargin
+
   /** Row-level packing surface ([[graft.operators.Packing.packSequences]]):
     * the per-document (shard, pack_id, pack_offset) assignment — q54
     * checks the pack-level manifest; this checks every document's
@@ -1389,6 +1462,7 @@ object TrainingData {
     "q65_ivf_topk"         -> q65IvfTopK _,
     "q65b_ivf_topk_agg"    -> q65bIvfTopKAgg _,
     "q66_pack_rows"        -> q66PackRows _,
+    "q77_bpe_merges"       -> q77BpeMerges _,
     "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
@@ -1423,6 +1497,7 @@ object TrainingData {
     "q65_ivf_topk"         -> q65Sql,
     "q65b_ivf_topk_agg"    -> q65bSql,
     "q66_pack_rows"        -> q66Sql,
+    "q77_bpe_merges"       -> q77Sql,
     "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,
