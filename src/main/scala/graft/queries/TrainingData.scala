@@ -1398,6 +1398,96 @@ object TrainingData {
        |  SELECT 3, l, r, n FROM b_s3)
        |ORDER BY iter""".stripMargin
 
+  /** Streaming corpus ingestion with near-dup filtering on the oracle
+    * gate ([[graft.streaming.CorpusIngest.ingestBatch]] — the batch
+    * twin of the `foreachBatch` stream, stream==batch proven in
+    * StreamingSpec, same pattern as q44/q58): three arrival batches —
+    * originals, then a batch mixing fresh docs with truncated copies
+    * of batch-1 docs, then a batch of truncated copies of batch-1 AND
+    * batch-2 docs — flow through index-backed sequential dedup. The
+    * oracle replays the greedy batch-order semantics in SQL: kept(b)
+    * = docs of b with no exact-Jaccard ≥ 0.5 match in kept(<b);
+    * within-batch docs never filter each other. All sets are
+    * fixed-size (doc_id windows) so the oracle's quadratic exact
+    * joins stay bounded at every SF. Output = the final corpus as
+    * (doc_id, md5(text)) — any wrongly kept or dropped doc at any of
+    * the three steps breaks the hash.
+    */
+  def q78StreamingIngest(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.CorpusIngest
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    def trunc(cut: Int, lo: Int, hi: Int, shift: Int): DataFrame =
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi).select(
+        (col("doc_id") + shift).as("doc_id"),
+        expr(s"substring(text, 1, greatest(length(text) - $cut, 40))").as("text"))
+    val b1 = docs.filter(col("doc_id") < 300)
+    val b2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 600)
+      .unionAll(trunc(15, 0, 20, 100000))
+    val b3 = trunc(30, 300, 320, 200000).unionAll(trunc(45, 0, 20, 300000))
+    val idxPath = scratchPath("q78_idx", dir)
+    val outPath = scratchPath("q78_out", dir)
+    // bench/verify rerun hygiene: ingest accretes by design, so a
+    // repeated run must start from empty state
+    Seq(idxPath, outPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true): Unit
+    }
+    Seq(b1, b2, b3).foreach { b =>
+      CorpusIngest.ingestBatch(b, idxPath, outPath, "doc_id", "text",
+        minJaccard = 0.5): Unit
+    }
+    s.read.parquet(outPath)
+      .select(col("doc_id"), md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  // shingle + exact-Jaccard match of set `nw` against set `kp` →
+  // matched new doc_ids (mirrors the q60 inverted-index construction)
+  private def jaccardMatchSql(nw: String, kp: String, out: String): String =
+    s"""shn_$out AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+       |  FROM $nw WHERE length(text) >= 7),
+       |shc_$out AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+       |  FROM $kp WHERE length(text) >= 7),
+       |exn_$out AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shn_$out),
+       |exc_$out AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shc_$out),
+       |$out AS (
+       |  SELECT DISTINCT new_id FROM (
+       |    SELECT n.doc_id AS new_id,
+       |      count(*) AS i, any_value(n.n) AS nn, any_value(c.n) AS nc
+       |    FROM exn_$out n JOIN exc_$out c ON n.g = c.g
+       |    GROUP BY n.doc_id, c.doc_id)
+       |  WHERE CAST(i AS DOUBLE) / CAST(nn + nc - i AS DOUBLE) >= 0.5)""".stripMargin
+
+  val q78Sql: String =
+    s"""WITH b1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 300),
+       |b2 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id >= 300 AND doc_id < 600
+       |  UNION ALL
+       |  SELECT doc_id + 100000, substr(text, 1, greatest(length(text) - 15, 40))
+       |  FROM documents WHERE doc_id < 20),
+       |b3 AS (
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    substr(text, 1, greatest(length(text) - 30, 40)) AS text
+       |  FROM documents WHERE doc_id >= 300 AND doc_id < 320
+       |  UNION ALL
+       |  SELECT doc_id + 300000, substr(text, 1, greatest(length(text) - 45, 40))
+       |  FROM documents WHERE doc_id < 20),
+       |k1 AS (SELECT doc_id, text FROM b1),
+       |${jaccardMatchSql("b2", "k1", "m2")},
+       |k2 AS (SELECT doc_id, text FROM b2 WHERE doc_id NOT IN (SELECT new_id FROM m2)),
+       |k12 AS (SELECT * FROM k1 UNION ALL SELECT * FROM k2),
+       |${jaccardMatchSql("b3", "k12", "m3")},
+       |k3 AS (SELECT doc_id, text FROM b3 WHERE doc_id NOT IN (SELECT new_id FROM m3))
+       |SELECT doc_id, md5(text) AS content_md5
+       |FROM (SELECT * FROM k12 UNION ALL SELECT * FROM k3)
+       |ORDER BY doc_id""".stripMargin
+
   /** Row-level packing surface ([[graft.operators.Packing.packSequences]]):
     * the per-document (shard, pack_id, pack_offset) assignment — q54
     * checks the pack-level manifest; this checks every document's
@@ -1463,6 +1553,7 @@ object TrainingData {
     "q65b_ivf_topk_agg"    -> q65bIvfTopKAgg _,
     "q66_pack_rows"        -> q66PackRows _,
     "q77_bpe_merges"       -> q77BpeMerges _,
+    "q78_streaming_ingest" -> q78StreamingIngest _,
     "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
@@ -1498,6 +1589,7 @@ object TrainingData {
     "q65b_ivf_topk_agg"    -> q65bSql,
     "q66_pack_rows"        -> q66Sql,
     "q77_bpe_merges"       -> q77Sql,
+    "q78_streaming_ingest" -> q78Sql,
     "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,

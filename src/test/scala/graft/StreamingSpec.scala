@@ -206,4 +206,46 @@ class StreamingSpec extends SparkSpec {
       assert(rows.contains((1L, ts("2024-01-01 10:00:00"), 2)))
     } finally q.stop()
   }
+
+  test("streaming corpus ingest: stream == sequential batch ingest (3 batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.CorpusIngest
+    // synthetic corpus: 40 base docs, long enough for 7-shingles;
+    // batch 2 and 3 carry truncated near-dups of earlier batches
+    // pseudorandom hex tokens: cross-doc shingle overlap ≈ 0, so only
+    // the planted truncations are near-dups
+    def body(i: Int): String =
+      (0 until 15).map(k => java.lang.Long.toHexString(
+        (i.toLong * 1000003 + k) * 2654435761L & 0xffffffffffL)).mkString(" ")
+    def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val b1 = (0 until 20).map(i => (i.toLong, body(i)))
+    val b2 = (20 until 40).map(i => (i.toLong, body(i))) ++
+      (0 until 5).map(i => (1000L + i, body(i).dropRight(10)))   // dups of b1
+    val b3 = (20 until 25).map(i => (2000L + i, body(i).dropRight(12))) ++ // dups of b2
+      (0 until 5).map(i => (3000L + i, body(i).dropRight(20)))   // dups of b1
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cingest").toString
+    // batch reference: the same handler applied sequentially
+    Seq(b1, b2, b3).foreach(b => CorpusIngest.ingestBatch(
+      docsDf(b), s"$tmp/idxB", s"$tmp/outB", "doc_id", "text", minJaccard = 0.5): Unit)
+    val batchKept = spark.read.parquet(s"$tmp/outB")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the plants must actually exercise the index: every dup dropped
+    assert(batchKept == (0 until 40).map(_.toLong).toSet,
+      s"expected only base docs to survive, got $batchKept")
+    // streaming: three AvailableNow drains over one checkpoint — one
+    // micro-batch each, and a restart-recovery proof for free
+    val input = MemoryStream[(Long, String)]
+    Seq(b1, b2, b3).foreach { b =>
+      input.addData(b)
+      val q = CorpusIngest.ingestStream(
+        input.toDF().toDF("doc_id", "text"),
+        s"$tmp/idxS", s"$tmp/outS", "doc_id", "text", s"$tmp/ckpt",
+        minJaccard = 0.5)
+      q.awaitTermination()
+    }
+    val streamKept = spark.read.parquet(s"$tmp/outS")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept, "stream != batch")
+  }
 }
