@@ -495,12 +495,53 @@ object Multimodal {
         i => substring(col(binCol), (i * step + 1).cast(IntegerType), lit(frameBytes))))
   }
 
-  /** "Resize": truncate/pad the payload to a target byte budget
-    * (stand-in for image resize; real impl swaps the expression for a
-    * decode→resize→encode in [[extractFeatures]]'s batch loop).
+  /** "Resize" (byte-level stand-in): truncate/pad the payload to a
+    * target byte budget. The REAL image path is [[resizeImage]]; this
+    * stub remains for non-image binaries (video — no JDK codec).
     */
   def resizeStub(df: DataFrame, binCol: String = "content", targetBytes: Int = 256): DataFrame =
     df.withColumn("content_resized", substring(col(binCol), 1, targetBytes))
+
+  private[operators] def resizeBytes(
+      bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = decodeImage(bytes)
+    if (img == null || w <= 0 || h <= 0) null
+    else {
+      val dst = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = dst.createGraphics()
+      g2.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g2.drawImage(img, 0, 0, w, h, null)
+      g2.dispose()
+      encodePng(dst)
+    }
+  }
+
+  /** REAL image resize: per-row ImageIO decode → Java2D bilinear
+    * scale to (`wCol`, `hCol`) → PNG re-encode, in the same batched
+    * `mapPartitions` shape as [[overlayImage]] (the shape a Pandas-UDF
+    * pipeline would use; here it stays JVM-native). NULL where the
+    * payload is not a decodable image. The thumbnail/normalize step of
+    * a multimodal training pipeline — a resolution-normalized corpus
+    * is what vision towers train on.
+    */
+  def resizeImage(df: DataFrame, binCol: String = "content",
+      wCol: String = "target_w", hCol: String = "target_h",
+      outCol: String = "content_resized", batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val out = resizeBytes(r.getAs[Array[Byte]](binIdx),
+          r.getInt(wIdx), r.getInt(hIdx))
+        Row.fromSeq(r.toSeq :+ out)
+      })
+    }(Encoders.row(outSchema))
+  }
 
   /** C13: binary → binary transform (the reference draws a text overlay
     * on a PNG tile, `openweatherbasicmap.py:36-83`). STUB: prepends a

@@ -521,6 +521,46 @@ object TrainingData {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** REAL image resize round-trip (q49's sibling for the
+    * thumbnail/normalize step — [[graft.operators.Multimodal.resizeImage]]):
+    * synthesize a solid-color PNG per doc (real ImageIO encode),
+    * bilinear-resize it to doc_id-derived target dimensions (real
+    * Java2D), decode the RESULT (real ImageIO decode) and emit its
+    * header facts + corner pixel. The decoded dimensions can only
+    * match if the scale actually ran; the corner pixel is exact
+    * because bilinear interpolation of a CONSTANT field is the
+    * constant (weights sum to 1) — so the oracle recomputes everything
+    * from the formulas with no float tolerance.
+    */
+  def q79ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val base = Tables.widen(Tables.documents(s, dir)).select(
+      col("doc_id"),
+      (lit(16) + col("doc_id") % 48).cast(IntegerType).as("w"),
+      (lit(16) + (col("doc_id") * 7) % 32).cast(IntegerType).as("h"),
+      (col("doc_id") % 256).cast(IntegerType).as("r"),
+      ((col("doc_id") * 31) % 256).cast(IntegerType).as("g"),
+      ((col("doc_id") * 97) % 256).cast(IntegerType).as("b"),
+      (lit(8) + col("doc_id") % 24).cast(IntegerType).as("target_w"),
+      (lit(8) + (col("doc_id") * 5) % 24).cast(IntegerType).as("target_h"))
+    val png = Multimodal.synthesizeImages(base, "w", "h", "r", "g", "b")
+    val resized = Multimodal.resizeImage(png)
+    Multimodal.decodeImageMeta(resized, binCol = "content_resized")
+      .select(col("doc_id"),
+        col("img_width").as("width"), col("img_height").as("height"),
+        col("img_format").as("format"), col("img_pixel00").as("px00"))
+      .orderBy("doc_id")
+  }
+
+  val q79Sql: String =
+    """SELECT doc_id,
+      |  CAST(8 + doc_id % 24 AS INT) AS width,
+      |  CAST(8 + (doc_id * 5) % 24 AS INT) AS height,
+      |  'png' AS format,
+      |  printf('%02x%02x%02x', doc_id % 256, (doc_id * 31) % 256, (doc_id * 97) % 256) AS px00
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
   /** Near-dup components: the q21 pair graph (exact-verified J ≥ 0.5
     * pairs over the planted corpus) collapsed to connected components —
     * (doc_id, component_id = min reachable id), the canonical-document
@@ -1554,6 +1594,7 @@ object TrainingData {
     "q66_pack_rows"        -> q66PackRows _,
     "q77_bpe_merges"       -> q77BpeMerges _,
     "q78_streaming_ingest" -> q78StreamingIngest _,
+    "q79_image_resize"     -> q79ImageResize _,
     "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
@@ -1590,6 +1631,7 @@ object TrainingData {
     "q66_pack_rows"        -> q66Sql,
     "q77_bpe_merges"       -> q77Sql,
     "q78_streaming_ingest" -> q78Sql,
+    "q79_image_resize"     -> q79Sql,
     "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,

@@ -231,6 +231,52 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_ <= 10))
   }
 
+  test("real image resize: dimensions exact, gradient downscale sane, junk → NULL") {
+    import org.apache.spark.sql.types.IntegerType
+    // two-tone source (left half black, right half white) so the
+    // resize has real content to interpolate — the resized image must
+    // keep the tone split: dark at x=0, bright at x=w-1
+    val base = spark.range(0, 8).toDF("id").select(
+      col("id"),
+      (lit(32) + col("id") * 4).cast(IntegerType).as("w"),
+      lit(24).cast(IntegerType).as("h"),
+      lit(0).cast(IntegerType).as("r"), lit(0).cast(IntegerType).as("g"),
+      lit(0).cast(IntegerType).as("b"),
+      (lit(10) + col("id")).cast(IntegerType).as("target_w"),
+      lit(9).cast(IntegerType).as("target_h"))
+    val png = Multimodal.synthesizeImages(base, "w", "h", "r", "g", "b")
+    val twoTone = png.mapPartitions { rows =>
+      rows.map { row =>
+        val bytes = row.getAs[Array[Byte]](row.length - 1)
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val g2 = img.createGraphics()
+        g2.setColor(java.awt.Color.WHITE)
+        g2.fillRect(img.getWidth / 2, 0, img.getWidth - img.getWidth / 2, img.getHeight)
+        g2.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.init :+ baos.toByteArray)
+      }
+    }(org.apache.spark.sql.Encoders.row(png.schema))
+    val out = Multimodal.resizeImage(twoTone).collect()
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](r.length - 1)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == 10 + id && img.getHeight == 9,
+        s"id=$id got ${img.getWidth}x${img.getHeight}")
+      val lum = (rgb: Int) => ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      assert(lum(img.getRGB(0, 4)) < 100, s"id=$id left edge not dark")
+      assert(lum(img.getRGB(img.getWidth - 1, 4)) > 600, s"id=$id right edge not bright")
+    }
+    // undecodable payload → NULL output, row survives
+    val junk = spark.range(0, 2).toDF("id")
+      .withColumn("content", lit("not a png".getBytes))
+      .withColumn("target_w", lit(4)).withColumn("target_h", lit(4))
+    val jr = Multimodal.resizeImage(junk).select("content_resized").collect()
+    assert(jr.length == 2 && jr.forall(_.isNullAt(0)))
+  }
+
   test("real image round-trip: synthesize PNG → overlay text → decode") {
     // generated PNGs (real ImageIO encode), reference-style Java2D text
     // overlay, then a real decode of the OVERLAID bytes: dimensions and
