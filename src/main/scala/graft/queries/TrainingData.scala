@@ -561,6 +561,58 @@ object TrainingData {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  /** Int8-quantized vector search on the oracle gate
+    * ([[graft.operators.Quantize]]): quantize the embeddings corpus to
+    * per-vector int8 codes (the 4× index-shrink a 10⁹-vector corpus
+    * stores), then answer top-1 cosine queries by dequantizing INSIDE
+    * the scoring projection. Every step is closed-form deterministic
+    * double arithmetic (floor(x+0.5) rounding, left-to-right folds),
+    * so DuckDB replays quantize → dequantize → cosine → rank exactly
+    * and the id output hash-matches — any quantization bug (a
+    * mis-rounded code, a scale off by one ulp, a tie broken
+    * differently on degraded cosines) reorders some neighbor.
+    */
+  def q80QuantizedTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val qz = Quantize.quantizeInt8(emb, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 20)
+    Quantize.dequantCosineTopK(qz, queries, "vec_id", "embedding", k = 1)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id")
+  }
+
+  val q80Sql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |qz0 AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_min(embedding) AS DOUBLE) AS qmin,
+      |    (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS qscale
+      |  FROM e),
+      |dq AS (
+      |  SELECT vec_id,
+      |    list_transform(
+      |      list_transform(embedding, x -> CASE WHEN qscale = 0 THEN 0
+      |        ELSE CAST(floor((CAST(x AS DOUBLE) - qmin) / qscale + 0.5) AS INT) END),
+      |      q -> qmin + CAST(q AS DOUBLE) * qscale) AS dv
+      |  FROM qz0),
+      |n_dq AS (
+      |  SELECT vec_id, dv,
+      |    sqrt(list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b)) AS nrm
+      |  FROM dq),
+      |n_q AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                     (a, b) -> a + b)) AS nrm
+      |  FROM e WHERE vec_id < 20)
+      |SELECT nq.vec_id AS query_id, c.vec_id AS neighbor_id
+      |FROM n_q nq JOIN n_dq c ON c.vec_id <> nq.vec_id
+      |QUALIFY row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+      |  list_reduce(list_transform(list_zip(nq.embedding, c.dv),
+      |    x -> CAST(x[1] AS DOUBLE) * x[2]), (a, b) -> a + b)
+      |    / (nq.nrm * c.nrm) DESC, c.vec_id ASC) = 1
+      |ORDER BY query_id""".stripMargin
+
   /** Near-dup components: the q21 pair graph (exact-verified J ≥ 0.5
     * pairs over the planted corpus) collapsed to connected components —
     * (doc_id, component_id = min reachable id), the canonical-document
@@ -1595,6 +1647,7 @@ object TrainingData {
     "q77_bpe_merges"       -> q77BpeMerges _,
     "q78_streaming_ingest" -> q78StreamingIngest _,
     "q79_image_resize"     -> q79ImageResize _,
+    "q80_quantized_topk"   -> q80QuantizedTopK _,
     "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
@@ -1632,6 +1685,7 @@ object TrainingData {
     "q77_bpe_merges"       -> q77Sql,
     "q78_streaming_ingest" -> q78Sql,
     "q79_image_resize"     -> q79Sql,
+    "q80_quantized_topk"   -> q80Sql,
     "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,
