@@ -60,21 +60,27 @@ object Quantize {
       quantized: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = quantized.select(col(idCol).as("neighbor_id"),
-      dequantize(col("qvec"), col("qmin"), col("qscale")).as("_cv"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     def fold(pairProduct: Column): Column =
       aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
-    def cosineDq(a: Column, b: Column): Column = {
-      val dot = fold(zip_with(a, b, (x, y) => x.cast(DoubleType) * y))
-      val na = sqrt(fold(zip_with(a, a, (x, y) => x.cast(DoubleType) * y.cast(DoubleType))))
-      val nb = sqrt(fold(zip_with(b, b, (x, y) => x * y)))
-      when(na * nb === 0.0, lit(null).cast(DoubleType)).otherwise(dot / (na * nb))
-    }
+    // norms are per-VECTOR: computed once in each side's projection
+    // (|corpus| + |queries| norm folds), never per candidate pair —
+    // the same shape the cross-engine oracle uses. Only the dot fold
+    // runs per pair.
+    val dv = dequantize(col("qvec"), col("qmin"), col("qscale"))
+    val c = quantized.select(col(idCol).as("neighbor_id"), dv.as("_cv"),
+      sqrt(fold(zip_with(dv, dv, (x, y) => x * y))).as("_cn"))
+    val qv = col(vecCol)
+    val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
+      sqrt(fold(zip_with(qv, qv,
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))).as("_qn"))
+    val dot = fold(zip_with(col("_qv"), col("_cv"),
+      (x, y) => x.cast(DoubleType) * y))
+    val denom = col("_qn") * col("_cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosineDq(col("_qv"), col("_cv")))
+      .withColumn("cosine",
+        when(denom === 0.0, lit(null).cast(DoubleType)).otherwise(dot / denom))
       .withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
