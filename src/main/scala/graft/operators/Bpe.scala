@@ -143,4 +143,32 @@ object Bpe {
       when(col(textCol).isNull, lit(null).cast(ArrayType(StringType)))
         .otherwise(tokens))
   }
+
+  /** Per-document BPE token counts under a learned merge list — the
+    * inference-side shape that scales: the corpus is NEVER segmented
+    * row by row. Words explode once (the q19-style corpus pass), the
+    * DISTINCT-word vocabulary is segmented (the same
+    * vocabulary-not-corpus trick training uses — each unique word
+    * pays the merge replay once, however often it occurs), and
+    * per-word token counts join back by word for a per-doc sum.
+    * Docs with no words (NULL/blank) count 0.
+    */
+  def bpeTokenCounts(
+      docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = docs
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val vocabCounts = segmentWithMerges(
+        words.select(col("_w")).distinct(), "_w", merges, "_toks")
+      .select(col("_w"), size(col("_toks")).cast(LongType).as("_ntok"))
+    val perDoc = words.join(vocabCounts, "_w")
+      .groupBy(col(idCol))
+      .agg(sum(col("_ntok")).as("n_bpe_tokens"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -1437,6 +1437,52 @@ object TrainingData {
         "text", iters = 3)
       .orderBy("iter")
 
+  /** The inference side of q77 ([[graft.operators.Bpe.bpeTokenCounts]]):
+    * learn 3 merges, then TOKENIZE THE CORPUS under them — per-doc BPE
+    * token counts via the scale-correct shape (segment the
+    * distinct-word vocabulary once, join counts back by word). The
+    * DuckDB twin reuses the q77 iteration machinery to reach the same
+    * post-merge symbol table, then replays the word-explode + per-doc
+    * sum. Integer-only contract; any divergence in training OR
+    * segmentation shifts some doc's count.
+    */
+  def q81BpeTokenize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Bpe
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val merges = Bpe.learnBpeMerges(docs, "text", iters = 3)
+      .orderBy("iter").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    Bpe.bpeTokenCounts(docs, "doc_id", "text", merges)
+      .orderBy("doc_id")
+  }
+
+  val q81Sql: String =
+    s"""WITH wf AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, length(word) + 1), i -> word[i]) AS sym
+       |  FROM wf),
+       |${bpeStepSql("s0", "s1")},
+       |${bpeStepSql("s1", "s2")},
+       |${bpeStepSql("s2", "s3")},
+       |wtok AS (SELECT word, CAST(len(sym) AS BIGINT) AS ntok FROM s3),
+       |docwords AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(word) > 0)
+       |SELECT d.doc_id,
+       |  COALESCE(CAST(sum(w.ntok) AS BIGINT), 0) AS n_bpe_tokens
+       |FROM documents d
+       |LEFT JOIN docwords dw ON d.doc_id = dw.doc_id
+       |LEFT JOIN wtok w ON dw.word = w.word
+       |GROUP BY d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // one BPE iteration in SQL over word-symbol table `prev` →
   // best-pair table b_<out> and merged table <out>
   private def bpeStepSql(prev: String, out: String): String =
@@ -1648,6 +1694,7 @@ object TrainingData {
     "q78_streaming_ingest" -> q78StreamingIngest _,
     "q79_image_resize"     -> q79ImageResize _,
     "q80_quantized_topk"   -> q80QuantizedTopK _,
+    "q81_bpe_tokenize"     -> q81BpeTokenize _,
     "q63_sequential_ids"   -> q63SequentialIds _,
     "q61_wav_roundtrip"    -> q61WavRoundtrip _,
     "q59_training_pipeline" -> q59TrainingPipeline _,
@@ -1686,6 +1733,7 @@ object TrainingData {
     "q78_streaming_ingest" -> q78Sql,
     "q79_image_resize"     -> q79Sql,
     "q80_quantized_topk"   -> q80Sql,
+    "q81_bpe_tokenize"     -> q81Sql,
     "q63_sequential_ids"   -> q63Sql,
     "q61_wav_roundtrip"    -> q61Sql,
     "q59_training_pipeline" -> q59Sql,

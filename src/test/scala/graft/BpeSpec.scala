@@ -43,6 +43,20 @@ class BpeSpec extends SparkSpec {
     assert(out("ababa") == List("a", "b", "a", "b", "a")) // no (a,a) adjacency
   }
 
+  test("bpeTokenCounts: vocabulary-segmented per-doc counts, blank docs count 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Some("lowest lowest low")), // est+lo merges: 3+3+2 = 8 tokens
+      (2L, Some("  ")),                // blank → 0
+      (3L, None: Option[String])       // null → 0
+    ).toDF("doc_id", "text")
+    val counts = Bpe.bpeTokenCounts(docs, "doc_id", "text",
+        Seq(("e", "s"), ("es", "t"), ("l", "o")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "lowest" → lo,w,est (3), "low" → lo,w (2)
+    assert(counts == Map(1L -> 8L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("segmentWithMerges replays learned merges; null text stays null") {
     import spark.implicits._
     val docs = Seq((1L, Some("lowest low")), (2L, None: Option[String]))
