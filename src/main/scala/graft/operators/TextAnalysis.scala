@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
 import graft.functions.TextFunctions._
 
@@ -159,4 +160,91 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
   }
+
+  /** Cross-document duplicated-passage scrub (the Gopher/RefinedWeb
+    * boilerplate pass): any word n-gram that appears in at least
+    * `minDocs` DISTINCT documents is "common" (navigation chrome,
+    * license footers, subscribe banners); every token covered by a
+    * common n-gram occurrence is removed, and the document is
+    * re-emitted without those spans. Overlapping occurrences merge
+    * naturally — a token survives only if NO common n-gram covers it.
+    *
+    * Returns (id, n_tokens, n_covered, scrubbed_text), the scrubbed
+    * text being the surviving tokens joined by single spaces.
+    *
+    * Scale shape (the point of the formulation):
+    *  - Common-shingle detection shuffles ONLY (md5(shingle), id)
+    *    pairs — never text — and collapses them with a map-side
+    *    partial distinct-count.
+    *  - Matching shingle occurrences back to documents joins on the
+    *    16-byte hash and carries only (id, position) pairs.
+    *  - Document content crosses exactly ONE id-keyed exchange: the
+    *    token rows are partitioned by id for the coverage window, and
+    *    the final per-doc reassembly groupBy reuses that partitioning
+    *    (same key → no second content shuffle).
+    *  - Coverage itself is a bounded row-frame running max (a token at
+    *    position p is covered iff some common occurrence starts in
+    *    [p-n+1, p]) — O(tokens) per document, partitioned by doc, so
+    *    1000 executors each scrub their own documents independently.
+    */
+  def commonPassageScrub(
+      df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      n: Int = 6, minDocs: Int = 5): DataFrame = {
+    require(n >= 2, s"passage length must be >= 2 tokens, got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val base = graft.sources.Tables.widen(df)
+      .select(col(idCol).as("_id"), nonEmptyTokens(col(textCol)).as("_toks"))
+    // (id, start, md5(shingle)) — one row per n-gram occurrence; the
+    // shingle string itself dies here, only its hash travels.
+    val occ = base
+      .select(col("_id"), posexplode(wordNGramsOf(col("_toks"), n))
+        .as(Seq("_start", "_sh")))
+      .select(col("_id"), col("_start"), md5(col("_sh")).as("_h"))
+    val common = occ
+      .groupBy(col("_h"))
+      .agg(count_distinct(col("_id")).as("_nd"))
+      .filter(col("_nd") >= minDocs)
+      .select(col("_h"))
+    // Start markers and token rows are UNIONED into one id-keyed
+    // stream rather than joined on (id, pos): a join would shuffle the
+    // token rows once for the join keys and again for the window
+    // partitioning — the union formulation sends document content
+    // through exactly ONE exchange (CI-asserted in PlanShapeSpec). A
+    // RANGE frame over position makes marker rows at position s cover
+    // token rows at positions s..s+n−1 regardless of interleaving.
+    val starts = occ.join(common, "_h")
+      .select(col("_id"), col("_start").as("_pos"),
+        lit(null).cast(StringType).as("_tok"), lit(1).as("_hit"))
+    val toked = base
+      .select(col("_id"), posexplode(col("_toks")).as(Seq("_pos", "_tok")))
+      .withColumn("_hit", lit(0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("_pos"))
+      .rangeBetween(-(n - 1), 0)
+    val covered = toked.unionByName(starts)
+      .withColumn("_cov", max(col("_hit")).over(w))
+      .filter(col("_tok").isNotNull) // drop the marker rows
+    // collect_list skips the NULLs the `when` emits for covered tokens;
+    // array_sort on the (pos, tok) structs restores document order.
+    covered
+      .groupBy(col("_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_tokens"),
+        sum(col("_cov")).cast(IntegerType).as("n_covered"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_cov") === 0, struct(col("_pos"), col("_tok"))))),
+            x => x.getField("_tok")), " ").as("scrubbed_text"))
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Word n-grams of an ALREADY-tokenized array (companion to
+    * [[graft.functions.TextFunctions.wordNGrams]], which tokenizes).
+    */
+  private def wordNGramsOf(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
 }

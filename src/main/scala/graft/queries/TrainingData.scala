@@ -1683,7 +1683,147 @@ object TrainingData {
       |FROM documents WHERE lang <> 'en'
       |ORDER BY doc_id""".stripMargin
 
+  /** Cross-document duplicated-passage scrub
+    * ([[graft.operators.TextAnalysis.commonPassageScrub]], the
+    * Gopher/RefinedWeb boilerplate pass). The corpus has no natural
+    * cross-document 6-gram (≈31-word vocab → 6-grams are one-in-10⁹),
+    * so an 8-token "subscribe" banner is planted on every doc_id % 7
+    * == 0 — its 3 interior 6-grams become common across ~1/7 of the
+    * corpus while every junction 6-gram stays document-unique. A
+    * correct scrub therefore removes EXACTLY the planted banner and
+    * nothing else; the oracle replays the full pipeline (shingle →
+    * distinct-doc threshold → coverage window → ordered reassembly)
+    * in SQL, so any coverage off-by-one or ordering bug in either
+    * stage shifts a text hash.
+    */
+  def q82PassageScrub(s: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" " + q82Banner)))
+          .otherwise(col("text")).as("text"))
+    graft.operators.TextAnalysis
+      .commonPassageScrub(planted, "doc_id", "text", n = 6, minDocs = 5)
+      .orderBy("doc_id")
+  }
+
+  private val q82Banner = "subscribe to our newsletter for weekly updates today"
+
+  val q82Sql: String =
+    s"""WITH planted AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN text || ' $q82Banner'
+      |         ELSE text END AS text
+      |  FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '\\s+'),
+      |                x -> length(x) > 0) AS toks
+      |  FROM planted),
+      |toki AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t),
+      |tok AS (
+      |  SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM toki),
+      |shi AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i FROM t),
+      |sh AS (
+      |  SELECT doc_id, i - 1 AS start,
+      |    array_to_string(toks[i:i+5], ' ') AS g
+      |  FROM shi),
+      |common AS (
+      |  SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) >= 5),
+      |starts AS (
+      |  SELECT doc_id, start, 1 AS hit FROM sh JOIN common USING (g)),
+      |cov AS (
+      |  SELECT tok.doc_id, tok.pos, tok.tok,
+      |    COALESCE(max(s.hit) OVER (PARTITION BY tok.doc_id ORDER BY tok.pos
+      |      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW), 0) AS cov
+      |  FROM tok LEFT JOIN starts s
+      |    ON tok.doc_id = s.doc_id AND tok.pos = s.start)
+      |SELECT doc_id,
+      |  CAST(count(*) AS INT) AS n_tokens,
+      |  CAST(sum(cov) AS INT) AS n_covered,
+      |  COALESCE(string_agg(CASE WHEN cov = 0 THEN tok END, ' '
+      |    ORDER BY pos), '') AS scrubbed_text
+      |FROM cov
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact distributed heavy hitters
+    * ([[graft.operators.Frequency.exactHeavyHitters]]): Misra-Gries
+    * partition sketches bound the shuffle to k rows per task, a
+    * provable candidate filter (mgCount ≥ ceil(τN) − decrements)
+    * guarantees no false negatives, and an exact verification pass
+    * over only the candidates removes false positives — so the output
+    * is bit-identical to the naive full-vocabulary GROUP BY the
+    * oracle runs. τ = 0.033 lands INSIDE the corpus's near-uniform
+    * ~3.1–3.5% band, so the cut discriminates between real terms (any
+    * sketch undercount that leaked into the final counts would move
+    * terms across it).
+    */
+  def q83HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Frequency.exactHeavyHitters(
+      Tables.documents(s, dir), "text", tau = 0.033, k = 64)
+
+  val q83Sql: String =
+    """WITH t AS (
+      |  SELECT unnest(list_filter(
+      |    string_split_regex(trim(lower(text)), '\s+'),
+      |    x -> length(x) > 0)) AS term
+      |  FROM documents),
+      |tot AS (SELECT count(*) AS n FROM t)
+      |SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM t
+      |GROUP BY term
+      |HAVING count(*) >= (SELECT ceil(CAST(0.033 AS DOUBLE) * n) FROM tot)
+      |ORDER BY n_occurrences DESC, term""".stripMargin
+
+  /** Embedding covariance matrix ([[graft.operators.Moments
+    * .covarianceUpper]]): all 2080 upper-triangle co-moment cells in
+    * ONE corpus scan — per-row pairwise products flat-mapped in
+    * codegen, collapsed by a map-side partial hash aggregate, linear
+    * sums riding the same explode under a j = −1 sentinel. Exact
+    * decimal sums make the cells order-independent; the oracle
+    * replays the identical arithmetic (float products are exact in
+    * double) cell by cell.
+    */
+  def q84EmbeddingCovariance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Moments.covarianceUpper(
+      Tables.embeddings(s, dir), "embedding", dim = 64)
+
+  val q84Sql: String =
+    """WITH v AS (
+      |  SELECT embedding AS e FROM embeddings
+      |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+      |pi AS (SELECT e, unnest(range(0, 64)) AS i FROM v),
+      |pij AS (SELECT e, i, unnest(range(i, 64)) AS j FROM pi),
+      |cells AS (
+      |  SELECT i, j,
+      |    floor(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) *
+      |          CAST(e[CAST(j AS INT) + 1] AS DOUBLE) * 68719476736) AS xq
+      |  FROM pij),
+      |quad AS (
+      |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+      |    sum(xq) / 68719476736 AS sum_xy
+      |  FROM cells GROUP BY i, j),
+      |lini AS (
+      |  SELECT i, floor(CAST(e[CAST(i AS INT) + 1] AS DOUBLE)
+      |    * 68719476736) AS xq
+      |  FROM pi),
+      |lin AS (
+      |  SELECT i, sum(xq) / 68719476736 AS sum_x
+      |  FROM lini GROUP BY i)
+      |SELECT CAST(q.i AS INT) AS i, CAST(q.j AS INT) AS j, q.n, q.sum_xy,
+      |  q.sum_xy / q.n - (li.sum_x / q.n) * (lj.sum_x / q.n) AS cov
+      |FROM quad q
+      |JOIN lin li ON q.i = li.i
+      |JOIN lin lj ON q.j = lj.i
+      |ORDER BY i, j""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q82_passage_scrub"    -> q82PassageScrub _,
+    "q83_heavy_hitters"    -> q83HeavyHitters _,
+    "q84_embedding_covariance" -> q84EmbeddingCovariance _,
     "q64_lsh_topk"         -> q64LshTopK _,
     "q74_lsh_multiprobe"   -> q74MultiProbe _,
     "q76_kmeans_counts"    -> q76KmeansCounts _,
@@ -1723,6 +1863,9 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q82_passage_scrub"    -> q82Sql,
+    "q83_heavy_hitters"    -> q83Sql,
+    "q84_embedding_covariance" -> q84Sql,
     "q64_lsh_topk"         -> q64Sql,
     "q74_lsh_multiprobe"   -> q74Sql,
     "q76_kmeans_counts"    -> q76Sql,

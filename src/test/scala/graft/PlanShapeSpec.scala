@@ -192,6 +192,57 @@ class PlanShapeSpec extends SparkSpec {
     assert(finalAbove, "no final aggregate above the exchange")
   }
 
+  test("passage scrub: shingle strings never cross an exchange; content crosses once") {
+    // q82's scale contract: the common-shingle detection and the
+    // occurrence match-back shuffle ONLY (md5, id, position) — the
+    // n-gram strings die before the exchange — and the document tokens
+    // cross exactly one id-keyed exchange (window + reassembly reuse
+    // the same partitioning).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = SparkEntry.queries("q82_passage_scrub")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val shuffles = flatten(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    val shingleBearing = shuffles.filter(_.output.exists(_.name == "_sh"))
+    assert(shingleBearing.isEmpty,
+      s"shingle strings cross an exchange in q82:\n${shingleBearing.mkString("\n")}")
+    // `Tables.widen`'s round-robin fixture-spreading repartition fires
+    // at sf0.001 (stats-driven; a production-sized input skips it) —
+    // the scale claim is about KEYED exchanges, where content bytes
+    // pay shuffle-hash + sort cost: exactly one, the union→window one.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    val tokenBearing = shuffles.filter(e =>
+      e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+        e.output.exists(a => a.name == "_tok" || a.name == "text"))
+    assert(tokenBearing.size == 1,
+      s"document content crosses ${tokenBearing.size} keyed exchanges in q82 (expected exactly 1)")
+
+    // q84's twin contract: per-row pairwise products partially
+    // aggregate map-side; no exchange ever carries the embedding
+    // column — only (i, j, count, sum) cell buffers.
+    val cov = SparkEntry.queries("q84_embedding_covariance")(spark, sfDir)
+    cov.collect()
+    val covShuffles = flatten(cov.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeLike => e }
+    val embBearing = covShuffles.filter(e =>
+      e.outputPartitioning.isInstanceOf[HashPartitioning] &&
+        e.output.exists(_.name == "embedding"))
+    assert(embBearing.isEmpty,
+      s"embedding column crosses a keyed exchange in q84:\n${embBearing.mkString("\n")}")
+    assert(plans("q84_embedding_covariance").contains("partial"),
+      s"no map-side partial aggregation in q84")
+  }
+
   test("hot aggregation queries stay inside whole-stage codegen") {
     // "*(n)" marks operators fused into a generated stage; a plan with
     // none at all has fallen out of codegen entirely. Codegen insertion

@@ -391,4 +391,67 @@ class MultimodalSpec extends SparkSpec {
       assert(f.init.forall(_ == 0.0f))
     }
   }
+
+  private def passageDocs(texts: (Int, String)*) = {
+    val rows = texts.map { case (id, t) => Row(id.toLong, t) }.toList
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))))
+  }
+
+  private def scrubMap(df: org.apache.spark.sql.DataFrame, n: Int, minDocs: Int) =
+    TextAnalysis.commonPassageScrub(df, "doc_id", "text", n, minDocs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+
+  test("common-passage scrub removes exactly the shared banner") {
+    val banner = "click here to subscribe"
+    val docs = passageDocs(
+      (0, s"alpha beta gamma $banner"),
+      (1, s"delta epsilon $banner zeta"),
+      (2, s"$banner eta theta iota kappa"),
+      (3, s"unique words only here today"),
+      (4, s"lambda mu $banner"))
+    // banner = 4 tokens, n=3 → 2 interior 3-grams shared by 4 docs
+    val got = scrubMap(docs, n = 3, minDocs = 4)
+    assert(got(0L) == ((7, 4, "alpha beta gamma")))
+    assert(got(1L) == ((7, 4, "delta epsilon zeta")))
+    assert(got(2L) == ((8, 4, "eta theta iota kappa")))
+    assert(got(3L) == ((5, 0, "unique words only here today")))
+    assert(got(4L) == ((6, 4, "lambda mu")))
+  }
+
+  test("below-threshold passages and short documents survive untouched") {
+    val docs = passageDocs(
+      (0, "one two three four five"),
+      (1, "one two three four five"), // only 2 docs share — below minDocs=3
+      (2, "six seven"),               // shorter than n → no shingles
+      (3, "eight"))
+    val got = scrubMap(docs, n = 3, minDocs = 3)
+    assert(got(0L) == ((5, 0, "one two three four five")))
+    assert(got(1L) == ((5, 0, "one two three four five")))
+    assert(got(2L) == ((2, 0, "six seven")))
+    assert(got(3L) == ((1, 0, "eight")))
+  }
+
+  test("overlapping common passages cover their union") {
+    // "a b c d" and "c d e f" both common; in doc 0 they overlap as
+    // "a b c d e f" — coverage must be the merged span, not double-counted
+    val docs = passageDocs(
+      (0, "x a b c d e f y"),
+      (1, "a b c d q q q"),
+      (2, "a b c d w w w"),
+      (3, "c d e f q q q"),
+      (4, "c d e f w w w"))
+    val got = scrubMap(docs, n = 4, minDocs = 3)
+    assert(got(0L) == ((8, 6, "x y")))
+  }
+
+  test("fully-covered document scrubs to the empty string") {
+    val docs = passageDocs(
+      (0, "same exact text here"), (1, "same exact text here"),
+      (2, "same exact text here"), (3, "same exact text here"))
+    val got = scrubMap(docs, n = 4, minDocs = 4)
+    assert(got(0L) == ((4, 4, "")))
+  }
 }
