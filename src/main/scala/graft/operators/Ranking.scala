@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Ranked retrieval over the document corpus — the "find the best
+  * training examples for this probe query" / corpus-search primitive.
+  *
+  * Scoring is BM25 with a RATIONAL idf: the standard
+  * ln((N − df + 0.5)/(df + 0.5) + 1) is replaced by the un-logged odds
+  * (N − df + 0.5)/(df + 0.5). Rationale: ln() is correctly rounded on
+  * neither engine by spec, and cross-engine last-ulp differences in a
+  * transcendental poison bit-exact comparison (the same reason
+  * [[TextAnalysis.termStats]] publishes tf/df instead of tf-idf). The
+  * rational variant preserves BM25's ranking behavior for single-term
+  * contributions (idf is monotone in df either way) and keeps every
+  * arithmetic step an IEEE operation both engines perform identically
+  * on identical operands.
+  *
+  * Scale shape:
+  *  - Query terms broadcast as an `isin` literal filter — only
+  *    matching tokens survive the map side, so the (doc, term) tf
+  *    shuffle carries query-term hits, never the corpus vocabulary.
+  *  - Corpus constants (N, Σdl) come from one bounded scalar
+  *    aggregate collected driver-side and embedded as literals.
+  *  - Per-term contributions pivot into fixed columns via
+  *    order-independent `max` (each (doc, term) group is a single
+  *    row), and the final score is a FIXED-ORDER sum s₁+s₂+…+sₖ —
+  *    never a float aggregate over nondeterministic row order.
+  *  - Top-k plans as TakeOrderedAndProject (per-partition heaps + one
+  *    k-row merge), not a global sort.
+  */
+object Ranking {
+
+  /** Top-k documents for `queryTerms` under rational-idf BM25.
+    * Output: (id, score, n_terms_hit), ordered by score desc, id asc.
+    */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val base = graft.sources.Tables.widen(df)
+      .select(col(idCol).as("_id"),
+        nonEmptyTokens(lower(col(textCol))).as("_toks"))
+    // corpus constants, driver-bounded (one row)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(size(col("_toks")).cast(LongType)).as("sum_dl")).collect()(0)
+    val n = stats.getLong(0)
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+    if (n == 0L) {
+      val s = df.sparkSession
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("_id0", LongType),
+          StructField("score", DoubleType),
+          StructField("n_terms_hit", IntegerType))))
+        .withColumnRenamed("_id0", idCol)
+    }
+    // one IEEE division on exact integer operands — identical everywhere
+    val avgdl = lit(sumDl.toDouble) / lit(n.toDouble)
+
+    val hits = base
+      .select(col("_id"), size(col("_toks")).cast(DoubleType).as("_dl"),
+        explode(col("_toks")).as("_term"))
+      .filter(col("_term").isin(queryTerms: _*))
+    val tf = hits.groupBy(col("_id"), col("_term"))
+      .agg(count(lit(1)).cast(DoubleType).as("_tf"),
+        first(col("_dl")).as("_dl"))
+    val dfreq = tf.groupBy(col("_term"))
+      .agg(count(lit(1)).cast(DoubleType).as("_df"))
+    val scored = tf.join(broadcast(dfreq), "_term")
+      .withColumn("_idf",
+        (lit(n.toDouble) - col("_df") + lit(0.5)) / (col("_df") + lit(0.5)))
+      .withColumn("_s",
+        col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / avgdl)))
+    // pivot to fixed per-term columns (max over a 1-row group is
+    // order-independent), then sum in the queryTerms order
+    val perTerm: Seq[Column] = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("_term") === t, col("_s"))).as(s"_s$i")
+    }
+    val pivoted = scored.groupBy(col("_id")).agg(perTerm.head, perTerm.tail: _*)
+    val score = queryTerms.indices
+      .map(i => coalesce(col(s"_s$i"), lit(0.0)))
+      .reduceLeft(_ + _)
+    val nHit = queryTerms.indices
+      .map(i => when(col(s"_s$i").isNotNull, 1).otherwise(0))
+      .reduceLeft(_ + _)
+    pivoted
+      .select(col("_id"), score.as("score"), nHit.cast(IntegerType).as("n_terms_hit"))
+      .orderBy(col("score").desc, col("_id"))
+      .limit(k)
+      .withColumnRenamed("_id", idCol)
+  }
+}

@@ -160,4 +160,39 @@ object Sampling {
     }
     df.filter(keep)
   }
+
+  /** Deterministic domain balancing (training-mixture construction):
+    * down-sample every over-represented source toward
+    * `targetPerSource` documents IN EXPECTATION, via a per-source
+    * hash-rate gate — the sampling counterpart of the hard stratum
+    * cap ([[capPerStratum]]-style truncation keeps the FIRST k per
+    * stratum; this keeps a stable uniform hash slice, so the sampled
+    * subset is unbiased w.r.t. document order and stable under corpus
+    * append: a document's keep/drop fate never changes when others
+    * arrive).
+    *
+    * All rate arithmetic is INTEGER (threshold = min(10^6,
+    * targetPerSource·10^6 div count)) — no float division anywhere,
+    * so any engine reproduces the gate bit-for-bit from the same md5
+    * bucket. Sources at or under target keep everything (rate 1).
+    *
+    * Scale: one count aggregate per source (map-side partials, a
+    * #sources-row frame), broadcast back; the corpus itself never
+    * shuffles — the gate is a broadcast-join + filter projection.
+    * Returns the kept rows with the audit columns `_src_total`
+    * (pre-balance count) and `_keep_threshold` (per-million rate).
+    */
+  def balanceSources(df: DataFrame, idCol: String, sourceCol: String,
+      targetPerSource: Long, salt: String = ""): DataFrame = {
+    require(targetPerSource >= 1, s"targetPerSource must be >= 1")
+    val million = 1000000L
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("_src_total"))
+      .withColumn("_keep_threshold",
+        least(lit(million),
+          expr(s"${targetPerSource * million}L div _src_total"))
+          .cast(org.apache.spark.sql.types.LongType))
+    df.join(broadcast(counts), Seq(sourceCol))
+      .filter(md5Bucket(col(idCol), million.toInt, salt) < col("_keep_threshold"))
+  }
 }

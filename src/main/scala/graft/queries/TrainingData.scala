@@ -1820,7 +1820,107 @@ object TrainingData {
       |JOIN lin lj ON q.j = lj.i
       |ORDER BY i, j""".stripMargin
 
+  /** Ranked retrieval ([[graft.operators.Ranking.bm25TopK]]): BM25
+    * with a rational idf — the log is deliberately dropped because
+    * cross-engine `ln` differs in the last ulp (same policy as q52's
+    * tf/df contract) — so every score is a fixed tree of IEEE ops on
+    * integer-derived operands, bit-identical on both engines. The
+    * oracle replays the identical association order (left-assoc
+    * sums, the same parenthesization) — any aggregation-order
+    * nondeterminism in the pivot or the per-term sum shifts a hash.
+    */
+  def q85Bm25TopK(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.bm25TopK(
+      Tables.documents(s, dir), "doc_id", "text",
+      Seq("merge", "join", "filter"), k = 25)
+
+  val q85Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |const AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM t),
+      |hit AS (
+      |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+      |    unnest(toks) AS term
+      |  FROM t),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+      |  FROM hit WHERE term IN ('merge', 'join', 'filter')
+      |  GROUP BY doc_id, term),
+      |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    (((SELECT n FROM const) - df + 0.5) / (df + 0.5))
+      |      * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (tf + CAST(1.2 AS DOUBLE)
+      |         * ((1.0 - CAST(0.75 AS DOUBLE))
+      |            + CAST(0.75 AS DOUBLE) * dl / (SELECT avgdl FROM const))) AS s
+      |  FROM tf JOIN dfq USING (term)),
+      |piv AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN term = 'merge'  THEN s END) AS s0,
+      |    max(CASE WHEN term = 'join'   THEN s END) AS s1,
+      |    max(CASE WHEN term = 'filter' THEN s END) AS s2
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id,
+      |  COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score,
+      |  CAST((CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_terms_hit
+      |FROM piv
+      |ORDER BY score DESC, doc_id
+      |LIMIT 25""".stripMargin
+
+  /** Deterministic domain balancing
+    * ([[graft.operators.Sampling.balanceSources]]): every source is
+    * down-sampled toward 10 documents in expectation through a pure
+    * INTEGER rate gate (threshold = min(10^6, 10^7 div count) over
+    * the md5 per-million bucket) — no float division anywhere, so
+    * the kept set is bit-reproducible by any engine with md5. The
+    * audit aggregate (per-source original count, threshold, kept
+    * count, kept chars) is the oracle contract.
+    */
+  def q86SourceBalance(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Sampling.balanceSources(
+      Tables.documents(s, dir), "doc_id", "source", targetPerSource = 10)
+    kept.groupBy(col("source"))
+      .agg(
+        max(col("_src_total")).as("n_orig"),
+        max(col("_keep_threshold")).as("keep_threshold"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+      .orderBy("source")
+  }
+
+  val q86Sql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_orig
+      |  FROM documents GROUP BY source),
+      |thr AS (
+      |  SELECT source, n_orig,
+      |    least(1000000, 10000000 // n_orig) AS keep_threshold
+      |  FROM c),
+      |kept AS (
+      |  SELECT d.source, d.n_chars, t.n_orig, t.keep_threshold
+      |  FROM documents d JOIN thr t USING (source)
+      |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::BIGINT
+      |          % 1000000 < t.keep_threshold)
+      |SELECT source, max(n_orig) AS n_orig,
+      |  max(keep_threshold) AS keep_threshold,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM kept
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q85_bm25_topk"        -> q85Bm25TopK _,
+    "q86_source_balance"   -> q86SourceBalance _,
     "q82_passage_scrub"    -> q82PassageScrub _,
     "q83_heavy_hitters"    -> q83HeavyHitters _,
     "q84_embedding_covariance" -> q84EmbeddingCovariance _,
@@ -1863,6 +1963,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q85_bm25_topk"        -> q85Sql,
+    "q86_source_balance"   -> q86Sql,
     "q82_passage_scrub"    -> q82Sql,
     "q83_heavy_hitters"    -> q83Sql,
     "q84_embedding_covariance" -> q84Sql,

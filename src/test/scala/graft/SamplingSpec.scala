@@ -124,6 +124,39 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global funnel in plan:\n$plan")
   }
 
+  test("source balancing: integer rates, append-stable membership, small sources intact") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 1000).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") < 900, lit("big")).otherwise(lit("small")))
+    val kept = Sampling.balanceSources(df, "doc_id", "source", targetPerSource = 100)
+    val bySource = kept.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // small source (100 docs ≤ target) keeps everything — rate 1
+    assert(bySource("small") == 100L)
+    // big source keeps ~100 in expectation (hash-rate gate, not exact)
+    assert(bySource("big") > 60L && bySource("big") < 140L, s"got $bySource")
+    // thresholds are the documented integer formula
+    val thr = kept.select("source", "_keep_threshold").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(thr("big") == 100L * 1000000L / 900L)
+    assert(thr("small") == 1000000L)
+    // append stability: doubling the big source LOWERS its rate but
+    // never flips a kept doc's bucket — the new kept set for the same
+    // threshold would be a subset; with the lower threshold, every
+    // kept doc was already kept before
+    val bigger = spark.range(0, 1900).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") < 1800, lit("big")).otherwise(lit("small")))
+    val keptBefore = kept.filter(col("source") === "big" && col("doc_id") < 900)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptAfter = Sampling.balanceSources(bigger, "doc_id", "source", 100)
+      .filter(col("source") === "big" && col("doc_id") < 900)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptAfter.subsetOf(keptBefore),
+      "a doc dropped at the old rate reappeared at a stricter rate")
+  }
+
   test("stratified sample keeps per-stratum fractions") {
     val out = Sampling.stratifiedHashSample(docs, "doc_id", "lang",
       Map("en" -> 1.0, "de" -> 0.0, "fr" -> 0.5))
