@@ -95,4 +95,63 @@ object Moments {
           (col("_sx_i") / col("n")) * (col("_sx_j") / col("n"))).as("cov"))
       .orderBy(col("i"), col("j"))
   }
+
+  /** Distributed PCA, first component: ONE covariance scan over the
+    * corpus ([[covarianceUpper]]), a driver-side power iteration on
+    * the d×d matrix (d² cells are driver-bounded by construction —
+    * the corpus never leaves the cluster), then ONE projection scan
+    * emitting each vector's PC1 coordinate.
+    *
+    * Every arithmetic step — the matrix–vector products, the norm,
+    * the final projection — uses the same tie-free fixed-point recipe
+    * as the covariance (floor(x·2^36) quantization, exact integer
+    * sums, one IEEE sqrt/division per normalize), so an independent
+    * engine replaying the recipe from the same parquet reproduces the
+    * loadings AND every projection bit-for-bit. The power iteration
+    * starts from the uniform unit vector (1/√d)ᵢ and runs a FIXED
+    * `iters` steps — a convergence test would make the iteration
+    * count data-dependent and the output engine-sensitive.
+    *
+    * Returns (id, pc1_proj) for every full-length vector, ordered by
+    * id. Sign convention is whatever the iteration converges to from
+    * the uniform start — deterministic, but callers comparing against
+    * another PCA implementation should compare |proj|.
+    */
+  def pc1Projection(
+      df: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val s = FixedPointScale
+    val cells = covarianceUpper(df, vecCol, dim)
+      .select(col("i"), col("j"), col("cov")).collect()
+    val a = Array.ofDim[Double](dim, dim)
+    cells.foreach { r =>
+      val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+      a(i)(j) = c; a(j)(i) = c
+    }
+    var vec = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until iters) {
+      val m = Array.tabulate(dim) { i =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { acc += math.floor(a(i)(j) * vec(j) * s); j += 1 }
+        acc / s
+      }
+      var q = 0.0
+      var i = 0
+      while (i < dim) { q += math.floor(m(i) * m(i) * s); i += 1 }
+      val norm = math.sqrt(q / s)
+      vec = m.map(_ / norm)
+    }
+    val loadings = array(vec.toSeq.map(x => lit(x)): _*)
+    val v = col(vecCol)
+    graft.sources.Tables.widen(df)
+      .filter(v.isNotNull && size(v) >= dim)
+      .select(col(idCol),
+        (aggregate(
+          zip_with(slice(v, 1, dim), loadings,
+            (x, l) => floor(x.cast(DoubleType) * l * lit(s))),
+          lit(0.0), (acc, e) => acc + e) / lit(s)).as("pc1_proj"))
+      .orderBy(col(idCol))
+  }
 }

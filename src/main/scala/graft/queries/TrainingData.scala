@@ -1918,7 +1918,75 @@ object TrainingData {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Distributed PCA first component
+    * ([[graft.operators.Moments.pc1Projection]]): covariance scan →
+    * driver-side fixed-point power iteration (5 steps from the
+    * uniform unit start) → distributed projection. The oracle
+    * INDEPENDENTLY re-derives the loadings — covariance cells,
+    * symmetric expansion, all 5 matrix–vector/normalize steps
+    * unrolled in SQL with the same floor(x·2^36) quantization — and
+    * replays every vector's projection; Spark's only shared input is
+    * the parquet. A single-ulp divergence anywhere in the 5
+    * iterations shifts every projection and fails the hash.
+    */
+  def q87Pc1Projection(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Moments.pc1Projection(
+      Tables.embeddings(s, dir), "vec_id", "embedding", dim = 64, iters = 5)
+
+  val q87Sql: String = {
+    val S = "68719476736"
+    def step(t: Int, prev: String): String =
+      s"""m$t AS (
+         |  SELECT f.i, sum(floor(f.cov * p.val * $S)) / $S AS m
+         |  FROM fullm f JOIN $prev p ON f.j = p.vi GROUP BY f.i),
+         |n$t AS (SELECT sum(floor(m * m * $S)) / $S AS n2 FROM m$t),
+         |v$t AS (SELECT i AS vi, m / sqrt((SELECT n2 FROM n$t)) AS val FROM m$t)"""
+        .stripMargin
+    s"""WITH v AS (
+       |  SELECT embedding AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |pi AS (SELECT e, unnest(range(0, 64)) AS i FROM v),
+       |pij AS (SELECT e, i, unnest(range(i, 64)) AS j FROM pi),
+       |cells AS (
+       |  SELECT i, j,
+       |    floor(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) *
+       |          CAST(e[CAST(j AS INT) + 1] AS DOUBLE) * $S) AS xq
+       |  FROM pij),
+       |quad AS (
+       |  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+       |    sum(xq) / $S AS sum_xy
+       |  FROM cells GROUP BY i, j),
+       |lini AS (
+       |  SELECT i, floor(CAST(e[CAST(i AS INT) + 1] AS DOUBLE) * $S) AS xq
+       |  FROM pi),
+       |lin AS (SELECT i, sum(xq) / $S AS sum_x FROM lini GROUP BY i),
+       |cov AS (
+       |  SELECT q.i, q.j,
+       |    q.sum_xy / q.n - (li.sum_x / q.n) * (lj.sum_x / q.n) AS cov
+       |  FROM quad q
+       |  JOIN lin li ON q.i = li.i
+       |  JOIN lin lj ON q.j = lj.i),
+       |fullm AS (
+       |  SELECT i, j, cov FROM cov
+       |  UNION ALL
+       |  SELECT j AS i, i AS j, cov FROM cov WHERE i < j),
+       |v0 AS (
+       |  SELECT i AS vi, CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS val
+       |  FROM range(0, 64) t(i)),
+       |${(1 to 5).map(t => step(t, s"v${t - 1}")).mkString(",\n")},
+       |corpus AS (
+       |  SELECT vec_id, embedding AS e FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64)
+       |SELECT c.vec_id,
+       |  sum(floor(CAST(c.e[CAST(p.vi AS INT) + 1] AS DOUBLE) * p.val * $S))
+       |    / $S AS pc1_proj
+       |FROM corpus c JOIN v5 p ON TRUE
+       |GROUP BY c.vec_id
+       |ORDER BY c.vec_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q87_pc1_projection"   -> q87Pc1Projection _,
     "q85_bm25_topk"        -> q85Bm25TopK _,
     "q86_source_balance"   -> q86SourceBalance _,
     "q82_passage_scrub"    -> q82PassageScrub _,
@@ -1963,6 +2031,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q87_pc1_projection"   -> q87Sql,
     "q85_bm25_topk"        -> q85Sql,
     "q86_source_balance"   -> q86Sql,
     "q82_passage_scrub"    -> q82Sql,

@@ -64,6 +64,29 @@ class MomentsSpec extends SparkSpec {
     }
   }
 
+  test("pc1 projection: deterministic, unit-ish loadings, captures the dominant axis") {
+    // synthetic anisotropic cloud: dimension 0 has ~100× the variance
+    // of dimension 1, so PC1 must align with axis 0 — projections are
+    // then approximately the (centered) first coordinates
+    val data = (0 until 40).map { k =>
+      Array(((k % 21) - 10).toFloat, ((k % 3) - 1).toFloat * 0.1f)
+    }
+    val df = vecs(data).withColumn("vec_id",
+      org.apache.spark.sql.functions.monotonically_increasing_id())
+    val out = graft.operators.Moments
+      .pc1Projection(df, "vec_id", "embedding", dim = 2, iters = 5)
+      .collect().map(_.getDouble(1))
+    assert(out.length == 40)
+    // determinism: re-running yields bit-identical projections
+    val again = graft.operators.Moments
+      .pc1Projection(df, "vec_id", "embedding", dim = 2, iters = 5)
+      .collect().map(_.getDouble(1))
+    assert(out.toSeq == again.toSeq)
+    // PC1 ≈ axis 0: projection spread must dwarf axis-1's 0.1 scale
+    val spread = out.max - out.min
+    assert(spread > 15.0, s"pc1 spread $spread — not aligned with the dominant axis")
+  }
+
   test("diagonal cells are nonnegative variances on real data") {
     val emb = graft.sources.Tables.embeddings(spark, sfDir)
     val out = Moments.covarianceUpper(emb, "embedding", dim = 64)
