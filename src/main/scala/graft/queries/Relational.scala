@@ -1042,7 +1042,55 @@ object Relational {
        |GROUP BY skewkey, s_name
        |ORDER BY skewkey""".stripMargin
 
+  /** One-pass table profiling ([[graft.operators.Profiling
+    * .profileColumns]] — the ANALYZE/data-quality primitive): per-
+    * column counts, exact distincts, typed min/max over a mixed
+    * numeric/string/timestamp column set, all from a single wide
+    * aggregate (multi-distinct planned via Expand, map-side partials)
+    * unpivoted with `stack`. The oracle recomputes every statistic
+    * per column and unions the rows — any drift in null handling,
+    * distinct semantics, collation, or timestamp rendering flips a
+    * cell.
+    */
+  def q88ProfileTable(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.profileColumns(
+      Tables.lineitem(s, dir),
+      Seq("l_orderkey", "l_quantity", "l_extendedprice",
+        "l_returnflag", "l_shipdate"))
+
+  val q88Sql: String = {
+    def num(c: String) =
+      s"""SELECT '$c' AS col_name, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+         |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+         |  CAST(NULL AS INT) AS min_len, CAST(NULL AS INT) AS max_len
+         |FROM lineitem""".stripMargin
+    def str(c: String) =
+      s"""SELECT '$c', CAST(count(*) AS BIGINT),
+         |  CAST(count(*) - count($c) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  min($c), max($c),
+         |  CAST(min(length($c)) AS INT), CAST(max(length($c)) AS INT)
+         |FROM lineitem""".stripMargin
+    def ts(c: String) =
+      s"""SELECT '$c', CAST(count(*) AS BIGINT),
+         |  CAST(count(*) - count($c) AS BIGINT),
+         |  CAST(count(DISTINCT $c) AS BIGINT),
+         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+         |  strftime(min($c), '%Y-%m-%d %H:%M:%S'),
+         |  strftime(max($c), '%Y-%m-%d %H:%M:%S'),
+         |  CAST(NULL AS INT), CAST(NULL AS INT)
+         |FROM lineitem""".stripMargin
+    Seq(num("l_orderkey"), num("l_quantity"), num("l_extendedprice"),
+      str("l_returnflag"), ts("l_shipdate"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q88_profile_table"   -> q88ProfileTable _,
     "q62_grouping_sets"   -> q62GroupingSets _,
     "q57_bucketed_join"   -> q57BucketedJoin _,
     "q57b_bucketed_probe" -> q57bBucketedJoinProbe _,
@@ -1075,6 +1123,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q88_profile_table"   -> q88Sql,
     "q62_grouping_sets" -> q62Sql,
     "q57_bucketed_join" -> q57Sql,
     "q57b_bucketed_probe" -> q57Sql,

@@ -191,7 +191,60 @@ object StorageQueries {
 
   val q75Sql: String = q67Sql
 
+  /** Z-order clustering round-trip ([[graft.sinks.Writers
+    * .writeZOrdered]], the lakehouse OPTIMIZE ZORDER BY): write
+    * lineitem clustered on the Morton interleave of (l_partkey,
+    * l_suppkey), read it back, and aggregate per Z-tile (zvalue >>
+    * 16) — counts, per-dimension key bounds, exact quantity sums.
+    * The bucket is PURE integer arithmetic (never a file index, which
+    * would expose the range partitioner's sampled boundaries), so
+    * DuckDB replays the interleave bit-for-bit from the source table:
+    * the layout op must not change a single row, and the 32-term
+    * shift/mask replay pins the Morton encoding itself. File-level
+    * tile disjointness is WritersSpec's assert.
+    */
+  def q89ZOrderCluster(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q89", dir) + "/t"
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    Writers.writeZOrdered(li, path, "l_partkey", "l_suppkey", nFiles = 8)
+    s.read.parquet(path)
+      .withColumn("_z", Writers.zValue(col("l_partkey"), col("l_suppkey")))
+      .withColumn("zbucket", shiftrightunsigned(col("_z"), 16))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_orderkey")).cast("long").as("sum_orderkey"),
+        min(col("l_partkey")).as("min_partkey"),
+        max(col("l_partkey")).as("max_partkey"),
+        min(col("l_suppkey")).as("min_suppkey"),
+        max(col("l_suppkey")).as("max_suppkey"),
+        Det.exactSum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("zbucket"))
+  }
+
+  val q89Sql: String = {
+    val zExpr = (0 until 16).map(i =>
+      s"(((l_partkey >> $i) & 1) << ${2 * i}) | " +
+        s"(((l_suppkey >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" | ")
+    s"""WITH z AS (
+       |  SELECT l_orderkey, l_partkey, l_suppkey, l_quantity,
+       |    ($zExpr) AS zv
+       |  FROM lineitem)
+       |SELECT zv >> 16 AS zbucket,
+       |  CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
+       |  min(l_partkey) AS min_partkey, max(l_partkey) AS max_partkey,
+       |  min(l_suppkey) AS min_suppkey, max(l_suppkey) AS max_suppkey,
+       |  ${Det.exactSumSql("l_quantity")} AS sum_qty
+       |FROM z
+       |GROUP BY zbucket
+       |ORDER BY zbucket""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q89_zorder_cluster"   -> q89ZOrderCluster _,
     "q75_partitioned_compaction" -> q75PartitionedCompaction _,
     "q67_compaction"       -> q67Compaction _,
     "q68_range_cluster"    -> q68RangeCluster _,
@@ -200,6 +253,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q89_zorder_cluster"   -> q89Sql,
     "q75_partitioned_compaction" -> q75Sql,
     "q67_compaction"       -> q67Sql,
     "q68_range_cluster"    -> q68Sql,

@@ -2,7 +2,7 @@ package graft.sinks
 
 import java.sql.{Date => SqlDate, Timestamp}
 
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.schema.Occurrence
@@ -147,6 +147,42 @@ object Writers {
     val cols = clusterCols.map(col)
     df.repartitionByRange(nFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+    path
+  }
+
+  /** Morton (Z-order) value of two non-negative integer keys: their
+    * low `bits` bits interleaved (a at even positions, b at odd) — a
+    * space-filling curve so that sorting by ONE value clusters BOTH
+    * dimensions. Pure shift/mask/or integer arithmetic, so any engine
+    * reproduces it bit-for-bit (the q89 oracle replays it in SQL).
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be in [1,31], got $bits")
+    val al = a.cast(org.apache.spark.sql.types.LongType)
+    val bl = b.cast(org.apache.spark.sql.types.LongType)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftrightunsigned(al, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftrightunsigned(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** Z-order-clustered write ([[writeRangeClustered]]'s multi-column
+    * upgrade — the lakehouse OPTIMIZE ZORDER BY): range-partition and
+    * sort on the Morton value of the two cluster keys, so every
+    * output file covers a compact 2-D tile and parquet min/max stats
+    * prune scans filtered on EITHER key (a single-column range
+    * cluster prunes only its leading key). Returns the path.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+      colA: String, colB: String, nFiles: Int, bits: Int = 16): String = {
+    require(nFiles > 0, s"nFiles must be positive, got $nFiles")
+    val z = zValue(col(colA), col(colB), bits).as("_z")
+    df.withColumn("_z", z)
+      .repartitionByRange(nFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
       .write.mode(SaveMode.Overwrite).parquet(path)
     path
   }

@@ -44,7 +44,9 @@ class PlanShapeSpec extends SparkSpec {
     val scalarAggregates = Set(
       "q06_revenue_filter",   // one global sum row
       "q11_set_ops",          // counts of set-op branches
-      "q30_small_quantity")   // TPC-H Q17 scalar: one avg row
+      "q30_small_quantity",   // TPC-H Q17 scalar: one avg row
+      "q88_profile_table")    // ANALYZE: one wide profile row (per-task
+                              // partial agg buffers cross, then stack)
     val bad = plans.collect {
       case (n, p) if p.contains("SinglePartition") && !scalarAggregates(n) => n
     }

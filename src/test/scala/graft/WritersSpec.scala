@@ -143,6 +143,52 @@ class WritersSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == 20000)
   }
 
+  test("z-ordered write: files cover disjoint Morton ranges; both keys cluster") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/t"
+    // scrambled 2-D grid: 128×128 keys in row-scrambled order
+    val df = spark.range(0, 16384).toDF("id")
+      .withColumn("a", pmod(col("id") * 7919, lit(16384)) % 128)
+      .withColumn("b", pmod(col("id") * 104729, lit(16384)) % 128)
+      .repartition(16)
+    Writers.writeZOrdered(df, path, "a", "b", nFiles = 8, bits = 7)
+    val files = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted
+    assert(files.length == 8)
+    // per-file Morton ranges disjoint (the pruning invariant)…
+    val z = Writers.zValue(col("a"), col("b"), bits = 7)
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f).agg(min(z), max(z)).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlap: $hi >= $lo")
+      case _ =>
+    }
+    // …and BOTH dimensions cluster: every file's per-key span must be
+    // well under the full 0..127 range (a single-key range cluster
+    // leaves the second key spanning everything)
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("a"), max("a"), min("b"), max("b")).collect().head
+      (r.getLong(1) - r.getLong(0), r.getLong(3) - r.getLong(2))
+    }
+    // (sampled range boundaries can let one file straddle a quadrant
+    // seam — require the bulk of tiles compact, not every tile)
+    val compactTiles = spans.count { case (sa, sb) => sa <= 96 && sb <= 96 }
+    assert(compactTiles >= 6,
+      s"only $compactTiles/8 tiles are 2-D compact: ${spans.mkString(",")}")
+    // nothing lost
+    assert(spark.read.parquet(path).count() == 16384)
+    // Morton value spot-check: interleave of (0b101, 0b011) = a bits at
+    // even positions, b bits at odd → 0b010111 = 23... computed: a=5,b=3
+    val got = spark.range(1).select(
+      Writers.zValue(lit(5), lit(3), bits = 3)).collect()(0).getLong(0)
+    // a=101 → bits 0,2 at z0,z4 ; b=011 → bits 0,1 at z1,z3
+    // z = 1(z0)+2(z1)+0(z2)+8(z3)+16(z4)+0(z5) = 27
+    assert(got == 27L, s"zValue(5,3)=$got, expected 27")
+  }
+
   test("compaction: fragmented table rewritten to the target file count, data intact") {
     import org.apache.spark.sql.functions._
     val path = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
