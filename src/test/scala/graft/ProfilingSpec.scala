@@ -40,12 +40,18 @@ class ProfilingSpec extends SparkSpec {
     assert(t.getString(6) == "xx" && t.getString(7) == "y")
   }
 
-  test("profile plans ONE scan of the input") {
-    val out = Profiling.profileColumns(fixture, Seq("k", "v", "s"))
-    val scans = out.queryExecution.optimizedPlan.collect {
-      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
-      case s if s.nodeName.contains("Relation") => s
-    }
-    assert(scans.size == 1, s"expected one scan, got ${scans.size}")
+  test("profile plans one COLUMN-PRUNED scan per column, no Expand") {
+    // the wide single-aggregate formulation plans multi-distinct via
+    // Expand (×(cols+1) row blowup + a dedup shuffle keyed on every
+    // profiled value) — this formulation must never reintroduce it,
+    // and each branch's parquet scan must read only its own column
+    val li = graft.sources.Tables.lineitem(spark, sfDir)
+    val out = Profiling.profileColumns(li, Seq("l_orderkey", "l_returnflag"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"Expand in profile plan:\n$plan")
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.size == 2 && reads.forall(!_.contains(",")),
+      s"scans are not single-column pruned: $reads")
   }
 }
