@@ -805,4 +805,163 @@ object Dedup {
       CappedPairs(verified, cp.cappedBucketCount)
     } finally vecs.unpersist()
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the embedding corpus with the
+    * deterministic distributed k-means the IVF index uses
+    * ([[graft.operators.Similarity.fitCentroids]]), then prune
+    * within-cluster semantic duplicates — a member is dropped when a
+    * LOWER-id member of its own cluster is within `minCosine` of it.
+    * Returns the surviving (idCol, centroid_id) rows.
+    *
+    * Semantics are fully deterministic (the paper keeps a random
+    * exemplar; this keeps the id-minimum): drop m iff ∃ dominator d in
+    * m's cluster with d.id < m.id, rank(d) ≤ `maxDominators` under the
+    * per-cluster id order, and cos(d, m) ≥ `minCosine`. The dominator
+    * cap bounds the pairwise work at |cluster| × K instead of
+    * |cluster|² — the standard SemDeDup practice of capping cluster
+    * comparison cost — and because the cap is the K LOWEST ids (via
+    * [[graft.plans.TopKPerKey]]'s map-side heaps, never a full-sort
+    * window), the kept set is well-defined and any engine can replay
+    * it. Members past the cap can still BE dropped (every member is
+    * tested against the dominators); they just can't drop others.
+    * Greedy chains collapse toward the minimum: a dropped dominator
+    * still dominates — one pass, no iteration, unlike
+    * [[connectedComponents]]' exact transitive closure. Zero vectors
+    * (NULL cosine) never match: they all survive.
+    *
+    * Scale shape: one k-means fit + one assignment over the corpus
+    * (both inherit the two-regime zero-amplification plans of
+    * [[graft.operators.Similarity]]), then a join of the corpus against
+    * nlist × K dominator rows — broadcast when that side fits under
+    * ~64 MB of vectors, otherwise a keyed exchange on centroid_id (the
+    * corpus crosses once; per-key dominator fanout is ≤ K by
+    * construction, so the join output is ≤ K-amplified and filtered
+    * immediately). The cosine verification is the codegen'd
+    * index-order fold ([[graft.functions.VectorFunctions.cosine]]),
+    * bit-replayable by the q91 DuckDB oracle.
+    */
+  def semanticDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      minCosine: Double = 0.95,
+      nlist: Int = 8, iters: Int = 1,
+      maxDominators: Int = 48,
+      literalCellBudget: Int = Similarity.maxLiteralCells): DataFrame = {
+    require(maxDominators > 0, s"maxDominators must be positive: $maxDominators")
+    val vecs = graft.sources.Tables.widen(corpus)
+      .select(col(idCol), col(vecCol)).persist()
+    try {
+      val cents = Similarity.fitCentroids(
+        vecs, idCol, vecCol, nlist, iters, literalCellBudget)
+      // fit + assignment run once; the pair join reads the result from
+      // both sides, so pin it (small: id, centroid, vector per row)
+      val assigned = Similarity.assignToCentroid(
+          vecs, cents, idCol, vecCol, "_id", literalCellBudget)
+        .localCheckpoint(true)
+      val dominators = graft.plans.TopKPerKey.topKPerKey(
+          assigned, keys = Seq(col("centroid_id")),
+          order = Seq(col("_id").asc), k = maxDominators)
+        .select(col("centroid_id"), col("_id").as("_did"), col("_cv").as("_dv"))
+      val dim = vecs.select(size(col(vecCol))).head().getInt(0)
+      // ≤ nlist × K rows of dim floats: hint the broadcast only while
+      // that provably fits; past it, Catalyst plans the keyed exchange
+      val domSide =
+        if (nlist.toLong * maxDominators * dim * 4L <= (64L << 20)) broadcast(dominators)
+        else dominators
+      val doomed = assigned
+        .join(domSide, Seq("centroid_id"))
+        .filter(col("_did") < col("_id") &&
+          graft.functions.VectorFunctions.cosine(col("_dv"), col("_cv")) >= minCosine)
+        .select(col("_id")).distinct()
+      assigned.join(doomed, Seq("_id"), "left_anti")
+        .select(col("_id").as(idCol), col("centroid_id"))
+    } finally vecs.unpersist()
+  }
+
+  /** Fuzzy benchmark decontamination — the near-duplicate upgrade of
+    * [[TextAnalysis.flagContaminated]]'s verbatim n-gram check: flag
+    * every training document whose shingle-set Jaccard against ANY
+    * eval document reaches `minJaccardNum / minJaccardDen` — catching
+    * paraphrase-level leakage (an eval item with a few edits) that an
+    * exact substring test misses.
+    *
+    * The threshold is a RATIONAL: the verification predicate is the
+    * integer comparison den·|∩| ≥ num·(|a| + |b| − |∩|) — no floating
+    * point anywhere in the decision, so any engine computing exact
+    * shingle overlaps reproduces the flag set bit-for-bit (q90's
+    * oracle replays it over the exact inverted index in SQL).
+    *
+    * Scale shape: the eval suite is tiny next to a 100 TB corpus, so
+    * BOTH eval-side frames broadcast — band keys for candidate
+    * generation and shingle sets for verification. The training side
+    * is a single pass: shingle → sign → broadcast-join → merge-walk
+    * overlap ([[graft.expressions.SortedOverlapExpression]]) → one
+    * count-sized groupBy on the flagged ids. Training content never
+    * shuffles. Recall: band collision is probabilistic in general,
+    * but contamination means HIGH Jaccard (≥ 0.6 here), where the
+    * 24-band/4-row scheme's miss probability is ≤ (1−j⁴)²⁴ — under
+    * 1e-4 at j = 0.75 and effectively zero at the j ≥ 0.9 of a
+    * lightly-edited eval copy; exact-copy leakage collides with
+    * certainty (identical signatures).
+    *
+    * Returns (id, n_eval_matches), one row per contaminated training
+    * document, ordered by id.
+    */
+  def flagFuzzyContaminated(
+      train: DataFrame, idCol: String, textCol: String,
+      eval: DataFrame, evalIdCol: String, evalTextCol: String,
+      minJaccardNum: Int = 6, minJaccardDen: Int = 10,
+      shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24): DataFrame = {
+    require(minJaccardNum > 0 && minJaccardDen >= minJaccardNum,
+      s"threshold must be a rational in (0,1]: $minJaccardNum/$minJaccardDen")
+    require(numHashes % bands == 0, s"bands must divide numHashes")
+    val rows = numHashes / bands
+    // same recipe as [[shingleBands]]: codegen signature + band keys
+    // (the interpreted HOF pair measured ~70× slower here), signature
+    // materialized as its own column, frame persisted because the
+    // plan reads it from BOTH the candidate and verification branches
+    def prep(df: DataFrame, id: String, text: String, outId: String) =
+      graft.sources.Tables.widen(df)
+        .select(col(id).as(outId),
+          array_sort(array_distinct(
+            graft.functions.TextFunctions.charNGrams(col(text), shingleSize)))
+            .as("_sh"))
+        .filter(size(col("_sh")) > 0)
+        .withColumn("_sig", graft.expressions.MinHashSignatureExpression
+          .minhashSignatureNative(col("_sh"), numHashes))
+        .withColumn("_bands", graft.expressions.BandKeysExpression
+          .bandKeysNative(col("_sig"), bands, rows))
+        .select(col(outId), col("_sh"), col("_bands"))
+        .persist()
+    val trainSh = prep(train, idCol, textCol, "_tid")
+    val evalSh = prep(eval, evalIdCol, evalTextCol, "_eid")
+    try {
+      val trainBands = trainSh.select(col("_tid"),
+        posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
+      val evalBands = evalSh.select(col("_eid"),
+        posexplode(col("_bands")).as(Seq("band_idx", "band_key")))
+      val cands = trainBands
+        .join(broadcast(evalBands), Seq("band_idx", "band_key"))
+        .select(col("_tid"), col("_eid")).distinct()
+      val overlap = graft.expressions.SortedOverlapExpression
+        .sortedOverlap(col("_sh_a"), col("_sh_b"))
+      // verification joins broadcast BOTH small sides (candidate id
+      // pairs are bounded by actual contamination; eval shingles are
+      // the eval suite) — the train-side shingle arrays never cross an
+      // exchange on this path either
+      trainSh.select(col("_tid"), col("_sh").as("_sh_a"))
+        .join(broadcast(cands), "_tid")
+        .join(broadcast(evalSh.select(col("_eid"), col("_sh").as("_sh_b"))), "_eid")
+        .withColumn("_ov", overlap)
+        .filter(lit(minJaccardDen.toLong) * col("_ov") >=
+          lit(minJaccardNum.toLong) *
+            (size(col("_sh_a")) + size(col("_sh_b")) - col("_ov")))
+        .groupBy(col("_tid"))
+        .agg(count(lit(1)).as("n_eval_matches"))
+        .withColumnRenamed("_tid", idCol)
+        .orderBy(idCol)
+        .localCheckpoint(true)
+    } finally { trainSh.unpersist(); evalSh.unpersist() }
+  }
 }

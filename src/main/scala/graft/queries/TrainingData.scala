@@ -1985,7 +1985,144 @@ object TrainingData {
        |ORDER BY c.vec_id""".stripMargin
   }
 
+  /** Fuzzy benchmark decontamination
+    * ([[graft.operators.Dedup.flagFuzzyContaminated]]): the eval set
+    * is each doc_id < 30 document MINUS its last 15 characters — a
+    * lightly-truncated copy, so the train↔eval shingle Jaccard sits
+    * around 0.9 (LSH collision effectively certain) while every
+    * cross pair stays at the corpus's natural sub-0.6 level. The
+    * decision predicate is pure integer arithmetic
+    * (10·|∩| ≥ 6·(|a|+|b|−|∩|)), and the oracle recomputes it over
+    * the exact shingle inverted index — band keys, signatures, and
+    * the merge-walk overlap all have to agree with brute force.
+    */
+  def q90FuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val eval = docs.filter(col("doc_id") < 30)
+      .select(col("doc_id").as("eval_id"),
+        expr("substring(text, 1, cast(n_chars as int) - 15)").as("etext"))
+    graft.operators.Dedup.flagFuzzyContaminated(
+      docs, "doc_id", "text", eval, "eval_id", "etext",
+      minJaccardNum = 6, minJaccardDen = 10)
+  }
+
+  val q90Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id AS eval_id,
+      |    substr(text, 1, CAST(n_chars AS INT) - 15) AS etext
+      |  FROM documents WHERE doc_id < 30),
+      |evsh AS (
+      |  SELECT eval_id, unnest(list_distinct(list_transform(
+      |    range(1, length(etext) - 7 + 2), i -> substr(etext, i, 7)))) AS g
+      |  FROM ev WHERE length(etext) >= 7),
+      |evsz AS (SELECT eval_id, count(*) AS nb FROM evsh GROUP BY eval_id),
+      |trsh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, length(text) - 7 + 2), i -> substr(text, i, 7)))) AS g
+      |  FROM documents WHERE length(text) >= 7),
+      |trsz AS (SELECT doc_id, count(*) AS na FROM trsh GROUP BY doc_id),
+      |ov AS (
+      |  SELECT t.doc_id, e.eval_id, count(*) AS ov
+      |  FROM trsh t JOIN evsh e USING (g)
+      |  GROUP BY t.doc_id, e.eval_id),
+      |m AS (
+      |  SELECT o.doc_id, o.eval_id
+      |  FROM ov o
+      |  JOIN trsz USING (doc_id)
+      |  JOIN evsz USING (eval_id)
+      |  WHERE 10 * ov >= 6 * (na + nb - ov))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches
+      |FROM m
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** SemDeDup semantic deduplication on the oracle gate
+    * ([[graft.operators.Dedup.semanticDedup]]): fit 8 k-means centroids
+    * with ONE Lloyd iteration, assign the corpus, and within each
+    * cluster drop every vector that sits at cosine ≥ 0.95 to a
+    * lower-id member among the cluster's 48 lowest ids. The DuckDB
+    * twin replays the entire composition — seed, the Lloyd step
+    * (q76's recipe), the assignment tie-break, the id-ranked
+    * dominator cap, and the exact index-order cosine fold of every
+    * (dominator, member) pair — so a divergence anywhere (a centroid
+    * mean off by an ulp re-clustering a vector, a cap ranked
+    * differently, one cosine comparison flipping) changes the
+    * surviving set and breaks the hash. The corpus is the embeddings
+    * table plus 35 planted duplicates (identical and exactly-doubled
+    * copies at id + 100000 — scaling by 2 keeps cosine exactly 1 in
+    * any IEEE engine); the natural table has no pair above cosine
+    * 0.7, so the planted drops are the signal, and the ~65-member
+    * average cluster keeps the 48-dominator cap genuinely active —
+    * the capped semantics, not just the uncapped ideal, cross-check.
+    */
+  def q91SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    // the natural corpus has no pair above cosine 0.7, so plant the
+    // duplicates the operator exists to remove: 20 identical copies
+    // and 15 exactly-doubled copies (scaling by 2 is exact in IEEE
+    // float AND keeps cosine exactly 1, in any engine) — all at
+    // id + 100000, so keep-lowest-id must drop precisely the plants
+    // that share a cluster with a ranked dominator
+    val copies = base.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val doubled = base.filter(col("vec_id") >= 20 && col("vec_id") < 35)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast(DoubleType) * lit(2.0)).cast(FloatType)).as("embedding"))
+    val corpus = base.unionByName(copies).unionByName(doubled)
+    graft.operators.Dedup.semanticDedup(
+        corpus, "vec_id", "embedding",
+        minCosine = 0.95, nlist = 8, iters = 1, maxDominators = 48)
+      .orderBy("vec_id")
+  }
+
+  val q91Sql: String =
+    s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+       |e AS (
+       |  SELECT vec_id, embedding FROM base
+       |  UNION ALL
+       |  SELECT vec_id + 100000, embedding FROM base WHERE vec_id < 20
+       |  UNION ALL
+       |  SELECT vec_id + 100000,
+       |    list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) * 2.0 AS REAL))
+       |  FROM base WHERE vec_id >= 20 AND vec_id < 35),
+       |n_e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM e),
+       |seed AS (SELECT vec_id AS cid, embedding AS c FROM e ORDER BY vec_id LIMIT 8),
+       |n_seed AS (
+       |  SELECT cid, c,
+       |    sqrt(list_reduce(list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM seed),
+       |${kmeansStepSql("seed", "it1")},
+       |assign AS (
+       |  SELECT e.vec_id, c.cid, e.embedding, e.nrm
+       |  FROM n_e e CROSS JOIN n_it1 c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |      / (e.nrm * c.nrm) DESC, c.cid ASC) = 1),
+       |dom AS (
+       |  SELECT vec_id, cid, embedding, nrm FROM assign
+       |  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY vec_id) <= 48),
+       |doomed AS (
+       |  SELECT DISTINCT m.vec_id
+       |  FROM assign m JOIN dom d ON d.cid = m.cid AND d.vec_id < m.vec_id
+       |  WHERE d.nrm * m.nrm > 0
+       |    AND list_reduce(list_transform(list_zip(d.embedding, m.embedding),
+       |          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |        / (d.nrm * m.nrm) >= 0.95)
+       |SELECT a.vec_id, a.cid AS centroid_id
+       |FROM assign a LEFT JOIN doomed dd ON a.vec_id = dd.vec_id
+       |WHERE dd.vec_id IS NULL
+       |ORDER BY a.vec_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q91_semantic_dedup" -> q91SemanticDedup _,
+    "q90_fuzzy_decontaminate" -> q90FuzzyDecontaminate _,
     "q87_pc1_projection"   -> q87Pc1Projection _,
     "q85_bm25_topk"        -> q85Bm25TopK _,
     "q86_source_balance"   -> q86SourceBalance _,
@@ -2031,6 +2168,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q91_semantic_dedup" -> q91Sql,
+    "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,
     "q85_bm25_topk"        -> q85Sql,
     "q86_source_balance"   -> q86Sql,

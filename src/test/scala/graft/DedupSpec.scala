@@ -338,6 +338,63 @@ class DedupSpec extends SparkSpec {
     assert(pairs() == before, "compaction changed the query answer")
   }
 
+  test("fuzzy decontamination flags exactly the brute-force Jaccard matches") {
+    val train = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 150).select(col("doc_id"), col("text"))
+    val eval = train.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("eval_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("etext"))
+    val got = Dedup.flagFuzzyContaminated(
+      train, "doc_id", "text", eval, "eval_id", "etext",
+      minJaccardNum = 6, minJaccardDen = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute-force ground truth with the same integer predicate
+    def shingles(t: String): Set[String] =
+      (if (t.length < 7) Set.empty[String]
+       else (0 to t.length - 7).map(i => t.substring(i, i + 7)).toSet)
+    val trainSh = train.collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val evalSh = eval.collect().map(r => r.getLong(0) -> shingles(r.getString(1)))
+    val want = trainSh.flatMap { case (tid, a) =>
+      val hits = evalSh.count { case (_, b) =>
+        val ov = (a & b).size
+        a.nonEmpty && b.nonEmpty && 10L * ov >= 6L * (a.size + b.size - ov)
+      }
+      if (hits > 0) Some(tid -> hits.toLong) else None
+    }.toMap
+    assert(got == want, s"got ${got.size} flagged vs ${want.size} expected")
+    // every planted source is flagged; an unrelated doc is not
+    assert((0L until 20L).forall(got.contains))
+  }
+
+  test("semantic dedup keeps the id-minimum of each within-cluster dup group") {
+    import spark.implicits._
+    // two well-separated directions (x-axis vs y-axis) so the 2-means
+    // clustering is unambiguous; cos(near-axis member, axis) ≈ 0.894,
+    // safely under the 0.95 threshold
+    val rows = Seq(
+      0L -> Array(1f, 0f, 0.01f),    // X seed / dominator
+      1L -> Array(0f, 1f, 0.01f),    // Y seed / dominator
+      2L -> Array(0.9f, 0.45f, 0f),  // X member, distinct
+      3L -> Array(0.45f, 0.9f, 0f),  // Y member, distinct
+      4L -> Array(1f, 0f, 0.01f),    // identical to 0 → dropped
+      5L -> Array(2f, 0f, 0.02f),    // doubled 0, cosine exactly 1 → dropped
+      6L -> Array(0f, 1f, 0.01f),    // identical to 1 → dropped
+      7L -> Array(-1f, 0f, 0f),      // anti-parallel: near nothing, survives
+      9L -> Array(0.9f, 0.45f, 0f))  // identical to 2 → dropped only if 2 dominates
+    val df = rows.toDF("vec_id", "embedding")
+    def survivors(maxDom: Int) =
+      Dedup.semanticDedup(df, "vec_id", "embedding",
+          minCosine = 0.95, nlist = 2, iters = 1, maxDominators = maxDom)
+        .collect().map(_.getLong(0)).toSet
+    assert(survivors(48) == Set(0L, 1L, 2L, 3L, 7L))
+    // cap semantics: with one dominator per cluster, 9's only near-dup
+    // (2) is past the cap — 9 can still BE dropped only by a dominator,
+    // and cos(0, 9) ≈ 0.894 < 0.95, so it survives
+    assert(survivors(1) == Set(0L, 1L, 2L, 3L, 7L, 9L))
+    // deterministic across runs
+    assert(survivors(48) == survivors(48))
+  }
+
   test("exact dedup treats NULL content as one group (null-safe join)") {
     import spark.implicits._
     // md5(NULL) is NULL: a plain equi-join on the fingerprint would drop
