@@ -98,4 +98,82 @@ object JoinOps {
     (if (forceSortMerge) left.hint("merge") else left)
       .join(spark.table(rightTable), Seq(key), joinType)
   }
+
+  /** Bit position `i` of a key in an `numBits`-bit Bloom filter —
+    * the cross-engine [[Sampling.md5Bucket]] recipe, so any ANSI
+    * engine reproduces the filter bit-for-bit:
+    * `('0x'||substr(md5(key::VARCHAR || ':' || i), 1, 15))::BIGINT % numBits`.
+    */
+  private def bloomPos(key: Column, i: Int, numBits: Int): Column =
+    pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(key.cast(StringType), lit(s":$i"))), lit(numBits.toLong))
+
+  /** Build a Bloom filter over a key column as a packed bit array.
+    *
+    * Distributed build: explode each key into its `numHashes` bit
+    * positions (positions only — the key never fans out), partial-agg
+    * the per-word OR masks map-side, and collect at most
+    * `numBits / 64` (word, mask) rows to the driver. `numBits` is
+    * driver-bounded by construction (≤ 2²⁴ bits = 2 MB packed), the
+    * same literal-budget discipline as the IVF centroid regime.
+    */
+  def bloomFilterBits(
+      keys: DataFrame, keyCol: String, numBits: Int, numHashes: Int): Array[Long] = {
+    require(numBits >= 64 && numBits <= (1 << 24),
+      s"numBits must be in [64, 2^24]: $numBits")
+    require(numBits % 64 == 0, s"numBits must be a multiple of 64: $numBits")
+    require(numHashes >= 1 && numHashes <= 16, s"numHashes in [1,16]: $numHashes")
+    val words = keys
+      .filter(col(keyCol).isNotNull)
+      .select(explode(array((0 until numHashes).map(i =>
+        bloomPos(col(keyCol), i, numBits)): _*)).as("_pos"))
+      .select((col("_pos") / 64).cast(LongType).as("_w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("_pos"), lit(64L)).cast(IntegerType)).as("_m"))
+      .groupBy(col("_w")).agg(bit_or(col("_m")).as("_mask"))
+      .collect()
+    val bits = new Array[Long](numBits / 64)
+    words.foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+    bits
+  }
+
+  /** Membership test against a built filter: true iff every one of the
+    * key's `numHashes` bit positions is set. No false negatives ever;
+    * false-positive rate ≈ (1 − e^(−kn/m))^k. NULL keys return false
+    * (a NULL never equi-joins, so filtering it is sound for inner and
+    * semi joins).
+    */
+  def bloomPasses(
+      key: Column, bits: Array[Long], numBits: Int, numHashes: Int): Column = {
+    require(bits.length == numBits / 64, "bits length must be numBits/64")
+    val arr = typedlit(bits.toSeq)
+    val hit = (0 until numHashes).map { i =>
+      val pos = bloomPos(key, i, numBits)
+      element_at(arr, (pos / 64).cast(IntegerType) + 1)
+        .bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(pos, lit(64L)).cast(IntegerType))) =!= 0
+    }
+    hit.reduce(_ && _) && key.isNotNull
+  }
+
+  /** Semi-join reduction: filter the big side through a Bloom filter of
+    * the small side's keys BEFORE the join's exchange, then join
+    * normally. At 100 TB the exchange is the cost — a 2 MB filter that
+    * rejects 95% of fact rows map-side shrinks the shuffle by 20×
+    * while the exact join afterwards removes the false positives, so
+    * the result is identical to the plain join (JoinOpsSpec asserts
+    * equality; q92 pins the filter's exact false-positive pattern
+    * cross-engine). This is the manual form of the runtime row-level
+    * filtering Spark plans adaptively — exposed as an operator so a
+    * pipeline can build the filter ONCE and reuse it across many fact
+    * scans (Spark's adaptive version rebuilds per query).
+    */
+  def bloomPrefilteredJoin(
+      big: DataFrame, small: DataFrame, key: String,
+      numBits: Int = 1 << 20, numHashes: Int = 5,
+      joinType: String = "inner"): DataFrame = {
+    val bits = bloomFilterBits(small.select(col(key)), key, numBits, numHashes)
+    big.filter(bloomPasses(col(key), bits, numBits, numHashes))
+      .join(small, Seq(key), joinType)
+  }
 }

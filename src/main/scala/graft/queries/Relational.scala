@@ -1042,6 +1042,63 @@ object Relational {
        |GROUP BY skewkey, s_name
        |ORDER BY skewkey""".stripMargin
 
+  /** Bloom-filter semi-join reduction on the oracle gate
+    * ([[graft.operators.JoinOps.bloomPrefilteredJoin]]'s machinery):
+    * build a Bloom filter over the BUILDING-segment customer keys with
+    * the cross-engine md5 bit-position recipe, then emit, per
+    * (passes_bloom, is_match) combination, the order count and key
+    * checksum. The filter is DELIBERATELY undersized (1024 bits, 3
+    * hashes, ~300 keys → ~20% false-positive rate) so false positives
+    * genuinely occur and the oracle — which rebuilds the position set
+    * in SQL and replays membership per fact key — pins the EXACT
+    * false-positive pattern, not just the no-false-negative invariant
+    * (JoinOpsSpec holds that one). A production call sizes numBits for
+    * its dim cardinality; the semantics under test are identical.
+    *
+    * Scale: the filter is ≤ 2 MB packed regardless of fact size and is
+    * applied map-side BEFORE the join exchange — the fact rows that
+    * fail it never shuffle. The exact join afterwards removes false
+    * positives, so results match the plain join bit-for-bit.
+    */
+  def q92BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinOps
+    val dim = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val bits = JoinOps.bloomFilterBits(dim, "c_custkey",
+      numBits = 1024, numHashes = 3)
+    Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      .withColumn("passes_bloom",
+        JoinOps.bloomPasses(col("o_custkey"), bits, 1024, 3))
+      .join(dim.select(col("c_custkey").as("o_custkey"),
+        lit(true).as("is_match")), Seq("o_custkey"), "left")
+      .select(col("o_orderkey"), col("passes_bloom"),
+        coalesce(col("is_match"), lit(false)).as("is_match"))
+      .groupBy(col("passes_bloom"), col("is_match"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_keys"))
+      .orderBy("passes_bloom", "is_match")
+  }
+
+  val q92Sql: String =
+    """WITH dim AS (
+      |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |hashes AS (SELECT unnest(range(3)) AS i),
+      |dpos AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || ':' || i), 1, 15))::BIGINT % 1024 AS pos
+      |  FROM dim CROSS JOIN hashes),
+      |f AS (
+      |  SELECT o_orderkey,
+      |    NOT EXISTS (
+      |      SELECT 1 FROM hashes h
+      |      WHERE ('0x' || substr(md5(o_custkey::VARCHAR || ':' || h.i), 1, 15))::BIGINT % 1024
+      |        NOT IN (SELECT pos FROM dpos)) AS passes_bloom,
+      |    EXISTS (SELECT 1 FROM dim d WHERE d.c_custkey = o_custkey) AS is_match
+      |  FROM orders)
+      |SELECT passes_bloom, is_match, CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(sum(o_orderkey) AS BIGINT) AS sum_keys
+      |FROM f GROUP BY passes_bloom, is_match
+      |ORDER BY passes_bloom, is_match""".stripMargin
+
   /** One-pass table profiling ([[graft.operators.Profiling
     * .profileColumns]] — the ANALYZE/data-quality primitive): per-
     * column counts, exact distincts, typed min/max over a mixed
@@ -1095,6 +1152,7 @@ object Relational {
     "q57_bucketed_join"   -> q57BucketedJoin _,
     "q57b_bucketed_probe" -> q57bBucketedJoinProbe _,
     "q73_salted_join"     -> q73SaltedJoin _,
+    "q92_bloom_join"      -> q92BloomJoin _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
@@ -1128,6 +1186,7 @@ object Relational {
     "q57_bucketed_join" -> q57Sql,
     "q57b_bucketed_probe" -> q57Sql,
     "q73_salted_join" -> q73Sql,
+    "q92_bloom_join" -> q92Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,

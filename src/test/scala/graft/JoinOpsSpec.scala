@@ -125,4 +125,41 @@ class JoinOpsSpec extends SparkSpec {
         Tables.orders(spark, sfDir),
         col("l_orderkey") === col("o_orderkey")).count())
   }
+
+  test("bloom prefilter: no false negatives, real reduction, identical join") {
+    val dim = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+    val fact = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey").as("c_custkey"))
+    val bits = JoinOps.bloomFilterBits(dim, "c_custkey", 1024, 3)
+    val flagged = fact.withColumn("_pass",
+      JoinOps.bloomPasses(col("c_custkey"), bits, 1024, 3)).cache()
+    try {
+      // every actually-matching fact row passes the filter
+      assert(flagged.filter(!col("_pass"))
+        .join(dim, Seq("c_custkey"), "left_semi").count() == 0)
+      // the undersized filter still rejects a meaningful share
+      val total = flagged.count()
+      val passed = flagged.filter(col("_pass")).count()
+      assert(passed < total, s"filter rejected nothing ($passed of $total)")
+      // and the prefiltered join result is the plain join, exactly
+      val plain = fact.join(dim, Seq("c_custkey")).collect().toSet
+      val pre = JoinOps.bloomPrefilteredJoin(fact, dim, "c_custkey",
+        numBits = 1024, numHashes = 3).collect().toSet
+      assert(pre == plain)
+    } finally flagged.unpersist()
+  }
+
+  test("bloom filter drops NULL keys and survives an empty dim") {
+    import spark.implicits._
+    val dim = Seq(1L, 2L).toDF("k")
+    val bits = JoinOps.bloomFilterBits(dim, "k", 64, 2)
+    val fact = Seq(Some(1L), Some(99L), None).toDF("k")
+    val passes = fact.withColumn("p", JoinOps.bloomPasses(col("k"), bits, 64, 2))
+      .collect().map(r => Option(r.get(0)) -> r.getBoolean(1)).toMap
+    assert(passes(Some(1L)), "member must pass")
+    assert(!passes(None), "NULL key must be filtered")
+    val emptyBits = JoinOps.bloomFilterBits(dim.filter(col("k") < 0), "k", 64, 2)
+    assert(emptyBits.forall(_ == 0L), "empty dim -> empty filter")
+  }
 }
