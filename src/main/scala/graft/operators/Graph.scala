@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Graph ranking over edge lists (the quality-weighting side of a
+  * training-data pipeline: host/domain link graphs rank sources the
+  * way CommonCrawl-derived corpora weight pages, and the same shape
+  * ranks suppliers, users, or documents in any keyed edge set).
+  *
+  * [[Dedup.connectedComponents]] covers reachability; this module
+  * covers importance. Both follow the same Spark shape: node-sized
+  * state frames iterated through keyed joins against a reused edge
+  * table — never an adjacency matrix.
+  */
+object Graph {
+
+  /** Deterministic fixed-point PageRank.
+    *
+    * All arithmetic is INTEGER: ranks live in fixed-point units (total
+    * initial mass 10¹², split evenly), per-edge contribution is
+    * `rank DIV outdeg`, damping applies as the rational
+    * `dampingNum/dampingDen` via `(num · Σ) DIV den`. Integer sums are
+    * associative, so the result is bit-stable regardless of
+    * partitioning or aggregation order — the property a float PageRank
+    * fundamentally lacks (a groupBy-sum of doubles folds in partial
+    * order and drifts run to run), and the property that lets any ANSI
+    * engine replay every iteration exactly (q93's oracle unrolls them
+    * in SQL).
+    *
+    * Semantics: nodes = distinct src ∪ dst endpoints. Per iteration,
+    * rank(v) ← base + (num · Σ_{u→v} rank(u) DIV outdeg(u)) DIV den,
+    * with base = ((den−num) · (10¹² DIV N)) DIV den the uniform
+    * teleport share. DIV truncation and dangling nodes (sinks keep no
+    * out-share to give) shed a little mass per iteration instead of
+    * redistributing it — ranks are for ORDERING, not a probability
+    * measure, and truncation loss is bounded by 1 unit per edge.
+    * Duplicate edges are collapsed first (distinct), so parallel edges
+    * don't double-vote.
+    *
+    * Scale shape per iteration: ranks (node-sized) join edges on src —
+    * a keyed exchange of the SMALL frame; the per-dst partial sums
+    * collapse map-side before the second exchange. Edges are persisted
+    * once and reused across iterations; rank lineage is cut per
+    * iteration (`localCheckpoint`) so iteration i+1 never replans i.
+    * Returns (node_id, rank) — BIGINT fixed-point units.
+    */
+  def pageRank(
+      edgeList: DataFrame, srcCol: String, dstCol: String,
+      iters: Int = 3, dampingNum: Int = 85, dampingDen: Int = 100): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(dampingNum > 0 && dampingDen > dampingNum,
+      s"damping must be a rational in (0,1): $dampingNum/$dampingDen")
+    val edges = graft.sources.Tables.widen(edgeList)
+      .select(col(srcCol).cast(LongType).as("_src"),
+        col(dstCol).cast(LongType).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .persist()
+    try {
+      val nodes = edges.select(col("_src").as("id"))
+        .union(edges.select(col("_dst").as("id")))
+        .distinct()
+        .localCheckpoint(true)
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty edge list")
+      val unit = 1000000000000L / n
+      val base = (dampingDen - dampingNum).toLong * unit / dampingDen
+      val outdeg = edges.groupBy(col("_src").as("id"))
+        .agg(count(lit(1)).as("_deg"))
+      var ranks = nodes.select(col("id"), lit(unit).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 0 until iters) {
+        val inSums = edges
+          .join(ranks.withColumnRenamed("id", "_src"), "_src")
+          .join(outdeg.withColumnRenamed("id", "_src"), "_src")
+          .select(col("_dst").as("id"),
+            expr("rank DIV _deg").as("_share"))
+          .groupBy(col("id")).agg(sum(col("_share")).as("_insum"))
+        ranks = nodes
+          .join(inSums, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(
+              s"(CAST($dampingNum AS BIGINT) * coalesce(_insum, CAST(0 AS BIGINT))) " +
+                s"DIV $dampingDen")).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally edges.unpersist()
+  }
+}

@@ -1099,6 +1099,58 @@ object Relational {
       |FROM f GROUP BY passes_bloom, is_match
       |ORDER BY passes_bloom, is_match""".stripMargin
 
+  /** Deterministic fixed-point PageRank on the oracle gate
+    * ([[graft.operators.Graph.pageRank]]): rank the bipartite
+    * customer→supplier purchase graph (distinct pairs via
+    * orders⋈lineitem; suppliers offset to a disjoint id space) through
+    * THREE full iterations of integer-only PageRank — fixed-point mass
+    * units, `DIV`-truncated shares, rational 85/100 damping. The
+    * DuckDB twin unrolls all three iterations in SQL with the same
+    * integer arithmetic, so any divergence (a share truncated
+    * differently, a float sneaking into a sum, one edge double-counted)
+    * shifts some node's rank units and breaks the hash. Every rank is
+    * exact — there is no tolerance window to hide in.
+    */
+  def q93PageRank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 100000L).as("dst"))
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+      .select(col("id"), col("rank").as("rank_fp"))
+      .orderBy("id")
+  }
+
+  // one integer PageRank step in SQL: per-edge DIV-truncated shares,
+  // per-dst sums, rational damping — mirrors Graph.pageRank exactly
+  private def prStepSql(prev: String, out: String): String =
+    s"""s_$out AS (
+       |  SELECT e.dst AS id, sum(p.r // o.deg) AS insum
+       |  FROM edges e JOIN $prev p ON p.id = e.src
+       |  JOIN outdeg o ON o.id = e.src
+       |  GROUP BY e.dst),
+       |$out AS (
+       |  SELECT n.id,
+       |    CAST((SELECT (100 - 85) * unit // 100 FROM params) +
+       |         (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN s_$out s ON s.id = n.id)""".stripMargin
+
+  val q93Sql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |params AS (
+       |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS unit FROM nodes),
+       |outdeg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, (SELECT unit FROM params) AS r FROM nodes),
+       |${prStepSql("r0", "r1")},
+       |${prStepSql("r1", "r2")},
+       |${prStepSql("r2", "r3")}
+       |SELECT id, r AS rank_fp FROM r3 ORDER BY id""".stripMargin
+
   /** One-pass table profiling ([[graft.operators.Profiling
     * .profileColumns]] — the ANALYZE/data-quality primitive): per-
     * column counts, exact distincts, typed min/max over a mixed
@@ -1153,6 +1205,7 @@ object Relational {
     "q57b_bucketed_probe" -> q57bBucketedJoinProbe _,
     "q73_salted_join"     -> q73SaltedJoin _,
     "q92_bloom_join"      -> q92BloomJoin _,
+    "q93_pagerank"        -> q93PageRank _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
@@ -1187,6 +1240,7 @@ object Relational {
     "q57b_bucketed_probe" -> q57Sql,
     "q73_salted_join" -> q73Sql,
     "q92_bloom_join" -> q92Sql,
+    "q93_pagerank" -> q93Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,
