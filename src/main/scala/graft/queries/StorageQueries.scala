@@ -243,7 +243,49 @@ object StorageQueries {
        |ORDER BY zbucket""".stripMargin
   }
 
+  /** SCD type-2 dimension building on the oracle gate
+    * ([[graft.operators.Scd.scd2FromEvents]]): per user, collapse the
+    * event log into attribute runs (consecutive same-event_type rows)
+    * and emit validity intervals — valid_from/valid_to at microsecond
+    * precision, NULL = still current. The DuckDB twin replays the
+    * identical (ts, event_id)-total-ordered lag/lead construction, so
+    * any divergence in run detection, tie-breaking, interval chaining,
+    * or sub-second timestamp handling (Spark reads the parquet ns
+    * column at µs — the oracle casts to TIMESTAMP to match) moves a
+    * boundary and breaks the hash.
+    */
+  def q94Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scd.scd2FromEvents(
+        Tables.events(s, dir), "user_id", "ts",
+        attrCols = Seq("event_type"), tieCol = "event_id")
+      .select(col("user_id"), col("event_type"),
+        date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_from"),
+        date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("valid_to"))
+      .orderBy("user_id", "valid_from")
+
+  val q94Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM ev
+      |  QUALIFY prev IS NULL OR event_type IS DISTINCT FROM prev),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM runs)
+      |SELECT user_id, event_type,
+      |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+      |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+      |FROM iv
+      |ORDER BY user_id, valid_from""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q94_scd2_history"     -> q94Scd2 _,
     "q89_zorder_cluster"   -> q89ZOrderCluster _,
     "q75_partitioned_compaction" -> q75PartitionedCompaction _,
     "q67_compaction"       -> q67Compaction _,
@@ -253,6 +295,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q94_scd2_history"     -> q94Sql,
     "q89_zorder_cluster"   -> q89Sql,
     "q75_partitioned_compaction" -> q75Sql,
     "q67_compaction"       -> q67Sql,
