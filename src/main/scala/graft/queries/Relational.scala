@@ -473,6 +473,65 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Incremental distinct-count maintenance via mergeable HLL sketches
+    * ([[graft.operators.Sketches]]): split orders into three "daily"
+    * batches, build a per-batch per-priority customer sketch table,
+    * round-trip the first through parquet (the persisted-index
+    * pattern), merge all three, and compare against the exact distinct
+    * counts. The contract exported to the gate: `merge_order_ok` — HLL
+    * register-max merging is associative/commutative/idempotent, so
+    * ANY merge order over the persisted batches must answer
+    * identically (the 100 TB claim: incremental maintenance is
+    * batch-sized work whose answer never depends on arrival order) —
+    * and `est_ok`, the q29-style accuracy window around the exact
+    * count. Exact counts cross-check in DuckDB; the booleans are
+    * Spark-computed claims the oracle states (same weakened-gate note
+    * as q29/q40 — both properties additionally spec-asserted, including
+    * the documented composite-vs-HIP estimator caveat).
+    */
+  def q95SketchMaintenance(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val orders = Tables.orders(s, dir)
+      .select(col("o_orderpriority"), col("o_custkey"), col("o_orderkey"))
+    val batches = (0 until 3).map(i =>
+      orders.filter(pmod(col("o_orderkey"), lit(3)) === i))
+    // materialize each batch sketch once: serialized sketch bytes are
+    // promotion-path (partition-order) dependent, so both merge orders
+    // must consume the SAME persisted bytes — exactly what a real
+    // ingest does (sketch at arrival, merge the stored tables)
+    val daily = batches.map(b =>
+      Sketches.distinctSketches(b, "o_orderpriority", "o_custkey")
+        .localCheckpoint(true))
+    val path = Det.scratchPath("q95", dir) + "/day0"
+    daily.head.write.mode("overwrite").parquet(path)
+    val day0 = s.read.parquet(path)
+    val estMerged = Sketches.estimateDistinct(
+        Sketches.mergeSketches(day0 +: daily.tail, "o_orderpriority"),
+        "o_orderpriority")
+      .withColumnRenamed("estimate", "_est_m")
+    val estRev = Sketches.estimateDistinct(
+        Sketches.mergeSketches((day0 +: daily.tail).reverse, "o_orderpriority"),
+        "o_orderpriority")
+      .withColumnRenamed("estimate", "_est_r")
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_custs"))
+    exact.join(estMerged, "o_orderpriority").join(estRev, "o_orderpriority")
+      .select(col("o_orderpriority"), col("exact_custs"),
+        (col("_est_m") === col("_est_r")).as("merge_order_ok"),
+        (abs(col("_est_m").cast(DoubleType) - col("exact_custs").cast(DoubleType)) <=
+          lit(0.05) * col("exact_custs").cast(DoubleType)).as("est_ok"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q95Sql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT o_custkey) AS exact_custs,
+      |  TRUE AS merge_order_ok,
+      |  TRUE AS est_ok
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** TPC-H Q17-shape correlated aggregate: lineitems below 30% of their
     * part's average quantity. Decorrelated by Catalyst into an
     * aggregate + join; the threshold is computed with exact decimal
@@ -1206,6 +1265,7 @@ object Relational {
     "q73_salted_join"     -> q73SaltedJoin _,
     "q92_bloom_join"      -> q92BloomJoin _,
     "q93_pagerank"        -> q93PageRank _,
+    "q95_sketch_maintenance" -> q95SketchMaintenance _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
@@ -1241,6 +1301,7 @@ object Relational {
     "q73_salted_join" -> q73Sql,
     "q92_bloom_join" -> q92Sql,
     "q93_pagerank" -> q93Sql,
+    "q95_sketch_maintenance" -> q95Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,
