@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over keyed event logs: ordered-funnel
+  * completion and cohort retention — the two queries every
+  * product-analytics warehouse runs hourly, expressed as keyed
+  * aggregates that scale (no per-user collect, no sequence UDF, no
+  * window over the whole log).
+  */
+object Funnel {
+
+  /** Ordered funnel: for each user, the earliest time of step 1, then
+    * the earliest step-2 event STRICTLY AFTER that, then the earliest
+    * step-3 event strictly after THAT, and so on — the standard
+    * "completed the funnel in order" semantics (same-timestamp events
+    * do not advance the funnel; ties are not "after").
+    *
+    * Returns one row per user who reached step 1, with columns
+    * `step_ts_1 … step_ts_N` (NULL from the first unreached step on —
+    * monotone by construction: step n+1 non-null implies step n
+    * non-null).
+    *
+    * Scale shape: one filtered min-aggregate per step, each joined
+    * back on the user key — N−1 keyed joins of user-sized frames
+    * against filtered event subsets, all partial-aggregated map-side.
+    * Never a per-user event sort: a funnel over 10¹¹ events with
+    * 10⁸ users moves user-sized frames between stages.
+    */
+  def funnelSteps(
+      events: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps: at least one step")
+    val ev = graft.sources.Tables.widen(events)
+      .select(col(userCol), col(tsCol), col(typeCol))
+    var acc = ev.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("step_ts_1"))
+    steps.tail.zipWithIndex.foreach { case (step, i) =>
+      val n = i + 2
+      val nxt = ev.filter(col(typeCol) === step)
+        .join(acc.select(col(userCol), col(s"step_ts_${n - 1}").as("_prev")),
+          Seq(userCol))
+        .filter(col(tsCol) > col("_prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"step_ts_$n"))
+      acc = acc.join(nxt, Seq(userCol), "left")
+    }
+    acc
+  }
+
+  /** Cohort retention: assign each user to the cohort of their first
+    * active day, then count distinct users per (cohort day, day
+    * offset) — the classic retention triangle. Day granularity (dates,
+    * not timestamps) keeps the output engine-portable.
+    *
+    * Scale shape: a per-user min aggregate for cohorts, a distinct
+    * (user, day) projection for activity, one keyed join, one count
+    * aggregate — everything user- or user×day-sized, map-side
+    * combined.
+    */
+  def cohortRetention(
+      events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ev = graft.sources.Tables.widen(events)
+      .select(col(userCol), to_date(col(tsCol)).as("_d"))
+    val cohort = ev.groupBy(col(userCol)).agg(min(col("_d")).as("_cohort"))
+    val activity = ev.distinct()
+    activity.join(cohort, Seq(userCol))
+      .select(col("_cohort").as("cohort_date"),
+        datediff(col("_d"), col("_cohort")).as("day_offset"))
+      .groupBy(col("cohort_date"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+}

@@ -55,4 +55,35 @@ object Scd {
       .select((col(keyCol) +: attrCols.map(col)) ++
         Seq(col(tsCol).as("valid_from"), col("valid_to")): _*)
   }
+
+  /** Temporal lookup against a type-2 dimension: attach to each fact
+    * row the dimension attributes valid AS OF its timestamp —
+    * `valid_from <= ts < valid_to` (open rows match everything from
+    * `valid_from` on). Facts before the key's first interval, or with
+    * no dimension key at all, keep NULL attributes (left join).
+    *
+    * Scale shape: an EQUI-join on the dimension key with the interval
+    * predicate as a join residual — Catalyst plans the keyed hash/merge
+    * join and evaluates the range condition per matched pair, so the
+    * cost is per-key fact × interval fanout, never a cross product.
+    * Intervals per key are change counts (small by construction for
+    * sticky attributes); a hot key is the usual salting story. The
+    * SCD2 construction guarantees per-key intervals are disjoint, so
+    * each fact matches AT MOST one row — row counts never amplify
+    * (ScdSpec asserts this).
+    */
+  def asOfLookup(
+      facts: DataFrame, dim: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val d = dim.select(
+      col(keyCol).as("_dk"),
+      col("valid_from").as("_vf"), col("valid_to").as("_vt"),
+      struct(dim.columns.filterNot(
+        Set(keyCol, "valid_from", "valid_to")).map(col): _*).as("_attrs"))
+    facts.join(d,
+        facts(keyCol) === col("_dk") &&
+          facts(tsCol) >= col("_vf") &&
+          (col("_vt").isNull || facts(tsCol) < col("_vt")),
+        "left")
+      .select(facts.columns.map(facts(_)) :+ col("_attrs"): _*)
+  }
 }

@@ -532,6 +532,76 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Ordered funnel completion on the oracle gate
+    * ([[graft.operators.Funnel.funnelSteps]]): per user, the earliest
+    * view, the earliest click STRICTLY after it, and the earliest
+    * purchase strictly after that — emitted at microsecond precision
+    * with the reached-step count, so the oracle (the same three
+    * min-after chains in SQL) breaks on any divergence in the
+    * strictly-after semantics, tie handling, or step monotonicity.
+    */
+  def q97Funnel(s: SparkSession, dir: String): DataFrame = {
+    val f = graft.operators.Funnel.funnelSteps(
+      Tables.events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+    f.select(col("user_id"),
+        date_format(col("step_ts_1"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("view_ts"),
+        date_format(col("step_ts_2"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        date_format(col("step_ts_3"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purchase_ts"),
+        (lit(1) + col("step_ts_2").isNotNull.cast(IntegerType) +
+          col("step_ts_3").isNotNull.cast(IntegerType)).as("steps_reached"))
+      .orderBy("user_id")
+  }
+
+  val q97Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+      |s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM ev
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM ev e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1
+      |  GROUP BY e.user_id),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM ev e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      |  GROUP BY e.user_id)
+      |SELECT s1.user_id,
+      |  strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      |  strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      |  CAST(1 + CAST(t2 IS NOT NULL AS INT) + CAST(t3 IS NOT NULL AS INT)
+      |    AS INT) AS steps_reached
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY s1.user_id""".stripMargin
+
+  /** Cohort retention triangle on the oracle gate
+    * ([[graft.operators.Funnel.cohortRetention]]): users cohorted by
+    * first active day, distinct-user counts per (cohort, day offset).
+    * Integer-and-date-only contract — any drift in cohort assignment,
+    * date truncation, offset arithmetic, or distinctness changes a
+    * cell count.
+    */
+  def q98Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.cohortRetention(Tables.events(s, dir), "user_id", "ts")
+      .select(date_format(col("cohort_date"), "yyyy-MM-dd").as("cohort_date"),
+        col("day_offset"), col("n_users"))
+      .orderBy("cohort_date", "day_offset")
+
+  val q98Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |cohort AS (SELECT user_id, min(d) AS c FROM ev GROUP BY user_id)
+      |SELECT strftime(c, '%Y-%m-%d') AS cohort_date,
+      |  CAST(date_diff('day', c, d) AS INT) AS day_offset,
+      |  CAST(count(*) AS BIGINT) AS n_users
+      |FROM ev JOIN cohort USING (user_id)
+      |GROUP BY c, day_offset
+      |ORDER BY cohort_date, day_offset""".stripMargin
+
   /** TPC-H Q17-shape correlated aggregate: lineitems below 30% of their
     * part's average quantity. Decorrelated by Catalyst into an
     * aggregate + join; the threshold is computed with exact decimal
@@ -1266,6 +1336,8 @@ object Relational {
     "q92_bloom_join"      -> q92BloomJoin _,
     "q93_pagerank"        -> q93PageRank _,
     "q95_sketch_maintenance" -> q95SketchMaintenance _,
+    "q97_funnel"          -> q97Funnel _,
+    "q98_retention"       -> q98Retention _,
     "q47_pivot"           -> q47Pivot _,
     "q45_min_cost_supplier" -> q45MinCostSupplier _,
     "q46_window_battery"  -> q46WindowBattery _,
@@ -1302,6 +1374,8 @@ object Relational {
     "q92_bloom_join" -> q92Sql,
     "q93_pagerank" -> q93Sql,
     "q95_sketch_maintenance" -> q95Sql,
+    "q97_funnel" -> q97Sql,
+    "q98_retention" -> q98Sql,
     "q47_pivot" -> q47Sql,
     "q45_min_cost_supplier" -> q45Sql,
     "q46_window_battery" -> q46Sql,

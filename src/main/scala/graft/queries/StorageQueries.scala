@@ -284,7 +284,56 @@ object StorageQueries {
       |FROM iv
       |ORDER BY user_id, valid_from""".stripMargin
 
+  /** Temporal (as-of) lookup against the q94 SCD2 dimension
+    * ([[graft.operators.Scd.asOfLookup]]): for every error event, what
+    * was the user's state ONE HOUR EARLIER? Each fact probes the
+    * dimension at a timestamp that is generally strictly inside some
+    * other run's interval (or before the user's first run → NULL), so
+    * the oracle — a SQL interval join over the same replayed dimension
+    * — breaks if interval membership, the half-open boundary, the open
+    * (NULL valid_to) row, or the no-amplification guarantee slips
+    * anywhere.
+    */
+  def q96AsOfState(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Scd
+    val ev = Tables.events(s, dir)
+    val dim = Scd.scd2FromEvents(ev, "user_id", "ts",
+      attrCols = Seq("event_type"), tieCol = "event_id")
+    val facts = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"),
+        (col("ts") - expr("INTERVAL 1 HOUR")).as("asof_ts"))
+    Scd.asOfLookup(facts, dim, "user_id", "asof_ts")
+      .select(col("event_id"), col("user_id"),
+        col("_attrs.event_type").as("state_1h_before"))
+      .orderBy("event_id")
+  }
+
+  val q96Sql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, event_type, ts, event_id,
+      |    lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM ev
+      |  QUALIFY prev IS NULL OR event_type IS DISTINCT FROM prev),
+      |iv AS (
+      |  SELECT user_id, event_type, ts AS valid_from,
+      |    lead(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM runs),
+      |f AS (
+      |  SELECT event_id, user_id, ts - INTERVAL 1 HOUR AS asof_ts
+      |  FROM ev WHERE event_type = 'error')
+      |SELECT f.event_id, f.user_id, i.event_type AS state_1h_before
+      |FROM f LEFT JOIN iv i ON i.user_id = f.user_id
+      |  AND f.asof_ts >= i.valid_from
+      |  AND (i.valid_to IS NULL OR f.asof_ts < i.valid_to)
+      |ORDER BY f.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q96_asof_state"       -> q96AsOfState _,
     "q94_scd2_history"     -> q94Scd2 _,
     "q89_zorder_cluster"   -> q89ZOrderCluster _,
     "q75_partitioned_compaction" -> q75PartitionedCompaction _,
@@ -295,6 +344,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q96_asof_state"       -> q96Sql,
     "q94_scd2_history"     -> q94Sql,
     "q89_zorder_cluster"   -> q89Sql,
     "q75_partitioned_compaction" -> q75Sql,

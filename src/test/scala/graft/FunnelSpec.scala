@@ -1,0 +1,52 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("funnel advances only on strictly-later events, in order") {
+    import spark.implicits._
+    val events = Seq(
+      // u1: clean full funnel
+      (1L, ts(1), "view"), (1L, ts(2), "click"), (1L, ts(3), "purchase"),
+      // u2: click BEFORE the first view doesn't count; the later one does
+      (2L, ts(1), "click"), (2L, ts(2), "view"), (2L, ts(5), "click"),
+      // u3: same-timestamp click is not "after" the view -> funnel stops
+      (3L, ts(4), "view"), (3L, ts(4), "click"),
+      // u4: never viewed -> not in the funnel at all
+      (4L, ts(1), "purchase"))
+      .toDF("uid", "t", "etype")
+    val got = Funnel.funnelSteps(events, "uid", "t", "etype",
+        Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), Option(r.getTimestamp(3))))
+      .toMap
+    assert(got == Map(
+      1L -> (Some(ts(1)), Some(ts(2)), Some(ts(3))),
+      2L -> (Some(ts(2)), Some(ts(5)), None),
+      3L -> (Some(ts(4)), None, None)))
+  }
+
+  test("cohort retention counts distinct users per cohort and offset") {
+    import spark.implicits._
+    def day(d: Int) = ts(86400L * d)
+    val events = Seq(
+      (1L, day(0)), (1L, day(0)), (1L, day(2)),   // cohort 0, active 0 and 2
+      (2L, day(0)), (2L, day(1)),                 // cohort 0, active 0 and 1
+      (3L, day(1)))                               // cohort 1, active 1
+      .toDF("uid", "t")
+    val got = Funnel.cohortRetention(events, "uid", "t")
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("1970-01-01", 0) -> 2L, ("1970-01-01", 1) -> 1L, ("1970-01-01", 2) -> 1L,
+      ("1970-01-02", 0) -> 1L))
+  }
+}

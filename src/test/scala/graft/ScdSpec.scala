@@ -47,4 +47,25 @@ class ScdSpec extends SparkSpec {
       (None, ts(2), Some(ts(4))),
       (Some("A"), ts(4), None)))
   }
+
+  test("asOfLookup picks the covering interval, never amplifies, nulls early probes") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, ts(10), 1L, "A"), (1L, ts(20), 2L, "B"), (1L, ts(30), 3L, "C"))
+      .toDF("uid", "t", "eid", "status")
+    val dim = Scd.scd2FromEvents(events, "uid", "t", Seq("status"), "eid")
+    val facts = Seq(
+      (100L, 1L, ts(5)),   // before first interval -> NULL
+      (101L, 1L, ts(10)),  // inclusive lower bound -> A
+      (102L, 1L, ts(20)),  // exclusive upper bound -> B, not A
+      (103L, 1L, ts(99)),  // open interval -> C
+      (104L, 2L, ts(50)))  // unknown key -> NULL
+      .toDF("fid", "uid", "t")
+    val got = Scd.asOfLookup(facts, dim, "uid", "t")
+      .select(col("fid"), col("_attrs.status"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(100L -> None, 101L -> Some("A"), 102L -> Some("B"),
+      103L -> Some("C"), 104L -> None))
+    assert(Scd.asOfLookup(facts, dim, "uid", "t").count() == facts.count())
+  }
 }
