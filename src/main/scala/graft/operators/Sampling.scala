@@ -38,6 +38,24 @@ object Sampling {
     df.filter(hashBucket(col(idCol), 1000000, salt) < (fraction * 1000000).toInt)
   }
 
+  /** Per-row-probability deterministic sample: keep each row with its
+    * OWN probability from `weightCol` (clamped to [0, 1]) — the
+    * temperature/quality-weighted sampling a training mix uses
+    * (upsample-by-downsampling-everything-else: rows carry their
+    * source's or their own quality-derived rate). Same hash-stability
+    * contract as [[hashSample]]: membership never changes across runs,
+    * layouts, or appends, and because the bucket is the cross-engine
+    * [[md5Bucket]] and the threshold is `floor(weight · 10⁶)` (floor
+    * SPELLED OUT — Spark's int cast truncates where other engines
+    * round), any ANSI engine replays the exact kept set. One
+    * projection + filter: nothing shuffles.
+    */
+  def weightedHashSample(df: DataFrame, idCol: String, weightCol: String,
+      salt: String = ""): DataFrame =
+    df.filter(
+      md5Bucket(col(idCol), 1000000, salt).cast("long") <
+        floor(greatest(lit(0.0), least(lit(1.0), col(weightCol))) * 1000000))
+
   /** Stable named splits (e.g. train/val/test). Fractions must sum to
     * ≤ 1; remainder rows are dropped (or add a catch-all split).
     * Returns the input with a `split` column; rows assign to the first

@@ -332,7 +332,70 @@ object StorageQueries {
       |  AND (i.valid_to IS NULL OR f.asof_ts < i.valid_to)
       |ORDER BY f.event_id""".stripMargin
 
+  /** Snapshot CDC diff on the oracle gate
+    * ([[graft.operators.Diff.snapshotDiff]]): mutate orders
+    * deterministically — delete every 97th key, bump o_custkey on
+    * every 13th, insert shifted copies of every 101st — and classify
+    * every key as insert/delete/update via the chr(31)/chr(30)
+    * md5 row fingerprint. The oracle rebuilds BOTH snapshots and
+    * replays the same fingerprint comparison, so any divergence in
+    * the hash recipe, NULL sentinel, join classification, or the
+    * changed-keys-only contract shifts a row. Value columns never
+    * cross an exchange — only keys and 16-byte hashes (the same
+    * discipline as exact dedup's anti-join).
+    */
+  def q100SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val before = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val after = before
+      .filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+      .withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(13)) === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")))
+      .unionByName(before.filter(pmod(col("o_orderkey"), lit(101)) === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_custkey"), col("o_orderstatus")))
+    graft.operators.Diff.snapshotDiff(before, after,
+        keyCols = Seq("o_orderkey"), valueCols = Seq("o_custkey", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  val q100Sql: String =
+    """WITH before_t AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders),
+      |after_t AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 13 = 0 THEN o_custkey + 1
+      |         ELSE o_custkey END AS o_custkey,
+      |    o_orderstatus
+      |  FROM before_t WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus
+      |  FROM before_t WHERE o_orderkey % 101 = 0),
+      |bh AS (
+      |  SELECT o_orderkey, md5(concat_ws(chr(31),
+      |    coalesce(o_custkey::VARCHAR, chr(30)),
+      |    coalesce(o_orderstatus, chr(30)))) AS h
+      |  FROM before_t),
+      |ah AS (
+      |  SELECT o_orderkey, md5(concat_ws(chr(31),
+      |    coalesce(o_custkey::VARCHAR, chr(30)),
+      |    coalesce(o_orderstatus, chr(30)))) AS h
+      |  FROM after_t),
+      |j AS (
+      |  SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+      |    b.h AS hb, a.h AS ha
+      |  FROM bh b FULL OUTER JOIN ah a ON b.o_orderkey = a.o_orderkey)
+      |SELECT o_orderkey,
+      |  CASE WHEN hb IS NULL THEN 'insert'
+      |       WHEN ha IS NULL THEN 'delete'
+      |       WHEN hb <> ha THEN 'update' END AS change
+      |FROM j
+      |WHERE hb IS NULL OR ha IS NULL OR hb <> ha
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q100_snapshot_diff"   -> q100SnapshotDiff _,
     "q96_asof_state"       -> q96AsOfState _,
     "q94_scd2_history"     -> q94Scd2 _,
     "q89_zorder_cluster"   -> q89ZOrderCluster _,
@@ -344,6 +407,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q100_snapshot_diff"   -> q100Sql,
     "q96_asof_state"       -> q96Sql,
     "q94_scd2_history"     -> q94Sql,
     "q89_zorder_cluster"   -> q89Sql,

@@ -2120,7 +2120,36 @@ object TrainingData {
        |WHERE dd.vec_id IS NULL
        |ORDER BY a.vec_id""".stripMargin
 
+  /** Per-row-probability deterministic sampling on the oracle gate
+    * ([[graft.operators.Sampling.weightedHashSample]]): every document
+    * carries its own keep probability (length-derived: n_chars/2000,
+    * clamped to 1) and membership is decided by the cross-engine md5
+    * bucket against floor(w·10⁶) — the temperature-weighted source
+    * sampling a training mix runs, auditable bit-for-bit by any ANSI
+    * engine. The oracle replays bucket, weight arithmetic, and the
+    * spelled-out floor (Spark's int cast truncates where DuckDB's
+    * rounds — the exact class of silent divergence this gate exists
+    * to catch).
+    */
+  def q99WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .withColumn("w",
+        least(lit(1.0), col("n_chars").cast(DoubleType) / lit(2000.0)))
+    graft.operators.Sampling.weightedHashSample(docs, "doc_id", "w")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
+  val q99Sql: String =
+    """SELECT doc_id, n_chars
+      |FROM documents
+      |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+      |  < CAST(floor(least(CAST(1.0 AS DOUBLE), n_chars / 2000.0) * 1000000)
+      |         AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q99_weighted_sample" -> q99WeightedSample _,
     "q91_semantic_dedup" -> q91SemanticDedup _,
     "q90_fuzzy_decontaminate" -> q90FuzzyDecontaminate _,
     "q87_pc1_projection"   -> q87Pc1Projection _,
@@ -2168,6 +2197,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q99_weighted_sample" -> q99Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,

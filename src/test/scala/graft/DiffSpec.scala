@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Diff
+
+class DiffSpec extends SparkSpec {
+
+  test("snapshotDiff classifies inserts, deletes, updates; drops unchanged") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a"), 10), (2L, Some("b"), 20), (3L, Some("c"), 30),
+      (4L, None: Option[String], 40))
+      .toDF("k", "s", "v")
+    val after = Seq(
+      (1L, Some("a"), 10),                 // unchanged -> absent
+      (2L, Some("B"), 20),                 // update
+      (4L, Some(""), 40),                  // NULL -> empty string IS a change
+      (5L, Some("e"), 50))                 // insert; 3 deleted
+      .toDF("k", "s", "v")
+    val got = Diff.snapshotDiff(before, after, Seq("k"), Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(2L -> "update", 3L -> "delete",
+      4L -> "update", 5L -> "insert"))
+  }
+
+  test("snapshotDiff rejects duplicate keys instead of guessing") {
+    import spark.implicits._
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
+    val clean = Seq((1L, "a")).toDF("k", "s")
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(dup, clean, Seq("k"), Seq("s")).collect()
+    }
+  }
+
+  test("weighted sample is monotone in weight and hash-stable") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val rows = (0L until 1000L).map(i => (i, 0.3)).toDF("id", "w")
+    val kept3 = Sampling.weightedHashSample(rows, "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    val kept7 = Sampling.weightedHashSample(
+        rows.withColumn("w", lit(0.7)), "id", "w")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept3.subsetOf(kept7), "raising every weight must only add rows")
+    assert(kept3.size > 200 && kept3.size < 400, s"~30% expected, got ${kept3.size}")
+    // clamping: w <= 0 keeps nothing, w >= 1 keeps everything
+    assert(Sampling.weightedHashSample(
+      rows.withColumn("w", lit(-1.0)), "id", "w").count() == 0)
+    assert(Sampling.weightedHashSample(
+      rows.withColumn("w", lit(5.0)), "id", "w").count() == 1000)
+    // membership decided per row: appending rows never changes it
+    val appended = rows.unionByName(
+      (2000L until 2100L).map(i => (i, 0.3)).toDF("id", "w"))
+    val keptAppended = Sampling.weightedHashSample(appended, "id", "w")
+      .filter(col("id") < 1000).collect().map(_.getLong(0)).toSet
+    assert(keptAppended == kept3)
+  }
+}
