@@ -28,32 +28,41 @@ object Diff {
     * Scale shape: both sides reduce to (key, row-hash) projections
     * map-side — the table's VALUE columns never cross an exchange, only
     * 16-byte hashes plus keys do (same discipline as the exact-dedup
-    * anti-join). One co-partitioned full-outer join on the key
-    * classifies everything. Duplicate keys are a caller bug the
-    * operator guards: each side is required unique per key
-    * (`dropDuplicates` on the key would silently hide real data, so a
-    * duplicate key fails fast instead).
+    * anti-join). Each side then aggregates by key (the SAME hash
+    * partitioning the join needs, so Catalyst plans exactly two
+    * exchanges and the join adds none), which makes the duplicate-key
+    * guard free: a per-key count rides the aggregate, and a count > 1
+    * raises mid-job via `raise_error` instead of paying a separate
+    * guard pass that would recompute both scans (the operator's first
+    * formulation did exactly that — a `.count()` action before the
+    * caller's own action doubled every byte read). Duplicate keys are
+    * a caller bug: `dropDuplicates` on the key would silently hide
+    * real data, so the diff fails fast instead — lazily, inside the
+    * caller's action, as everything else in a DataFrame pipeline does.
     */
   def snapshotDiff(
       before: DataFrame, after: DataFrame,
       keyCols: Seq[String], valueCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty && valueCols.nonEmpty,
       "snapshotDiff: keyCols and valueCols must be non-empty")
-    def sideHash(df: DataFrame, hashName: String) = {
-      val h = graft.sources.Tables.widen(df)
-        .select(keyCols.map(col) :+ rowHash(valueCols).as(hashName): _*)
-      h
-    }
-    val b = sideHash(before, "_hb")
-    val a = sideHash(after, "_ha")
-    val joined = b.join(a, keyCols, "full_outer")
-    val dupGuard = joined.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).limit(1).count()
-    require(dupGuard == 0,
-      "snapshotDiff: duplicate key on at least one side — diff undefined")
-    joined
+    // project to (key, 16-byte hash) BEFORE any widen/repartition:
+    // widen-first would round-robin the full row width through its
+    // exchange, which is exactly the shipping this operator exists to
+    // avoid (PlanShapeSpec asserts no value column crosses any shuffle)
+    def sideHash(df: DataFrame, hashName: String, cntName: String) =
+      graft.sources.Tables.widen(
+          df.select(keyCols.map(col) :+ rowHash(valueCols).as(hashName): _*))
+        .groupBy(keyCols.map(col): _*)
+        .agg(max(col(hashName)).as(hashName), count(lit(1)).as(cntName))
+    val b = sideHash(before, "_hb", "_nb")
+    val a = sideHash(after, "_ha", "_na")
+    b.join(a, keyCols, "full_outer")
       .withColumn("change",
-        when(col("_hb").isNull, lit("insert"))
+        when(coalesce(col("_nb"), lit(0L)) > 1 ||
+             coalesce(col("_na"), lit(0L)) > 1,
+          raise_error(lit(
+            "snapshotDiff: duplicate key on at least one side — diff undefined")))
+          .when(col("_hb").isNull, lit("insert"))
           .when(col("_ha").isNull, lit("delete"))
           .when(col("_hb") =!= col("_ha"), lit("update")))
       .filter(col("change").isNotNull)

@@ -28,9 +28,21 @@ class DiffSpec extends SparkSpec {
     import spark.implicits._
     val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "s")
     val clean = Seq((1L, "a")).toDF("k", "s")
-    intercept[IllegalArgumentException] {
+    // the guard rides the diff's own job (no separate pass), so it
+    // surfaces as a runtime error from the action, not an eager require
+    val e = intercept[Exception] {
       Diff.snapshotDiff(dup, clean, Seq("k"), Seq("s")).collect()
     }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate key")),
+      s"unexpected failure: $e")
+    // and a duplicate whose rows are IDENTICAL still trips it
+    val dupSame = Seq((1L, "a"), (1L, "a")).toDF("k", "s")
+    val e2 = intercept[Exception] {
+      Diff.snapshotDiff(dupSame, clean, Seq("k"), Seq("s")).collect()
+    }
+    assert(messages(e2).exists(_.contains("duplicate key")))
   }
 
   test("weighted sample is monotone in weight and hash-stable") {

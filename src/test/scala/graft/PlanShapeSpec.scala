@@ -128,6 +128,33 @@ class PlanShapeSpec extends SparkSpec {
       s"content column crosses an exchange in q18:\n${bad.mkString("\n")}")
   }
 
+  test("snapshot diff ships only keys and fingerprints through exchanges") {
+    // Diff.snapshotDiff's contract: value columns reduce to a 16-byte
+    // md5 map-side; every shuffle carries (key, hash, count) triples
+    // only. Asserted on the FINAL adaptive plan of q100 — a
+    // formulation change that let o_custkey/o_orderstatus cross an
+    // exchange would ship the table's full width at 100 TB.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val df = SparkEntry.queries("q100_snapshot_diff")(spark, sfDir)
+    df.collect() // finalize the AQE plan
+    val valueCols = Set("o_custkey", "o_orderstatus")
+    val bad = flatten(df.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike if e.output.exists(a => valueCols(a.name)) => e
+    }
+    assert(bad.isEmpty,
+      s"value column crosses an exchange in q100:\n${bad.mkString("\n")}")
+  }
+
   test("IVF index build: centroid assignment plans NO exchange at all") {
     // the r5 scale nit: the old broadcast-expand + window formulation
     // sent every corpus vector through an exchange nlist times during
