@@ -136,6 +136,38 @@ object Sampling {
     result
   }
 
+  /** Deterministic global corpus shuffle + shard manifest: assign every
+    * row a shard in [0, numShards) and a position within its shard,
+    * where the (shard, pos) order is a stable pseudo-random permutation
+    * of the corpus — the "shuffle once, write N shard files" step every
+    * training run needs, reproducible bit-for-bit by any ANSI engine
+    * (shard = cross-engine [[md5Bucket]]; position = rank of the 60-bit
+    * md5 value, id-tiebroken, within the shard).
+    *
+    * Scale: the naive global shuffle (`ORDER BY rand()` or a
+    * `row_number()` over the whole corpus) funnels 100 TB through one
+    * sort/partition. Here the only exchange is a hash shuffle on the
+    * shard id, and each per-shard sort is corpus/numShards-sized;
+    * shards are md5-balanced by construction, so no task is hot. The
+    * per-shard window is the CORRECT window shape — partitioned, never
+    * global (contrast [[assignSequentialIds]], which exists because a
+    * GLOBAL rank admits no partitioned window).
+    */
+  def shuffleShard(df: DataFrame, idCol: String, numShards: Int,
+      salt: String = ""): DataFrame = {
+    require(numShards > 0, s"bad numShards $numShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = graft.functions.TextFunctions.md5Hash60(
+      concat(col(idCol).cast("string"), lit(salt)))
+    df.withColumn("_h", h)
+      .withColumn("shard", pmod(col("_h"), lit(numShards)).cast("int"))
+      .withColumn("pos",
+        (row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("_h"), col(idCol)))
+          - 1).cast("long"))
+      .drop("_h")
+  }
+
   /** Deterministic per-stratum CAP: keep at most `cap` rows per stratum
     * value, chosen by hash order — the balanced-corpus construction
     * step (e.g. "at most N documents per language/domain" so one

@@ -2148,7 +2148,67 @@ object TrainingData {
       |         AS BIGINT)
       |ORDER BY doc_id""".stripMargin
 
+  /** Deterministic corpus shuffle + shard manifest on the oracle gate
+    * ([[graft.operators.Sampling.shuffleShard]]): every document gets a
+    * (shard, pos) under the cross-engine md5 permutation — the "global
+    * shuffle without a global sort" a training run performs before
+    * writing shard files. The oracle replays bucket, per-shard rank,
+    * and tie-break; any drift in the permutation (hash recipe, shard
+    * arithmetic, rank base) moves a row. The only exchange is the
+    * shard hash partition; each sort is shard-local.
+    */
+  def q101ShuffleShard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    graft.operators.Sampling.shuffleShard(docs, "doc_id", 64)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  val q101Sql: String =
+    """SELECT doc_id, CAST(h % 64 AS INTEGER) AS shard,
+      |  CAST(row_number() OVER (PARTITION BY h % 64 ORDER BY h, doc_id) - 1
+      |       AS BIGINT) AS pos
+      |FROM (SELECT doc_id,
+      |        ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |      FROM documents)
+      |ORDER BY shard, pos""".stripMargin
+
+  /** Overlapping document chunking on the oracle gate
+    * ([[graft.operators.Chunking.chunkText]]): 2000-char windows with
+    * 200-char overlap over every document; the artifact carries each
+    * chunk's length and md5 (not the text — same discipline as the PII
+    * scrub oracle). The oracle regenerates every window with
+    * generate_series + substr, so the chunk-count formula, the
+    * step/overlap arithmetic, 1-based substring addressing, and the
+    * at-least-one-chunk rule are all independently replayed. The Spark
+    * plan is exchange-free: explode(sequence) inside codegen.
+    */
+  def q102ChunkDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    graft.operators.Chunking.chunkText(docs, "text", 2000, 200)
+      .select(col("doc_id"), col("chunk_id"),
+        length(col("chunk")).cast(LongType).as("chunk_len"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val q102Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id, text,
+      |    greatest(1, CAST(floor((length(text) - 200 + 1799) / 1800.0)
+      |                     AS BIGINT)) AS nc
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (
+      |  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_id FROM n)
+      |SELECT doc_id, chunk_id,
+      |  length(substr(text, CAST(chunk_id * 1800 + 1 AS INTEGER), 2000)) AS chunk_len,
+      |  md5(substr(text, CAST(chunk_id * 1800 + 1 AS INTEGER), 2000)) AS chunk_md5
+      |FROM c
+      |ORDER BY doc_id, chunk_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q101_shuffle_shard" -> q101ShuffleShard _,
+    "q102_chunk_docs"    -> q102ChunkDocs _,
     "q99_weighted_sample" -> q99WeightedSample _,
     "q91_semantic_dedup" -> q91SemanticDedup _,
     "q90_fuzzy_decontaminate" -> q90FuzzyDecontaminate _,
@@ -2197,6 +2257,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q101_shuffle_shard" -> q101Sql,
+    "q102_chunk_docs"    -> q102Sql,
     "q99_weighted_sample" -> q99Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
