@@ -32,18 +32,42 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as raw INT64 and
-    * convert to TimestampType (µs, floor — same truncation DuckDB applies
-    * when casting ns→µs). The conversion is a codegen'd projection on the
-    * scan, not a UDF.
+  /** `events.ts` arrives as TimestampType under a UTC session regardless
+    * of the physical parquet encoding — the loader dispatches on the type
+    * the scan actually produced instead of hard-coding one fixture schema
+    * (the r7 lesson: a fixture regeneration flipped TIMESTAMP(NANOS) to
+    * TIMESTAMP(MICROS,NTZ) and a hard-coded ns→µs rewrite broke 18
+    * queries at analysis time). Cases:
+    *
+    *  - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it
+    *    (PARQUET_TYPE_ILLEGAL) unless `nanosAsLong` reads it as raw
+    *    INT64; the column lands as LongType and we floor-divide to µs —
+    *    the same truncation DuckDB applies casting ns→µs.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): lands as
+    *    TIMESTAMP_NTZ; cast to the session-UTC TimestampType so UTC
+    *    component extraction (q15/q17) matches DuckDB reading the same
+    *    wall-clock values from the same file.
+    *  - parquet TIMESTAMP(MICROS, isAdjustedToUTC=true): already
+    *    TimestampType; pass through.
+    *
+    * Every conversion is a codegen'd projection on the scan, not a UDF.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts: unsupported parquet-mapped type $other " +
+            "(expected INT64 nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
