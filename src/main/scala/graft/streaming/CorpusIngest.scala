@@ -23,14 +23,64 @@ import graft.operators.Dedup
   * incremental path) — run a batch-level dedup upstream if intra-batch
   * duplication matters.
   *
-  * Delivery: `foreachBatch` is at-least-once on retry; the parquet
-  * append is not keyed by batch id, so a mid-write crash can duplicate
-  * a batch's survivors in the corpus (never lose them). Production
-  * hardening would stage per-batch output directories keyed by
-  * `batchId` and commit by rename — the same swap machinery
-  * `graft.sinks.Writers` uses.
+  * Delivery: `foreachBatch` replays a batch (same `batchId`, same
+  * rows) after a crash, so the sink must be idempotent per batch id
+  * to be exactly-once. The keyed path ([[ingestBatch]] with
+  * `batchId = Some(id)`, which [[ingestStream]] always uses) commits
+  * each batch atomically: survivors and index signatures are written
+  * to staging directories, moved into the live directories under
+  * deterministic `batch<id>-` file names, and sealed by a
+  * `_committed-batch-<id>` marker (hidden from Spark's file index).
+  * A replayed batch whose marker exists is a no-op; a replay after a
+  * mid-commit crash first deletes the partial `batch<id>-*` files —
+  * so the recompute sees exactly the pre-batch index state — then
+  * redoes the batch. The marker create is the single commit point.
+  * The unkeyed path (`batchId = None`, direct batch calls) keeps the
+  * plain append semantics: at-least-once on caller-managed retry.
   */
 object CorpusIngest {
+
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  private def batchPrefix(id: Long) = s"batch$id-"
+
+  /** Data files of a parquet output dir (skips _SUCCESS/.crc hidden files). */
+  private def dataFiles(fs: FileSystem, dir: Path) =
+    fs.listStatus(dir).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath).sortBy(_.getName)
+
+  /** True iff `dir` exists and holds at least one data file — an index
+    * directory left empty by a crashed-then-cleaned first batch must
+    * bootstrap, not be read as an (unreadable) empty parquet table.
+    */
+  private def hasData(fs: FileSystem, dir: Path): Boolean =
+    fs.exists(dir) && dataFiles(fs, dir).nonEmpty
+
+  /** Delete this batch's files from a live dir — the partial residue of
+    * a commit that crashed between file moves.
+    */
+  private def cleanBatchFiles(fs: FileSystem, dir: Path, id: Long): Unit =
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.startsWith(batchPrefix(id)))
+          fs.delete(st.getPath, false): Unit
+      }
+
+  /** Move staging data files into the live dir under deterministic
+    * batch-keyed names, then drop the staging dir. Deterministic names
+    * make a retried move idempotent after [[cleanBatchFiles]].
+    */
+  private def moveIn(fs: FileSystem, staging: Path, dest: Path, id: Long): Unit = {
+    fs.mkdirs(dest)
+    dataFiles(fs, staging).zipWithIndex.foreach { case (src, i) =>
+      val target = new Path(dest, s"${batchPrefix(id)}$i-${src.getName}")
+      if (!fs.rename(src, target))
+        throw new java.io.IOException(s"rename $src -> $target failed")
+    }
+    fs.delete(staging, true): Unit
+  }
 
   /** Ingest ONE batch: dedup against the index (bootstrap: a missing
     * index means nothing ingested yet — everything survives), append
@@ -43,46 +93,88 @@ object CorpusIngest {
       batch: DataFrame, indexPath: String, corpusPath: String,
       idCol: String, textCol: String, minJaccard: Double = 0.6,
       shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24,
-      maxBucketSize: Int = 10000): Long = {
+      maxBucketSize: Int = 10000, batchId: Option[Long] = None): Long = {
     val spark = batch.sparkSession
-    val idx = new org.apache.hadoop.fs.Path(indexPath)
+    val idx = new Path(indexPath)
     val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val indexExists = fs.exists(idx)
-    val survivors =
-      if (!indexExists) batch
-      else {
-        val matched = Dedup.incrementalNearDupPairs(batch, indexPath,
-            idCol, textCol, minJaccard,
-            shingleSize, numHashes, bands, maxBucketSize)
-          .select(col("new_id").as(idCol)).distinct()
-        batch.join(matched, Seq(idCol), "left_anti")
-      }
-    // one materialization serves both writes (corpus + index) — the
-    // anti-join would otherwise recompute per sink
-    val surv = survivors.localCheckpoint(true)
-    surv.write.mode("append").parquet(corpusPath)
-    if (indexExists)
-      Dedup.appendToMinHashIndex(surv, indexPath, idCol, textCol,
-        shingleSize, numHashes, bands)
-    else
-      Dedup.writeMinHashIndex(surv, indexPath, idCol, textCol,
-        shingleSize, numHashes, bands)
-    surv.count()
+
+    def dedupAndMaterialize(): DataFrame = {
+      val survivors =
+        if (!hasData(fs, idx)) batch
+        else {
+          val matched = Dedup.incrementalNearDupPairs(batch, indexPath,
+              idCol, textCol, minJaccard,
+              shingleSize, numHashes, bands, maxBucketSize)
+            .select(col("new_id").as(idCol)).distinct()
+          batch.join(matched, Seq(idCol), "left_anti")
+        }
+      // one materialization serves both writes (corpus + index) — the
+      // anti-join would otherwise recompute per sink
+      survivors.localCheckpoint(true)
+    }
+
+    batchId match {
+      case None =>
+        // unkeyed: plain appends, at-least-once under caller retry
+        val surv = dedupAndMaterialize()
+        surv.write.mode("append").parquet(corpusPath)
+        if (hasData(fs, idx))
+          Dedup.appendToMinHashIndex(surv, indexPath, idCol, textCol,
+            shingleSize, numHashes, bands)
+        else
+          Dedup.writeMinHashIndex(surv, indexPath, idCol, textCol,
+            shingleSize, numHashes, bands)
+        surv.count()
+
+      case Some(id) =>
+        val corpus = new Path(corpusPath)
+        val marker = new Path(corpusPath, s"_committed-batch-$id")
+        if (fs.exists(marker)) {
+          // replay of a committed batch: exactly-once no-op
+          val in = fs.open(marker)
+          try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+          finally in.close()
+        } else {
+          // crashed-attempt residue must go BEFORE the recompute, so
+          // the anti-join sees exactly the pre-batch index state
+          cleanBatchFiles(fs, corpus, id)
+          cleanBatchFiles(fs, idx, id)
+          val surv = dedupAndMaterialize()
+          val n = surv.count()
+          val stagingCorpus = new Path(s"$corpusPath.staging-batch-$id")
+          val stagingIndex = new Path(s"$indexPath.staging-batch-$id")
+          Seq(stagingCorpus, stagingIndex).foreach(p => fs.delete(p, true): Unit)
+          surv.write.mode("overwrite").parquet(stagingCorpus.toString)
+          // writeMinHashIndex(overwrite-to-staging) serves bootstrap
+          // and append alike: the move makes it an append
+          Dedup.writeMinHashIndex(surv, stagingIndex.toString, idCol,
+            textCol, shingleSize, numHashes, bands)
+          moveIn(fs, stagingCorpus, corpus, id)
+          moveIn(fs, stagingIndex, idx, id)
+          // single atomic commit point
+          val out = fs.create(marker, false)
+          try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+          n
+        }
+    }
   }
 
-  /** The streaming form: every micro-batch through [[ingestBatch]].
-    * With `Trigger.AvailableNow` this drains a backlog exactly like
-    * the sequential batch calls the spec compares against; left
-    * running, it ingests continuously.
+  /** The streaming form: every micro-batch through the KEYED
+    * [[ingestBatch]] path — Structured Streaming replays a failed
+    * batch under the same `batchId` with the same rows, and the keyed
+    * commit makes the replay a no-op, so the corpus is exactly-once
+    * end to end. With `Trigger.AvailableNow` this drains a backlog
+    * exactly like the sequential batch calls the spec compares
+    * against; left running, it ingests continuously.
     */
   def ingestStream(
       stream: DataFrame, indexPath: String, corpusPath: String,
       idCol: String, textCol: String, checkpointDir: String,
       minJaccard: Double = 0.6): StreamingQuery =
     stream.writeStream
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
         ingestBatch(b.toDF(), indexPath, corpusPath, idCol, textCol,
-          minJaccard): Unit
+          minJaccard, batchId = Some(id)): Unit
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

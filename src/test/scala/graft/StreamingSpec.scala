@@ -248,4 +248,62 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(streamKept == batchKept, "stream != batch")
   }
+
+  test("corpus ingest keyed commit: crash replay and duplicate replay are exactly-once") {
+    import spark.implicits._
+    import graft.streaming.CorpusIngest
+    import org.apache.hadoop.fs.Path
+    def body(i: Int): String =
+      (0 until 15).map(k => java.lang.Long.toHexString(
+        (i.toLong * 1000003 + k) * 2654435761L & 0xffffffffffL)).mkString(" ")
+    def docsDf(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+    val b1 = (0 until 20).map(i => (i.toLong, body(i)))
+    val b2 = (20 until 40).map(i => (i.toLong, body(i))) ++
+      (0 until 5).map(i => (1000L + i, body(i).dropRight(10))) // dups of b1
+    val tmp = java.nio.file.Files.createTempDirectory("graft-exonce").toString
+    val (idx, out) = (s"$tmp/idx", s"$tmp/out")
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val n1 = CorpusIngest.ingestBatch(docsDf(b1), idx, out, "doc_id", "text",
+      minJaccard = 0.5, batchId = Some(0L))
+    assert(n1 == 20)
+
+    // CRASH WINDOW 1: an attempt of batch 1 died after moving SOME
+    // corpus and index files in but BEFORE the commit marker. Fabricate
+    // the residue by running batch 1 keyed, then deleting its marker
+    // and one of its corpus files — the replay must first sweep all
+    // batch1-* residue and then redo the batch from the pre-batch
+    // index state.
+    val n2 = CorpusIngest.ingestBatch(docsDf(b2), idx, out, "doc_id", "text",
+      minJaccard = 0.5, batchId = Some(1L))
+    assert(n2 == 20, s"expected the 5 planted dups dropped, kept $n2")
+    fs.delete(new Path(out, "_committed-batch-1"), false)
+    val partial = fs.listStatus(new Path(out))
+      .filter(_.getPath.getName.startsWith("batch1-")).head.getPath
+    fs.delete(partial, false)
+
+    val n2replay = CorpusIngest.ingestBatch(docsDf(b2), idx, out, "doc_id", "text",
+      minJaccard = 0.5, batchId = Some(1L))
+    assert(n2replay == 20)
+    val afterCrashReplay = spark.read.parquet(out)
+      .groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(afterCrashReplay == 0, "crash replay duplicated corpus rows")
+    assert(spark.read.parquet(out).count() == 40)
+
+    // CRASH WINDOW 2: replay of a FULLY COMMITTED batch (crash after
+    // marker, before checkpoint advance) must be a pure no-op that
+    // still reports the committed count.
+    val corpusFilesBefore = fs.listStatus(new Path(out)).map(_.getPath.getName).toSet
+    val n2dup = CorpusIngest.ingestBatch(docsDf(b2), idx, out, "doc_id", "text",
+      minJaccard = 0.5, batchId = Some(1L))
+    assert(n2dup == 20, "committed replay must report the committed count")
+    val corpusFilesAfter = fs.listStatus(new Path(out)).map(_.getPath.getName).toSet
+    assert(corpusFilesAfter == corpusFilesBefore, "committed replay touched the corpus")
+    assert(spark.read.parquet(out).count() == 40)
+
+    // the index must match the corpus exactly after all replays: one
+    // signature row per surviving doc
+    assert(spark.read.parquet(idx).select("_id").distinct().count() == 40)
+    assert(spark.read.parquet(idx).count() == 40)
+  }
 }
