@@ -335,7 +335,10 @@ object StorageQueries {
   /** Snapshot CDC diff on the oracle gate
     * ([[graft.operators.Diff.snapshotDiff]]): mutate orders
     * deterministically — delete every 97th key, bump o_custkey on
-    * every 13th, insert shifted copies of every 101st — and classify
+    * every 13th, insert NEGATED copies of every 101st (the negative
+    * key space is disjoint from real keys at EVERY scale — a fixed
+    * positive shift collided with the 10⁷-per-copy key offset of the
+    * 10× scaled fixtures and tripped the dup-key guard) — and classify
     * every key as insert/delete/update via the chr(31)/chr(30)
     * md5 row fingerprint. The oracle rebuilds BOTH snapshots and
     * replays the same fingerprint comparison, so any divergence in
@@ -353,7 +356,7 @@ object StorageQueries {
         when(pmod(col("o_orderkey"), lit(13)) === 0, col("o_custkey") + 1)
           .otherwise(col("o_custkey")))
       .unionByName(before.filter(pmod(col("o_orderkey"), lit(101)) === 0)
-        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        .select((-col("o_orderkey") - 1).as("o_orderkey"),
           col("o_custkey"), col("o_orderstatus")))
     graft.operators.Diff.snapshotDiff(before, after,
         keyCols = Seq("o_orderkey"), valueCols = Seq("o_custkey", "o_orderstatus"))
@@ -370,7 +373,7 @@ object StorageQueries {
       |    o_orderstatus
       |  FROM before_t WHERE o_orderkey % 97 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 10000000, o_custkey, o_orderstatus
+      |  SELECT -o_orderkey - 1, o_custkey, o_orderstatus
       |  FROM before_t WHERE o_orderkey % 101 = 0),
       |bh AS (
       |  SELECT o_orderkey, md5(concat_ws(chr(31),
