@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Blocked fuzzy record linkage — the entity-resolution primitive of
+  * large-scale data cleaning (dedup of customer/supplier/author names,
+  * catalog reconciliation, source-to-source identity joins).
+  *
+  * The reference's pipeline dedups on exact row equality only
+  * (`/root/reference/monarch_etl/db_loader.py:31-40` drops exact
+  * duplicates); production corpora also need NEAR-identical record
+  * linkage, where the match predicate is an edit-distance bound.
+  *
+  * Naive fuzzy matching is the textbook scale killer: levenshtein over
+  * the cross product is O(|L|·|R|) distance computations — 10¹⁰ pairs
+  * before breakfast at 100 TB. The standard fix is BLOCKING: a cheap
+  * deterministic key (a prefix, a phonetic code, a sorted-token
+  * signature) partitions both sides, candidates form only within a
+  * block, and the verifier runs on candidates alone. The join
+  * exchanges carry (block, id, text) — never a cross product — and
+  * Spark plans it as an ordinary shuffled equi-join on the block key
+  * with the distance predicate as a post-join filter (codegen'd
+  * `levenshtein`, no UDF).
+  *
+  * Skew discipline (the same contract as the MinHash capped buckets,
+  * [[Dedup]]): a degenerate blocking key ("", "UNKNOWN") re-creates
+  * the cross product inside one block. Blocks whose side exceeds
+  * `maxBlockSize` are dropped deterministically — linkage recall
+  * degrades observably (the dropped blocks are returned to the
+  * caller), the job never quadratically explodes. The cap join
+  * broadcasts only (block, n) for oversized blocks — driver-bounded
+  * by construction.
+  */
+object Linkage {
+
+  /** Verified fuzzy matches between `left` and `right`:
+    * (id_a, id_b, dist) for every cross-side pair that shares a
+    * blocking key and has levenshtein(text_a, text_b) ≤ `maxDist`,
+    * excluding pairs from blocks larger than `maxBlockSize` on either
+    * side. Self-linkage (left eq right) is the caller's composition:
+    * pass the same frame twice and filter `id_a < id_b`.
+    */
+  def blockedFuzzyPairs(
+      left: DataFrame, right: DataFrame,
+      idCol: String, blockCol: String, textCol: String,
+      maxDist: Int, maxBlockSize: Int = 10000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlockSize >= 1, s"maxBlockSize must be >= 1, got $maxBlockSize")
+    val l = left.select(col(idCol).as("id_a"), col(blockCol).as("_blk"),
+      col(textCol).as("_ta"))
+    val r = right.select(col(idCol).as("id_b"), col(blockCol).as("_blk"),
+      col(textCol).as("_tb"))
+    // oversized-block keys: tiny by construction (count per block ≫
+    // maxBlockSize only for degenerate keys), broadcast the exclusion
+    val bigL = l.groupBy(col("_blk")).count()
+      .filter(col("count") > maxBlockSize).select(col("_blk"))
+    val bigR = r.groupBy(col("_blk")).count()
+      .filter(col("count") > maxBlockSize).select(col("_blk"))
+    val big = bigL.unionByName(bigR).distinct()
+    l.join(broadcast(big), Seq("_blk"), "left_anti")
+      .join(r.join(broadcast(big), Seq("_blk"), "left_anti"), Seq("_blk"))
+      .withColumn("dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** The blocking keys [[blockedFuzzyPairs]] dropped for exceeding
+    * `maxBlockSize` — linkage recall is degraded exactly here, and a
+    * production run logs/averts them (better key, per-block sub-
+    * blocking) instead of silently under-matching.
+    */
+  def oversizedBlocks(
+      df: DataFrame, blockCol: String, maxBlockSize: Int = 10000): DataFrame =
+    df.groupBy(col(blockCol)).count()
+      .filter(col("count") > maxBlockSize)
+      .select(col(blockCol), col("count").as("n"))
+}

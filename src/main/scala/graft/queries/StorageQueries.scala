@@ -397,7 +397,68 @@ object StorageQueries {
       |WHERE hb IS NULL OR ha IS NULL OR hb <> ha
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Versioned snapshot time travel on the oracle gate
+    * ([[graft.sinks.Writers.writeSnapshotVersion]] /
+    * `readSnapshotVersion`): commit two FULL snapshots of an orders
+    * projection — v1 the odd keys, v2 a mutated view (every 3rd key
+    * deleted, o_custkey bumped on every 5th) — into one table dir,
+    * then read BOTH versions back (v1 pinned by number AFTER v2 was
+    * committed, v2 as latest) and emit per-version per-status
+    * aggregates. The oracle recomputes both logical snapshots from
+    * the orders table directly, so a time-travel read that leaks
+    * later files, loses files, or resolves the wrong manifest breaks
+    * counts and sums. The dataflow proof this adds over q67-q75:
+    * version pinning is METADATA-only — both reads scan the same
+    * directory and disagree only through their manifests.
+    */
+  def q105SnapshotVersions(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Writers
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+    val v2 = v1.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .withColumn("o_custkey",
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_custkey") + 1)
+          .otherwise(col("o_custkey")))
+    val path = scratchPath("q105", dir) + "/snap"
+    // rerun hygiene: versions accrete by design, start from empty
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val ver1 = Writers.writeSnapshotVersion(v1, path)
+    Writers.writeSnapshotVersion(v2, path)
+    def agg(df: DataFrame, version: Int) =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Det.longSum(col("o_custkey")).as("sum_cust"))
+        .withColumn("version", lit(version))
+    agg(Writers.readSnapshotVersion(s, path, Some(ver1)), 1)
+      .unionByName(agg(Writers.readSnapshotVersion(s, path, None), 2))
+      .select(col("version"), col("o_orderstatus"), col("n"), col("sum_cust"))
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val q105Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 2 = 1),
+      |v2 AS (
+      |  SELECT o_orderkey,
+      |    CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1
+      |         ELSE o_custkey END AS o_custkey,
+      |    o_orderstatus
+      |  FROM v1 WHERE o_orderkey % 3 <> 0)
+      |SELECT version, o_orderstatus, n, sum_cust FROM (
+      |  SELECT 1 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |  FROM v1 GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+      |    CAST(sum(o_custkey) AS BIGINT)
+      |  FROM v2 GROUP BY o_orderstatus)
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q105_snapshot_versions" -> q105SnapshotVersions _,
     "q100_snapshot_diff"   -> q100SnapshotDiff _,
     "q96_asof_state"       -> q96AsOfState _,
     "q94_scd2_history"     -> q94Scd2 _,
@@ -410,6 +471,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q105_snapshot_versions" -> q105Sql,
     "q100_snapshot_diff"   -> q100Sql,
     "q96_asof_state"       -> q96Sql,
     "q94_scd2_history"     -> q94Sql,

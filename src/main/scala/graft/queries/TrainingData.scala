@@ -2206,7 +2206,118 @@ object TrainingData {
       |FROM c
       |ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Blocked fuzzy record linkage on the oracle gate
+    * ([[graft.operators.Linkage.blockedFuzzyPairs]]): plant two
+    * deterministic variant families over customer names — a NEAR typo
+    * (last char → 'X', edit distance 1 from its source and ≤2 from
+    * every same-block original) and a FAR corruption ("Customer" →
+    * "Kastoner", distance 3, same block) — and link originals to
+    * variants under distance ≤ 2 with an 8-digit-prefix blocking key.
+    * The oracle replays block formation and `levenshtein` (both
+    * engines implement classic edit distance) including the far
+    * family's REJECTION, so the block key recipe, the join scope
+    * (candidates only within a block), and the distance threshold are
+    * all independently checked. Plan shape: one equi-join on the
+    * block key + a codegen'd distance filter — never a cross product.
+    */
+  def q103FuzzyLinkage(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))
+    val near = cust.filter(pmod(col("c_custkey"), lit(7)) === 0)
+      .select((col("c_custkey") + 100000L).as("c_custkey"),
+        concat(substring(col("c_name"), 1, 17), lit("X")).as("c_name"))
+    val far = cust.filter(pmod(col("c_custkey"), lit(11)) === 0)
+      .select((col("c_custkey") + 200000L).as("c_custkey"),
+        concat(lit("Kastoner"), substring(col("c_name"), 9, 10)).as("c_name"))
+    def blocked(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("_blk", substring(col("c_name"), 10, 8))
+    graft.operators.Linkage.blockedFuzzyPairs(
+        blocked(cust), blocked(near.unionByName(far)),
+        "c_custkey", "_blk", "c_name", maxDist = 2)
+      .select(col("id_a"), col("id_b"), col("dist").cast(IntegerType).as("dist"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val q103Sql: String =
+    """WITH orig AS (
+      |  SELECT c_custkey, c_name, substr(c_name, 10, 8) AS blk FROM customer),
+      |vars AS (
+      |  SELECT c_custkey + 100000 AS c_custkey,
+      |    substr(c_name, 1, 17) || 'X' AS c_name,
+      |    substr(c_name, 10, 8) AS blk
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 200000,
+      |    'Kastoner' || substr(c_name, 9, 10),
+      |    substr(c_name, 10, 8)
+      |  FROM customer WHERE c_custkey % 11 = 0)
+      |SELECT o.c_custkey AS id_a, v.c_custkey AS id_b,
+      |  CAST(levenshtein(o.c_name, v.c_name) AS INTEGER) AS dist
+      |FROM orig o JOIN vars v ON o.blk = v.blk
+      |WHERE levenshtein(o.c_name, v.c_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Count-Min sketch frequency maintenance on the oracle gate
+    * ([[graft.operators.Sketches.cmsSketch]] family): three "daily"
+    * order batches each build a 4×512 integer counter table, the
+    * tables merge by cellwise addition, and the merged sketch answers
+    * point-frequency probes for every 100th customer — including
+    * customers with zero orders. The sketch is plain integers under
+    * the cross-engine md5 bucket recipe, so the oracle rebuilds the
+    * ENTIRE grid from scratch (cellwise addition over batches ≡ one
+    * count over the union — the mergeability identity) and replays
+    * every estimate exactly: any drift in the salted hash, the cell
+    * aggregation, the absent-cell-is-zero rule, or the min-over-rows
+    * estimator moves a value. `true_n` cross-checks the exact count;
+    * est ≥ true always (CMS never undercounts — hash-checked, not
+    * just claimed).
+    */
+  def q104CmsFrequency(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val orders = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
+    val daily = (0 until 3).map(i =>
+      Sketches.cmsSketch(
+        orders.filter(pmod(col("o_orderkey"), lit(3)) === i), "o_custkey"))
+    val merged = Sketches.cmsMerge(daily)
+    val probes = Tables.customer(s, dir).select(col("c_custkey"))
+      .filter(pmod(col("c_custkey"), lit(100)) === 0)
+    val est = Sketches.cmsEstimate(merged, probes, "c_custkey")
+    val truth = orders.groupBy(col("o_custkey")).count()
+      .select(col("o_custkey").as("c_custkey"), col("count").as("_true"))
+    est.join(truth, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("est"),
+        coalesce(col("_true"), lit(0L)).as("true_n"))
+      .orderBy("c_custkey")
+  }
+
+  val q104Sql: String =
+    """WITH cells AS (
+      |  SELECT t.d,
+      |    ('0x' || substr(md5(o_custkey::VARCHAR || 'cms' || t.d::VARCHAR),
+      |     1, 15))::BIGINT % 512 AS w,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM orders CROSS JOIN range(4) t(d)
+      |  GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0),
+      |pe AS (
+      |  SELECT c_custkey, t.d,
+      |    ('0x' || substr(md5(c_custkey::VARCHAR || 'cms' || t.d::VARCHAR),
+      |     1, 15))::BIGINT % 512 AS w
+      |  FROM probes CROSS JOIN range(4) t(d)),
+      |est AS (
+      |  SELECT pe.c_custkey, CAST(min(coalesce(cells.cnt, 0)) AS BIGINT) AS est
+      |  FROM pe LEFT JOIN cells ON pe.d = cells.d AND pe.w = cells.w
+      |  GROUP BY pe.c_custkey),
+      |truth AS (
+      |  SELECT o_custkey AS c_custkey, CAST(count(*) AS BIGINT) AS t
+      |  FROM orders GROUP BY 1)
+      |SELECT e.c_custkey, e.est, coalesce(t.t, 0) AS true_n
+      |FROM est e LEFT JOIN truth t ON e.c_custkey = t.c_custkey
+      |ORDER BY e.c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q103_fuzzy_linkage"  -> q103FuzzyLinkage _,
+    "q104_cms_frequency"  -> q104CmsFrequency _,
     "q101_shuffle_shard" -> q101ShuffleShard _,
     "q102_chunk_docs"    -> q102ChunkDocs _,
     "q99_weighted_sample" -> q99WeightedSample _,
@@ -2257,6 +2368,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q103_fuzzy_linkage"  -> q103Sql,
+    "q104_cms_frequency"  -> q104Sql,
     "q101_shuffle_shard" -> q101Sql,
     "q102_chunk_docs"    -> q102Sql,
     "q99_weighted_sample" -> q99Sql,

@@ -430,4 +430,140 @@ object Writers {
     } finally if (!keepLock) fs.delete(lock, false)
     spark.read.parquet(inventoryPath)
   }
+
+  import org.apache.hadoop.fs.Path
+
+  // ---------------------------------------------------------------
+  // Versioned snapshot table — manifest-pinned time travel, the
+  // lakehouse primitive that turns "which files ARE the table" from
+  // directory listing into metadata: every commit writes its data
+  // files under the table dir with a version-tagged prefix, then
+  // atomically publishes a manifest (`_manifest-v<N>`) listing
+  // exactly its files. Readers pin a version by loading the
+  // manifest's file list — a metadata-only operation, so historical
+  // reads cost the same as current reads and a writer can never make
+  // a concurrent reader see a half-written snapshot (the manifest
+  // create is the single commit point, same discipline as the
+  // CorpusIngest batch commit). Reproducibility is the 100 TB use
+  // case: a training run records the snapshot version it read, and
+  // re-reading that version months later returns bit-identical input
+  // regardless of later commits — until `vacuumSnapshots` retires it.
+  // ---------------------------------------------------------------
+
+  private val ManifestPrefix = "_manifest-v"
+
+  /** Versions present in a snapshot table, ascending (empty = no table). */
+  def listSnapshotVersions(spark: SparkSession, path: String): Seq[Int] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .map(_.stripPrefix(ManifestPrefix).toInt)
+      .sorted
+  }
+
+  /** Commit `df` as the next full snapshot version; returns the new
+    * version number. The data write goes to a staging dir, files move
+    * into the table dir under `v<N>-` names, and the manifest create
+    * (listing exactly those names) publishes the version atomically —
+    * a crash before the manifest strands unreferenced files that the
+    * next vacuum sweeps, never a readable half-version. Single-writer
+    * per table (enforced with the same swap-lock as the other sinks);
+    * readers need no lock at any point.
+    */
+  def writeSnapshotVersion(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(path + ".snapshot.lock")
+    acquireSwapLock(fs, lock, "writeSnapshotVersion")
+    try {
+      val version = listSnapshotVersions(spark, path).lastOption.getOrElse(0) + 1
+      // a commit that crashed after its file moves but before its
+      // manifest left unpublished v<version>- files; this commit
+      // REUSES the number (the manifest never existed), so sweep the
+      // residue or the renames below collide
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          if (st.getPath.getName.startsWith(s"v$version-"))
+            fs.delete(st.getPath, false): Unit
+        }
+      val staging = new Path(path + s".staging-v$version")
+      fs.delete(staging, true)
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      fs.mkdirs(dir)
+      val names = fs.listStatus(staging).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+            !p.getName.startsWith(".")
+        }
+        .sortBy(_.getName)
+        .zipWithIndex.map { case (src, i) =>
+          val name = s"v$version-$i-${src.getName}"
+          val target = new Path(dir, name)
+          if (!fs.rename(src, target))
+            throw new java.io.IOException(
+              s"writeSnapshotVersion: rename $src -> $target failed")
+          name
+        }
+      fs.delete(staging, true)
+      // single atomic commit point: the manifest names this version's
+      // files; its create(overwrite=false) publishes the version
+      val manifest = new Path(dir, s"$ManifestPrefix$version")
+      val out = fs.create(manifest, false)
+      try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+      version
+    } finally fs.delete(lock, false)
+  }
+
+  /** Read a pinned snapshot version (default: latest). Loads exactly
+    * the manifest's files — later commits never leak in, missing
+    * manifest versions fail loudly.
+    */
+  def readSnapshotVersion(
+      spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+    val versions = listSnapshotVersions(spark, path)
+    require(versions.nonEmpty, s"readSnapshotVersion: no versions at $path")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"readSnapshotVersion: version $v absent at $path (have $versions)")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(dir, s"$ManifestPrefix$v"))
+    val names =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    val files = names.filter(_.nonEmpty).map(n => new Path(dir, n).toString)
+    require(files.nonEmpty, s"readSnapshotVersion: empty manifest v$v at $path")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Retire all but the newest `keep` versions: delete their manifests
+    * first (the commit record — after this no reader can pin them),
+    * then every data file owned by a retired version, then any
+    * unreferenced `v<N>-` file left by a crashed commit. Files of
+    * retained versions are never touched.
+    */
+  def vacuumSnapshots(spark: SparkSession, path: String, keep: Int = 1): Unit = {
+    require(keep >= 1, s"vacuumSnapshots: keep must be >= 1, got $keep")
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = listSnapshotVersions(spark, path)
+    val retired = versions.dropRight(keep).toSet
+    val kept = versions.takeRight(keep)
+    val referenced = kept.flatMap { v =>
+      val in = fs.open(new Path(dir, s"$ManifestPrefix$v"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      finally in.close()
+    }.toSet
+    retired.foreach(v => fs.delete(new Path(dir, s"$ManifestPrefix$v"), false))
+    fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val isData = n.matches("v\\d+-.*")
+      if (isData && !referenced.contains(n)) fs.delete(st.getPath, false): Unit
+    }
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Linkage
+
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairs(
+      left: Seq[(Long, String, String)], right: Seq[(Long, String, String)],
+      maxDist: Int, maxBlock: Int = 10000) =
+    Linkage.blockedFuzzyPairs(
+        left.toDF("id", "blk", "name"), right.toDF("id", "blk", "name"),
+        "id", "blk", "name", maxDist, maxBlock)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+  test("links within-block pairs up to maxDist inclusive, never across blocks") {
+    val l = Seq((1L, "b1", "amber"), (2L, "b1", "ombre"), (3L, "b2", "amber"))
+    val r = Seq((10L, "b1", "ambur"), (11L, "b2", "umbra"))
+    // amber~ambur dist 1; ombre~ambur dist 3; amber(b2)~umbra dist 3;
+    // amber(b1) vs umbra(b2): dist 2 but DIFFERENT block -> excluded
+    assert(pairs(l, r, 1) == Set((1L, 10L, 1)))
+    assert(pairs(l, r, 3) == Set((1L, 10L, 1), (2L, 10L, 3), (3L, 11L, 3)))
+  }
+
+  test("distance boundary is inclusive and zero-distance matches link") {
+    val l = Seq((1L, "b", "same"))
+    val r = Seq((2L, "b", "same"), (3L, "b", "sane"))
+    assert(pairs(l, r, 0) == Set((1L, 2L, 0)))
+    assert(pairs(l, r, 1) == Set((1L, 2L, 0), (1L, 3L, 1)))
+  }
+
+  test("oversized blocks are dropped on either side and reported") {
+    val big = (0 until 50).map(i => (100L + i, "flood", s"name$i"))
+    val l = Seq((1L, "ok", "alpha")) ++ big
+    val r = Seq((2L, "ok", "alphb")) ++ big.map { case (i, b, n) => (1000 + i, b, n) }
+    // flood block exceeds the cap on both sides: only the ok-block pair links
+    assert(pairs(l, r, 2, maxBlock = 10) == Set((1L, 2L, 1)))
+    val over = Linkage.oversizedBlocks(
+        l.toDF("id", "blk", "name"), "blk", maxBlockSize = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(over == Set(("flood", 50L)))
+  }
+
+  test("q103 plan: block equi-join with distance filter, no cartesian product") {
+    val df = graft.queries.TrainingData.queries("q103_fuzzy_linkage")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    // the planted near variants must link (every 7th customer)
+    assert(df.filter(col("id_b") >= 100000 && col("id_b") < 200000).count() > 0)
+  }
+}

@@ -53,4 +53,42 @@ class SketchesSpec extends SparkSpec {
     val e = est(Seq(b1rt, b2))
     assert(math.abs(e - 500.0) <= 500.0 * 0.05, s"estimate $e off true 500")
   }
+
+  test("CMS: estimate never undercounts and is exact without collisions") {
+    import spark.implicits._
+    // 100 distinct keys, key k occurring k+1 times; width 512 over 100
+    // keys per row makes collisions unlikely but NOT impossible — the
+    // contract asserted unconditionally is est >= true
+    val rows = (0 until 100).flatMap(k => Seq.fill(k + 1)(k.toLong)).toDF("k")
+    val sk = Sketches.cmsSketch(rows, "k", depth = 4, width = 512)
+    val probes = (0 until 100).map(_.toLong).toDF("k")
+    val est = Sketches.cmsEstimate(sk, probes, "k", depth = 4, width = 512)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 100).foreach { k =>
+      assert(est(k.toLong) >= k + 1, s"undercount at $k: ${est(k.toLong)}")
+    }
+    // the min-over-depth estimator should resolve nearly all keys
+    // exactly at this load factor
+    val exact = (0 until 100).count(k => est(k.toLong) == k + 1)
+    assert(exact >= 95, s"only $exact/100 exact at 100 keys / 512 cells")
+    // absent key: estimate is >= 0 and 0 unless all 4 rows collide
+    val absent = Sketches.cmsEstimate(sk, Seq(100000L).toDF("k"), "k")
+      .head().getLong(1)
+    assert(absent >= 0)
+  }
+
+  test("CMS: batch merge equals the single-pass sketch cell for cell") {
+    import spark.implicits._
+    val all = (0L until 600L).map(v => (v, v % 37)).toDF("i", "k")
+    val batches = (0 until 3).map(i =>
+      Sketches.cmsSketch(all.filter(pmod(col("i"), lit(3)) === i), "k"))
+    // cellwise-additive merge == one sketch over the union, exactly
+    val merged = Sketches.cmsMerge(batches)
+    val direct = Sketches.cmsSketch(all, "k")
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged CMS != direct CMS")
+    // merge order never matters (cell addition is commutative)
+    val rev = Sketches.cmsMerge(batches.reverse)
+    assert(rev.exceptAll(direct).isEmpty && direct.exceptAll(rev).isEmpty)
+  }
 }

@@ -308,4 +308,40 @@ class WritersSpec extends SparkSpec {
     val hAfter = leafFiles("h").map(f => (f.getName, f.length, f.lastModified))
     assert(hAfter.sameElements(hBefore), "healthy partition rewritten")
   }
+
+  test("snapshot versions: pinned reads are immutable, vacuum retires only old versions") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft-snap").toString + "/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1data = (0 until 100).map(i => (i.toLong, s"a$i")).toDF("id", "v")
+    val v2data = (0 until 50).map(i => (i.toLong, s"b$i")).toDF("id", "v")
+    assert(Writers.writeSnapshotVersion(v1data, path) == 1)
+    assert(Writers.writeSnapshotVersion(v2data, path) == 2)
+    assert(Writers.listSnapshotVersions(spark, path) == Seq(1, 2))
+    // pinned v1 after v2 exists: exactly v1's content, no leakage
+    val r1 = Writers.readSnapshotVersion(spark, path, Some(1))
+    assert(r1.count() == 100)
+    assert(r1.filter(col("v").startsWith("b")).count() == 0)
+    assert(Writers.readSnapshotVersion(spark, path).count() == 50) // latest
+    // crash residue: files moved in, manifest missing -> version is
+    // invisible to readers AND the number is safely reused
+    val stray = new Path(path, "v3-0-part-crash.snappy.parquet")
+    val out = fs.create(stray, false); out.write(Array[Byte](1)); out.close()
+    assert(Writers.listSnapshotVersions(spark, path) == Seq(1, 2))
+    assert(Writers.writeSnapshotVersion(v1data, path) == 3)
+    assert(Writers.readSnapshotVersion(spark, path, Some(3)).count() == 100)
+    assert(!fs.exists(stray), "crashed-commit residue must be swept on reuse")
+    // vacuum to the newest 1: v1/v2 unreadable, v3 intact and complete
+    Writers.vacuumSnapshots(spark, path, keep = 1)
+    assert(Writers.listSnapshotVersions(spark, path) == Seq(3))
+    assert(Writers.readSnapshotVersion(spark, path).count() == 100)
+    intercept[IllegalArgumentException] {
+      Writers.readSnapshotVersion(spark, path, Some(1))
+    }
+    // only v3's files remain in the dir (plus its manifest)
+    val leftover = fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("v3-") || n == "_manifest-v3")
+    assert(leftover.isEmpty, s"vacuum left $leftover")
+  }
 }
