@@ -213,13 +213,109 @@ object EtlQueries {
       |FROM facts f LEFT JOIN dim d USING (lat_cell, lon_cell)
       |ORDER BY c_custkey""".stripMargin
 
+  /** Categorical distribution drift on the oracle gate
+    * ([[graft.operators.Drift.categoricalDrift]]): the event-type mix
+    * of the full log vs a mutated snapshot — every 3rd event dropped
+    * and the 'view' category renamed 'view_v2', so the comparison
+    * exercises all three regimes at once: shifted categories
+    * (chi-squared term from a fixed IEEE tree over exact counts),
+    * a VANISHED category ('view': n_after = 0, term = its full
+    * expectation), and a NEW category ('view_v2': no defined
+    * expectation, flagged is_new with NULL terms). The oracle replays
+    * counts, the multiply-then-divide expectation, and the squared-
+    * residual term with the identical operand order — any float
+    * re-association or edge-case divergence breaks the hash.
+    */
+  def q106CategoryDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"))
+    val after = ev.filter(pmod(col("event_id"), lit(3)) =!= 0)
+      .withColumn("event_type",
+        when(col("event_type") === "view", lit("view_v2"))
+          .otherwise(col("event_type")))
+    graft.operators.Drift.categoricalDrift(ev, after, "event_type")
+  }
+
+  val q106Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_before
+      |  FROM events GROUP BY 1),
+      |a AS (
+      |  SELECT CASE WHEN event_type = 'view' THEN 'view_v2'
+      |              ELSE event_type END AS category,
+      |    CAST(count(*) AS BIGINT) AS n_after
+      |  FROM events WHERE event_id % 3 <> 0 GROUP BY 1),
+      |j AS (
+      |  SELECT coalesce(b.category, a.category) AS category,
+      |    coalesce(b.n_before, 0) AS n_before,
+      |    coalesce(a.n_after, 0) AS n_after
+      |  FROM b FULL OUTER JOIN a ON b.category = a.category),
+      |t AS (SELECT CAST(sum(n_before) AS BIGINT) AS tb,
+      |             CAST(sum(n_after) AS BIGINT) AS ta FROM j)
+      |SELECT category, n_before, n_after,
+      |  CASE WHEN n_before = 0 THEN NULL
+      |       ELSE CAST(n_before AS DOUBLE) * CAST(ta AS DOUBLE)
+      |            / CAST(tb AS DOUBLE) END AS expected_after,
+      |  CASE WHEN n_before = 0 THEN NULL
+      |       ELSE (CAST(n_after AS DOUBLE) -
+      |             CAST(n_before AS DOUBLE) * CAST(ta AS DOUBLE)
+      |             / CAST(tb AS DOUBLE))
+      |          * (CAST(n_after AS DOUBLE) -
+      |             CAST(n_before AS DOUBLE) * CAST(ta AS DOUBLE)
+      |             / CAST(tb AS DOUBLE))
+      |          / (CAST(n_before AS DOUBLE) * CAST(ta AS DOUBLE)
+      |             / CAST(tb AS DOUBLE)) END AS chi2_term,
+      |  n_before = 0 AS is_new
+      |FROM j CROSS JOIN t
+      |ORDER BY category""".stripMargin
+
+  /** Deterministic pseudonymization on the oracle gate
+    * ([[graft.operators.Privacy.pseudonymize]]): tokenize the customer
+    * key on BOTH sides of the customer-orders relationship with the
+    * same salt, join ON THE TOKENS, and aggregate per market segment.
+    * The oracle replays the salted-md5 token recipe and the tokenized
+    * join in SQL — matching counts prove the pseudonymized columns
+    * kept their join semantics (the pseudonymization contract), and
+    * the distinct-token counts pin collision-freeness at this scale.
+    */
+  def q107Pseudonymize(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Privacy
+    val cust = Privacy.pseudonymize(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment")),
+      Seq("c_custkey"), "s8")
+    val ords = Privacy.pseudonymize(
+      Tables.orders(s, dir).select(col("o_custkey")),
+      Seq("o_custkey"), "s8")
+    cust.join(ords, cust("c_custkey") === ords("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_custkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_tokens"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q107Sql: String =
+    """WITH c AS (
+      |  SELECT substr(md5('s8' || c_custkey::VARCHAR), 1, 16) AS tok,
+      |    c_mktsegment
+      |  FROM customer),
+      |o AS (
+      |  SELECT substr(md5('s8' || o_custkey::VARCHAR), 1, 16) AS tok
+      |  FROM orders)
+      |SELECT c_mktsegment,
+      |  CAST(count(o.tok) AS BIGINT) AS n_orders,
+      |  CAST(count(DISTINCT c.tok) AS BIGINT) AS n_tokens
+      |FROM c LEFT JOIN o ON c.tok = o.tok
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q14_date_rescue" -> q14DateRescue _,
     "q15_temporal"    -> q15Temporal _,
     "q16_inventory"   -> q16Inventory _,
     "q17_read_path"   -> q17ReadPath _,
     "q36_json_extract" -> q36JsonExtract _,
-    "q71_geocode_enrich" -> q71GeocodeEnrich _)
+    "q71_geocode_enrich" -> q71GeocodeEnrich _,
+    "q106_category_drift" -> q106CategoryDrift _,
+    "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
     "q14_date_rescue" -> q14Sql,
@@ -227,5 +323,7 @@ object EtlQueries {
     "q16_inventory"   -> q16Sql,
     "q17_read_path"   -> q17Sql,
     "q36_json_extract" -> q36Sql,
-    "q71_geocode_enrich" -> q71Sql)
+    "q71_geocode_enrich" -> q71Sql,
+    "q106_category_drift" -> q106Sql,
+    "q107_pseudonymize"   -> q107Sql)
 }

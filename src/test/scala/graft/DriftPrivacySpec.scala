@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Drift, Privacy}
+
+class DriftPrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("categorical drift: hand-computed terms, vanished and new categories") {
+    val before = (Seq.fill(60)("a") ++ Seq.fill(30)("b") ++ Seq.fill(10)("gone"))
+      .toDF("cat")
+    val after = (Seq.fill(30)("a") ++ Seq.fill(15)("b") ++ Seq.fill(5)("fresh"))
+      .toDF("cat")
+    val rows = Drift.categoricalDrift(before, after, "cat").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]), r.getBoolean(5))).toMap
+    // totals: before 100, after 50 -> expectation scales by 0.5
+    assert(rows("a") == ((60L, 30L, Some(30.0), Some(0.0), false)))
+    assert(rows("b") == ((30L, 15L, Some(15.0), Some(0.0), false)))
+    // vanished: (0 - 5)^2 / 5 = 5
+    assert(rows("gone") == ((10L, 0L, Some(5.0), Some(5.0), false)))
+    // new: no expectation, flagged
+    assert(rows("fresh")._1 == 0L && rows("fresh")._2 == 5L)
+    assert(rows("fresh")._3.isEmpty && rows("fresh")._4.isEmpty && rows("fresh")._5)
+  }
+
+  test("categorical drift: identical distributions have zero total chi2") {
+    val d = (Seq.fill(40)("x") ++ Seq.fill(60)("y")).toDF("cat")
+    val total = Drift.categoricalDrift(d, d, "cat")
+      .agg(sum("chi2_term")).head().getDouble(0)
+    assert(total == 0.0)
+  }
+
+  test("pseudonymize: consistent, null-preserving, cardinality-preserving, join-safe") {
+    val df = Seq(Some("u1"), Some("u2"), Some("u1"), None).toDF("id")
+      .withColumn("other", lit("keep"))
+    val tok = Privacy.pseudonymize(df, Seq("id"), "salt")
+    assert(tok.columns.toSeq == Seq("id", "other"), "column order must survive")
+    val vals = tok.select("id").collect().map(r => Option(r.getString(0)))
+    assert(vals.count(_.isEmpty) == 1, "NULL must stay NULL")
+    // same value -> same token; distinct values -> distinct tokens
+    val nonNull = vals.flatten
+    assert(nonNull.toSet.size == 2)
+    assert(nonNull.forall(_.length == 16))
+    // a different salt severs linkage
+    val tok2 = Privacy.pseudonymize(df, Seq("id"), "other-salt")
+      .select("id").collect().flatMap(r => Option(r.getString(0)))
+    assert(tok2.toSet.intersect(nonNull.toSet).isEmpty)
+    // join semantics survive tokenization with a shared salt
+    val left = Seq("u1", "u2", "u3").toDF("k")
+    val right = Seq("u1", "u1", "u3").toDF("k")
+    val rawJoin = left.join(right, "k").count()
+    val tokJoin = Privacy.pseudonymize(left, Seq("k"), "s")
+      .join(Privacy.pseudonymize(right, Seq("k"), "s"), "k").count()
+    assert(tokJoin == rawJoin)
+  }
+
+  test("pseudonymize rejects absent columns") {
+    intercept[IllegalArgumentException] {
+      Privacy.pseudonymize(Seq("a").toDF("x"), Seq("nope"), "s")
+    }
+  }
+}
