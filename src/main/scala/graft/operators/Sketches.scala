@@ -129,4 +129,85 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).cast("long").as("est"))
   }
+
+  // ---------------------------------------------------------------
+  // Fixed-bin histogram sketch: mergeable QUANTILE maintenance — the
+  // third leg of the incremental-sketch family (HLL = distincts, CMS
+  // = frequencies, this = percentiles). `approx_percentile` (q40)
+  // answers one-shot quantiles but its GK state is not exposed for
+  // persistence/merging; a fixed [lo, hi)×bins histogram is: integer
+  // (bin, cnt) parquet rows, cellwise-additive merges, and a
+  // rank-walk estimator — every step exact integers or a fixed IEEE
+  // tree, so the DuckDB oracle replays estimates bit-for-bit. Error
+  // model is honest and a-priori: an estimate is the LOWER EDGE of
+  // the rank's bin — within one bin width of the true quantile,
+  // chosen at sketch definition, not data-dependent.
+  // ---------------------------------------------------------------
+
+  /** Bin index for a value: floor((v − lo) / width), clamped to the
+    * edge bins (out-of-range mass is visible at the edges, never
+    * dropped — a quantile landing in bin 0 or bins−1 says "widen the
+    * range"). The expression tree ((v − lo) / width, one floor) is
+    * fixed so any engine reproduces the index exactly.
+    */
+  def histogramBin(v: org.apache.spark.sql.Column,
+      lo: Double, hi: Double, bins: Int): org.apache.spark.sql.Column = {
+    val width = (hi - lo) / bins
+    least(greatest(floor((v.cast("double") - lit(lo)) / lit(width))
+      .cast("long"), lit(0L)), lit((bins - 1).toLong))
+  }
+
+  /** Histogram sketch of a value column: (bin, cnt), occupied bins
+    * only. One map-side-combined aggregate; ≤ `bins` cells cross the
+    * exchange per task. NULLs are excluded (not a value).
+    */
+  def histogramSketch(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    require(bins >= 1 && hi > lo, s"bad histogram [$lo, $hi) x $bins")
+    df.filter(col(valueCol).isNotNull)
+      .groupBy(histogramBin(col(valueCol), lo, hi, bins).as("bin"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
+  /** Merge histogram sketches cellwise — work ∝ bins·batches. */
+  def histogramMerge(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "histogramMerge: no sketch tables")
+    tables.reduce(_ unionByName _)
+      .groupBy(col("bin")).agg(sum(col("cnt")).cast("long").as("cnt"))
+  }
+
+  /** Quantile estimates from a histogram sketch: for each q, the
+    * lower edge (lo + bin·width) of the bin containing rank
+    * ceil(q·N) in the cumulative count — the deterministic rank walk,
+    * one window over ≤ `bins` rows. Returns (q, rank, bin, est)
+    * ordered by q.
+    */
+  def histogramQuantiles(sketch: DataFrame, qs: Seq[Double],
+      lo: Double, hi: Double, bins: Int = 256): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad quantiles $qs")
+    val width = (hi - lo) / bins
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // ≤ bins rows: the single-partition window is bins-sized by
+    // construction, the same driver-bounded regime as the k-sized
+    // centroid frames
+    val cum = sketch
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .withColumn("total", sum(col("cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+    val probes = qs.toDF("q")
+    probes.crossJoin(broadcast(cum))
+      .withColumn("rank", ceil(col("q") * col("total").cast("double")).cast("long"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("q"), col("rank"))
+      .agg(min(col("bin")).as("bin"))
+      .withColumn("est", lit(lo) + col("bin").cast("double") * lit(width))
+      .select(col("q"), col("rank"), col("bin"), col("est"))
+      .orderBy(col("q"))
+  }
 }

@@ -532,6 +532,57 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** Incremental quantile maintenance on the oracle gate
+    * ([[graft.operators.Sketches.histogramSketch]] family — the
+    * percentile leg of the mergeable-sketch triad, next to q95's HLL
+    * distincts and q104's CMS frequencies): three "daily" lineitem
+    * batches each build a fixed 256-bin price histogram, the
+    * histograms merge by cellwise addition, and the merged sketch
+    * answers four quantiles via the deterministic rank walk. Unlike
+    * q40's GK sketch (opaque state, rank-error contract), every piece
+    * here is exact integers or a fixed IEEE tree, so the oracle
+    * rebuilds the full histogram from the union (cellwise-sum ≡
+    * union-count, the mergeability identity) and replays bin index,
+    * cumulative ranks, and lower-edge estimates bit-for-bit.
+    */
+  def q108HistogramQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val daily = (0 until 3).map(i =>
+      Sketches.histogramSketch(
+        li.filter(pmod(col("l_orderkey"), lit(3)) === i),
+        "l_extendedprice", 900.0, 105000.0, 256))
+    Sketches.histogramQuantiles(Sketches.histogramMerge(daily),
+      Seq(0.1, 0.5, 0.9, 0.99), 900.0, 105000.0, 256)
+  }
+
+  val q108Sql: String =
+    """WITH s AS (
+      |  SELECT least(greatest(CAST(floor(
+      |      (CAST(l_extendedprice AS DOUBLE) - 900.0)
+      |      / ((105000.0 - 900.0) / 256)) AS BIGINT), 0), 255) AS bin,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+      |  GROUP BY 1),
+      |c AS (
+      |  SELECT bin,
+      |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+      |  FROM s),
+      |p AS (SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS q)
+      |SELECT q, rank, bin,
+      |  900.0 + CAST(bin AS DOUBLE) * ((105000.0 - 900.0) / 256) AS est
+      |FROM (
+      |  SELECT p.q AS q,
+      |    CAST(ceil(p.q * CAST(c.total AS DOUBLE)) AS BIGINT) AS rank,
+      |    min(c.bin) AS bin
+      |  FROM p CROSS JOIN c
+      |  WHERE c.cum >= ceil(p.q * CAST(c.total AS DOUBLE))
+      |  GROUP BY 1, 2)
+      |ORDER BY q""".stripMargin
+
   /** Ordered funnel completion on the oracle gate
     * ([[graft.operators.Funnel.funnelSteps]]): per user, the earliest
     * view, the earliest click STRICTLY after it, and the earliest
@@ -1336,6 +1387,7 @@ object Relational {
     "q92_bloom_join"      -> q92BloomJoin _,
     "q93_pagerank"        -> q93PageRank _,
     "q95_sketch_maintenance" -> q95SketchMaintenance _,
+    "q108_histogram_quantiles" -> q108HistogramQuantiles _,
     "q97_funnel"          -> q97Funnel _,
     "q98_retention"       -> q98Retention _,
     "q47_pivot"           -> q47Pivot _,
@@ -1374,6 +1426,7 @@ object Relational {
     "q92_bloom_join" -> q92Sql,
     "q93_pagerank" -> q93Sql,
     "q95_sketch_maintenance" -> q95Sql,
+    "q108_histogram_quantiles" -> q108Sql,
     "q97_funnel" -> q97Sql,
     "q98_retention" -> q98Sql,
     "q47_pivot" -> q47Sql,

@@ -45,8 +45,16 @@ class PlanShapeSpec extends SparkSpec {
       "q06_revenue_filter",   // one global sum row
       "q11_set_ops",          // counts of set-op branches
       "q30_small_quantity",   // TPC-H Q17 scalar: one avg row
-      "q88_profile_table")    // ANALYZE: one wide profile row (per-task
+      "q88_profile_table",    // ANALYZE: one wide profile row (per-task
                               // partial agg buffers cross, then stack)
+      "q106_category_drift",  // snapshot totals: a scalar agg whose
+                              // INPUT is already category-sized (the
+                              // per-category count frame), partial
+                              // buffers cross, broadcast back
+      "q108_histogram_quantiles") // the rank-walk window runs over the
+                              // MERGED HISTOGRAM (≤ bins = 256 rows by
+                              // construction) — the corpus scan behind
+                              // it is an ordinary parallel aggregate
     val bad = plans.collect {
       case (n, p) if p.contains("SinglePartition") && !scalarAggregates(n) => n
     }

@@ -91,4 +91,30 @@ class SketchesSpec extends SparkSpec {
     val rev = Sketches.cmsMerge(batches.reverse)
     assert(rev.exceptAll(direct).isEmpty && direct.exceptAll(rev).isEmpty)
   }
+
+  test("histogram sketch: quantiles within one bin width, merge equals single pass, edges clamp") {
+    import spark.implicits._
+    // values 1..1000 over [0, 1000) x 100 bins -> width 10
+    val all = (1 to 1000).map(v => (v.toLong, v.toDouble)).toDF("i", "v")
+    val batches = (0 until 3).map(i =>
+      Sketches.histogramSketch(all.filter(pmod(col("i"), lit(3)) === i),
+        "v", 0.0, 1000.0, 100))
+    val merged = Sketches.histogramMerge(batches)
+    val direct = Sketches.histogramSketch(all, "v", 0.0, 1000.0, 100)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty,
+      "merged histogram != direct histogram")
+    val est = Sketches.histogramQuantiles(merged, Seq(0.1, 0.5, 0.9), 0.0, 1000.0, 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(3)).toMap
+    // true quantiles: 100, 500, 900; estimate = lower bin edge, so
+    // |est - true| < bin width
+    Seq(0.1 -> 100.0, 0.5 -> 500.0, 0.9 -> 900.0).foreach { case (q, t) =>
+      assert(math.abs(est(q) - t) < 10.0, s"q=$q est=${est(q)} true=$t")
+    }
+    // out-of-range values clamp to edge bins, never vanish
+    val wild = Seq(-5.0, 2000.0, 50.0).toDF("v")
+    val sk = Sketches.histogramSketch(wild, "v", 0.0, 1000.0, 100)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(0L) == 1L && sk(99L) == 1L && sk(5L) == 1L)
+    assert(sk.values.sum == 3L, "clamping must preserve total mass")
+  }
 }
