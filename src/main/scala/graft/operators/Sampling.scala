@@ -18,6 +18,30 @@ object Sampling {
   def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
     pmod(xxhash64(id, lit(salt)), lit(buckets)).cast("int")
 
+  /** Quantile-bucket assignment WITHOUT a global sort — the curriculum
+    * / quality-tier primitive: "top quartile by score" on 100 TB must
+    * not be `ntile(4) OVER (ORDER BY score)` (a single-partition
+    * global sort). Instead the thresholds come from a mergeable
+    * histogram sketch ([[Sketches.histogramQuantiles]] — one parallel
+    * aggregate + a ≤bins-row rank walk; only |qs| threshold doubles
+    * reach the driver) and assignment is a codegen'd comparison chain
+    * on the original scan. Bucket b = number of thresholds ≤ the
+    * value, so `qs` of size k yields buckets 0..k. Thresholds are bin
+    * lower edges (the q108 estimator): boundary rows within one bin
+    * width of a true quantile may sit on either side — the documented
+    * histogram contract, chosen at sketch definition.
+    */
+  def bucketByQuantiles(df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int, qs: Seq[Double]): DataFrame = {
+    val sk = Sketches.histogramSketch(df, valueCol, lo, hi, bins)
+    val cuts = Sketches.histogramQuantiles(sk, qs, lo, hi, bins)
+      .select(col("est")).collect().map(_.getDouble(0)).toSeq
+    val bucket = cuts.map(t =>
+        when(col(valueCol).cast("double") >= lit(t), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("bucket", bucket.cast("int"))
+  }
+
   /** Cross-engine bucket index: md5-derived 60-bit hash of the id's
     * string form (any engine reproduces it as
     * `('0x'||substr(md5(id::VARCHAR || salt),1,15))::BIGINT % buckets`).

@@ -2315,7 +2315,54 @@ object TrainingData {
       |FROM est e LEFT JOIN truth t ON e.c_custkey = t.c_custkey
       |ORDER BY e.c_custkey""".stripMargin
 
+  /** Curriculum / quality-tier bucketing on the oracle gate
+    * ([[graft.operators.Sampling.bucketByQuantiles]]): every document
+    * assigned to a quartile tier of the length distribution — the
+    * "order training data easy→hard" primitive — with thresholds from
+    * the q108 histogram sketch instead of a global `ntile` sort. The
+    * oracle replays histogram, rank walk, threshold edges, and every
+    * per-document comparison; any drift in the bin formula, the rank
+    * rule, or the ≥-threshold bucket count moves a row. Plan shape:
+    * one parallel aggregate for the sketch, a ≤256-row rank walk,
+    * and a codegen'd comparison chain on the second scan — the corpus
+    * is never globally sorted.
+    */
+  def q109CurriculumBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"),
+      length(col("text")).cast(DoubleType).as("len"))
+    graft.operators.Sampling.bucketByQuantiles(
+        docs, "len", 0.0, 2048.0, 256, Seq(0.25, 0.5, 0.75))
+      .select(col("doc_id"), col("len").cast(LongType).as("len"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q109Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS len FROM documents),
+      |s AS (
+      |  SELECT least(greatest(CAST(floor((len - 0.0) / ((2048.0 - 0.0) / 256))
+      |      AS BIGINT), 0), 255) AS bin,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM d WHERE len IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT bin,
+      |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+      |  FROM s),
+      |p AS (SELECT unnest([0.25, 0.5, 0.75]) AS q),
+      |cuts AS (
+      |  SELECT q, 0.0 + CAST(min(bin) AS DOUBLE) * ((2048.0 - 0.0) / 256) AS est
+      |  FROM p CROSS JOIN c
+      |  WHERE c.cum >= ceil(p.q * CAST(c.total AS DOUBLE))
+      |  GROUP BY q)
+      |SELECT doc_id, CAST(len AS BIGINT) AS len,
+      |  CAST((SELECT count(*) FROM cuts WHERE d.len >= cuts.est) AS INTEGER)
+      |    AS bucket
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q109_curriculum_buckets" -> q109CurriculumBuckets _,
     "q103_fuzzy_linkage"  -> q103FuzzyLinkage _,
     "q104_cms_frequency"  -> q104CmsFrequency _,
     "q101_shuffle_shard" -> q101ShuffleShard _,
@@ -2368,6 +2415,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q109_curriculum_buckets" -> q109Sql,
     "q103_fuzzy_linkage"  -> q103Sql,
     "q104_cms_frequency"  -> q104Sql,
     "q101_shuffle_shard" -> q101Sql,

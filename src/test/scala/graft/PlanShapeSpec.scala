@@ -54,7 +54,11 @@ class PlanShapeSpec extends SparkSpec {
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind
-                              // it is an ordinary parallel aggregate
+                              // it is an ordinary parallel aggregate.
+                              // (q109 needs no entry: its rank walk
+                              // runs eagerly at plan-build time, so
+                              // the gate-visible plan is scan →
+                              // comparison chain → presentation sort)
     val bad = plans.collect {
       case (n, p) if p.contains("SinglePartition") && !scalarAggregates(n) => n
     }

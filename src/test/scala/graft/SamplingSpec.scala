@@ -169,4 +169,24 @@ class SamplingSpec extends SparkSpec {
     assert(counts("fr") > 0 && counts("fr") < base("fr"))
     assert(!counts.contains("es") && !counts.contains("zh")) // unlisted → dropped
   }
+
+  test("quantile buckets: monotone in value, quarters balanced, no global sort") {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val out = Sampling.bucketByQuantiles(df, "score", 0.0, 1000.0, 100,
+      Seq(0.25, 0.5, 0.75))
+    val rows = out.collect().map(r => r.getDouble(1) -> r.getInt(2)).sortBy(_._1)
+    // monotone: bucket never decreases as the value grows
+    rows.sliding(2).foreach { case Array((_, b1), (_, b2)) =>
+      assert(b1 <= b2, s"bucket decreased: $b1 -> $b2")
+    }
+    // thresholds are bin lower edges, so quarters balance within one
+    // bin width (10 values here)
+    val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    sizes.values.foreach(n => assert(math.abs(n - 250) <= 10, s"sizes $sizes"))
+    // the assignment plan must not contain a global sort of the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
+  }
 }
