@@ -457,7 +457,59 @@ object StorageQueries {
       |  FROM v2 GROUP BY o_orderstatus)
       |ORDER BY version, o_orderstatus""".stripMargin
 
+  /** Append (delta) snapshot commits on the oracle gate
+    * ([[graft.sinks.Writers.appendSnapshotVersion]]): v1 = the odd
+    * orders, v2 = v1 + an appended increment (every 10th even key) —
+    * the manifest extends the parent's file list, historical files
+    * are untouched. Reading v1 pinned AFTER the append and v2 as
+    * latest, both aggregated per status, proves the delta commit is
+    * metadata-only and the pinned history immutable; the oracle
+    * recomputes both logical versions from source.
+    */
+  def q110SnapshotAppend(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Writers
+    val base = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+    val delta = base.filter(pmod(col("o_orderkey"), lit(2)) === 0 &&
+      pmod(col("o_orderkey"), lit(10)) === 0)
+    val path = scratchPath("q110", dir) + "/snap"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val ver1 = Writers.writeSnapshotVersion(v1, path)
+    Writers.appendSnapshotVersion(delta, path)
+    def agg(df: DataFrame, version: Int) =
+      df.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Det.longSum(col("o_custkey")).as("sum_cust"))
+        .withColumn("version", lit(version))
+    agg(Writers.readSnapshotVersion(s, path, Some(ver1)), 1)
+      .unionByName(agg(Writers.readSnapshotVersion(s, path, None), 2))
+      .select(col("version"), col("o_orderstatus"), col("n"), col("sum_cust"))
+      .orderBy("version", "o_orderstatus")
+  }
+
+  val q110Sql: String =
+    """WITH v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 2 = 1),
+      |v2 AS (
+      |  SELECT * FROM v1
+      |  UNION ALL
+      |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+      |  WHERE o_orderkey % 2 = 0 AND o_orderkey % 10 = 0)
+      |SELECT version, o_orderstatus, n, sum_cust FROM (
+      |  SELECT 1 AS version, o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(o_custkey) AS BIGINT) AS sum_cust
+      |  FROM v1 GROUP BY o_orderstatus
+      |  UNION ALL
+      |  SELECT 2, o_orderstatus, CAST(count(*) AS BIGINT),
+      |    CAST(sum(o_custkey) AS BIGINT)
+      |  FROM v2 GROUP BY o_orderstatus)
+      |ORDER BY version, o_orderstatus""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q110_snapshot_append" -> q110SnapshotAppend _,
     "q105_snapshot_versions" -> q105SnapshotVersions _,
     "q100_snapshot_diff"   -> q100SnapshotDiff _,
     "q96_asof_state"       -> q96AsOfState _,
@@ -471,6 +523,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q110_snapshot_append" -> q110Sql,
     "q105_snapshot_versions" -> q105Sql,
     "q100_snapshot_diff"   -> q100Sql,
     "q96_asof_state"       -> q96Sql,

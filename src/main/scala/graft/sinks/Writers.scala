@@ -519,6 +519,65 @@ object Writers {
     } finally fs.delete(lock, false)
   }
 
+  /** Commit `df` as an APPEND version: the new manifest lists the
+    * parent version's files PLUS the increment's — a metadata-only
+    * delta commit, the daily-ingest shape. Historical files are never
+    * rewritten or copied (they are shared between manifests;
+    * [[vacuumSnapshots]] keeps any file some retained manifest still
+    * references). Same staging/move/manifest-create protocol and the
+    * same single-writer lock as the full-snapshot commit.
+    */
+  def appendSnapshotVersion(df: DataFrame, path: String): Int = {
+    val spark = df.sparkSession
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(path + ".snapshot.lock")
+    acquireSwapLock(fs, lock, "appendSnapshotVersion")
+    try {
+      val versions = listSnapshotVersions(spark, path)
+      require(versions.nonEmpty,
+        s"appendSnapshotVersion: no base version at $path — " +
+          "commit the first snapshot with writeSnapshotVersion")
+      val parent = versions.last
+      val version = parent + 1
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          if (st.getPath.getName.startsWith(s"v$version-"))
+            fs.delete(st.getPath, false): Unit
+        }
+      val staging = new Path(path + s".staging-v$version")
+      fs.delete(staging, true)
+      df.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+      val newNames = fs.listStatus(staging).toSeq
+        .map(_.getPath)
+        .filter { p =>
+          p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+            !p.getName.startsWith(".")
+        }
+        .sortBy(_.getName)
+        .zipWithIndex.map { case (src, i) =>
+          val name = s"v$version-$i-${src.getName}"
+          val target = new Path(dir, name)
+          if (!fs.rename(src, target))
+            throw new java.io.IOException(
+              s"appendSnapshotVersion: rename $src -> $target failed")
+          name
+        }
+      fs.delete(staging, true)
+      val parentNames = {
+        val in = fs.open(new Path(dir, s"$ManifestPrefix$parent"))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+          .filter(_.nonEmpty)
+        finally in.close()
+      }
+      val manifest = new Path(dir, s"$ManifestPrefix$version")
+      val out = fs.create(manifest, false)
+      try out.write((parentNames ++ newNames).mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      version
+    } finally fs.delete(lock, false)
+  }
+
   /** Read a pinned snapshot version (default: latest). Loads exactly
     * the manifest's files — later commits never leak in, missing
     * manifest versions fail loudly.

@@ -344,4 +344,37 @@ class WritersSpec extends SparkSpec {
       .filterNot(n => n.startsWith("v3-") || n == "_manifest-v3")
     assert(leftover.isEmpty, s"vacuum left $leftover")
   }
+
+  test("snapshot append: metadata-only delta, shared files survive vacuum") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft-snap2").toString + "/t"
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = (0 until 100).map(i => (i.toLong, "base")).toDF("id", "tag")
+    val delta = (100 until 130).map(i => (i.toLong, "delta")).toDF("id", "tag")
+    assert(Writers.writeSnapshotVersion(base, path) == 1)
+    val v1Files = fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.startsWith("v1-"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    assert(Writers.appendSnapshotVersion(delta, path) == 2)
+    // the append rewrote NOTHING: v1 data files byte-identical
+    val v1After = fs.listStatus(new Path(path))
+      .filter(_.getPath.getName.startsWith("v1-"))
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    assert(v1After.sameElements(v1Files), "append rewrote historical files")
+    // v2 = v1 + delta; v1 pinned read unchanged
+    assert(Writers.readSnapshotVersion(spark, path, Some(1)).count() == 100)
+    val v2 = Writers.readSnapshotVersion(spark, path)
+    assert(v2.count() == 130)
+    assert(v2.filter(col("tag") === "delta").count() == 30)
+    // appending to an empty table is a loud error, not a silent base
+    intercept[IllegalArgumentException] {
+      Writers.appendSnapshotVersion(delta, path + "-absent")
+    }
+    // vacuum keep=1 retains v1's files (still referenced by v2's manifest)
+    Writers.vacuumSnapshots(spark, path, keep = 1)
+    assert(Writers.listSnapshotVersions(spark, path) == Seq(2))
+    assert(Writers.readSnapshotVersion(spark, path).count() == 130,
+      "vacuum deleted files shared with the retained append manifest")
+  }
 }
