@@ -508,7 +508,44 @@ object StorageQueries {
       |  FROM v2 GROUP BY o_orderstatus)
       |ORDER BY version, o_orderstatus""".stripMargin
 
+  /** Partition-TTL retention on the oracle gate
+    * ([[graft.sinks.Writers.dropPartitionsBelow]]): the event log is
+    * written day-partitioned, every partition before 2024-01-11 is
+    * retired — a per-directory namespace delete, no surviving file
+    * read or rewritten — and the survivors aggregate per event type.
+    * The oracle applies the same date filter to the source, so a TTL
+    * that drops the wrong leaves, leaks expired rows, or loses
+    * surviving rows breaks counts and sums. Combined with the
+    * partition-dirs read-back, this is the retention path every
+    * compliance-bound 100 TB table runs nightly.
+    */
+  def q111PartitionTtl(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Writers
+    val ev = Tables.events(s, dir).select(col("event_id"), col("event_type"),
+      col("value"), date_format(col("ts"), "yyyy-MM-dd").as("date_only"))
+    val path = scratchPath("q111", dir) + "/tbl"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    Writers.writePartitionedByDay(ev, path)
+    val dropped = Writers.dropPartitionsBelow(s, path, "date_only", "2024-01-11")
+    require(dropped.nonEmpty, "q111: expected partitions to expire")
+    s.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.exactSum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val q111Sql: String =
+    s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |  ${Det.exactSumSql("value")} AS sum_value
+       |FROM events
+       |WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-11'
+       |GROUP BY event_type
+       |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q111_partition_ttl"   -> q111PartitionTtl _,
     "q110_snapshot_append" -> q110SnapshotAppend _,
     "q105_snapshot_versions" -> q105SnapshotVersions _,
     "q100_snapshot_diff"   -> q100SnapshotDiff _,
@@ -523,6 +560,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q111_partition_ttl"   -> q111Sql,
     "q110_snapshot_append" -> q110Sql,
     "q105_snapshot_versions" -> q105Sql,
     "q100_snapshot_diff"   -> q100Sql,

@@ -2,6 +2,7 @@ package graft.sinks
 
 import java.sql.{Date => SqlDate, Timestamp}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -77,6 +78,44 @@ object Writers {
     */
   def writeRejections(rejected: DataFrame, path: String): Unit =
     rejected.write.option("header", "true").mode(SaveMode.Overwrite).csv(path)
+
+  /** Retention TTL for a hive-partitioned table: drop every
+    * `partitionCol=<value>` leaf whose value sorts strictly below
+    * `cutoff` — the data-retention counterpart of the per-day loaders
+    * above. Deletion is per-PARTITION-DIRECTORY (a metadata/namespace
+    * operation: no file is read, no surviving row rewritten), which is
+    * the only retention shape that works at 100 TB — row-level TTL
+    * deletes would rewrite the table. String comparison on the
+    * partition value is correct for the ISO `date_only=yyyy-MM-dd`
+    * layout (lexicographic = chronological) and for zero-padded
+    * numeric partitions; the `__HIVE_DEFAULT_PARTITION__` (NULL) leaf
+    * is never dropped — NULL has no age.
+    *
+    * Returns the dropped partition values, so a production job can log
+    * exactly what it retired.
+    */
+  def dropPartitionsBelow(
+      spark: SparkSession, path: String, partitionCol: String,
+      cutoff: String): Seq[String] = {
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val prefix = s"$partitionCol="
+      val nullLeaf = s"${prefix}__HIVE_DEFAULT_PARTITION__"
+      fs.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix) &&
+          st.getPath.getName != nullLeaf)
+        .map(st => st.getPath)
+        .filter(_.getName.stripPrefix(prefix) < cutoff)
+        .sortBy(_.getName)
+        .map { p =>
+          if (!fs.delete(p, true))
+            throw new java.io.IOException(s"dropPartitionsBelow: delete $p failed")
+          p.getName.stripPrefix(prefix)
+        }
+    }
+  }
 
   /** Partition-pruned MERGE (upsert) into a partitioned parquet table
     * — the fact-table-scale upsert `upsertInventory` is NOT (that one
@@ -430,8 +469,6 @@ object Writers {
     } finally if (!keepLock) fs.delete(lock, false)
     spark.read.parquet(inventoryPath)
   }
-
-  import org.apache.hadoop.fs.Path
 
   // ---------------------------------------------------------------
   // Versioned snapshot table — manifest-pinned time travel, the

@@ -377,4 +377,32 @@ class WritersSpec extends SparkSpec {
     assert(Writers.readSnapshotVersion(spark, path).count() == 130,
       "vacuum deleted files shared with the retained append manifest")
   }
+
+  test("partition TTL: drops strictly-below leaves, keeps cutoff day, NULL leaf, survivors untouched") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val path = java.nio.file.Files.createTempDirectory("graft-ttl").toString + "/t"
+    val rows = Seq(
+      (1L, "2024-01-01"), (2L, "2024-01-05"), (3L, "2024-01-10"),
+      (4L, "2024-01-11"), (5L, "2024-01-20"), (6L, null)
+    ).toDF("id", "date_only")
+    Writers.writePartitionedByDay(rows, path)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val survivorLeaf = new Path(path, "date_only=2024-01-20")
+    val survivorFiles = fs.listStatus(survivorLeaf)
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    val dropped = Writers.dropPartitionsBelow(spark, path, "date_only", "2024-01-11")
+    assert(dropped == Seq("2024-01-01", "2024-01-05", "2024-01-10"))
+    val back = spark.read.parquet(path)
+    // cutoff day itself survives (strictly-below semantics), NULL leaf kept
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(4L, 5L, 6L))
+    // surviving leaves untouched byte-for-byte (no rewrite)
+    val after = fs.listStatus(survivorLeaf)
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime)).sortBy(_._1)
+    assert(after.sameElements(survivorFiles), "TTL rewrote surviving partition files")
+    // idempotent: nothing left below the cutoff
+    assert(Writers.dropPartitionsBelow(spark, path, "date_only", "2024-01-11").isEmpty)
+    // absent table: no-op, not an error
+    assert(Writers.dropPartitionsBelow(spark, path + "-absent", "date_only", "x").isEmpty)
+  }
 }
