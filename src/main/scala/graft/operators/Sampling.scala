@@ -36,9 +36,13 @@ object Sampling {
     val sk = Sketches.histogramSketch(df, valueCol, lo, hi, bins)
     val cuts = Sketches.histogramQuantiles(sk, qs, lo, hi, bins)
       .select(col("est")).collect().map(_.getDouble(0)).toSeq
-    val bucket = cuts.map(t =>
-        when(col(valueCol).cast("double") >= lit(t), 1).otherwise(0))
-      .reduce(_ + _)
+    // empty/all-NULL input yields no thresholds: everything is tier 0
+    // (not an empty-reduce crash)
+    val bucket =
+      if (cuts.isEmpty) lit(0)
+      else cuts.map(t =>
+          when(col(valueCol).cast("double") >= lit(t), 1).otherwise(0))
+        .reduce(_ + _)
     df.withColumn("bucket", bucket.cast("int"))
   }
 

@@ -548,12 +548,27 @@ object Writers {
         }
       fs.delete(staging, true)
       // single atomic commit point: the manifest names this version's
-      // files; its create(overwrite=false) publishes the version
-      val manifest = new Path(dir, s"$ManifestPrefix$version")
-      val out = fs.create(manifest, false)
-      try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+      // files and appears only WITH its full content (create+write is
+      // not atomic — a truncated manifest would publish a corrupt
+      // version), so write to a dot-hidden temp and rename into place
+      commitManifest(fs, dir, version, names)
       version
     } finally fs.delete(lock, false)
+  }
+
+  /** Atomically publish a version manifest: full content first (temp
+    * name invisible to [[listSnapshotVersions]]), then one rename.
+    */
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, version: Int, names: Seq[String]): Unit = {
+    val tmp = new Path(dir, s".manifest-tmp-v$version")
+    fs.delete(tmp, false)
+    val out = fs.create(tmp, true)
+    try out.write(names.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val manifest = new Path(dir, s"$ManifestPrefix$version")
+    if (!fs.rename(tmp, manifest))
+      throw new java.io.IOException(
+        s"commitManifest: rename $tmp -> $manifest failed")
   }
 
   /** Commit `df` as an APPEND version: the new manifest lists the
@@ -607,10 +622,7 @@ object Writers {
           .filter(_.nonEmpty)
         finally in.close()
       }
-      val manifest = new Path(dir, s"$ManifestPrefix$version")
-      val out = fs.create(manifest, false)
-      try out.write((parentNames ++ newNames).mkString("\n").getBytes("UTF-8"))
-      finally out.close()
+      commitManifest(fs, dir, version, parentNames ++ newNames)
       version
     } finally fs.delete(lock, false)
   }
@@ -659,7 +671,9 @@ object Writers {
     fs.listStatus(dir).foreach { st =>
       val n = st.getPath.getName
       val isData = n.matches("v\\d+-.*")
-      if (isData && !referenced.contains(n)) fs.delete(st.getPath, false): Unit
+      val isStrayTmpManifest = n.startsWith(".manifest-tmp-v")
+      if ((isData && !referenced.contains(n)) || isStrayTmpManifest)
+        fs.delete(st.getPath, false): Unit
     }
   }
 }

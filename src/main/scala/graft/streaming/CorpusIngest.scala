@@ -151,9 +151,16 @@ object CorpusIngest {
             textCol, shingleSize, numHashes, bands)
           moveIn(fs, stagingCorpus, corpus, id)
           moveIn(fs, stagingIndex, idx, id)
-          // single atomic commit point
-          val out = fs.create(marker, false)
+          // single atomic commit point: the marker appears only with
+          // its full content (create+write is NOT atomic — a crash
+          // mid-write would leave an existing-but-empty marker that
+          // poisons every replay)
+          val tmpMarker = new Path(corpusPath, s".committing-batch-$id")
+          fs.delete(tmpMarker, false)
+          val out = fs.create(tmpMarker, true)
           try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+          if (!fs.rename(tmpMarker, marker))
+            throw new java.io.IOException(s"commit rename $tmpMarker -> $marker failed")
           n
         }
     }
