@@ -964,4 +964,104 @@ object Dedup {
         .localCheckpoint(true)
     } finally { trainSh.unpersist(); evalSh.unpersist() }
   }
+
+  /** EXACT n-gram Jaccard similarity self-join via AllPairs prefix
+    * filtering (Bayardo et al., WWW'07; the equi-join skeleton of
+    * PPJoin) — the lossless counterpart of the MinHash/SimHash
+    * near-dup family above: every pair at Jaccard ≥ num/den is
+    * returned, none missed, no probabilistic recall bound to argue
+    * about.
+    *
+    * Recipe. Shingle each document into its distinct character
+    * n-gram set, but carry every shingle as `md5(gram)` from the
+    * moment it is born: a 32-char fixed-width token DuckDB computes
+    * bit-identically, so (a) no exchange on this path ever carries
+    * raw document text and (b) any md5 collision collapses the same
+    * two grams in BOTH engines — cross-engine parity is unconditional.
+    * Rank tokens by global document frequency (ties by token value —
+    * a total order, tokens are distinct within a document): under any
+    * fixed global order, two sets with Jaccard ≥ t must share a token
+    * within their first |s| − ⌈t·|s|⌉ + 1 tokens (if a's prefix
+    * misses b entirely, the ≤ |a| − p_a tokens after the prefix bound
+    * the overlap below the threshold). So: emit only prefix tokens,
+    * equi-join prefixes on the token (frequency-ascending order makes
+    * prefix tokens the RARE ones — that choice, not the join, is what
+    * bounds candidates), size-filter (J ≤ min/max ⇒ den·min ≥
+    * num·max), then verify each surviving candidate pair with the
+    * exact merge-walk intersection
+    * ([[graft.expressions.SortedOverlapExpression]]) and the pure
+    * integer predicate den·ov ≥ num·(na + nb − ov).
+    *
+    * Scale shape: the df table is vocabulary-bounded with map-side
+    * combine; the rank step shuffles (id, token-hash, df) triples
+    * once, partitioned by id; the candidate join's BOTH sides are
+    * prefix-sized (≈ (1−t)·corpus tokens) and keyed on rare tokens by
+    * construction; verification joins candidate-pair-bounded frames
+    * against the shingle-set frame keyed on the single id column.
+    * Raw text never crosses an exchange anywhere — only md5 tokens
+    * and ids. Versus LSH (q21): no false negatives by construction,
+    * at the cost of the df-rank pass; this is the shape for
+    * contractual dedup (takedown compliance, eval decontamination
+    * audits) where "probably caught it" is not a spec.
+    *
+    * Returns (doc_a, doc_b, overlap_sz, size_a, size_b) for every
+    * unordered pair doc_a < doc_b with shingle Jaccard ≥ num/den,
+    * ordered by (doc_a, doc_b).
+    */
+  def exactJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minJaccardNum: Int, minJaccardDen: Int,
+      shingleSize: Int = 7): DataFrame = {
+    require(minJaccardNum > 0 && minJaccardDen >= minJaccardNum,
+      s"threshold must be a rational in (0,1]: $minJaccardNum/$minJaccardDen")
+    val num = lit(minJaccardNum.toLong)
+    val den = lit(minJaccardDen.toLong)
+    // distinct md5 shingle set, sorted once for the merge-walk; kept
+    // per-doc and read from the rank, candidate, and BOTH verify
+    // branches → persist for the operator's lifetime (same lifecycle
+    // contract as the LSH operators above)
+    val sh = graft.sources.Tables.widen(df)
+      .select(col(idCol).as("_id"),
+        array_sort(array_distinct(transform(
+          graft.functions.TextFunctions.charNGrams(col(textCol), shingleSize),
+          g => md5(g.cast(BinaryType))))).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+      .withColumn("_n", size(col("_sh")).cast(LongType))
+      .persist()
+    try {
+      val tok = sh.select(col("_id"), col("_n"), explode(col("_sh")).as("_g"))
+      val dfreq = tok.groupBy(col("_g")).agg(count(lit(1)).as("_df"))
+      // prefix length p = n − ⌈t·n⌉ + 1, in integer arithmetic:
+      // ⌈num·n/den⌉ = (num·n + den − 1) div den — `div`, not `/`,
+      // which is fractional division on BIGINT in Spark SQL
+      val p = expr(s"_n - ((${minJaccardNum.toLong} * _n + " +
+        s"${minJaccardDen.toLong - 1}) div ${minJaccardDen.toLong}) + 1")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("_id")).orderBy(col("_df"), col("_g"))
+      val prefixes = tok.join(dfreq, Seq("_g"))
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= p)
+        .select(col("_g"), col("_id"), col("_n"))
+      val cands = prefixes.as("a")
+        .join(prefixes.as("b"),
+          col("a._g") === col("b._g") && col("a._id") < col("b._id") &&
+            den * least(col("a._n"), col("b._n")) >=
+              num * greatest(col("a._n"), col("b._n")))
+        .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
+        .distinct()
+      val ov = graft.expressions.SortedOverlapExpression
+        .sortedOverlap(col("_sha"), col("_shb")).cast(LongType)
+      sh.select(col("_id").as("_ida"), col("_sh").as("_sha"), col("_n").as("_na"))
+        .join(cands, Seq("_ida"))
+        .join(sh.select(col("_id").as("_idb"), col("_sh").as("_shb"),
+          col("_n").as("_nb")), Seq("_idb"))
+        .withColumn("_ov", ov)
+        .filter(den * col("_ov") >= num * (col("_na") + col("_nb") - col("_ov")))
+        .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+          col("_ov").as("overlap_sz"), col("_na").as("size_a"),
+          col("_nb").as("size_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+        .localCheckpoint(true)
+    } finally { sh.unpersist() }
+  }
 }

@@ -2361,7 +2361,79 @@ object TrainingData {
       |    AS bucket
       |FROM d ORDER BY doc_id""".stripMargin
 
+  /** EXACT n-gram Jaccard self-join
+    * ([[graft.operators.Dedup.exactJaccardPairs]]): every document
+    * pair at shingle Jaccard ≥ 0.8 via AllPairs prefix filtering —
+    * the lossless member of the dedup family (q21 MinHash / q22
+    * SimHash are its probabilistic-recall siblings). Corpus: the
+    * documents table plus two plant families — docs < 40 minus their
+    * last 10 characters at id + 200000 (J ≈ 0.98, must ALL surface)
+    * and docs 40–49 truncated to half at id + 300000 (J ≈ 0.45, must
+    * ALL be rejected — they exercise the verify stage, not just the
+    * size filter). Because the operator is exact and the predicate is
+    * pure integer arithmetic over md5 tokens both engines compute
+    * bit-identically, the oracle needs only SOME correct exact
+    * algorithm — it replays the same prefix-filter shape because the
+    * brute-force inverted-index join is quadratic in the corpus'
+    * stop-gram buckets; candidate-set differences between the engines
+    * cannot change the answer (the filter is lossless, verification
+    * exact).
+    */
+  def q112ExactJaccard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val near = docs.filter(col("doc_id") < 40)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        expr("substring(text, 1, length(text) - 10)").as("text"))
+    val far = docs.filter(col("doc_id") >= 40 && col("doc_id") < 50)
+      .select((col("doc_id") + 300000).as("doc_id"),
+        expr("substring(text, 1, length(text) div 2)").as("text"))
+    val corpus = docs.unionByName(near).unionByName(far)
+    graft.operators.Dedup.exactJaccardPairs(
+      corpus, "doc_id", "text", minJaccardNum = 8, minJaccardDen = 10)
+  }
+
+  val q112Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 200000, substr(text, 1, length(text) - 10)
+      |  FROM documents WHERE doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 300000, substr(text, 1, length(text) // 2)
+      |  FROM documents WHERE doc_id >= 40 AND doc_id < 50),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(1, length(text) - 7 + 2), i -> md5(substr(text, i, 7))))) AS g
+      |  FROM base WHERE length(text) >= 7),
+      |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+      |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
+      |ranked AS (
+      |  SELECT s.doc_id, s.g, z.n,
+      |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.g) AS rn
+      |  FROM sh s JOIN dfreq d USING (g) JOIN sz z USING (doc_id)),
+      |pref AS (
+      |  SELECT doc_id, g, n FROM ranked
+      |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  WHERE 10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)),
+      |ver AS (
+      |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ov
+      |  FROM cand c
+      |  JOIN sh x ON x.doc_id = c.da
+      |  JOIN sh y ON y.doc_id = c.db AND y.g = x.g
+      |  GROUP BY c.da, c.db)
+      |SELECT v.da AS doc_a, v.db AS doc_b, v.ov AS overlap_sz,
+      |  sa.n AS size_a, sb.n AS size_b
+      |FROM ver v
+      |JOIN sz sa ON v.da = sa.doc_id
+      |JOIN sz sb ON v.db = sb.doc_id
+      |WHERE 10 * v.ov >= 8 * (sa.n + sb.n - v.ov)
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q112_exact_jaccard"  -> q112ExactJaccard _,
     "q109_curriculum_buckets" -> q109CurriculumBuckets _,
     "q103_fuzzy_linkage"  -> q103FuzzyLinkage _,
     "q104_cms_frequency"  -> q104CmsFrequency _,
@@ -2415,6 +2487,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q112_exact_jaccard"  -> q112Sql,
     "q109_curriculum_buckets" -> q109Sql,
     "q103_fuzzy_linkage"  -> q103Sql,
     "q104_cms_frequency"  -> q104Sql,

@@ -410,4 +410,111 @@ class DedupSpec extends SparkSpec {
     // "alpha" group -> 1, null group -> 2 (lowest id), "beta" -> 5
     assert(kept == Set(1L, 2L, 5L))
   }
+
+  /** Brute-force exact Jaccard pair set over md5 7-gram shingle sets at
+    * the operator's rational threshold — the ground truth the prefix
+    * filter must reproduce EXACTLY (not approximately: no false
+    * negatives is the operator's whole contract).
+    */
+  private def bruteJaccardPairs(
+      df: DataFrame, num: Long, den: Long, n: Int): Set[(Long, Long, Long)] = {
+    val sh = df.select(col("doc_id"),
+      array_sort(array_distinct(transform(
+        graft.functions.TextFunctions.charNGrams(col("text"), n),
+        g => md5(g.cast(BinaryType))))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    sh.as("l").join(sh.as("r"), col("l.doc_id") < col("r.doc_id"))
+      .withColumn("ov", graft.expressions.SortedOverlapExpression
+        .sortedOverlap(col("l.sh"), col("r.sh")).cast(LongType))
+      .filter(lit(den) * col("ov") >=
+        lit(num) * (size(col("l.sh")) + size(col("r.sh")) - col("ov")))
+      .select(col("l.doc_id"), col("r.doc_id"), col("ov"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("exact Jaccard prefix-filter join == brute force on the planted corpus") {
+    val got = Dedup.exactJaccardPairs(planted, "doc_id", "text", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bruteJaccardPairs(planted, 1, 2, 7)
+    assert(want.nonEmpty, "planted corpus must contain true pairs")
+    assert(got == want)
+  }
+
+  test("exact Jaccard: inclusive rational boundary, no double rounding") {
+    import spark.implicits._
+    // shingleSize=1 makes the shingle set the distinct-character set:
+    // A/B share 8 of 9 characters -> J = 8/10 = threshold, INCLUDED;
+    // C vs A overlaps 7 -> 7/11 < 0.8, excluded by the exact verify
+    val docs = Seq(
+      (1L, "abcdefghi"), (2L, "abcdefghj"), (3L, "abcdefgxy")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactJaccardPairs(docs, "doc_id", "text", 8, 10,
+        shingleSize = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L, 8L)))
+  }
+
+  test("exact Jaccard: raw text never crosses a keyed exchange") {
+    // the operator's scale contract: documents travel as md5 tokens
+    // from the first projection on — every keyed shuffle (df table,
+    // rank, candidate join, verify joins) carries 32-char hashes and
+    // ids. The operator returns a checkpoint scan, so the interesting
+    // plans are captured via a QueryExecutionListener while it runs
+    // (the eager localCheckpoint fires the listener's onSuccess).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[SparkPlan]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, ns: Long): Unit =
+        seen.add(qe.executedPlan)
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      Dedup.exactJaccardPairs(planted, "doc_id", "text", 1, 2).collect()
+      // the listener bus is async; wait (bounded) for the plans
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(!seen.isEmpty, "listener never observed the checkpoint action")
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      import scala.jdk.CollectionConverters._
+      val keyedWithText = seen.asScala.toSeq.flatMap(flatten).collect {
+        case e: ShuffleExchangeLike
+            if (e.outputPartitioning.isInstanceOf[HashPartitioning] ||
+              e.outputPartitioning.isInstanceOf[RangePartitioning]) &&
+              e.output.exists(_.name == "text") => e
+      }
+      assert(keyedWithText.isEmpty,
+        s"raw text crosses a keyed exchange:\n${keyedWithText.mkString("\n")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("exact Jaccard == brute force on a random small-alphabet corpus") {
+    import spark.implicits._
+    // small alphabet + short strings -> dense natural overlap, so the
+    // prefix filter's size/rank edge cases (tiny sets, p = 1, heavy
+    // stop-grams shared by most docs) all occur; fixed seed keeps it
+    // deterministic
+    val rnd = new scala.util.Random(42)
+    val docs = (1L to 60L).map { i =>
+      val len = 6 + rnd.nextInt(12)
+      (i, Array.fill(len)(('a' + rnd.nextInt(4)).toChar).mkString)
+    }.toDF("doc_id", "text")
+    val got = Dedup.exactJaccardPairs(docs, "doc_id", "text", 3, 10,
+        shingleSize = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = bruteJaccardPairs(docs, 3, 10, 3)
+    assert(want.nonEmpty)
+    assert(got == want)
+  }
 }
