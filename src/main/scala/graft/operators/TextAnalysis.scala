@@ -247,4 +247,73 @@ object TextAnalysis {
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Bigram language-model quality scoring — the perplexity-proxy
+    * filter of a CCNet-style corpus pipeline (train an LM on the
+    * corpus, keep documents the model finds predictable), with the
+    * log-probability replaced by a FIXED-POINT conditional
+    * probability so the score is pure integer arithmetic any engine
+    * reproduces bit-identically: per bigram (w1, w2),
+    *
+    *   q = ⌊scale · (c(w1,w2) + 1) / (c(w1·) + V)⌋
+    *
+    * — add-one-smoothed P(w2 | w1) in units of 1/scale, where c(w1·)
+    * is w1's occurrence count as a bigram head and V the number of
+    * distinct heads. A document's score is the sum and mean of q over
+    * its (lowercased, whitespace-token) bigrams; high mean = stock
+    * phrasing the corpus has seen a thousand times, low mean = noise,
+    * boilerplate soup, or wrong-language text. Summing probabilities
+    * instead of log-probabilities keeps the filter's ORDERING
+    * behavior for the common case while staying exactly replayable —
+    * the real-log variant differs only in the per-bigram map and
+    * would inherit everything else.
+    *
+    * Scale shape: both count tables are vocabulary-bounded hash
+    * aggregates with map-side combine; scoring is two equi-joins
+    * keyed on the token (stop-bigram skew lands in AQE's lap, and the
+    * per-doc aggregate behind it combines map-side); the driver holds
+    * exactly ONE scalar (V). The corpus crosses exchanges as
+    * (id, bigram) pairs only — never full documents. Pick `scale` so
+    * scale · max-bigram-count stays under 2⁶³ (the default 10⁹ is
+    * safe to ~9·10⁹ occurrences of one bigram; shrink it for a corpus
+    * beyond that).
+    *
+    * Returns (id, n_bigrams, lm_score_sum, lm_avg_q) for EVERY input
+    * row — documents with fewer than two tokens score (0, 0, 0).
+    */
+  def bigramLmScores(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", scale: Long = 1000000000L): DataFrame = {
+    val base = graft.sources.Tables.widen(df)
+      .select(col(idCol), explode_outer(
+        graft.functions.TextFunctions.wordNGrams(lower(col(textCol)), 2))
+        .as("_bg"))
+      .persist() // read by the c12, c1, and scoring branches
+    try {
+      val docBg = base.filter(col("_bg").isNotNull)
+      val c12 = docBg.groupBy(col("_bg")).agg(count(lit(1)).as("_c12"))
+      val c1 = docBg
+        .select(substring_index(col("_bg"), " ", 1).as("_w1"))
+        .groupBy(col("_w1")).agg(count(lit(1)).as("_c1"))
+        .persist() // read by the V count and the scoring join
+      try {
+        val vocab = c1.count()
+        val scored = docBg
+          .join(c12, Seq("_bg"))
+          .withColumn("_w1", substring_index(col("_bg"), " ", 1))
+          .join(c1, Seq("_w1"))
+          .withColumn("_q", expr(s"($scale * (_c12 + 1)) div (_c1 + $vocab)"))
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("_q")).as("lm_score_sum"))
+        base.select(col(idCol)).distinct()
+          .join(scored, Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+            coalesce(col("lm_score_sum"), lit(0L)).as("lm_score_sum"),
+            when(coalesce(col("n_bigrams"), lit(0L)) === 0, lit(0L))
+              .otherwise(expr("lm_score_sum div n_bigrams")).as("lm_avg_q"))
+          .orderBy(idCol)
+          .localCheckpoint(true)
+      } finally c1.unpersist()
+    } finally base.unpersist()
+  }
 }

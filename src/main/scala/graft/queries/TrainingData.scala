@@ -2432,7 +2432,54 @@ object TrainingData {
       |WHERE 10 * v.ov >= 8 * (sa.n + sb.n - v.ov)
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Bigram language-model quality scoring
+    * ([[graft.operators.TextAnalysis.bigramLmScores]]): the CCNet-style
+    * "train an LM on the corpus, score every document by how
+    * predictable the model finds it" filter, with the per-bigram
+    * conditional probability in fixed-point integer arithmetic
+    * (⌊10⁹·(c12+1)/(c1+V)⌋) so DuckDB replays training AND scoring
+    * bit-identically — counts, smoothing, the head-marginal, the
+    * vocabulary scalar, and both integer divisions all have to agree
+    * on every document.
+    */
+  def q113BigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.bigramLmScores(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")))
+
+  val q113Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+      |    '\s+'), t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |  FROM toks WHERE len(ts) >= 2),
+      |c12 AS (SELECT bg, count(*) AS c12 FROM bg GROUP BY bg),
+      |c1 AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, count(*) AS c1
+      |  FROM bg GROUP BY 1),
+      |v AS (SELECT count(*) AS v FROM c1),
+      |scored AS (
+      |  SELECT b.doc_id, (1000000000 * (c.c12 + 1)) // (o.c1 + v.v) AS q
+      |  FROM bg b
+      |  JOIN c12 c USING (bg)
+      |  JOIN c1 o ON split_part(b.bg, ' ', 1) = o.w1
+      |  CROSS JOIN v),
+      |agg AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |    CAST(sum(q) AS BIGINT) AS lm_score_sum
+      |  FROM scored GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(a.n_bigrams, 0) AS n_bigrams,
+      |  coalesce(a.lm_score_sum, 0) AS lm_score_sum,
+      |  CASE WHEN a.n_bigrams IS NULL THEN 0
+      |       ELSE a.lm_score_sum // a.n_bigrams END AS lm_avg_q
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q113_bigram_lm"      -> q113BigramLm _,
     "q112_exact_jaccard"  -> q112ExactJaccard _,
     "q109_curriculum_buckets" -> q109CurriculumBuckets _,
     "q103_fuzzy_linkage"  -> q103FuzzyLinkage _,
@@ -2487,6 +2534,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q113_bigram_lm"      -> q113Sql,
     "q112_exact_jaccard"  -> q112Sql,
     "q109_curriculum_buckets" -> q109Sql,
     "q103_fuzzy_linkage"  -> q103Sql,

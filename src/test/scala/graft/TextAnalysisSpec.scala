@@ -454,4 +454,37 @@ class MultimodalSpec extends SparkSpec {
     val got = scrubMap(docs, n = 4, minDocs = 4)
     assert(got(0L) == ((4, 4, "")))
   }
+
+  test("bigram LM scores: hand-computed fixed-point values") {
+    import spark.implicits._
+    // corpus bigram counts: "a b" -> 3, "b a" -> 1; heads a: 3, b: 1;
+    // V = 2 distinct heads
+    //   q("a b") = floor(1e9 * (3+1) / (3+2)) = 800000000
+    //   q("b a") = floor(1e9 * (1+1) / (1+2)) = 666666666
+    val docs = Seq(
+      (1L, "A b a B"),          // lowercased -> bigrams ab, ba, ab
+      (2L, "a b"),              // one bigram
+      (3L, "c"),                // single token: no bigrams
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, 800000000L + 666666666L + 800000000L, 2266666666L / 3),
+      (2L, 1L, 800000000L, 800000000L),
+      (3L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L)))
+  }
+
+  test("bigram LM scores: every input row survives, scores ordered sensibly") {
+    // a repeated stock phrase must out-score a one-off word salad —
+    // the filter's whole purpose
+    import spark.implicits._
+    val stock = (1L to 8L).map(i => (i, "the quick brown fox jumps"))
+    val salad = Seq((100L, "zxq wvu tsr qpo nml"))
+    val scores = TextAnalysis.bigramLmScores((stock ++ salad).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(scores.size == 9)
+    assert(scores(1L) > scores(100L))
+  }
 }
