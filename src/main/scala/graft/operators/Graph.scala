@@ -89,4 +89,72 @@ object Graph {
       ranks
     } finally edges.unpersist()
   }
+
+  /** Per-node triangle counts via degree-ordered edge orientation
+    * (the MapReduce-era Suri–Vassilvitskii shape, re-expressed as two
+    * Catalyst equi-joins).
+    *
+    * The input is treated as an UNDIRECTED multigraph: direction,
+    * duplicate edges, and self-loops are all normalized away first
+    * (canonical `(lo, hi)` pairs, distinct). Each canonical edge is
+    * then oriented from the endpoint with the smaller `(degree, id)`
+    * rank to the larger — a total acyclic order, so every triangle
+    * {a, b, c} (ranked a < b < c) materializes as EXACTLY one wedge
+    * a→b→c closed by the oriented edge a→c: count = one wedge join +
+    * one closure join, no per-triangle dedup step.
+    *
+    * Why the orientation is the 100 TB shape: out-degree under
+    * degree ranking is O(√m), so the wedge join emits O(m^{3/2})
+    * rows worst-case instead of Σ deg² — the hub node with degree 10⁶
+    * contributes almost NO wedges (every neighbor out-ranks it)
+    * rather than 10¹² of them. Everything that crosses an exchange is
+    * a pair/triple of longs; the output is node-sized; nothing
+    * touches the driver.
+    *
+    * Returns (node_id, n_triangles) for every node incident to at
+    * least one (normalized) edge, zero-filled, ordered by node_id.
+    */
+  def triangleCounts(
+      edgeList: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = graft.sources.Tables.widen(edgeList)
+      .select(col(srcCol).cast(LongType).as("_a"),
+        col(dstCol).cast(LongType).as("_b"))
+      .filter(col("_a").isNotNull && col("_b").isNotNull &&
+        col("_a") =!= col("_b"))
+      .select(least(col("_a"), col("_b")).as("_lo"),
+        greatest(col("_a"), col("_b")).as("_hi"))
+      .distinct()
+      .persist() // read by the degree, orientation, and node branches
+    try {
+      val deg = und.select(explode(array(col("_lo"), col("_hi"))).as("_id"))
+        .groupBy(col("_id")).agg(count(lit(1)).as("_deg"))
+        .persist() // read by both endpoint joins and the node frame
+      try {
+        val oriented = und
+          .join(deg.select(col("_id").as("_lo"), col("_deg").as("_dlo")), Seq("_lo"))
+          .join(deg.select(col("_id").as("_hi"), col("_deg").as("_dhi")), Seq("_hi"))
+          .select(
+            when(col("_dlo") < col("_dhi") ||
+              (col("_dlo") === col("_dhi") && col("_lo") < col("_hi")),
+              col("_lo")).otherwise(col("_hi")).as("_s"),
+            when(col("_dlo") < col("_dhi") ||
+              (col("_dlo") === col("_dhi") && col("_lo") < col("_hi")),
+              col("_hi")).otherwise(col("_lo")).as("_d"))
+          .localCheckpoint(true) // read by e1, e2, AND the closure join
+        val wedges = oriented.select(col("_s").as("_x"), col("_d").as("_y"))
+          .join(oriented.select(col("_s").as("_y"), col("_d").as("_z")), Seq("_y"))
+        val tris = wedges
+          .join(oriented.select(col("_s").as("_x"), col("_d").as("_z")),
+            Seq("_x", "_z"))
+          .select(explode(array(col("_x"), col("_y"), col("_z"))).as("node_id"))
+          .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
+        deg.select(col("_id").as("node_id"))
+          .join(tris, Seq("node_id"), "left")
+          .select(col("node_id"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+          .orderBy(col("node_id"))
+          .localCheckpoint(true)
+      } finally deg.unpersist()
+    } finally und.unpersist()
+  }
 }

@@ -1378,7 +1378,47 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Per-node triangle counts on the part co-purchase graph
+    * ([[graft.operators.Graph.triangleCounts]]): parts are linked when
+    * some order contains both; triangles measure clustering (parts
+    * bought in cohesive bundles). The Spark side counts via
+    * degree-ordered orientation (one wedge per triangle, O(m^{3/2})
+    * work); the DuckDB twin enumerates id-ordered triangles with a
+    * 3-way join — two different exact algorithms that must agree on
+    * every node's count, zero-filled over all edge endpoints.
+    */
+  def q114TriangleCounts(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = p.as("a")
+      .join(p.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.Graph.triangleCounts(edges, "src", "dst")
+  }
+
+  val q114Sql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      |  FROM p a JOIN p b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+      |  FROM e a
+      |  JOIN e b ON b.lo = a.hi
+      |  JOIN e c ON c.lo = a.lo AND c.hi = b.hi),
+      |pn AS (
+      |  SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM (SELECT unnest([x, y, z]) AS node_id FROM tri)
+      |  GROUP BY node_id),
+      |nodes AS (SELECT lo AS node_id FROM e UNION SELECT hi FROM e)
+      |SELECT n.node_id, coalesce(pn.n_triangles, 0) AS n_triangles
+      |FROM nodes n LEFT JOIN pn USING (node_id)
+      |ORDER BY n.node_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q114_triangle_counts" -> q114TriangleCounts _,
     "q88_profile_table"   -> q88ProfileTable _,
     "q62_grouping_sets"   -> q62GroupingSets _,
     "q57_bucketed_join"   -> q57BucketedJoin _,
@@ -1425,6 +1465,7 @@ object Relational {
     "q73_salted_join" -> q73Sql,
     "q92_bloom_join" -> q92Sql,
     "q93_pagerank" -> q93Sql,
+    "q114_triangle_counts" -> q114Sql,
     "q95_sketch_maintenance" -> q95Sql,
     "q108_histogram_quantiles" -> q108Sql,
     "q97_funnel" -> q97Sql,

@@ -44,6 +44,38 @@ class GraphSpec extends SparkSpec {
     assert(run(1).toSeq == run(13).toSeq)
   }
 
+  test("triangle counts: K4, a tail, and a triangle-free pair") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: 4 triangles, every node in 3 of them; node 10
+    // hangs off node 1 (tail, zero triangles); 20-21 is an isolated
+    // edge. Noise: duplicate, reversed, and self-loop edges must all
+    // normalize away.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val noise = Seq((2L, 1L), (1L, 2L), (3L, 3L))
+    val extra = Seq((1L, 10L), (20L, 21L))
+    val got = Graph.triangleCounts(
+        (k4 ++ noise ++ extra).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    assert(got.toSeq == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      10L -> 0L, 20L -> 0L, 21L -> 0L))
+  }
+
+  test("triangle counts: orientation-independent (hub-heavy star + rim)") {
+    import spark.implicits._
+    // wheel graph: hub 0 connected to rim 1..12, rim cycle 1-2-...-12-1
+    // -> 12 triangles; hub in all 12, each rim node in 2. The hub's
+    // degree (12) forces the degree-orientation path where the hub
+    // LOSES most orientation comparisons — the shape the O(sqrt m)
+    // out-degree bound depends on.
+    val rim = (1L to 12L).map(i => (i, if (i == 12L) 1L else i + 1))
+    val spokes = (1L to 12L).map(i => (0L, i))
+    val got = Graph.triangleCounts((rim ++ spokes).toDF("src", "dst"),
+        "src", "dst")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    assert(got(0L) == 12L)
+    assert((1L to 12L).forall(i => got(i) == 2L))
+  }
+
   implicit class MapOps(m: Map[Long, Long]) {
     def toSortedMap: scala.collection.immutable.SortedMap[Long, Long] =
       scala.collection.immutable.SortedMap.from(m)
