@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.EtlQueries.queries ++
       graft.queries.TrainingData.queries ++
       graft.queries.StorageQueries.queries ++
-      graft.queries.StreamingQueries.queries
+      graft.queries.StreamingQueries.queries ++
+      graft.queries.GeoQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.EtlQueries.oracle ++
       graft.queries.TrainingData.oracle ++
       graft.queries.StorageQueries.oracle ++
-      graft.queries.StreamingQueries.oracle
+      graft.queries.StreamingQueries.oracle ++
+      graft.queries.GeoQueries.oracle
 }

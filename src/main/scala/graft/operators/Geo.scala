@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Geospatial / trajectory operators — the reference's problem domain is
+  * animal-movement records with `decimalLatitude`/`decimalLongitude`
+  * (`/root/reference/monarch_etl/cleaning.py:248-289` validates
+  * coordinates; `/root/reference/monarch_etl/enrichment.py:24-66`
+  * geocodes them), but its pandas pipeline never does spatial JOINs or
+  * track analysis — it outsources per-point lookups to a REST geocoder.
+  * At 100 TB the spatial work has to happen inside the engine, and the
+  * scale-right shapes are the ones here:
+  *
+  *  - '''Grid-bucketed radius join''' ([[radiusJoin]]): the distributed
+  *    spatial join. Cell id is the shuffle key (the spatial analogue of a
+  *    hash partitioner), one side replicated to its 3x3 cell
+  *    neighborhood, exact integer squared-distance residual predicate.
+  *    Work is proportional to points x local density, never n^2; the
+  *    only exchanged payload is `(id, x, y)`.
+  *  - '''Track statistics / stop detection''' ([[trajectoryStats]],
+  *    [[detectStops]]): per-animal keyed windows (partition by track id,
+  *    order by time) — a single exchange on the track key, never a
+  *    global sort. Stop segments use the gaps-and-islands run id
+  *    computed INSIDE the same window partitioning, so the follow-up
+  *    group-by reuses the exchange (hash partitioning on `user` already
+  *    clusters `(user, run)`).
+  *  - '''Nearest-facility assignment''' ([[nearestAssign]]): the K
+  *    facilities are driver-bounded (like k-means centroids); the argmin
+  *    is a per-row fold over a literal array — a map-only plan with ZERO
+  *    exchanges and zero joins, the shape that assigns 100 TB of fixes
+  *    to stations without moving a byte of corpus.
+  *  - '''Cell density''' ([[cellDensity]]): the heatmap primitive — one
+  *    partial-aggregated exchange carrying cell ids and counts only.
+  *
+  * All geometry is exact integer arithmetic on grid coordinates (no
+  * floating-point trig), so every result is bit-identical across
+  * engines and partitionings. Real-world lat/lon maps onto this by
+  * fixed-point scaling (microdegrees) exactly as the Z-order writer
+  * ([[graft.sinks.Writers]]) scales its cluster keys.
+  */
+object Geo {
+
+  /** Deterministic synthetic grid coordinate in `[0, dim)` derived from
+    * an id — the cross-engine recipe (md5-derived 60-bit hash, see
+    * [[Sampling.md5Bucket]]) so DuckDB reproduces the exact point set:
+    * `('0x'||substr(md5(id::VARCHAR||salt),1,15))::BIGINT % dim`.
+    */
+  def derivedCoord(id: Column, dim: Int, salt: String): Column =
+    pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(id.cast(StringType), lit(salt))), lit(dim.toLong)).cast(LongType)
+
+  /** Points-within-radius self-join via grid bucketing.
+    *
+    * Input: `(id, x, y)` with unique ids and long coordinates. Output:
+    * every unordered pair `(a_id < b_id)` with squared euclidean
+    * distance `<= radius^2`, plus `d2`.
+    *
+    * Cell size = radius, so any qualifying pair is at most one cell
+    * apart on each axis; the probe side is replicated to its 3x3 cell
+    * neighborhood and each qualifying pair is produced exactly once
+    * (the build row matches only in its OWN home cell). The join is a
+    * plain equi-join on the cell id — shuffle-partitioned by cell, the
+    * spatial partitioner. Dense-cell skew at scale is the usual salted/
+    * AQE skew-join territory; the replication factor is a constant 9.
+    */
+  def radiusJoin(points: DataFrame, radius: Long): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    val r2 = radius * radius
+    val build = points.select(
+      col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+      cell(col("x"), radius).as("cx"), cell(col("y"), radius).as("cy"))
+    val offsets = array(
+      (for (i <- -1 to 1; j <- -1 to 1)
+        yield struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"))): _*)
+    val probe = points
+      .select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
+        cell(col("x"), radius).as("pcx"), cell(col("y"), radius).as("pcy"))
+      .withColumn("o", explode(offsets))
+      .select(col("b_id"), col("bx"), col("by"),
+        (col("pcx") + col("o.di")).as("cx"), (col("pcy") + col("o.dj")).as("cy"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    build.join(probe, Seq("cx", "cy"))
+      .where(col("a_id") < col("b_id") && d2 <= r2)
+      .select(col("a_id"), col("b_id"), d2.as("d2"))
+  }
+
+  private def cell(c: Column, size: Long): Column =
+    floor(c / size).cast(LongType)
+
+  /** Random-walk position derivation for the synthetic tracks: each fix
+    * contributes an md5-derived step `dx, dy in [-10, 10]`; the track
+    * position is the running sum from a per-track base point. Returns
+    * the input plus `dx, dy, x, y, step_l1, rn` (1-based fix index per
+    * track ordered by `(ts, id)`), computed in ONE keyed window — a
+    * single exchange on the track key.
+    */
+  def walkPositions(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String, worldDim: Int = 4000): DataFrame = {
+    val w = Window.partitionBy(col(trackCol)).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val dx = pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(col(idCol).cast(StringType), lit("dx"))), lit(21L)) - 10
+    val dy = pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(col(idCol).cast(StringType), lit("dy"))), lit(21L)) - 10
+    events
+      .withColumn("dx", dx.cast(LongType))
+      .withColumn("dy", dy.cast(LongType))
+      .withColumn("x", derivedCoord(col(trackCol), worldDim, "bx") +
+        sum(col("dx")).over(run))
+      .withColumn("y", derivedCoord(col(trackCol), worldDim, "by") +
+        sum(col("dy")).over(run))
+      .withColumn("step_l1", abs(col("dx")) + abs(col("dy")))
+      .withColumn("rn", row_number().over(w).cast(LongType))
+  }
+
+  /** Per-track movement statistics over [[walkPositions]]: fix count,
+    * L1 path length (sum of inter-fix displacements), net L1
+    * displacement (first fix to last), bounding-box extent, and max
+    * single step. All-integer, order-independent aggregates after the
+    * one keyed window — the group-by on the track key reuses the
+    * window's partitioning (no second exchange).
+    */
+  def trajectoryStats(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String): DataFrame = {
+    val pos = walkPositions(events, trackCol, tsCol, idCol)
+    val afterFirst = col("rn") > 1
+    pos.groupBy(col(trackCol))
+      .agg(
+        count(lit(1)).as("n_fixes"),
+        coalesce(sum(when(afterFirst, col("step_l1"))), lit(0L))
+          .cast(LongType).as("path_l1"),
+        (abs(coalesce(sum(when(afterFirst, col("dx"))), lit(0L))) +
+          abs(coalesce(sum(when(afterFirst, col("dy"))), lit(0L))))
+          .cast(LongType).as("net_l1"),
+        (max(col("x")) - min(col("x"))).as("bbox_w"),
+        (max(col("y")) - min(col("y"))).as("bbox_h"),
+        coalesce(max(when(afterFirst, col("step_l1"))), lit(0L))
+          .cast(LongType).as("max_step_l1"))
+      .orderBy(col(trackCol))
+  }
+
+  /** Stop detection: maximal runs of >= `minFixes` consecutive fixes
+    * whose step displacement is `<= maxStepL1` (the animal lingers).
+    * Gaps-and-islands: the run id is a running count of flag CHANGES
+    * computed in the same keyed window as the positions (zero extra
+    * exchanges — lag + sum share the window sort, and the final
+    * group-by on `(track, run)` is already clustered by the track-key
+    * partitioning). Emits one row per stop: track, start/end epoch-us,
+    * fix count, integer centroid (floor of the mean position).
+    */
+  def detectStops(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String, maxStepL1: Long, minFixes: Int): DataFrame = {
+    val w = Window.partitionBy(col(trackCol)).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val flagged = walkPositions(events, trackCol, tsCol, idCol)
+      .withColumn("still", (col("step_l1") <= maxStepL1).cast("int"))
+      .withColumn("chg",
+        when(lag(col("still"), 1).over(w).isNull ||
+          lag(col("still"), 1).over(w) =!= col("still"), 1).otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(run))
+    flagged.where(col("still") === 1)
+      .groupBy(col(trackCol), col("grp"))
+      .agg(
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"),
+        count(lit(1)).as("n_fixes"),
+        floor(sum(col("x")) / count(lit(1))).cast(LongType).as("cx"),
+        floor(sum(col("y")) / count(lit(1))).cast(LongType).as("cy"))
+      .where(col("n_fixes") >= minFixes)
+      .select(col(trackCol), col("start_us"), col("end_us"),
+        col("n_fixes"), col("cx"), col("cy"))
+      .orderBy(col(trackCol), col("start_us"))
+  }
+
+  /** Nearest-facility assignment: each point gets the id of (and squared
+    * distance to) its closest station, ties to the lowest station id.
+    *
+    * The station set must be driver-bounded (it is collected and folded
+    * into the plan as a literal array, like k-means centroids in
+    * [[Similarity]]); the argmin is then `aggregate()` over that array —
+    * a per-row fold with ZERO exchanges, zero joins, and no group-by.
+    * The alternative (broadcast join + min-of-struct re-aggregation)
+    * shuffles the full point table on its key; this shape never moves
+    * the corpus at all.
+    *
+    * `stations` needs columns `(sid: int-castable, sx, sy: long)`.
+    */
+  def nearestAssign(points: DataFrame, stations: Array[(Int, Long, Long)])
+      : DataFrame = {
+    require(stations.nonEmpty && stations.length <= 10000,
+      s"station set must be driver-bounded, got ${stations.length}")
+    val arr = array(stations.map { case (sid, sx, sy) =>
+      struct(lit(sid).as("sid"), lit(sx).as("sx"), lit(sy).as("sy"))
+    }: _*)
+    val best = aggregate(
+      arr,
+      struct(lit(Long.MaxValue).as("d2"), lit(Int.MaxValue).as("sid")),
+      (acc, st) => {
+        val d2 = (col("x") - st.getField("sx")) * (col("x") - st.getField("sx")) +
+          (col("y") - st.getField("sy")) * (col("y") - st.getField("sy"))
+        when(d2 < acc.getField("d2"),
+          struct(d2.as("d2"), st.getField("sid").as("sid"))).otherwise(acc)
+      })
+    points.withColumn("best", best)
+      .select(col("id"), col("best.sid").as("station_id"),
+        col("best.d2").as("d2"))
+  }
+
+  /** Spatial density: fix counts per grid cell of `cellSize`, densest
+    * first (cell id tiebreak). One partial-aggregated exchange carrying
+    * `(cell, count)` only; with a `limit` on top Spark plans
+    * TakeOrderedAndProject — the heatmap at any scale.
+    */
+  def cellDensity(points: DataFrame, cellSize: Long): DataFrame =
+    points
+      .groupBy(cell(col("x"), cellSize).as("cx"),
+        cell(col("y"), cellSize).as("cy"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("cx"), col("cy"))
+}

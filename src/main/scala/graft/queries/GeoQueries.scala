@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Geo
+import graft.sources.Tables
+
+/** Geospatial / trajectory query surface (see [[graft.operators.Geo]]).
+  *
+  * The harness tables carry no coordinates, so each query derives a
+  * deterministic point set from ids with the cross-engine md5 recipe
+  * (exactly how q99/q101/q104/q107 derive buckets/tokens) — the DuckDB
+  * oracle rebuilds the identical geometry and then answers the spatial
+  * question with a DIFFERENT algorithm (band join instead of grid
+  * bucketing, cross join + window instead of a literal-array fold), so
+  * a hash match proves the distributed formulation exact, not just
+  * self-consistent. All geometry is integer (squared euclidean / L1) —
+  * no floating-point trig anywhere, so results are bit-stable under any
+  * partitioning on both engines.
+  */
+object GeoQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val W = 4000 // world grid extent per axis
+
+  private def coordSql(id: String, salt: String): String =
+    s"('0x'||substr(md5($id::VARCHAR||'$salt'),1,15))::BIGINT % $W"
+
+  private def customerPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(
+      col("c_custkey").as("id"),
+      Geo.derivedCoord(col("c_custkey"), W, "gx").as("x"),
+      Geo.derivedCoord(col("c_custkey"), W, "gy").as("y"))
+
+  /** Grid-bucketed radius self-join on the customer point set: all
+    * pairs within euclidean distance 50 (cell = shuffle key, 3x3
+    * neighborhood replication, exact integer residual predicate). The
+    * oracle finds the same pairs with a one-axis band join — two
+    * different join algorithms that must produce the identical pair
+    * set.
+    */
+  def q115SpatialJoin(s: SparkSession, dir: String): DataFrame =
+    Geo.radiusJoin(customerPoints(s, dir), radius = 50)
+      .orderBy(col("a_id"), col("b_id"))
+
+  val q115Sql: String =
+    s"""WITH p AS (
+       |  SELECT c_custkey AS id, ${coordSql("c_custkey", "gx")} AS x,
+       |         ${coordSql("c_custkey", "gy")} AS y
+       |  FROM customer)
+       |SELECT a.id AS a_id, b.id AS b_id,
+       |  (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2
+       |FROM p a JOIN p b
+       |  ON a.id < b.id AND b.x BETWEEN a.x - 50 AND a.x + 50
+       |WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 2500
+       |ORDER BY a_id, b_id""".stripMargin
+
+  private def stepSql(salt: String): String =
+    s"('0x'||substr(md5(event_id::VARCHAR||'$salt'),1,15))::BIGINT % 21 - 10"
+
+  /** Per-animal track statistics over the md5 random walk: one keyed
+    * window (partition by track, order by time) feeding order-
+    * independent integer aggregates — path length, net displacement,
+    * bounding box, max step. The oracle replays the walk with SQL
+    * windows.
+    */
+  def q116TrajectoryStats(s: SparkSession, dir: String): DataFrame =
+    Geo.trajectoryStats(Tables.events(s, dir), "user_id", "ts", "event_id")
+
+  val q116Sql: String =
+    s"""WITH st AS (
+       |  SELECT user_id, event_id, ts,
+       |    ${stepSql("dx")} AS dx, ${stepSql("dy")} AS dy
+       |  FROM events),
+       |pos AS (
+       |  SELECT user_id, dx, dy, abs(dx) + abs(dy) AS step_l1,
+       |    ${coordSql("user_id", "bx")} + sum(dx) OVER w AS x,
+       |    ${coordSql("user_id", "by")} + sum(dy) OVER w AS y,
+       |    row_number() OVER w AS rn
+       |  FROM st
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+       |SELECT user_id,
+       |  CAST(count(*) AS BIGINT) AS n_fixes,
+       |  CAST(coalesce(sum(CASE WHEN rn > 1 THEN step_l1 END), 0) AS BIGINT)
+       |    AS path_l1,
+       |  CAST(abs(coalesce(sum(CASE WHEN rn > 1 THEN dx END), 0))
+       |     + abs(coalesce(sum(CASE WHEN rn > 1 THEN dy END), 0)) AS BIGINT)
+       |    AS net_l1,
+       |  CAST(max(x) - min(x) AS BIGINT) AS bbox_w,
+       |  CAST(max(y) - min(y) AS BIGINT) AS bbox_h,
+       |  CAST(coalesce(max(CASE WHEN rn > 1 THEN step_l1 END), 0) AS BIGINT)
+       |    AS max_step_l1
+       |FROM pos GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Stop detection (gaps-and-islands on the same walk): maximal runs
+    * of >= 3 fixes with step L1 <= 8. Run ids come from a flag-change
+    * running count inside the SAME keyed window as the positions; the
+    * oracle recomputes the segments with lag + windowed sums.
+    */
+  def q117StopDetection(s: SparkSession, dir: String): DataFrame =
+    Geo.detectStops(Tables.events(s, dir), "user_id", "ts", "event_id",
+      maxStepL1 = 8, minFixes = 3)
+
+  val q117Sql: String =
+    s"""WITH st AS (
+       |  SELECT user_id, event_id, ts,
+       |    ${stepSql("dx")} AS dx, ${stepSql("dy")} AS dy
+       |  FROM events),
+       |pos AS (
+       |  SELECT user_id, ts, abs(dx) + abs(dy) AS step_l1,
+       |    ${coordSql("user_id", "bx")} + sum(dx) OVER w AS x,
+       |    ${coordSql("user_id", "by")} + sum(dy) OVER w AS y
+       |  FROM st
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |f AS (
+       |  SELECT *, CASE WHEN step_l1 <= 8 THEN 1 ELSE 0 END AS still
+       |  FROM pos),
+       |l AS (
+       |  SELECT *, lag(still) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+       |  FROM f),
+       |g AS (
+       |  SELECT *, sum(CASE WHEN prev IS NULL OR prev <> still THEN 1
+       |                     ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts) AS grp
+       |  FROM l)
+       |SELECT user_id,
+       |  CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+       |  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+       |  CAST(count(*) AS BIGINT) AS n_fixes,
+       |  CAST(floor(sum(x) / count(*)) AS BIGINT) AS cx,
+       |  CAST(floor(sum(y) / count(*)) AS BIGINT) AS cy
+       |FROM g WHERE still = 1
+       |GROUP BY user_id, grp
+       |HAVING count(*) >= 3
+       |ORDER BY user_id, start_us""".stripMargin
+
+  /** Nearest-station assignment: every customer point to its closest of
+    * 25 derived stations via a literal-array fold — a map-only plan
+    * with zero exchanges. The oracle does the honest cross join +
+    * per-point window argmin; ties go to the lowest station id on both
+    * sides.
+    */
+  def q118NearestStation(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stations = s.range(25).select(
+      col("id").cast("int").as("sid"),
+      Geo.derivedCoord(col("id"), W, "sx").as("sx"),
+      Geo.derivedCoord(col("id"), W, "sy").as("sy"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    Geo.nearestAssign(customerPoints(s, dir), stations)
+      .orderBy(col("id"))
+  }
+
+  val q118Sql: String =
+    s"""WITH p AS (
+       |  SELECT c_custkey AS id, ${coordSql("c_custkey", "gx")} AS x,
+       |         ${coordSql("c_custkey", "gy")} AS y
+       |  FROM customer),
+       |s AS (
+       |  SELECT CAST(sid AS INT) AS sid, ${coordSql("sid", "sx")} AS sx,
+       |         ${coordSql("sid", "sy")} AS sy
+       |  FROM range(25) t(sid)),
+       |d AS (
+       |  SELECT p.id, s.sid,
+       |    (p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy) AS d2,
+       |    row_number() OVER (PARTITION BY p.id
+       |      ORDER BY (p.x-s.sx)*(p.x-s.sx) + (p.y-s.sy)*(p.y-s.sy), s.sid)
+       |      AS rn
+       |  FROM p CROSS JOIN s)
+       |SELECT id, sid AS station_id, d2 FROM d WHERE rn = 1
+       |ORDER BY id""".stripMargin
+
+  /** Spatial density heatmap: event fix counts per 250-unit grid cell,
+    * densest 50 cells (count desc, cell id tiebreak — a deterministic
+    * total order, so the limit is stable). One partial-aggregated
+    * exchange of cell ids.
+    */
+  def q119CellDensity(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(s, dir).select(
+      Geo.derivedCoord(col("event_id"), W, "ex").as("x"),
+      Geo.derivedCoord(col("event_id"), W, "ey").as("y"))
+    Geo.cellDensity(pts, cellSize = 250).limit(50)
+  }
+
+  val q119Sql: String =
+    s"""WITH p AS (
+       |  SELECT ${coordSql("event_id", "ex")} AS x,
+       |         ${coordSql("event_id", "ey")} AS y
+       |  FROM events)
+       |SELECT x // 250 AS cx, y // 250 AS cy, CAST(count(*) AS BIGINT) AS n
+       |FROM p GROUP BY 1, 2
+       |ORDER BY n DESC, cx, cy LIMIT 50""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q115_spatial_join"    -> q115SpatialJoin _,
+    "q116_trajectory_stats" -> q116TrajectoryStats _,
+    "q117_stop_detection"  -> q117StopDetection _,
+    "q118_nearest_station" -> q118NearestStation _,
+    "q119_cell_density"    -> q119CellDensity _)
+
+  val oracle: Map[String, String] = Map(
+    "q115_spatial_join"    -> q115Sql,
+    "q116_trajectory_stats" -> q116Sql,
+    "q117_stop_detection"  -> q117Sql,
+    "q118_nearest_station" -> q118Sql,
+    "q119_cell_density"    -> q119Sql)
+}
