@@ -221,4 +221,154 @@ object Geo {
         cell(col("y"), cellSize).as("cy"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("cx"), col("cy"))
+
+  /** Spatio-temporal co-location: pairs of DIFFERENT tracks with fixes
+    * within euclidean distance `radius` AND within `gapUs` microseconds
+    * of each other — the "which animals met" join, the canonical
+    * movement-ecology question the reference's per-point pandas
+    * pipeline cannot ask.
+    *
+    * The 3-d extension of [[radiusJoin]]: bucket key is
+    * `(cellx, celly, timebucket)` with cell size = radius and bucket
+    * size = gap, so a qualifying fix pair differs by at most 1 in each
+    * bucket coordinate. Build side sits in its home bucket; probe side
+    * replicates to the 3x3x3 neighborhood (constant 27x on a
+    * `(track, us, x, y)` payload — the corpus row never moves). The
+    * equi-join on the composite bucket is the spatio-temporal
+    * partitioner; exact integer residual predicates keep only true
+    * pairs, and `a < b` track orientation emits each fix pair exactly
+    * once. Output is aggregated per track pair: meeting count, closest
+    * approach, first/last co-occurrence (epoch-us).
+    */
+  def coLocation(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String, radius: Long, gapUs: Long): DataFrame = {
+    require(radius > 0 && gapUs > 0, "radius and gap must be positive")
+    val r2 = radius * radius
+    val pos = walkPositions(events, trackCol, tsCol, idCol).select(
+      col(trackCol).as("u"), unix_micros(col(tsCol)).as("us"),
+      col("x"), col("y"))
+    val build = pos.select(
+      col("u").as("a_u"), col("us").as("a_us"),
+      col("x").as("ax"), col("y").as("ay"),
+      cell(col("x"), radius).as("cx"), cell(col("y"), radius).as("cy"),
+      floor(col("us") / gapUs).cast(LongType).as("tb"))
+    val offsets = array(
+      (for (i <- -1 to 1; j <- -1 to 1; k <- -1 to 1)
+        yield struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"),
+          lit(k.toLong).as("dk"))): _*)
+    val probe = pos
+      .select(col("u").as("b_u"), col("us").as("b_us"),
+        col("x").as("bx"), col("y").as("by"),
+        cell(col("x"), radius).as("pcx"), cell(col("y"), radius).as("pcy"),
+        floor(col("us") / gapUs).cast(LongType).as("ptb"))
+      .withColumn("o", explode(offsets))
+      .select(col("b_u"), col("b_us"), col("bx"), col("by"),
+        (col("pcx") + col("o.di")).as("cx"),
+        (col("pcy") + col("o.dj")).as("cy"),
+        (col("ptb") + col("o.dk")).as("tb"))
+    val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+      (col("ay") - col("by")) * (col("ay") - col("by"))
+    build.join(probe, Seq("cx", "cy", "tb"))
+      .where(col("a_u") < col("b_u") &&
+        abs(col("a_us") - col("b_us")) <= gapUs && d2 <= r2)
+      .groupBy(col("a_u").as("a_track"), col("b_u").as("b_track"))
+      .agg(
+        count(lit(1)).as("n_meetings"),
+        min(d2).as("min_d2"),
+        min(least(col("a_us"), col("b_us"))).as("first_us"),
+        max(greatest(col("a_us"), col("b_us"))).as("last_us"))
+      .orderBy(col("a_track"), col("b_track"))
+  }
+
+  /** First fence (lowest id) containing the point `(x, y)`, or NULL —
+    * a per-row fold over the driver-bounded fence array (axis-aligned
+    * rectangles `(fid, x0, y0, x1, y1)`, bounds inclusive). Map-only,
+    * zero exchanges, like [[nearestAssign]]. Because the fold takes the
+    * FIRST hit in ascending-id order, the result equals `min(fid)` over
+    * all containing fences — which is how a SQL oracle replays it with
+    * a containment join + min.
+    */
+  def fenceAssign(fences: Array[(Int, Long, Long, Long, Long)]): Column = {
+    require(fences.nonEmpty && fences.length <= 10000,
+      s"fence set must be driver-bounded, got ${fences.length}")
+    val arr = array(fences.sortBy(_._1).map { case (fid, x0, y0, x1, y1) =>
+      struct(lit(fid).as("fid"), lit(x0).as("x0"), lit(y0).as("y0"),
+        lit(x1).as("x1"), lit(y1).as("y1"))
+    }: _*)
+    val folded = aggregate(
+      arr, lit(-1),
+      (acc, f) => when(acc === -1 &&
+          col("x") >= f.getField("x0") && col("x") <= f.getField("x1") &&
+          col("y") >= f.getField("y0") && col("y") <= f.getField("y1"),
+        f.getField("fid")).otherwise(acc))
+    nullif(folded, lit(-1))
+  }
+
+  /** Geofence episodes: maximal runs of consecutive fixes (per track,
+    * time order) inside the same fence, with at least `minFixes` fixes.
+    * Containment is the map-only [[fenceAssign]] fold; episode ids are
+    * gaps-and-islands run ids from a null-safe fence-change flag inside
+    * the SAME keyed window as the walk positions — one exchange on the
+    * track key total, and the closing group-by on `(track, run)` reuses
+    * it. Emits track, fence, enter/exit epoch-us, fix count.
+    */
+  def geofenceEpisodes(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String, fences: Array[(Int, Long, Long, Long, Long)],
+      minFixes: Int): DataFrame = {
+    val w = Window.partitionBy(col(trackCol)).orderBy(col(tsCol), col(idCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val safeF = coalesce(col("f"), lit(-1))
+    val safeLag = lag(safeF, 1).over(w)
+    val flagged = walkPositions(events, trackCol, tsCol, idCol)
+      .withColumn("f", fenceAssign(fences))
+      .withColumn("chg",
+        when(safeLag.isNull || safeLag =!= safeF, 1).otherwise(0))
+      .withColumn("grp", sum(col("chg")).over(run))
+    flagged.where(col("f").isNotNull)
+      .groupBy(col(trackCol), col("grp"))
+      .agg(
+        first(col("f")).as("fence_id"),
+        min(unix_micros(col(tsCol))).as("enter_us"),
+        max(unix_micros(col(tsCol))).as("exit_us"),
+        count(lit(1)).as("n_fixes"))
+      .where(col("n_fixes") >= minFixes)
+      .select(col(trackCol), col("fence_id"), col("enter_us"),
+        col("exit_us"), col("n_fixes"))
+      .orderBy(col(trackCol), col("enter_us"))
+  }
+
+  /** Home-range summary per track: number of distinct grid cells
+    * visited (range area in cell units), total fixes, peak cell
+    * occupancy, and the CORE range — the minimum number of cells
+    * (densest first, cell-id tiebreak) whose fixes cover at least half
+    * the track's fixes (the 50% kernel of classic home-range analysis,
+    * grid-exact instead of kernel-smoothed).
+    *
+    * Shape: per-(track, cell) counts (one partial-aggregated exchange
+    * on the track+cell key), then a track-keyed window for the
+    * cumulative occupancy ranking — cell lists are per-track bounded,
+    * the corpus itself never re-shuffles.
+    */
+  def homeRange(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String, cellSize: Long): DataFrame = {
+    val perCell = walkPositions(events, trackCol, tsCol, idCol)
+      .groupBy(col(trackCol), cell(col("x"), cellSize).as("hx"),
+        cell(col("y"), cellSize).as("hy"))
+      .agg(count(lit(1)).as("c"))
+    val wRank = Window.partitionBy(col(trackCol))
+      .orderBy(col("c").desc, col("hx"), col("hy"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(trackCol))
+    perCell
+      .withColumn("before", sum(col("c")).over(wRank) - col("c"))
+      .withColumn("total", sum(col("c")).over(wAll))
+      .groupBy(col(trackCol))
+      .agg(
+        max(col("total")).as("n_fixes"),
+        count(lit(1)).as("n_cells"),
+        max(col("c")).as("peak"),
+        sum(when(col("before") * 2 < col("total"), lit(1)))
+          .as("core_cells"))
+      .orderBy(col(trackCol))
+  }
 }

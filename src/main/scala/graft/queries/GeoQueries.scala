@@ -193,17 +193,157 @@ object GeoQueries {
        |FROM p GROUP BY 1, 2
        |ORDER BY n DESC, cx, cy LIMIT 50""".stripMargin
 
+  /** Shared oracle CTE: the md5 random walk replayed in SQL — steps,
+    * positions, per-track fix order. Matches [[Geo.walkPositions]].
+    */
+  private val walkCte: String =
+    s"""st AS (
+       |  SELECT user_id, event_id, ts,
+       |    ${stepSql("dx")} AS dx, ${stepSql("dy")} AS dy
+       |  FROM events),
+       |pos AS (
+       |  SELECT user_id, event_id, ts,
+       |    ${coordSql("user_id", "bx")} + sum(dx) OVER w AS x,
+       |    ${coordSql("user_id", "by")} + sum(dy) OVER w AS y
+       |  FROM st
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))""".stripMargin
+
+  /** Spatio-temporal co-location: track pairs with fixes within
+    * distance 75 and one hour of each other, aggregated to meeting
+    * count / closest approach / first+last co-occurrence. Spark buckets
+    * on (cell, cell, hour) with 3x3x3 probe replication; the oracle
+    * finds the identical fix pairs with a time-band join — two
+    * different join algorithms over the same exact predicate.
+    */
+  def q120CoLocation(s: SparkSession, dir: String): DataFrame =
+    Geo.coLocation(Tables.events(s, dir), "user_id", "ts", "event_id",
+      radius = 75, gapUs = 3600000000L)
+
+  val q120Sql: String =
+    s"""WITH $walkCte,
+       |p AS (SELECT user_id AS u, epoch_us(ts) AS us, x, y FROM pos),
+       |pairs AS (
+       |  SELECT a.u AS a_track, b.u AS b_track,
+       |    (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS d2,
+       |    a.us AS a_us, b.us AS b_us
+       |  FROM p a JOIN p b
+       |    ON a.u < b.u AND b.us BETWEEN a.us - 3600000000 AND a.us + 3600000000
+       |  WHERE (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 5625)
+       |SELECT a_track, b_track,
+       |  CAST(count(*) AS BIGINT) AS n_meetings,
+       |  CAST(min(d2) AS BIGINT) AS min_d2,
+       |  CAST(min(least(a_us, b_us)) AS BIGINT) AS first_us,
+       |  CAST(max(greatest(a_us, b_us)) AS BIGINT) AS last_us
+       |FROM pairs GROUP BY a_track, b_track
+       |ORDER BY a_track, b_track""".stripMargin
+
+  private val nFences = 12
+  private val fenceHalf = 250L
+
+  private def fenceSet(s: SparkSession): Array[(Int, Long, Long, Long, Long)] = {
+    import s.implicits._
+    s.range(nFences).select(
+      col("id").cast("int").as("fid"),
+      Geo.derivedCoord(col("id"), W, "fx").as("fx"),
+      Geo.derivedCoord(col("id"), W, "fy").as("fy"))
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+      .map { case (fid, fx, fy) =>
+        (fid, fx - fenceHalf, fy - fenceHalf, fx + fenceHalf, fy + fenceHalf) }
+  }
+
+  /** Geofence episodes: maximal same-fence runs of >= 3 fixes against
+    * 12 derived rectangular fences. Spark assigns fences with a
+    * map-only first-hit fold (= min containing id) and segments with
+    * gaps-and-islands in one keyed window; the oracle assigns with an
+    * honest containment LEFT JOIN + min(fid) and replays the runs with
+    * lag + windowed sums.
+    */
+  def q121GeofenceEpisodes(s: SparkSession, dir: String): DataFrame =
+    Geo.geofenceEpisodes(Tables.events(s, dir), "user_id", "ts", "event_id",
+      fenceSet(s), minFixes = 3)
+
+  val q121Sql: String =
+    s"""WITH $walkCte,
+       |fence AS (
+       |  SELECT CAST(fid AS INT) AS fid,
+       |    ${coordSql("fid", "fx")} AS fx, ${coordSql("fid", "fy")} AS fy
+       |  FROM range($nFences) t(fid)),
+       |asg AS (
+       |  SELECT p.user_id, p.event_id, p.ts, min(f.fid) AS f
+       |  FROM pos p LEFT JOIN fence f
+       |    ON p.x BETWEEN f.fx - $fenceHalf AND f.fx + $fenceHalf
+       |   AND p.y BETWEEN f.fy - $fenceHalf AND f.fy + $fenceHalf
+       |  GROUP BY p.user_id, p.event_id, p.ts),
+       |l AS (
+       |  SELECT *, coalesce(f, -1) AS cf,
+       |    lag(coalesce(f, -1)) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS prev
+       |  FROM asg),
+       |g AS (
+       |  SELECT *, sum(CASE WHEN prev IS NULL OR prev <> cf THEN 1
+       |                     ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+       |  FROM l)
+       |SELECT user_id, CAST(f AS INT) AS fence_id,
+       |  CAST(epoch_us(min(ts)) AS BIGINT) AS enter_us,
+       |  CAST(epoch_us(max(ts)) AS BIGINT) AS exit_us,
+       |  CAST(count(*) AS BIGINT) AS n_fixes
+       |FROM g WHERE f IS NOT NULL
+       |GROUP BY user_id, grp, f
+       |HAVING count(*) >= 3
+       |ORDER BY user_id, enter_us""".stripMargin
+
+  /** Home-range summary per track over 25-unit grid cells: distinct
+    * cells visited, peak cell occupancy, and the 50% core range (fewest
+    * densest cells covering half the fixes). The oracle replays the
+    * cumulative-occupancy ranking with SQL windows; floor-division via
+    * floor(x/25.0) on both engines because walk coordinates can go
+    * negative (DuckDB's // truncates toward zero, Spark's floor(/)
+    * floors).
+    */
+  def q122HomeRange(s: SparkSession, dir: String): DataFrame =
+    Geo.homeRange(Tables.events(s, dir), "user_id", "ts", "event_id",
+      cellSize = 25)
+
+  val q122Sql: String =
+    s"""WITH $walkCte,
+       |pc AS (
+       |  SELECT user_id,
+       |    CAST(floor(x / 25.0) AS BIGINT) AS hx,
+       |    CAST(floor(y / 25.0) AS BIGINT) AS hy,
+       |    count(*) AS c
+       |  FROM pos GROUP BY 1, 2, 3),
+       |r AS (
+       |  SELECT *,
+       |    sum(c) OVER (PARTITION BY user_id ORDER BY c DESC, hx, hy
+       |      ROWS UNBOUNDED PRECEDING) - c AS before,
+       |    sum(c) OVER (PARTITION BY user_id) AS total
+       |  FROM pc)
+       |SELECT user_id,
+       |  CAST(max(total) AS BIGINT) AS n_fixes,
+       |  CAST(count(*) AS BIGINT) AS n_cells,
+       |  CAST(max(c) AS BIGINT) AS peak,
+       |  CAST(sum(CASE WHEN before * 2 < total THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS core_cells
+       |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q115_spatial_join"    -> q115SpatialJoin _,
     "q116_trajectory_stats" -> q116TrajectoryStats _,
     "q117_stop_detection"  -> q117StopDetection _,
     "q118_nearest_station" -> q118NearestStation _,
-    "q119_cell_density"    -> q119CellDensity _)
+    "q119_cell_density"    -> q119CellDensity _,
+    "q120_colocation"      -> q120CoLocation _,
+    "q121_geofence_episodes" -> q121GeofenceEpisodes _,
+    "q122_home_range"      -> q122HomeRange _)
 
   val oracle: Map[String, String] = Map(
     "q115_spatial_join"    -> q115Sql,
     "q116_trajectory_stats" -> q116Sql,
     "q117_stop_detection"  -> q117Sql,
     "q118_nearest_station" -> q118Sql,
-    "q119_cell_density"    -> q119Sql)
+    "q119_cell_density"    -> q119Sql,
+    "q120_colocation"      -> q120Sql,
+    "q121_geofence_episodes" -> q121Sql,
+    "q122_home_range"      -> q122Sql)
 }

@@ -146,4 +146,131 @@ class GeoSpec extends SparkSpec {
     assert(got.toSet == expected.toSet)
     assert(got.sortBy(t => (-t._3, t._1, t._2)).toSeq == got.toSeq)
   }
+
+  test("coLocation matches a brute-force spatio-temporal pair scan") {
+    val radius = 120L
+    val gapUs = 10 * 60 * 1000000L // 10 minutes; fixes are 1 min apart
+    val walk = Geo.walkPositions(events, "user_id", "ts", "event_id")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("x"), col("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = (for {
+      a <- walk; b <- walk
+      if a._1 < b._1 && math.abs(a._2 - b._2) <= gapUs
+      d2 = (a._3 - b._3) * (a._3 - b._3) + (a._4 - b._4) * (a._4 - b._4)
+      if d2 <= radius * radius
+    } yield (a._1, b._1, d2, math.min(a._2, b._2), math.max(a._2, b._2)))
+      .groupBy(p => (p._1, p._2))
+      .map { case ((au, bu), hits) =>
+        (au, bu, hits.length.toLong, hits.map(_._3).min,
+          hits.map(_._4).min, hits.map(_._5).max) }.toSet
+    val got = Geo.coLocation(events, "user_id", "ts", "event_id",
+      radius, gapUs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(expected.nonEmpty, "fixture produced no co-locations — tune radius")
+    assert(got == expected)
+  }
+
+  test("coLocation emits each pair once and plans an equi-join") {
+    val df = Geo.coLocation(events, "user_id", "ts", "event_id", 120L,
+      10 * 60 * 1000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val keys = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.length == keys.toSet.size, "duplicate track pair emitted")
+  }
+
+  private lazy val fences: Array[(Int, Long, Long, Long, Long)] = Array(
+    (0, 0L, 0L, 400L, 400L),       // overlaps fence 1 — first-hit must win
+    (1, 300L, 300L, 700L, 700L),
+    (2, 800L, 0L, 1000L, 200L))
+
+  test("fenceAssign takes the lowest containing fence id, NULL outside") {
+    val df = Seq(
+      (0L, 100L, 100L),   // only fence 0
+      (1L, 350L, 350L),   // fences 0 AND 1 — must pick 0
+      (2L, 600L, 600L),   // only fence 1
+      (3L, 900L, 100L),   // only fence 2
+      (4L, 400L, 400L),   // corner of 0, inclusive — picks 0
+      (5L, 750L, 750L))   // outside all
+      .toDF("id", "x", "y")
+    val got = df.select(col("id"), Geo.fenceAssign(fences).as("f"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1 else r.getInt(1)))
+      .toMap
+    assert(got == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 2, 4L -> 0, 5L -> -1))
+  }
+
+  test("fenceAssign is map-only: zero exchanges, zero joins") {
+    val df = pts.toDF("id", "x", "y")
+    val plan = df.select(Geo.fenceAssign(fences))
+      .queryExecution.executedPlan
+    assert(plan.collect { case e: Exchange => e }.isEmpty, plan.toString)
+    assert(!plan.toString.contains("Join"), plan.toString)
+  }
+
+  test("geofenceEpisodes equals a direct run-length recomputation") {
+    // fences sized so the walk (coords ~[0,4800]) crosses them
+    val big: Array[(Int, Long, Long, Long, Long)] = Array(
+      (0, 0L, 0L, 2500L, 2500L), (1, 2000L, 2000L, 4800L, 4800L))
+    val minFixes = 2
+    val byUser = Geo.walkPositions(events, "user_id", "ts", "event_id")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("x"), col("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.sortBy(_._2) }
+    def fenceOf(x: Long, y: Long): Int =
+      big.collectFirst { case (fid, x0, y0, x1, y1)
+        if x >= x0 && x <= x1 && y >= y0 && y <= y1 => fid }.getOrElse(-1)
+    val expected = byUser.flatMap { case (u, rows) =>
+      val runs = scala.collection.mutable.ListBuffer
+        .empty[(Int, Vector[Long])] // fence -> fix times
+      for ((_, us, x, y) <- rows) {
+        val f = fenceOf(x, y)
+        if (runs.lastOption.exists(_._1 == f))
+          runs(runs.length - 1) = (f, runs.last._2 :+ us)
+        else runs += ((f, Vector(us)))
+      }
+      runs.filter(r => r._1 >= 0 && r._2.length >= minFixes)
+        .map(r => (u, r._1, r._2.min, r._2.max, r._2.length.toLong))
+    }.toSet
+    val got = Geo.geofenceEpisodes(events, "user_id", "ts", "event_id",
+      big, minFixes).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(expected.nonEmpty, "fixture produced no episodes — tune fences")
+    assert(got == expected)
+  }
+
+  test("homeRange core cells cover half the fixes with the fewest cells") {
+    val cellSize = 40L
+    val byUser = Geo.walkPositions(events, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val got = Geo.homeRange(events, "user_id", "ts", "event_id", cellSize)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    assert(got.keySet == byUser.keySet)
+    for ((u, rows) <- byUser) {
+      val cells = rows.groupBy(p =>
+        (math.floorDiv(p._2, cellSize), math.floorDiv(p._3, cellSize)))
+        .view.mapValues(_.size.toLong).toMap
+      val (n, nc, peak, core) = got(u)
+      assert(n == rows.size)
+      assert(nc == cells.size)
+      assert(peak == cells.values.max)
+      // greedy densest-first prefix reaching >= half the fixes
+      val ranked = cells.toSeq.sortBy { case ((cx, cy), c) => (-c, cx, cy) }
+      val half = (rows.size + 1) / 2
+      val expectedCore = ranked.scanLeft(0L)(_ + _._2).tail
+        .indexWhere(_ >= half) + 1
+      assert(core == expectedCore, s"user $u")
+      assert(ranked.take(core.toInt).map(_._2).sum * 2 >= rows.size)
+    }
+  }
 }
