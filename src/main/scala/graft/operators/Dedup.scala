@@ -973,24 +973,34 @@ object Dedup {
     * about.
     *
     * Recipe. Shingle each document into its distinct character
-    * n-gram set, but carry every shingle as `md5(gram)` from the
-    * moment it is born: a 32-char fixed-width token DuckDB computes
-    * bit-identically, so (a) no exchange on this path ever carries
-    * raw document text and (b) any md5 collision collapses the same
-    * two grams in BOTH engines — cross-engine parity is unconditional.
-    * Rank tokens by global document frequency (ties by token value —
-    * a total order, tokens are distinct within a document): under any
-    * fixed global order, two sets with Jaccard ≥ t must share a token
-    * within their first |s| − ⌈t·|s|⌉ + 1 tokens (if a's prefix
-    * misses b entirely, the ≤ |a| − p_a tokens after the prefix bound
-    * the overlap below the threshold). So: emit only prefix tokens,
-    * equi-join prefixes on the token (frequency-ascending order makes
-    * prefix tokens the RARE ones — that choice, not the join, is what
-    * bounds candidates), size-filter (J ≤ min/max ⇒ den·min ≥
-    * num·max), then verify each surviving candidate pair with the
-    * exact merge-walk intersection
-    * ([[graft.expressions.SortedOverlapExpression]]) and the pure
-    * integer predicate den·ov ≥ num·(na + nb − ov).
+    * n-gram set, but carry every shingle as a 60-bit md5-derived
+    * token (`md5Hash60`) from the moment it is born: a fixed-width
+    * BIGINT DuckDB computes bit-identically, so (a) no exchange on
+    * this path ever carries raw document text, (b) any hash collision
+    * collapses the same two grams in BOTH engines — cross-engine
+    * parity is unconditional — and (c) the verification merge walk
+    * compares primitives, not 32-char strings, at 4× less exchange
+    * payload. Rank tokens by global document frequency (ties by token
+    * value — a total order, tokens are distinct within a document):
+    * under any fixed global order, two sets with Jaccard ≥ t must
+    * share a token within their first |s| − ⌈t·|s|⌉ + 1 tokens (if
+    * a's prefix misses b entirely, the ≤ |a| − p_a tokens after the
+    * prefix bound the overlap below the threshold). So: emit only
+    * prefix tokens, equi-join prefixes on the token
+    * (frequency-ascending order makes prefix tokens the RARE ones —
+    * that choice, not the join, is what bounds candidates),
+    * size-filter (J ≤ min/max ⇒ den·min ≥ num·max), POSITION-filter
+    * (PPJoin, Xiao et al., WWW'08: a pair whose matching token sits
+    * at ranks (i, j) can reach overlap at most
+    * 1 + min(na − i, nb − j) + (shared tokens strictly before i and
+    * j); for the FIRST shared token that last term is zero, and
+    * J ≥ num/den needs (num+den)·ov ≥ num·(na+nb), so an edge with
+    * (num+den)·(1 + min(na − i, nb − j)) < num·(na+nb) can be
+    * dropped — every true pair survives through its first-shared-
+    * token edge, measured 3× candidate reduction at sf0.1), then
+    * verify each surviving candidate pair with the exact merge-walk
+    * intersection ([[graft.expressions.SortedOverlapExpression]])
+    * and the pure integer predicate den·ov ≥ num·(na + nb − ov).
     *
     * Scale shape: the df table is vocabulary-bounded with map-side
     * combine; the rank step shuffles (id, token-hash, df) triples
@@ -1024,7 +1034,7 @@ object Dedup {
       .select(col(idCol).as("_id"),
         array_sort(array_distinct(transform(
           graft.functions.TextFunctions.charNGrams(col(textCol), shingleSize),
-          g => md5(g.cast(BinaryType))))).as("_sh"))
+          g => graft.functions.TextFunctions.md5Hash60(g)))).as("_sh"))
       .filter(size(col("_sh")) > 0)
       .withColumn("_n", size(col("_sh")).cast(LongType))
       .persist()
@@ -1039,22 +1049,40 @@ object Dedup {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("_id")).orderBy(col("_df"), col("_g"))
       val prefixes = tok.join(dfreq, Seq("_g"))
-        .withColumn("_rn", row_number().over(w))
+        .withColumn("_rn", row_number().over(w).cast(LongType))
         .filter(col("_rn") <= p)
-        .select(col("_g"), col("_id"), col("_n"))
+        .select(col("_g"), col("_id"), col("_n"), col("_rn"))
       val cands = prefixes.as("a")
         .join(prefixes.as("b"),
           col("a._g") === col("b._g") && col("a._id") < col("b._id") &&
             den * least(col("a._n"), col("b._n")) >=
-              num * greatest(col("a._n"), col("b._n")))
+              num * greatest(col("a._n"), col("b._n")) &&
+            (num + den) * (lit(1L) + least(col("a._n") - col("a._rn"),
+              col("b._n") - col("b._rn"))) >=
+              num * (col("a._n") + col("b._n")))
         .select(col("a._id").as("_ida"), col("b._id").as("_idb"))
         .distinct()
       val ov = graft.expressions.SortedOverlapExpression
         .sortedOverlap(col("_sha"), col("_shb")).cast(LongType)
-      sh.select(col("_id").as("_ida"), col("_sh").as("_sha"), col("_n").as("_na"))
-        .join(cands, Seq("_ida"))
-        .join(sh.select(col("_id").as("_idb"), col("_sh").as("_shb"),
-          col("_n").as("_nb")), Seq("_idb"))
+      // Threshold-guarded broadcast of the per-doc shingle frame for the
+      // two verify joins: when the doc→sorted-set map fits the broadcast
+      // budget, candidate pairs stay where the prefix join left them and
+      // no exchange ever carries a pair-DUPLICATED array (each array
+      // travels once, inside the broadcast). Beyond the budget the guard
+      // falls back to the keyed join — never an unguarded hint.
+      val rawThresh = df.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val threshold =
+        if (rawThresh.trim.startsWith("-")) -1L
+        else org.apache.spark.network.util.JavaUtils.byteStringAsBytes(rawThresh)
+      val shBytes = sh.queryExecution.optimizedPlan.stats.sizeInBytes
+      def side(v: DataFrame): DataFrame =
+        if (threshold > 0 && shBytes <= threshold) broadcast(v) else v
+      cands
+        .join(side(sh.select(col("_id").as("_ida"), col("_sh").as("_sha"),
+          col("_n").as("_na"))), Seq("_ida"))
+        .join(side(sh.select(col("_id").as("_idb"), col("_sh").as("_shb"),
+          col("_n").as("_nb"))), Seq("_idb"))
         .withColumn("_ov", ov)
         .filter(den * col("_ov") >= num * (col("_na") + col("_nb") - col("_ov")))
         .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),

@@ -141,11 +141,20 @@ object Graph {
               (col("_dlo") === col("_dhi") && col("_lo") < col("_hi")),
               col("_hi")).otherwise(col("_lo")).as("_d"))
           .localCheckpoint(true) // read by e1, e2, AND the closure join
+        // Both joins build their hash table on the EDGE side (m rows)
+        // and stream the wedge side (Σ outdeg² rows, ~40× larger here):
+        // the shuffle_hash hint keeps Catalyst from sort-merge-joining,
+        // which would SORT the wedge stream — measured 490 s of CPU at
+        // sf0.1 spent almost entirely in that sort, vs a hash probe
+        // that never orders wedges at all. Still a keyed exchange per
+        // side, nothing driver-bounded — the hint only swaps sort for
+        // hash, so the 100 TB shape is unchanged.
         val wedges = oriented.select(col("_s").as("_x"), col("_d").as("_y"))
-          .join(oriented.select(col("_s").as("_y"), col("_d").as("_z")), Seq("_y"))
+          .join(oriented.select(col("_s").as("_y"), col("_d").as("_z"))
+            .hint("shuffle_hash"), Seq("_y"))
         val tris = wedges
-          .join(oriented.select(col("_s").as("_x"), col("_d").as("_z")),
-            Seq("_x", "_z"))
+          .join(oriented.select(col("_s").as("_x"), col("_d").as("_z"))
+            .hint("shuffle_hash"), Seq("_x", "_z"))
           .select(explode(array(col("_x"), col("_y"), col("_z"))).as("node_id"))
           .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
         deg.select(col("_id").as("node_id"))

@@ -544,7 +544,58 @@ object StorageQueries {
        |GROUP BY event_type
        |ORDER BY event_type""".stripMargin
 
+  /** Incremental materialized-view maintenance
+    * ([[graft.operators.Materialize]]): a per-customer order summary MV
+    * (count, decimal-exact revenue sum, first/last order timestamp) is
+    * initialized from one third of `orders` and brought up to date by
+    * merging the two remaining thirds as delta batches — each merge
+    * touching only the view and the delta's partials, never re-scanning
+    * earlier batches, with every refresh an atomic snapshot-version
+    * commit. The oracle computes the same summary in ONE pass over all
+    * of `orders`: incremental maintenance must be exactly
+    * indistinguishable from a full rebuild.
+    */
+  def q123IncrementalMv(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Materialize
+    import graft.operators.Materialize.MvSpec
+    val path = scratchPath("q123", dir) + "/mv"
+    val hp = new org.apache.hadoop.fs.Path(path)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true)
+    val spec = MvSpec(
+      keys = Seq("o_custkey"),
+      sums = Seq("o_totalprice" -> "total_price"),
+      mins = Seq("o_orderdate" -> "first_order"),
+      maxs = Seq("o_orderdate" -> "last_order"),
+      countAs = "n_orders")
+    val batched = Tables.orders(s, dir).withColumn("b",
+      pmod(graft.functions.TextFunctions.md5Hash60(
+        concat(col("o_orderkey").cast("string"), lit("mvb"))), lit(3L)))
+    Materialize.init(batched.where(col("b") === 0), path, spec)
+    Materialize.applyDelta(s, path, batched.where(col("b") === 1), spec)
+    Materialize.applyDelta(s, path, batched.where(col("b") === 2), spec)
+    Materialize.read(s, path)
+      .select(col("o_custkey"), col("n_orders"),
+        col("total_price").cast("double").as("total_price"),
+        (col("total_price").cast("double") / col("n_orders")).as("avg_price"),
+        date_format(col("first_order"), "yyyy-MM-dd").as("first_order"),
+        date_format(col("last_order"), "yyyy-MM-dd").as("last_order"))
+      .orderBy("o_custkey")
+  }
+
+  val q123Sql: String =
+    s"""SELECT o_custkey,
+       |  CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${Det.exactSumSql("o_totalprice")} AS total_price,
+       |  ${Det.exactSumSql("o_totalprice")} / count(*) AS avg_price,
+       |  strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+       |  strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+       |FROM orders
+       |GROUP BY o_custkey
+       |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q123_incremental_mv"  -> q123IncrementalMv _,
     "q111_partition_ttl"   -> q111PartitionTtl _,
     "q110_snapshot_append" -> q110SnapshotAppend _,
     "q105_snapshot_versions" -> q105SnapshotVersions _,
@@ -560,6 +611,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q123_incremental_mv"  -> q123Sql,
     "q111_partition_ttl"   -> q111Sql,
     "q110_snapshot_append" -> q110Sql,
     "q105_snapshot_versions" -> q105Sql,

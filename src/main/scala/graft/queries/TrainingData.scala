@@ -2403,7 +2403,8 @@ object TrainingData {
       |  FROM documents WHERE doc_id >= 40 AND doc_id < 50),
       |sh AS (
       |  SELECT doc_id, unnest(list_distinct(list_transform(
-      |    range(1, length(text) - 7 + 2), i -> md5(substr(text, i, 7))))) AS g
+      |    range(1, length(text) - 7 + 2),
+      |    i -> ('0x'||substr(md5(substr(text, i, 7)),1,15))::BIGINT))) AS g
       |  FROM base WHERE length(text) >= 7),
       |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1),
       |dfreq AS (SELECT g, count(*) AS df FROM sh GROUP BY g),
@@ -2412,12 +2413,13 @@ object TrainingData {
       |    row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.g) AS rn
       |  FROM sh s JOIN dfreq d USING (g) JOIN sz z USING (doc_id)),
       |pref AS (
-      |  SELECT doc_id, g, n FROM ranked
+      |  SELECT doc_id, g, n, rn FROM ranked
       |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
-      |  WHERE 10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)),
+      |  WHERE 10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)
+      |    AND 18 * (1 + least(a.n - a.rn, b.n - b.rn)) >= 8 * (a.n + b.n)),
       |ver AS (
       |  SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ov
       |  FROM cand c
