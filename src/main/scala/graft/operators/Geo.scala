@@ -337,6 +337,30 @@ object Geo {
       .orderBy(col(trackCol), col("enter_us"))
   }
 
+  /** Fence transitions: one row per fix whose fence assignment differs
+    * from the previous fix's (per track, time order) — the alert
+    * stream behind geofence monitoring. `-1` encodes "outside every
+    * fence" on both sides, so entering from the wild is `(-1 → f)`
+    * and escaping is `(f → -1)`; the first fix only alerts if it
+    * starts inside a fence. Same one-keyed-window shape as
+    * [[geofenceEpisodes]]; the streaming twin
+    * ([[graft.streaming.EventStreams.geofenceAlerts]]) carries the
+    * walk position and last fence as per-track state and must emit
+    * exactly this row set.
+    */
+  def fenceTransitions(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String, fences: Array[(Int, Long, Long, Long, Long)])
+      : DataFrame = {
+    val w = Window.partitionBy(col(trackCol)).orderBy(col(tsCol), col(idCol))
+    walkPositions(events, trackCol, tsCol, idCol)
+      .withColumn("f", coalesce(fenceAssign(fences), lit(-1)))
+      .withColumn("prev", coalesce(lag(col("f"), 1).over(w), lit(-1)))
+      .where(col("f") =!= col("prev"))
+      .select(col(trackCol), unix_micros(col(tsCol)).as("us"),
+        col("prev").as("from_fence"), col("f").as("to_fence"))
+      .orderBy(col(trackCol), col("us"))
+  }
+
   /** Home-range summary per track: number of distinct grid cells
     * visited (range area in cell units), total fixes, peak cell
     * occupancy, and the CORE range — the minimum number of cells

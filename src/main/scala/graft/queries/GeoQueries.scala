@@ -293,6 +293,40 @@ object GeoQueries {
        |HAVING count(*) >= 3
        |ORDER BY user_id, enter_us""".stripMargin
 
+  /** Geofence alert stream (batch twin): one row per fence transition
+    * per track against the same 12 derived fences as q121, with -1 as
+    * "outside". The streaming version
+    * ([[graft.streaming.EventStreams.geofenceAlerts]]) carries walk
+    * position + last fence as per-track state and is proven
+    * row-identical to this function in StreamingSpec; the oracle
+    * replays the containment join + lag in SQL.
+    */
+  def q124GeofenceAlerts(s: SparkSession, dir: String): DataFrame =
+    Geo.fenceTransitions(Tables.events(s, dir), "user_id", "ts", "event_id",
+      fenceSet(s))
+
+  val q124Sql: String =
+    s"""WITH $walkCte,
+       |fence AS (
+       |  SELECT CAST(fid AS INT) AS fid,
+       |    ${coordSql("fid", "fx")} AS fx, ${coordSql("fid", "fy")} AS fy
+       |  FROM range($nFences) t(fid)),
+       |asg AS (
+       |  SELECT p.user_id, p.event_id, p.ts,
+       |    CAST(coalesce(min(f.fid), -1) AS INT) AS f
+       |  FROM pos p LEFT JOIN fence f
+       |    ON p.x BETWEEN f.fx - $fenceHalf AND f.fx + $fenceHalf
+       |   AND p.y BETWEEN f.fy - $fenceHalf AND f.fy + $fenceHalf
+       |  GROUP BY p.user_id, p.event_id, p.ts),
+       |l AS (
+       |  SELECT *, CAST(coalesce(lag(f) OVER (PARTITION BY user_id
+       |    ORDER BY ts, event_id), -1) AS INT) AS prev
+       |  FROM asg)
+       |SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+       |  prev AS from_fence, f AS to_fence
+       |FROM l WHERE f <> prev
+       |ORDER BY user_id, us""".stripMargin
+
   /** Home-range summary per track over 25-unit grid cells: distinct
     * cells visited, peak cell occupancy, and the 50% core range (fewest
     * densest cells covering half the fixes). The oracle replays the
@@ -335,7 +369,8 @@ object GeoQueries {
     "q119_cell_density"    -> q119CellDensity _,
     "q120_colocation"      -> q120CoLocation _,
     "q121_geofence_episodes" -> q121GeofenceEpisodes _,
-    "q122_home_range"      -> q122HomeRange _)
+    "q122_home_range"      -> q122HomeRange _,
+    "q124_geofence_alerts" -> q124GeofenceAlerts _)
 
   val oracle: Map[String, String] = Map(
     "q115_spatial_join"    -> q115Sql,
@@ -345,5 +380,6 @@ object GeoQueries {
     "q119_cell_density"    -> q119Sql,
     "q120_colocation"      -> q120Sql,
     "q121_geofence_episodes" -> q121Sql,
-    "q122_home_range"      -> q122Sql)
+    "q122_home_range"      -> q122Sql,
+    "q124_geofence_alerts" -> q124Sql)
 }

@@ -202,6 +202,73 @@ object EventStreams {
       }
   }
 
+  final case class FenceAlert(
+      user_id: Long, us: Long, from_fence: Int, to_fence: Int)
+
+  /** Per-track walk state: current position and last fence (-1 =
+    * outside). Public: Catalyst codegen instantiates it. */
+  final case class WalkState(x: Long, y: Long, fence: Int)
+
+  /** Streaming geofence alerts — the `mapGroupsWithState` twin of
+    * [[graft.operators.Geo.fenceTransitions]]: each track's walk
+    * position and last fence ride in one tiny state record; every
+    * incoming fix advances the md5-derived walk, re-evaluates
+    * first-hit fence containment, and emits an alert iff the fence
+    * changed. State is O(1) per active track (two longs + an int) —
+    * the geofence monitor for a fleet of any size; the batch function
+    * over the same fixes must produce the identical alert rows, which
+    * is what StreamingSpec asserts.
+    *
+    * The walk arithmetic replays
+    * [[graft.operators.Geo.walkPositions]] exactly: 60-bit md5 hash
+    * (hex chars 1-15 as a long) of `id+"dx"` / `id+"dy"` mod 21 - 10
+    * per step, base at md5(track+"bx"/"by") mod worldDim — the same
+    * cross-engine recipe the SQL oracle uses, here evaluated in plain
+    * JVM code because the state function is imperative per-group
+    * logic (the documented last-resort tier: no Column API exists
+    * inside a state update).
+    */
+  def geofenceAlerts(events: Dataset[Event],
+      fences: Array[(Int, Long, Long, Long, Long)],
+      worldDim: Int = 4000): Dataset[FenceAlert] = {
+    import events.sparkSession.implicits._
+    val sortedFences = fences.sortBy(_._1)
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    def fenceOf(x: Long, y: Long): Int =
+      sortedFences.collectFirst { case (fid, x0, y0, x1, y1)
+        if x >= x0 && x <= x1 && y >= y0 && y <= y1 => fid }.getOrElse(-1)
+    // full-microsecond epoch (Timestamp.getTime truncates to ms; the
+    // batch twin orders and reports by unix_micros)
+    def us(t: Timestamp): Long = t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[WalkState, FenceAlert](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[WalkState]) =>
+          val sorted = rows.toSeq.sortBy(e => (us(e.ts), e.event_id))
+          var st = state.getOption.getOrElse(WalkState(
+            h60(s"${userId}bx") % worldDim, h60(s"${userId}by") % worldDim, -1))
+          val alerts = List.newBuilder[FenceAlert]
+          sorted.foreach { e =>
+            val dx = h60(s"${e.event_id}dx") % 21 - 10
+            val dy = h60(s"${e.event_id}dy") % 21 - 10
+            val x = st.x + dx
+            val y = st.y + dy
+            val f = fenceOf(x, y)
+            if (f != st.fence)
+              alerts += FenceAlert(userId, us(e.ts), st.fence, f)
+            st = WalkState(x, y, f)
+          }
+          if (sorted.nonEmpty) state.update(st)
+          alerts.result().iterator
+      }
+  }
+
   final case class Session(
       user_id: Long, session_start: Timestamp, session_end: Timestamp,
       n_events: Int)

@@ -306,4 +306,39 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).select("_id").distinct().count() == 40)
     assert(spark.read.parquet(idx).count() == 40)
   }
+
+  test("streaming geofence alerts == batch fenceTransitions across triggers") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // fences wide enough that the md5 walk crosses them repeatedly
+    val fences: Array[(Int, Long, Long, Long, Long)] = Array(
+      (0, 0L, 0L, 2200L, 2200L), (1, 1800L, 1800L, 4800L, 4800L),
+      (2, 0L, 2600L, 1500L, 4800L))
+    val events = (0 until 300).map { i =>
+      Event(i.toLong, new Timestamp(1700000000000L + i * 60000L),
+        (i % 5).toLong, "move", 0.0)
+    }
+    val batch = graft.operators.Geo.fenceTransitions(
+      events.toDF(), "user_id", "ts", "event_id", fences)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(batch.nonEmpty, "fixture produced no transitions — tune fences")
+
+    val input = MemoryStream[Event]
+    val alerts = EventStreams.geofenceAlerts(input.toDS(), fences)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("fence_out").start()
+    try {
+      // feed in three time-ordered triggers: state (position + last
+      // fence) must carry the walk across trigger boundaries
+      events.grouped(100).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("fence_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      assert(streamed.length == streamed.toSet.size, "duplicate alerts")
+      assert(streamed.toSet == batch)
+    } finally q.stop()
+  }
 }
