@@ -273,4 +273,75 @@ object Sampling {
     df.join(broadcast(counts), Seq(sourceCol))
       .filter(md5Bucket(col(idCol), million.toInt, salt) < col("_keep_threshold"))
   }
+
+  /** Epoch-weighted corpus mixing: turn per-source mixture weights and
+    * a total token budget into a per-document EPOCH COUNT — the "mix
+    * web 40%, code 30%, books 30%, repeat small sources up to N
+    * epochs" step every LLM training run performs between curation and
+    * packing. Downsampling and upsampling fall out of one rule.
+    *
+    * Semantics (all integer, replayable bit-for-bit by any engine):
+    * source `s` gets `target_s = budget·w_s div Σw` tokens (weights
+    * from the md5 recipe or caller-supplied); its documents are
+    * ordered by the deterministic hash permutation (shard, h, id) —
+    * the same append-stable order [[shuffleShard]] uses; every doc
+    * repeats `target_s div T_s` times (T_s = source token total), and
+    * the first documents of the permutation whose cumulative size
+    * precedes `target_s mod T_s` get one extra epoch. n_epochs = 0
+    * drops the doc; ≥ 2 repeats it — the budget is hit within one
+    * document's size per source.
+    *
+    * Scale — the prefix sum is two-phase, never a per-source sort of
+    * the corpus in one task: documents get a shard from their hash
+    * (64-way by default), the cumulative runs INSIDE each
+    * (source, shard) window, and the cross-shard offsets come from a
+    * (sources × shards)-row totals frame that is driver-bounded by
+    * construction — exactly the [[shuffleShard]] offset pattern. The
+    * corpus crosses one exchange (the window's), carrying
+    * (id, source, size) only.
+    */
+  def epochMix(df: DataFrame, idCol: String, srcCol: String,
+      sizeCol: String, budget: Long, weightBuckets: Int = 4,
+      nShards: Int = 64, salt: String = "mix"): DataFrame = {
+    require(budget >= 0 && weightBuckets >= 1 && nShards >= 1,
+      s"bad mix parameters ($budget, $weightBuckets, $nShards)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val h = graft.functions.TextFunctions.md5Hash60(
+      concat(col(idCol).cast("string"), lit(salt + "o")))
+    val w = md5Bucket(col(srcCol), weightBuckets, salt + "w")
+      .cast("long") + 1L
+    val doc = df.select(col(idCol).as("_id"), col(srcCol).as("_src"),
+      col(sizeCol).cast("long").as("_sz"),
+      h.as("_h"), pmod(h, lit(nShards.toLong)).as("_shard"), w.as("_w"))
+    // (source, shard) totals: driver-bounded by construction
+    val shardTotals = doc.groupBy(col("_src"), col("_shard"))
+      .agg(sum(col("_sz")).as("_t"), max(col("_w")).as("_w"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val sumW = shardTotals.groupBy(_._1).map(_._2.head._4).sum
+    val perSource = shardTotals.groupBy(_._1).map { case (src, rows) =>
+      val t = rows.map(_._3).sum
+      val target = budget * rows.head._4 / sumW
+      src -> (target / t, target % t)
+    }
+    val offsets = shardTotals.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(_._2)
+      val offs = sorted.scanLeft(0L)(_ + _._3)
+      sorted.zip(offs).map { case ((_, shard, _, _), off) =>
+        val (full, rem) = perSource(src)
+        (src, shard, off, full, rem)
+      }
+    }
+    val planDf = spark.createDataFrame(offsets)
+      .toDF("_src", "_shard", "_off", "_full", "_rem")
+    val win = Window.partitionBy(col("_src"), col("_shard"))
+      .orderBy(col("_h"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    doc.join(broadcast(planDf), Seq("_src", "_shard"))
+      .withColumn("_before", col("_off") + sum(col("_sz")).over(win) - col("_sz"))
+      .select(col("_id"), col("_src"),
+        (col("_full") + when(col("_before") < col("_rem"), 1L).otherwise(0L))
+          .cast("long").as("n_epochs"))
+  }
 }

@@ -2480,7 +2480,57 @@ object TrainingData {
       |FROM documents d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Epoch-weighted corpus mixing ([[graft.operators.Sampling.epochMix]]):
+    * md5-derived source weights and a budget of 2× the corpus token
+    * mass turn into a per-document epoch count — upsampling (repeat),
+    * downsampling (epoch 0), and the remainder boundary all in integer
+    * arithmetic. The oracle replays the whole plan in SQL: weights,
+    * per-source targets, the (shard, hash, id) permutation, the
+    * cumulative prefix, and both integer divisions — a doc shifted by
+    * one position in the permutation or one token in the cumulative
+    * changes its epoch count and breaks the hash.
+    */
+  def q125EpochMix(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val budget = 2L * docs.agg(sum(col("n_chars"))).head.getLong(0)
+    graft.operators.Sampling.epochMix(
+        docs, "doc_id", "source", "n_chars", budget)
+      .select(col("_id").as("doc_id"), col("_src").as("source"),
+        col("n_epochs"))
+      .orderBy("doc_id")
+  }
+
+  val q125Sql: String =
+    """WITH doc AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ('0x'||substr(md5(doc_id::VARCHAR||'mixo'),1,15))::BIGINT AS h,
+      |    ('0x'||substr(md5(source||'mixw'),1,15))::BIGINT % 4 + 1 AS w
+      |  FROM documents),
+      |tot AS (SELECT CAST(2*sum(n_chars) AS BIGINT) AS b FROM documents),
+      |sw AS (SELECT CAST(sum(w) AS BIGINT) AS sumw
+      |       FROM (SELECT DISTINCT source, w FROM doc)),
+      |src AS (
+      |  SELECT source, max(w) AS w, CAST(sum(n_chars) AS BIGINT) AS t
+      |  FROM doc GROUP BY source),
+      |plan AS (
+      |  SELECT s.source,
+      |    ((tot.b * s.w) // sw.sumw) // s.t AS full_e,
+      |    ((tot.b * s.w) // sw.sumw) % s.t AS rem
+      |  FROM src s CROSS JOIN tot CROSS JOIN sw),
+      |ordered AS (
+      |  SELECT d.doc_id, d.source, d.n_chars,
+      |    sum(d.n_chars) OVER (PARTITION BY d.source
+      |      ORDER BY d.h % 64, d.h, d.doc_id
+      |      ROWS UNBOUNDED PRECEDING) - d.n_chars AS before
+      |  FROM doc d)
+      |SELECT o.doc_id, o.source,
+      |  CAST(p.full_e + CASE WHEN o.before < p.rem THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_epochs
+      |FROM ordered o JOIN plan p USING (source)
+      |ORDER BY o.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q125_epoch_mix"      -> q125EpochMix _,
     "q113_bigram_lm"      -> q113BigramLm _,
     "q112_exact_jaccard"  -> q112ExactJaccard _,
     "q109_curriculum_buckets" -> q109CurriculumBuckets _,
@@ -2544,6 +2594,7 @@ object TrainingData {
     "q101_shuffle_shard" -> q101Sql,
     "q102_chunk_docs"    -> q102Sql,
     "q99_weighted_sample" -> q99Sql,
+    "q125_epoch_mix"      -> q125Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,

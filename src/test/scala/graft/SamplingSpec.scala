@@ -189,4 +189,69 @@ class SamplingSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
   }
+
+  test("epochMix: budget met within one doc per source, direct recompute") {
+    import spark.implicits._
+    val docs = (0 until 400).map { i =>
+      (i.toLong, s"src${i % 6}", 50L + i % 37)
+    }.toDF("doc_id", "source", "n_chars")
+    val budget = 3L * docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+      .head.getLong(0)
+    val got = Sampling.epochMix(docs, "doc_id", "source", "n_chars", budget)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // direct single-threaded recompute of the contract
+    def h60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+    }
+    val rows = (0 until 400).map(i => (i.toLong, s"src${i % 6}", 50L + i % 37))
+    val w = rows.map(_._2).distinct.map(s => s -> (h60(s + "mixw") % 4 + 1)).toMap
+    val sumW = w.values.sum
+    val bySrc = rows.groupBy(_._2)
+    val expected = bySrc.flatMap { case (src, docsOfSrc) =>
+      val t = docsOfSrc.map(_._3).sum
+      val target = budget * w(src) / sumW
+      val (full, rem) = (target / t, target % t)
+      val ordered = docsOfSrc.sortBy { case (id, _, _) =>
+        val h = h60(s"${id}mixo"); (h % 64, h, id)
+      }
+      val befores = ordered.map(_._3).scanLeft(0L)(_ + _)
+      ordered.zip(befores).map { case ((id, s, _), before) =>
+        (id, s, full + (if (before < rem) 1L else 0L))
+      }
+    }.toSet
+    assert(got.toSet == expected)
+    // budget conservation: delivered tokens within one max-doc of target
+    val bySource = got.groupBy(_._2)
+    for ((src, assigns) <- bySource) {
+      val t = bySrc(src).map(_._3).sum
+      val target = budget * w(src) / sumW
+      val delivered = assigns.map { case (id, _, e) =>
+        e * rows.find(_._1 == id).get._3 }.sum
+      val maxDoc = bySrc(src).map(_._3).max
+      assert(delivered >= target - maxDoc && delivered < target + maxDoc,
+        s"$src delivered $delivered target $target")
+    }
+  }
+
+  test("epochMix: zero budget drops everything; epochs scale with budget") {
+    import spark.implicits._
+    val docs = (0 until 60).map(i => (i.toLong, s"s${i % 3}", 10L))
+      .toDF("doc_id", "source", "n_chars")
+    val zero = Sampling.epochMix(docs, "doc_id", "source", "n_chars", 0L)
+      .collect()
+    assert(zero.forall(_.getLong(2) == 0L))
+    val one = Sampling.epochMix(docs, "doc_id", "source", "n_chars", 600L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val two = Sampling.epochMix(docs, "doc_id", "source", "n_chars", 1200L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a bigger budget never lowers any document's epoch count, and
+    // total delivered tokens track the budget (uniform 10-char docs,
+    // weights sum over the 3 sources: every budget token lands)
+    assert(one.keySet == two.keySet)
+    one.foreach { case (id, e) => assert(two(id) >= e) }
+    assert(two.values.sum > one.values.sum)
+  }
 }
