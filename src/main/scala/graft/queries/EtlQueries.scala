@@ -307,7 +307,74 @@ object EtlQueries {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Declarative data-quality audit ([[graft.operators.Quality]]):
+    * referential integrity, range, null, and uniqueness rules over
+    * `orders` seeded with four disjoint planted-violation classes
+    * (negative-key space, so plants never collide with real keys).
+    * Every predicate rule shares ONE scan; uniqueness is one keyed
+    * count; the FK check is one anti-join. The oracle recomputes all
+    * four summaries independently — counts AND the deterministic
+    * min-key violation samples must both match.
+    */
+  def q126DqAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quality
+    import graft.operators.Quality.{Check, ForeignKey, Unique}
+    val o = Tables.orders(s, dir)
+    val badFk = o.where(col("o_orderkey") % 500 === 1)
+      .withColumn("o_orderkey", -col("o_orderkey") - 1)
+      .withColumn("o_custkey", -col("o_custkey") - 1)
+    val badPrice = o.where(col("o_orderkey") % 500 === 2)
+      .withColumn("o_orderkey", -col("o_orderkey") - 100000)
+      .withColumn("o_totalprice", -col("o_totalprice"))
+    val badDate = o.where(col("o_orderkey") % 500 === 3)
+      .withColumn("o_orderkey", -col("o_orderkey") - 200000)
+      .withColumn("o_orderdate", lit(null).cast("timestamp"))
+    val dups = o.where(col("o_orderkey") % 500 === 4)
+    val corpus = o.unionByName(badFk).unionByName(badPrice)
+      .unionByName(badDate).unionByName(dups)
+    Quality.audit(corpus, "o_orderkey", Seq(
+      ForeignKey("fk_customer", "o_custkey",
+        Tables.customer(s, dir), "c_custkey"),
+      Check("nonpositive_price", col("o_totalprice") <= 0),
+      Check("null_orderdate", col("o_orderdate").isNull),
+      Unique("unique_orderkey", Seq("o_orderkey"))))
+  }
+
+  val q126Sql: String =
+    """WITH corpus AS (
+      |  SELECT * FROM orders
+      |  UNION ALL
+      |  SELECT -o_orderkey-1, -o_custkey-1, o_orderstatus, o_totalprice,
+      |    o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 500 = 1
+      |  UNION ALL
+      |  SELECT -o_orderkey-100000, o_custkey, o_orderstatus, -o_totalprice,
+      |    o_orderdate, o_orderpriority FROM orders WHERE o_orderkey % 500 = 2
+      |  UNION ALL
+      |  SELECT -o_orderkey-200000, o_custkey, o_orderstatus, o_totalprice,
+      |    NULL, o_orderpriority FROM orders WHERE o_orderkey % 500 = 3
+      |  UNION ALL
+      |  SELECT * FROM orders WHERE o_orderkey % 500 = 4)
+      |SELECT 'fk_customer' AS rule,
+      |  CAST(count(*) AS BIGINT) AS n_violations,
+      |  min(o_orderkey) AS min_violation_key
+      |FROM corpus c
+      |WHERE o_custkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = c.o_custkey)
+      |UNION ALL
+      |SELECT 'nonpositive_price', CAST(count(*) AS BIGINT), min(o_orderkey)
+      |FROM corpus WHERE o_totalprice <= 0
+      |UNION ALL
+      |SELECT 'null_orderdate', CAST(count(*) AS BIGINT), min(o_orderkey)
+      |FROM corpus WHERE o_orderdate IS NULL
+      |UNION ALL
+      |SELECT 'unique_orderkey',
+      |  CAST(coalesce(sum(c), 0) AS BIGINT), min(k)
+      |FROM (SELECT o_orderkey, count(*) AS c, min(o_orderkey) AS k
+      |      FROM corpus GROUP BY o_orderkey HAVING count(*) > 1)
+      |ORDER BY rule""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q126_dq_audit"   -> q126DqAudit _,
     "q14_date_rescue" -> q14DateRescue _,
     "q15_temporal"    -> q15Temporal _,
     "q16_inventory"   -> q16Inventory _,
@@ -318,6 +385,7 @@ object EtlQueries {
     "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
+    "q126_dq_audit"   -> q126Sql,
     "q14_date_rescue" -> q14Sql,
     "q15_temporal"    -> q15Sql,
     "q16_inventory"   -> q16Sql,
