@@ -176,6 +176,77 @@ object Geo {
       .orderBy(col(trackCol), col("start_us"))
   }
 
+  /** Per-track checkpoint sketch: the K positions at fix indices
+    * `1 + i·(n−1) div (K−1)` for i = 0..K−1 (an index-linspace from
+    * first to last fix), as a sorted `array<struct<i,x,y>>`. Tracks
+    * with fewer than K fixes are dropped (their linspace would repeat
+    * indices). This is the corpus→bounded-sketch reduction that makes
+    * pairwise track comparison tractable: each track collapses from
+    * O(fixes) rows to one K-checkpoint row BEFORE anything pairwise
+    * happens, so the pair stage scales with track count, never fix
+    * count.
+    */
+  def trajectoryCheckpoints(events: DataFrame, trackCol: String,
+      tsCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need at least 2 checkpoints, got $k")
+    val wAll = Window.partitionBy(col(trackCol))
+    val pos = walkPositions(events, trackCol, tsCol, idCol)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .where(col("_n") >= k)
+    val idx = events.sparkSession.range(k).select(col("id").as("_i"))
+    pos.join(broadcast(idx),
+        col("rn") === lit(1) + expr(s"_i * (_n - 1) div ${k - 1}"))
+      .groupBy(col(trackCol))
+      .agg(sort_array(collect_list(
+        struct(col("_i").as("i"), col("x"), col("y")))).as("cks"))
+  }
+
+  /** Trajectory-similarity self-join: pairs of tracks whose paths stay
+    * within `maxL1` of each other at every one of K index-aligned
+    * checkpoints (a discrete-Fréchet-flavoured co-movement test —
+    * "these two animals travelled together"). Exact over the
+    * checkpoint sketch: distance is max over checkpoints of the L1
+    * displacement, all integer.
+    *
+    * Shape: [[trajectoryCheckpoints]] first (tracks become one bounded
+    * row each), then the [[radiusJoin]] grid pattern on the FIRST
+    * checkpoint (max ≤ maxL1 implies the first checkpoints differ by
+    * ≤ maxL1 per axis, so blocking there loses nothing): cell-keyed
+    * equi-join, 3×3 probe replication, exactly-once via home-cell +
+    * `a < b`, and the full K-checkpoint max-L1 as the exact residual
+    * predicate (`zip_with` + `array_max`, codegen'd per pair). Pair
+    * work is density-bounded in TRACK space — fixes never reach this
+    * join.
+    */
+  def trajectorySimilarity(events: DataFrame, trackCol: String,
+      tsCol: String, idCol: String, k: Int, maxL1: Long): DataFrame = {
+    require(maxL1 > 0, s"maxL1 must be positive, got $maxL1")
+    val ck = trajectoryCheckpoints(events, trackCol, tsCol, idCol, k)
+    val fx = element_at(col("cks"), 1).getField("x")
+    val fy = element_at(col("cks"), 1).getField("y")
+    val build = ck.select(col(trackCol).as("a_track"), col("cks").as("a_cks"),
+      cell(fx, maxL1).as("cx"), cell(fy, maxL1).as("cy"))
+    val offsets = array(
+      (for (i <- -1 to 1; j <- -1 to 1)
+        yield struct(lit(i.toLong).as("di"), lit(j.toLong).as("dj"))): _*)
+    val probe = ck
+      .select(col(trackCol).as("b_track"), col("cks").as("b_cks"),
+        cell(fx, maxL1).as("pcx"), cell(fy, maxL1).as("pcy"))
+      .withColumn("o", explode(offsets))
+      .select(col("b_track"), col("b_cks"),
+        (col("pcx") + col("o.di")).as("cx"),
+        (col("pcy") + col("o.dj")).as("cy"))
+    val dist = array_max(zip_with(col("a_cks"), col("b_cks"),
+      (p, q) => abs(p.getField("x") - q.getField("x")) +
+        abs(p.getField("y") - q.getField("y"))))
+    build.join(probe, Seq("cx", "cy"))
+      .where(col("a_track") < col("b_track"))
+      .withColumn("max_l1", dist)
+      .where(col("max_l1") <= maxL1)
+      .select(col("a_track"), col("b_track"), col("max_l1"))
+      .orderBy(col("a_track"), col("b_track"))
+  }
+
   /** Nearest-facility assignment: each point gets the id of (and squared
     * distance to) its closest station, ties to the lowest station id.
     *

@@ -361,7 +361,48 @@ object GeoQueries {
        |    AS core_cells
        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Trajectory-similarity join: track pairs whose paths stay within
+    * L1 distance 400 at every one of 8 index-aligned checkpoints —
+    * co-movement detection over the checkpoint sketch, so the pair
+    * stage scales with tracks, never fixes. The oracle rebuilds the
+    * checkpoints with SQL windows and finds the same pairs with a
+    * band join on the first checkpoint plus an honest per-pair
+    * checkpoint join + max aggregate.
+    */
+  def q127TrajectorySimilarity(s: SparkSession, dir: String): DataFrame =
+    Geo.trajectorySimilarity(Tables.events(s, dir), "user_id", "ts",
+      "event_id", k = 8, maxL1 = 400)
+
+  val q127Sql: String =
+    s"""WITH $walkCte,
+       |wp AS (
+       |  SELECT user_id, x, y,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+       |    count(*) OVER (PARTITION BY user_id) AS n
+       |  FROM pos),
+       |ck AS (
+       |  SELECT w.user_id, r.i, w.x, w.y
+       |  FROM wp w JOIN range(8) r(i) ON w.rn = 1 + (r.i * (w.n - 1)) // 7
+       |  WHERE w.n >= 8),
+       |c1 AS (SELECT user_id, x, y FROM ck WHERE i = 0),
+       |pr AS (
+       |  SELECT a.user_id AS ta, b.user_id AS tb
+       |  FROM c1 a JOIN c1 b
+       |    ON a.user_id < b.user_id
+       |   AND b.x BETWEEN a.x - 400 AND a.x + 400
+       |   AND abs(a.y - b.y) <= 400),
+       |d AS (
+       |  SELECT p.ta, p.tb, max(abs(k1.x - k2.x) + abs(k1.y - k2.y)) AS m
+       |  FROM pr p
+       |  JOIN ck k1 ON k1.user_id = p.ta
+       |  JOIN ck k2 ON k2.user_id = p.tb AND k2.i = k1.i
+       |  GROUP BY p.ta, p.tb)
+       |SELECT ta AS a_track, tb AS b_track, CAST(m AS BIGINT) AS max_l1
+       |FROM d WHERE m <= 400
+       |ORDER BY a_track, b_track""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q127_trajectory_similarity" -> q127TrajectorySimilarity _,
     "q115_spatial_join"    -> q115SpatialJoin _,
     "q116_trajectory_stats" -> q116TrajectoryStats _,
     "q117_stop_detection"  -> q117StopDetection _,
@@ -373,6 +414,7 @@ object GeoQueries {
     "q124_geofence_alerts" -> q124GeofenceAlerts _)
 
   val oracle: Map[String, String] = Map(
+    "q127_trajectory_similarity" -> q127Sql,
     "q115_spatial_join"    -> q115Sql,
     "q116_trajectory_stats" -> q116Sql,
     "q117_stop_detection"  -> q117Sql,

@@ -245,6 +245,42 @@ class GeoSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("trajectorySimilarity matches a brute-force checkpoint comparison") {
+    val k = 5
+    val maxL1 = 700L
+    val ck = Geo.trajectoryCheckpoints(events, "user_id", "ts", "event_id", k)
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[org.apache.spark.sql.Row](1)
+          .map(c => (c.getLong(0), c.getLong(1), c.getLong(2))).sortBy(_._1)
+        r.getLong(0) -> arr
+      }.toMap
+    // checkpoint contract: K entries, indices 0..K-1, endpoints = first
+    // and last fix of the walk
+    val walk = Geo.walkPositions(events, "user_id", "ts", "event_id")
+      .select(col("user_id"), col("rn"), col("x"), col("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    for ((u, cks) <- ck) {
+      assert(cks.map(_._1) == (0 until k).map(_.toLong))
+      val rows = walk(u).sortBy(_._2)
+      assert((cks.head._2, cks.head._3) == (rows.head._3, rows.head._4))
+      assert((cks.last._2, cks.last._3) == (rows.last._3, rows.last._4))
+    }
+    val expected = (for {
+      (a, ca) <- ck.toSeq; (b, cb) <- ck.toSeq
+      if a < b
+      m = ca.zip(cb).map { case ((_, ax, ay), (_, bx, by)) =>
+        math.abs(ax - bx) + math.abs(ay - by) }.max
+      if m <= maxL1
+    } yield (a, b, m)).toSet
+    val got = Geo.trajectorySimilarity(events, "user_id", "ts", "event_id",
+      k, maxL1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(expected.nonEmpty, "fixture produced no similar tracks — tune maxL1")
+    assert(got == expected)
+  }
+
   test("homeRange core cells cover half the fixes with the fewest cells") {
     val cellSize = 40L
     val byUser = Geo.walkPositions(events, "user_id", "ts", "event_id")
