@@ -373,7 +373,55 @@ object EtlQueries {
       |      FROM corpus GROUP BY o_orderkey HAVING count(*) > 1)
       |ORDER BY rule""".stripMargin
 
+  /** Sketch-based winsorization ([[graft.operators.Sketches.winsorize]]):
+    * clamp `events.value` to its [p5, p95] histogram-quantile
+    * thresholds — one parallel aggregate for the sketch, two doubles
+    * to the driver, one codegen'd least/greatest projection; never a
+    * global sort or an approx_percentile buffer. The oracle replays
+    * the histogram, the rank walk, the two bin-lower-edge thresholds,
+    * and every per-row clamp decision.
+    */
+  def q128Winsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sketches.winsorize(
+        Tables.events(s, dir).select(col("event_id"), col("value")),
+        "value", 0.0, 500.0, 250, 0.05, 0.95)
+      .select(col("event_id"), col("value"), col("value_w"),
+        col("_clamped").as("clamped"))
+      .orderBy("event_id")
+
+  val q128Sql: String =
+    """WITH v AS (SELECT event_id, value FROM events),
+      |s AS (
+      |  SELECT least(greatest(CAST(floor((value - 0.0) / ((500.0 - 0.0) / 250))
+      |      AS BIGINT), 0), 249) AS bin,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v WHERE value IS NOT NULL GROUP BY 1),
+      |c AS (
+      |  SELECT bin,
+      |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+      |         AS BIGINT) AS cum,
+      |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+      |  FROM s),
+      |p AS (SELECT unnest([0.05, 0.95]) AS q),
+      |cuts AS (
+      |  SELECT q, 0.0 + CAST(min(bin) AS DOUBLE) * ((500.0 - 0.0) / 250) AS est
+      |  FROM p CROSS JOIN c
+      |  WHERE c.cum >= ceil(p.q * CAST(c.total AS DOUBLE))
+      |  GROUP BY q),
+      |t AS (
+      |  SELECT max(CASE WHEN q = 0.05 THEN est END) AS tl,
+      |         max(CASE WHEN q = 0.95 THEN est END) AS th
+      |  FROM cuts)
+      |SELECT v.event_id, v.value,
+      |  CASE WHEN v.value IS NULL THEN NULL
+      |       ELSE least(greatest(v.value, t.tl), t.th) END AS value_w,
+      |  CAST(CASE WHEN v.value IS NULL THEN 0
+      |            WHEN v.value < t.tl THEN -1
+      |            WHEN v.value > t.th THEN 1 ELSE 0 END AS INT) AS clamped
+      |FROM v CROSS JOIN t ORDER BY v.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q128_winsorize"  -> q128Winsorize _,
     "q126_dq_audit"   -> q126DqAudit _,
     "q14_date_rescue" -> q14DateRescue _,
     "q15_temporal"    -> q15Temporal _,
@@ -385,6 +433,7 @@ object EtlQueries {
     "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
+    "q128_winsorize"  -> q128Sql,
     "q126_dq_audit"   -> q126Sql,
     "q14_date_rescue" -> q14Sql,
     "q15_temporal"    -> q15Sql,

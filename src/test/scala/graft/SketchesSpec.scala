@@ -117,4 +117,34 @@ class SketchesSpec extends SparkSpec {
     assert(sk(0L) == 1L && sk(99L) == 1L && sk(5L) == 1L)
     assert(sk.values.sum == 3L, "clamping must preserve total mass")
   }
+
+  test("winsorize clamps to the sketch thresholds and flags direction") {
+    import spark.implicits._
+    // 1..100 with fine bins: p10/p90 thresholds are the exact bin
+    // lower edges 10.0 and 90.0 (rank walk: ceil(0.1*100)=10 -> bin 10)
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val out = Sketches.winsorize(df, "v", 0.0, 100.0, 100, 0.1, 0.9)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getInt(3)))
+    for ((v, w, c) <- out) {
+      if (v < 10.0) { assert(w == 10.0 && c == -1, s"$v") }
+      else if (v > 90.0) { assert(w == 90.0 && c == 1, s"$v") }
+      else { assert(w == v && c == 0, s"$v") }
+    }
+    // mass check: exactly 9 low (1..9) and 10 high (91..100)
+    assert(out.count(_._3 == -1) == 9)
+    assert(out.count(_._3 == 1) == 10)
+  }
+
+  test("winsorize passes NULLs through unclamped and survives empty input") {
+    import spark.implicits._
+    val df = Seq(Some(5.0), None, Some(500.0)).toDF("v")
+    val out = Sketches.winsorize(df, "v", 0.0, 100.0, 10, 0.2, 0.8)
+      .collect()
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.isNullAt(1) && nullRow.getInt(2) == 0)
+    val empty = Sketches.winsorize(
+      Seq.empty[Option[Double]].toDF("v"), "v", 0.0, 100.0, 10, 0.2, 0.8)
+    assert(empty.columns.toSeq == Seq("v", "v_w", "_clamped"))
+    assert(empty.count() == 0)
+  }
 }
