@@ -316,4 +316,60 @@ object TextAnalysis {
       } finally c1.unpersist()
     } finally base.unpersist()
   }
+
+  /** Longest contaminated SPAN per eval document — the depth gauge the
+    * set-overlap decontamination passes (exact q43, fuzzy q90) cannot
+    * provide: "eval doc E shares 60% of its shingles with training"
+    * and "eval doc E appears verbatim for 400 characters" are very
+    * different findings, and benchmark-leakage audits need the second.
+    *
+    * Diagonal run-length over positional shingles: both sides emit
+    * `(id, pos, hash)` triples (60-bit md5 tokens — no text crosses
+    * any exchange); matches join on the hash; a verbatim common
+    * substring of length L appears as L−n+1 consecutive matches on
+    * one DIAGONAL (epos − tpos constant), so the span is a
+    * gaps-and-islands run length inside the (eval, train, diag)
+    * window — `epos − row_number()` constant within a run. Per eval
+    * doc the best (longest, lowest-train-id) span is reported if it
+    * reaches `minSpan` shingles.
+    *
+    * Scale: the eval side is benchmark-sized by assumption (thousands
+    * of docs); the train side streams through one hash equi-join —
+    * the same index shape as exact decontamination — and only
+    * MATCHING positions reach the window, whose partitions are
+    * (eval, train, diag)-bounded. Returns
+    * (eval id, train id, span_shingles, span_chars).
+    */
+  def contaminationSpans(train: DataFrame, trainIdCol: String,
+      eval: DataFrame, evalIdCol: String, textCol: String,
+      shingleSize: Int, minSpan: Int): DataFrame = {
+    require(shingleSize >= 2 && minSpan >= 1,
+      s"bad span parameters ($shingleSize, $minSpan)")
+    def positional(df: DataFrame, idCol: String, idAs: String,
+        posAs: String): DataFrame =
+      df.select(col(idCol).as(idAs),
+          posexplode(charNGrams(col(textCol), shingleSize))
+            .as(Seq(posAs, "_g")))
+        .select(col(idAs), col(posAs), md5Hash60(col("_g")).as("_h"))
+    val tsh = positional(graft.sources.Tables.widen(train), trainIdCol,
+      "_tid", "_tpos")
+    val esh = positional(eval, evalIdCol, "_eid", "_epos")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_eid"), col("_tid"), col("_diag"))
+      .orderBy(col("_epos"))
+    val runs = esh.join(tsh, Seq("_h"))
+      .withColumn("_diag", col("_epos") - col("_tpos"))
+      .withColumn("_run", col("_epos") - row_number().over(w))
+      .groupBy(col("_eid"), col("_tid"), col("_diag"), col("_run"))
+      .agg(count(lit(1)).as("_span"))
+      .where(col("_span") >= minSpan)
+    runs
+      .groupBy(col("_eid"))
+      .agg(max(struct(col("_span").as("s"), (-col("_tid")).as("nt"))).as("_best"))
+      .select(col("_eid").as("eval_id"),
+        (-col("_best.nt")).cast("long").as("train_id"),
+        col("_best.s").cast("long").as("span_shingles"),
+        (col("_best.s") + (shingleSize - 1)).cast("long").as("span_chars"))
+      .orderBy(col("eval_id"))
+  }
 }

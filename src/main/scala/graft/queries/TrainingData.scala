@@ -2529,7 +2529,81 @@ object TrainingData {
       |FROM ordered o JOIN plan p USING (source)
       |ORDER BY o.doc_id""".stripMargin
 
+  /** Longest contaminated span per eval document
+    * ([[graft.operators.TextAnalysis.contaminationSpans]]): diagonal
+    * run-length over positional shingles — the depth gauge behind the
+    * set-overlap decontamination passes. Three planted eval families:
+    * verbatim 150-char excerpts (one long span, must dominate),
+    * two-source concatenations (two spans from two train docs — the
+    * longest/lowest-id one must win), and reversed documents (no
+    * 7-gram survives reversal: must be absent). The oracle replays
+    * positions, diagonals, run ids, and the best-span tie-break.
+    */
+  def q129ContaminationSpans(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val evA = docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 400000).as("eval_id"),
+        expr("substring(text, 21, 150)").as("text"))
+    val d2 = docs.select(col("doc_id").as("d2"), col("text").as("t2"))
+    val evB = docs.where(col("doc_id") >= 20 && col("doc_id") < 40)
+      .join(d2, col("d2") === col("doc_id") + 1)
+      .select((col("doc_id") + 500000).as("eval_id"),
+        concat(expr("substring(text, 1, 60)"), lit("|"),
+          expr("substring(t2, 1, 60)")).as("text"))
+    val evC = docs.where(col("doc_id") >= 40 && col("doc_id") < 50)
+      .select((col("doc_id") + 600000).as("eval_id"),
+        reverse(col("text")).as("text"))
+    graft.operators.TextAnalysis.contaminationSpans(
+      docs, "doc_id", evA.unionByName(evB).unionByName(evC), "eval_id",
+      "text", shingleSize = 7, minSpan = 10)
+  }
+
+  val q129Sql: String =
+    """WITH ev AS (
+      |  SELECT doc_id + 400000 AS eid, substr(text, 21, 150) AS t
+      |  FROM documents WHERE doc_id < 20
+      |  UNION ALL
+      |  SELECT d1.doc_id + 500000,
+      |    substr(d1.text, 1, 60) || '|' || substr(d2.text, 1, 60)
+      |  FROM documents d1 JOIN documents d2 ON d2.doc_id = d1.doc_id + 1
+      |  WHERE d1.doc_id >= 20 AND d1.doc_id < 40
+      |  UNION ALL
+      |  SELECT doc_id + 600000, reverse(text)
+      |  FROM documents WHERE doc_id >= 40 AND doc_id < 50),
+      |tsh AS (
+      |  SELECT doc_id AS tid, u.pos AS tpos, u.h FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, length(text) - 7 + 2),
+      |      i -> {'pos': i - 1,
+      |            'h': ('0x'||substr(md5(substr(text, i, 7)),1,15))::BIGINT}))
+      |      AS u
+      |    FROM documents WHERE length(text) >= 7)),
+      |esh AS (
+      |  SELECT eid, u.pos AS epos, u.h FROM (
+      |    SELECT eid, unnest(list_transform(range(1, length(t) - 7 + 2),
+      |      i -> {'pos': i - 1,
+      |            'h': ('0x'||substr(md5(substr(t, i, 7)),1,15))::BIGINT}))
+      |      AS u
+      |    FROM ev WHERE length(t) >= 7)),
+      |m AS (
+      |  SELECT e.eid, t.tid, e.epos, e.epos - t.tpos AS diag
+      |  FROM esh e JOIN tsh t ON e.h = t.h),
+      |r AS (
+      |  SELECT *, epos - row_number() OVER (PARTITION BY eid, tid, diag
+      |    ORDER BY epos) AS run
+      |  FROM m),
+      |sp AS (
+      |  SELECT eid, tid, CAST(count(*) AS BIGINT) AS span
+      |  FROM r GROUP BY eid, tid, diag, run HAVING count(*) >= 10),
+      |best AS (
+      |  SELECT eid, tid, span,
+      |    row_number() OVER (PARTITION BY eid ORDER BY span DESC, tid) AS rk
+      |  FROM sp)
+      |SELECT eid AS eval_id, CAST(tid AS BIGINT) AS train_id,
+      |  span AS span_shingles, CAST(span + 6 AS BIGINT) AS span_chars
+      |FROM best WHERE rk = 1 ORDER BY eval_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q129_contamination_spans" -> q129ContaminationSpans _,
     "q125_epoch_mix"      -> q125EpochMix _,
     "q113_bigram_lm"      -> q113BigramLm _,
     "q112_exact_jaccard"  -> q112ExactJaccard _,
@@ -2595,6 +2669,7 @@ object TrainingData {
     "q102_chunk_docs"    -> q102Sql,
     "q99_weighted_sample" -> q99Sql,
     "q125_epoch_mix"      -> q125Sql,
+    "q129_contamination_spans" -> q129Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,

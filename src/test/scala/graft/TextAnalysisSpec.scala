@@ -487,4 +487,44 @@ class MultimodalSpec extends SparkSpec {
     assert(scores.size == 9)
     assert(scores(1L) > scores(100L))
   }
+
+  test("contamination spans: exact diagonal run lengths, best-span tiebreak") {
+    import spark.implicits._
+    val az = ('a' to 'z').mkString            // 26 chars
+    val AZ = ('A' to 'Z').mkString
+    val digitsEtc = "0123456789!@#$%^&*()_+-=[]{};:,.<>/?~`|\\\"'"
+    val train = Seq(
+      (1L, az + digitsEtc),                    // spans vs evals 10/12
+      (2L, az)).toDF("doc_id", "text")         // same az prefix, higher id
+    val eval = Seq(
+      // whole az embedded at offset 3: longest run = 26-4+1 = 23 shingles;
+      // train 1 and train 2 both match -> tiebreak to train 1
+      (10L, "XYZ" + az + "QQQQ"),
+      // two disjoint spans: az (23 shingles) and digits (len 43 -> 40),
+      // digits only in train 1 -> best is the 40-shingle digits span
+      (11L, az + "||||" + digitsEtc),
+      // clean doc: no 4-gram in common
+      (12L, AZ)).toDF("eval_id", "text")
+    val got = TextAnalysis.contaminationSpans(
+        train, "doc_id", eval, "eval_id", "text", shingleSize = 4, minSpan = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.keySet == Set(10L, 11L))
+    assert(got(10L) == ((1L, 23L, 26L)))
+    assert(got(11L) == ((1L, digitsEtc.length - 3L, digitsEtc.length.toLong)))
+  }
+
+  test("contamination spans: a repeated shingle does not bridge a gap") {
+    import spark.implicits._
+    // eval = two copies of the same 8-char block separated by noise:
+    // runs stay on separate diagonals, each 5 shingles (8-4+1), never 10
+    val block = "abcdefgh"
+    val train = Seq((1L, block)).toDF("doc_id", "text")
+    val eval = Seq((9L, block + "-!-" + block)).toDF("eval_id", "text")
+    val got = TextAnalysis.contaminationSpans(
+        train, "doc_id", eval, "eval_id", "text", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got == Map(9L -> 5L))
+  }
 }
