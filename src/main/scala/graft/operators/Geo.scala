@@ -247,6 +247,45 @@ object Geo {
       .orderBy(col("a_track"), col("b_track"))
   }
 
+  /** Track resampling: the irregular fix stream regularized onto an
+    * absolute time grid (every `stepUs` microseconds, grid points
+    * aligned to multiples of the step) by as-of fill — each slot
+    * carries the most recent fix at or before it plus its staleness.
+    * Telemetry arrives whenever the tag phones home; models and maps
+    * want positions on a uniform clock — this is the bridge, and it
+    * reuses the engine's as-of machinery
+    * ([[graft.operators.AsOfJoin.asOfJoin]]: one union + keyed window,
+    * never a per-slot lookup join). Slots span each track's own
+    * [first fix, last fix] interval, so every emitted slot has a fix
+    * to inherit (no NULL positions by construction).
+    *
+    * Scale: the grid is generated per track with `sequence` + explode
+    * (span div step rows per track, no driver involvement), and the
+    * as-of is the single-exchange union-window shape on the track key.
+    */
+  def resampleTracks(events: DataFrame, trackCol: String, tsCol: String,
+      idCol: String, stepUs: Long): DataFrame = {
+    require(stepUs > 0, s"stepUs must be positive, got $stepUs")
+    val pos = walkPositions(events, trackCol, tsCol, idCol)
+      .select(col(trackCol), unix_micros(col(tsCol)).as("fus"),
+        col("x"), col("y"))
+    val grid = pos.groupBy(col(trackCol))
+      .agg(min(col("fus")).as("_lo"), max(col("fus")).as("_hi"))
+      .withColumn("_k0", expr(s"(_lo + ${stepUs - 1}) div $stepUs"))
+      .withColumn("_k1", expr(s"_hi div $stepUs"))
+      // a span containing no grid point yields no slots (sequence with
+      // start > stop would DESCEND, not empty out)
+      .where(col("_k0") <= col("_k1"))
+      .select(col(trackCol),
+        explode(sequence(col("_k0"), col("_k1"))).as("_k"))
+      .select(col(trackCol), (col("_k") * stepUs).as("slot_us"))
+    AsOfJoin.asOfJoin(grid, pos, Seq(trackCol), "slot_us", "fus",
+        rightPayload = Seq("x", "y"))
+      .select(col(trackCol), col("slot_us"), col("x"), col("y"),
+        (col("slot_us") - col("asof_ts")).as("age_us"))
+      .orderBy(col(trackCol), col("slot_us"))
+  }
+
   /** Nearest-facility assignment: each point gets the id of (and squared
     * distance to) its closest station, ties to the lowest station id.
     *

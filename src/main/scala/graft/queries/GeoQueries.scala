@@ -401,7 +401,38 @@ object GeoQueries {
        |FROM d WHERE m <= 400
        |ORDER BY a_track, b_track""".stripMargin
 
+  /** Track resampling onto a daily grid: the irregular fix stream
+    * regularized by as-of fill (most recent position at or before each
+    * absolute day boundary, plus staleness). Spark uses the engine's
+    * union+keyed-window as-of machinery; the oracle answers with
+    * DuckDB's native ASOF JOIN — two entirely different as-of
+    * algorithms that must agree on every slot, including exact-tie
+    * slots (fix precisely on a boundary) and staleness arithmetic.
+    */
+  def q130ResampleTracks(s: SparkSession, dir: String): DataFrame =
+    Geo.resampleTracks(Tables.events(s, dir), "user_id", "ts", "event_id",
+      stepUs = 86400000000L)
+
+  val q130Sql: String =
+    s"""WITH $walkCte,
+       |p AS (SELECT user_id, epoch_us(ts) AS fus, x, y FROM pos),
+       |span AS (
+       |  SELECT user_id, min(fus) AS lo, max(fus) AS hi
+       |  FROM p GROUP BY user_id),
+       |grid AS (
+       |  SELECT user_id,
+       |    unnest(range((lo + 86399999999) // 86400000000,
+       |                 hi // 86400000000 + 1)) * 86400000000 AS slot_us
+       |  FROM span)
+       |SELECT g.user_id, g.slot_us,
+       |  CAST(f.x AS BIGINT) AS x, CAST(f.y AS BIGINT) AS y,
+       |  g.slot_us - f.fus AS age_us
+       |FROM grid g ASOF JOIN p f
+       |  ON g.user_id = f.user_id AND g.slot_us >= f.fus
+       |ORDER BY g.user_id, g.slot_us""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q130_resample_tracks" -> q130ResampleTracks _,
     "q127_trajectory_similarity" -> q127TrajectorySimilarity _,
     "q115_spatial_join"    -> q115SpatialJoin _,
     "q116_trajectory_stats" -> q116TrajectoryStats _,
@@ -414,6 +445,7 @@ object GeoQueries {
     "q124_geofence_alerts" -> q124GeofenceAlerts _)
 
   val oracle: Map[String, String] = Map(
+    "q130_resample_tracks" -> q130Sql,
     "q127_trajectory_similarity" -> q127Sql,
     "q115_spatial_join"    -> q115Sql,
     "q116_trajectory_stats" -> q116Sql,

@@ -281,6 +281,33 @@ class GeoSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("resampleTracks: as-of fill equals a direct per-slot recompute") {
+    val step = 3600000000L // 1 hour; fixture fixes are 1 min apart
+    val byUser = Geo.walkPositions(events, "user_id", "ts", "event_id")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("x"), col("y"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.sortBy(_._2) }
+    val expected = byUser.flatMap { case (u, rows) =>
+      val lo = rows.head._2
+      val hi = rows.last._2
+      val k0 = (lo + step - 1) / step
+      val k1 = hi / step
+      (k0 to k1).map { k =>
+        val slot = k * step
+        val fix = rows.takeWhile(_._2 <= slot).last
+        (u, slot, fix._3, fix._4, slot - fix._2)
+      }
+    }.toSet
+    val got = Geo.resampleTracks(events, "user_id", "ts", "event_id", step)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(expected.nonEmpty, "fixture produced no slots — tune step")
+    assert(got == expected)
+  }
+
   test("homeRange core cells cover half the fixes with the fewest cells") {
     val cellSize = 40L
     val byUser = Geo.walkPositions(events, "user_id", "ts", "event_id")
