@@ -42,4 +42,50 @@ object Privacy {
     require(missing.isEmpty, s"pseudonymize: absent columns $missing")
     cols.foldLeft(df)((d, c) => d.withColumn(c, token(col(c), salt)))
   }
+
+  /** Per-row k-anonymity generalization over a numeric quasi-identifier
+    * with a coarsening ladder — the release-gating complement of
+    * [[pseudonymize]]: tokens stop direct identification, but a rare
+    * COMBINATION of quasi-identifiers (nation × segment × precise
+    * balance) still singles a person out. Local generalization assigns
+    * each row the FINEST ladder level at which its generalized group
+    * `(categorical QIs, floor(value / divisor))` reaches `k` members;
+    * rows that stay unique even at the coarsest level are suppressed
+    * (`level = -1`, NULL generalized value) — exactly the
+    * Samarati/Sweeney k-anonymity model, per-row instead of
+    * whole-table so well-populated regions keep their precision.
+    *
+    * Shape: the corpus explodes by the ladder (|levels| ≤ a handful),
+    * ONE hash aggregate counts every (level, QI-group) — group-
+    * bounded, map-side combined — one join carries the counts back,
+    * and a final row-keyed aggregate takes the min qualifying level
+    * (min over structs, so the generalized value rides along with its
+    * level). Work is |levels| × corpus through two exchanges; nothing
+    * is ever driver-side.
+    *
+    * Returns (idCol, anon_level: int, anon_value: nullable long).
+    */
+  def kAnonymize(df: DataFrame, idCol: String, catCols: Seq[String],
+      valueCol: String, divisors: Seq[Long], k: Int): DataFrame = {
+    require(divisors.nonEmpty && divisors == divisors.sorted &&
+      divisors.distinct == divisors, s"ladder must be ascending: $divisors")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val ladder = array(divisors.zipWithIndex.map { case (d, i) =>
+      struct(lit(i).as("l"), lit(d.toDouble).as("d"))
+    }: _*)
+    val cats = catCols.map(col)
+    val m = df.select((col(idCol) +: col(valueCol) +: cats): _*)
+      .withColumn("_lv", explode(ladder))
+      .select(col(idCol) +: col("_lv.l").as("_l") +:
+        floor(col(valueCol) / col("_lv.d")).cast("long").as("_gv") +: cats: _*)
+    val counts = m.groupBy((col("_l") +: col("_gv") +: cats): _*)
+      .agg(count(lit(1)).as("_cnt"))
+    m.join(counts, Seq("_l", "_gv") ++ catCols)
+      .groupBy(col(idCol))
+      .agg(min(when(col("_cnt") >= k,
+        struct(col("_l").as("l"), col("_gv").as("gv")))).as("_best"))
+      .select(col(idCol),
+        coalesce(col("_best.l"), lit(-1)).cast("int").as("anon_level"),
+        col("_best.gv").as("anon_value"))
+  }
 }

@@ -420,7 +420,42 @@ object EtlQueries {
       |            WHEN v.value > t.th THEN 1 ELSE 0 END AS INT) AS clamped
       |FROM v CROSS JOIN t ORDER BY v.event_id""".stripMargin
 
+  /** Per-row k-anonymity generalization
+    * ([[graft.operators.Privacy.kAnonymize]]): each customer gets the
+    * finest (nation, segment, balance-bucket) coarsening level at
+    * which its group reaches k=5 members, or suppression (-1) if even
+    * the coarsest fails — release gating for quasi-identifier
+    * combinations. The oracle replays the ladder explosion, group
+    * counts, and the min-qualifying-level selection with min_by.
+    */
+  def q131KAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymize(
+        Tables.customer(s, dir), "c_custkey",
+        Seq("c_nationkey", "c_mktsegment"), "c_acctbal",
+        divisors = Seq(100L, 1000L, 10000L), k = 5)
+      .orderBy("c_custkey")
+
+  val q131Sql: String =
+    """WITH m AS (
+      |  SELECT c_custkey, c_nationkey, c_mktsegment, u.l,
+      |    CAST(floor(c_acctbal / u.d) AS BIGINT) AS gv
+      |  FROM customer,
+      |    (SELECT unnest([{'l': 0, 'd': 100.0}, {'l': 1, 'd': 1000.0},
+      |                    {'l': 2, 'd': 10000.0}]) AS u)),
+      |c AS (
+      |  SELECT l, gv, c_nationkey, c_mktsegment, count(*) AS cnt
+      |  FROM m GROUP BY l, gv, c_nationkey, c_mktsegment),
+      |j AS (
+      |  SELECT m.c_custkey, m.l, m.gv, c.cnt
+      |  FROM m JOIN c USING (l, gv, c_nationkey, c_mktsegment))
+      |SELECT c_custkey,
+      |  CAST(coalesce(min(l) FILTER (cnt >= 5), -1) AS INT) AS anon_level,
+      |  min_by(gv, l) FILTER (cnt >= 5) AS anon_value
+      |FROM j GROUP BY c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q131_k_anonymity" -> q131KAnonymity _,
     "q128_winsorize"  -> q128Winsorize _,
     "q126_dq_audit"   -> q126DqAudit _,
     "q14_date_rescue" -> q14DateRescue _,
@@ -433,6 +468,7 @@ object EtlQueries {
     "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
+    "q131_k_anonymity" -> q131Sql,
     "q128_winsorize"  -> q128Sql,
     "q126_dq_audit"   -> q126Sql,
     "q14_date_rescue" -> q14Sql,

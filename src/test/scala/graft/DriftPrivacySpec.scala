@@ -62,4 +62,46 @@ class DriftPrivacySpec extends SparkSpec {
       Privacy.pseudonymize(Seq("a").toDF("x"), Seq("nope"), "s")
     }
   }
+
+  test("kAnonymize: finest qualifying level per row, suppression at -1") {
+    // cat group A: 5 rows in bucket 0 at level 0 (values 0..49, /100)
+    //   -> all qualify at level 0
+    // cat group B: values 0,100,200,300,400 -> singleton buckets at
+    //   level 0, one bucket of 5 at level 1 (/1000)
+    // cat group C: 1 row -> unique even at the coarsest level: suppressed
+    val rows =
+      (1L to 5L).map(i => (i, "A", (i * 10 - 10).toDouble)) ++
+      (6L to 10L).map(i => (i, "B", ((i - 6) * 100).toDouble)) ++
+      Seq((11L, "C", 42.0))
+    val df = rows.toDF("id", "cat", "v")
+    val got = Privacy.kAnonymize(df, "id", Seq("cat"), "v",
+        Seq(100L, 1000L, 10000L), k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getInt(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    (1L to 5L).foreach(i => assert(got(i) == ((0, Some(0L))), s"row $i"))
+    (6L to 10L).foreach(i => assert(got(i) == ((1, Some(0L))), s"row $i"))
+    assert(got(11L) == ((-1, None)))
+  }
+
+  test("kAnonymize: negative values floor toward -inf, ladder validated") {
+    val df = ((1L to 4L).map(i => (i, "A", -50.0)) ++
+      (5L to 8L).map(i => (i, "A", 50.0))).toDF("id", "cat", "v")
+    // level 0 buckets: -1 (4 rows) and 0 (4 rows) -> neither reaches 5;
+    // level 1 (/1000): all 8 in bucket -1? no: floor(-50/1000) = -1,
+    // floor(50/1000) = 0 -> still split 4/4; level 2 (/10000): same
+    // split -> ALL suppressed with k=5
+    val got = Privacy.kAnonymize(df, "id", Seq("cat"), "v",
+        Seq(100L, 1000L, 10000L), k = 5)
+      .collect().map(r => r.getInt(1))
+    assert(got.forall(_ == -1))
+    // with k=4 everyone qualifies at level 0
+    val g4 = Privacy.kAnonymize(df, "id", Seq("cat"), "v",
+        Seq(100L, 1000L, 10000L), k = 4)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSet
+    assert(g4 == Set((0, -1L), (0, 0L)))
+    intercept[IllegalArgumentException] {
+      Privacy.kAnonymize(df, "id", Seq("cat"), "v", Seq(1000L, 100L), 5)
+    }
+  }
 }
