@@ -75,4 +75,35 @@ object Linkage {
     df.groupBy(col(blockCol)).count()
       .filter(col("count") > maxBlockSize)
       .select(col(blockCol), col("count").as("n"))
+
+  /** Survivorship: collapse each match cluster to ONE golden record —
+    * the consolidation step after [[blockedFuzzyPairs]] has said which
+    * rows are the same real-world entity. Per payload column the
+    * surviving value is the most recent NON-NULL one (revision order,
+    * id tiebreak): a newer record with a missing phone number must not
+    * erase the older record's phone — per-COLUMN survivorship, the MDM
+    * "best of breed" rule, not per-row winner-takes-all.
+    *
+    * Mechanics: one hash aggregate per cluster;
+    * `max(when(nonNull, struct(rev, id, value)))` per column picks the
+    * latest non-null deterministically under any partitioning (rev+id
+    * is a total order; all-NULL columns survive as NULL). The cluster
+    * id and member count ride along for lineage. One exchange on the
+    * cluster key, map-side combined — at 100 TB this is a plain
+    * aggregate, no window, no sort.
+    */
+  def goldenRecords(df: DataFrame, clusterCol: String, revCol: String,
+      idCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "goldenRecords: no payload columns")
+    val aggs =
+      count(lit(1)).as("n_members") +:
+        min(col(idCol)).as("canonical_id") +:
+        cols.map { c =>
+          max(when(col(c).isNotNull,
+            struct(col(revCol).as("r"), col(idCol).as("i"), col(c).as("v"))))
+            .getField("v").as(c)
+        }
+    df.groupBy(col(clusterCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -454,7 +454,65 @@ object EtlQueries {
       |FROM j GROUP BY c_custkey
       |ORDER BY c_custkey""".stripMargin
 
+  /** Survivorship / golden records
+    * ([[graft.operators.Linkage.goldenRecords]]): the consolidation
+    * step after fuzzy linkage — each match cluster collapses to one
+    * record whose every column holds the most recent NON-NULL value
+    * (a newer revision with a missing field must not erase an older
+    * field). Clusters here are customers with two planted revisions
+    * (one updates the balance but nulls the segment, a newer one
+    * updates the name but nulls everything else), so the golden
+    * record mixes three revisions. The oracle replays per-column
+    * survivorship with max_by over a (rev, id)-monotone key + FILTER.
+    */
+  def q133GoldenRecords(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val base = c.select(col("c_custkey").as("cluster"), lit(0L).as("rev"),
+      col("c_custkey").as("rid"), col("c_name"), col("c_acctbal"),
+      col("c_mktsegment"))
+    val dup = c.where(col("c_custkey") % 300 === 7)
+    val v1 = dup.select(col("c_custkey").as("cluster"), lit(1L).as("rev"),
+      (col("c_custkey") + 10000000).as("rid"),
+      lit(null).cast("string").as("c_name"),
+      (col("c_acctbal") + 100.0).as("c_acctbal"),
+      lit(null).cast("string").as("c_mktsegment"))
+    val v2 = dup.select(col("c_custkey").as("cluster"), lit(2L).as("rev"),
+      (col("c_custkey") + 20000000).as("rid"),
+      concat(col("c_name"), lit(" Jr")).as("c_name"),
+      lit(null).cast("double").as("c_acctbal"),
+      lit(null).cast("string").as("c_mktsegment"))
+    graft.operators.Linkage.goldenRecords(
+        base.unionByName(v1).unionByName(v2), "cluster", "rev", "rid",
+        Seq("c_name", "c_acctbal", "c_mktsegment"))
+      .orderBy("cluster")
+  }
+
+  val q133Sql: String =
+    """WITH m AS (
+      |  SELECT c_custkey AS cluster, 0 AS rev, c_custkey AS rid,
+      |    c_name, c_acctbal, c_mktsegment
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 1, c_custkey + 10000000,
+      |    NULL, c_acctbal + 100.0, NULL
+      |  FROM customer WHERE c_custkey % 300 = 7
+      |  UNION ALL
+      |  SELECT c_custkey, 2, c_custkey + 20000000,
+      |    c_name || ' Jr', NULL, NULL
+      |  FROM customer WHERE c_custkey % 300 = 7)
+      |SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+      |  min(rid) AS canonical_id,
+      |  max_by(c_name, rev * 100000000 + rid)
+      |    FILTER (c_name IS NOT NULL) AS c_name,
+      |  max_by(c_acctbal, rev * 100000000 + rid)
+      |    FILTER (c_acctbal IS NOT NULL) AS c_acctbal,
+      |  max_by(c_mktsegment, rev * 100000000 + rid)
+      |    FILTER (c_mktsegment IS NOT NULL) AS c_mktsegment
+      |FROM m GROUP BY cluster
+      |ORDER BY cluster""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q133_golden_records" -> q133GoldenRecords _,
     "q131_k_anonymity" -> q131KAnonymity _,
     "q128_winsorize"  -> q128Winsorize _,
     "q126_dq_audit"   -> q126DqAudit _,
@@ -468,6 +526,7 @@ object EtlQueries {
     "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
+    "q133_golden_records" -> q133Sql,
     "q131_k_anonymity" -> q131Sql,
     "q128_winsorize"  -> q128Sql,
     "q126_dq_audit"   -> q126Sql,

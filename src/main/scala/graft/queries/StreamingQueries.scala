@@ -213,7 +213,49 @@ object StreamingQueries {
        |ORDER BY window_start, category""".stripMargin
   }
 
+  /** OHLC + time-weighted-average downsampling
+    * ([[graft.operators.Downsample.ohlcTwa]]): the events stream
+    * condensed to hourly bars per event_type. The TWA weighs each
+    * reading by how long it held (a once-an-hour sensor must not be
+    * out-voted by a once-a-second one); it is fixed-point integer end
+    * to end (micro-units × µs durations in DECIMAL(38,0), one floor
+    * division), and open/close are (ts, id)-ordered struct extremes —
+    * no first() nondeterminism. The oracle replays hold durations via
+    * lead, the integer accumulation, and both bar edges.
+    */
+  def q132OhlcTwa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Downsample.ohlcTwa(
+      Tables.events(s, dir), "event_type", "ts", "event_id", "value",
+      windowUs = 3600000000L)
+
+  val q132Sql: String =
+    """WITH b AS (
+      |  SELECT event_type AS k, epoch_us(ts) AS us, event_id AS id, value AS v,
+      |    epoch_us(ts) - epoch_us(ts) % 3600000000 AS w
+      |  FROM events),
+      |d AS (
+      |  SELECT *, coalesce(lead(us) OVER (PARTITION BY k, w ORDER BY us, id),
+      |    w + 3600000000) - us AS dur
+      |  FROM b),
+      |d2 AS (
+      |  SELECT *,
+      |    row_number() OVER (PARTITION BY k, w ORDER BY us, id) AS rn,
+      |    row_number() OVER (PARTITION BY k, w ORDER BY us DESC, id DESC)
+      |      AS rrn
+      |  FROM d)
+      |SELECT k AS event_type, w AS window_us,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  max(CASE WHEN rn = 1 THEN v END) AS open,
+      |  max(v) AS high, min(v) AS low,
+      |  max(CASE WHEN rrn = 1 THEN v END) AS close,
+      |  CAST(sum(CAST(CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |               AS HUGEINT) * dur)
+      |       // sum(dur) AS BIGINT) AS twa_micros
+      |FROM d2 GROUP BY k, w
+      |ORDER BY event_type, window_us""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q132_ohlc_twa"       -> q132OhlcTwa _,
     "q58_stream_static"   -> q58StreamStatic _,
     "q26_tumbling_window" -> q26TumblingWindow _,
     "q27_sessionize"      -> q27Sessionize _,
@@ -222,6 +264,7 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q132_ohlc_twa"       -> q132Sql,
     "q58_stream_static"   -> q58Sql,
     "q26_tumbling_window" -> q26Sql,
     "q27_sessionize"      -> q27Sql,

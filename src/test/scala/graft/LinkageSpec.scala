@@ -50,4 +50,37 @@ class LinkageSpec extends SparkSpec {
     // the planted near variants must link (every 7th customer)
     assert(df.filter(col("id_b") >= 100000 && col("id_b") < 200000).count() > 0)
   }
+
+  test("goldenRecords: per-column latest non-null, not per-row winner") {
+    import spark.implicits._
+    val rows = Seq(
+      // cluster 1: three revisions, each nulling something
+      (1L, 0L, 10L, Some("alice"), Some(5.0), Some("A")),
+      (1L, 1L, 11L, None: Option[String], Some(7.5), None: Option[String]),
+      (1L, 2L, 12L, Some("alice b"), None: Option[Double], None: Option[String]),
+      // cluster 2: single member
+      (2L, 0L, 20L, Some("bob"), None: Option[Double], Some("B")),
+      // cluster 3: a column that is NULL in every revision stays NULL
+      (3L, 0L, 30L, None: Option[String], Some(1.0), None: Option[String]),
+      (3L, 1L, 31L, None: Option[String], Some(2.0), None: Option[String]))
+      .toDF("cluster", "rev", "rid", "name", "bal", "seg")
+    val got = Linkage.goldenRecords(rows, "cluster", "rev", "rid",
+        Seq("name", "bal", "seg"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)), Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(got(1L) == ((3L, 10L, Some("alice b"), Some(7.5), Some("A"))))
+    assert(got(2L) == ((1L, 20L, Some("bob"), None, Some("B"))))
+    assert(got(3L) == ((2L, 30L, None, Some(2.0), None)))
+  }
+
+  test("goldenRecords: rev ties break by id deterministically") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, 5L, 100L, Some("x")),
+      (1L, 5L, 200L, Some("y"))) // same rev: higher id wins
+      .toDF("cluster", "rev", "rid", "name")
+    val got = Linkage.goldenRecords(rows, "cluster", "rev", "rid", Seq("name"))
+      .collect().head
+    assert(got.getString(3) == "y")
+  }
 }
