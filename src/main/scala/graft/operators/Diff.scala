@@ -68,4 +68,55 @@ object Diff {
       .filter(col("change").isNotNull)
       .select(keyCols.map(col) :+ col("change"): _*)
   }
+
+  /** Apply a CDC change feed to a base snapshot — the write side of
+    * [[snapshotDiff]]: given per-key changes (`op` ∈ I/U/D with a
+    * per-key sequence number), produce the resulting snapshot. The
+    * LAST change per key wins ('I' and 'U' both mean "row becomes
+    * these values" — upsert semantics, so a replayed or re-ordered
+    * feed converges; 'D' means gone, and a later 'U' resurrects). A
+    * key with no change passes through; a 'D' for an absent key is a
+    * no-op.
+    *
+    * Mechanics: the feed collapses to one row per key with a single
+    * max-over-structs aggregate (seq leads the struct, so it must be
+    * unique per key — the CDC log position; ties would fall to op/
+    * value order, deterministic but meaningless, hence the require),
+    * then ONE full-outer join against the base decides
+    * keep/replace/drop/insert per key. Exchanges carry the key plus
+    * final values exactly once each side; nothing is driver-bounded
+    * and there is no per-change iteration — a million-row feed
+    * against a 100 TB table is one aggregate and one join.
+    */
+  def applyChanges(base: DataFrame, changes: DataFrame,
+      keyCols: Seq[String], seqCol: String, opCol: String,
+      valueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && valueCols.nonEmpty,
+      "applyChanges: keyCols and valueCols must be non-empty")
+    val keys = keyCols.map(col)
+    val latest = changes
+      .groupBy(keys: _*)
+      .agg(
+        max(struct((col(seqCol).as("_seq") +: col(opCol).as("_op") +:
+          valueCols.map(c => col(c).as(c))): _*)).as("_c"),
+        count(lit(1)).as("_nc"),
+        countDistinct(col(seqCol)).as("_ns"))
+      // guard rides inside the consumed column (a free-standing column
+      // would be pruned away and never evaluated)
+      .withColumn("_c", coalesce(
+        when(col("_nc") =!= col("_ns"),
+          raise_error(lit("applyChanges: duplicate sequence number for a key"))),
+        col("_c")))
+      .drop("_nc", "_ns")
+    val b = base.select((keys :+ lit(true).as("_in_base")) ++
+      valueCols.map(c => col(c).as(s"_b_$c")): _*)
+    b.join(latest, keyCols, "full_outer")
+      .where(
+        // drop: latest op is D (whether or not the key existed)
+        col("_c").isNull || col("_c._op") =!= "D")
+      .select(keys ++ valueCols.map { c =>
+        when(col("_c").isNotNull, col(s"_c.$c"))
+          .otherwise(col(s"_b_$c")).as(c)
+      }: _*)
+  }
 }

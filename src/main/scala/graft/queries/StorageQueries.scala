@@ -594,7 +594,88 @@ object StorageQueries {
        |GROUP BY o_custkey
        |ORDER BY o_custkey""".stripMargin
 
+  /** CDC apply ([[graft.operators.Diff.applyChanges]]): the write side
+    * of the q100 snapshot diff — a change feed (I/U/D with per-key
+    * sequence numbers) folded into the orders snapshot as one
+    * max-over-structs aggregate plus one full-outer join. The feed
+    * plants every interesting lifecycle: double update (last wins),
+    * plain delete, insert in the negative key space, delete-then-
+    * resurrect, update-then-delete. The oracle computes the final
+    * state independently (row_number DESC + full outer join) — any
+    * divergence in last-wins, resurrection, or passthrough shows as a
+    * row diff.
+    */
+  def q134CdcApply(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir).select(col("o_orderkey"),
+      col("o_custkey"), col("o_totalprice"), col("o_orderstatus"))
+    def ch(m: Int, seq: Int, op: String, negKey: Boolean, delta: Double) =
+      o.where(col("o_orderkey") % 400 === m).select(
+        (if (negKey) -col("o_orderkey") - 1 else col("o_orderkey"))
+          .as("o_orderkey"),
+        lit(seq.toLong).as("seq"), lit(op).as("op"), col("o_custkey"),
+        (col("o_totalprice") + delta).as("o_totalprice"),
+        col("o_orderstatus"))
+    val changes = Seq(
+      ch(1, 1, "U", negKey = false, 50.0),
+      ch(1, 2, "U", negKey = false, 100.0),
+      ch(2, 1, "D", negKey = false, 0.0),
+      ch(3, 1, "I", negKey = true, 0.0),
+      ch(5, 1, "D", negKey = false, 0.0),
+      ch(5, 2, "U", negKey = false, 7.0),
+      ch(6, 1, "U", negKey = false, 3.0),
+      ch(6, 2, "D", negKey = false, 0.0)).reduce(_ unionByName _)
+    graft.operators.Diff.applyChanges(o, changes, Seq("o_orderkey"),
+        "seq", "op", Seq("o_custkey", "o_totalprice", "o_orderstatus"))
+      .orderBy("o_orderkey")
+  }
+
+  val q134Sql: String =
+    """WITH b AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+      |  FROM orders),
+      |ch AS (
+      |  SELECT o_orderkey, 1 AS seq, 'U' AS op, o_custkey,
+      |    o_totalprice + 50.0 AS o_totalprice, o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 1
+      |  UNION ALL SELECT o_orderkey, 2, 'U', o_custkey,
+      |    o_totalprice + 100.0, o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 1
+      |  UNION ALL SELECT o_orderkey, 1, 'D', o_custkey, o_totalprice,
+      |    o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 2
+      |  UNION ALL SELECT -o_orderkey - 1, 1, 'I', o_custkey, o_totalprice,
+      |    o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 3
+      |  UNION ALL SELECT o_orderkey, 1, 'D', o_custkey, o_totalprice,
+      |    o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 5
+      |  UNION ALL SELECT o_orderkey, 2, 'U', o_custkey,
+      |    o_totalprice + 7.0, o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 5
+      |  UNION ALL SELECT o_orderkey, 1, 'U', o_custkey,
+      |    o_totalprice + 3.0, o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 6
+      |  UNION ALL SELECT o_orderkey, 2, 'D', o_custkey, o_totalprice,
+      |    o_orderstatus
+      |  FROM b WHERE o_orderkey % 400 = 6),
+      |l AS (
+      |  SELECT *, row_number() OVER (PARTITION BY o_orderkey
+      |    ORDER BY seq DESC) AS rn
+      |  FROM ch),
+      |last AS (SELECT * FROM l WHERE rn = 1)
+      |SELECT o_orderkey,
+      |  CASE WHEN last.op IS NOT NULL THEN last.o_custkey
+      |       ELSE b.o_custkey END AS o_custkey,
+      |  CASE WHEN last.op IS NOT NULL THEN last.o_totalprice
+      |       ELSE b.o_totalprice END AS o_totalprice,
+      |  CASE WHEN last.op IS NOT NULL THEN last.o_orderstatus
+      |       ELSE b.o_orderstatus END AS o_orderstatus
+      |FROM b FULL OUTER JOIN last USING (o_orderkey)
+      |WHERE last.op IS NULL OR last.op <> 'D'
+      |ORDER BY o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q134_cdc_apply"       -> q134CdcApply _,
     "q123_incremental_mv"  -> q123IncrementalMv _,
     "q111_partition_ttl"   -> q111PartitionTtl _,
     "q110_snapshot_append" -> q110SnapshotAppend _,
@@ -611,6 +692,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q134_cdc_apply"       -> q134Sql,
     "q123_incremental_mv"  -> q123Sql,
     "q111_partition_ttl"   -> q111Sql,
     "q110_snapshot_append" -> q110Sql,

@@ -68,4 +68,47 @@ class DiffSpec extends SparkSpec {
       .filter(col("id") < 1000).collect().map(_.getLong(0)).toSet
     assert(keptAppended == kept3)
   }
+
+  test("applyChanges: last-wins, resurrect, insert, delete, passthrough") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (1L, 1L, "U", "a1", 11.0),  // then superseded:
+      (1L, 2L, "U", "a2", 12.0),  //   last wins
+      (2L, 1L, "D", "", 0.0),     // delete
+      (3L, 1L, "D", "", 0.0),     // delete then
+      (3L, 2L, "U", "c2", 33.0),  //   resurrect
+      (9L, 1L, "I", "new", 99.0), // insert (absent key)
+      (8L, 1L, "D", "", 0.0))     // delete of an absent key: no-op
+      .toDF("k", "seq", "op", "s", "v")
+    val got = Diff.applyChanges(base, changes, Seq("k"), "seq", "op",
+        Seq("s", "v"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2)))
+      .toMap
+    assert(got == Map(
+      1L -> ("a2", 12.0),  // last update
+      3L -> ("c2", 33.0),  // resurrected
+      4L -> ("d", 40.0),   // untouched passthrough
+      9L -> ("new", 99.0)))
+  }
+
+  test("applyChanges is idempotent and rejects ambiguous sequence numbers") {
+    import spark.implicits._
+    val base = Seq((1L, 5.0)).toDF("k", "v")
+    val feed = Seq((1L, 1L, "U", 6.0), (2L, 1L, "I", 7.0))
+      .toDF("k", "seq", "op", "v")
+    val once = Diff.applyChanges(base, feed, Seq("k"), "seq", "op", Seq("v"))
+    val twice = Diff.applyChanges(once, feed, Seq("k"), "seq", "op", Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(twice == Map(1L -> 6.0, 2L -> 7.0), "replay must converge")
+    val dup = Seq((1L, 1L, "U", 6.0), (1L, 1L, "D", 0.0))
+      .toDF("k", "seq", "op", "v")
+    val e = intercept[Exception] {
+      Diff.applyChanges(base, dup, Seq("k"), "seq", "op", Seq("v")).collect()
+    }
+    assert(e.getMessage.contains("duplicate sequence number") ||
+      Option(e.getCause).exists(_.getMessage.contains("duplicate sequence number")))
+  }
 }

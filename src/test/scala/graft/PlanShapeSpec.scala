@@ -51,6 +51,11 @@ class PlanShapeSpec extends SparkSpec {
                               // INPUT is already category-sized (the
                               // per-category count frame), partial
                               // buffers cross, broadcast back
+      "q126_dq_audit",        // predicate-rule block: ONE scalar agg
+                              // with 2 conditional buffers per rule
+                              // (the q88 shape), stacked to k rows;
+                              // the unique/FK legs are ordinary keyed
+                              // aggregates
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind
