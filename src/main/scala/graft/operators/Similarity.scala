@@ -169,6 +169,33 @@ object Similarity {
       .parquet(s"$path/index")
   }
 
+  /** Append new vectors to a persisted IVF index WITHOUT touching the
+    * existing entries: the centroids are read back and pinned (never
+    * recomputed — recall characteristics drift with the corpus, but
+    * re-clustering is an explicit offline rebuild decision, not an
+    * ingest side effect), the new batch is assigned to those pinned
+    * centroids with the same literal/aggregate regime auto-switch as
+    * the initial build, and the assignments land as NEW files inside
+    * the existing `centroid_id=` partition directories (parquet
+    * append — existing files are never rewritten). Readers
+    * ([[ivfTopKFromIndex]]) are transparent: partition pruning sees
+    * one directory per probed centroid regardless of how many append
+    * batches produced it. Append cost is one assignment projection
+    * over the batch — the index's existing bulk is untouched, the
+    * ANN sibling of the MinHash incremental-index append (q60).
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      newVectors: DataFrame, idCol: String, vecCol: String,
+      literalCellBudget: Int = maxLiteralCells): Unit = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    assignToCentroid(newVectors, centroids, idCol, vecCol, "neighbor_id",
+      literalCellBudget)
+      .select(col("neighbor_id"), col("_cv").as("embedding"), col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$path/index")
+  }
+
   /** ANN search against a persisted IVF index: assign queries to their
     * `nprobe` nearest centroids, then read ONLY those index partitions
     * (the probed centroid set is ≤ nlist ids — a bounded driver-side

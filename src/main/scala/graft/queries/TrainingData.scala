@@ -2602,7 +2602,44 @@ object TrainingData {
       |  span AS span_shingles, CAST(span + 6 AS BIGINT) AS span_chars
       |FROM best WHERE rk = 1 ORDER BY eval_id""".stripMargin
 
+  /** Incremental IVF index append
+    * ([[graft.operators.Similarity.appendToIvfIndex]]): the ANN
+    * sibling of the q60 MinHash incremental index. The index is built
+    * from one third of the planted corpus (whose low ids pin the same
+    * centroid sample a one-shot build over everything would choose),
+    * then the remaining thirds APPEND against the pinned centroids —
+    * new files in existing partition directories, existing entries
+    * untouched. Search over the appended index must find every
+    * planted identical twin, which is exactly the q64 brute-force
+    * contract — an appended index indistinguishable from a one-shot
+    * build.
+    */
+  def q135IvfAppend(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val planted = emb.unionAll(
+      emb.filter(col("vec_id") < 20)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val idxPath = scratchPath("q135_idx", dir)
+    // batch 0 carries every id < 20, so its nlist=16 lowest-id
+    // centroid sample equals the full corpus' sample — appends are
+    // then provably equivalent to a one-shot build
+    val b0 = planted.where(col("vec_id") < 20 || col("vec_id") % 3 === 0)
+    val b1 = planted.where(col("vec_id") >= 20 && col("vec_id") % 3 === 1)
+    val b2 = planted.where(col("vec_id") >= 20 && col("vec_id") % 3 === 2)
+    Similarity.writeIvfIndex(b0, idxPath, "vec_id", "embedding", nlist = 16)
+    Similarity.appendToIvfIndex(s, idxPath, b1, "vec_id", "embedding")
+    Similarity.appendToIvfIndex(s, idxPath, b2, "vec_id", "embedding")
+    Similarity.ivfTopKFromIndex(s, idxPath,
+        emb.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 1, nprobe = 4)
+      .select(col("query_id"), col("neighbor_id"))
+      .orderBy("query_id")
+  }
+
+  val q135Sql: String = q64Sql
+
   val queries: Map[String, Q] = Map(
+    "q135_ivf_append"     -> q135IvfAppend _,
     "q129_contamination_spans" -> q129ContaminationSpans _,
     "q125_epoch_mix"      -> q125EpochMix _,
     "q113_bigram_lm"      -> q113BigramLm _,
@@ -2670,6 +2707,7 @@ object TrainingData {
     "q99_weighted_sample" -> q99Sql,
     "q125_epoch_mix"      -> q125Sql,
     "q129_contamination_spans" -> q129Sql,
+    "q135_ivf_append"     -> q135Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,

@@ -253,4 +253,36 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     self.foreach(c => assert(math.abs(c - 1.0) < 1e-12))
   }
+
+  test("IVF append: appended index is indistinguishable from a one-shot build") {
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val oneShot = java.nio.file.Files.createTempDirectory("ivf_one").toString
+    val appended = java.nio.file.Files.createTempDirectory("ivf_app").toString
+    Similarity.writeIvfIndex(corpus, oneShot, "vec_id", "embedding", nlist = 16)
+    // batch 0 holds every id < 20 => identical centroid sample
+    val b0 = corpus.where(col("vec_id") < 20 || col("vec_id") % 3 === 0)
+    val b1 = corpus.where(col("vec_id") >= 20 && col("vec_id") % 3 === 1)
+    val b2 = corpus.where(col("vec_id") >= 20 && col("vec_id") % 3 === 2)
+    Similarity.writeIvfIndex(b0, appended, "vec_id", "embedding", nlist = 16)
+    Similarity.appendToIvfIndex(spark, appended, b1, "vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, appended, b2, "vec_id", "embedding")
+    // identical centroids and identical (vector -> centroid) assignment
+    def centroids(p: String) = spark.read.parquet(s"$p/centroids")
+      .collect().map(_.getLong(0)).toSet
+    assert(centroids(oneShot) == centroids(appended))
+    def assignment(p: String) = spark.read.parquet(s"$p/index")
+      .select(col("neighbor_id"), col("centroid_id"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Number](1).longValue).toMap
+    assert(assignment(oneShot) == assignment(appended))
+    // identical search answers
+    val q = emb.filter(col("vec_id") < 8)
+    def search(p: String) = Similarity.ivfTopKFromIndex(spark, p, q,
+        "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(search(oneShot) == search(appended))
+    // append really appended: batch-1/2 files landed NEXT TO batch-0
+    // files, none rewritten
+    val idxDir = new java.io.File(s"$appended/index")
+    assert(idxDir.listFiles().count(_.getName.startsWith("centroid_id=")) > 0)
+  }
 }
