@@ -254,7 +254,42 @@ object StreamingQueries {
       |FROM d2 GROUP BY k, w
       |ORDER BY event_type, window_us""".stripMargin
 
+  /** Trailing time-RANGE rolling aggregates: per user, each event's
+    * count and exact sum over the preceding hour — the one window
+    * frame kind the battery lacked (`rangeBetween` on event time, a
+    * value-based frame, vs the row-based frames everywhere else).
+    * Peers at the same microsecond are all in-frame on both engines,
+    * so ties cost nothing; the sum follows the Det decimal discipline
+    * (small-magnitude decimals convert to double identically
+    * everywhere — it is the huge-decimal conversions that don't).
+    */
+  def q136RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h",
+        sum(col("value").cast(DecimalType(18, 6))).over(w)
+          .cast(DoubleType))
+      .select(col("event_id"), col("user_id"), col("us"), col("n_1h"),
+        col("sum_1h"))
+      .orderBy("event_id")
+  }
+
+  val q136Sql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS us,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q136_rolling_window" -> q136RollingWindow _,
     "q132_ohlc_twa"       -> q132OhlcTwa _,
     "q58_stream_static"   -> q58StreamStatic _,
     "q26_tumbling_window" -> q26TumblingWindow _,
@@ -264,6 +299,7 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q136_rolling_window" -> q136Sql,
     "q132_ohlc_twa"       -> q132Sql,
     "q58_stream_static"   -> q58Sql,
     "q26_tumbling_window" -> q26Sql,
