@@ -288,7 +288,95 @@ object StreamingQueries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Last-touch attribution: every purchase attributed to the user's
+    * most recent click within 30 minutes, else unattributed — the
+    * tolerance leg of the as-of machinery on the oracle gate (q33/q96
+    * exercise unbounded as-of; attribution is where the tolerance
+    * window actually matters: a click from yesterday must NOT claim
+    * today's purchase, and there is no fallback to an older click).
+    * The oracle expresses the same semantics as DuckDB's native ASOF
+    * LEFT JOIN with a post-filter nulling out over-age matches.
+    */
+  def q137Attribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    graft.operators.AsOfJoin.asOfJoin(purchases, clicks, Seq("user_id"),
+        "ts", "cts", Seq("click_id"), tolerance = Some(1800L))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("age_us"))
+      .orderBy("event_id")
+  }
+
+  val q137Sql: String =
+    """WITH c AS (
+      |  SELECT user_id, epoch_us(ts) AS cus, event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |p AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |j AS (
+      |  SELECT p.event_id, p.user_id, p.us, c.click_id, c.cus
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND p.us >= c.cus)
+      |SELECT event_id, user_id, us,
+      |  CASE WHEN cus IS NOT NULL AND us - cus <= 1800000000
+      |       THEN click_id END AS click_id,
+      |  CASE WHEN cus IS NOT NULL AND us - cus <= 1800000000
+      |       THEN us - cus END AS age_us
+      |FROM j ORDER BY event_id""".stripMargin
+
+  /** First-order Markov transition matrix over per-user event
+    * sequences: which event type follows which, with fixed-point
+    * row-normalized probabilities — the sequence-mining summary
+    * behind next-action modeling and anomalous-flow detection. One
+    * keyed window for the lag (shuffle on user), then the counts are
+    * (|types|²)-bounded and everything downstream is tiny. The
+    * probability is integer (10⁶·n div row-total) so both engines
+    * agree bit-for-bit.
+    */
+  def q139Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val counts = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("tot"))
+    counts.join(totals, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("CAST((1000000 * n) div tot AS BIGINT)").as("p_micros"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val q139Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |c AS (
+      |  SELECT prev AS from_type, event_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE prev IS NOT NULL
+      |  GROUP BY prev, event_type),
+      |t AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY from_type)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST((1000000 * c.n) // t.tot AS BIGINT) AS p_micros
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q139_transitions"    -> q139Transitions _,
+    "q137_attribution"    -> q137Attribution _,
     "q136_rolling_window" -> q136RollingWindow _,
     "q132_ohlc_twa"       -> q132OhlcTwa _,
     "q58_stream_static"   -> q58StreamStatic _,
@@ -299,6 +387,8 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q139_transitions"    -> q139Sql,
+    "q137_attribution"    -> q137Sql,
     "q136_rolling_window" -> q136Sql,
     "q132_ohlc_twa"       -> q132Sql,
     "q58_stream_static"   -> q58Sql,

@@ -2638,7 +2638,72 @@ object TrainingData {
 
   val q135Sql: String = q64Sql
 
+  /** Source-centroid similarity matrix — dataset cartography: which
+    * sources are semantically close, from pairwise cosine between
+    * per-source embedding centroids. Exactness trick #1: cosine is
+    * scale-invariant, so the per-source SUM vector stands in for the
+    * mean and the cross-engine-hazardous decimal division never
+    * happens. Trick #2: components quantize to exact integer
+    * milli-units at the scan (floor(x·1000) — identical double ops on
+    * both engines), so sums, dot products, and norms are all BIGINT/
+    * DECIMAL(38,0) integer arithmetic, and the reported similarity is
+    * the signed fixed-point square sign(ab)·(10⁶·ab² div (aa·bb)) —
+    * monotone in |cos|, bit-identical everywhere, no square root.
+    * Shape: corpus → (source, dim) sums (one partial-aggregated
+    * exchange of 64·|sources| cells), then all pairwise work happens
+    * on the |sources|-bounded centroid table.
+    */
+  def q138SourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.embeddings(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .select(col("source"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .withColumn("xi",
+        floor(col("x").cast(DoubleType) * 1000).cast(LongType))
+      .groupBy(col("source"), col("dim"))
+      .agg(sum(col("xi")).as("sv"))
+    val a = cells.select(col("source").as("src_a"), col("dim"),
+      col("sv").as("sa"))
+    val b = cells.select(col("source").as("src_b"), col("dim"),
+      col("sv").as("sb"))
+    a.join(b, Seq("dim"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(sum(col("sa") * col("sb")).as("ab"),
+        sum(col("sa") * col("sa")).as("aa"),
+        sum(col("sb") * col("sb")).as("bb"))
+      .select(col("src_a"), col("src_b"),
+        (signum(col("ab")).cast(LongType) *
+          expr("CAST((1000000 * CAST(ab AS DECIMAL(38,0)) * CAST(ab AS DECIMAL(38,0)))" +
+            " div (CAST(aa AS DECIMAL(38,0)) * CAST(bb AS DECIMAL(38,0))) AS BIGINT)"))
+          .as("cos2_micros"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val q138Sql: String =
+    """WITH cells AS (
+      |  SELECT d.source, u.dim, CAST(sum(u.xi) AS BIGINT) AS sv
+      |  FROM (
+      |    SELECT vec_id, unnest(list_transform(range(1, len(embedding) + 1),
+      |      i -> {'dim': i - 1,
+      |            'xi': CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000)
+      |                  AS BIGINT)})) AS u
+      |    FROM embeddings) e
+      |  JOIN documents d ON e.vec_id = d.doc_id
+      |  GROUP BY d.source, u.dim)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |  CAST(sign(sum(a.sv * b.sv)) AS BIGINT) *
+      |  CAST((1000000 * CAST(sum(a.sv * b.sv) AS HUGEINT)
+      |                * CAST(sum(a.sv * b.sv) AS HUGEINT))
+      |       // (CAST(sum(a.sv * a.sv) AS HUGEINT)
+      |          * CAST(sum(b.sv * b.sv) AS HUGEINT)) AS BIGINT)
+      |    AS cos2_micros
+      |FROM cells a JOIN cells b ON a.dim = b.dim AND a.source < b.source
+      |GROUP BY a.source, b.source
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q138_source_similarity" -> q138SourceSimilarity _,
     "q135_ivf_append"     -> q135IvfAppend _,
     "q129_contamination_spans" -> q129ContaminationSpans _,
     "q125_epoch_mix"      -> q125EpochMix _,
@@ -2708,6 +2773,7 @@ object TrainingData {
     "q125_epoch_mix"      -> q125Sql,
     "q129_contamination_spans" -> q129Sql,
     "q135_ivf_append"     -> q135Sql,
+    "q138_source_similarity" -> q138Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,
