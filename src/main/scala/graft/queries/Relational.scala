@@ -1417,7 +1417,100 @@ object Relational {
       |FROM nodes n LEFT JOIN pn USING (node_id)
       |ORDER BY n.node_id""".stripMargin
 
+  /** TPC-H Q21 flavor on the fixture schema: suppliers who were the
+    * SOLE late shipper in a multi-supplier order ("late" = shipped
+    * more than 90 days after the order date). Three correlated
+    * quantifiers compiled to joins Catalyst can reorder: the late-line
+    * base, an EXISTS (left-semi on orderkey with a supplier
+    * inequality — some OTHER supplier shares the order), and a NOT
+    * EXISTS (left-anti — no OTHER supplier was also late). Every join
+    * is keyed on orderkey; the inequality rides as a residual
+    * predicate, never a cross product. Top-20 by blame count through
+    * TakeOrderedAndProject.
+    */
+  def q140BlameSupplier(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        col("l_shipdate") > date_add(col("o_orderdate"), 90))
+      .select(col("l_orderkey"), col("l_suppkey"), col("late"))
+    val late = l.where(col("late"))
+    val l2 = l.select(col("l_orderkey"), col("l_suppkey").as("s2"))
+    val l3 = late.select(col("l_orderkey"), col("l_suppkey").as("s3"))
+    val blamed = late.as("l1")
+      .join(l2, col("l1.l_orderkey") === l2("l_orderkey") &&
+        col("l1.l_suppkey") =!= col("s2"), "left_semi")
+      .join(l3, col("l1.l_orderkey") === l3("l_orderkey") &&
+        col("l1.l_suppkey") =!= col("s3"), "left_anti")
+    blamed.groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
+  val q140Sql: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |l1 AS (SELECT * FROM l WHERE late)
+      |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |WHERE EXISTS (
+      |    SELECT 1 FROM l l2 WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM l1 l3 WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_suppkey, s_name
+      |ORDER BY numwait DESC, s_suppkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 flavor: per-nation count and exact balance sum of
+    * LAPSED high-value customers — balance above the positive-balance
+    * average, no order since 2001-01-01 (every fixture customer has
+    * SOME order, so the classic never-ordered predicate would be
+    * vacuous; lapsed-recency is the real-world version anyway). The
+    * scalar average is a broadcast 1-row frame; the recency test is a
+    * left-anti join against the date-filtered orders projection — one
+    * scalar aggregate, one anti-join, one group-by.
+    */
+  def q141SalesOpportunity(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val avgPos = c.where(col("c_acctbal") > 0)
+      .agg(exactAvg(col("c_acctbal")).as("avg_bal"))
+    val recent = Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+      .select(col("o_custkey").as("c_custkey"))
+    c.crossJoin(broadcast(avgPos))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, Seq("c_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        exactSum(col("c_acctbal")).as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q141Sql: String =
+    s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+       |  ${exactSumSql("c_acctbal")} AS totacctbal
+       |FROM customer c
+       |WHERE c_acctbal > (
+       |    SELECT ${exactAvgSql("c_acctbal")}
+       |    FROM customer WHERE c_acctbal > 0)
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM orders WHERE o_custkey = c.c_custkey
+       |      AND o_orderdate >= TIMESTAMP '2001-01-01')
+       |GROUP BY c_nationkey
+       |ORDER BY c_nationkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q140_blame_supplier"  -> q140BlameSupplier _,
+    "q141_sales_opportunity" -> q141SalesOpportunity _,
     "q114_triangle_counts" -> q114TriangleCounts _,
     "q88_profile_table"   -> q88ProfileTable _,
     "q62_grouping_sets"   -> q62GroupingSets _,
@@ -1458,6 +1551,8 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q140_blame_supplier"  -> q140Sql,
+    "q141_sales_opportunity" -> q141Sql,
     "q88_profile_table"   -> q88Sql,
     "q62_grouping_sets" -> q62Sql,
     "q57_bucketed_join" -> q57Sql,
