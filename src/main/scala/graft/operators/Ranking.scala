@@ -99,4 +99,68 @@ object Ranking {
       .limit(k)
       .withColumnRenamed("_id", idCol)
   }
+
+  /** All-pairs nearest document by TF-IDF cosine over word n-grams —
+    * the corpus-level "which documents say the same thing" map (BM25
+    * above answers query→document; this is document→document). Exact
+    * over a DECLARED vocabulary: n-gram terms with document frequency
+    * ≤ `maxDf` (stop-phrase removal is part of the operator contract,
+    * not a lossy shortcut — pair generation AND scoring use the same
+    * filtered vocabulary, so the result is exactly the cosine in that
+    * tf-idf space).
+    *
+    * Fixed-point exactness (the q138 recipe): idf quantizes to integer
+    * milli-units (floor(1000·ln(N/df)) — one double ln on identical
+    * operands per engine), weights are tf·idf integers, dot products
+    * and norms accumulate in BIGINT, and the reported similarity is
+    * (10⁶·ab² div (aa·bb)) in DECIMAL(38,0) integer division — no
+    * float accumulation anywhere, bit-identical in any engine.
+    *
+    * Shape: (doc, term) frames keyed on the term for the inverted-
+    * index pair join — candidates are bounded by the df cap (each
+    * term contributes ≤ maxDf² pairs); norms are per-doc aggregates;
+    * the per-doc best partner goes through [[graft.plans.TopKPerKey]]
+    * (map-side bounded heaps), never a global sort.
+    */
+  def tfidfNearestNeighbors(docs: DataFrame, idCol: String,
+      textCol: String, ngram: Int = 3, maxDf: Long = 50,
+      k: Int = 1): DataFrame = {
+    require(ngram >= 1 && maxDf >= 2 && k >= 1,
+      s"bad tfidf-nn parameters ($ngram, $maxDf, $k)")
+    val n = docs.count() // one driver scalar, like the BM25 stats row
+    val tf = graft.sources.Tables.widen(docs)
+      .select(col(idCol).as("_id"),
+        explode(wordNGrams(col(textCol), ngram)).as("_t"))
+      .groupBy(col("_id"), col("_t")).agg(count(lit(1)).as("_tf"))
+    val dfc = tf.groupBy(col("_t")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") <= maxDf)
+    val kept = tf.join(dfc, Seq("_t"))
+      .withColumn("_w", (col("_tf") *
+        floor(lit(1000.0) * log(lit(n.toDouble) / col("_df"))))
+        .cast(LongType))
+    val norms = kept.groupBy(col("_id"))
+      .agg(sum(col("_w") * col("_w")).as("_nrm"))
+    val a = kept.select(col("_t"), col("_id").as("_ida"), col("_w").as("_wa"))
+    val b = kept.select(col("_t"), col("_id").as("_idb"), col("_w").as("_wb"))
+    val pairs = a.join(b, Seq("_t"))
+      .where(col("_ida") < col("_idb"))
+      .groupBy(col("_ida"), col("_idb"))
+      .agg(sum(col("_wa") * col("_wb")).as("_ab"))
+    val sym = pairs.unionByName(pairs.select(col("_idb").as("_ida"),
+      col("_ida").as("_idb"), col("_ab")))
+    val scored = sym
+      .join(norms.select(col("_id").as("_ida"), col("_nrm").as("_na")), Seq("_ida"))
+      .join(norms.select(col("_id").as("_idb"), col("_nrm").as("_nb")), Seq("_idb"))
+      .withColumn("cos2_micros", expr(
+        "CAST((1000000 * CAST(_ab AS DECIMAL(38,0)) * CAST(_ab AS DECIMAL(38,0)))" +
+          " div (CAST(_na AS DECIMAL(38,0)) * CAST(_nb AS DECIMAL(38,0))) AS BIGINT)"))
+      .where(col("_ab") > 0)
+    graft.plans.TopKPerKey.topKPerKey(scored,
+        keys = Seq(col("_ida")),
+        order = Seq(col("cos2_micros").desc, col("_idb").asc),
+        k = k)
+      .select(col("_ida").as(idCol), col("_idb").as("nn_id"),
+        col("cos2_micros"))
+      .orderBy(col(idCol), col("cos2_micros").desc, col("nn_id"))
+  }
 }

@@ -2702,7 +2702,65 @@ object TrainingData {
       |GROUP BY a.source, b.source
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** Nearest document by TF-IDF cosine over word trigrams
+    * ([[graft.operators.Ranking.tfidfNearestNeighbors]]): each
+    * document's best semantic partner through the inverted-index pair
+    * join on the df≤50 vocabulary, scored in the same fixed-point
+    * integer regime as q138 (idf milli-units, BIGINT dot products,
+    * DECIMAL(38,0) division). The oracle replays tokenization,
+    * trigram construction, df filtering, every weight, and the
+    * rank-1 tie-break.
+    */
+  def q142TfidfNn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Ranking.tfidfNearestNeighbors(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", ngram = 3, maxDf = 50, k = 1)
+
+  val q142Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ts
+      |  FROM documents),
+      |tg AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(ts) - 1),
+      |    i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS t
+      |  FROM toks WHERE len(ts) >= 3),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM tg GROUP BY 1, 2),
+      |dfc AS (SELECT t, count(*) AS df FROM tf GROUP BY 1
+      |        HAVING count(*) <= 50),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |kept AS (
+      |  SELECT tf.doc_id, tf.t,
+      |    CAST(tf.tf * floor(1000.0 * ln(CAST(n.n AS DOUBLE) / dfc.df))
+      |         AS BIGINT) AS w
+      |  FROM tf JOIN dfc USING (t) CROSS JOIN n),
+      |nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS nrm
+      |        FROM kept GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+      |    CAST(sum(a.w * b.w) AS BIGINT) AS ab
+      |  FROM kept a JOIN kept b ON a.t = b.t AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sym AS (SELECT ida, idb, ab FROM p
+      |        UNION ALL SELECT idb, ida, ab FROM p),
+      |sc AS (
+      |  SELECT s.ida, s.idb,
+      |    CAST((1000000 * CAST(s.ab AS HUGEINT) * CAST(s.ab AS HUGEINT))
+      |         // (CAST(na.nrm AS HUGEINT) * CAST(nb.nrm AS HUGEINT))
+      |         AS BIGINT) AS cos2_micros
+      |  FROM sym s
+      |  JOIN nrm na ON na.doc_id = s.ida
+      |  JOIN nrm nb ON nb.doc_id = s.idb
+      |  WHERE s.ab > 0),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY ida
+      |    ORDER BY cos2_micros DESC, idb) AS rk
+      |  FROM sc)
+      |SELECT ida AS doc_id, idb AS nn_id, cos2_micros
+      |FROM r WHERE rk = 1
+      |ORDER BY doc_id, cos2_micros DESC, nn_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q142_tfidf_nn"       -> q142TfidfNn _,
     "q138_source_similarity" -> q138SourceSimilarity _,
     "q135_ivf_append"     -> q135IvfAppend _,
     "q129_contamination_spans" -> q129ContaminationSpans _,
@@ -2774,6 +2832,7 @@ object TrainingData {
     "q129_contamination_spans" -> q129Sql,
     "q135_ivf_append"     -> q135Sql,
     "q138_source_similarity" -> q138Sql,
+    "q142_tfidf_nn"       -> q142Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,

@@ -71,4 +71,43 @@ class RankingSpec extends SparkSpec {
     assert(out.count() == 0)
     assert(out.schema.fieldNames.toSeq == Seq("doc_id", "score", "n_terms_hit"))
   }
+
+  test("tfidf nearest neighbor: twins pair up, stop-phrases don't link") {
+    import spark.implicits._
+    // docs 1/2 share the rare phrase; every doc shares the common one,
+    // but with maxDf below the corpus size the common phrase is
+    // vocabulary-excluded and cannot create pairs on its own
+    val common = "the common filler phrase everyone repeats " * 2
+    val corpus = Seq(
+      (1L, common + "unique alpha beta gamma delta"),
+      (2L, common + "unique alpha beta gamma delta"),  // twin of 1
+      (3L, common + "totally different rare content here"),
+      (4L, common + "totally different rare content here"), // twin of 3
+      (5L, common + "nothing shared with anyone else zzz"))
+      .toDF("doc_id", "text")
+    val got = Ranking.tfidfNearestNeighbors(corpus, "doc_id", "text",
+        ngram = 3, maxDf = 3, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L)._1 == 2L && got(2L)._1 == 1L)
+    assert(got(3L)._1 == 4L && got(4L)._1 == 3L)
+    // identical rare content => identical kept vectors => cos^2 = 1
+    assert(got(1L)._2 == 1000000L, s"twin cos2 ${got(1L)._2}")
+    assert(got(3L)._2 == 1000000L)
+    // doc 5 shares nothing in the kept vocabulary: absent from output
+    assert(!got.contains(5L))
+  }
+
+  test("tfidf nearest neighbor: tie on score breaks to the lower id") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, "aa bb cc dd"),
+      (20L, "aa bb cc dd"),
+      (30L, "aa bb cc dd"), // three identical docs: everyone ties at 1.0
+      (40L, "xx yy zz ww")) // keeps df < N so idf stays positive
+      .toDF("doc_id", "text")
+    val got = Ranking.tfidfNearestNeighbors(corpus, "doc_id", "text",
+        ngram = 2, maxDf = 5, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 20L, 20L -> 10L, 30L -> 10L))
+  }
 }
