@@ -166,4 +166,40 @@ object Graph {
       } finally deg.unpersist()
     } finally und.unpersist()
   }
+
+  /** Subtree rollup over a HEAP-NUMBERED hierarchy (node k's parent is
+    * k div 2, root = 1 — the materialized-path trick that turns a
+    * recursive hierarchy into arithmetic): per node, the count and
+    * value-sum of its entire subtree, WITHOUT a recursive engine or an
+    * iterative fixpoint. Every node's ancestor chain is the closed
+    * form node div 2^k, so each row explodes to its ≤ log₂(maxId)
+    * ancestors (a constant-width explode — 50 candidates, non-positive
+    * ones filtered) and ONE hash aggregate on the ancestor id produces
+    * every subtree total. Work is n·log n rows through one map-side-
+    * combined exchange — compare a recursive CTE's depth-many passes
+    * or a per-level join loop; this is the 100 TB shape for
+    * org-chart / category-tree / BOM rollups whose hierarchy fits a
+    * heap numbering.
+    *
+    * The ancestor arithmetic uses floor(node / 2^k) in doubles —
+    * exact for ids below 2^52 (power-of-two division is exact in
+    * IEEE; the require guards the bound).
+    */
+  def treeRollup(nodes: DataFrame, nodeCol: String,
+      valueCol: String): DataFrame = {
+    val guarded = nodes.select(
+      when(col(nodeCol) < 1 || col(nodeCol) >= (1L << 52),
+        raise_error(lit("treeRollup: node ids must be in [1, 2^52)")))
+        .otherwise(col(nodeCol)).as("_node"),
+      col(valueCol).cast(LongType).as("_v"))
+    guarded
+      .select(explode(sequence(lit(0), lit(51))).as("_k"),
+        col("_node"), col("_v"))
+      .withColumn("_a",
+        floor(col("_node") / pow(lit(2.0), col("_k"))).cast(LongType))
+      .where(col("_a") >= 1)
+      .groupBy(col("_a").as(nodeCol))
+      .agg(count(lit(1)).as("subtree_n"), sum(col("_v")).as("subtree_value"))
+      .orderBy(col(nodeCol))
+  }
 }

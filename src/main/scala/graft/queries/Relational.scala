@@ -1508,7 +1508,33 @@ object Relational {
        |GROUP BY c_nationkey
        |ORDER BY c_nationkey""".stripMargin
 
+  /** Heap-numbered hierarchy rollup ([[graft.operators.Graph.treeRollup]]):
+    * documents arranged as a binary category tree (node = doc_id + 1,
+    * parent = node div 2), each node reporting its subtree size and
+    * char total — recursive-hierarchy aggregation WITHOUT recursion:
+    * the ancestor chain is closed-form arithmetic, one constant-width
+    * explode + one hash aggregate. The oracle computes the same
+    * totals with an actual RECURSIVE CTE — an iterative engine
+    * feature the Spark plan replaces with algebra, and the two must
+    * agree on every node.
+    */
+  def q143HierarchyRollup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.treeRollup(
+      Tables.documents(s, dir)
+        .select((col("doc_id") + 1).as("node"), col("n_chars")),
+      "node", "n_chars")
+
+  val q143Sql: String =
+    """WITH RECURSIVE anc AS (
+      |  SELECT doc_id + 1 AS node, doc_id + 1 AS a, n_chars FROM documents
+      |  UNION ALL
+      |  SELECT node, a // 2, n_chars FROM anc WHERE a > 1)
+      |SELECT a AS node, CAST(count(*) AS BIGINT) AS subtree_n,
+      |  CAST(sum(n_chars) AS BIGINT) AS subtree_value
+      |FROM anc GROUP BY a ORDER BY node""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q143_hierarchy_rollup" -> q143HierarchyRollup _,
     "q140_blame_supplier"  -> q140BlameSupplier _,
     "q141_sales_opportunity" -> q141SalesOpportunity _,
     "q114_triangle_counts" -> q114TriangleCounts _,
@@ -1551,6 +1577,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q143_hierarchy_rollup" -> q143Sql,
     "q140_blame_supplier"  -> q140Sql,
     "q141_sales_opportunity" -> q141Sql,
     "q88_profile_table"   -> q88Sql,

@@ -374,7 +374,71 @@ object StreamingQueries {
       |FROM c JOIN t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Session path mining: the 20 most common 3-step event-type
+    * sequences WITHIN a session (30-min gap sessionization, the q27
+    * rule) — the flow-mining summary behind funnel design ("what do
+    * users actually do in a sitting"). Per-session sequences come
+    * from sort_array over collected (us, id, type) structs —
+    * collect_list alone has NO ordering guarantee, the sort makes it
+    * deterministic — and are bounded by session length; paths explode
+    * to a (types³)-bounded count and a TakeOrderedAndProject top-20.
+    */
+  def q144SessionPaths(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapUs = 1800L * 1000000L
+    val seqs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      .withColumn("prev", lag(col("us"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1)
+          .otherwise(0))
+      .withColumn("sid", sum(col("ns")).over(run))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sort_array(collect_list(struct(col("us"), col("event_id"),
+        col("event_type").as("t")))).as("sq"))
+    val paths = seqs.select(explode(
+      when(size(col("sq")) >= 3,
+        transform(sequence(lit(1), size(col("sq")) - 2), i =>
+          concat_ws(">",
+            element_at(col("sq"), i).getField("t"),
+            element_at(col("sq"), i + 1).getField("t"),
+            element_at(col("sq"), i + 2).getField("t"))))
+        .otherwise(array().cast("array<string>"))).as("path"))
+    paths.groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  val q144Sql: String =
+    """WITH s0 AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s1 AS (
+      |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+      |                 THEN 1 ELSE 0 END AS ns
+      |  FROM s0),
+      |s2 AS (
+      |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM s1),
+      |seqs AS (
+      |  SELECT user_id, sid, list(event_type ORDER BY us, event_id) AS sq
+      |  FROM s2 GROUP BY user_id, sid),
+      |paths AS (
+      |  SELECT unnest(list_transform(range(1, len(sq) - 1),
+      |    i -> sq[i] || '>' || sq[i+1] || '>' || sq[i+2])) AS path
+      |  FROM seqs WHERE len(sq) >= 3)
+      |SELECT path, CAST(count(*) AS BIGINT) AS n
+      |FROM paths GROUP BY path
+      |ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q144_session_paths"  -> q144SessionPaths _,
     "q139_transitions"    -> q139Transitions _,
     "q137_attribution"    -> q137Attribution _,
     "q136_rolling_window" -> q136RollingWindow _,
@@ -387,6 +451,7 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q144_session_paths"  -> q144Sql,
     "q139_transitions"    -> q139Sql,
     "q137_attribution"    -> q137Sql,
     "q136_rolling_window" -> q136Sql,

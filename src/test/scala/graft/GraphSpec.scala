@@ -84,4 +84,34 @@ class GraphSpec extends SparkSpec {
     def toSortedMap: scala.collection.immutable.SortedMap[Long, Long] =
       scala.collection.immutable.SortedMap.from(a)
   }
+
+  test("treeRollup: closed-form ancestors equal a direct subtree walk") {
+    import spark.implicits._
+    // sparse heap tree: nodes 1..7 plus a deep leaf at 45 (ancestors
+    // 45 -> 22 -> 11 -> 5 -> 2 -> 1; 22/11 absent from the node set —
+    // absent ancestors still accumulate, present-node filtering is the
+    // caller's join)
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 45L))
+      .map(n => (n, n * 10)).toDF("node", "v")
+    val got = graft.operators.Graph.treeRollup(nodes, "node", "v")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    def subtree(root: Long): Seq[Long] =
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 45L).filter { n =>
+        var a = n
+        while (a > root) a /= 2
+        a == root
+      }
+    for (root <- Seq(1L, 2L, 3L, 5L, 7L, 45L)) {
+      val members = subtree(root)
+      assert(got(root) == ((members.size.toLong, members.map(_ * 10).sum)),
+        s"root $root")
+    }
+    // implicit ancestors of 45 appear with just the leaf's contribution
+    assert(got(22L) == ((1L, 450L)) && got(11L) == ((1L, 450L)))
+    intercept[Exception] {
+      graft.operators.Graph.treeRollup(
+        Seq((0L, 1L)).toDF("node", "v"), "node", "v").collect()
+    }
+  }
 }
