@@ -437,7 +437,102 @@ object StreamingQueries {
       |FROM paths GROUP BY path
       |ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** Per-group trend slopes: closed-form least squares of value
+    * against time for each event_type, entirely in integer fixed
+    * point — time becomes seconds-since-window-start (BIGINT), values
+    * become micro-units, and the OLS slope
+    * (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) evaluates as one DECIMAL(38,0)
+    * integer division scaled to micro-units-per-DAY. One hash
+    * aggregate per group carrying five sufficient statistics — the
+    * trend of a 100 TB metric stream costs the same scan as its mean,
+    * and both engines agree bit-for-bit because nothing is ever a
+    * float accumulation.
+    */
+  def q146TrendSlopes(s: SparkSession, dir: String): DataFrame = {
+    // x = whole seconds since 2024-01-01 UTC (integer div, not the
+    // fractional `/` that would silently promote to double)
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("(unix_micros(ts) - 1704067200000000) div 1000000").as("x"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("x")).as("sxx"),
+        sum(col("x").cast(DecimalType(38, 0)) * col("y")).as("sxy"))
+      .select(col("event_type"), col("n"),
+        expr("CAST((86400 * (n * sxy - CAST(sx AS DECIMAL(38,0)) * sy))" +
+          " div (n * sxx - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)")
+          .as("slope_micros_per_day"))
+      .orderBy(col("event_type"))
+  }
+
+  val q146Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - 1704067200000000) // 1000000 AS x,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+      |    CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |    CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |  FROM b GROUP BY event_type)
+      |SELECT event_type, n,
+      |  CAST((86400 * (n * sxy - sx * sy)) // (n * sxx - sx * sx)
+      |       AS BIGINT) AS slope_micros_per_day
+      |FROM g ORDER BY event_type""".stripMargin
+
+  /** Exact cumulative distinct users by day — the growth curve,
+    * WITHOUT a running-distinct window (which would re-deduplicate
+    * the entire prefix per day): each user reduces to their FIRST-SEEN
+    * day (one keyed aggregate), days reduce to new-user counts (a
+    * days-bounded frame), and the cumulative is a running sum over
+    * that tiny frame. Per-day actives ride along from an ordinary
+    * (day, user)-distinct count. The 100 TB shape: two corpus
+    * aggregates, all windows over |days| rows.
+    */
+  def q147UserGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("user_id"))
+    val firstSeen = ev.groupBy(col("user_id"))
+      .agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val daily = ev.distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("active_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("day"), col("active_users"), col("new_users"),
+        col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  val q147Sql: String =
+    """WITH ev AS (
+      |  SELECT strftime(ts, '%Y-%m-%d') AS day, user_id FROM events),
+      |fs AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS new_users FROM (
+      |    SELECT user_id, min(day) AS day FROM ev GROUP BY user_id)
+      |  GROUP BY day),
+      |daily AS (
+      |  SELECT day, CAST(count(*) AS BIGINT) AS active_users
+      |  FROM (SELECT DISTINCT day, user_id FROM ev) GROUP BY day)
+      |SELECT d.day, d.active_users,
+      |  CAST(coalesce(f.new_users, 0) AS BIGINT) AS new_users,
+      |  CAST(sum(coalesce(f.new_users, 0)) OVER (ORDER BY d.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+      |FROM daily d LEFT JOIN fs f USING (day)
+      |ORDER BY d.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q146_trend_slopes"   -> q146TrendSlopes _,
+    "q147_user_growth"    -> q147UserGrowth _,
     "q144_session_paths"  -> q144SessionPaths _,
     "q139_transitions"    -> q139Transitions _,
     "q137_attribution"    -> q137Attribution _,
@@ -451,6 +546,8 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q146_trend_slopes"   -> q146Sql,
+    "q147_user_growth"    -> q147Sql,
     "q144_session_paths"  -> q144Sql,
     "q139_transitions"    -> q139Sql,
     "q137_attribution"    -> q137Sql,

@@ -51,6 +51,13 @@ class PlanShapeSpec extends SparkSpec {
                               // INPUT is already category-sized (the
                               // per-category count frame), partial
                               // buffers cross, broadcast back
+      "q141_sales_opportunity", // scalar positive-balance average (the
+                              // q06/q30 shape): partial avg buffers
+                              // cross, broadcast back to the filter
+      "q147_user_growth",     // cumulative window over the DAILY frame
+                              // (|days| rows by construction — both
+                              // corpus aggregates below it are
+                              // ordinary parallel partial aggs)
       "q126_dq_audit",        // predicate-rule block: ONE scalar agg
                               // with 2 conditional buffers per rule
                               // (the q88 shape), stacked to k rows;
