@@ -70,4 +70,34 @@ object Funnel {
       .groupBy(col("cohort_date"), col("day_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Zero-clamped running balance per key — the inventory/credit
+    * ledger fold r_i = max(0, r_{i−1} + δ_i), which LOOKS inherently
+    * sequential (non-associative, so no naive prefix sum) but is
+    * window-expressible through the Skorokhod reflection identity:
+    *
+    *   r_i = prefix_i − least(0, min_{j≤i} prefix_j)
+    *
+    * (the clamp "injects" exactly enough mass to keep the path
+    * non-negative, and that injection equals the depth of the
+    * unclamped path's running minimum). Two frames over ONE keyed
+    * window sort — a plain prefix sum and a running min of it — so
+    * the per-key fold that would otherwise need mapGroups stays
+    * declarative, codegen'd, and single-exchange. FunnelSpec proves
+    * the identity against a direct sequential fold.
+    *
+    * Input: `(keyCol, tsCol, idCol, deltaCol)` rows; output adds
+    * `balance` (the clamped running value after each event).
+    */
+  def clampedRunningBalance(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, deltaCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("_pfx", sum(col(deltaCol)).over(w))
+      .withColumn("balance",
+        col("_pfx") - least(lit(0L), min(col("_pfx")).over(w)))
+      .drop("_pfx")
+  }
 }

@@ -530,7 +530,59 @@ object StreamingQueries {
       |FROM daily d LEFT JOIN fs f USING (day)
       |ORDER BY d.day""".stripMargin
 
+  /** Zero-clamped ledger summary per user
+    * ([[graft.operators.Funnel.clampedRunningBalance]]): deltas are
+    * value-minus-50 in micro-units (negative drift with spikes, so
+    * the clamp actually engages); per user the event count, final and
+    * peak balances, and stockout count (events leaving the balance at
+    * zero). The non-associative fold runs as two declarative window
+    * frames via the reflection identity — FunnelSpec proves that
+    * identity against a direct sequential fold; the oracle replays
+    * the windows and pins the cross-engine arithmetic.
+    */
+  def q148ClampedLedger(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_id"),
+      ((col("value").cast(DecimalType(18, 6)) * 1000000).cast(LongType)
+        - 50000000L).as("delta"))
+    graft.operators.Funnel
+      .clampedRunningBalance(d, "user_id", "ts", "event_id", "delta")
+      .withColumn("us", unix_micros(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("us"), col("event_id"), col("balance").as("b")))
+          .getField("b").as("final_micros"),
+        max(col("balance")).as("peak_micros"),
+        sum(when(col("balance") === 0, 1L).otherwise(0L)).as("n_stockouts"))
+      .orderBy(col("user_id"))
+  }
+
+  val q148Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+      |      - 50000000 AS delta
+      |  FROM events),
+      |p AS (
+      |  SELECT *, sum(delta) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS pfx
+      |  FROM d),
+      |b AS (
+      |  SELECT *, pfx - least(0, min(pfx) OVER (PARTITION BY user_id
+      |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING)) AS balance,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY us DESC, event_id DESC) AS rrn
+      |  FROM p)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(max(CASE WHEN rrn = 1 THEN balance END) AS BIGINT)
+      |    AS final_micros,
+      |  CAST(max(balance) AS BIGINT) AS peak_micros,
+      |  CAST(sum(CASE WHEN balance = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_stockouts
+      |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q148_clamped_ledger" -> q148ClampedLedger _,
     "q146_trend_slopes"   -> q146TrendSlopes _,
     "q147_user_growth"    -> q147UserGrowth _,
     "q144_session_paths"  -> q144SessionPaths _,
@@ -546,6 +598,7 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q148_clamped_ledger" -> q148Sql,
     "q146_trend_slopes"   -> q146Sql,
     "q147_user_growth"    -> q147Sql,
     "q144_session_paths"  -> q144Sql,

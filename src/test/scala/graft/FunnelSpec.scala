@@ -49,4 +49,27 @@ class FunnelSpec extends SparkSpec {
       ("1970-01-01", 0) -> 2L, ("1970-01-01", 1) -> 1L, ("1970-01-01", 2) -> 1L,
       ("1970-01-02", 0) -> 1L))
   }
+
+  test("clampedRunningBalance: reflection identity == direct sequential fold") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      ((i % 7).toLong, new Timestamp(1700000000000L + i * 1000L),
+        i.toLong, rnd.nextInt(21).toLong - 11) // negative drift
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "delta")
+    val got = Funnel.clampedRunningBalance(df, "user_id", "ts", "event_id",
+        "delta")
+      .select(col("user_id"), col("event_id"), col("balance"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val expected = rows.groupBy(_._1).flatMap { case (_, rs) =>
+      var acc = 0L
+      rs.sortBy(r => (r._2.getTime, r._3)).map { r =>
+        acc = math.max(0L, acc + r._4)
+        (r._1, r._3) -> acc
+      }
+    }
+    assert(expected.exists(_._2 == 0L), "clamp never engaged — tune drift")
+    assert(got == expected)
+  }
 }
