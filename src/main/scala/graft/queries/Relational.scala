@@ -1533,7 +1533,43 @@ object Relational {
       |  CAST(sum(n_chars) AS BIGINT) AS subtree_value
       |FROM anc GROUP BY a ORDER BY node""".stripMargin
 
+  /** Pareto skyline ([[graft.operators.Skyline.skyline2D]]): the
+    * customers no one beats on BOTH total spend and order count — the
+    * multi-objective shortlist, grid-pruned so neither an all-pairs
+    * join nor a global sort ever happens (phase 1 discards only rows
+    * with a CONCRETE higher-bucket dominator; phase 2's exact
+    * anti-join runs on the surviving Pareto band). The oracle is the
+    * honest quadratic NOT EXISTS dominance test — the pruned
+    * two-phase plan and brute force must produce the identical
+    * frontier, ties included (equal points dominate neither way).
+    */
+  def q149Skyline(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(
+        (sum(col("o_totalprice").cast(DecimalType(18, 6))) * 1000000)
+          .cast(LongType).as("spend_micros"),
+        count(lit(1)).as("n_orders"))
+    graft.operators.Skyline.skyline2D(m, "o_custkey",
+      "spend_micros", "n_orders")
+  }
+
+  val q149Sql: String =
+    """WITH m AS (
+      |  SELECT o_custkey,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) * 1000000
+      |         AS BIGINT) AS spend_micros,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY o_custkey)
+      |SELECT o_custkey, spend_micros, n_orders FROM m r
+      |WHERE NOT EXISTS (
+      |  SELECT 1 FROM m s
+      |  WHERE s.spend_micros >= r.spend_micros
+      |    AND s.n_orders >= r.n_orders
+      |    AND (s.spend_micros > r.spend_micros OR s.n_orders > r.n_orders))
+      |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q149_skyline"         -> q149Skyline _,
     "q143_hierarchy_rollup" -> q143HierarchyRollup _,
     "q140_blame_supplier"  -> q140BlameSupplier _,
     "q141_sales_opportunity" -> q141SalesOpportunity _,
@@ -1577,6 +1613,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q149_skyline"         -> q149Sql,
     "q143_hierarchy_rollup" -> q143Sql,
     "q140_blame_supplier"  -> q140Sql,
     "q141_sales_opportunity" -> q141Sql,
