@@ -462,6 +462,104 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Deterministic 64×64 gray PATTERN image for a seed — the
+    * perceptual-hash testbed [[synthesizeImages]]' solid fills can't
+    * be (every block of a solid image ties at the mean): pixel
+    * (x, y) has gray value
+    * `((seed·2654435761 mod 1000003) + 7x + 13y) mod 256` — a
+    * diagonal gradient whose phase is seed-unique, replayable in any
+    * engine as plain integer arithmetic.
+    */
+  private[operators] def makePatternPng(seed: Long): Array[Byte] = {
+    ensureHeadless()
+    val img = new java.awt.image.BufferedImage(
+      64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val base = (seed * 2654435761L) % 1000003L
+    var y = 0
+    while (y < 64) {
+      var x = 0
+      while (x < 64) {
+        val v = ((base + 7L * x + 13L * y) % 256L).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    encodePng(img)
+  }
+
+  /** [[synthesizeImages]] for pattern payloads: appends `outCol` PNG
+    * bytes generated from `seedCol`.
+    */
+  def synthesizePatternImages(df: DataFrame, seedCol: String,
+      outCol: String = "content", batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idx = df.schema.fieldIndex(seedCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        Row.fromSeq(r.toSeq :+ makePatternPng(r.getLong(idx)))
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Average-hash (aHash) of a decoded image, ALL-INTEGER: the image
+    * partitions into an 8×8 grid of blocks; bit i (block index
+    * by·8 + bx) is set iff 64·blockSum_i > Σ blockSums — comparing
+    * scaled sums instead of divided means, so there is no rounding to
+    * disagree about. Returned as 16 lowercase hex nibbles, nibble k
+    * (leftmost = k 15) packing blocks 4k..4k+3 with block j at weight
+    * 2^(j mod 4) — a fixed cross-engine bit recipe with no 64-bit
+    * sign pitfalls. NULL for undecodable payloads; requires
+    * dimensions divisible by 8.
+    *
+    * The luminance is the green channel — exact for the gray pattern
+    * payloads and any grayscale input (PNG decode is lossless, so the
+    * REAL decode here must reproduce the generator arithmetic an
+    * oracle replays — a decode defect breaks the hash, which is the
+    * point).
+    */
+  private[operators] def aHashHex(bytes: Array[Byte]): String = {
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w % 8 != 0 || h % 8 != 0) return null
+    val bw = w / 8
+    val bh = h / 8
+    val sums = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = (img.getRGB(x, y) >> 8) & 0xff // green channel
+        sums((y / bh) * 8 + (x / bw)) += v
+        x += 1
+      }
+      y += 1
+    }
+    val total = sums.sum
+    val bits = sums.map(s => if (64L * s > total) 1 else 0)
+    val nibbles = (15 to 0 by -1).map { k =>
+      val nv = (0 until 4).map(j => bits(4 * k + j) << j).sum
+      "%x".format(nv)
+    }
+    nibbles.mkString
+  }
+
+  /** Per-row aHash projection: appends `ahash` (16-hex string). */
+  def withAHash(df: DataFrame, binCol: String = "content"): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("ahash", StringType, nullable = true))
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](idx)
+        Row.fromSeq(r.toSeq :+ (if (bytes == null) null else aHashHex(bytes)))
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Synthesize PCM WAV tone payloads from per-row parameter columns
     * (the audio analogue of [[synthesizeImages]]): `rateCol` (Hz),
     * `samplesCol` (frame count), `freqCol` (tone Hz), fixed 0.5

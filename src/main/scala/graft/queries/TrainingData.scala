@@ -2759,7 +2759,69 @@ object TrainingData {
       |FROM r WHERE rk = 1
       |ORDER BY doc_id, cos2_micros DESC, nn_id""".stripMargin
 
+  /** Perceptual image dedup via average-hash
+    * ([[graft.operators.Multimodal.aHashHex]]): 64×64 gray pattern
+    * payloads go through REAL PNG encode → REAL ImageIO decode → the
+    * all-integer 8×8-block aHash (bit = 64·blockSum > totalSum, hex-
+    * nibble packed — no division, no 64-bit sign pitfalls), and
+    * same-hash images collapse to a canonical id. The oracle never
+    * decodes a byte: it replays the pattern GENERATOR arithmetic and
+    * recomputes every block sum, bit, and nibble in SQL — so any
+    * defect in the encode/decode round-trip (channel order, row
+    * order, color management) breaks the hash match. Twenty planted
+    * twins (seed = doc_id mod 700000) must land on their originals'
+    * canonical ids.
+    */
+  def q150ImageAhash(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val ids = Tables.widen(Tables.documents(s, dir)).select(col("doc_id"))
+      .unionByName(Tables.documents(s, dir).where(col("doc_id") < 20)
+        .select((col("doc_id") + 700000).as("doc_id")))
+    val seeded = ids.withColumn("seed", pmod(col("doc_id"), lit(700000L)))
+    val hashed = Multimodal.withAHash(
+        Multimodal.synthesizePatternImages(seeded, "seed"))
+      .select(col("doc_id"), col("ahash"))
+    val canon = hashed.groupBy(col("ahash"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    hashed.join(canon, Seq("ahash"))
+      .select(col("doc_id"), col("ahash"), col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  val q150Sql: String =
+    """WITH ids AS (
+      |  SELECT doc_id FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 700000 FROM documents WHERE doc_id < 20),
+      |sd AS (SELECT doc_id, doc_id % 700000 AS seed FROM ids),
+      |px AS (
+      |  SELECT sd.doc_id, x, y,
+      |    (((seed * 2654435761) % 1000003) + 7 * x + 13 * y) % 256 AS v
+      |  FROM sd CROSS JOIN range(64) tx(x) CROSS JOIN range(64) ty(y)),
+      |bs AS (
+      |  SELECT doc_id, (y // 8) * 8 + (x // 8) AS blk, sum(v) AS sm
+      |  FROM px GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, sum(sm) AS t FROM bs GROUP BY 1),
+      |bits AS (
+      |  SELECT b.doc_id, b.blk,
+      |    CASE WHEN 64 * b.sm > t.t THEN 1 ELSE 0 END AS bit
+      |  FROM bs b JOIN tot t USING (doc_id)),
+      |nib AS (
+      |  SELECT doc_id, blk // 4 AS k,
+      |    CAST(sum(bit * CAST(power(2, blk % 4) AS BIGINT)) AS BIGINT) AS nv
+      |  FROM bits GROUP BY 1, 2),
+      |hx AS (
+      |  SELECT doc_id, string_agg(printf('%x', nv), '' ORDER BY k DESC)
+      |    AS ahash
+      |  FROM nib GROUP BY doc_id),
+      |canon AS (SELECT ahash, min(doc_id) AS canonical_id
+      |          FROM hx GROUP BY ahash)
+      |SELECT h.doc_id, h.ahash, c.canonical_id
+      |FROM hx h JOIN canon c USING (ahash)
+      |ORDER BY h.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q150_image_ahash"    -> q150ImageAhash _,
     "q142_tfidf_nn"       -> q142TfidfNn _,
     "q138_source_similarity" -> q138SourceSimilarity _,
     "q135_ivf_append"     -> q135IvfAppend _,
@@ -2833,6 +2895,7 @@ object TrainingData {
     "q135_ivf_append"     -> q135Sql,
     "q138_source_similarity" -> q138Sql,
     "q142_tfidf_nn"       -> q142Sql,
+    "q150_image_ahash"    -> q150Sql,
     "q91_semantic_dedup" -> q91Sql,
     "q90_fuzzy_decontaminate" -> q90Sql,
     "q87_pc1_projection"   -> q87Sql,

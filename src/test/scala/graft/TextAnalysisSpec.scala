@@ -515,6 +515,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got(11L) == ((1L, digitsEtc.length - 3L, digitsEtc.length.toLong)))
   }
 
+  test("aHash: decode-backed hash matches direct generator arithmetic") {
+    import graft.operators.Multimodal
+    // direct recompute from the pattern definition, no image anywhere
+    def directHash(seed: Long): String = {
+      val base = (seed * 2654435761L) % 1000003L
+      val sums = new Array[Long](64)
+      for (y <- 0 until 64; x <- 0 until 64)
+        sums((y / 8) * 8 + (x / 8)) += (base + 7L * x + 13L * y) % 256L
+      val total = sums.sum
+      val bits = sums.map(s => if (64L * s > total) 1 else 0)
+      (15 to 0 by -1).map { k =>
+        "%x".format((0 until 4).map(j => bits(4 * k + j) << j).sum)
+      }.mkString
+    }
+    import spark.implicits._
+    val seeds = Seq(0L, 1L, 5L, 5L, 6L, 17L, 699999L)
+    val df = seeds.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "seed")
+    val hashed = Multimodal.withAHash(
+        Multimodal.synthesizePatternImages(df, "seed"))
+      .select(col("id"), col("seed"), col("ahash"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    for ((_, (seed, h)) <- hashed)
+      assert(h == directHash(seed), s"seed $seed")
+    // same seed -> same hash; different seeds differ (phase-distinct)
+    assert(hashed(2L)._2 == hashed(3L)._2)
+    assert(hashed(2L)._2 != hashed(4L)._2)
+    // undecodable and non-8-divisible inputs degrade to NULL
+    val junk = Seq((1L, "not a png".getBytes)).toDF("id", "content")
+    assert(Multimodal.withAHash(junk).collect().head.isNullAt(2))
+    val odd = Multimodal.synthesizeImages(
+      Seq((1L, 10, 16, 1, 2, 3)).toDF("id", "w", "h", "r", "g", "b"),
+      "w", "h", "r", "g", "b")
+    assert(Multimodal.withAHash(odd).collect().head
+      .isNullAt(odd.columns.length))
+  }
+
   test("contamination spans: a repeated shingle does not bridge a gap") {
     import spark.implicits._
     // eval = two copies of the same 8-char block separated by noise:
