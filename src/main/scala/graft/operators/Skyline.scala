@@ -45,13 +45,18 @@ object Skyline {
         expr(s"_x div (greatest(_mx, 1) div $buckets + 1)")).cast("int"))
     val bucketMax = bucketed.groupBy(col("_b"))
       .agg(max(col("_y")).as("_by"))
-    // suffix max over strictly higher buckets (B-row frame)
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("_b").desc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // Suffix max over strictly higher buckets. The natural spelling is
+    // a global window ordered by _b — but an unpartitioned window
+    // plans Exchange SinglePartition, the pattern the plan gate bans
+    // outright. Over this B-row frame it would be harmless, yet a
+    // B×B broadcast self-join computes the same suffix max with no
+    // single-partition exchange at all: left join keeps the top
+    // bucket's NULL threshold (nothing above it ⇒ nothing pruned).
+    val hi = bucketMax.select(col("_b").as("_hb"), col("_by").as("_hy"))
     val thresholds = bucketMax
-      .withColumn("_thr", max(col("_by")).over(w))
-      .select(col("_b"), col("_thr"))
+      .join(broadcast(hi), col("_hb") > col("_b"), "left")
+      .groupBy(col("_b"))
+      .agg(max(col("_hy")).as("_thr"))
     val band = bucketed.join(broadcast(thresholds), Seq("_b"))
       .where(col("_thr").isNull || col("_y") > col("_thr"))
       .select(col("_id"), col("_x"), col("_y"))

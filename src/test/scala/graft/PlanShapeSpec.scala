@@ -63,6 +63,12 @@ class PlanShapeSpec extends SparkSpec {
                               // (the q88 shape), stacked to k rows;
                               // the unique/FK legs are ordinary keyed
                               // aggregates
+      "q149_skyline",         // the grid-width scalar: ONE global
+                              // max(_x) row (the q06 shape — partial
+                              // max buffers cross, broadcast back as
+                              // the bucket width); the suffix-max
+                              // threshold step is a B×B broadcast
+                              // self-join, not a global window
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind
