@@ -1568,7 +1568,75 @@ object Relational {
       |    AND (s.spend_micros > r.spend_micros OR s.n_orders > r.n_orders))
       |ORDER BY o_custkey""".stripMargin
 
+  /** Robust per-nation outlier screen
+    * ([[graft.operators.RobustStats.madOutlierStats]]): median + MAD
+    * of customer balances and the |x−med| > 3·MAD count — the
+    * 50%-breakdown alternative to mean/stddev anomaly rules. All
+    * stats ride integer micro-units (×2/×4 scales keep half-integer
+    * medians exact), so the oracle is a bit-for-bit replay: DuckDB's
+    * `quantile_cont` and Spark's exact `percentile` must land on the
+    * identical interpolated values or the hash breaks.
+    */
+  def q151RobustOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.madOutlierStats(
+      Tables.customer(s, dir).select(col("c_nationkey"),
+        (col("c_acctbal").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("bal_micros")),
+      "c_nationkey", "bal_micros", k = 3)
+      .orderBy(col("c_nationkey"))
+
+  val q151Sql: String =
+    """WITH x AS (
+      |  SELECT c_nationkey AS g,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      |  FROM customer),
+      |med AS (SELECT g, CAST(quantile_cont(x, 0.5) * 2 AS BIGINT) AS med2
+      |        FROM x GROUP BY g),
+      |dev AS (SELECT x.g, med2, abs(x*2 - med2) AS dev2
+      |        FROM x JOIN med USING (g)),
+      |mad AS (SELECT g, CAST(quantile_cont(dev2, 0.5) * 2 AS BIGINT) AS mad4
+      |        FROM dev GROUP BY g)
+      |SELECT d.g AS c_nationkey, CAST(count(*) AS BIGINT) AS n,
+      |  any_value(d.med2) AS med2, any_value(m.mad4) AS mad4,
+      |  CAST(sum(CASE WHEN d.dev2 * 2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers
+      |FROM dev d JOIN mad m USING (g)
+      |GROUP BY d.g
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** Market-basket lift ([[graft.operators.Association.basketLift]]):
+    * the part pairs that ship together in the same order more often
+    * than independence predicts. The pair explode is an equi-join on
+    * the order key (bounded by basket width, never n²); lift is one
+    * integer division in milli-units. The oracle replays the exact
+    * pair/count/lift pipeline in SQL.
+    */
+  def q152BasketLift(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.basketLift(
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey")).distinct(),
+      "l_orderkey", "l_partkey", minPairs = 1L, topK = 100)
+
+  val q152Sql: String =
+    """WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+      |nb AS (SELECT count(DISTINCT bk) AS n_baskets FROM b),
+      |ic AS (SELECT it, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY it),
+      |p AS (
+      |  SELECT l.it AS item_a, r.it AS item_b,
+      |    CAST(count(*) AS BIGINT) AS n_pairs
+      |  FROM b l JOIN b r ON l.bk = r.bk AND l.it < r.it
+      |  GROUP BY 1, 2)
+      |SELECT item_a, item_b, n_pairs, a.cnt AS cnt_a, c.cnt AS cnt_b,
+      |  n_pairs * n_baskets * 1000 // (a.cnt * c.cnt) AS lift_milli
+      |FROM p JOIN ic a ON p.item_a = a.it
+      |       JOIN ic c ON p.item_b = c.it
+      |       CROSS JOIN nb
+      |ORDER BY n_pairs DESC, item_a, item_b
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q151_robust_outliers" -> q151RobustOutliers _,
+    "q152_basket_lift"     -> q152BasketLift _,
     "q149_skyline"         -> q149Skyline _,
     "q143_hierarchy_rollup" -> q143HierarchyRollup _,
     "q140_blame_supplier"  -> q140BlameSupplier _,
@@ -1613,6 +1681,8 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q151_robust_outliers" -> q151Sql,
+    "q152_basket_lift"     -> q152Sql,
     "q149_skyline"         -> q149Sql,
     "q143_hierarchy_rollup" -> q143Sql,
     "q140_blame_supplier"  -> q140Sql,

@@ -63,6 +63,10 @@ class PlanShapeSpec extends SparkSpec {
                               // (the q88 shape), stacked to k rows;
                               // the unique/FK legs are ordinary keyed
                               // aggregates
+      "q152_basket_lift",     // the basket-total scalar: ONE global
+                              // count(distinct basket) row (partial
+                              // distinct-count buffers cross), joined
+                              // back into the lift division
       "q149_skyline",         // the grid-width scalar: ONE global
                               // max(_x) row (the q06 shape — partial
                               // max buffers cross, broadcast back as

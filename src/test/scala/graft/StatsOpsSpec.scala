@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.{Association, RobustStats}
+
+/** Robust statistics + association mining operators. */
+class StatsOpsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- RobustStats.madOutlierStats -------------------------------
+
+  test("median/MAD: hand-computed odd and even groups") {
+    // group A (odd n=5): 10,20,30,40,1000 → med 30, devs 20,10,0,10,970
+    //   → MAD 10; outliers: |x-30| > 30 → only 1000
+    // group B (even n=4): 1,3,5,7 → med 4 (half-integer ⇒ med2=8),
+    //   devs 3,1,1,3 → MAD 2; outliers: |x-4| > 6 → none
+    val df = Seq(
+      ("a", 10L), ("a", 20L), ("a", 30L), ("a", 40L), ("a", 1000L),
+      ("b", 1L), ("b", 3L), ("b", 5L), ("b", 7L)).toDF("g", "x")
+    val got = RobustStats.madOutlierStats(df, "g", "x", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((5L, 60L, 40L, 1L)))
+    assert(got("b") == ((4L, 8L, 8L, 0L)))
+  }
+
+  test("median/MAD: negative values and a constant group") {
+    // constants: MAD 0 ⇒ every unequal value would be an outlier, but
+    // all values equal the median ⇒ zero outliers
+    val df = Seq(("c", -5L), ("c", -5L), ("c", -5L),
+      ("d", -10L), ("d", 0L), ("d", 10L)).toDF("g", "x")
+    val got = RobustStats.madOutlierStats(df, "g", "x", k = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("c") == ((-10L, 0L, 0L)))
+    // d: med 0, devs 10,0,10 → MAD 10 → 3·MAD=30 ⇒ none outside
+    assert(got("d") == ((0L, 40L, 0L)))
+  }
+
+  test("MAD flag matches a direct recompute on random data") {
+    val rnd = new scala.util.Random(11)
+    val data = (0 until 500).map(i =>
+      (s"g${i % 3}", rnd.nextInt(1000).toLong - 500L))
+    val got = RobustStats.madOutlierStats(data.toDF("g", "x"), "g", "x", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    def medianTwice(xs: Seq[Long]): Double = {
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) 2.0 * s(n / 2) else (s(n / 2 - 1) + s(n / 2)).toDouble
+    }
+    val want = data.groupBy(_._1).map { case (g, rows) =>
+      val xs = rows.map(_._2)
+      val med2 = medianTwice(xs)
+      val dev2 = xs.map(x => math.abs(2 * x - med2.toLong))
+      val mad4 = medianTwice(dev2)
+      g -> dev2.count(d => 2 * d > 3 * mad4.toLong).toLong
+    }
+    assert(got == want)
+  }
+
+  // ---- Association.basketLift ------------------------------------
+
+  test("basket lift: hand-checked pair counts and lift") {
+    // baskets: {A,B,C}, {A,B}, {A,C}, {B} → 4 baskets
+    // pairs: (A,B)=2, (A,C)=2, (B,C)=1; cnt A=3, B=3, C=2
+    // lift(A,B) = 2*4*1000/(3*3)= 888; lift(A,C)=2*4*1000/(3*2)=1333
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (1L, "C"),
+      (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "C"),
+      (4L, "B")).toDF("bk", "it")
+    val rows = Association.basketLift(df, "bk", "it", 1L, 10)
+      .collect().map(r => (r.getString(1), r.getString(0), r.getLong(2),
+        r.getLong(5)))
+    // schema: item_b joined first? verify by names instead
+    val byPair = Association.basketLift(df, "bk", "it", 1L, 10)
+      .collect().map(r => (r.getAs[String]("item_a"),
+        r.getAs[String]("item_b")) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("lift_milli")))).toMap
+    assert(byPair(("A", "B")) == ((2L, 888L)))
+    assert(byPair(("A", "C")) == ((2L, 1333L)))
+    assert(byPair(("B", "C")) == ((1L, 666L)))
+    assert(rows.length == 3)
+  }
+
+  test("basket lift: minPairs filter and deterministic top-k order") {
+    val df = Seq(
+      (1L, "A"), (1L, "B"),
+      (2L, "A"), (2L, "B"),
+      (3L, "C"), (3L, "D")).toDF("bk", "it")
+    val got = Association.basketLift(df, "bk", "it", 2L, 10).collect()
+    assert(got.map(r => (r.getAs[String]("item_a"), r.getAs[String]("item_b")))
+      .toSeq == Seq(("A", "B")))
+    // topK cuts on (n_pairs desc, item_a, item_b)
+    val top1 = Association.basketLift(df, "bk", "it", 1L, 1).collect()
+    assert(top1.head.getAs[String]("item_a") == "A")
+  }
+
+  test("basket lift: each unordered pair appears exactly once") {
+    val df = Seq((1L, "X"), (1L, "Y"), (2L, "Y"), (2L, "X")).toDF("bk", "it")
+    val got = Association.basketLift(df, "bk", "it", 1L, 10).collect()
+    assert(got.length == 1)
+    assert(got.head.getAs[String]("item_a") == "X")
+    assert(got.head.getAs[Long]("n_pairs") == 2L)
+  }
+}
