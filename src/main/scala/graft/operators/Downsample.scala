@@ -68,4 +68,51 @@ object Downsample {
         expr("CAST(_num div _den AS BIGINT)").as("twa_micros"))
       .orderBy(col(keyCol), col("window_us"))
   }
+
+  /** Linear gap fill for keyed time series: rows flagged missing get
+    * the straight-line interpolation between their nearest non-missing
+    * neighbors in series order; leading/trailing gaps take the nearest
+    * single neighbor (the sensor-dropout repair every downstream
+    * resample/aggregate assumes has already happened).
+    *
+    * Exactness: the interpolation is the WEIGHTED-AVERAGE form
+    * `(vp·(tn−t) + vn·(t−tp)) div (tn−tp)` on non-negative integer
+    * milli-values and second-resolution timestamps — every term is
+    * non-negative, so floor and truncate agree and the result is
+    * bit-identical on any engine (the `vp + Δ·w` form would divide a
+    * possibly-negative numerator, where Spark truncates toward zero
+    * but floor-division engines floor). Same-second neighbors
+    * (span 0) fall back to the previous value.
+    *
+    * Scale: ONE shuffle on the series key; the four neighbor lookups
+    * are ignore-null window functions over the same keyed ordering
+    * (backward frame for prev, forward frame for next). No as-of
+    * join, no second pass.
+    *
+    * Output: the missing rows only, with `filled_milli`
+    * (null when the series has no non-missing row at all).
+    */
+  def gapFillLinear(df: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, milliCol: String, missingCol: String): DataFrame = {
+    val ord = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+    val sec = expr(s"unix_micros($tsCol) div 1000000")
+    val obsV = when(!col(missingCol), col(milliCol))
+    val obsT = when(!col(missingCol), sec)
+    val filled = df
+      .withColumn("_t", sec)
+      .withColumn("_vp", last(obsV, ignoreNulls = true).over(back))
+      .withColumn("_tp", last(obsT, ignoreNulls = true).over(back))
+      .withColumn("_vn", first(obsV, ignoreNulls = true).over(fwd))
+      .withColumn("_tn", first(obsT, ignoreNulls = true).over(fwd))
+    filled.where(col(missingCol))
+      .withColumn("filled_milli",
+        when(col("_vp").isNotNull && col("_vn").isNotNull,
+          when(col("_tn") === col("_tp"), col("_vp"))
+            .otherwise(expr(
+              "(_vp * (_tn - _t) + _vn * (_t - _tp)) div (_tn - _tp)")))
+          .otherwise(coalesce(col("_vp"), col("_vn"))))
+      .drop("_t", "_vp", "_tp", "_vn", "_tn")
+  }
 }

@@ -100,4 +100,50 @@ object Funnel {
         col("_pfx") - least(lit(0L), min(col("_pfx")).over(w)))
       .drop("_pfx")
   }
+
+  /** Position-weighted multi-touch attribution (the U-shape model):
+    * every touch inside the lookback window before a conversion
+    * shares the credit — 40% to the first touch, 40% to the last,
+    * 20% split across the middles — instead of last-touch's
+    * winner-take-all ([[graft.queries.StreamingQueries.q137Attribution]]
+    * is the last-touch sibling on the same events).
+    *
+    * Credits are exact integer micro-shares that sum to 1,000,000
+    * per conversion BY CONSTRUCTION: the middle split is an integer
+    * division with its remainder assigned to the earliest middle
+    * touch — no float ever appears, so per-channel rollups are
+    * engine- and partitioning-independent. Degenerate cases: one
+    * touch → 10⁶, two touches → 5·10⁵ each.
+    *
+    * Scale: conversions join touches on the USER key (equi-join with
+    * a time-band residual — bounded per user, never a cross join),
+    * then one window keyed by conversion id ranks the touches. Two
+    * keyed shuffles, both on high-cardinality keys.
+    *
+    * Output: one row per (conversion, touch) with `touch_rank`,
+    * `n_touches`, `credit_micro`.
+    */
+  def multiTouchAttribution(conversions: DataFrame, touches: DataFrame,
+      userCol: String, convTsCol: String, convIdCol: String,
+      touchTsCol: String, touchIdCol: String,
+      lookbackUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = conversions.join(touches, Seq(userCol))
+      .where(unix_micros(col(touchTsCol)) <= unix_micros(col(convTsCol)) &&
+        unix_micros(col(convTsCol)) - unix_micros(col(touchTsCol)) <= lookbackUs)
+    val perConv = Window.partitionBy(col(convIdCol))
+    val ranked = joined
+      .withColumn("touch_rank", row_number().over(
+        perConv.orderBy(col(touchTsCol), col(touchIdCol))))
+      .withColumn("n_touches", count(lit(1)).over(perConv))
+    val m = col("n_touches")
+    val r = col("touch_rank")
+    ranked.withColumn("credit_micro",
+      when(m === 1, lit(1000000L))
+        .when(m === 2, lit(500000L))
+        .when(r === 1 || r === m, lit(400000L))
+        .otherwise(expr("200000 div (n_touches - 2)").cast("long") +
+          when(r === 2, expr("200000 % (n_touches - 2)").cast("long"))
+            .otherwise(lit(0L))))
+  }
 }

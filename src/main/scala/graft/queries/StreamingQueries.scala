@@ -581,7 +581,173 @@ object StreamingQueries {
       |    AS n_stockouts
       |FROM b GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Per-user CUSUM change-point screen
+    * ([[graft.operators.ChangePoint.cusumStats]]): the n-scaled
+    * integer CUSUM curve over each user's value stream — its range
+    * scores level-shift likelihood, the argmax of |C| timestamps the
+    * shift. The oracle replays the identical window algebra; the
+    * argmax tie-break (largest |C|, then lowest event id) is pinned
+    * via a row_number formulation on the DuckDB side — a different
+    * argmax mechanism than Spark's max_by-over-struct, landing on the
+    * same row.
+    */
+  def q153CusumChangepoint(s: SparkSession, dir: String): DataFrame =
+    graft.operators.ChangePoint.cusumStats(
+      Tables.events(s, dir).select(col("user_id"), col("ts"),
+        col("event_id"),
+        (col("value").cast(DecimalType(18, 6)) * 1000000)
+          .cast(LongType).as("micros")),
+      "user_id", "ts", "event_id", "micros")
+      .orderBy(col("user_id"))
+
+  val q153Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS x
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, ts, event_id,
+      |    count(*) OVER (PARTITION BY user_id)
+      |      * sum(x) OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+      |    - row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      * sum(x) OVER (PARTITION BY user_id) AS cc
+      |  FROM d),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY abs(cc) DESC, event_id ASC) AS rn
+      |  FROM c)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(max(cc) - min(cc) AS BIGINT) AS range_n_micros,
+      |  max(CASE WHEN rn = 1
+      |      THEN strftime(ts, '%Y-%m-%d %H:%M:%S') END) AS change_ts
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** U-shaped multi-touch attribution
+    * ([[graft.operators.Funnel.multiTouchAttribution]]): every click
+    * in the 7 days before a purchase shares the credit 40/20/40
+    * (first/middles/last) in exact integer micro-shares that sum to
+    * 10⁶ per purchase by construction (integer split, remainder to
+    * the earliest middle). Rolled up by click hour-of-day — the
+    * "when do converting touches happen" report. The oracle replays
+    * the join, both windows, and the credit arithmetic.
+    */
+  def q156MultitouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"),
+        col("event_id").as("click_id"))
+    graft.operators.Funnel.multiTouchAttribution(
+        purchases, clicks, "user_id", "pts", "purchase_id",
+        "cts", "click_id", lookbackUs = 7L * 86400 * 1000000)
+      .groupBy(hour(col("cts")).cast(IntegerType).as("click_hour"))
+      .agg(count(lit(1)).as("n_touches"),
+        longSum(col("credit_micro")).as("credit_micros"),
+        countDistinct(col("purchase_id")).as("n_purchases"))
+      .orderBy(col("click_hour"))
+  }
+
+  val q156Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, epoch_us(ts) AS pus, event_id AS purchase_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts AS cts, epoch_us(ts) AS cus,
+      |    event_id AS click_id
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.purchase_id, c.cts, c.click_id
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND c.cus <= p.pus AND p.pus - c.cus <= 604800000000),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY purchase_id
+      |      ORDER BY cts, click_id) AS rk,
+      |    count(*) OVER (PARTITION BY purchase_id) AS m
+      |  FROM j),
+      |cr AS (
+      |  SELECT *, CASE
+      |    WHEN m = 1 THEN 1000000
+      |    WHEN m = 2 THEN 500000
+      |    WHEN rk = 1 OR rk = m THEN 400000
+      |    ELSE 200000 // (m - 2)
+      |      + CASE WHEN rk = 2 THEN 200000 % (m - 2) ELSE 0 END
+      |    END AS credit_micro
+      |  FROM r)
+      |SELECT CAST(hour(cts) AS INTEGER) AS click_hour,
+      |  CAST(count(*) AS BIGINT) AS n_touches,
+      |  CAST(sum(credit_micro) AS BIGINT) AS credit_micros,
+      |  CAST(count(DISTINCT purchase_id) AS BIGINT) AS n_purchases
+      |FROM cr GROUP BY 1 ORDER BY click_hour""".stripMargin
+
+  /** Linear sensor gap fill
+    * ([[graft.operators.Downsample.gapFillLinear]]): 'error' events
+    * stand in for dropped readings; each gets the straight-line
+    * interpolation between its nearest real readings in the user's
+    * stream (weighted-average integer form — floor/truncate agree
+    * because every term is non-negative), edges take the single
+    * neighbor. Per-user fill counts and exact milli-sums cross the
+    * oracle; DuckDB recomputes via IGNORE NULLS window frames — a
+    * different null-skipping mechanism than Spark's ignoreNulls flag.
+    */
+  def q159GapFill(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir).select(
+      col("user_id"), col("ts"), col("event_id"),
+      (col("event_type") === "error").as("missing"),
+      (col("value").cast(DecimalType(18, 6)) * 1000)
+        .cast(LongType).as("milli"))
+    graft.operators.Downsample
+      .gapFillLinear(d, "user_id", "ts", "event_id", "milli", "missing")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_missing"),
+        sum(when(col("filled_milli").isNotNull, 1L).otherwise(0L))
+          .as("n_filled"),
+        longSum(coalesce(col("filled_milli"), lit(0L))).as("filled_sum"))
+      .orderBy(col("user_id"))
+  }
+
+  val q159Sql: String =
+    """WITH d AS (
+      |  SELECT user_id, ts, event_id,
+      |    event_type = 'error' AS missing,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000 AS BIGINT) AS milli,
+      |    epoch_us(ts) // 1000000 AS t
+      |  FROM events),
+      |w AS (
+      |  SELECT *,
+      |    last_value(CASE WHEN NOT missing THEN milli END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS vp,
+      |    last_value(CASE WHEN NOT missing THEN t END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS tp,
+      |    first_value(CASE WHEN NOT missing THEN milli END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS vn,
+      |    first_value(CASE WHEN NOT missing THEN t END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS tn
+      |  FROM d),
+      |f AS (
+      |  SELECT user_id,
+      |    CASE
+      |      WHEN vp IS NOT NULL AND vn IS NOT NULL THEN
+      |        CASE WHEN tn = tp THEN vp
+      |             ELSE (vp * (tn - t) + vn * (t - tp)) // (tn - tp) END
+      |      ELSE coalesce(vp, vn) END AS filled_milli
+      |  FROM w WHERE missing)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_missing,
+      |  CAST(sum(CASE WHEN filled_milli IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_filled,
+      |  CAST(sum(coalesce(filled_milli, 0)) AS BIGINT) AS filled_sum
+      |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q153_cusum_changepoint" -> q153CusumChangepoint _,
+    "q156_multitouch_attribution" -> q156MultitouchAttribution _,
+    "q159_gap_fill"       -> q159GapFill _,
     "q148_clamped_ledger" -> q148ClampedLedger _,
     "q146_trend_slopes"   -> q146TrendSlopes _,
     "q147_user_growth"    -> q147UserGrowth _,
@@ -598,6 +764,9 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q153_cusum_changepoint" -> q153Sql,
+    "q156_multitouch_attribution" -> q156Sql,
+    "q159_gap_fill"       -> q159Sql,
     "q148_clamped_ledger" -> q148Sql,
     "q146_trend_slopes"   -> q146Sql,
     "q147_user_growth"    -> q147Sql,

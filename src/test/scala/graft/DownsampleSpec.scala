@@ -51,4 +51,47 @@ class DownsampleSpec extends SparkSpec {
     // twa: id1 holds 0 µs (id2 at same ts), id2 holds 0.5 s, id3 0.5 s
     assert(r.getLong(7) == 3000000L)
   }
+
+  test("gap fill: interior gap interpolates linearly, edges take the neighbor") {
+    val s = 1000000L // 1 s in µs
+    val rows = Seq(
+      // k1: missing at t=0 (leading), observed 100@10s, missing@20s,
+      // observed 300@30s, missing@40s (trailing)
+      ("k1", ts(0L), 1L, true, 0L),
+      ("k1", ts(10 * s), 2L, false, 100L),
+      ("k1", ts(20 * s), 3L, true, 0L),
+      ("k1", ts(30 * s), 4L, false, 300L),
+      ("k1", ts(40 * s), 5L, true, 0L),
+      // k2: all missing → no fill possible
+      ("k2", ts(0L), 6L, true, 0L))
+      .toDF("k", "t", "id", "miss", "v")
+    val got = Downsample.gapFillLinear(rows, "k", "t", "id", "v", "miss")
+      .select("id", "filled_milli").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got(1L) == Some(100L)) // leading edge → next value
+    assert(got(3L) == Some(200L)) // midpoint of 100..300
+    assert(got(5L) == Some(300L)) // trailing edge → prev value
+    assert(got(6L) == None)       // nothing observed at all
+  }
+
+  test("gap fill: uneven spacing floors the weighted average; same-second span falls back") {
+    val s = 1000000L
+    val rows = Seq(
+      ("k", ts(0L), 1L, false, 10L),
+      ("k", ts(1 * s), 2L, true, 0L),   // 1/3 of the way 10→21
+      ("k", ts(3 * s), 3L, false, 21L),
+      // same-second pair around a missing row (sub-second ordering
+      // by id): span 0 → previous value wins
+      ("k", ts(5 * s), 4L, false, 50L),
+      ("k", ts(5 * s + 1), 5L, true, 0L),
+      ("k", ts(5 * s + 2), 6L, false, 60L))
+      .toDF("k", "t", "id", "miss", "v")
+    val got = Downsample.gapFillLinear(rows, "k", "t", "id", "v", "miss")
+      .select("id", "filled_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // (10*(3-1) + 21*(1-0)) div 3 = 41 div 3 = 13 (floor of 13.67)
+    assert(got(2L) == 13L)
+    assert(got(5L) == 50L)
+  }
 }

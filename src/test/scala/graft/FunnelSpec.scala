@@ -72,4 +72,46 @@ class FunnelSpec extends SparkSpec {
     assert(expected.exists(_._2 == 0L), "clamp never engaged — tune drift")
     assert(got == expected)
   }
+
+  test("multi-touch credits: degenerate 1/2-touch cases and U-shape with remainder") {
+    import spark.implicits._
+    val conv = Seq(
+      (1L, ts(100), 101L), // 1 touch
+      (2L, ts(100), 102L), // 2 touches
+      (3L, ts(100), 103L)) // 5 touches: middles split 200000/3
+      .toDF("u", "pts", "pid")
+    val touch = (Seq((1L, ts(50), 1L)) ++
+      Seq((2L, ts(40), 2L), (2L, ts(60), 3L)) ++
+      (0 until 5).map(i => (3L, ts(10 + i), 10L + i))).toDF("u", "cts", "cid")
+    val got = Funnel.multiTouchAttribution(conv, touch, "u", "pts", "pid",
+        "cts", "cid", lookbackUs = 1000L * 1000000)
+      .select("pid", "cid", "credit_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((101L, 1L)) == 1000000L)
+    assert(got((102L, 2L)) == 500000L && got((102L, 3L)) == 500000L)
+    // 5 touches: first/last 400000; middles 66666 each, remainder 2
+    // to the earliest middle
+    assert(got((103L, 10L)) == 400000L && got((103L, 14L)) == 400000L)
+    assert(got((103L, 11L)) == 66668L)
+    assert(got((103L, 12L)) == 66666L && got((103L, 13L)) == 66666L)
+    // every conversion's credits sum to exactly 1e6
+    val sums = got.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    assert(sums.values.forall(_ == 1000000L))
+  }
+
+  test("multi-touch: lookback window excludes stale and future touches") {
+    import spark.implicits._
+    val conv = Seq((1L, ts(1000), 1L)).toDF("u", "pts", "pid")
+    val touch = Seq(
+      (1L, ts(100), 1L),   // too old (900s > 600s lookback)
+      (1L, ts(500), 2L),   // in window
+      (1L, ts(1000), 3L),  // boundary: exactly at conversion time
+      (1L, ts(1500), 4L))  // future
+      .toDF("u", "cts", "cid")
+    val got = Funnel.multiTouchAttribution(conv, touch, "u", "pts", "pid",
+        "cts", "cid", lookbackUs = 600L * 1000000)
+      .select("cid", "credit_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 500000L, 3L -> 500000L))
+  }
 }
