@@ -247,4 +247,61 @@ object Sketches {
         when(v.isNull, lit(0))
           .when(v < tLow, lit(-1)).when(v > tHigh, lit(1)).otherwise(lit(0)))
   }
+
+  // ---- k-minimum-values (KMV) set sketches -----------------------
+
+  /** Per-group KMV sketch: the k smallest distinct values of
+    * `valueCol` (already uniform-ish hashes — callers pass md5-derived
+    * tokens, never raw content). KMV is the mergeable bottom-k order
+    * statistic behind distinct-count AND set-overlap estimation: the
+    * k-th smallest hash pins the sampled fraction of the value space,
+    * and two groups' sketches estimate their Jaccard from how the
+    * bottom-k of the UNION splits between them ([[kmvOverlap]]).
+    *
+    * Scale: the only corpus-sized stage is the (group, value)
+    * distinct; the bottom-k itself runs through [[graft.plans.TopKPerKey]]
+    * — per-partition bounded heaps, so k·partitions rows cross the
+    * exchange, never a per-group sort of everything.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.plans.TopKPerKey.topKPerKey(
+      df.select(col(groupCol), col(valueCol)).distinct(),
+      Seq(col(groupCol)), Seq(col(valueCol).asc), k)
+  }
+
+  /** Pairwise Jaccard estimates between per-group KMV sketches: for
+    * each group pair, take the k smallest of the sketch UNION and
+    * count how many sit in both sketches — `est = shared·10⁶ div m`
+    * (m = min(k, union size), so degenerate small groups stay exact).
+    * All integer; pair work is |groups|²-bounded sketch rows, the
+    * corpus is never touched.
+    */
+  def kmvOverlap(sketch: DataFrame, groupCol: String, valueCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sk = sketch.select(col(groupCol).as("_g"), col(valueCol).as("_v"))
+    val groups = sk.select(col("_g")).distinct()
+    // groups² pair frame (tiny): broadcast-nested-loop by design
+    val pairs = groups.select(col("_g").as("source_a"))
+      .join(broadcast(groups.select(col("_g").as("source_b"))),
+        col("source_a") < col("source_b"))
+    val tagged = sk
+      .join(broadcast(pairs),
+        col("_g") === col("source_a") || col("_g") === col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("_v"))
+      .agg(max(when(col("_g") === col("source_a"), 1).otherwise(0)).as("_ina"),
+        max(when(col("_g") === col("source_b"), 1).otherwise(0)).as("_inb"))
+    val ranked = tagged.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("source_a"), col("source_b"))
+        .orderBy(col("_v"))))
+      .where(col("_rn") <= k)
+    ranked.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("m"),
+        sum(when(col("_ina") === 1 && col("_inb") === 1, 1L).otherwise(0L))
+          .as("shared"))
+      .select(col("source_a"), col("source_b"), col("m"), col("shared"),
+        expr("shared * 1000000 div m").as("jaccard_est_micro"))
+  }
 }

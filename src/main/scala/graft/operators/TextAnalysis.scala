@@ -372,4 +372,40 @@ object TextAnalysis {
         (col("_best.s") + (shingleSize - 1)).cast("long").as("span_chars"))
       .orderBy(col("eval_id"))
   }
+
+  /** Corpus novelty curve: how much genuinely new content each slice
+    * of an ordered ingest contributes. A shingle is "novel" for the
+    * LOWEST doc id that contains it; a document's novelty is the
+    * fraction of its distinct shingles it introduced; the curve
+    * aggregates that by id bucket. Falling novelty = the crawl is
+    * saturating — the ingestion-ordering twin of the dedup family
+    * (it quantifies repetition the dedup operators then remove).
+    *
+    * Scale: no per-prefix recomputation and no window over history —
+    * "first container" is ONE hash aggregate (`min(doc_id)` per
+    * shingle token), novelty-per-doc a second, bucket rollup a third.
+    * Only 60-bit md5 tokens cross exchanges, never text. The
+    * arithmetic is one integer division per bucket.
+    */
+  def noveltyCurve(df: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    val sh = df
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(transform(
+          charNGrams(col(textCol), shingleSize),
+          g => md5Hash60(g)))).as("_tok"))
+    val perDoc = sh.groupBy(col("_id")).agg(count(lit(1)).as("_n_tok"))
+    val novel = sh.groupBy(col("_tok")).agg(min(col("_id")).as("_first"))
+      .groupBy(col("_first")).agg(count(lit(1)).as("_n_novel"))
+    perDoc
+      .join(novel, col("_id") === col("_first"), "left")
+      .groupBy(expr(s"_id div $bucketWidth").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n_tok")).as("n_tokens"),
+        sum(coalesce(col("_n_novel"), lit(0L))).as("n_novel"))
+      .select(col("bucket"), col("n_docs"), col("n_tokens"), col("n_novel"),
+        expr("n_novel * 1000000 div n_tokens").as("novelty_micro"))
+      .orderBy(col("bucket"))
+  }
 }

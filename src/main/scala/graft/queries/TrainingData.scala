@@ -2820,7 +2820,101 @@ object TrainingData {
       |FROM hx h JOIN canon c USING (ahash)
       |ORDER BY h.doc_id""".stripMargin
 
+  /** Cross-source corpus overlap cartography
+    * ([[graft.operators.Sketches.kmvSketch]]/[[graft.operators.Sketches.kmvOverlap]]):
+    * per-source k-minimum-values sketches over 60-bit shingle tokens,
+    * then pairwise Jaccard estimates from how the bottom-k of each
+    * pair's sketch union splits between the sides — "which crawl
+    * sources are near-copies of each other" at sketch cost (the
+    * corpus is touched once; pair work is sources²-bounded). The
+    * oracle replays the bottom-k order statistics and the integer
+    * estimator; any tie-break or ranking drift in the TopKPerKey
+    * physical operator breaks the hash.
+    */
+  def q154SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = Tables.widen(Tables.documents(s, dir))
+      .where(length(col("text")) >= 7)
+      .select(col("source"), explode(array_distinct(transform(
+        charNGrams(col("text"), 7), g => md5Hash60(g)))).as("tok"))
+    val sk = Sketches.kmvSketch(toks, "source", "tok", k = 128)
+    Sketches.kmvOverlap(sk, "source", "tok", k = 128)
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q154Sql: String =
+    """WITH shd AS (
+      |  SELECT DISTINCT source, tok FROM (
+      |    SELECT source, unnest(list_transform(
+      |      range(1, length(text) - 7 + 2),
+      |      i -> ('0x'||substr(md5(substr(text, i, 7)),1,15))::BIGINT)) AS tok
+      |    FROM documents WHERE length(text) >= 7)),
+      |ksm AS (
+      |  SELECT source, tok FROM (
+      |    SELECT source, tok,
+      |      row_number() OVER (PARTITION BY source ORDER BY tok) AS rn
+      |    FROM shd)
+      |  WHERE rn <= 128),
+      |srcs AS (SELECT DISTINCT source FROM ksm),
+      |pairs AS (
+      |  SELECT a.source AS sa, b.source AS sb
+      |  FROM srcs a JOIN srcs b ON a.source < b.source),
+      |tagged AS (
+      |  SELECT p.sa, p.sb, s.tok,
+      |    max(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ina,
+      |    max(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS inb
+      |  FROM ksm s JOIN pairs p ON s.source = p.sa OR s.source = p.sb
+      |  GROUP BY 1, 2, 3),
+      |ranked AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY sa, sb ORDER BY tok)
+      |      AS rn FROM tagged)
+      |  WHERE rn <= 128)
+      |SELECT sa AS source_a, sb AS source_b,
+      |  CAST(count(*) AS BIGINT) AS m,
+      |  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS shared,
+      |  CAST(sum(CASE WHEN ina = 1 AND inb = 1 THEN 1 ELSE 0 END)
+      |    * 1000000 // count(*) AS BIGINT) AS jaccard_est_micro
+      |FROM ranked GROUP BY sa, sb
+      |ORDER BY source_a, source_b""".stripMargin
+
+  /** Corpus novelty curve
+    * ([[graft.operators.TextAnalysis.noveltyCurve]]): the fraction of
+    * each ingest slice's shingles that no earlier document contains —
+    * crawl-saturation monitoring as three hash aggregates (first
+    * container = min doc id per token; no prefix windows, no history
+    * rescans). The oracle recomputes first-container, per-doc token
+    * counts, and the bucket rollup's integer division.
+    */
+  def q157NoveltyCurve(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.noveltyCurve(
+      Tables.widen(Tables.documents(s, dir)), "doc_id", "text",
+      shingleSize = 7, bucketWidth = 100L)
+
+  val q157Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, tok FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      range(1, length(text) - 7 + 2),
+      |      i -> ('0x'||substr(md5(substr(text, i, 7)),1,15))::BIGINT)) AS tok
+      |    FROM documents WHERE length(text) >= 7)),
+      |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok
+      |       FROM sh GROUP BY 1),
+      |nv AS (SELECT first, CAST(count(*) AS BIGINT) AS n_novel FROM (
+      |         SELECT tok, min(doc_id) AS first FROM sh GROUP BY tok)
+      |       GROUP BY 1)
+      |SELECT doc_id // 100 AS bucket, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      |  CAST(sum(coalesce(n_novel, 0)) AS BIGINT) AS n_novel,
+      |  CAST(sum(coalesce(n_novel, 0)) * 1000000 // sum(n_tok) AS BIGINT)
+      |    AS novelty_micro
+      |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first
+      |GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q154_source_overlap" -> q154SourceOverlap _,
+    "q157_novelty_curve"  -> q157NoveltyCurve _,
     "q150_image_ahash"    -> q150ImageAhash _,
     "q142_tfidf_nn"       -> q142TfidfNn _,
     "q138_source_similarity" -> q138SourceSimilarity _,
@@ -2882,6 +2976,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q154_source_overlap" -> q154Sql,
+    "q157_novelty_curve"  -> q157Sql,
     "q113_bigram_lm"      -> q113Sql,
     "q112_exact_jaccard"  -> q112Sql,
     "q109_curriculum_buckets" -> q109Sql,

@@ -147,4 +147,39 @@ class SketchesSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("v", "v_w", "_clamped"))
     assert(empty.count() == 0)
   }
+
+  test("KMV sketch keeps the k smallest distinct values per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 5L), ("a", 3L), ("a", 9L), ("a", 3L), ("a", 1L),
+      ("b", 100L)).toDF("g", "v")
+    val got = Sketches.kmvSketch(df, "g", "v", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 1L), ("a", 3L), ("a", 5L), ("b", 100L)))
+  }
+
+  test("KMV overlap: identical sets estimate 1.0, disjoint sets 0.0") {
+    import spark.implicits._
+    val same = (1L to 50L).flatMap(v => Seq(("x", v), ("y", v)))
+    val disj = (1L to 50L).map(v => ("z", v + 1000L))
+    val sk = Sketches.kmvSketch((same ++ disj).toDF("g", "v"), "g", "v", 16)
+    val est = Sketches.kmvOverlap(sk, "g", "v", 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("jaccard_est_micro")).toMap
+    assert(est(("x", "y")) == 1000000L)
+    assert(est(("x", "z")) == 0L && est(("y", "z")) == 0L)
+  }
+
+  test("KMV overlap estimate equals the exact bottom-k computation on a half-overlap") {
+    import spark.implicits._
+    // A = 1..40, B = 21..60 → true J = 20/60; with k big enough to
+    // hold everything the estimator is exact: m = |A∪B|, shared = |A∩B|
+    val a = (1L to 40L).map(("a", _))
+    val b = (21L to 60L).map(("b", _))
+    val sk = Sketches.kmvSketch((a ++ b).toDF("g", "v"), "g", "v", 100)
+    val r = Sketches.kmvOverlap(sk, "g", "v", 100).collect().head
+    assert(r.getAs[Long]("m") == 60L)
+    assert(r.getAs[Long]("shared") == 20L)
+    assert(r.getAs[Long]("jaccard_est_micro") == 20L * 1000000 / 60)
+  }
 }

@@ -565,4 +565,34 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     assert(got == Map(9L -> 5L))
   }
+
+  test("novelty curve: duplicates contribute zero, fresh content is fully novel") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "abcdefghij"),     // bucket 0: all novel
+      (1L, "abcdefghij"),     // exact dup of doc 0 → zero novel
+      (2L, "zzzzyyyyxxxx"),   // fresh → fully novel
+      (10L, "abcdefghij"))    // bucket 1: dup again → zero novel
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyCurve(docs, "doc_id", "text", 4, 10L)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("n_novel"), r.getAs[Long]("novelty_micro"))))
+      .toMap
+    // doc0: 7 shingles of len 4 ("abcdefghij" → 10-4+1=7), doc1: same
+    // 7 but all seen, doc2: "zzzzyyyyxxxx" → 9 distinct shingles
+    assert(got(0L) == ((3L, 7L + 7L + 9L, 7L + 9L, (16L * 1000000) / 23)))
+    assert(got(1L) == ((1L, 7L, 0L, 0L)))
+  }
+
+  test("novelty: a token is credited to its lowest doc id only") {
+    import spark.implicits._
+    // same 4-gram in three docs → exactly one novel credit, at doc 5
+    val docs = Seq((5L, "wxyz"), (6L, "wxyz"), (7L, "wxyz"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyCurve(docs, "doc_id", "text", 4, 1L)
+      .collect().map(r => r.getAs[Long]("bucket") ->
+        r.getAs[Long]("n_novel")).toMap
+    assert(got == Map(5L -> 1L, 6L -> 0L, 7L -> 0L))
+  }
 }
