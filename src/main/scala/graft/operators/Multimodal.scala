@@ -650,4 +650,120 @@ object Multimodal {
   def overlayStub(df: DataFrame, binCol: String = "content", tag: String = "OVERLAY:"): DataFrame =
     df.withColumn("content_overlaid",
       concat(encode(lit(tag), "UTF-8"), col(binCol)))
+
+  // ---------------------------------------------------------------
+  // Sample-exact audio path: integer waveform synth → real WAV
+  // encode → real JDK decode → per-frame features. Unlike the sine
+  // path ([[synthesizeWavs]]), whose float samples an independent
+  // engine cannot replay bit-for-bit (libm sin ulp differences land
+  // on rounding boundaries), the triangle wave is PURE INTEGER
+  // arithmetic — so a cross-engine oracle can regenerate every
+  // sample and the encode→decode round-trip is proven at the sample
+  // level, not just the header level.
+  // ---------------------------------------------------------------
+
+  /** Integer triangle-wave sample: amplitude A, sample rate r,
+    * frequency f, index i — `|((i·f·4A) div r) mod 4A − 2A| − A`,
+    * range [−A, A]. Exactly replayable in any engine with 64-bit
+    * integer div/mod.
+    */
+  private[graft] def triSample(i: Long, freq: Long, rate: Long, amp: Long): Int =
+    (math.abs((i * freq * 4 * amp / rate) % (4 * amp) - 2 * amp) - amp).toInt
+
+  /** Synthesize PCM WAV payloads carrying the integer triangle wave
+    * (amplitude 16000, well inside int16). Columns as
+    * [[synthesizeWavs]]: `rateCol` (Hz), `samplesCol`, `freqCol`.
+    */
+  def synthesizeTriangleWavs(df: DataFrame,
+      rateCol: String, samplesCol: String, freqCol: String,
+      outCol: String = "content", batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField(outCol, BinaryType, nullable = false))
+    val idx = Seq(rateCol, samplesCol, freqCol).map(df.schema.fieldIndex)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val rate = r.getInt(idx(0))
+        val n = r.getInt(idx(1))
+        val freq = r.getInt(idx(2))
+        val data = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          val v = triSample(i.toLong, freq.toLong, rate.toLong, 16000L)
+          data(2 * i) = (v & 0xff).toByte
+          data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+        import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream}
+        val fmt = new AudioFormat(rate.toFloat, 16, 1, true, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        audioWriters.find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE, ais))
+          .getOrElse(throw new IllegalStateException(
+            "no WAVE writer provider in this JVM"))
+          .write(ais, AudioFileFormat.Type.WAVE, bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Decode a 16-bit mono little-endian PCM WAV payload back to its
+    * signed sample values (`samples: array<int>`, null when the
+    * payload is not such a WAV). The REAL JDK codec parses the
+    * container — a sample emitted here went through encode→decode
+    * byte-for-byte.
+    */
+  def decodePcmSamples(df: DataFrame, binCol: String = "content",
+      batchSize: Int = 64): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+
+      StructField("samples", ArrayType(IntegerType), nullable = true))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap(_.map { r =>
+        val in = decodeWav(r.getAs[Array[Byte]](binIdx))
+        val out: Seq[Int] =
+          if (in == null) null
+          else try {
+            val f = in.getFormat
+            if (f.getSampleSizeInBits != 16 || f.isBigEndian ||
+              f.getChannels != 1 ||
+              f.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+              null
+            else {
+              val bytes = in.readAllBytes()
+              Array.tabulate(bytes.length / 2) { i =>
+                ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+              }.toSeq
+            }
+          } finally in.close()
+        Row.fromSeq(r.toSeq :+ out)
+      })
+    }(Encoders.row(outSchema))
+  }
+
+  /** Frame-level audio features over a decoded sample array, all
+    * native integer expressions (no UDF): total energy (Σx²),
+    * zero-crossing count (strict sign flips), full-frame count, and
+    * the max per-frame energy. Partial trailing frames are excluded
+    * from the per-frame max (documented contract) but included in
+    * the total.
+    */
+  def audioFrameFeatures(df: DataFrame, samplesCol: String = "samples",
+      frameSize: Int = 400): DataFrame = {
+    require(frameSize >= 1, s"frameSize must be >= 1, got $frameSize")
+    val s = samplesCol
+    df
+      .withColumn("n_samples", size(col(s)).cast(LongType))
+      .withColumn("n_frames", expr(s"size($s) div $frameSize").cast(LongType))
+      .withColumn("total_energy", expr(
+        s"aggregate($s, CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT) * x)"))
+      .withColumn("zcr", when(size(col(s)) >= 2, expr(
+        s"CAST(size(filter(sequence(2, size($s)), i -> element_at($s, i - 1) * element_at($s, i) < 0)) AS BIGINT)"))
+        .otherwise(lit(0L)))
+      .withColumn("max_frame_energy", when(expr(s"size($s) div $frameSize") > 0,
+        expr(s"array_max(transform(sequence(0, size($s) div $frameSize - 1), " +
+          s"f -> aggregate(slice($s, f * $frameSize + 1, $frameSize), " +
+          "CAST(0 AS BIGINT), (acc, x) -> acc + CAST(x AS BIGINT) * x)))"))
+        .otherwise(lit(null).cast(LongType)))
+  }
 }

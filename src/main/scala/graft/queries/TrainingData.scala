@@ -2912,7 +2912,60 @@ object TrainingData {
       |FROM pd LEFT JOIN nv ON pd.doc_id = nv.first
       |GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Sample-exact audio frame features
+    * ([[graft.operators.Multimodal.synthesizeTriangleWavs]] →
+    * [[graft.operators.Multimodal.decodePcmSamples]] →
+    * [[graft.operators.Multimodal.audioFrameFeatures]]): an INTEGER
+    * triangle wave is synthesized per document, encoded as a real PCM
+    * WAV, decoded back through the real JDK codec, and reduced to
+    * frame-level features (total energy, zero crossings, max frame
+    * energy) by native integer array expressions. The oracle
+    * regenerates every sample from the closed-form integer formula —
+    * so the WAV encode→decode round-trip is proven value-exact at the
+    * SAMPLE level (q61's sine path can only check headers: float
+    * samples don't replay across engines; integers do).
+    */
+  def q155AudioFrames(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Multimodal
+    val params = Tables.widen(Tables.documents(s, dir)).select(
+      col("doc_id"),
+      lit(8000).as("rate"),
+      (lit(4000) + (col("doc_id") % 5).cast(IntegerType) * 800).as("n_samp"),
+      (lit(200) + (col("doc_id") % 7).cast(IntegerType) * 50).as("freq"))
+    val wavs = Multimodal.synthesizeTriangleWavs(
+      params, "rate", "n_samp", "freq")
+    Multimodal.audioFrameFeatures(
+        Multimodal.decodePcmSamples(wavs), "samples", frameSize = 400)
+      .select(col("doc_id"), col("n_samples"), col("n_frames"),
+        col("total_energy"), col("zcr"), col("max_frame_energy"))
+      .orderBy("doc_id")
+  }
+
+  val q155Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, 4000 + (doc_id % 5) * 800 AS n,
+      |         200 + (doc_id % 7) * 50 AS f
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, n,
+      |    list_transform(range(0, n), i ->
+      |      CAST(abs(((i * f * 64000) // 8000) % 64000 - 32000) - 16000
+      |        AS BIGINT)) AS sm
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n // 400 AS BIGINT) AS n_frames,
+      |  list_reduce(list_transform(sm, x -> x * x), (a, b) -> a + b)
+      |    AS total_energy,
+      |  CAST(len(list_filter(range(2, n + 1), i -> sm[i-1] * sm[i] < 0))
+      |    AS BIGINT) AS zcr,
+      |  list_max(list_transform(range(0, n // 400), fr ->
+      |    list_reduce(list_transform(list_slice(sm, fr * 400 + 1, fr * 400 + 400),
+      |      x -> x * x), (a, b) -> a + b))) AS max_frame_energy
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q155_audio_frames"   -> q155AudioFrames _,
     "q154_source_overlap" -> q154SourceOverlap _,
     "q157_novelty_curve"  -> q157NoveltyCurve _,
     "q150_image_ahash"    -> q150ImageAhash _,
@@ -2976,6 +3029,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q155_audio_frames"   -> q155Sql,
     "q154_source_overlap" -> q154Sql,
     "q157_novelty_curve"  -> q157Sql,
     "q113_bigram_lm"      -> q113Sql,

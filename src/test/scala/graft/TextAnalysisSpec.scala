@@ -585,6 +585,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) == ((1L, 7L, 0L, 0L)))
   }
 
+  test("triangle WAV roundtrip: decoded samples equal the integer formula") {
+    import spark.implicits._
+    val params = Seq((1L, 8000, 1200, 250), (2L, 8000, 800, 440))
+      .toDF("id", "rate", "n", "f")
+    val got = Multimodal.decodePcmSamples(
+        Multimodal.synthesizeTriangleWavs(params, "rate", "n", "f"))
+      .select("id", "samples").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, rate, n, f) <- Seq((1L, 8000L, 1200, 250L), (2L, 8000L, 800, 440L))) {
+      val want = (0 until n).map(i =>
+        Multimodal.triSample(i.toLong, f, rate, 16000L))
+      assert(got(id) == want, s"sample mismatch for id=$id")
+    }
+  }
+
+  test("audio frame features: hand-computed energies and crossings") {
+    import spark.implicits._
+    // 5 samples, frame size 2: frames [3,-4], [0,5]; sample 2 dropped
+    // from frames but counted in the total; strict sign flips:
+    // 3→-4 (yes), -4→0 (no), 0→5 (no), 5→2 (no)
+    val df = Seq((1L, Seq(3, -4, 0, 5, 2))).toDF("id", "samples")
+    val r = Multimodal.audioFrameFeatures(df, "samples", frameSize = 2)
+      .select("n_samples", "n_frames", "total_energy", "zcr",
+        "max_frame_energy").collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) == 2L)
+    assert(r.getLong(2) == (9 + 16 + 0 + 25 + 4).toLong)
+    assert(r.getLong(3) == 1L)
+    assert(r.getLong(4) == 25L) // frames: 9+16=25, 0+25=25 → 25
+  }
+
+  test("PCM decode degrades to NULL samples on non-audio payloads") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "content")
+    val r = Multimodal.decodePcmSamples(df).select("samples").collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("novelty: a token is credited to its lowest doc id only") {
     import spark.implicits._
     // same 4-gram in three docs → exactly one novel credit, at doc 5
