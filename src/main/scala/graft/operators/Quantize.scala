@@ -85,4 +85,106 @@ object Quantize {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  // ---- Product quantization (PQ) ---------------------------------
+  //
+  // The other axis of vector compression: scalar int8 shrinks each
+  // ELEMENT; PQ shrinks each SUBVECTOR to one codebook id — m bytes
+  // per vector regardless of dim, the memory layout behind
+  // billion-vector ANN (IVF-PQ). Fit = the deterministic Lloyd
+  // k-means this module already ships ([[Similarity.fitCentroids]]),
+  // run per subspace; encode = ONE zero-shuffle projection (each
+  // subspace's nearest-centroid argmin is a literal-folded
+  // expression, the IVF literal regime); search = asymmetric distance
+  // computation (ADC): the query precomputes its inner product
+  // against every codebook entry (m × nlist doubles), and a
+  // candidate's score is m table lookups + (m−1) additions — no
+  // per-candidate O(dim) work.
+
+  /** Per-subspace PQ codebooks: subspace j covers elements
+    * [j·subDim, (j+1)·subDim). Returns one (centroid_id, _centroid)
+    * frame per subspace, fitted with the deterministic shared k-means
+    * (seed = lowest ids, decimal-exact means) so the codebooks — and
+    * everything downstream — are bit-stable and replayable.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+      subDim: Int, m: Int, nlist: Int, iters: Int): Seq[DataFrame] =
+    (0 until m).map { j =>
+      Similarity.fitCentroids(
+        corpus.select(col(idCol),
+          slice(col(vecCol), j * subDim + 1, subDim).as("_sub")),
+        idCol, "_sub", nlist, iters)
+    }
+
+  /** PQ encode: append `code_j` (the assigned codebook id per
+    * subspace) in ONE projection over one scan — the codebooks are
+    * driver-bounded literals, so the plan is scan → expression →
+    * output with ZERO exchanges (the shape that encodes 10⁹ vectors
+    * embarrassingly parallel). Tie-break matches the IVF assignment:
+    * (cosine desc, centroid id asc).
+    */
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[DataFrame], subDim: Int): DataFrame = {
+    var out = corpus.select(col(idCol) +: codebooks.indices.map(j =>
+      slice(col(vecCol), j * subDim + 1, subDim).as(s"_sub$j")): _*)
+    codebooks.zipWithIndex.foreach { case (cb, j) =>
+      val cents = cb.select(col("centroid_id"), col("_centroid")).collect()
+      val scored = cents.map { r =>
+        val sim = graft.functions.VectorFunctions.cosine(
+          col(s"_sub$j"), typedlit(r.getSeq[Float](1)))
+        struct(
+          when(sim.isNull, lit(Double.MaxValue)).otherwise(-sim).as("negsim"),
+          lit(r.get(0)).as("cid"))
+      }
+      out = out.withColumn(s"code_$j",
+        slice(array_sort(array(scored.toIndexedSeq: _*)), 1, 1)
+          .getItem(0).getField("cid"))
+    }
+    out.drop(codebooks.indices.map(j => s"_sub$j"): _*)
+  }
+
+  /** ADC top-k: for each query, the per-subspace inner-product tables
+    * against the codebooks are a queries × (m·nlist) frame (tiny,
+    * broadcast); candidates join it by their codes, so the scored
+    * stream carries codes — never embeddings — and the per-candidate
+    * cost is m lookups. Top-k per query through the bounded-heap
+    * TopKPerKey; score ties break on candidate id (replayable).
+    * Self-matches are excluded.
+    */
+  def pqTopK(codes: DataFrame, queries: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[DataFrame], subDim: Int,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol))
+    // per-subspace query IP table: (query_id, code_j, _ip_j) —
+    // queries × nlist rows, built from literal codebook entries in
+    // one projection + explode
+    def qTable(cb: DataFrame, j: Int): DataFrame = {
+      val cents = cb.select(col("centroid_id"), col("_centroid")).collect()
+      val entries = cents.map { r =>
+        struct(lit(r.get(0)).as("cid"),
+          graft.functions.VectorFunctions.dot(
+            slice(col(vecCol), j * subDim + 1, subDim),
+            typedlit(r.getSeq[Float](1))).as("ip"))
+      }
+      q.select(col("query_id"),
+          explode(array(entries.toIndexedSeq: _*)).as("_e"))
+        .select(col("query_id"), col("_e.cid").as(s"code_$j"),
+          col("_e.ip").as(s"_ip$j"))
+    }
+    // candidates pick up (query_id, ip) through their subspace-0 code,
+    // then each further subspace joins on (query_id, code_j): the
+    // scored stream carries codes and ids only, never embeddings
+    var joined = codes.select(col(idCol).as("neighbor_id") +:
+      codebooks.indices.map(j => col(s"code_$j")): _*)
+    codebooks.zipWithIndex.foreach { case (cb, j) =>
+      joined = joined.join(broadcast(qTable(cb, j)),
+        if (j == 0) Seq(s"code_$j") else Seq("query_id", s"code_$j"))
+    }
+    val withScore = joined.withColumn("adc_score",
+      codebooks.indices.map(j => col(s"_ip$j")).reduce(_ + _))
+      .where(col("neighbor_id") =!= col("query_id"))
+    graft.plans.TopKPerKey.topKPerKey(withScore, Seq(col("query_id")),
+        Seq(col("adc_score").desc, col("neighbor_id").asc), k)
+      .select(col("query_id"), col("neighbor_id"))
+  }
 }

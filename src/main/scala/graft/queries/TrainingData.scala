@@ -2964,7 +2964,106 @@ object TrainingData {
       |      x -> x * x), (a, b) -> a + b))) AS max_frame_energy
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Product quantization ANN
+    * ([[graft.operators.Quantize.pqCodebooks]]/[[graft.operators.Quantize.pqEncode]]/[[graft.operators.Quantize.pqTopK]]):
+    * two 32-dim subspace codebooks fitted with the deterministic
+    * shared k-means, the corpus encoded to 2 codebook ids per vector
+    * in one zero-shuffle projection, queries answered by asymmetric
+    * distance computation — per-candidate cost is 2 table lookups +
+    * 1 addition, the billion-vector memory layout (IVF-PQ's PQ half).
+    * The DuckDB twin replays the ENTIRE pipeline: both subspace
+    * k-means fits (seed, 2 Lloyd iterations with decimal-exact means,
+    * empty-cluster carry), both code assignments, the ADC tables, and
+    * the (score desc, id asc) top-1 — the q76 iterate-then-replay
+    * pattern squared.
+    */
+  def q158PqTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val cbs = Quantize.pqCodebooks(emb, "vec_id", "embedding",
+      subDim = 32, m = 2, nlist = 16, iters = 2)
+    val codes = Quantize.pqEncode(emb, "vec_id", "embedding", cbs, subDim = 32)
+    Quantize.pqTopK(codes, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", cbs, subDim = 32, k = 1)
+      .orderBy("query_id")
+  }
+
+  /** One subspace's k-means fit + assignment CTEs (suffix `sfx`,
+    * DuckDB 1-based slice [lo,hi]): seed = lowest-id subvectors, two
+    * Lloyd steps with DECIMAL(28,8)-exact means cast to REAL (the
+    * [[graft.operators.Similarity.fitCentroids]] contract), cosine
+    * assignment with (cos desc, cid asc) tie-break.
+    */
+  private def pqSubSql(sfx: String, lo: Int, hi: Int): String = {
+    def normed(src: String, out: String, idc: String, vc: String) =
+      s"""$out AS (
+         |  SELECT $idc, $vc,
+         |    sqrt(list_reduce(list_transform($vc, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+         |                     (a, b) -> a + b)) AS nrm
+         |  FROM $src)""".stripMargin
+    def step(prev: String, out: String) =
+      s"""a_$out AS (
+         |  SELECT e.vec_id, c.cid, e.sub
+         |  FROM n_e_$sfx e CROSS JOIN n_$prev c
+         |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |    list_reduce(list_transform(list_zip(e.sub, c.c),
+         |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+         |      / (e.nrm * c.nrm) DESC, c.cid ASC) = 1),
+         |m_$out AS (
+         |  SELECT cid, pos,
+         |    CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) / count(*) AS m
+         |  FROM (SELECT cid, unnest(range(len(sub))) AS pos,
+         |          unnest(sub) AS x
+         |        FROM a_$out)
+         |  GROUP BY cid, pos),
+         |r_$out AS (
+         |  SELECT cid, list(CAST(m AS REAL) ORDER BY pos) AS c
+         |  FROM m_$out GROUP BY cid),
+         |$out AS (
+         |  SELECT p.cid, COALESCE(r.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN r_$out r ON p.cid = r.cid),
+         |${normed(out, s"n_$out", "cid", "c")}""".stripMargin
+    s"""e_$sfx AS (SELECT vec_id, embedding[$lo:$hi] AS sub FROM embeddings),
+       |${normed(s"e_$sfx", s"n_e_$sfx", "vec_id", "sub")},
+       |seed_$sfx AS (SELECT vec_id AS cid, sub AS c FROM e_$sfx
+       |              ORDER BY vec_id LIMIT 16),
+       |${normed(s"seed_$sfx", s"n_seed_$sfx", "cid", "c")},
+       |${step(s"seed_$sfx", s"it1_$sfx")},
+       |${step(s"it1_$sfx", s"it2_$sfx")},
+       |codes_$sfx AS (
+       |  SELECT e.vec_id, c.cid
+       |  FROM n_e_$sfx e CROSS JOIN n_it2_$sfx c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |    list_reduce(list_transform(list_zip(e.sub, c.c),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |      / (e.nrm * c.nrm) DESC, c.cid ASC) = 1),
+       |qt_$sfx AS (
+       |  SELECT q.vec_id AS query_id, c.cid,
+       |    list_reduce(list_transform(list_zip(q.sub, c.c),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |      AS ip
+       |  FROM n_e_$sfx q CROSS JOIN n_it2_$sfx c
+       |  WHERE q.vec_id < 20)""".stripMargin
+  }
+
+  val q158Sql: String =
+    s"""WITH ${pqSubSql("s0", 1, 32)},
+       |${pqSubSql("s1", 33, 64)},
+       |scored AS (
+       |  SELECT q0.query_id, c0.vec_id AS neighbor_id,
+       |    q0.ip + q1.ip AS score
+       |  FROM codes_s0 c0
+       |  JOIN codes_s1 c1 ON c0.vec_id = c1.vec_id
+       |  JOIN qt_s0 q0 ON q0.cid = c0.cid
+       |  JOIN qt_s1 q1 ON q1.cid = c1.cid AND q1.query_id = q0.query_id
+       |  WHERE c0.vec_id <> q0.query_id)
+       |SELECT query_id, neighbor_id FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY query_id
+       |  ORDER BY score DESC, neighbor_id ASC) = 1
+       |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q158_pq_topk"        -> q158PqTopK _,
     "q155_audio_frames"   -> q155AudioFrames _,
     "q154_source_overlap" -> q154SourceOverlap _,
     "q157_novelty_curve"  -> q157NoveltyCurve _,
@@ -3029,6 +3128,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q158_pq_topk"        -> q158Sql,
     "q155_audio_frames"   -> q155Sql,
     "q154_source_overlap" -> q154Sql,
     "q157_novelty_curve"  -> q157Sql,

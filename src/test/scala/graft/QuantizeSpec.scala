@@ -64,4 +64,57 @@ class QuantizeSpec extends SparkSpec {
       "vec_id", "embedding", k = 1).collect()
     assert(dq.length == 1 && dq(0).getDouble(2) > 0.999999)
   }
+
+  test("PQ: encode is one zero-shuffle projection and codes match per-subspace assignment") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val cbs = Quantize.pqCodebooks(emb, "vec_id", "embedding",
+      subDim = 32, m = 2, nlist = 8, iters = 1)
+    val codes = Quantize.pqEncode(emb, "vec_id", "embedding", cbs, 32)
+    // plan: scan → projection, no Exchange
+    assert(!codes.queryExecution.executedPlan.toString.contains("Exchange"),
+      "PQ encode must not shuffle")
+    // codes agree with the shared assignment operator per subspace
+    for (j <- 0 to 1) {
+      val sub = emb.select(col("vec_id"),
+        slice(col("embedding"), j * 32 + 1, 32).as("_sub"))
+      val want = graft.operators.Similarity
+        .assignToCentroid(sub, cbs(j), "vec_id", "_sub", "_vid")
+        .select(col("_vid"), col("centroid_id")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val got = codes.select(col("vec_id"), col(s"code_$j")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"subspace $j codes diverge from assignToCentroid")
+    }
+  }
+
+  test("PQ ADC top-1 equals a brute-force recompute from codebooks and codes") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val cbs = Quantize.pqCodebooks(emb, "vec_id", "embedding", 32, 2, 8, 1)
+    val codes = Quantize.pqEncode(emb, "vec_id", "embedding", cbs, 32)
+    val got = Quantize.pqTopK(codes, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", cbs, 32, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side recompute with the same left-fold double arithmetic
+    val books = cbs.map(_.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap)
+    val codeMap = codes.collect()
+      .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2))).toMap
+    def ip(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val queries = emb.filter(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    for ((qid, qv) <- queries) {
+      val subs = Seq(qv.slice(0, 32), qv.slice(32, 64))
+      val best = codeMap.iterator.filter(_._1 != qid).map { case (cid, cc) =>
+        val score = ip(subs(0), books(0)(cc(0))) + ip(subs(1), books(1)(cc(1)))
+        (cid, score)
+      }.toSeq.sortBy { case (cid, sc) => (-sc, cid) }.head._1
+      assert(got(qid) == best, s"query $qid: got ${got(qid)} want $best")
+    }
+  }
 }
