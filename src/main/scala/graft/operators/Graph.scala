@@ -202,4 +202,38 @@ object Graph {
       .agg(count(lit(1)).as("subtree_n"), sum(col("_v")).as("subtree_value"))
       .orderBy(col(nodeCol))
   }
+
+  /** Bounded-hop BFS from a seed set: every node's minimum hop count
+    * ≤ `maxHops` — reachability/blast-radius analysis ("what does
+    * this supplier outage touch within 3 links?") without unbounded
+    * recursion. The loop is the standard distributed-BFS frontier
+    * shape: each iteration joins the CURRENT FRONTIER (only the nodes
+    * first reached last round — not the whole visited set) against
+    * the edge table, then anti-joins out already-visited nodes, so
+    * iteration cost tracks frontier × degree. The visited set is
+    * re-checkpointed per hop to cut lineage (the [[pageRank]]
+    * discipline); hop counts are exact, ties resolved by "first hop
+    * wins" which IS min-hop by construction.
+    *
+    * `edges` must carry both directions for undirected graphs.
+    */
+  def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col(srcCol).as("_src"), col(dstCol).as("_dst"))
+    var visited = seeds.select(col(seedCol).as("node"))
+      .distinct().withColumn("hop", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      val next = frontier.join(e, col("node") === col("_src"))
+        .select(col("_dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("hop", lit(h.toLong))
+        .localCheckpoint(true)
+      visited = visited.unionByName(next).localCheckpoint(true)
+      frontier = next
+    }
+    visited
+  }
 }

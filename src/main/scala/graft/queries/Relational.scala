@@ -1634,7 +1634,47 @@ object Relational {
       |ORDER BY n_pairs DESC, item_a, item_b
       |LIMIT 100""".stripMargin
 
+  /** Bounded-hop BFS blast radius ([[graft.operators.Graph.bfsHops]]):
+    * minimum hop distance from the seed parts (ids < 10) over the
+    * co-purchase graph, 3 hops max — iterative frontier expansion
+    * (frontier × degree per hop, never the visited set re-joined)
+    * against a recursive-CTE oracle that enumerates ALL bounded paths
+    * and takes min(hop): iteration vs recursion must agree on every
+    * node's distance.
+    */
+  def q161BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val edges = li.as("a")
+      .join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst")).distinct()
+    val seeds = Tables.part(s, dir).where(col("p_partkey") < 10)
+      .select(col("p_partkey"))
+    graft.operators.Graph.bfsHops(edges, "src", "dst", seeds, "p_partkey", 3)
+      .groupBy(col("hop"))
+      .agg(count(lit(1)).as("n_nodes"), longSum(col("node")).as("node_sum"))
+      .orderBy(col("hop"))
+  }
+
+  val q161Sql: String =
+    """WITH RECURSIVE
+      |b AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      |e AS (SELECT DISTINCT a.pk AS src, b2.pk AS dst
+      |      FROM b a JOIN b b2 ON a.ok = b2.ok AND a.pk <> b2.pk),
+      |walk AS (
+      |  SELECT p_partkey AS node, 0 AS hop FROM part WHERE p_partkey < 10
+      |  UNION ALL
+      |  SELECT e.dst, w.hop + 1 FROM walk w JOIN e ON e.src = w.node
+      |  WHERE w.hop < 3)
+      |SELECT CAST(hop AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(sum(node) AS BIGINT) AS node_sum
+      |FROM (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
+      |GROUP BY hop ORDER BY hop""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q161_bfs_hops"        -> q161BfsHops _,
     "q151_robust_outliers" -> q151RobustOutliers _,
     "q152_basket_lift"     -> q152BasketLift _,
     "q149_skyline"         -> q149Skyline _,
@@ -1681,6 +1721,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q161_bfs_hops"        -> q161Sql,
     "q151_robust_outliers" -> q151Sql,
     "q152_basket_lift"     -> q152Sql,
     "q149_skyline"         -> q149Sql,

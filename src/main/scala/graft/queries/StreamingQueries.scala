@@ -744,7 +744,200 @@ object StreamingQueries {
       |  CAST(sum(coalesce(filled_milli, 0)) AS BIGINT) AS filled_sum
       |FROM f GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Deterministic A/B experiment readout: users hash into
+    * control/treatment through the shared md5-bucket split
+    * ([[graft.operators.Sampling.md5Split]] — append-stable, so a
+    * user's arm never changes as data grows), conversion = any
+    * purchase, and the 2×2 chi-squared decomposition rides the fixed
+    * IEEE expression tree (the q106 drift discipline) so both engines
+    * agree bit-for-bit. Per-arm work is two hash aggregates + one
+    * broadcast of the 1-row totals; the user's event history never
+    * leaves its partition unaggregated.
+    */
+  def q160AbExperiment(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val users = ev.select(col("user_id")).distinct()
+    val armed = graft.operators.Sampling.md5Split(users, "user_id",
+      Seq("control" -> 0.5, "treatment" -> 0.5))
+    val conv = ev.where(col("event_type") === "purchase" &&
+        col("value") > 450.0)
+      .select(col("user_id")).distinct().withColumn("_c", lit(1L))
+    val metrics = armed.join(conv, Seq("user_id"), "left")
+      .groupBy(col("split").as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("_c"), lit(0L))).as("n_converted"))
+    val totals = metrics.agg(longSum(col("n_users")).as("tu"),
+      longSum(col("n_converted")).as("tc"))
+    val e = col("tc").cast(DoubleType) * col("n_users").cast(DoubleType) /
+      col("tu").cast(DoubleType)
+    val d = col("n_converted").cast(DoubleType) - e
+    val en = col("n_users").cast(DoubleType) - e
+    val d2 = (col("n_users") - col("n_converted")).cast(DoubleType) - en
+    metrics.crossJoin(broadcast(totals))
+      .select(col("arm"), col("n_users"), col("n_converted"),
+        expr("n_converted * 1000000 div n_users").as("conv_micro"),
+        when(e === 0.0 || en === 0.0, lit(0.0))
+          .otherwise(d * d / e + d2 * d2 / en).as("chi2_term"))
+      .orderBy(col("arm"))
+  }
+
+  val q160Sql: String =
+    """WITH users AS (SELECT DISTINCT user_id FROM events),
+      |armed AS (
+      |  SELECT user_id,
+      |    CASE WHEN ('0x'||substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+      |              % 1000000 < 500000
+      |         THEN 'control' ELSE 'treatment' END AS arm
+      |  FROM users),
+      |conv AS (SELECT DISTINCT user_id FROM events
+      |         WHERE event_type = 'purchase' AND value > 450.0),
+      |m AS (
+      |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+      |    CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_converted
+      |  FROM armed a LEFT JOIN conv c USING (user_id)
+      |  GROUP BY arm),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS tu,
+      |             CAST(sum(n_converted) AS BIGINT) AS tc FROM m)
+      |SELECT arm, n_users, n_converted,
+      |  n_converted * 1000000 // n_users AS conv_micro,
+      |  CASE WHEN CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE) = 0
+      |         OR CAST(n_users AS DOUBLE)
+      |            - CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE) = 0
+      |       THEN 0.0 ELSE
+      |  (CAST(n_converted AS DOUBLE)
+      |     - CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE))
+      |  * (CAST(n_converted AS DOUBLE)
+      |     - CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE))
+      |  / (CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE))
+      |  + (CAST(n_users - n_converted AS DOUBLE)
+      |     - (CAST(n_users AS DOUBLE)
+      |        - CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE)))
+      |  * (CAST(n_users - n_converted AS DOUBLE)
+      |     - (CAST(n_users AS DOUBLE)
+      |        - CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE)))
+      |  / (CAST(n_users AS DOUBLE)
+      |     - CAST(tc AS DOUBLE) * CAST(n_users AS DOUBLE) / CAST(tu AS DOUBLE))
+      |  END AS chi2_term
+      |FROM m CROSS JOIN t
+      |ORDER BY arm""".stripMargin
+
+  /** Hourly burst detection: an (event type, hour) cell bursts when
+    * its count exceeds 2× the trailing-24h average, with a full
+    * history requirement — the integer cross-multiplied form
+    * `n·12 > trailing_sum` so no rate float exists. One keyed window
+    * (partition = event type, range frame on the hour index): burst
+    * screening over millions of independent series is embarrassingly
+    * parallel.
+    */
+  def q163BurstDetection(s: SparkSession, dir: String): DataFrame = {
+    val hr = Tables.events(s, dir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hidx"))
+      .groupBy(col("event_type"), col("hidx"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hidx"))
+      .rangeBetween(-24, -1)
+    hr.withColumn("trail_sum", sum(col("n")).over(w))
+      .withColumn("_nh", count(lit(1)).over(w))
+      .where(col("_nh") === 24 && col("n") * 12 > col("trail_sum"))
+      .select(col("event_type"), col("hidx"), col("n"), col("trail_sum"))
+      .orderBy(col("event_type"), col("hidx"))
+  }
+
+  val q163Sql: String =
+    """WITH hr AS (
+      |  SELECT event_type, epoch_us(ts) // 3600000000 AS hidx,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |w AS (
+      |  SELECT *,
+      |    CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hidx
+      |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT)
+      |      AS trail_sum,
+      |    count(*) OVER (PARTITION BY event_type ORDER BY hidx
+      |      RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS nh
+      |  FROM hr)
+      |SELECT event_type, hidx, n, trail_sum
+      |FROM w WHERE nh = 24 AND n * 12 > trail_sum
+      |ORDER BY event_type, hidx""".stripMargin
+
+  /** Peak session concurrency per day
+    * ([[graft.operators.Intervals.maxConcurrency]]): sessions from
+    * the 30-minute-gap sessionization become [first, last] µs spans,
+    * attributed to their start day; the boundary sweep (+1/−1,
+    * running max) runs inside each day's partition — never a global
+    * window. Tie rule (starts before ends at the same instant, then
+    * span id) is pinned and replayed; the oracle rebuilds the
+    * sessions AND the sweep in SQL.
+    */
+  def q162SessionConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    val sessions = Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("session_id",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+      .select(
+        expr("s_us div 86400000000").as("day_idx"),
+        col("s_us"), col("e_us"),
+        (col("user_id") * 1000000L + col("session_id")).as("span_id"))
+    graft.operators.Intervals
+      .maxConcurrency(sessions, "day_idx", "s_us", "e_us", "span_id")
+      .orderBy(col("day_idx"))
+  }
+
+  val q162Sql: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id,
+      |    min(epoch_us(ts)) AS s_us, max(epoch_us(ts)) AS e_us
+      |  FROM (
+      |    SELECT user_id, ts,
+      |      CAST(sum(new_session) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |        AS session_id
+      |    FROM (
+      |      SELECT user_id, ts, event_id,
+      |        CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |             THEN 1 ELSE 0 END AS new_session
+      |      FROM (
+      |        SELECT user_id, ts, event_id,
+      |          lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |            ORDER BY ts, event_id) AS prev_us
+      |        FROM events)))
+      |  GROUP BY user_id, session_id),
+      |spans AS (
+      |  SELECT s_us // 86400000000 AS day_idx, s_us, e_us,
+      |    user_id * 1000000 + session_id AS span_id
+      |  FROM sess),
+      |bounds AS (
+      |  SELECT day_idx, s_us AS t, 1 AS d, span_id FROM spans
+      |  UNION ALL
+      |  SELECT day_idx, e_us AS t, -1 AS d, span_id FROM spans),
+      |swept AS (
+      |  SELECT *, CAST(sum(d) OVER (PARTITION BY day_idx
+      |    ORDER BY t, d DESC, span_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS open
+      |  FROM bounds)
+      |SELECT day_idx, CAST(count(*) / 2 AS BIGINT) AS n_spans,
+      |  max(open) AS max_concurrent,
+      |  min((-open, t, span_id))[2] AS peak_at_us
+      |FROM swept GROUP BY day_idx ORDER BY day_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q162_session_concurrency" -> q162SessionConcurrency _,
+    "q160_ab_experiment"  -> q160AbExperiment _,
+    "q163_burst_detection" -> q163BurstDetection _,
     "q153_cusum_changepoint" -> q153CusumChangepoint _,
     "q156_multitouch_attribution" -> q156MultitouchAttribution _,
     "q159_gap_fill"       -> q159GapFill _,
@@ -764,6 +957,9 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q162_session_concurrency" -> q162Sql,
+    "q160_ab_experiment"  -> q160Sql,
+    "q163_burst_detection" -> q163Sql,
     "q153_cusum_changepoint" -> q153Sql,
     "q156_multitouch_attribution" -> q156Sql,
     "q159_gap_fill"       -> q159Sql,

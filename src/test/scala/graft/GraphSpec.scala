@@ -114,4 +114,37 @@ class GraphSpec extends SparkSpec {
         Seq((0L, 1L)).toDF("node", "v"), "node", "v").collect()
     }
   }
+
+  test("BFS hops: line graph distances, hop cap, unreachable nodes absent") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (undirected), island 9-10
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val got = graft.operators.Graph
+      .bfsHops(edges, "src", "dst", seeds, "node", 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // node 5 is 4 hops away → absent; island never reached
+  }
+
+  test("BFS hops: min-hop wins when multiple paths reach a node") {
+    import spark.implicits._
+    // diamond: 1→2→4 and 1→3→4 plus direct 1→4: dist(4) = 1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (1L, 4L))
+      .toDF("src", "dst")
+    val got = graft.operators.Graph
+      .bfsHops(edges, "src", "dst", Seq(1L).toDF("n"), "n", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("BFS hops: multiple seeds merge at hop 0") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (5L, 2L)).toDF("src", "dst")
+    val got = graft.operators.Graph
+      .bfsHops(edges, "src", "dst", Seq(1L, 5L, 1L).toDF("n"), "n", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L))
+  }
 }

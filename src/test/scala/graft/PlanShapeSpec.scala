@@ -63,6 +63,11 @@ class PlanShapeSpec extends SparkSpec {
                               // (the q88 shape), stacked to k rows;
                               // the unique/FK legs are ordinary keyed
                               // aggregates
+      "q160_ab_experiment",   // the experiment-totals scalar: ONE
+                              // global sum over the 2-row per-arm
+                              // frame (partial sum buffers cross),
+                              // broadcast back into the chi-squared
+                              // expectation
       "q152_basket_lift",     // the basket-total scalar: ONE global
                               // count(distinct basket) row (partial
                               // distinct-count buffers cross), joined
