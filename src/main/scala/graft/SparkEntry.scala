@@ -22,7 +22,8 @@ object SparkEntry {
       graft.queries.TrainingData.queries ++
       graft.queries.StorageQueries.queries ++
       graft.queries.StreamingQueries.queries ++
-      graft.queries.GeoQueries.queries
+      graft.queries.GeoQueries.queries ++
+      graft.queries.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.TrainingData.oracle ++
       graft.queries.StorageQueries.oracle ++
       graft.queries.StreamingQueries.oracle ++
-      graft.queries.GeoQueries.oracle
+      graft.queries.GeoQueries.oracle ++
+      graft.queries.CurationQueries.oracle
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators for training-data selection: hybrid
+  * retrieval fusion, model-based quality scoring, and hard
+  * quality-rule filtering.
+  *
+  * The reference's notion of "curation" is row-level rejection during
+  * cleaning (`/root/reference/monarch_etl/cleaning.py:105-289` drops
+  * unparseable dates and out-of-range coordinates); these operators are
+  * the LLM-corpus generalization the north star asks for: decide which
+  * documents enter a training set, with every decision reproducible by
+  * an independent engine.
+  *
+  * Scale design, per operator:
+  *  - [[rrfFuse]] consumes top-k frames that are ALREADY driver-bounded
+  *    by their producers (k rows per retrieval arm, never the corpus).
+  *    Fusing is a full-outer join chain over ≤ arms·k rows — the only
+  *    single-partition work in the pipeline is this bounded fuse, by
+  *    construction.
+  *  - [[hashedLinearScore]] is fastText-style inference collapsed to a
+  *    pure per-row projection: token → 60-bit md5 hash → weight bucket
+  *    → integer weight, folded with an integer sum inside ONE codegen'd
+  *    expression. Zero shuffles, zero UDFs, embarrassingly parallel at
+  *    any corpus size. (Training the weights is out of scope — the
+  *    operator contract is deterministic INFERENCE of a given linear
+  *    model; the bucket→weight map here is a fixed arithmetic formula
+  *    so any engine can replay it without shipping a weight table.)
+  *  - [[gopherRules]] evaluates every rule from the per-row token list
+  *    in one projection — the Gopher/C4-style battery (word count
+  *    bounds, mean word length, stopword evidence, symbol density,
+  *    single-token domination) with per-rule verdict columns so a
+  *    downstream audit can attribute every rejection. No shuffles.
+  */
+object Curation {
+
+  /** Reciprocal Rank Fusion (Cormack et al., SIGIR'09): score(d) =
+    * Σ_arms 1/(c + rank_arm(d)) over the arms that returned d.
+    *
+    * `arms` are top-k frames each carrying (idCol, rankCol) with ranks
+    * 1..k — e.g. a BM25 arm and a dense-ANN arm. Returns the fused
+    * top-`k` as (idCol, rrf_score, n_arms, fused_rank).
+    *
+    * Determinism: 1/(c+rank) is one IEEE division on exact integer
+    * operands; contributions add in arm order (fixed expression tree);
+    * ties break by id. Any engine reproduces the exact doubles.
+    */
+  def rrfFuse(arms: Seq[DataFrame], idCol: String, rankCol: String,
+      c: Int = 60, k: Int = 20): DataFrame = {
+    require(arms.nonEmpty, "rrfFuse needs at least one arm")
+    val contribs = arms.zipWithIndex.map { case (df, i) =>
+      df.select(col(idCol).as("_id"),
+        (lit(1.0) / (lit(c.toDouble) + col(rankCol).cast(DoubleType)))
+          .as(s"_c$i"))
+    }
+    val joined = contribs.reduceLeft((a, b) => a.join(b, Seq("_id"), "full_outer"))
+    val score = contribs.indices
+      .map(i => coalesce(col(s"_c$i"), lit(0.0))).reduceLeft(_ + _)
+    val nArms = contribs.indices
+      .map(i => when(col(s"_c$i").isNotNull, 1).otherwise(0)).reduceLeft(_ + _)
+    // the fused frame is ≤ arms·k rows by construction — the global
+    // rank window is bounded, not a corpus funnel
+    val w = Window.orderBy(desc("rrf_score"), asc("_id"))
+    joined
+      .select(col("_id"), score.as("rrf_score"),
+        nArms.cast(IntegerType).as("n_arms"))
+      .withColumn("fused_rank", row_number().over(w).cast(IntegerType))
+      .filter(col("fused_rank") <= k)
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Weight (integer "cents" in [-100, 100]) of one token under the
+    * fixed hashed linear model: bucket = md5₆₀(token) mod `buckets`,
+    * weight = (bucket·37 + 11) mod 201 − 100. Pure arithmetic — no
+    * weight table to ship, any engine replays it.
+    */
+  private def tokenWeightCents(t: Column, buckets: Int): Column =
+    (md5Hash60(t) % buckets * 37 + 11) % 201 - 100
+
+  /** FastText-style linear text classifier inference: mean hashed
+    * token weight plus a bias, decided at logit > 0.
+    *
+    * Output: idCol, n_tokens, w_sum_cents (exact integer evidence),
+    * logit, keep (1/0). The logit is
+    * `bias + (w_sum_cents / 100.0) / max(n_tokens, 1)` — integer sum
+    * first (order-independent), then two IEEE divisions on identical
+    * operands, so the doubles are bit-identical on any engine.
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 64, bias: Double = -0.05): DataFrame = {
+    val toks = nonEmptyTokens(lower(col(textCol)))
+    val sumCents = aggregate(toks, lit(0L),
+      (acc, t) => acc + tokenWeightCents(t, buckets).cast(LongType))
+    val n = size(toks)
+    val logit = lit(bias) +
+      sumCents.cast(DoubleType) / lit(100.0) /
+        greatest(n, lit(1)).cast(DoubleType)
+    graft.sources.Tables.widen(df).select(
+      col(idCol),
+      n.cast(IntegerType).as("n_tokens"),
+      sumCents.as("w_sum_cents"),
+      logit.as("logit"),
+      when(logit > 0.0, 1).otherwise(0).cast(IntegerType).as("keep"))
+  }
+
+  /** Gopher-style hard quality-rule battery (Rae et al. 2021 §A1.1
+    * flavor, adapted to the engine's deterministic primitives). Each
+    * rule emits a 1/0 verdict column; `keep` is their conjunction:
+    *
+    *  - r_wordcount: token count within [minTokens, maxTokens]
+    *  - r_wordlen:   mean token length within [3, 10]
+    *  - r_stopwords: ≥ 2 stopword occurrences (English evidence)
+    *  - r_symbols:   digit characters ≤ 20% of all characters
+    *  - r_repetition: most frequent token ≤ `maxTopTokenFrac` of all
+    *    tokens (single-token domination — the n-gram repetition rule's
+    *    unigram core; q53 covers the n-gram variants)
+    *
+    * All five rules fold into ONE per-row projection over the token
+    * list; the repetition rule is O(u·n) per row on the distinct-token
+    * count u — row-local work, no shuffle anywhere.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 20, maxTokens: Int = 100000,
+      maxTopTokenFrac: Double = 0.1): DataFrame = {
+    val toks = nonEmptyTokens(lower(col(textCol)))
+    val n = size(toks)
+    val nD = greatest(n, lit(1)).cast(DoubleType)
+    val t = col(textCol)
+    val mwl = meanTokenLength(t)
+    val nStop = stopwordCount(t, enStopwords)
+    val nDigit = length(regexp_replace(t, "[^0-9]", ""))
+    val nChars = greatest(length(t), lit(1)).cast(DoubleType)
+    val topTokCount = array_max(transform(array_distinct(toks),
+      d => size(filter(toks, x => x === d))))
+    val rWc = n >= minTokens && n <= maxTokens
+    val rWl = mwl >= 3.0 && mwl <= 10.0
+    val rSw = nStop >= 2
+    val rSy = nDigit.cast(DoubleType) / nChars <= 0.2
+    val rRe = coalesce(topTokCount.cast(DoubleType) / nD <= maxTopTokenFrac,
+      lit(true))
+    def b(c: Column): Column = when(c, 1).otherwise(0).cast(IntegerType)
+    graft.sources.Tables.widen(df).select(
+      col(idCol),
+      n.cast(IntegerType).as("n_tokens"),
+      b(rWc).as("r_wordcount"),
+      b(rWl).as("r_wordlen"),
+      b(rSw).as("r_stopwords"),
+      b(rSy).as("r_symbols"),
+      b(rRe).as("r_repetition"),
+      b(rWc && rWl && rSw && rSy && rRe).as("keep"))
+  }
+}

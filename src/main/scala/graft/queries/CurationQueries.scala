@@ -1,0 +1,203 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Curation
+import graft.sources.Tables
+
+/** Corpus-curation query surface (round-8 continuation block): hybrid
+  * retrieval fusion, model-based quality scoring, hard-rule filtering.
+  * Every query carries a DuckDB oracle that replays the full decision
+  * chain — ranks, hashes, integer weights, rule verdicts — so a
+  * hash-match proves the curation decisions are engine-independent.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hybrid retrieval with Reciprocal Rank Fusion: a BM25 sparse arm
+    * (terms merge/join/filter, top-50) and a dense exact-dot arm
+    * (query = vec 0, top-50) fuse via score = Σ 1/(60+rank) —
+    * [[graft.operators.Curation.rrfFuse]]. The oracle replays both
+    * arms AND the fusion: BM25 scoring (the q85 recipe), the
+    * decimal-exact dot ranking (the q23 recipe), and the rank-reciprocal
+    * sum, so the fused top-20 is proven end-to-end.
+    *
+    * Scale: each arm bounds itself to k rows before fusion — the fuse
+    * works on ≤ 100 rows no matter the corpus size; the arms keep
+    * their own 100 TB contracts (q85: only hits shuffle; q23:
+    * broadcast queries, no corpus shuffle).
+    */
+  def q164HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val sparse = graft.operators.Ranking
+      .bm25TopK(docs, "doc_id", "text", Seq("merge", "join", "filter"), k = 50)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(desc("score"), asc("doc_id")))
+          .cast(IntegerType))
+      .select(col("doc_id"), col("rank"))
+    val dense = graft.operators.Similarity
+      .dotTopKExact(emb, emb.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 50)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+    Curation.rrfFuse(Seq(sparse, dense), "doc_id", "rank", c = 60, k = 20)
+      .orderBy("fused_rank")
+  }
+
+  private val dotDecimalSql =
+    """list_reduce(
+      |      list_transform(list_zip(q.embedding, e.embedding),
+      |        x -> CAST(CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(20,12)) AS DECIMAL(32,12))),
+      |      (a, b) -> CAST(a + b AS DECIMAL(32,12)))""".stripMargin
+
+  val q164Sql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |const AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+       |  FROM t),
+       |hit AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, unnest(toks) AS term
+       |  FROM t),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+       |  FROM hit WHERE term IN ('merge', 'join', 'filter')
+       |  GROUP BY doc_id, term),
+       |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |    (((SELECT n FROM const) - df + 0.5) / (df + 0.5))
+       |      * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+       |      / (tf + CAST(1.2 AS DOUBLE)
+       |         * ((1.0 - CAST(0.75 AS DOUBLE))
+       |            + CAST(0.75 AS DOUBLE) * dl / (SELECT avgdl FROM const))) AS s
+       |  FROM tf JOIN dfq USING (term)),
+       |piv AS (
+       |  SELECT doc_id,
+       |    COALESCE(max(CASE WHEN term = 'merge'  THEN s END), 0.0)
+       |      + COALESCE(max(CASE WHEN term = 'join' THEN s END), 0.0)
+       |      + COALESCE(max(CASE WHEN term = 'filter' THEN s END), 0.0) AS score
+       |  FROM scored GROUP BY doc_id),
+       |bm AS (
+       |  SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS r
+       |  FROM piv
+       |  ORDER BY score DESC, doc_id ASC LIMIT 50),
+       |dn AS (
+       |  SELECT e.vec_id AS doc_id,
+       |    CAST(row_number() OVER (ORDER BY $dotDecimalSql DESC, e.vec_id ASC) AS INT) AS r
+       |  FROM embeddings e
+       |  JOIN embeddings q ON q.vec_id = 0 AND e.vec_id <> 0
+       |  QUALIFY r <= 50),
+       |fused AS (
+       |  SELECT COALESCE(b.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(b.r AS DOUBLE)), CAST(0.0 AS DOUBLE))
+       |      + COALESCE(CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + CAST(d.r AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS rrf_score,
+       |    CAST((CASE WHEN b.r IS NOT NULL THEN 1 ELSE 0 END)
+       |       + (CASE WHEN d.r IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_arms
+       |  FROM bm b FULL OUTER JOIN dn d ON b.doc_id = d.doc_id)
+       |SELECT doc_id, rrf_score, n_arms,
+       |  CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS fused_rank
+       |FROM fused
+       |QUALIFY fused_rank <= 20
+       |ORDER BY fused_rank""".stripMargin
+
+  /** Hashed linear quality classifier
+    * ([[graft.operators.Curation.hashedLinearScore]]): fastText-style
+    * inference as one codegen'd projection — md5₆₀ token buckets,
+    * integer cent weights from a pure formula, exact integer sum, two
+    * IEEE divisions. The oracle replays every token's hash, bucket,
+    * weight and the final logit; keep = logit > 0.
+    */
+  def q165QualityClassifier(s: SparkSession, dir: String): DataFrame =
+    Curation.hashedLinearScore(
+        Tables.documents(s, dir), "doc_id", "text", buckets = 64, bias = -0.05)
+      .orderBy("doc_id")
+
+  val q165Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> length(x) > 0) AS ts
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, CAST(len(ts) AS INT) AS n_tokens,
+      |    CAST(COALESCE(list_sum(list_transform(ts, tok ->
+      |      ((('0x'||substr(md5(tok),1,15))::BIGINT % 64) * 37 + 11) % 201 - 100)), 0)
+      |      AS BIGINT) AS w_sum_cents
+      |  FROM t)
+      |SELECT doc_id, n_tokens, w_sum_cents,
+      |  -0.05 + CAST(w_sum_cents AS DOUBLE) / 100.0
+      |        / CAST(greatest(n_tokens, 1) AS DOUBLE) AS logit,
+      |  CAST(CASE WHEN -0.05 + CAST(w_sum_cents AS DOUBLE) / 100.0
+      |        / CAST(greatest(n_tokens, 1) AS DOUBLE) > 0.0
+      |    THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM w
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style hard-rule battery
+    * ([[graft.operators.Curation.gopherRules]]): five per-row rules
+    * (word count, mean word length, stopword evidence, digit density,
+    * single-token domination), each an auditable 1/0 verdict column.
+    * The oracle replays every rule from the same token list.
+    */
+  def q166GopherRules(s: SparkSession, dir: String): DataFrame =
+    Curation.gopherRules(Tables.documents(s, dir), "doc_id", "text",
+        minTokens = 20, maxTokens = 100000, maxTopTokenFrac = 0.1)
+      .orderBy("doc_id")
+
+  val q166Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, text,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> length(x) > 0) AS ts,
+      |    string_split_regex(trim(text), '\s+') AS raw
+      |  FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    CAST(len(ts) AS INT) AS n_tokens,
+      |    CAST(list_sum(list_transform(raw, x -> length(x))) AS DOUBLE)
+      |      / greatest(len(raw), 1) AS mwl,
+      |    len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      x -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
+      |                          'it','that','this','for','on','with','as','at','by','be'], x))) AS n_stop,
+      |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+      |    CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+      |    list_max(list_transform(list_distinct(ts),
+      |      d -> len(list_filter(ts, x -> x = d)))) AS top_tok
+      |  FROM t)
+      |SELECT doc_id, n_tokens,
+      |  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000 THEN 1 ELSE 0 END AS INT) AS r_wordcount,
+      |  CAST(CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END AS INT) AS r_wordlen,
+      |  CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS INT) AS r_stopwords,
+      |  CAST(CASE WHEN CAST(n_digit AS DOUBLE) / n_chars <= 0.2 THEN 1 ELSE 0 END AS INT) AS r_symbols,
+      |  CAST(CASE WHEN COALESCE(CAST(top_tok AS DOUBLE)
+      |        / CAST(greatest(n_tokens, 1) AS DOUBLE) <= 0.1, TRUE) THEN 1 ELSE 0 END AS INT) AS r_repetition,
+      |  CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+      |         AND mwl >= 3.0 AND mwl <= 10.0
+      |         AND n_stop >= 2
+      |         AND CAST(n_digit AS DOUBLE) / n_chars <= 0.2
+      |         AND COALESCE(CAST(top_tok AS DOUBLE)
+      |               / CAST(greatest(n_tokens, 1) AS DOUBLE) <= 0.1, TRUE)
+      |    THEN 1 ELSE 0 END AS INT) AS keep
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q164_hybrid_rrf"        -> q164HybridRrf _,
+    "q165_quality_classifier" -> q165QualityClassifier _,
+    "q166_gopher_rules"      -> q166GopherRules _)
+
+  val oracle: Map[String, String] = Map(
+    "q164_hybrid_rrf"        -> q164Sql,
+    "q165_quality_classifier" -> q165Sql,
+    "q166_gopher_rules"      -> q166Sql)
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  private def df(schema: StructType, rows: Row*) = {
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      schema)
+  }
+
+  private def ranked(pairs: (Long, Int)*) = df(
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("rank", IntegerType))),
+    pairs.map { case (id, r) => Row(id, r) }: _*)
+
+  private def docs(texts: (Long, String)*) = df(
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType))),
+    texts.map { case (id, t) => Row(id, t) }: _*)
+
+  // ---------------- rrfFuse ----------------
+
+  test("rrfFuse: doc in both arms outranks docs in one; scores exact") {
+    val a = ranked(1L -> 1, 2L -> 2, 3L -> 3)
+    val b = ranked(2L -> 1, 4L -> 2)
+    val out = Curation.rrfFuse(Seq(a, b), "doc_id", "rank", c = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    // doc 2: 1/62 + 1/61; doc 1: 1/61; doc 4: 1/62; doc 3: 1/63
+    assert(out.map(_._1).toSeq == Seq(2L, 1L, 4L, 3L))
+    assert(out(0)._2 == 1.0 / 62 + 1.0 / 61)
+    assert(out(0)._3 == 2 && out(1)._3 == 1)
+    assert(out.map(_._4).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("rrfFuse: equal-score ties break by id; k truncates") {
+    // doc 5 only in arm a at rank 2, doc 6 only in arm b at rank 2 →
+    // identical scores, id order decides
+    val a = ranked(5L -> 2, 1L -> 1)
+    val b = ranked(6L -> 2, 1L -> 1)
+    val out = Curation.rrfFuse(Seq(a, b), "doc_id", "rank", c = 60, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)))
+    assert(out.toSeq == Seq(1L -> 1, 5L -> 2))
+  }
+
+  test("rrfFuse: single arm degrades to rank-reciprocal ordering") {
+    val a = ranked(7L -> 1, 8L -> 2)
+    val out = Curation.rrfFuse(Seq(a), "doc_id", "rank", c = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(7L -> 1.0 / 11, 8L -> 1.0 / 12))
+  }
+
+  // ---------------- hashedLinearScore ----------------
+
+  /** JVM replay of the operator's weight formula. */
+  private def centsOf(token: String, buckets: Int = 64): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(token.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString.substring(0, 15)
+    val h = java.lang.Long.parseLong(hex, 16)
+    (h % buckets * 37 + 11) % 201 - 100
+  }
+
+  test("hashedLinearScore: logit matches a JVM replay of the formula") {
+    val text = "merge the fast table scan"
+    val d = docs(1L -> text)
+    val r = Curation.hashedLinearScore(d, "doc_id", "text").collect()(0)
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val sum = toks.map(centsOf(_)).sum
+    val logit = -0.05 + sum.toDouble / 100.0 / toks.length.toDouble
+    assert(r.getInt(1) == toks.length)
+    assert(r.getLong(2) == sum)
+    assert(r.getDouble(3) == logit)
+    assert(r.getInt(4) == (if (logit > 0.0) 1 else 0))
+  }
+
+  test("hashedLinearScore: empty text scores the bias, keep = 0") {
+    val r = Curation.hashedLinearScore(docs(1L -> "   "), "doc_id", "text")
+      .collect()(0)
+    assert(r.getInt(1) == 0 && r.getLong(2) == 0L)
+    assert(r.getDouble(3) == -0.05 && r.getInt(4) == 0)
+  }
+
+  // ---------------- gopherRules ----------------
+
+  test("gopherRules: each rule fails on its crafted violator") {
+    val good = (0 until 40)
+      .map(i => s"wo${('a' + i / 10).toChar}${('a' + i % 10).toChar}")
+      .mkString(" ") + " the and" // long, varied, letters only
+    val short = "the and tiny"                              // < 20 tokens
+    val longWords = ("supercalifragilistic " * 25) + "the and" // mwl > 10
+    val noStop = (1 to 30).map(i => s"tok$i").mkString(" ")  // no stopwords
+    val digits = "the and " + ("12345 " * 28)                // digit-heavy
+    val repeated = "the and " + ("spam " * 28)               // one token dominates
+    val d = docs(1L -> good, 2L -> short, 3L -> longWords,
+      4L -> noStop, 5L -> digits, 6L -> repeated)
+    val rows = Curation.gopherRules(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3), r.getInt(4),
+        r.getInt(5), r.getInt(6), r.getInt(7)))
+    val byId = rows.map(r => r._1 -> r).toMap
+    assert(byId(1L) == ((1L, 1, 1, 1, 1, 1, 1)), s"good doc: ${byId(1L)}")
+    assert(byId(2L)._2 == 0 && byId(2L)._7 == 0)  // word count
+    assert(byId(3L)._3 == 0 && byId(3L)._7 == 0)  // mean word length
+    assert(byId(4L)._4 == 0 && byId(4L)._7 == 0)  // stopwords
+    assert(byId(5L)._5 == 0 && byId(5L)._7 == 0)  // digit density
+    assert(byId(6L)._6 == 0 && byId(6L)._7 == 0)  // repetition
+  }
+
+  test("gopherRules: empty text passes repetition vacuously, fails word count") {
+    val r = Curation.gopherRules(docs(1L -> ""), "doc_id", "text").collect()(0)
+    assert(r.getInt(1) == 0)       // n_tokens
+    assert(r.getInt(2) == 0)       // r_wordcount fails
+    assert(r.getInt(6) == 1)       // r_repetition vacuous pass
+    assert(r.getInt(7) == 0)       // keep
+  }
+}

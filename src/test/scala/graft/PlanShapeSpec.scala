@@ -78,6 +78,12 @@ class PlanShapeSpec extends SparkSpec {
                               // the bucket width); the suffix-max
                               // threshold step is a B×B broadcast
                               // self-join, not a global window
+      "q164_hybrid_rrf",      // RRF fuse: the global rank window runs
+                              // over the JOINED TOP-K ARMS (≤ arms·k
+                              // = 100 rows by construction — each arm
+                              // bounded itself with its own top-k
+                              // before the fuse); the BM25/dot arms
+                              // below are ordinary parallel plans
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind
