@@ -75,6 +75,41 @@ object Curation {
       .withColumnRenamed("_id", idCol)
   }
 
+  /** Canonical-document selection: given near-duplicate components
+    * (from [[Dedup.connectedComponents]] over verified near-dup
+    * pairs), keep exactly one representative per component — the
+    * highest-`score` member, ties to the lowest id — plus every
+    * singleton (a doc in no component represents itself).
+    *
+    * This is the "pick the best copy" step after near-dup clustering:
+    * clustering says WHICH docs say the same thing; this decides which
+    * copy enters the corpus, by quality instead of by id.
+    *
+    * Output: (idCol, component_id, n_members, score) for the kept
+    * docs. Scale: `score` computes in the scan projection, the join
+    * with the (id, component)-sized label frame and the per-component
+    * window shuffle (id, component, score) triples only — document
+    * content never crosses an exchange.
+    */
+  def canonicalPerComponent(df: DataFrame, components: DataFrame,
+      idCol: String, score: Column): DataFrame = {
+    val scored = df.select(col(idCol).as("_id"), score.as("_score"))
+    val labeled = scored.join(
+        components.select(col("id").as("_id"), col("component_id")),
+        Seq("_id"), "left")
+      .withColumn("component_id", coalesce(col("component_id"), col("_id")))
+    val w = Window.partitionBy(col("component_id"))
+      .orderBy(desc("_score"), asc("_id"))
+    labeled
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy(col("component_id")))
+          .cast(LongType))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("_id").as(idCol), col("component_id"),
+        col("n_members"), col("_score").as("score"))
+  }
+
   /** Weight (integer "cents" in [-100, 100]) of one token under the
     * fixed hashed linear model: bucket = md5₆₀(token) mod `buckets`,
     * weight = (bucket·37 + 11) mod 201 − 100. Pure arithmetic — no

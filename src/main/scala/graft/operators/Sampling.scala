@@ -300,6 +300,97 @@ object Sampling {
     * corpus crosses one exchange (the window's), carrying
     * (id, source, size) only.
     */
+  /** Greedy token-budget selection: walk documents in
+    * (score desc, id asc) order and keep them while the running size
+    * total stays ≤ `budget` — the "best docs until the budget is
+    * spent" step of corpus curation.
+    *
+    * `score` must be in [0, 1] (e.g.
+    * [[graft.functions.TextFunctions.qualityScore]]). The result is
+    * exactly the prefix of the globally-ordered corpus whose inclusive
+    * cumulative size fits the budget; output carries the cumulative
+    * (`cum_units`) as auditable evidence.
+    *
+    * Scale — a global ordered prefix sum with NO global sort: scores
+    * quantize into `nBuckets` range buckets (a monotone function of
+    * the score, so bucket-major order IS score order); the cumulative
+    * runs inside each bucket's window and cross-bucket offsets come
+    * from a ≤nBuckets-row totals frame (driver-bounded by
+    * construction, broadcast back) — the [[epochMix]] two-phase
+    * pattern. The corpus crosses one exchange carrying (id, size,
+    * score, bucket) only. `nBuckets` trades shard parallelism against
+    * nothing else: the kept set is bucket-count-invariant, so size it
+    * to the cluster (default 256).
+    */
+  def budgetSelect(df: DataFrame, idCol: String, sizeCol: String,
+      score: Column, budget: Long, nBuckets: Int = 256): DataFrame = {
+    require(budget >= 0 && nBuckets >= 1, s"bad parameters ($budget, $nBuckets)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    val bucket = greatest(lit(0L), least(lit(nBuckets - 1L),
+      floor((lit(1.0) - score) * nBuckets)))
+    val doc = df.select(col(idCol).as("_id"),
+      col(sizeCol).cast("long").as("_sz"), score.as("_score"),
+      bucket.as("_qb"))
+    val totals = doc.groupBy(col("_qb")).agg(sum(col("_sz")).as("_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (totals.isEmpty) return doc.filter(lit(false))
+      .select(col("_id").as(idCol), col("_score").as("score"),
+        col("_sz").as("n_units"), col("_sz").as("cum_units"))
+    val offs = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init)
+    val planDf = spark.createDataFrame(offs.toSeq).toDF("_qb", "_off")
+    val win = Window.partitionBy(col("_qb"))
+      .orderBy(col("_score").desc, col("_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    doc.join(broadcast(planDf), Seq("_qb"))
+      .withColumn("_cum", col("_off") + sum(col("_sz")).over(win))
+      .filter(col("_cum") <= budget)
+      .select(col("_id").as(idCol), col("_score").as("score"),
+        col("_sz").as("n_units"), col("_cum").as("cum_units"))
+  }
+
+  /** Temperature-scaled source sampling (the multinomial mixing rule
+    * of multilingual/multi-source LLM training, α = 0.5): source `s`
+    * with n_s documents gets sampling weight n_s^α, the corpus target
+    * is `targetTotal` documents in expectation, and each document
+    * keeps independently via the deterministic md5 per-million gate —
+    * small sources are up-weighted relative to their share, large
+    * sources down-weighted.
+    *
+    * threshold_ppm(s) = min(10⁶, floor(10⁶·targetTotal·√n_s /
+    * (S·n_s))) with S = Σ_t √n_t. Determinism: IEEE sqrt is exactly
+    * rounded, so √n is bit-identical on every engine; S accumulates
+    * the per-source √ values through DECIMAL(18,6) (order-independent
+    * exact sum, the [[graft.queries.Det]] rule); the threshold is one
+    * multiply + one divide + floor on identical operands. α other
+    * than 0.5 would need pow(), which carries no cross-engine
+    * exactness guarantee — the operator pins α = 0.5 for that reason.
+    *
+    * Scale: one count-by-source aggregate (source-bounded), the
+    * threshold frame broadcasts back, the keep gate is a per-row
+    * projection — the corpus itself never shuffles
+    * ([[balanceSources]]' contract, with temperature weights).
+    */
+  def temperatureSample(df: DataFrame, idCol: String, srcCol: String,
+      targetTotal: Long, salt: String = "tmpr"): DataFrame = {
+    require(targetTotal >= 0, s"bad targetTotal $targetTotal")
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n"))
+    val s = counts.agg(
+      sum(sqrt(col("_n").cast(DoubleType)).cast(DecimalType(18, 6)))
+        .cast(DoubleType).as("_s"))
+    val thr = counts.crossJoin(broadcast(s))
+      .select(col(srcCol), col("_n").as("_src_total"),
+        least(lit(1000000L),
+          floor(lit(1000000.0 * targetTotal) * sqrt(col("_n").cast(DoubleType))
+            / (col("_s") * col("_n").cast(DoubleType))))
+          .as("_keep_threshold"))
+    val gate = pmod(graft.functions.TextFunctions.md5Hash60(
+      concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
+    df.join(broadcast(thr), Seq(srcCol))
+      .filter(gate < col("_keep_threshold"))
+  }
+
   def epochMix(df: DataFrame, idCol: String, srcCol: String,
       sizeCol: String, budget: Long, weightBuckets: Int = 4,
       nShards: Int = 64, salt: String = "mix"): DataFrame = {

@@ -191,13 +191,202 @@ object CurationQueries {
       |FROM m
       |ORDER BY doc_id""".stripMargin
 
+  /** The q20 quality recipe as a reusable DuckDB fragment (per-doc
+    * score over a `text` column in scope) — must stay term-for-term
+    * identical to [[graft.functions.TextFunctions.qualityScore]].
+    */
+  private val qualitySqlOver: String =
+    """least(n_tok / 100.0, 1.0) * 0.3
+      |      + least((n_stop / greatest(n_tok, 1)) * 3.0, 1.0) * 0.3
+      |      + greatest(1.0 - (n_punct / greatest(n_chars, 1)) * 10.0, 0.0) * 0.2
+      |      + (CASE WHEN tok_chars / greatest(n_tok, 1) BETWEEN 3.0 AND 10.0
+      |              THEN 1.0 ELSE 0.5 END) * 0.2""".stripMargin
+
+  private val qualityTermsSql: String =
+    """len(string_split_regex(trim(text), '\s+')) AS n_tok,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |      t -> list_contains(['the','a','an','and','or','of','to','in','is','are','was',
+      |                          'it','that','this','for','on','with','as','at','by','be'], t))) AS DOUBLE) AS n_stop,
+      |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+      |    CAST(length(text) AS DOUBLE) AS n_chars,
+      |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'), t -> length(t))) AS DOUBLE) AS tok_chars""".stripMargin
+
+  /** Canonical-document selection
+    * ([[graft.operators.Curation.canonicalPerComponent]]): the q50
+    * near-dup components (MinHash candidates, exact-Jaccard verified,
+    * pointer-jump label propagation) pick ONE representative each by
+    * quality score (ties to lowest id); singletons represent
+    * themselves. The oracle recomputes components from first
+    * principles (recursive-CTE reachability over the exact pair set)
+    * and replays the quality argmax — proving cluster → best-copy
+    * end-to-end.
+    */
+  def q167CanonicalDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Dedup
+    import graft.functions.TextFunctions.qualityScore
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+    val pairs = Dedup.verifiedNearDupPairs(planted, "doc_id", "text",
+      minJaccard = 0.5, shingleSize = 7, numHashes = 96, bands = 24)
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id"), col("component_id"))
+    Curation.canonicalPerComponent(planted, comps, "doc_id",
+        qualityScore(col("text")))
+      .orderBy("doc_id")
+  }
+
+  val q167Sql: String =
+    s"""WITH RECURSIVE planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+       |  FROM documents WHERE doc_id < 60),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+       |  FROM planted WHERE length(text) >= 7),
+       |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |prs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM prs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS d FROM prs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |comp AS (
+       |  SELECT s AS doc_id, least(min(d), s) AS component_id
+       |  FROM reach GROUP BY s),
+       |scored AS (
+       |  SELECT doc_id,
+       |    $qualityTermsSql
+       |  FROM planted),
+       |q AS (
+       |  SELECT doc_id,
+       |    $qualitySqlOver AS score
+       |  FROM scored),
+       |lab AS (
+       |  SELECT q.doc_id, COALESCE(c.component_id, q.doc_id) AS component_id, q.score
+       |  FROM q LEFT JOIN comp c USING (doc_id)),
+       |sel AS (
+       |  SELECT doc_id, component_id,
+       |    CAST(count(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members,
+       |    score,
+       |    row_number() OVER (PARTITION BY component_id
+       |      ORDER BY score DESC, doc_id ASC) AS rk
+       |  FROM lab)
+       |SELECT doc_id, component_id, n_members, score
+       |FROM sel WHERE rk = 1
+       |ORDER BY doc_id""".stripMargin
+
+  /** Greedy token-budget selection
+    * ([[graft.operators.Sampling.budgetSelect]]): best documents by
+    * quality until 30% of the corpus character mass is spent — the
+    * two-phase sharded prefix sum (no global sort). The oracle is the
+    * INDEPENDENT formulation: one global cumulative window over
+    * (score desc, doc_id) — bucket-count invariance proven by the
+    * hash match.
+    */
+  def q168TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val docs = Tables.documents(s, dir)
+    val total = docs.agg(sum(col("n_chars"))).head.getLong(0)
+    graft.operators.Sampling.budgetSelect(
+        docs, "doc_id", "n_chars", qualityScore(col("text")),
+        budget = 3L * total / 10L, nBuckets = 64)
+      .orderBy("doc_id")
+  }
+
+  val q168Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, n_chars,
+       |    $qualityTermsSql
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, n_chars,
+       |    $qualitySqlOver AS score
+       |  FROM scored),
+       |b AS (SELECT CAST(3 * sum(n_chars) // 10 AS BIGINT) AS budget FROM documents),
+       |c AS (
+       |  SELECT doc_id, score, n_chars,
+       |    CAST(sum(n_chars) OVER (ORDER BY score DESC, doc_id ASC
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM q)
+       |SELECT doc_id, score, CAST(n_chars AS BIGINT) AS n_units,
+       |  cum AS cum_units
+       |FROM c CROSS JOIN b
+       |WHERE cum <= budget
+       |ORDER BY doc_id""".stripMargin
+
+  /** Temperature-scaled source mixing
+    * ([[graft.operators.Sampling.temperatureSample]], α = 0.5): each
+    * source keeps documents at a rate ∝ √n_s/n_s toward a 100-doc
+    * expected total — IEEE-exact sqrt, decimal-exact weight sum, md5
+    * per-million gate. Audit aggregate per source is the oracle
+    * contract (the q86 pattern with temperature weights).
+    */
+  def q169TemperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val kept = graft.operators.Sampling.temperatureSample(
+      Tables.documents(s, dir), "doc_id", "source", targetTotal = 100L)
+    kept.groupBy(col("source"))
+      .agg(
+        max(col("_src_total")).as("n_orig"),
+        max(col("_keep_threshold")).as("keep_threshold"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_chars")).cast(LongType).as("total_chars"))
+      .orderBy("source")
+  }
+
+  val q169Sql: String =
+    """WITH c AS (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY source),
+      |sw AS (
+      |  SELECT CAST(sum(CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(18,6))) AS DOUBLE) AS s
+      |  FROM c),
+      |thr AS (
+      |  SELECT source, n,
+      |    least(1000000, CAST(floor(100000000.0 * sqrt(CAST(n AS DOUBLE))
+      |      / (sw.s * CAST(n AS DOUBLE))) AS BIGINT)) AS keep_threshold
+      |  FROM c CROSS JOIN sw),
+      |kept AS (
+      |  SELECT d.source, d.n_chars, t.n, t.keep_threshold
+      |  FROM documents d JOIN thr t USING (source)
+      |  WHERE ('0x' || substr(md5(d.doc_id::VARCHAR || 'tmpr'), 1, 15))::BIGINT
+      |          % 1000000 < t.keep_threshold)
+      |SELECT source, max(n) AS n_orig,
+      |  max(keep_threshold) AS keep_threshold,
+      |  CAST(count(*) AS BIGINT) AS n_kept,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM kept
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q164_hybrid_rrf"        -> q164HybridRrf _,
     "q165_quality_classifier" -> q165QualityClassifier _,
-    "q166_gopher_rules"      -> q166GopherRules _)
+    "q166_gopher_rules"      -> q166GopherRules _,
+    "q167_canonical_docs"    -> q167CanonicalDocs _,
+    "q168_token_budget"      -> q168TokenBudget _,
+    "q169_temperature_mix"   -> q169TemperatureMix _)
 
   val oracle: Map[String, String] = Map(
     "q164_hybrid_rrf"        -> q164Sql,
     "q165_quality_classifier" -> q165Sql,
-    "q166_gopher_rules"      -> q166Sql)
+    "q166_gopher_rules"      -> q166Sql,
+    "q167_canonical_docs"    -> q167Sql,
+    "q168_token_budget"      -> q168Sql,
+    "q169_temperature_mix"   -> q169Sql)
 }

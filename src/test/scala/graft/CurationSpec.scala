@@ -119,4 +119,93 @@ class CurationSpec extends SparkSpec {
     assert(r.getInt(6) == 1)       // r_repetition vacuous pass
     assert(r.getInt(7) == 0)       // keep
   }
+
+  // ---------------- canonicalPerComponent ----------------
+
+  private def scoredDocs(rows: (Long, Double)*) = df(
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("q", DoubleType))),
+    rows.map { case (id, q) => Row(id, q) }: _*)
+
+  private def comps(rows: (Long, Long)*) = df(
+    StructType(Seq(StructField("id", LongType),
+      StructField("component_id", LongType))),
+    rows.map { case (id, c) => Row(id, c) }: _*)
+
+  test("canonicalPerComponent: best-quality member wins; singletons survive") {
+    import org.apache.spark.sql.functions.col
+    // component 1: docs 1,2,3 with quality 0.2, 0.9, 0.5 → doc 2 wins
+    // doc 9 is a singleton → kept as its own component
+    val d = scoredDocs(1L -> 0.2, 2L -> 0.9, 3L -> 0.5, 9L -> 0.1)
+    val c = comps(1L -> 1L, 2L -> 1L, 3L -> 1L)
+    val out = Curation.canonicalPerComponent(d, c, "doc_id", col("q"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((2L, 1L, 3L, 0.9), (9L, 9L, 1L, 0.1)))
+  }
+
+  test("canonicalPerComponent: quality ties break to the lowest id") {
+    import org.apache.spark.sql.functions.col
+    val d = scoredDocs(5L -> 0.7, 4L -> 0.7)
+    val c = comps(4L -> 4L, 5L -> 4L)
+    val out = Curation.canonicalPerComponent(d, c, "doc_id", col("q")).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 4L)
+  }
+
+  // ---------------- budgetSelect / temperatureSample ----------------
+
+  private def sized(rows: (Long, Long, Double)*) = df(
+    StructType(Seq(StructField("doc_id", LongType),
+      StructField("sz", LongType), StructField("q", DoubleType))),
+    rows.map { case (id, n, q) => Row(id, n, q) }: _*)
+
+  test("budgetSelect: greedy by score, inclusive-cumulative cutoff") {
+    import org.apache.spark.sql.functions.col
+    // score order: 3 (0.9, sz 40) → 1 (0.5, sz 50) → 2 (0.2, sz 30)
+    // budget 95: keep 3 (cum 40) and 1 (cum 90); 2 would hit 120
+    val d = sized((1L, 50L, 0.5), (2L, 30L, 0.2), (3L, 40L, 0.9))
+    val out = graft.operators.Sampling
+      .budgetSelect(d, "doc_id", "sz", col("q"), budget = 95L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 50L, 90L), (3L, 40L, 40L)))
+  }
+
+  test("budgetSelect: kept set is bucket-count invariant; zero budget is empty") {
+    import org.apache.spark.sql.functions.col
+    val d = sized((1 to 40).map(i =>
+      (i.toLong, (i * 7 % 13 + 1).toLong, (i * 31 % 97) / 97.0)): _*)
+    def keep(b: Int) = graft.operators.Sampling
+      .budgetSelect(d, "doc_id", "sz", col("q"), budget = 100L, nBuckets = b)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(keep(1) == keep(7) && keep(7) == keep(256))
+    assert(graft.operators.Sampling
+      .budgetSelect(d, "doc_id", "sz", col("q"), budget = 0L)
+      .collect().isEmpty)
+  }
+
+  test("temperatureSample: thresholds match a JVM replay; huge target keeps all") {
+    val rows = (1 to 90).map(i =>
+      Row(i.toLong, if (i <= 80) "big" else "small"))
+    val d = df(StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType))), rows: _*)
+    val out = graft.operators.Sampling
+      .temperatureSample(d, "doc_id", "source", targetTotal = 30L)
+    val thr = out.select("source", "_keep_threshold").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // JVM replay: S = dec6(sqrt(80)) + dec6(sqrt(10)) (decimal-exact sum)
+    def dec6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val s = (dec6(math.sqrt(80.0)) + dec6(math.sqrt(10.0))).toDouble
+    def expect(n: Long) =
+      math.min(1000000L, math.floor(1000000.0 * 30L * math.sqrt(n.toDouble)
+        / (s * n.toDouble)).toLong)
+    thr.foreach { case (src, t) =>
+      val n = if (src == "big") 80L else 10L
+      assert(t == expect(n), s"$src: $t != ${expect(n)}")
+    }
+    // huge target → thresholds clamp at 10⁶ → every row kept
+    assert(graft.operators.Sampling
+      .temperatureSample(d, "doc_id", "source", targetTotal = 1000000L)
+      .count() == 90L)
+  }
 }
