@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.StorageQueries.queries ++
       graft.queries.StreamingQueries.queries ++
       graft.queries.GeoQueries.queries ++
-      graft.queries.CurationQueries.queries
+      graft.queries.CurationQueries.queries ++
+      graft.queries.SeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.queries.StorageQueries.oracle ++
       graft.queries.StreamingQueries.oracle ++
       graft.queries.GeoQueries.oracle ++
-      graft.queries.CurationQueries.oracle
+      graft.queries.CurationQueries.oracle ++
+      graft.queries.SeriesQueries.oracle
 }

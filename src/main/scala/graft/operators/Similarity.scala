@@ -412,6 +412,54 @@ object Similarity {
       .select(col(outId), col("_best.cid").as("centroid_id"), col(vecOut))
   }
 
+  /** Matryoshka cascade ANN (Kusupati et al. 2022 retrieval recipe):
+    * stage 1 scores only the first `prefixDims` dimensions of every
+    * vector (matryoshka-trained embeddings front-load information) and
+    * keeps a `shortlist` per query; stage 2 reranks the shortlist with
+    * the exact full-dimension inner product and returns the top `k`.
+    *
+    * Output: (query_id, neighbor_id, dot, rank) — `dot` is the FULL
+    * dot product, rank by (dot desc, neighbor_id asc).
+    *
+    * Scale: stage 1 reads prefixDims/dim of the vector bytes (a 4×
+    * scan/compute cut at 16/64) and is the same broadcast-queries ×
+    * corpus pass as [[dotTopKExact]] — swap in an index (IVF/LSH) for
+    * a real deployment; the cascade's contract is that stage 2 touches
+    * only |queries|·shortlist full vectors, never the corpus. The
+    * shortlist join broadcasts (query_id, neighbor_id) pairs — bounded
+    * by construction — so the corpus-side probe is a broadcast
+    * semi-style join with no corpus shuffle.
+    */
+  def matryoshkaTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      prefixDims: Int, shortlist: Int, k: Int): DataFrame = {
+    require(prefixDims >= 1 && shortlist >= k && k >= 1,
+      s"bad cascade parameters ($prefixDims, $shortlist, $k)")
+    val cPre = corpus.select(col(idCol).as("neighbor_id"),
+      slice(col(vecCol), 1, prefixDims).as("_cv"))
+    val qPre = queries.select(col(idCol).as("query_id"),
+      slice(col(vecCol), 1, prefixDims).as("_qv"))
+    val wPre = Window.partitionBy(col("query_id"))
+      .orderBy(desc("_pdot"), asc("neighbor_id"))
+    val cand = cPre.join(broadcast(qPre), col("query_id") =!= col("neighbor_id"))
+      .withColumn("_pdot", dotExact(col("_qv"), col("_cv")))
+      .withColumn("_prank", row_number().over(wPre))
+      .filter(col("_prank") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val wFull = Window.partitionBy(col("query_id"))
+      .orderBy(desc("dot"), asc("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cfull")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qfull"))), Seq("query_id"))
+      .withColumn("dot", dotExact(col("_qfull"), col("_cfull")))
+      .withColumn("rank", row_number().over(wFull).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("dot"), col("rank"))
+  }
+
   private[graft] def assignNearestAgg(
       df: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, outId: String, vecOut: String): DataFrame = {

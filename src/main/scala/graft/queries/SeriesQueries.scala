@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Keyed time-series analytics over the events stream table:
+  * sliding-window aggregation (the streaming `window(slide)` shape in
+  * its batch twin) and serial-dependence statistics.
+  */
+object SeriesQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Sliding-window counts ([[graft.streaming.EventStreams.slidingCounts]]
+    * run on the batch frame — identical plan modulo the watermark
+    * node): 1-hour windows sliding every 30 minutes, so every event
+    * lands in exactly two windows. The oracle replays Spark's
+    * epoch-aligned window assignment with time_bucket minus k·slide.
+    * Scale: `window()` explodes each row into width/slide rows BEFORE
+    * the keyed exchange — amplification is the window overlap factor
+    * (2 here), a declared constant, never data-dependent.
+    */
+  def q171SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.EventStreams
+      .slidingCounts(Tables.events(s, dir), "1 hour", "30 minutes")
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"))
+      .orderBy("window_start", "event_type")
+
+  val q171Sql: String =
+    """SELECT strftime(time_bucket(INTERVAL 30 MINUTES, ts) - to_minutes(30 * k.k),
+      |    '%Y-%m-%d %H:%M:%S') AS window_start,
+      |  event_type, count(*) AS n_events
+      |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+      |GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
+  /** Daily-series autocorrelation per event type
+    * ([[graft.operators.SeriesStats.laggedAutocorrelation]] at lags 1
+    * and 2 over the per-day value totals): deviation products
+    * accumulate through DECIMAL(28,8) so the ACF ratio is
+    * bit-reproducible. The oracle recomputes the daily series, the
+    * mean, the lagged deviations and both ratios from scratch.
+    */
+  def q172DailyAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+      .agg(Det.exactSum(col("value")).as("v"))
+    graft.operators.SeriesStats
+      .laggedAutocorrelation(daily, "event_type", "day", "v", Seq(1, 2))
+      .orderBy("event_type")
+  }
+
+  val q172Sql: String =
+    """WITH daily AS (
+      |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
+      |  FROM events GROUP BY 1, 2),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+      |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
+      |  FROM daily GROUP BY 1),
+      |dev AS (
+      |  SELECT d.event_type, d.day, d.v - st.mean AS dv,
+      |    lag(d.v - st.mean, 1) OVER (PARTITION BY d.event_type ORDER BY d.day) AS dv1,
+      |    lag(d.v - st.mean, 2) OVER (PARTITION BY d.event_type ORDER BY d.day) AS dv2
+      |  FROM daily d JOIN st USING (event_type)),
+      |ag AS (
+      |  SELECT event_type,
+      |    CAST(sum(CAST(dv * dv AS DECIMAL(28,8))) AS DOUBLE) AS den,
+      |    CAST(sum(CAST(dv * dv1 AS DECIMAL(28,8))) AS DOUBLE) AS num1,
+      |    CAST(sum(CAST(dv * dv2 AS DECIMAL(28,8))) AS DOUBLE) AS num2
+      |  FROM dev GROUP BY 1)
+      |SELECT st.event_type, st.n_points, st.mean,
+      |  CASE WHEN den <> 0.0 THEN num1 / den END AS acf_1,
+      |  CASE WHEN den <> 0.0 THEN num2 / den END AS acf_2
+      |FROM st JOIN ag USING (event_type)
+      |ORDER BY event_type""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    "q171_sliding_window" -> q171SlidingWindow _,
+    "q172_daily_autocorr" -> q172DailyAutocorr _)
+
+  val oracle: Map[String, String] = Map(
+    "q171_sliding_window" -> q171Sql,
+    "q172_daily_autocorr" -> q172Sql)
+}

@@ -3062,7 +3062,52 @@ object TrainingData {
        |  ORDER BY score DESC, neighbor_id ASC) = 1
        |ORDER BY query_id""".stripMargin
 
+  /** Matryoshka cascade ANN
+    * ([[graft.operators.Similarity.matryoshkaTopK]]): stage 1 ranks by
+    * the first 16 of 64 dimensions (4× less vector data touched) into
+    * a 50-candidate shortlist; stage 2 reranks the shortlist with the
+    * exact full-dimension decimal dot. The oracle replays both stages
+    * — prefix slices, shortlist boundary, exact rerank — so the
+    * cascade's pruning is proven not to change the reported top-5
+    * beyond its declared shortlist contract.
+    */
+  def q170MatryoshkaTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.matryoshkaTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", prefixDims = 16, shortlist = 50, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  private def dotDecSql(a: String, b: String): String =
+    s"""list_reduce(
+       |      list_transform(list_zip($a, $b),
+       |        x -> CAST(CAST(CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) AS DECIMAL(20,12)) AS DECIMAL(32,12))),
+       |      (a, b) -> CAST(a + b AS DECIMAL(32,12)))""".stripMargin
+
+  val q170Sql: String =
+    s"""WITH pre AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${dotDecSql("q.embedding[1:16]", "e.embedding[1:16]")} DESC,
+       |               e.vec_id ASC) AS pr
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id < 5 AND e.vec_id <> q.vec_id),
+       |cand AS (SELECT query_id, neighbor_id FROM pre WHERE pr <= 50),
+       |reranked AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    CAST(${dotDecSql("q.embedding", "e.embedding")} AS DOUBLE) AS dot
+       |  FROM cand c
+       |  JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |  JOIN embeddings q ON q.vec_id = c.query_id)
+       |SELECT query_id, neighbor_id, dot,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dot DESC, neighbor_id ASC) AS INT) AS rank
+       |FROM reranked
+       |QUALIFY rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q170_matryoshka_topk" -> q170MatryoshkaTopK _,
     "q158_pq_topk"        -> q158PqTopK _,
     "q155_audio_frames"   -> q155AudioFrames _,
     "q154_source_overlap" -> q154SourceOverlap _,
@@ -3128,6 +3173,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q170_matryoshka_topk" -> q170Sql,
     "q158_pq_topk"        -> q158Sql,
     "q155_audio_frames"   -> q155Sql,
     "q154_source_overlap" -> q154Sql,

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.{SeriesStats, Similarity}
+
+class SeriesStatsSpec extends SparkSpec {
+
+  private def series(rows: (String, Int, Double)*) = {
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.toList.map { case (k, t, v) => Row(k, t, v) }).asJava),
+      StructType(Seq(StructField("k", StringType),
+        StructField("t", IntegerType), StructField("v", DoubleType))))
+  }
+
+  /** Plug-in ACF replay (same estimator as the operator). */
+  private def acf(vs: Seq[Double], lag: Int): Option[Double] = {
+    val mu = vs.sum / vs.length
+    val dev = vs.map(_ - mu)
+    val den = dev.map(d => d * d).sum
+    if (den == 0.0) None
+    else Some(dev.drop(lag).zip(dev.dropRight(lag)).map { case (a, b) => a * b }.sum / den)
+  }
+
+  test("laggedAutocorrelation: alternating series has strong negative acf_1, positive acf_2") {
+    val vs = Seq(1.0, 9.0, 1.0, 9.0, 1.0, 9.0, 1.0, 9.0)
+    val d = series(vs.zipWithIndex.map { case (v, i) => ("a", i, v) }: _*)
+    val r = SeriesStats.laggedAutocorrelation(d, "k", "t", "v", Seq(1, 2))
+      .collect()(0)
+    assert(r.getLong(1) == 8L)
+    assert(math.abs(r.getDouble(3) - acf(vs, 1).get) < 1e-9)
+    assert(math.abs(r.getDouble(4) - acf(vs, 2).get) < 1e-9)
+    assert(r.getDouble(3) < -0.5 && r.getDouble(4) > 0.5)
+  }
+
+  test("laggedAutocorrelation: constant series yields NULL acf; keys independent") {
+    val d = series(
+      (0 until 5).map(i => ("const", i, 7.0)) ++
+        (0 until 6).map(i => ("ramp", i, i.toDouble)): _*)
+    val rows = SeriesStats.laggedAutocorrelation(d, "k", "t", "v", Seq(1))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("const").isNullAt(3))
+    val ramp = (0 until 6).map(_.toDouble)
+    assert(math.abs(rows("ramp").getDouble(3) - acf(ramp, 1).get) < 1e-9)
+  }
+
+  test("matryoshkaTopK: full-width prefix and corpus-wide shortlist equal brute force") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val brute = Similarity.dotTopKExact(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cascade = Similarity.matryoshkaTopK(emb, queries, "vec_id", "embedding",
+        prefixDims = 64, shortlist = 1000, k = 5)
+      .select("query_id", "neighbor_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(cascade == brute)
+  }
+
+  test("matryoshkaTopK: result is the exact full-dot rerank of its own stage-1 shortlist") {
+    import org.apache.spark.sql.functions.{col, slice}
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 3)
+    // replay stage 1 with the independent exact-top-k operator on the
+    // 16-dim prefix frames
+    val pre = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val shortlist = Similarity
+      .dotTopKExact(pre(emb), pre(queries), "vec_id", "embedding", k = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // replay stage 2 in the JVM: full dot over the shortlist per query
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    val expected = shortlist.groupBy(_._1).toSeq.flatMap { case (q, cands) =>
+      cands.toSeq.map { case (_, n) => (q, n, dot(vecs(q), vecs(n))) }
+        .sortBy { case (_, n, d) => (-d, n) }.take(3)
+        .map { case (_, n, _) => (q, n) }
+    }.toSet
+    val cascade = Similarity.matryoshkaTopK(emb, queries, "vec_id", "embedding",
+        prefixDims = 16, shortlist = 50, k = 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cascade == expected)
+  }
+}
