@@ -37,6 +37,73 @@ object SeriesStats {
     * back keyed — series content ((key, order, value) triples) crosses
     * once.
     */
+  /** Arrival-order lateness: for every event, how far its event time
+    * lags behind the maximum event time of everything that ARRIVED
+    * before it (arrival order = `seqCol`, e.g. an ingest sequence
+    * number). This is the watermark planning tool for a streaming
+    * deployment: an event with `lateness_us` above the candidate
+    * watermark delay is exactly an event the watermark would drop.
+    *
+    * Output: the input rows plus `lateness_us` (0 when the event
+    * arrived in order or first) and `late` (1/0 vs `thresholdUs`).
+    *
+    * Scale — a GLOBAL running max with NO global window: `seqCol`
+    * splits into `nShards` contiguous blocks (block size from the
+    * driver-bounded min/max), the running max runs inside each
+    * block's window, and cross-block carry-in offsets come from a
+    * ≤nShards-row totals frame (collected, prefix-maxed driver-side,
+    * broadcast back) — the two-phase pattern of
+    * [[Sampling.budgetSelect]]. The corpus crosses one exchange,
+    * keyed on its block.
+    */
+  def arrivalLateness(df: DataFrame, seqCol: String, tsCol: String,
+      thresholdUs: Long, nShards: Int = 64): DataFrame = {
+    require(thresholdUs >= 0 && nShards >= 1,
+      s"bad parameters ($thresholdUs, $nShards)")
+    val spark = df.sparkSession
+    val base = df.withColumn("_us", unix_micros(col(tsCol)))
+    val bounds = base.agg(min(col(seqCol)).cast(LongType),
+      max(col(seqCol)).cast(LongType)).collect()(0)
+    if (bounds.isNullAt(0)) {
+      return base.withColumn("lateness_us", lit(0L))
+        .withColumn("late", lit(0))
+    }
+    val (minSeq, maxSeq) = (bounds.getLong(0), bounds.getLong(1))
+    val span = maxSeq - minSeq + 1
+    val blockSize = math.max(1L, (span + nShards - 1) / nShards)
+    val sharded = base.withColumn("_shard",
+      expr(s"CAST((CAST($seqCol AS BIGINT) - ${minSeq}L) div ${blockSize}L AS BIGINT)"))
+    // per-block maxima: ≤ nShards rows by construction
+    val blockMax = sharded.groupBy(col("_shard")).agg(max(col("_us")).as("_m"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // exclusive prefix max over blocks that actually exist
+    var carry = Long.MinValue
+    val plan = blockMax.map { case (shard, m) =>
+      val row = (shard, if (carry == Long.MinValue) null
+        else java.lang.Long.valueOf(carry))
+      carry = math.max(carry, m)
+      row
+    }
+    val planDf = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          plan.toList.map { case (s, o) => org.apache.spark.sql.Row(s, o) }).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_shard", LongType),
+        org.apache.spark.sql.types.StructField("_carry", LongType))))
+    val w = Window.partitionBy(col("_shard")).orderBy(col(seqCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // greatest() skips NULLs: first row of a block falls back to the
+    // carry-in; the global first row (both NULL) is never late
+    val prevMax = greatest(max(col("_us")).over(w), col("_carry"))
+    sharded.join(broadcast(planDf), Seq("_shard"))
+      .withColumn("lateness_us",
+        when(prevMax > col("_us"), prevMax - col("_us")).otherwise(0L))
+      .withColumn("late",
+        when(col("lateness_us") > thresholdUs, 1).otherwise(0))
+      .drop("_shard", "_carry", "_us")
+  }
+
   def laggedAutocorrelation(df: DataFrame, keyCol: String,
       orderCol: String, valueCol: String,
       lags: Seq[Int] = Seq(1)): DataFrame = {

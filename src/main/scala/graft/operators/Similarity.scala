@@ -412,6 +412,63 @@ object Similarity {
       .select(col(outId), col("_best.cid").as("centroid_id"), col(vecOut))
   }
 
+  /** Exact cosine top-k (float vectors, plain sequential double
+    * folds — the [[graft.operators.Quantize.dequantCosineTopK]] shape
+    * without the quantization): the reference arm for index-quality
+    * evaluation. Norms compute once per vector in each side's
+    * projection; only the dot fold runs per candidate pair.
+    */
+  def cosineTopKExact(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    def fold(pairProduct: Column): Column =
+      aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
+    def nrm(v: Column): Column =
+      sqrt(fold(zip_with(v, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+      nrm(col(vecCol)).as("_cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+      nrm(col(vecCol)).as("_qn"))
+    val dot = fold(zip_with(col("_qv"), col("_cv"),
+      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+    val denom = col("_qn") * col("_cn")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine",
+        when(denom === 0.0, lit(null).cast(DoubleType)).otherwise(dot / denom))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** Index-quality evaluation: recall@k of an approximate retrieval
+    * arm against the exact arm. Both inputs carry
+    * (query_id, neighbor_id) top-k rows; output is one row per exact-
+    * arm query: (query_id, n_hits, recall) with recall = |exact ∩
+    * approx| / k — queries the approx arm missed entirely score 0,
+    * not NULL.
+    *
+    * This is the "evaluate the index before trusting it" step of an
+    * ANN deployment: sample queries, run both arms, gate the rollout
+    * on recall. Scale: both inputs are top-k frames (|queries|·k rows
+    * by construction); the join and count are bounded by them, never
+    * by the corpus.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    val a = approx.select(col("query_id"), col("neighbor_id"))
+    val hits = e.join(a, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    e.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast(DoubleType) / lit(k.toDouble))
+          .as("recall"))
+  }
+
   /** Matryoshka cascade ANN (Kusupati et al. 2022 retrieval recipe):
     * stage 1 scores only the first `prefixDims` dimensions of every
     * vector (matryoshka-trained embeddings front-load information) and

@@ -81,11 +81,47 @@ object SeriesQueries {
       |FROM st JOIN ag USING (event_type)
       |ORDER BY event_type""".stripMargin
 
+  /** Watermark planning audit
+    * ([[graft.operators.SeriesStats.arrivalLateness]]): per event
+    * type, how many events arrive later (in event_id arrival order)
+    * than a 10-minute watermark would tolerate, and the worst
+    * lateness observed — the measurement that sizes
+    * `withWatermark()` before deploying the streaming queries. The
+    * operator computes the global arrival-order running max with the
+    * two-phase sharded pattern (no global window); the oracle is the
+    * independent single-window formulation.
+    */
+  def q174LateDataAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeriesStats
+      .arrivalLateness(Tables.events(s, dir), "event_id", "ts",
+        thresholdUs = 600000000L)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("late")).cast(org.apache.spark.sql.types.LongType).as("n_late"),
+        expr("CAST(max(lateness_us) div 1000000 AS BIGINT)")
+          .as("max_lateness_sec"))
+      .orderBy("event_type")
+
+  val q174Sql: String =
+    """WITH o AS (
+      |  SELECT event_type, epoch_us(ts) AS us,
+      |    max(epoch_us(ts)) OVER (ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CASE WHEN prev_max - us > 600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+      |  CAST(max(CASE WHEN prev_max > us THEN prev_max - us ELSE 0 END) // 1000000 AS BIGINT) AS max_lateness_sec
+      |FROM o
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q171_sliding_window" -> q171SlidingWindow _,
-    "q172_daily_autocorr" -> q172DailyAutocorr _)
+    "q172_daily_autocorr" -> q172DailyAutocorr _,
+    "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
     "q171_sliding_window" -> q171Sql,
-    "q172_daily_autocorr" -> q172Sql)
+    "q172_daily_autocorr" -> q172Sql,
+    "q174_late_data_audit" -> q174Sql)
 }

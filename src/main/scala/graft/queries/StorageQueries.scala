@@ -674,7 +674,80 @@ object StorageQueries {
       |WHERE last.op IS NULL OR last.op <> 'D'
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Zone-map pruned scan: lineitem lands zone-partitioned on disk
+    * (zone = 90-day block of l_shipdate — a deterministic, engine-
+    * replayable layout, unlike sampled range boundaries), a manifest
+    * of per-zone (min, max, count) stats is derived, and a date-range
+    * predicate consults the MANIFEST to decide which zones to read —
+    * the Iceberg/Delta data-skipping loop in engine primitives. The
+    * output is the pruning decision table itself: every zone's stats,
+    * its scanned verdict, and the matching row count found inside the
+    * scanned zones (0 for pruned zones).
+    *
+    * Scale: the matching scan filters on the PARTITION column, so
+    * Catalyst prunes unread zones at planning time (PartitionFilters
+    * — WritersSpec asserts it); the manifest is zone-bounded; the
+    * scanned-zone list the driver holds is ≤ |zones| by construction.
+    * The oracle recomputes zones, stats, verdicts and counts from the
+    * raw table — proving the pruned scan found exactly what a full
+    * scan would.
+    */
+  def q175ZoneMapPrune(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.IntegerType
+    val path = scratchPath("q175", dir) + "/t"
+    val zone = expr(
+      "CAST(datediff(to_date(l_shipdate), DATE '1995-01-01') div 90 AS INT)")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("l_shipdate"))
+      .withColumn("zone", zone)
+      .write.partitionBy("zone").mode("overwrite").parquet(path)
+    val t = s.read.parquet(path)
+    val manifest = t.groupBy(col("zone"))
+      .agg(min(col("l_shipdate")).as("mn"), max(col("l_shipdate")).as("mx"),
+        count(lit(1)).as("n_rows"))
+    val lo = to_date(lit("1997-01-01")); val hi = to_date(lit("1997-06-30"))
+    val scannedFlag = col("mx") >= lo && col("mn") <= hi
+    val scannedZones = manifest.filter(scannedFlag)
+      .select(col("zone")).collect().map(_.getInt(0)).toSeq
+    val matching = t
+      .filter(col("zone").isin(scannedZones: _*) &&
+        col("l_shipdate").between(lo, hi))
+      .groupBy(col("zone")).agg(count(lit(1)).as("n_match"))
+    manifest.join(matching, Seq("zone"), "left")
+      .select(col("zone").cast(IntegerType).as("zone"),
+        date_format(col("mn"), "yyyy-MM-dd").as("min_ship"),
+        date_format(col("mx"), "yyyy-MM-dd").as("max_ship"),
+        col("n_rows"),
+        when(scannedFlag, 1).otherwise(0).cast(IntegerType).as("scanned"),
+        coalesce(col("n_match"), lit(0L)).as("n_match"))
+      .orderBy("zone")
+  }
+
+  val q175Sql: String =
+    """WITH z AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 90 AS INT) AS zone
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT zone, min(d) AS mn, max(d) AS mx,
+      |    CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM z GROUP BY zone),
+      |mt AS (
+      |  SELECT zone, CAST(count(*) AS BIGINT) AS n_match
+      |  FROM z WHERE d BETWEEN DATE '1997-01-01' AND DATE '1997-06-30'
+      |  GROUP BY zone)
+      |SELECT m.zone,
+      |  strftime(m.mn, '%Y-%m-%d') AS min_ship,
+      |  strftime(m.mx, '%Y-%m-%d') AS max_ship,
+      |  m.n_rows,
+      |  CAST(CASE WHEN m.mx >= DATE '1997-01-01' AND m.mn <= DATE '1997-06-30'
+      |    THEN 1 ELSE 0 END AS INT) AS scanned,
+      |  COALESCE(mt.n_match, 0) AS n_match
+      |FROM m LEFT JOIN mt USING (zone)
+      |ORDER BY zone""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q175_zone_map_prune"  -> q175ZoneMapPrune _,
     "q134_cdc_apply"       -> q134CdcApply _,
     "q123_incremental_mv"  -> q123IncrementalMv _,
     "q111_partition_ttl"   -> q111PartitionTtl _,
@@ -692,6 +765,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q175_zone_map_prune"  -> q175Sql,
     "q134_cdc_apply"       -> q134Sql,
     "q123_incremental_mv"  -> q123Sql,
     "q111_partition_ttl"   -> q111Sql,

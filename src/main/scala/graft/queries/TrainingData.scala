@@ -3106,7 +3106,77 @@ object TrainingData {
        |QUALIFY rank <= 5
        |ORDER BY query_id, rank""".stripMargin
 
+  /** ANN index-quality evaluation
+    * ([[graft.operators.Similarity.recallAtK]]): recall@10 of the
+    * int8-quantized cosine arm (q80's machinery) against the exact
+    * float cosine arm, per query — the "evaluate the index before
+    * trusting it" gate of a vector-search rollout. Both arms AND the
+    * recall join replay in DuckDB, so the measured recall itself is
+    * cross-engine-proven, not just plausible.
+    */
+  def q173RecallEval(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 20)
+    val exact = Similarity.cosineTopKExact(emb, queries, "vec_id", "embedding", k = 10)
+    val approx = Quantize.dequantCosineTopK(
+      Quantize.quantizeInt8(emb, "vec_id", "embedding"),
+      queries, "vec_id", "embedding", k = 10)
+    Similarity.recallAtK(exact, approx, k = 10).orderBy("query_id")
+  }
+
+  val q173Sql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |qz0 AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_min(embedding) AS DOUBLE) AS qmin,
+      |    (CAST(list_max(embedding) AS DOUBLE) - CAST(list_min(embedding) AS DOUBLE)) / 255.0 AS qscale
+      |  FROM e),
+      |dq AS (
+      |  SELECT vec_id,
+      |    list_transform(
+      |      list_transform(embedding, x -> CASE WHEN qscale = 0 THEN 0
+      |        ELSE CAST(floor((CAST(x AS DOUBLE) - qmin) / qscale + 0.5) AS INT) END),
+      |      q -> qmin + CAST(q AS DOUBLE) * qscale) AS dv
+      |  FROM qz0),
+      |n_dq AS (
+      |  SELECT vec_id, dv,
+      |    sqrt(list_reduce(list_transform(dv, x -> x * x), (a, b) -> a + b)) AS nrm
+      |  FROM dq),
+      |n_c AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |                     (a, b) -> a + b)) AS nrm
+      |  FROM e),
+      |n_q AS (SELECT vec_id, embedding, nrm FROM n_c WHERE vec_id < 20),
+      |ex AS (
+      |  SELECT nq.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM n_q nq JOIN n_c c ON c.vec_id <> nq.vec_id
+      |  QUALIFY row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(nq.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+      |      / (nq.nrm * c.nrm) DESC, c.vec_id ASC) <= 10),
+      |ap AS (
+      |  SELECT nq.vec_id AS query_id, c.vec_id AS neighbor_id
+      |  FROM n_q nq JOIN n_dq c ON c.vec_id <> nq.vec_id
+      |  QUALIFY row_number() OVER (PARTITION BY nq.vec_id ORDER BY
+      |    list_reduce(list_transform(list_zip(nq.embedding, c.dv),
+      |      x -> CAST(x[1] AS DOUBLE) * x[2]), (a, b) -> a + b)
+      |      / (nq.nrm * c.nrm) DESC, c.vec_id ASC) <= 10),
+      |hits AS (
+      |  SELECT e.query_id, count(*) AS n
+      |  FROM ex e JOIN ap a ON e.query_id = a.query_id
+      |    AND e.neighbor_id = a.neighbor_id
+      |  GROUP BY e.query_id)
+      |SELECT q.vec_id AS query_id,
+      |  CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+      |  CAST(COALESCE(h.n, 0) AS DOUBLE) / 10.0 AS recall
+      |FROM (SELECT DISTINCT vec_id FROM embeddings WHERE vec_id < 20) q
+      |LEFT JOIN hits h ON h.query_id = q.vec_id
+      |ORDER BY query_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q173_recall_eval"     -> q173RecallEval _,
     "q170_matryoshka_topk" -> q170MatryoshkaTopK _,
     "q158_pq_topk"        -> q158PqTopK _,
     "q155_audio_frames"   -> q155AudioFrames _,
@@ -3173,6 +3243,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q173_recall_eval"     -> q173Sql,
     "q170_matryoshka_topk" -> q170Sql,
     "q158_pq_topk"        -> q158Sql,
     "q155_audio_frames"   -> q155Sql,

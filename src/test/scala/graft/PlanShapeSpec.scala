@@ -78,6 +78,13 @@ class PlanShapeSpec extends SparkSpec {
                               // the bucket width); the suffix-max
                               // threshold step is a B×B broadcast
                               // self-join, not a global window
+      "q169_temperature_mix", // the Σ√n weight scalar: ONE global
+                              // decimal sum whose INPUT is the
+                              // source-count frame (|sources| rows by
+                              // construction — the corpus aggregate
+                              // below it is an ordinary keyed count);
+                              // partial sum buffers cross, broadcast
+                              // back as the rate denominator
       "q164_hybrid_rrf",      // RRF fuse: the global rank window runs
                               // over the JOINED TOP-K ARMS (≤ arms·k
                               // = 100 rows by construction — each arm
@@ -315,6 +322,29 @@ class PlanShapeSpec extends SparkSpec {
       s"embedding column crosses a keyed exchange in q84:\n${embBearing.mkString("\n")}")
     assert(plans("q84_embedding_covariance").contains("partial"),
       s"no map-side partial aggregation in q84")
+  }
+
+  test("zone-map scan: the zone predicate reaches PartitionFilters and prunes files") {
+    // q175's scale contract: filtering on the zone partition column
+    // must prune at planning time — a post-scan filter would read
+    // every zone's files at 100 TB
+    import org.apache.spark.sql.functions._
+    val path = graft.queries.Det.scratchPath("zonespec", sfDir) + "/t"
+    graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("l_shipdate"))
+      .withColumn("zone", expr(
+        "CAST(datediff(to_date(l_shipdate), DATE '1995-01-01') div 90 AS INT)"))
+      .write.partitionBy("zone").mode("overwrite").parquet(path)
+    val pruned = spark.read.parquet(path).filter(col("zone").isin(8, 9))
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [") && !p.contains("PartitionFilters: []"),
+      s"zone predicate not in PartitionFilters:\n$p")
+    val allZones = spark.read.parquet(path).select("zone").distinct().count()
+    assert(allZones > 2, "fixture should span more than two zones")
+    // the pruned read touches only the two zones' rows
+    val full = spark.read.parquet(path)
+      .filter(col("zone").isin(8, 9)).count()
+    assert(pruned.count() == full)
   }
 
   test("hot aggregation queries stay inside whole-stage codegen") {

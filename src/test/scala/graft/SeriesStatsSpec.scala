@@ -7,14 +7,16 @@ import graft.operators.{SeriesStats, Similarity}
 
 class SeriesStatsSpec extends SparkSpec {
 
-  private def series(rows: (String, Int, Double)*) = {
+  private def df(schema: StructType, rows: Row*) =
     spark.createDataFrame(
       new java.util.ArrayList[Row](
-        scala.jdk.CollectionConverters.SeqHasAsJava(
-          rows.toList.map { case (k, t, v) => Row(k, t, v) }).asJava),
-      StructType(Seq(StructField("k", StringType),
-        StructField("t", IntegerType), StructField("v", DoubleType))))
-  }
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      schema)
+
+  private def series(rows: (String, Int, Double)*) = df(
+    StructType(Seq(StructField("k", StringType),
+      StructField("t", IntegerType), StructField("v", DoubleType))),
+    rows.map { case (k, t, v) => Row(k, t, v) }: _*)
 
   /** Plug-in ACF replay (same estimator as the operator). */
   private def acf(vs: Seq[Double], lag: Int): Option[Double] = {
@@ -59,6 +61,47 @@ class SeriesStatsSpec extends SparkSpec {
       .select("query_id", "neighbor_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(cascade == brute)
+  }
+
+  test("arrivalLateness: matches a JVM replay and is shard-count invariant") {
+    import org.apache.spark.sql.functions.col
+    // arrival order 0..n; event times jitter backwards deterministically
+    val n = 200
+    val rows = (0 until n).map { i =>
+      val us = 1000000L * (i.toLong * 60 - (i * 37 % 11) * 90) // up to 900 s late
+      Row(i.toLong, new java.sql.Timestamp(us / 1000))
+    }
+    val d = df(StructType(Seq(StructField("seq", LongType),
+      StructField("ts", TimestampType))), rows: _*)
+    // JVM replay of running-max lateness
+    val us = rows.map(_.getTimestamp(1).getTime * 1000)
+    var mx = Long.MinValue
+    val expected = us.map { u =>
+      val late = if (mx > u) mx - u else 0L
+      mx = math.max(mx, u); late
+    }
+    def run(shards: Int) = SeriesStats
+      .arrivalLateness(d, "seq", "ts", thresholdUs = 300000000L, nShards = shards)
+      .orderBy("seq").collect()
+      .map(r => (r.getAs[Long]("lateness_us"), r.getAs[Int]("late")))
+    val r7 = run(7)
+    assert(r7.map(_._1).toSeq == expected)
+    assert(r7.map(_._2).toSeq == expected.map(l => if (l > 300000000L) 1 else 0))
+    assert(run(1).toSeq == r7.toSeq && run(64).toSeq == r7.toSeq)
+  }
+
+  test("recallAtK: zero-overlap queries score 0, full overlap scores 1") {
+    import org.apache.spark.sql.functions.col
+    def arm(rows: (Long, Long)*) = df(
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("neighbor_id", LongType))),
+      rows.map { case (q, n) => Row(q, n) }: _*)
+    val exact = arm(1L -> 10, 1L -> 11, 2L -> 20, 2L -> 21)
+    val approx = arm(1L -> 10, 1L -> 11, 2L -> 99, 2L -> 98)
+    val out = Similarity.recallAtK(exact, approx, k = 2)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 2L, 1.0), (2L, 0L, 0.0)))
   }
 
   test("matryoshkaTopK: result is the exact full-dot rerank of its own stage-1 shortlist") {
