@@ -90,6 +90,116 @@ object Graph {
     } finally edges.unpersist()
   }
 
+  /** Personalized PageRank: the teleport vector concentrates on
+    * `seeds` instead of spreading uniformly — "importance relative to
+    * THESE nodes", the similar-items / trust-propagation variant.
+    *
+    * Identical integer fixed-point recipe as [[pageRank]] (unit mass
+    * 10¹² split over the seeds; seed base = ((den−num)·unit) DIV den;
+    * non-seeds get base 0, so rank mass keeps flowing back to the
+    * seed neighborhood). Same per-iteration shape, same bit-stability,
+    * same SQL-replayability.
+    */
+  def personalizedPageRank(
+      edgeList: DataFrame, srcCol: String, dstCol: String,
+      seeds: Seq[Long], iters: Int = 3,
+      dampingNum: Int = 85, dampingDen: Int = 100): DataFrame = {
+    require(seeds.nonEmpty, "personalizedPageRank needs at least one seed")
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    require(dampingNum > 0 && dampingDen > dampingNum,
+      s"damping must be a rational in (0,1): $dampingNum/$dampingDen")
+    val edges = graft.sources.Tables.widen(edgeList)
+      .select(col(srcCol).cast(LongType).as("_src"),
+        col(dstCol).cast(LongType).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .persist()
+    try {
+      val nodes = edges.select(col("_src").as("id"))
+        .union(edges.select(col("_dst").as("id")))
+        .distinct()
+        .localCheckpoint(true)
+      val unit = 1000000000000L / seeds.size
+      val seedBase = (dampingDen - dampingNum).toLong * unit / dampingDen
+      val isSeed = col("id").isin(seeds: _*)
+      val outdeg = edges.groupBy(col("_src").as("id"))
+        .agg(count(lit(1)).as("_deg"))
+      var ranks = nodes
+        .select(col("id"), when(isSeed, lit(unit)).otherwise(lit(0L)).as("rank"))
+        .localCheckpoint(true)
+      for (_ <- 0 until iters) {
+        val inSums = edges
+          .join(ranks.withColumnRenamed("id", "_src"), "_src")
+          .join(outdeg.withColumnRenamed("id", "_src"), "_src")
+          .select(col("_dst").as("id"),
+            expr("rank DIV _deg").as("_share"))
+          .groupBy(col("id")).agg(sum(col("_share")).as("_insum"))
+        ranks = nodes
+          .join(inSums, Seq("id"), "left")
+          .select(col("id"),
+            (when(isSeed, lit(seedBase)).otherwise(lit(0L)) + expr(
+              s"(CAST($dampingNum AS BIGINT) * coalesce(_insum, CAST(0 AS BIGINT))) " +
+                s"DIV $dampingDen")).as("rank"))
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally edges.unpersist()
+  }
+
+  /** Synchronous weighted label propagation over an undirected
+    * weighted graph — community detection where [[Dedup
+    * .connectedComponents]] would be too coarse (components glue
+    * everything reachable; LP splits a connected graph along its
+    * weight structure).
+    *
+    * Semantics (deterministic by construction): the input edge list is
+    * symmetrized and parallel edges merge their weights; every node
+    * starts labeled with its own id; each SYNCHRONOUS round relabels
+    * every node to the label with the highest total incident weight
+    * among its neighbors' PREVIOUS labels — ties break to the smaller
+    * label, isolated nodes keep their label. Exactly `iters` rounds
+    * (fixed-round snapshot: sync LP may oscillate, so convergence is
+    * not the contract — the round count is).
+    *
+    * Scale shape per round: one keyed join of the node-sized label
+    * frame against the persisted edge table, one (node, label) count
+    * aggregate (map-side partials), one per-node top-1 window keyed on
+    * the node — all exchanges carry (id, label, weight) triples.
+    * Label lineage is cut per round.
+    */
+  def labelPropagation(
+      edgeList: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iters: Int = 2): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0: $iters")
+    import org.apache.spark.sql.expressions.Window
+    val half = edgeList.select(
+      col(srcCol).cast(LongType).as("_a"),
+      col(dstCol).cast(LongType).as("_b"),
+      col(weightCol).cast(LongType).as("_w"))
+    val edges = graft.sources.Tables.widen(
+        half.unionAll(half.select(col("_b").as("_a"), col("_a").as("_b"), col("_w"))))
+      .groupBy(col("_a"), col("_b")).agg(sum(col("_w")).as("_w"))
+      .persist()
+    try {
+      val nodes = edges.select(col("_a").as("id")).distinct()
+        .localCheckpoint(true)
+      var labels = nodes.withColumn("label", col("id"))
+      for (_ <- 0 until iters) {
+        val votes = edges
+          .join(labels.select(col("id").as("_b"), col("label").as("_nl")), "_b")
+          .groupBy(col("_a"), col("_nl")).agg(sum(col("_w")).as("_v"))
+        val w = Window.partitionBy(col("_a")).orderBy(desc("_v"), asc("_nl"))
+        val winners = votes
+          .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
+          .select(col("_a").as("id"), col("_nl").as("_newl"))
+        labels = nodes.join(winners, Seq("id"), "left")
+          .select(col("id"), coalesce(col("_newl"), col("id")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    } finally edges.unpersist()
+  }
+
   /** Per-node triangle counts via degree-ordered edge orientation
     * (the MapReduce-era Suri–Vassilvitskii shape, re-expressed as two
     * Catalyst equi-joins).

@@ -176,4 +176,35 @@ object JoinOps {
     big.filter(bloomPasses(col(key), bits, numBits, numHashes))
       .join(small, Seq(key), joinType)
   }
+
+  /** Skew remediation planner — the measurement that decides WHICH
+    * keys [[saltedJoin]] should salt and by how much, instead of
+    * salting everything (which taxes the uniform keys) or guessing.
+    *
+    * A key is skewed when its row count exceeds `skewFactor` × the
+    * integer mean rows-per-key; its salt factor is
+    * ceil(count / mean) = (count + mean − 1) DIV mean — the number of
+    * salt buckets that brings its per-bucket share back to the mean.
+    * All arithmetic is integer (counts and DIV), so the plan is
+    * bit-reproducible by any engine.
+    *
+    * Output: (keyCol, n_rows, avg_rows, salt_factor) for the skewed
+    * keys only. Scale: one keyed count (map-side partials), one 1-row
+    * scalar over the key frame (partial buffers cross), a broadcast
+    * back — the fact table is scanned once and never shuffled wide;
+    * the plan is |skewed keys| rows, which is small by the definition
+    * of skew.
+    */
+  def saltPlan(df: DataFrame, keyCol: String, skewFactor: Int = 4): DataFrame = {
+    require(skewFactor >= 1, s"skewFactor must be >= 1: $skewFactor")
+    val counts = df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val stats = counts.agg(
+      sum(col("n_rows")).as("_total"), count(lit(1)).as("_nkeys"))
+    counts.crossJoin(broadcast(stats))
+      .withColumn("avg_rows", expr("_total DIV _nkeys"))
+      .filter(col("n_rows") > lit(skewFactor.toLong) * col("avg_rows"))
+      .select(col(keyCol), col("n_rows"), col("avg_rows"),
+        expr("(n_rows + avg_rows - 1) DIV avg_rows").as("salt_factor"))
+  }
 }

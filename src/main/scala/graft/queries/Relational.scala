@@ -1673,7 +1673,146 @@ object Relational {
       |FROM (SELECT node, min(hop) AS hop FROM walk GROUP BY node)
       |GROUP BY hop ORDER BY hop""".stripMargin
 
+  /** Weighted label-propagation communities
+    * ([[graft.operators.Graph.labelPropagation]], 2 synchronous
+    * rounds) over the part co-purchase graph (parts sharing an order;
+    * weight = number of co-occurring line pairs). Components would
+    * glue the whole co-purchase graph into one blob — LP splits it
+    * along weight structure. The DuckDB oracle unrolls both rounds:
+    * edge symmetrization, weighted votes, the (weight desc, label
+    * asc) argmax, and isolated-node carryover.
+    */
+  def q176LabelPropagation(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("w"))
+    graft.operators.Graph.labelPropagation(co, "pa", "pb", "w", iters = 2)
+      .select(col("id").as("part_id"), col("label").as("community"))
+      .orderBy("part_id")
+  }
+
+  private def lpStepSql(prev: String, out: String): String =
+    s"""v_$out AS (
+       |  SELECT e.a, l.label AS nl, CAST(sum(e.w) AS BIGINT) AS v
+       |  FROM e JOIN $prev l ON l.id = e.b
+       |  GROUP BY e.a, l.label),
+       |w_$out AS (
+       |  SELECT a AS id, nl AS label FROM v_$out
+       |  QUALIFY row_number() OVER (PARTITION BY a
+       |    ORDER BY v DESC, nl ASC) = 1),
+       |$out AS (
+       |  SELECT n.id, COALESCE(w.label, n.id) AS label
+       |  FROM nodes n LEFT JOIN w_$out w USING (id))""".stripMargin
+
+  val q176Sql: String =
+    s"""WITH co AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+       |    CAST(count(*) AS BIGINT) AS w
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2),
+       |sym AS (
+       |  SELECT pa AS a, pb AS b, w FROM co
+       |  UNION ALL
+       |  SELECT pb AS a, pa AS b, w FROM co),
+       |e AS (SELECT a, b, CAST(sum(w) AS BIGINT) AS w FROM sym GROUP BY a, b),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |l0 AS (SELECT id, id AS label FROM nodes),
+       |${lpStepSql("l0", "l1")},
+       |${lpStepSql("l1", "l2")}
+       |SELECT id AS part_id, CAST(label AS BIGINT) AS community
+       |FROM l2 ORDER BY part_id""".stripMargin
+
+  /** Personalized PageRank
+    * ([[graft.operators.Graph.personalizedPageRank]]): rank the
+    * customer→supplier purchase graph relative to customers 1–5 (the
+    * teleport seeds) — "which suppliers matter to THESE customers".
+    * Same integer fixed-point recipe as q93; the oracle unrolls all
+    * three iterations with the seed-concentrated teleport.
+    */
+  def q177PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("src"),
+        (col("l_suppkey") + 100000L).as("dst"))
+    graft.operators.Graph.personalizedPageRank(
+        edges, "src", "dst", seeds = Seq(1L, 2L, 3L, 4L, 5L), iters = 3)
+      .select(col("id"), col("rank").as("rank_fp"))
+      .orderBy("id")
+  }
+
+  private def pprStepSql(prev: String, out: String): String =
+    s"""s_$out AS (
+       |  SELECT e.dst AS id, sum(p.r // o.deg) AS insum
+       |  FROM edges e JOIN $prev p ON p.id = e.src
+       |  JOIN outdeg o ON o.id = e.src
+       |  GROUP BY e.dst),
+       |$out AS (
+       |  SELECT n.id,
+       |    CAST(CASE WHEN n.id IN (1, 2, 3, 4, 5)
+       |           THEN (SELECT (100 - 85) * unit // 100 FROM params)
+       |           ELSE 0 END +
+       |         (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS r
+       |  FROM nodes n LEFT JOIN s_$out s ON s.id = n.id)""".stripMargin
+
+  val q177Sql: String =
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |params AS (SELECT CAST(1000000000000 // 5 AS BIGINT) AS unit),
+       |outdeg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (
+       |  SELECT id, CASE WHEN id IN (1, 2, 3, 4, 5)
+       |    THEN (SELECT unit FROM params) ELSE 0 END AS r
+       |  FROM nodes),
+       |${pprStepSql("r0", "r1")},
+       |${pprStepSql("r1", "r2")},
+       |${pprStepSql("r2", "r3")}
+       |SELECT id, r AS rank_fp FROM r3 ORDER BY id""".stripMargin
+
+  /** Skew remediation planner ([[graft.operators.JoinOps.saltPlan]])
+    * over q73's planted-skew key distribution (40% of lineitem rows
+    * collapse onto key 1): which keys exceed 4× the mean rows-per-key
+    * and how many salt buckets each needs. Pure integer arithmetic —
+    * the oracle replays counts, integer mean, threshold, and the
+    * ceiling division.
+    */
+  def q178SaltPlan(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.lineitem(s, dir).select(
+      when(pmod(col("l_orderkey"), lit(10)) < 4, lit(1L))
+        .otherwise(col("l_suppkey")).as("skewkey"))
+    graft.operators.JoinOps.saltPlan(fact, "skewkey", skewFactor = 4)
+      .orderBy("skewkey")
+  }
+
+  val q178Sql: String =
+    """WITH fact AS (
+      |  SELECT CASE WHEN l_orderkey % 10 < 4 THEN 1 ELSE l_suppkey END AS skewkey
+      |  FROM lineitem),
+      |counts AS (
+      |  SELECT skewkey, CAST(count(*) AS BIGINT) AS n_rows
+      |  FROM fact GROUP BY skewkey),
+      |st AS (
+      |  SELECT CAST(sum(n_rows) AS BIGINT) AS total,
+      |    CAST(count(*) AS BIGINT) AS nkeys
+      |  FROM counts)
+      |SELECT skewkey, n_rows,
+      |  total // nkeys AS avg_rows,
+      |  (n_rows + total // nkeys - 1) // (total // nkeys) AS salt_factor
+      |FROM counts CROSS JOIN st
+      |WHERE n_rows > 4 * (total // nkeys)
+      |ORDER BY skewkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q176_label_propagation" -> q176LabelPropagation _,
+    "q177_personalized_pagerank" -> q177PersonalizedPagerank _,
+    "q178_salt_plan"       -> q178SaltPlan _,
     "q161_bfs_hops"        -> q161BfsHops _,
     "q151_robust_outliers" -> q151RobustOutliers _,
     "q152_basket_lift"     -> q152BasketLift _,
@@ -1721,6 +1860,9 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q176_label_propagation" -> q176Sql,
+    "q177_personalized_pagerank" -> q177Sql,
+    "q178_salt_plan"       -> q178Sql,
     "q161_bfs_hops"        -> q161Sql,
     "q151_robust_outliers" -> q151Sql,
     "q152_basket_lift"     -> q152Sql,

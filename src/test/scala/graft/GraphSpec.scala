@@ -147,4 +147,73 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 0L, 5L -> 0L, 2L -> 1L))
   }
+
+  test("personalizedPageRank: rank concentrates on the seed neighborhood") {
+    import spark.implicits._
+    // two disjoint triangles; seed in the first only
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (10L, 11L), (11L, 12L), (12L, 10L)).toDF("src", "dst")
+    val got = Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq(1L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the unseeded triangle holds zero rank (no teleport, no inflow)
+    assert(got(10L) == 0L && got(11L) == 0L && got(12L) == 0L)
+    assert(got(1L) > 0L && got(2L) > 0L && got(3L) > 0L)
+    // seed 1 keeps the teleport share on top of its cycle inflow
+    assert(got(1L) > got(2L))
+  }
+
+  test("personalizedPageRank: seed set of all nodes equals uniform pageRank") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L)).toDF("src", "dst")
+    val uniform = Graph.pageRank(edges, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ppr = Graph.personalizedPageRank(edges, "src", "dst",
+        seeds = Seq(1L, 2L, 3L), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr == uniform)
+  }
+
+  test("labelPropagation: weight structure splits a connected graph") {
+    import spark.implicits._
+    // two 3-cliques with heavy internal weights, one light bridge
+    val edges = Seq(
+      (1L, 2L, 10L), (2L, 3L, 10L), (1L, 3L, 10L),
+      (4L, 5L, 10L), (5L, 6L, 10L), (4L, 6L, 10L),
+      (3L, 4L, 1L)).toDF("a", "b", "w")
+    val got = Graph.labelPropagation(edges, "a", "b", "w", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to its own min label; the bridge does not
+    // merge them
+    assert(Set(got(1L), got(2L), got(3L)).size == 1)
+    assert(Set(got(4L), got(5L), got(6L)).size == 1)
+    assert(got(1L) != got(4L))
+  }
+
+  test("labelPropagation: isolated self-community and parallel-edge weight merge") {
+    import spark.implicits._
+    // 7 is isolated (self-loop-free node only reachable via symmetry
+    // of its own absence): present as a node through a zero-weight?
+    // No — isolated means absent from edges; nodes come FROM edges, so
+    // instead check tie-break and parallel-edge merging: the (1,2)
+    // edge appears twice with weight 3 each (merged 6) vs a single
+    // (1,3) edge of weight 5 — node 1 must vote with label 2's side
+    // after merging, not pick 3 by the unmerged single edge
+    val edges = Seq((1L, 2L, 3L), (2L, 1L, 3L), (1L, 3L, 5L))
+      .toDF("a", "b", "w")
+    val got = Graph.labelPropagation(edges, "a", "b", "w", iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2L, s"parallel edges must merge weights: $got")
+  }
+
+  test("saltPlan: flags exactly the planted heavy key with ceil(count/mean) buckets") {
+    import spark.implicits._
+    // 9 keys × 10 rows + key 99 × 200 rows → mean = 290/10 = 29
+    val rows = (1 to 9).flatMap(k => Seq.fill(10)(k.toLong)) ++
+      Seq.fill(200)(99L)
+    val df = rows.toDF("k")
+    val plan = graft.operators.JoinOps.saltPlan(df, "k", skewFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(plan.toSeq == Seq((99L, 200L, 29L, 7L))) // ceil(200/29) = 7
+  }
 }
