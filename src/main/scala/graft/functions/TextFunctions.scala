@@ -282,4 +282,21 @@ object TextFunctions {
     // acc*2 fold overflows at bit 63 under ANSI)
     bitSigns.reduce((a, b) => a.bitwiseOR(b))
   }
+
+  /** Full text canonicalization for dedup/decontamination pipelines:
+    * Unicode NFC ([[graft.expressions.NfcNormalizeExpression]] — the
+    * no-UDF native expression), NBSP → space, zero-width characters
+    * and soft hyphens stripped, whitespace collapsed, trimmed. Every
+    * step is a standard any engine reproduces (DuckDB: nfc_normalize +
+    * the same regex chain), so canonical fingerprints are
+    * cross-engine-comparable.
+    */
+  def canonicalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        translate(
+          graft.expressions.NfcNormalizeExpression.nfcNormalize(c),
+          "\u00A0", " "),
+        "[\u200B\u200C\u200D\uFEFF\u00AD]", ""),
+      "\\s+", " "))
 }

@@ -88,4 +88,27 @@ object Privacy {
         coalesce(col("_best.l"), lit(-1)).cast("int").as("anon_level"),
         col("_best.gv").as("anon_value"))
   }
+
+  /** l-diversity audit — the check k-anonymity alone misses: a
+    * quasi-identifier group where every member shares one sensitive
+    * value is k-anonymous yet leaks the attribute outright. Per QI
+    * group: row count, distinct sensitive values, and the ≥ l verdict.
+    *
+    * Output: qiCols + (n_rows, n_sensitive, l_diverse). One keyed
+    * aggregate (count + count-distinct on the group's sensitive
+    * column) — map-side partials, QI-group-sized result, nothing else
+    * crosses an exchange.
+    */
+  def lDiversityAudit(df: DataFrame, qiCols: Seq[org.apache.spark.sql.Column],
+      qiNames: Seq[String], sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && qiCols.size == qiNames.size && l >= 1,
+      s"bad l-diversity parameters (${qiCols.size}, ${qiNames.size}, $l)")
+    import org.apache.spark.sql.functions._
+    val keyed = qiCols.zip(qiNames).map { case (c, n) => c.as(n) }
+    df.groupBy(keyed: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col(sensitiveCol)).as("n_sensitive"))
+      .withColumn("l_diverse",
+        when(col("n_sensitive") >= l, 1).otherwise(0).cast("int"))
+  }
 }

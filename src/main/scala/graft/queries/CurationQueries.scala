@@ -374,7 +374,51 @@ object CurationQueries {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** Unicode text canonicalization
+    * ([[graft.functions.TextFunctions.canonicalizeText]] over the
+    * native no-UDF NFC expression): every document gets a planted
+    * suffix of decomposed accents (e + U+0301), an NBSP, and a
+    * zero-width space; canonicalization must NFC-compose, space-fold
+    * and strip them so the md5 fingerprints match DuckDB running
+    * nfc_normalize + the same regex chain on the same planted text.
+    * Character counts before/after prove the plant actually exercised
+    * every rule.
+    */
+  def q179UnicodeCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.canonicalizeText
+    val planted = concat(col("text"),
+      lit(" Cafe\u0301\u00A0x\u200Bend"))  // e+combining acute, NBSP, ZWSP
+    Tables.widen(Tables.documents(s, dir)).select(
+        col("doc_id"),
+        length(planted).cast(IntegerType).as("n_chars_planted"),
+        length(canonicalizeText(planted)).cast(IntegerType).as("n_chars_canon"),
+        md5(canonicalizeText(planted)).as("canon_fp"))
+      .orderBy("doc_id")
+  }
+
+  val q179Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    text || ' Cafe' || chr(769) || chr(160) || 'x' || chr(8203) || 'end' AS t
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, t,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        replace(nfc_normalize(t), chr(160), ' '),
+      |        '[' || chr(8203) || chr(8204) || chr(8205) || chr(65279) || chr(173) || ']',
+      |        '', 'g'),
+      |      '\s+', ' ', 'g')) AS canon
+      |  FROM p)
+      |SELECT doc_id,
+      |  CAST(length(t) AS INT) AS n_chars_planted,
+      |  CAST(length(canon) AS INT) AS n_chars_canon,
+      |  md5(canon) AS canon_fp
+      |FROM c
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q179_unicode_canonicalize" -> q179UnicodeCanonicalize _,
     "q164_hybrid_rrf"        -> q164HybridRrf _,
     "q165_quality_classifier" -> q165QualityClassifier _,
     "q166_gopher_rules"      -> q166GopherRules _,
@@ -383,6 +427,7 @@ object CurationQueries {
     "q169_temperature_mix"   -> q169TemperatureMix _)
 
   val oracle: Map[String, String] = Map(
+    "q179_unicode_canonicalize" -> q179Sql,
     "q164_hybrid_rrf"        -> q164Sql,
     "q165_quality_classifier" -> q165Sql,
     "q166_gopher_rules"      -> q166Sql,

@@ -511,7 +511,33 @@ object EtlQueries {
       |FROM m GROUP BY cluster
       |ORDER BY cluster""".stripMargin
 
+  /** l-diversity audit ([[graft.operators.Privacy.lDiversityAudit]])
+    * on the q131 generalization's level-1 groups: quasi-identifiers
+    * (c_nationkey, floor(c_acctbal/1000)), sensitive attribute
+    * c_mktsegment, l = 3. k-anonymity bounds group SIZE; this audits
+    * what k alone misses — a group whose members all share one
+    * sensitive value leaks it regardless of size.
+    */
+  def q180LDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.lDiversityAudit(
+        Tables.customer(s, dir),
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast(org.apache.spark.sql.types.LongType)),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", l = 3)
+      .orderBy("c_nationkey", "bal_bucket")
+
+  val q180Sql: String =
+    """SELECT c_nationkey,
+      |  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_sensitive,
+      |  CAST(CASE WHEN count(DISTINCT c_mktsegment) >= 3 THEN 1 ELSE 0 END AS INT) AS l_diverse
+      |FROM customer
+      |GROUP BY c_nationkey, bal_bucket
+      |ORDER BY c_nationkey, bal_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q180_l_diversity"    -> q180LDiversity _,
     "q133_golden_records" -> q133GoldenRecords _,
     "q131_k_anonymity" -> q131KAnonymity _,
     "q128_winsorize"  -> q128Winsorize _,
@@ -526,6 +552,7 @@ object EtlQueries {
     "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
+    "q180_l_diversity"    -> q180Sql,
     "q133_golden_records" -> q133Sql,
     "q131_k_anonymity" -> q131Sql,
     "q128_winsorize"  -> q128Sql,

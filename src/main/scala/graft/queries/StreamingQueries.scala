@@ -934,7 +934,54 @@ object StreamingQueries {
       |  min((-open, t, span_id))[2] AS peak_at_us
       |FROM swept GROUP BY day_idx ORDER BY day_idx""".stripMargin
 
+  /** Native event-time session windows: Spark's `session_window(ts,
+    * gap)` grouped aggregate (the streaming sessionizer's batch form —
+    * a dedicated Catalyst operator, not the lag/flag/cumsum window
+    * chain q27 builds by hand). Session end = last event + gap; a new
+    * session starts only when the inter-event gap EXCEEDS 30 minutes —
+    * Spark merges sessions that touch (next.start = prev.end), which
+    * CanonicalizeSpec pins with an exactly-at-the-boundary fixture
+    * (the sf fixtures carry no exact-gap pair, so only the spec
+    * guards this edge). The oracle rebuilds sessions with the
+    * independent gap-flag formulation and the same strict boundary.
+    * Scale: one exchange keyed on user_id; session merging is
+    * per-key, never global.
+    */
+  def q181SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_start"),
+        date_format(col("session_window.end"), "yyyy-MM-dd HH:mm:ss")
+          .as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  val q181Sql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM o)
+      |SELECT user_id,
+      |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(max(ts) + INTERVAL 30 MINUTES, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  count(*) AS n_events
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q181_session_window" -> q181SessionWindow _,
     "q162_session_concurrency" -> q162SessionConcurrency _,
     "q160_ab_experiment"  -> q160AbExperiment _,
     "q163_burst_detection" -> q163BurstDetection _,
@@ -957,6 +1004,7 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q181_session_window" -> q181Sql,
     "q162_session_concurrency" -> q162Sql,
     "q160_ab_experiment"  -> q160Sql,
     "q163_burst_detection" -> q163Sql,
