@@ -327,6 +327,53 @@ object Graph {
     *
     * `edges` must carry both directions for undirected graphs.
     */
+  /** Bounded k-core peeling: `rounds` synchronous iterations of
+    * "drop every node with degree < k, then drop edges touching a
+    * dropped node". The k-core — the maximal subgraph where every
+    * node keeps ≥ k neighbors — is the standard density screen a
+    * link-graph quality pipeline runs before trusting degree-based
+    * signals (a page with 50 inlinks all from 1-link spam nodes
+    * peels away; a page inside a dense community survives).
+    *
+    * The round count is part of the SEMANTICS (bounded peeling, the
+    * [[bfsHops]]/[[labelPropagation]] contract), which is what lets
+    * an ANSI oracle unroll each round as a CTE; GraphSpec proves
+    * peeling has converged within the configured rounds on its
+    * fixtures, and a caller needing the true fixpoint raises
+    * `rounds` — each round is one keyed count plus two semi-joins,
+    * so cost is linear in rounds.
+    *
+    * Input edges are symmetrized and de-duplicated here (callers pass
+    * each undirected edge once, either direction). Scale shape per
+    * round: degree = one keyed count over edges (map-side partials);
+    * the survivor set is NODE-sized and semi-joins back against the
+    * edge table on each endpoint — at 100 TB the survivor frame is
+    * the broadcast side after round one (peeling only shrinks it).
+    * Edge lineage is cut per round, the [[pageRank]] discipline.
+    * Returns the surviving nodes with their final in-core degree.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val once = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
+    var e = once
+      .unionByName(once.select(col("_d").as("_s"), col("_s").as("_d")))
+      .filter(col("_s") =!= col("_d")) // self-loops never count toward k
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = e.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
+        .filter(col("_deg") >= k)
+        .select(col("_s"))
+      e = e.join(alive, Seq("_s"), "left_semi")
+        .join(alive.select(col("_s").as("_d")), Seq("_d"), "left_semi")
+        .localCheckpoint(true)
+    }
+    e.groupBy(col("_s").as("id")).agg(count(lit(1)).as("degree"))
+      .orderBy("id")
+  }
+
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")

@@ -65,6 +65,54 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Sorted-neighborhood duplicate blocking — the classic third
+    * blocking family next to key blocking ([[blockedFuzzyPairs]]) and
+    * LSH banding ([[Dedup]]): impose a total order on a sort key,
+    * compare each record only against its `window` successors, verify
+    * candidates with exact token Jaccard. Catches the near-dups whose
+    * shared PREFIX puts them adjacent in sort order — a different
+    * recall profile from hash blocking, which is why ER pipelines run
+    * both.
+    *
+    * Scale shape: the global order comes from
+    * [[Sampling.assignSequentialIds]] (range partition + per-partition
+    * offsets — never a global window); each window offset d∈[1,w] is
+    * one EQUALITY join keyed on the dense rank, so candidate volume is
+    * exactly w·N by construction — no block-size skew risk at all.
+    * Only (id, rank, token-hash array) cross the join exchanges:
+    * callers pass `tokens` as 60-bit md5 hashes
+    * ([[graft.functions.TextFunctions.md5Hash60]]) so no document
+    * content ships. The Jaccard verify is integer cross-multiplied
+    * (inter·100 ≥ pct·union) — exact, no float threshold.
+    *
+    * Returns (id_a, id_b, n_common, n_union) for qualifying pairs,
+    * id_a the sort-order predecessor.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String,
+      sortKey: org.apache.spark.sql.Column, tokens: org.apache.spark.sql.Column,
+      window: Int, minPct: Int): DataFrame = {
+    require(window >= 1 && window <= 16, s"window must be in [1,16], got $window")
+    require(minPct >= 1 && minPct <= 100, s"minPct must be in [1,100], got $minPct")
+    val base = df.select(col(idCol).as("_id"), sortKey.as("_sk"),
+      array_distinct(tokens).as("_tk"))
+    val ranked = Sampling.assignSequentialIds(base, "_sk", "_rn")
+      .select(col("_id"), col("_rn"), col("_tk"))
+    val a = ranked.select(col("_id").as("id_a"), col("_rn"),
+      col("_tk").as("_ta"))
+    val pairs = (1 to window).map { d =>
+      val b = ranked.select(col("_id").as("id_b"),
+        (col("_rn") - d).as("_rn"), col("_tk").as("_tb"))
+      a.join(b, Seq("_rn"))
+    }.reduceLeft(_.unionByName(_))
+    pairs
+      .withColumn("_i", size(array_intersect(col("_ta"), col("_tb"))))
+      .withColumn("_u", size(col("_ta")) + size(col("_tb")) - col("_i"))
+      .filter(col("_i") * 100 >= lit(minPct) * col("_u"))
+      .select(col("id_a"), col("id_b"),
+        col("_i").cast("long").as("n_common"),
+        col("_u").cast("long").as("n_union"))
+  }
+
   /** The blocking keys [[blockedFuzzyPairs]] dropped for exceeding
     * `maxBlockSize` — linkage recall is degraded exactly here, and a
     * production run logs/averts them (better key, per-block sub-

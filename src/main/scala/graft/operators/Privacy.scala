@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Deterministic pseudonymization — the privacy primitive between
   * "ship raw identifiers into the training corpus" and "destroy the
@@ -110,5 +111,73 @@ object Privacy {
         countDistinct(col(sensitiveCol)).as("n_sensitive"))
       .withColumn("l_diverse",
         when(col("n_sensitive") >= l, 1).otherwise(0).cast("int"))
+  }
+
+  /** t-closeness audit — the leak l-diversity misses: a group can
+    * hold ≥ l distinct sensitive values yet be 95% one value, telling
+    * an attacker far more than the global base rate does. Per QI
+    * group, the total-variation distance between the group's
+    * sensitive-value distribution and the table-wide one; for
+    * categorical attributes under uniform ground distance, TVD IS the
+    * earth-mover distance the t-closeness definition calls for.
+    *
+    * All arithmetic is INTEGER (the fixed-point discipline):
+    * TVD = ½ Σ_v |c_v/n − C_v/N| is cross-multiplied to
+    * tvd_num = Σ_v |c_v·N − C_v·n| and reported as
+    * (tvd_num·10⁶) DIV (2·n·N) — exact, order-invariant, and
+    * replayable by any ANSI engine. Sensitive values ABSENT from a
+    * group still contribute (|0·N − C_v·n| = C_v·n), folded in
+    * without a group×domain cross join via the complement identity
+    * Σ_{v∉group} C_v·n = n·(N − Σ_{v∈group} C_v).
+    *
+    * Scale shape: one keyed (QI+value) count, one grouped roll-up to
+    * QI groups, one broadcast-sized global value-count frame joined
+    * by value — the corpus crosses one exchange; the group×domain
+    * blow-up the naive formulation needs never materializes. Counts
+    * go through DECIMAL(38,0) before the cross-multiply so c·N stays
+    * exact past the 2⁶³ line a trillion-row table would cross.
+    *
+    * Output: qiNames + (n_rows, tvd_scaled, t_close) where t_close =
+    * tvd_scaled ≤ tScaled (distance in millionths).
+    */
+  def tClosenessAudit(df: DataFrame, qiCols: Seq[org.apache.spark.sql.Column],
+      qiNames: Seq[String], sensitiveCol: String, tScaled: Long): DataFrame = {
+    require(qiCols.nonEmpty && qiCols.size == qiNames.size && tScaled >= 0,
+      s"bad t-closeness parameters (${qiCols.size}, ${qiNames.size}, $tScaled)")
+    import org.apache.spark.sql.functions._
+    val dec = "DECIMAL(38,0)"
+    val keyed = qiCols.zip(qiNames).map { case (c, n) => c.as(n) }
+    val cell = df.groupBy((keyed :+ col(sensitiveCol).as("_v")): _*)
+      .agg(count(lit(1)).cast(dec).as("_c"))
+    val global = cell.groupBy(col("_v"))
+      .agg(sum(col("_c")).cast(dec).as("_cv")) // C_v per sensitive value
+    // group totals (n_g, Σ_{v∈g} C_v) come from one QI-keyed roll-up of
+    // the C_v-joined cells; joining them back is co-partitioned (both
+    // sides already keyed on QI)
+    val cellg = cell.join(broadcast(global), Seq("_v"))
+    val grp = cellg.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("_c")).cast(dec).as("_ng"),
+        sum(col("_cv")).cast(dec).as("_cvp"))
+    val n = global.agg(sum(col("_cv")).cast(dec).as("_nTot"))
+    cellg.join(grp, qiNames)
+      .crossJoin(broadcast(n))
+      .withColumn("_term",
+        abs(col("_c") * col("_nTot") - col("_cv") * col("_ng")))
+      .groupBy(qiNames.map(col): _*)
+      .agg(first(col("_ng")).as("_ng"), first(col("_cvp")).as("_cvp"),
+        first(col("_nTot")).as("_nTot"),
+        sum(col("_term")).cast(dec).as("_present"))
+      .withColumn("_num",
+        ((col("_present") + col("_ng") * (col("_nTot") - col("_cvp")))
+          * lit(1000000L).cast(dec)).cast(dec))
+      .withColumn("_den",
+        (lit(2L).cast(dec) * col("_ng") * col("_nTot")).cast(dec))
+      .select(qiNames.map(col) ++ Seq(
+        col("_ng").cast(LongType).as("n_rows"),
+        // IntegralDivide on decimals: exact truncation, no scale-6
+        // rounding — bit-for-bit what DuckDB's // computes on HUGEINT
+        expr("_num div _den").cast(LongType).as("tvd_scaled")): _*)
+      .withColumn("t_close",
+        when(col("tvd_scaled") <= tScaled, 1).otherwise(0).cast("int"))
   }
 }

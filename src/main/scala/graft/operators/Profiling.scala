@@ -73,4 +73,76 @@ object Profiling {
     }
     branches.reduceLeft(_.unionByName(_)).orderBy(col("col_name"))
   }
+
+  /** Functional-dependency discovery: for each candidate pair
+    * (determinant → dependent), does every determinant value map to
+    * exactly one dependent value? The metadata-inference step of
+    * schema profiling — finding the `nationkey → regionkey` facts a
+    * modeler would declare as constraints.
+    *
+    * Output per pair: (table_name, det_col, dep_col, n_keys,
+    * n_violating_keys, holds) where n_violating_keys counts
+    * determinant values with > 1 distinct dependent.
+    *
+    * Scale: each pair is one 2-column pruned scan → keyed
+    * count-distinct (map-side partials) → 1-row summary; pairs run as
+    * independent jobs. A k-pair audit is k cheap column-pruned
+    * passes, never a full-width scan.
+    */
+  /** Gini-impurity column profile: per column, 1 − Σ(c_v/N)² — the
+    * probability two random rows disagree on the column. The
+    * distribution-shape companion to [[profileColumns]]'s counts: a
+    * 5-value column at 96/1/1/1/1 and one at 20×5 have the same
+    * n_distinct but opposite impurity, and a curation pipeline
+    * balancing sources or picking stratification keys needs the
+    * difference.
+    *
+    * Exact integer arithmetic end-to-end: impurity = (N² − Σc²)/N² is
+    * reported as ((N² − Σc²)·10⁶) DIV N², computed in DECIMAL(38,0)
+    * with IntegralDivide so the squares stay exact past 2⁶³ (a c of
+    * 10¹⁰ squares to 10²⁰) and any ANSI engine replays it bit-for-bit
+    * (HUGEINT in DuckDB). NULL counts as its own value class — a
+    * 99%-null column IS low-impurity, and hiding that would be a lie.
+    *
+    * Scale shape: per column one 1-COLUMN-PRUNED scan → keyed value
+    * count (map-side partials) → one scalar roll-up of the
+    * value-count frame (Σc, Σc², count — partial buffers only across
+    * the final exchange); columns run as independent jobs, the
+    * [[functionalDependencies]] economics.
+    */
+  def giniImpurity(df: DataFrame, tableName: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column")
+    val dec = "DECIMAL(38,0)"
+    val branches = cols.map { c =>
+      df.groupBy(col(c))
+        .agg(count(lit(1)).cast(dec).as("_c"))
+        .agg(sum(col("_c")).cast(dec).as("_n"),
+          sum(col("_c") * col("_c")).cast(dec).as("_ssq"),
+          count(lit(1)).as("n_distinct"))
+        .select(lit(tableName).as("table_name"), lit(c).as("col_name"),
+          col("_n").cast("bigint").as("n_rows"),
+          col("n_distinct").cast("bigint").as("n_distinct"),
+          expr(s"((_n * _n - _ssq) * CAST(1000000 AS $dec)) div (_n * _n)")
+            .cast("bigint").as("gini_scaled"))
+    }
+    branches.reduceLeft(_.unionByName(_)).orderBy(col("col_name"))
+  }
+
+  def functionalDependencies(df: DataFrame, tableName: String,
+      candidates: Seq[(String, String)]): DataFrame = {
+    require(candidates.nonEmpty, "need at least one candidate pair")
+    val branches = candidates.map { case (det, dep) =>
+      df.groupBy(col(det))
+        .agg(countDistinct(col(dep)).as("_nd"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(when(col("_nd") > 1, 1L).otherwise(0L)).as("n_violating_keys"))
+        .select(lit(tableName).as("table_name"),
+          lit(det).as("det_col"), lit(dep).as("dep_col"),
+          col("n_keys"), col("n_violating_keys"),
+          when(col("n_violating_keys") === 0, 1).otherwise(0)
+            .cast("int").as("holds"))
+    }
+    branches.reduceLeft(_.unionByName(_))
+  }
 }

@@ -435,4 +435,43 @@ object Sampling {
         (col("_full") + when(col("_before") < col("_rem"), 1L).otherwise(0L))
           .cast("long").as("n_epochs"))
   }
+
+  /** Deterministic negative sampling for contrastive training: for
+    * each anchor row, `k` pseudo-random partners drawn from a corpus
+    * with DENSE ids 0..n−1, reproducible run-to-run and engine-to-
+    * engine (no RNG — the draw is `md5(anchor_id ‖ '#' ‖ j ‖ salt)`
+    * through the 60-bit hex recipe, mod n). A draw that lands on the
+    * anchor itself moves one slot over ((h+1) mod n) — deterministic,
+    * and at corpus scale a ~1/n event; collisions BETWEEN a row's k
+    * draws are kept (sampling with replacement, the standard
+    * contrastive setup).
+    *
+    * `corpus` must carry `corpusIdCol` dense from 0 (the
+    * [[assignSequentialIds]] output contract — compose when ids have
+    * holes). Returns anchors × k rows: (anchor id, neg_idx j,
+    * neg id) joined back to the corpus so callers project any partner
+    * column. Scale shape: the k-way expansion is a narrow
+    * `posexplode` (k small); the partner lookup is ONE equality join
+    * keyed on the drawn id — broadcast when the corpus projection is
+    * dim-sized, shuffle-keyed otherwise; nothing quadratic anywhere.
+    */
+  def negativeSamples(anchors: DataFrame, anchorIdCol: String,
+      corpus: DataFrame, corpusIdCol: String, corpusN: Long, k: Int,
+      salt: String = "neg"): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1,64], got $k")
+    require(corpusN >= 2, s"corpusN must be >= 2, got $corpusN")
+    val drawn = anchors
+      .select(col(anchorIdCol).as("anchor_id"))
+      .select(col("anchor_id"),
+        posexplode(sequence(lit(0), lit(k - 1))).as(Seq("neg_idx", "_j")))
+      .withColumn("_h", pmod(graft.functions.TextFunctions.md5Hash60(
+        concat(col("anchor_id").cast("string"), lit("#"),
+          col("_j").cast("string"), lit(salt))), lit(corpusN)))
+      .withColumn("neg_id",
+        when(col("_h") === col("anchor_id"),
+          pmod(col("_h") + 1L, lit(corpusN))).otherwise(col("_h")))
+      .select(col("anchor_id"), col("neg_idx").cast("int").as("neg_idx"),
+        col("neg_id"))
+    drawn.join(corpus.withColumnRenamed(corpusIdCol, "neg_id"), Seq("neg_id"))
+  }
 }

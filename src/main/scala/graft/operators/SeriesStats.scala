@@ -136,4 +136,41 @@ object SeriesStats {
     lagged.groupBy(col("_k")).agg(aggs.head, aggs.tail: _*)
       .select(outCols: _*)
   }
+
+  /** Dyadic EWMA per key: exponentially-weighted moving average with
+    * decay ½ over the last `span` points, in EXACT integer arithmetic.
+    * For the window v₀(oldest)…v_{m−1}(current),
+    * ewma = Σ vⱼ·2ʲ / (2ᵐ − 1) — each step back halves the weight and
+    * the truncated tail's mass is re-normalized by the denominator.
+    * The α=½ choice is what makes the float-free formulation possible:
+    * weights are powers of two, the weighted sum is an integer, and
+    * the single IntegralDivide at the end is exact — bit-stable under
+    * any partitioning, replayable by any ANSI engine (the float EWMA
+    * recursion y←αx+(1−α)y compounds rounding differently per engine
+    * and can never hash-match).
+    *
+    * Values enter as micro-units (value·10⁶ through DECIMAL(18,6), the
+    * [[graft.queries.Det]] rounding) and the result is ewma·10⁶.
+    * Overflow bound: |v|·10⁶·2^span·span < 2⁶³ — span 16 leaves
+    * room for |v| up to ~8·10⁶; larger spans trade scale headroom.
+    *
+    * Scale: ONE exchange keyed on `keyCol` for the ordered window
+    * (collect_list over a bounded ROWS frame — per-row state is ≤span
+    * longs); the weighted fold is a codegen'd lambda, no UDF.
+    */
+  def dyadicEwma(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, span: Int): DataFrame = {
+    require(span >= 1 && span <= 32, s"span must be in [1,32], got $span")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(-(span - 1), Window.currentRow)
+    df.withColumn("_vmic",
+        (col(valueCol).cast(DecimalType(18, 6)) * 1000000L).cast(LongType))
+      .withColumn("_arr", collect_list(col("_vmic")).over(w))
+      .withColumn("ewma_mic", expr(
+        """aggregate(_arr, named_struct('a', 0L, 'w', 1L),
+          |  (s, v) -> named_struct('a', s.a + v * s.w, 'w', s.w * 2L),
+          |  s -> s.a div (s.w - 1L))""".stripMargin))
+      .drop("_vmic", "_arr")
+  }
 }

@@ -317,6 +317,57 @@ object TextAnalysis {
     } finally base.unpersist()
   }
 
+  /** PMI collocation mining: the corpus's most-associated adjacent
+    * word pairs, ranked by an integer-scaled monotone transform of
+    * pointwise mutual information. PMI = log(N·c12/(c1·c2)) is
+    * monotone in the rational N·c12/(c1·c2), so ranking by the
+    * integer (c12·N·scale) DIV (c1·c2) IS ranking by PMI with zero
+    * float/log determinism risk — the q113 fixed-point recipe applied
+    * to association instead of likelihood.
+    *
+    * `minCount` is the standard support floor (raw PMI promotes
+    * hapax pairs). Overflow bound: c12·N·scale must stay below 2⁶³ —
+    * at a trillion-bigram corpus drop `scale` a few decades; the
+    * RANKING is scale-invariant, only the reported resolution
+    * changes.
+    *
+    * Scale shape: one bigram explode feeding three keyed counts
+    * (map-side partials), joins keyed on the bigram's words (the
+    * c12 frame is vocabulary²-bounded and support-filtered BEFORE
+    * the joins), top-k via TakeOrderedAndProject — no global sort,
+    * no single-partition funnel.
+    */
+  def pmiCollocations(df: DataFrame, textCol: String,
+      minCount: Long, k: Int, scale: Long = 1000000L): DataFrame = {
+    require(minCount >= 1 && k >= 1 && scale >= 1,
+      s"bad collocation parameters ($minCount, $k, $scale)")
+    val bg = graft.sources.Tables.widen(df)
+      .select(explode(
+        graft.functions.TextFunctions.wordNGrams(lower(col(textCol)), 2))
+        .as("_bg"))
+      .persist()
+    try {
+      val n = bg.count() // total bigram instances: one driver scalar
+      val c12 = bg.groupBy(col("_bg")).agg(count(lit(1)).as("_c12"))
+        .filter(col("_c12") >= minCount)
+      val c1 = bg.select(substring_index(col("_bg"), " ", 1).as("w1"))
+        .groupBy(col("w1")).agg(count(lit(1)).as("_c1"))
+      val c2 = bg.select(substring_index(col("_bg"), " ", -1).as("w2"))
+        .groupBy(col("w2")).agg(count(lit(1)).as("_c2"))
+      c12
+        .withColumn("w1", substring_index(col("_bg"), " ", 1))
+        .withColumn("w2", substring_index(col("_bg"), " ", -1))
+        .join(c1, Seq("w1")).join(c2, Seq("w2"))
+        .withColumn("pmi_scaled",
+          expr(s"(_c12 * ${n}L * ${scale}L) div (_c1 * _c2)"))
+        .select(col("w1"), col("w2"), col("_c12").as("n_pair"),
+          col("pmi_scaled"))
+        .orderBy(col("pmi_scaled").desc, col("w1"), col("w2"))
+        .limit(k)
+        .localCheckpoint(true)
+    } finally bg.unpersist()
+  }
+
   /** Longest contaminated SPAN per eval document — the depth gauge the
     * set-overlap decontamination passes (exact q43, fuzzy q90) cannot
     * provide: "eval doc E shares 60% of its shingles with training"

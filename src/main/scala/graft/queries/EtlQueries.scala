@@ -536,7 +536,53 @@ object EtlQueries {
       |GROUP BY c_nationkey, bal_bucket
       |ORDER BY c_nationkey, bal_bucket""".stripMargin
 
+  /** t-closeness audit ([[graft.operators.Privacy.tClosenessAudit]])
+    * on q180's exact release shape (QI = nation × balance bucket,
+    * sensitive = market segment), threshold t = 0.15: the
+    * total-variation distance between each group's segment
+    * distribution and the global one, cross-multiplied to exact
+    * integers. The complementary verdict to q180 — a group can pass
+    * l-diversity (≥ 3 segments present) and still fail here by being
+    * 90% one segment. The oracle replays every cell count, the
+    * complement identity for absent values, and the HUGEINT integral
+    * division.
+    */
+  def q186TCloseness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.tClosenessAudit(
+        Tables.customer(s, dir),
+        Seq(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000.0).cast(org.apache.spark.sql.types.LongType)),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", tScaled = 150000L)
+      .orderBy("c_nationkey", "bal_bucket")
+
+  val q186Sql: String =
+    """WITH cell AS (
+      |  SELECT c_nationkey, CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+      |    c_mktsegment AS v, CAST(count(*) AS HUGEINT) AS c
+      |  FROM customer GROUP BY 1, 2, 3),
+      |gv AS (SELECT v, sum(c) AS cv FROM cell GROUP BY v),
+      |tot AS (SELECT sum(cv) AS ntot FROM gv),
+      |grp AS (
+      |  SELECT c_nationkey, bal_bucket, sum(cell.c) AS ng, sum(gv.cv) AS cvp
+      |  FROM cell JOIN gv USING (v)
+      |  GROUP BY 1, 2)
+      |SELECT cell.c_nationkey, cell.bal_bucket,
+      |  CAST(grp.ng AS BIGINT) AS n_rows,
+      |  CAST(((sum(abs(cell.c * tot.ntot - gv.cv * grp.ng))
+      |        + grp.ng * (tot.ntot - grp.cvp)) * 1000000)
+      |    // (2 * grp.ng * tot.ntot) AS BIGINT) AS tvd_scaled,
+      |  CAST(CASE WHEN ((sum(abs(cell.c * tot.ntot - gv.cv * grp.ng))
+      |        + grp.ng * (tot.ntot - grp.cvp)) * 1000000)
+      |    // (2 * grp.ng * tot.ntot) <= 150000 THEN 1 ELSE 0 END AS INT) AS t_close
+      |FROM cell JOIN gv USING (v)
+      |JOIN grp ON grp.c_nationkey = cell.c_nationkey
+      |  AND grp.bal_bucket = cell.bal_bucket
+      |CROSS JOIN tot
+      |GROUP BY cell.c_nationkey, cell.bal_bucket, grp.ng, grp.cvp, tot.ntot
+      |ORDER BY cell.c_nationkey, cell.bal_bucket""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q186_t_closeness"    -> q186TCloseness _,
     "q180_l_diversity"    -> q180LDiversity _,
     "q133_golden_records" -> q133GoldenRecords _,
     "q131_k_anonymity" -> q131KAnonymity _,
@@ -552,6 +598,7 @@ object EtlQueries {
     "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
+    "q186_t_closeness"    -> q186Sql,
     "q180_l_diversity"    -> q180Sql,
     "q133_golden_records" -> q133Sql,
     "q131_k_anonymity" -> q131Sql,

@@ -1809,7 +1809,114 @@ object Relational {
       |WHERE n_rows > 4 * (total // nkeys)
       |ORDER BY skewkey""".stripMargin
 
+  /** Functional-dependency discovery
+    * ([[graft.operators.Profiling.functionalDependencies]]): does
+    * every determinant value map to one dependent value? Candidates
+    * across nation/customer/orders — the metadata-inference pass that
+    * finds the constraints a modeler would declare (nationkey →
+    * regionkey holds; custkey → orderpriority does not). The oracle
+    * recomputes every pair's violating-key count from scratch.
+    */
+  def q183FdDiscovery(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Profiling.functionalDependencies
+    functionalDependencies(Tables.nation(s, dir), "nation",
+        Seq("n_nationkey" -> "n_regionkey", "n_name" -> "n_regionkey"))
+      .unionByName(functionalDependencies(Tables.customer(s, dir), "customer",
+        Seq("c_nationkey" -> "c_mktsegment", "c_custkey" -> "c_nationkey")))
+      .unionByName(functionalDependencies(Tables.orders(s, dir), "orders",
+        Seq("o_custkey" -> "o_orderpriority")))
+      .orderBy("table_name", "det_col", "dep_col")
+  }
+
+  val q183Sql: String = {
+    def fd(table: String, det: String, dep: String): String =
+      s"""SELECT '$table' AS table_name, '$det' AS det_col, '$dep' AS dep_col,
+         |  CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+         |  CAST(CASE WHEN sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0
+         |    THEN 1 ELSE 0 END AS INT) AS holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS nd FROM $table GROUP BY $det)""".stripMargin
+    Seq(fd("nation", "n_nationkey", "n_regionkey"),
+      fd("nation", "n_name", "n_regionkey"),
+      fd("customer", "c_nationkey", "c_mktsegment"),
+      fd("customer", "c_custkey", "c_nationkey"),
+      fd("orders", "o_custkey", "o_orderpriority"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY table_name, det_col, dep_col")
+  }
+
+  /** Bounded k-core peeling ([[graft.operators.Graph.kCore]]) on the
+    * part co-purchase graph (q176's edge set): 3 synchronous rounds
+    * of "drop nodes with fewer than 95 co-purchased neighbors" — the
+    * density screen behind degree-based quality signals. At this k
+    * the peeling genuinely cascades (removing marginal parts pulls
+    * previously-safe parts under the bar: 2000 → 1642 → 1230 → 377
+    * survivors at sf0.01), which is exactly the dynamics a
+    * fixed-threshold filter can't reproduce. The oracle unrolls all
+    * three peel rounds as CTEs.
+    */
+  def q185KCore(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+    val co = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+    graft.operators.Graph.kCore(co, "pa", "pb", k = 95, rounds = 3)
+      .select(col("id").as("part_id"), col("degree"))
+      .orderBy("part_id")
+  }
+
+  private def peelStepSql(eIn: String, aOut: String, eOut: String): String =
+    s"""$aOut AS (
+       |  SELECT src AS id FROM $eIn GROUP BY src HAVING count(*) >= 95),
+       |$eOut AS (
+       |  SELECT e.src, e.dst FROM $eIn e
+       |  JOIN $aOut x ON e.src = x.id
+       |  JOIN $aOut y ON e.dst = y.id)""".stripMargin
+
+  val q185Sql: String =
+    s"""WITH raw AS (
+       |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e0 AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT pa AS src, pb AS dst FROM raw
+       |    UNION ALL
+       |    SELECT pb AS src, pa AS dst FROM raw)
+       |  WHERE src <> dst),
+       |${peelStepSql("e0", "a1", "e1")},
+       |${peelStepSql("e1", "a2", "e2")},
+       |${peelStepSql("e2", "a3", "e3")}
+       |SELECT src AS part_id, CAST(count(*) AS BIGINT) AS degree
+       |FROM e3 GROUP BY src ORDER BY part_id""".stripMargin
+
+  /** Gini-impurity column profile
+    * ([[graft.operators.Profiling.giniImpurity]]) over four orders
+    * columns spanning the shape spectrum: a near-constant status, a
+    * uniform 5-value priority, a constant ship priority (impurity 0)
+    * and a high-cardinality customer key (impurity → 10⁶). The oracle
+    * replays every value count, HUGEINT square and integral division.
+    */
+  def q187GiniProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.giniImpurity(Tables.orders(s, dir), "orders",
+      Seq("o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey"))
+
+  val q187Sql: String = {
+    def g(c: String): String =
+      s"""SELECT 'orders' AS table_name, '$c' AS col_name,
+         |  CAST(sum(c) AS BIGINT) AS n_rows,
+         |  CAST(count(*) AS BIGINT) AS n_distinct,
+         |  CAST(((CAST(sum(c) AS HUGEINT) * sum(c) - sum(CAST(c AS HUGEINT) * c))
+         |    * 1000000) // (CAST(sum(c) AS HUGEINT) * sum(c)) AS BIGINT) AS gini_scaled
+         |FROM (SELECT count(*) AS c FROM orders GROUP BY $c)""".stripMargin
+    Seq("o_orderstatus", "o_orderpriority", "o_orderdate", "o_custkey")
+      .map(g).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q185_kcore"           -> q185KCore _,
+    "q187_gini_profile"    -> q187GiniProfile _,
+    "q183_fd_discovery"    -> q183FdDiscovery _,
     "q176_label_propagation" -> q176LabelPropagation _,
     "q177_personalized_pagerank" -> q177PersonalizedPagerank _,
     "q178_salt_plan"       -> q178SaltPlan _,
@@ -1860,6 +1967,9 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q185_kcore"           -> q185Sql,
+    "q187_gini_profile"    -> q187Sql,
+    "q183_fd_discovery"    -> q183Sql,
     "q176_label_propagation" -> q176Sql,
     "q177_personalized_pagerank" -> q177Sql,
     "q178_salt_plan"       -> q178Sql,

@@ -115,12 +115,53 @@ object SeriesQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  /** Interval-bounded stream-stream join, batch twin
+    * ([[graft.streaming.EventStreams.joinWithinInterval]] — identical
+    * code path; `withWatermark` is a no-op on batch frames):
+    * purchases join clicks by the same user within the 10 minutes
+    * BEFORE the purchase, summarized per user. This is the
+    * time-bounded event correlation every stream pipeline runs
+    * (click→purchase attribution windows); the interval bound is what
+    * makes streaming state finite, and the batch twin is what makes
+    * it oracle-checkable. Scale: one exchange keyed on user_id per
+    * side; the time predicate prunes pairs inside the per-key join.
+    */
+  def q182IntervalJoinTwin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.streaming.EventStreams
+      .joinWithinInterval(purchases, clicks, "user_id", windowSec = 600)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("(unix_micros(ts) - unix_micros(ts_right)) div 1000000"))
+          .cast(org.apache.spark.sql.types.LongType).as("sum_delta_sec"))
+      .orderBy("user_id")
+  }
+
+  val q182Sql: String =
+    """WITH p AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, count(*) AS n_pairs,
+      |  CAST(sum((epoch_us(p.ts) - epoch_us(c.ts)) // 1000000) AS BIGINT) AS sum_delta_sec
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND p.ts >= c.ts
+      |  AND p.ts <= c.ts + INTERVAL 600 SECONDS
+      |GROUP BY p.user_id
+      |ORDER BY p.user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q182_interval_join_twin" -> q182IntervalJoinTwin _,
     "q171_sliding_window" -> q171SlidingWindow _,
     "q172_daily_autocorr" -> q172DailyAutocorr _,
     "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
+    "q182_interval_join_twin" -> q182Sql,
     "q171_sliding_window" -> q171Sql,
     "q172_daily_autocorr" -> q172Sql,
     "q174_late_data_audit" -> q174Sql)

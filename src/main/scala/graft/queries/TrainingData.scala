@@ -3175,7 +3175,49 @@ object TrainingData {
       |LEFT JOIN hits h ON h.query_id = q.vec_id
       |ORDER BY query_id""".stripMargin
 
+  /** PMI collocation mining
+    * ([[graft.operators.TextAnalysis.pmiCollocations]]): the corpus's
+    * 25 most-associated adjacent word pairs at support ≥ 10, ranked by
+    * the integer-scaled PMI transform (c12·N·10⁶) DIV (c1·c2) — the
+    * q113 fixed-point recipe applied to association mining, so the
+    * ranking carries zero float/log determinism risk and DuckDB
+    * replays every count and division.
+    */
+  def q184PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.pmiCollocations(
+        Tables.documents(s, dir).select(col("text")), "text",
+        minCount = 10L, k = 25)
+      .orderBy(desc("pmi_scaled"), col("w1"), col("w2"))
+
+  val q184Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)),
+      |    '\s+'), t -> length(t) > 0) AS ts
+      |  FROM documents),
+      |bg AS (
+      |  SELECT unnest(list_transform(range(1, len(ts)),
+      |    i -> ts[i] || ' ' || ts[i + 1])) AS bg
+      |  FROM toks WHERE len(ts) >= 2),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bg),
+      |c12 AS (
+      |  SELECT bg, CAST(count(*) AS BIGINT) AS c12 FROM bg
+      |  GROUP BY bg HAVING count(*) >= 10),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w, CAST(count(*) AS BIGINT) AS c
+      |       FROM bg GROUP BY 1),
+      |c2 AS (SELECT split_part(bg, ' ', 2) AS w, CAST(count(*) AS BIGINT) AS c
+      |       FROM bg GROUP BY 1)
+      |SELECT split_part(c12.bg, ' ', 1) AS w1,
+      |  split_part(c12.bg, ' ', 2) AS w2,
+      |  c12.c12 AS n_pair,
+      |  (c12.c12 * n.n * 1000000) // (c1.c * c2.c) AS pmi_scaled
+      |FROM c12 CROSS JOIN n
+      |JOIN c1 ON c1.w = split_part(c12.bg, ' ', 1)
+      |JOIN c2 ON c2.w = split_part(c12.bg, ' ', 2)
+      |ORDER BY pmi_scaled DESC, w1, w2
+      |LIMIT 25""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q184_pmi_collocations" -> q184PmiCollocations _,
     "q173_recall_eval"     -> q173RecallEval _,
     "q170_matryoshka_topk" -> q170MatryoshkaTopK _,
     "q158_pq_topk"        -> q158PqTopK _,
@@ -3243,6 +3285,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q184_pmi_collocations" -> q184Sql,
     "q173_recall_eval"     -> q173Sql,
     "q170_matryoshka_topk" -> q170Sql,
     "q158_pq_topk"        -> q158Sql,

@@ -104,4 +104,41 @@ class DriftPrivacySpec extends SparkSpec {
       Privacy.kAnonymize(df, "id", Seq("cat"), "v", Seq(1000L, 100L), 5)
     }
   }
+
+  test("tClosenessAudit: hand-computed TVD, absent-value complement, verdicts") {
+    // global: 4×A, 4×B (N=8). g1 = 3A+1B, g2 = 1A+3B (mirror skews),
+    // g3 would break N — instead fold the absent-value case into g3:
+    // 2A+0B, whose B term comes entirely from the complement identity.
+    val rows =
+      Seq(("g1", "A"), ("g1", "A"), ("g1", "A"), ("g1", "B"),
+        ("g2", "A"), ("g2", "B"), ("g2", "B"), ("g2", "B"),
+        ("g3", "A"), ("g3", "A"),
+        ("g4", "B"), ("g4", "B"))
+    // recompute global: A = 3+1+2 = 6, B = 1+3+2 = 6, N = 12
+    val df = rows.toDF("g", "v")
+    val got = Privacy.tClosenessAudit(df, Seq(col("g")), Seq("g"), "v",
+        tScaled = 200000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getInt(3)))).toMap
+    def tvd(cells: Map[String, Long]): Long = {
+      val global = Map("A" -> 6L, "B" -> 6L); val n = 12L
+      val ng = cells.values.sum
+      val num = global.keys.map(v =>
+        math.abs(cells.getOrElse(v, 0L) * n - global(v) * ng)).sum
+      num * 1000000L / (2L * ng * n)
+    }
+    // g1: |3·12−6·4| + |1·12−6·4| = 12+12 = 24 → 24M/96 = 250000
+    assert(got("g1") == ((4L, 250000L, 0)))
+    assert(got("g2") == ((4L, 250000L, 0)))
+    // g3: all-A, B absent: |2·12−6·2|+|0−6·2| = 12+12 → 24M/48 = 500000
+    assert(got("g3") == ((2L, 500000L, 0)))
+    assert(got("g4") == ((2L, 500000L, 0)))
+    assert(got.values.forall { case (_, t, v) => (t <= 200000L) == (v == 1) })
+    // a perfectly representative group scores zero and passes any t
+    val even = Seq(("e1", "A"), ("e1", "B"), ("e2", "A"), ("e2", "B"))
+      .toDF("g", "v")
+    val z = Privacy.tClosenessAudit(even, Seq(col("g")), Seq("g"), "v", 0L)
+      .collect().map(r => (r.getLong(2), r.getInt(3))).toSet
+    assert(z == Set((0L, 1)))
+  }
 }

@@ -206,6 +206,37 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) == 2L, s"parallel edges must merge weights: $got")
   }
 
+  test("kCore: path peels inward round by round, clique core survives") {
+    import spark.implicits._
+    // K5 on 1–5 (every node degree 4) plus a 7-node path 10–16 whose
+    // ends peel first and expose new ends each round — a genuine
+    // 3-round cascade. Noise: reversed duplicate and self-loop must
+    // normalize away.
+    val k5 = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val path = (10L until 16L).map(i => (i, i + 1))
+    val noise = Seq((2L, 1L), (3L, 3L))
+    val edges = (k5 ++ path ++ noise).toDF("src", "dst")
+    val got = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    // r1 drops 10,16 → r2 drops 11,15 → r3 drops 12,14; node 13 keeps
+    // no surviving edge, so only the clique remains, each at degree 4
+    assert(got.toSeq == (1L to 5L).map(_ -> 4L))
+    // the clique is a true 2-core: more rounds change nothing
+    val fixed = Graph.kCore(edges, "src", "dst", k = 2, rounds = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    assert(fixed.toSeq == got.toSeq)
+  }
+
+  test("kCore: k above max degree empties the graph; partitioning-invariant") {
+    import spark.implicits._
+    val edges = (1L to 100L).map(i => (i, (i % 10) + 200L)).toDF("src", "dst")
+    assert(Graph.kCore(edges, "src", "dst", k = 50, rounds = 2).count() == 0L)
+    def run(parts: Int) =
+      Graph.kCore(edges.repartition(parts), "src", "dst", k = 5, rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSortedMap
+    assert(run(1).toSeq == run(7).toSeq)
+  }
+
   test("saltPlan: flags exactly the planted heavy key with ceil(count/mean) buckets") {
     import spark.implicits._
     // 9 keys × 10 rows + key 99 × 200 rows → mean = 290/10 = 29

@@ -85,6 +85,30 @@ class PlanShapeSpec extends SparkSpec {
                               // below it is an ordinary keyed count);
                               // partial sum buffers cross, broadcast
                               // back as the rate denominator
+      "q178_salt_plan",       // the (total, nkeys) scalar: ONE global
+                              // agg whose INPUT is the per-key count
+                              // frame (keys rows by construction — the
+                              // corpus count below it is an ordinary
+                              // keyed aggregate); partial buffers
+                              // cross, broadcast back as the skew
+                              // threshold
+      "q186_t_closeness",     // the global-N scalar: ONE sum over the
+                              // |domain|-sized value-count frame
+                              // (partial buffers cross), broadcast
+                              // back as the TVD denominator; the cell
+                              // and group aggregates are ordinary
+                              // keyed aggregates
+      "q187_gini_profile",    // per-column impurity summary: ONE
+                              // scalar agg per column whose INPUT is
+                              // the keyed value-count frame (partial
+                              // buffers cross, one row out), stacked
+                              // by union — the q88/q183 shape
+      "q183_fd_discovery",    // per-candidate-pair FD summary: ONE
+                              // scalar agg per pair whose INPUT is the
+                              // keyed count-distinct frame (partial
+                              // buffers cross, one summary row out),
+                              // stacked by union — the q88 shape per
+                              // candidate
       "q164_hybrid_rrf",      // RRF fuse: the global rank window runs
                               // over the JOINED TOP-K ARMS (≤ arms·k
                               // = 100 rows by construction — each arm

@@ -54,4 +54,29 @@ class ProfilingSpec extends SparkSpec {
     assert(reads.size == 2 && reads.forall(!_.contains(",")),
       s"scans are not single-column pruned: $reads")
   }
+
+  test("giniImpurity: exact impurity across the shape spectrum, nulls as a class") {
+    import spark.implicits._
+    val df = Seq(
+      (Option("a"), "k", 1), (Option("a"), "k", 2),
+      (Option("a"), "k", 3), (Option("b"), "k", 4))
+      .toDF("skew", "const", "uniq")
+      .withColumn("holey",
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col("uniq") <= 2,
+          org.apache.spark.sql.functions.col("skew")))
+    val got = graft.operators.Profiling
+      .giniImpurity(df, "t", Seq("skew", "const", "uniq", "holey"))
+      .collect()
+      .map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // skew 3a/1b: (16−(9+1))·10⁶/16 = 375000
+    assert(got("skew") == ((4L, 2L, 375000L)))
+    // constant: impurity 0
+    assert(got("const") == ((4L, 1L, 0L)))
+    // all distinct: (16−4)·10⁶/16 = 750000
+    assert(got("uniq") == ((4L, 4L, 750000L)))
+    // 2×a + 2×NULL: nulls are a value class → (16−8)·10⁶/16 = 500000
+    assert(got("holey") == ((4L, 2L, 500000L)))
+  }
 }
