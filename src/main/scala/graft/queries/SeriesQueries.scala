@@ -154,13 +154,45 @@ object SeriesQueries {
       |GROUP BY p.user_id
       |ORDER BY p.user_id""".stripMargin
 
+  /** Dyadic EWMA smoothing ([[graft.operators.SeriesStats.dyadicEwma]]):
+    * per-user exponentially-weighted value average, decay ½ over the
+    * last 16 events — in EXACT integer arithmetic (power-of-two
+    * weights, one IntegralDivide), which is what lets two engines
+    * hash-match a result the float recursion y←αx+(1−α)y never could.
+    * The oracle replays the weighted window as a rank self-join with
+    * bit-shift weights.
+    */
+  def q189DyadicEwma(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeriesStats.dyadicEwma(
+        Tables.events(s, dir), "user_id", Seq("ts", "event_id"), "value",
+        span = 16)
+      .select(col("event_id"), col("user_id"), col("ewma_mic"))
+      .orderBy("event_id")
+
+  val q189Sql: String =
+    """WITH t AS (
+      |  SELECT event_id, user_id,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vmic,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events)
+      |SELECT a.event_id, a.user_id,
+      |  CAST(sum(b.vmic * (CAST(1 AS BIGINT)
+      |      << (LEAST(a.rn, 16) - 1 - (a.rn - b.rn))))
+      |    // ((CAST(1 AS BIGINT) << LEAST(a.rn, 16)) - 1) AS BIGINT) AS ewma_mic
+      |FROM t a JOIN t b ON a.user_id = b.user_id
+      |  AND a.rn - b.rn BETWEEN 0 AND LEAST(a.rn, 16) - 1
+      |GROUP BY a.event_id, a.user_id, a.rn
+      |ORDER BY a.event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q189_dyadic_ewma" -> q189DyadicEwma _,
     "q182_interval_join_twin" -> q182IntervalJoinTwin _,
     "q171_sliding_window" -> q171SlidingWindow _,
     "q172_daily_autocorr" -> q172DailyAutocorr _,
     "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
+    "q189_dyadic_ewma" -> q189Sql,
     "q182_interval_join_twin" -> q182Sql,
     "q171_sliding_window" -> q171Sql,
     "q172_daily_autocorr" -> q172Sql,

@@ -3216,7 +3216,93 @@ object TrainingData {
       |ORDER BY pmi_scaled DESC, w1, w2
       |LIMIT 25""".stripMargin
 
+  /** Sorted-neighborhood duplicate blocking
+    * ([[graft.operators.Linkage.sortedNeighborhoodPairs]]): impose a
+    * total order by text prefix (doc_id tiebreak), compare each doc
+    * against its 2 sort-successors, verify with exact token Jaccard at
+    * 80% — the third blocking family next to key blocking (q103) and
+    * LSH banding (q21), with the complementary recall profile (shared
+    * prefix ⇒ adjacent, no hash involved). Candidate volume is exactly
+    * 2N by construction. The oracle replays the sort ranks, both
+    * window joins and every intersection count; only 60-bit token
+    * hashes cross the Spark exchanges.
+    */
+  def q188SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    graft.operators.Linkage.sortedNeighborhoodPairs(
+        Tables.widen(Tables.documents(s, dir)), "doc_id",
+        concat(substring(col("text"), 1, 64), lit(""),
+          lpad(col("doc_id").cast("string"), 10, "0")),
+        transform(TextFunctions.tokens(col("text")),
+          t => TextFunctions.md5Hash60(t)),
+        window = 2, minPct = 80)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q188Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      list_filter(string_split_regex(trim(text), '\s+'),
+      |        x -> length(x) > 0),
+      |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS tk,
+      |    substr(text, 1, 64) || chr(1) || lpad(doc_id::VARCHAR, 10, '0') AS sk
+      |  FROM documents),
+      |r AS (
+      |  SELECT doc_id, tk, row_number() OVER (ORDER BY sk) - 1 AS rn FROM t),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    len(list_intersect(a.tk, b.tk)) AS i,
+      |    len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS u
+      |  FROM r a JOIN r b ON b.rn - a.rn IN (1, 2))
+      |SELECT id_a, id_b, CAST(i AS BIGINT) AS n_common,
+      |  CAST(u AS BIGINT) AS n_union
+      |FROM p
+      |WHERE i * 100 >= 80 * u
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** Deterministic negative sampling
+    * ([[graft.operators.Sampling.negativeSamples]]): 4 contrastive
+    * partners per anchor (every 50th document), drawn by the md5 mod-n
+    * recipe with the one-slot-over self-exclusion, joined back to the
+    * corpus for the partner's source. The corpus size enters as a
+    * driver scalar (one count), so the same query is SF-agnostic; the
+    * oracle replays every hash, mod, and the self-collision rule.
+    */
+  def q190NegativeSamples(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count() // one driver scalar: the dense-id corpus size
+    graft.operators.Sampling.negativeSamples(
+        docs.filter(col("doc_id") % 50 === 0), "doc_id",
+        docs.select(col("doc_id"), col("source").as("neg_source")),
+        "doc_id", corpusN = n, k = 4)
+      .select(col("anchor_id"), col("neg_idx"), col("neg_id"),
+        col("neg_source"))
+      .orderBy("anchor_id", "neg_idx")
+  }
+
+  val q190Sql: String =
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |d AS (
+      |  SELECT doc_id AS anchor_id, CAST(unnest(range(0, 4)) AS INT) AS neg_idx
+      |  FROM documents WHERE doc_id % 50 = 0),
+      |h AS (
+      |  SELECT anchor_id, neg_idx,
+      |    ('0x' || substr(md5(anchor_id::VARCHAR || '#'
+      |      || neg_idx::VARCHAR || 'neg'), 1, 15))::BIGINT % nn.n AS hh,
+      |    nn.n AS n
+      |  FROM d CROSS JOIN nn),
+      |x AS (
+      |  SELECT anchor_id, neg_idx,
+      |    CASE WHEN hh = anchor_id THEN (hh + 1) % n ELSE hh END AS neg_id
+      |  FROM h)
+      |SELECT anchor_id, neg_idx, neg_id, s.source AS neg_source
+      |FROM x JOIN documents s ON s.doc_id = x.neg_id
+      |ORDER BY anchor_id, neg_idx""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q188_sorted_neighborhood" -> q188SortedNeighborhood _,
+    "q190_negative_samples" -> q190NegativeSamples _,
     "q184_pmi_collocations" -> q184PmiCollocations _,
     "q173_recall_eval"     -> q173RecallEval _,
     "q170_matryoshka_topk" -> q170MatryoshkaTopK _,
@@ -3285,6 +3371,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q188_sorted_neighborhood" -> q188Sql,
+    "q190_negative_samples" -> q190Sql,
     "q184_pmi_collocations" -> q184Sql,
     "q173_recall_eval"     -> q173Sql,
     "q170_matryoshka_topk" -> q170Sql,

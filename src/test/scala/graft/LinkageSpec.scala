@@ -83,4 +83,43 @@ class LinkageSpec extends SparkSpec {
       .collect().head
     assert(got.getString(3) == "y")
   }
+
+  test("sortedNeighborhoodPairs: prefix-adjacent dups found, window and threshold bind") {
+    import spark.implicits._
+    // sort order by text: the two "alpha …" docs land adjacent and
+    // share 3 of their 5-token union (60%); the "zeta" doc is a
+    // near-copy of doc 1 by TOKENS but sorts 3 ranks away — reachable
+    // only when the window stretches to it (the documented
+    // window/recall trade).
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma omega"),
+      (3L, "middle words entirely different"),
+      (4L, "zeta beta gamma delta"))
+      .toDF("doc_id", "text")
+    def pairs(pct: Int, w: Int) = Linkage.sortedNeighborhoodPairs(
+        docs, "doc_id",
+        concat(col("text"), lit("#"), col("doc_id").cast("string")),
+        split(col("text"), " "), window = w, minPct = pct)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(60, 1) == Set((1L, 2L)))
+    // tighter threshold (3/5 = 60 < 61) drops the pair
+    assert(pairs(61, 1) == Set.empty)
+    // window 3 reaches from doc 1 (rank 0) to doc 4 (rank 3), another
+    // 3-of-5 match — the wider window buys exactly that recall
+    assert(pairs(60, 3) == Set((1L, 2L), (1L, 4L)))
+  }
+
+  test("sortedNeighborhoodPairs: partitioning-invariant, ids unique per pair side") {
+    import spark.implicits._
+    val docs = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) s"common shared text block $i" else s"unique ${i}x ${i}y ${i}z")
+    }.toDF("doc_id", "text")
+    def run(parts: Int) = Linkage.sortedNeighborhoodPairs(
+        docs.repartition(parts), "doc_id",
+        concat(col("text"), lit("#"), col("doc_id").cast("string")),
+        split(col("text"), " "), window = 2, minPct = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(1) == run(7))
+  }
 }

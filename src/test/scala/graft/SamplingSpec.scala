@@ -254,4 +254,35 @@ class SamplingSpec extends SparkSpec {
     one.foreach { case (id, e) => assert(two(id) >= e) }
     assert(two.values.sum > one.values.sum)
   }
+
+  test("negativeSamples: deterministic, self-excluding, k per anchor, in range") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val anchors = corpus.filter(col("doc_id") < 5)
+    def run() = Sampling.negativeSamples(anchors, "doc_id",
+        corpus.withColumnRenamed("source", "neg_source"), "doc_id",
+        corpusN = 20L, k = 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getLong(0), r.getString(3)))
+    val got = run()
+    assert(got.length == 15) // 5 anchors × 3 draws
+    assert(got.map { case (a, j, _, _) => (a, j) }.toSet ==
+      (for (a <- 0L until 5L; j <- 0 until 3) yield (a, j)).toSet)
+    got.foreach { case (a, _, n, src) =>
+      assert(n >= 0L && n < 20L && n != a, s"anchor $a drew $n")
+      assert(src == s"src${n % 3}") // the corpus join carried the right row
+    }
+    // bit-identical across runs (no RNG anywhere)
+    assert(run().sortBy(t => (t._1, t._2)).toSeq ==
+      got.sortBy(t => (t._1, t._2)).toSeq)
+    // the draw replays from first principles: md5-mod with slide-by-one
+    val md = java.security.MessageDigest.getInstance("MD5")
+    got.foreach { case (a, j, n, _) =>
+      val hex = md.digest(s"$a#${j}neg".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16) % 20L
+      assert(n == (if (h == a) (h + 1) % 20L else h))
+    }
+  }
 }

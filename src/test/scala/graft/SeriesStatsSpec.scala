@@ -132,4 +132,38 @@ class SeriesStatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cascade == expected)
   }
+
+  test("dyadicEwma: exact JVM replay, short-series normalization, invariance") {
+    import spark.implicits._
+    // key A: 4 points; key B: 1 point (ewma == the point itself)
+    val rows = Seq(
+      ("A", 1L, 1.5), ("A", 2L, 2.0), ("A", 3L, 0.25), ("A", 4L, 10.0),
+      ("B", 1L, 7.77))
+      .toDF("k", "t", "v")
+    def replay(vs: Seq[Double]): Long = {
+      // window values oldest..current, micro-units, Σ v_j·2^j / (2^m−1)
+      val mic = vs.map(v => math.rint(v * 1e6).toLong)
+      val num = mic.zipWithIndex.map { case (v, j) => v << j }.sum
+      num / ((1L << mic.size) - 1)
+    }
+    val got = graft.operators.SeriesStats
+      .dyadicEwma(rows.toDF(), "k", Seq("t"), "v", span = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got(("A", 1L)) == replay(Seq(1.5)))
+    assert(got(("A", 2L)) == replay(Seq(1.5, 2.0)))
+    assert(got(("A", 3L)) == replay(Seq(1.5, 2.0, 0.25)))
+    assert(got(("A", 4L)) == replay(Seq(1.5, 2.0, 0.25, 10.0)))
+    // a single point is its own average at any span
+    assert(got(("B", 1L)) == 7770000L)
+    // span truncation: span=2 sees only the last two points
+    val s2 = graft.operators.SeriesStats
+      .dyadicEwma(rows.toDF(), "k", Seq("t"), "v", span = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(s2(("A", 4L)) == replay(Seq(0.25, 10.0)))
+    // partitioning must not move a single micro-unit
+    val p7 = graft.operators.SeriesStats
+      .dyadicEwma(rows.repartition(7).toDF(), "k", Seq("t"), "v", span = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(p7 == got)
+  }
 }
