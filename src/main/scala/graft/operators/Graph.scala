@@ -374,6 +374,45 @@ object Graph {
       .orderBy("id")
   }
 
+  /** Bounded single-source shortest paths (Bellman-Ford relaxation):
+    * minimum total WEIGHT from the seed set to every node reachable
+    * within `rounds` edges — [[bfsHops]]'s weighted sibling (hop
+    * count ↛ cheapest route once edges carry costs). Weights are
+    * INTEGER (cast to long); parallel edges collapse to their min
+    * weight up front.
+    *
+    * Each round relaxes every edge once: dist' = min(dist,
+    * min_{(u,v)∈E} dist(u)+w) — one keyed join of the node-sized dist
+    * frame against the edge table plus one keyed min, lineage cut per
+    * round (the [[pageRank]] discipline). Synchronous rounds make the
+    * result independent of partitioning AND directly unrollable by an
+    * ANSI oracle (one CTE per round); after `rounds` ≥ graph diameter
+    * it IS the true shortest-path distance (Bellman-Ford
+    * convergence). Nodes not yet reached are absent, not ∞.
+    */
+  def ssspBounded(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, seeds: Seq[Long], rounds: Int): DataFrame = {
+    require(seeds.nonEmpty, "ssspBounded: need at least one seed")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+        col(weightCol).cast(LongType).as("_w"))
+      .groupBy(col("_s"), col("_d")).agg(min(col("_w")).as("_w"))
+      .localCheckpoint(true)
+    var dist = e.select(col("_s").as("id"))
+      .unionByName(e.select(col("_d").as("id"))).distinct()
+      .filter(col("id").isin(seeds: _*))
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(e, col("id") === col("_s"))
+        .select(col("_d").as("id"), (col("dist") + col("_w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")

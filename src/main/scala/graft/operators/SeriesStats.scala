@@ -158,6 +158,43 @@ object SeriesStats {
     * (collect_list over a bounded ROWS frame — per-row state is ≤span
     * longs); the weighted fold is a codegen'd lambda, no UDF.
     */
+  /** Seasonal-baseline anomaly screen: flag (day, hour) cells whose
+    * event count exceeds `factor`× the average for that (weekday,
+    * hour) slot across the whole history — the cross-period
+    * complement to a trailing-window burst detector (q163): a Monday-
+    * 9am spike that trails a quiet weekend looks like a burst to a
+    * trailing window but is NORMAL against the Monday-9am baseline,
+    * and vice versa.
+    *
+    * Pure integer verdict: cell n vs slot (total, ndays) compares as
+    * n·ndays·100 > factorPct·total — no float average (factorPct 120
+    * = "20% above the slot baseline"). Weekday is Monday=0 (Spark
+    * `weekday` ≡ DuckDB `isodow−1`).
+    *
+    * Scale: one keyed (day,hour) aggregate over the corpus, a
+    * slot-sized (≤168 rows) baseline roll-up broadcast back — the
+    * corpus crosses one exchange.
+    */
+  def seasonalBaselineAnomalies(df: DataFrame, tsCol: String,
+      factorPct: Int): DataFrame = {
+    require(factorPct >= 100, s"factorPct must be >= 100, got $factorPct")
+    val cells = df.groupBy(
+        to_date(col(tsCol)).as("day"), hour(col(tsCol)).as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells
+      .groupBy(weekday(col("day")).as("dow"), col("hr"))
+      .agg(sum(col("n")).as("slot_total"), count(lit(1)).as("slot_days"))
+    cells.withColumn("dow", weekday(col("day")))
+      .join(broadcast(base), Seq("dow", "hr"))
+      .filter(col("n") * col("slot_days") * 100 >
+        lit(factorPct) * col("slot_total"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("hr").cast(IntegerType).as("hr"),
+        col("n").cast(LongType).as("n"),
+        col("slot_total").cast(LongType).as("slot_total"),
+        col("slot_days").cast(LongType).as("slot_days"))
+  }
+
   def dyadicEwma(df: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCol: String, span: Int): DataFrame = {
     require(span >= 1 && span <= 32, s"span must be in [1,32], got $span")

@@ -109,6 +109,31 @@ object Sketches {
       .agg(sum(col("cnt")).cast("long").as("cnt"))
   }
 
+  /** Equi-join cardinality estimate from two CMS tables over the join
+    * key — the optimizer-side "how big would this join be" question
+    * answered without touching either corpus: |A ⋈ B| = Σ_k
+    * c_A(k)·c_B(k), estimated as min over grid rows d of the cells'
+    * inner product Σ_w cntA(d,w)·cntB(d,w) (the classic AMS/CMS
+    * inner-product estimator — always ≥ the truth, = it when no
+    * salted hash collides within a row). This is what a planner
+    * consults before choosing broadcast vs shuffle vs salting; q178's
+    * skew planner answers "WHERE is it big", this answers "HOW big
+    * overall".
+    *
+    * Both sketches must share (depth, width, salt recipe) — i.e. come
+    * from [[cmsSketch]] with the same shape. Work is depth·width
+    * cells: one cell join + depth-row roll-up + one scalar min.
+    * Missing cells are zero and drop out via the inner join.
+    */
+  def cmsJoinCardinality(sketchA: DataFrame, sketchB: DataFrame): DataFrame =
+    sketchA.select(col("d"), col("w"), col("cnt").as("_ca"))
+      .join(sketchB.select(col("d"), col("w"), col("cnt").as("_cb")),
+        Seq("d", "w"))
+      .groupBy(col("d"))
+      .agg(sum(col("_ca") * col("_cb")).cast("long").as("_ip"))
+      // no shared cells anywhere = estimated size 0, not NULL
+      .agg(coalesce(min(col("_ip")), lit(0L)).cast("long").as("est"))
+
   /** Point-frequency estimates for the keys of `probes`: for each
     * probe key, min over the grid's rows of that key's cell — the
     * classic CMS estimate, ≥ the true count always, = it when no

@@ -1913,7 +1913,59 @@ object Relational {
       .map(g).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
 
+  /** Bounded weighted shortest paths
+    * ([[graft.operators.Graph.ssspBounded]]) on the nation-to-nation
+    * shipping graph (supplier nation → customer nation, edge weight =
+    * min quantity shipped on the route): cheapest cumulative route
+    * from nation 0 within 3 legs — [[q161BfsHops]]'s weighted sibling
+    * (fewest hops ≠ cheapest route). The oracle unrolls all three
+    * Bellman-Ford relaxation rounds as CTEs.
+    */
+  def q192SsspRoutes(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("s_nationkey").as("src"), col("c_nationkey").as("dst"),
+        col("l_quantity").as("w"))
+    graft.operators.Graph.ssspBounded(e, "src", "dst", "w",
+        seeds = Seq(0L), rounds = 3)
+      .orderBy("id")
+  }
+
+  private def bfStepSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT id, min(dist) AS dist FROM (
+       |    SELECT id, dist FROM $prev
+       |    UNION ALL
+       |    SELECT e.dst AS id, p.dist + e.w AS dist
+       |    FROM $prev p JOIN e ON e.src = p.id)
+       |  GROUP BY id)""".stripMargin
+
+  val q192Sql: String =
+    s"""WITH e AS (
+       |  SELECT s_nationkey AS src, c_nationkey AS dst,
+       |    min(CAST(l_quantity AS BIGINT)) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  GROUP BY 1, 2),
+       |d0 AS (
+       |  SELECT id, CAST(0 AS BIGINT) AS dist
+       |  FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)
+       |  WHERE id = 0),
+       |${bfStepSql("d0", "d1")},
+       |${bfStepSql("d1", "d2")},
+       |${bfStepSql("d2", "d3")}
+       |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q192_sssp_routes"     -> q192SsspRoutes _,
     "q185_kcore"           -> q185KCore _,
     "q187_gini_profile"    -> q187GiniProfile _,
     "q183_fd_discovery"    -> q183FdDiscovery _,
@@ -1967,6 +2019,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q192_sssp_routes"     -> q192Sql,
     "q185_kcore"           -> q185Sql,
     "q187_gini_profile"    -> q187Sql,
     "q183_fd_discovery"    -> q183Sql,

@@ -184,7 +184,38 @@ object SeriesQueries {
       |GROUP BY a.event_id, a.user_id, a.rn
       |ORDER BY a.event_id""".stripMargin
 
+  /** Seasonal-baseline anomaly screen
+    * ([[graft.operators.SeriesStats.seasonalBaselineAnomalies]]):
+    * (day, hour) cells more than 20% above their (weekday, hour) slot
+    * average — the cross-period complement to q163's trailing-window
+    * burst detector. Integer cross-multiplied verdict
+    * (n·days·100 > 120·total); the oracle replays cells, baselines
+    * and the comparison.
+    */
+  def q193SeasonalAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SeriesStats
+      .seasonalBaselineAnomalies(Tables.events(s, dir), "ts",
+        factorPct = 120)
+      .orderBy("day", "hr")
+
+  val q193Sql: String =
+    """WITH cells AS (
+      |  SELECT CAST(ts AS DATE) AS day, hour(ts) AS hr,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |base AS (
+      |  SELECT isodow(day) - 1 AS dow, hr,
+      |    CAST(sum(n) AS BIGINT) AS slot_total,
+      |    CAST(count(*) AS BIGINT) AS slot_days
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT strftime(c.day, '%Y-%m-%d') AS day, CAST(c.hr AS INT) AS hr,
+      |  c.n, b.slot_total, b.slot_days
+      |FROM cells c JOIN base b ON isodow(c.day) - 1 = b.dow AND c.hr = b.hr
+      |WHERE c.n * b.slot_days * 100 > 120 * b.slot_total
+      |ORDER BY day, hr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q193_seasonal_anomaly" -> q193SeasonalAnomaly _,
     "q189_dyadic_ewma" -> q189DyadicEwma _,
     "q182_interval_join_twin" -> q182IntervalJoinTwin _,
     "q171_sliding_window" -> q171SlidingWindow _,
@@ -192,6 +223,7 @@ object SeriesQueries {
     "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
+    "q193_seasonal_anomaly" -> q193Sql,
     "q189_dyadic_ewma" -> q189Sql,
     "q182_interval_join_twin" -> q182Sql,
     "q171_sliding_window" -> q171Sql,

@@ -3300,7 +3300,59 @@ object TrainingData {
       |FROM x JOIN documents s ON s.doc_id = x.neg_id
       |ORDER BY anchor_id, neg_idx""".stripMargin
 
+  /** Sketch-estimated equi-join cardinality
+    * ([[graft.operators.Sketches.cmsJoinCardinality]]): how big would
+    * `lineitem ⋈ lineitem[qty ≥ 40]` on l_partkey be — answered from
+    * two 4×65536 CMS grids via the AMS inner-product estimator
+    * (min over rows of Σ_w cntA·cntB), next to the exact answer for
+    * honesty (the estimate is always ≥ truth; the gap IS the
+    * collision term ‖A‖₁‖B‖₁/w). This is the planner-side primitive
+    * behind broadcast-vs-shuffle-vs-salt decisions; q178 locates
+    * skew, this sizes the join. The oracle rebuilds both grids cell
+    * by cell and replays the inner products and the min.
+    */
+  def q191JoinCardinality(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val a = Tables.lineitem(s, dir).select(col("l_partkey"))
+    val b = Tables.lineitem(s, dir).filter(col("l_quantity") >= 40)
+      .select(col("l_partkey"))
+    val est = Sketches.cmsJoinCardinality(
+      Sketches.cmsSketch(a, "l_partkey", depth = 4, width = 65536),
+      Sketches.cmsSketch(b, "l_partkey", depth = 4, width = 65536))
+    val truth = a.groupBy(col("l_partkey")).agg(count(lit(1)).as("_ca"))
+      .join(b.groupBy(col("l_partkey")).agg(count(lit(1)).as("_cb")),
+        Seq("l_partkey"))
+      .agg(sum(col("_ca") * col("_cb")).cast(LongType).as("true_n"))
+    est.crossJoin(truth)
+  }
+
+  val q191Sql: String =
+    """WITH ca AS (
+      |  SELECT t.d,
+      |    ('0x' || substr(md5(l_partkey::VARCHAR || 'cms' || t.d::VARCHAR),
+      |     1, 15))::BIGINT % 65536 AS w,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem CROSS JOIN range(4) t(d) GROUP BY 1, 2),
+      |cb AS (
+      |  SELECT t.d,
+      |    ('0x' || substr(md5(l_partkey::VARCHAR || 'cms' || t.d::VARCHAR),
+      |     1, 15))::BIGINT % 65536 AS w,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM lineitem CROSS JOIN range(4) t(d)
+      |  WHERE l_quantity >= 40 GROUP BY 1, 2),
+      |ip AS (
+      |  SELECT ca.d, sum(ca.cnt * cb.cnt) AS ip
+      |  FROM ca JOIN cb ON ca.d = cb.d AND ca.w = cb.w GROUP BY 1),
+      |est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ip),
+      |tr AS (
+      |  SELECT CAST(sum(a.c * b.c) AS BIGINT) AS true_n
+      |  FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1) a
+      |  JOIN (SELECT l_partkey, count(*) AS c FROM lineitem
+      |        WHERE l_quantity >= 40 GROUP BY 1) b USING (l_partkey))
+      |SELECT est, true_n FROM est CROSS JOIN tr""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q191_join_cardinality" -> q191JoinCardinality _,
     "q188_sorted_neighborhood" -> q188SortedNeighborhood _,
     "q190_negative_samples" -> q190NegativeSamples _,
     "q184_pmi_collocations" -> q184PmiCollocations _,
@@ -3371,6 +3423,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q191_join_cardinality" -> q191Sql,
     "q188_sorted_neighborhood" -> q188Sql,
     "q190_negative_samples" -> q190Sql,
     "q184_pmi_collocations" -> q184Sql,

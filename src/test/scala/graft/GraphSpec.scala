@@ -237,6 +237,24 @@ class GraphSpec extends SparkSpec {
     assert(run(1).toSeq == run(7).toSeq)
   }
 
+  test("ssspBounded: cheap long route beats expensive direct edge") {
+    import spark.implicits._
+    // 1→4 direct costs 100; 1→2→3→4 costs 3; the cheap route needs 3
+    // rounds to propagate, so round counts below the diameter see the
+    // expensive edge first — exactly Bellman-Ford's convergence story.
+    // Parallel edge 1→4 @ 50 must collapse to the min with the 100.
+    val edges = Seq((1L, 4L, 100L), (1L, 4L, 50L), (1L, 2L, 1L),
+      (2L, 3L, 1L), (3L, 4L, 1L), (9L, 1L, 1L)).toDF("s", "d", "w")
+    def run(r: Int) = Graph.ssspBounded(edges, "s", "d", "w", Seq(1L), r)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toSortedMap
+    assert(run(1).toSeq == Seq(1L -> 0L, 2L -> 1L, 4L -> 50L))
+    assert(run(3).toSeq ==
+      Seq(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // converged: extra rounds change nothing; node 9 (upstream of the
+    // seed) is never reached and stays absent
+    assert(run(6).toSeq == run(3).toSeq)
+  }
+
   test("saltPlan: flags exactly the planted heavy key with ceil(count/mean) buckets") {
     import spark.implicits._
     // 9 keys × 10 rows + key 99 × 200 rows → mean = 290/10 = 29

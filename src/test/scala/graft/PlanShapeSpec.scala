@@ -103,6 +103,11 @@ class PlanShapeSpec extends SparkSpec {
                               // the keyed value-count frame (partial
                               // buffers cross, one row out), stacked
                               // by union — the q88/q183 shape
+      "q191_join_cardinality", // two scalar legs by construction: the
+                              // est min over the 4-row inner-product
+                              // frame and the exact-size sum over the
+                              // keyed count-join frame — partial
+                              // buffers cross in both, one row out
       "q183_fd_discovery",    // per-candidate-pair FD summary: ONE
                               // scalar agg per pair whose INPUT is the
                               // keyed count-distinct frame (partial

@@ -133,6 +133,28 @@ class SeriesStatsSpec extends SparkSpec {
     assert(cascade == expected)
   }
 
+  test("seasonalBaselineAnomalies: spike vs its weekday-hour slot, not vs neighbors") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    // two Mondays (2024-01-01, 2024-01-08) and a Tuesday; Monday-9am
+    // slot: 2 + 8 events → the second Monday (8) is 167% of the slot
+    // avg (5) → anomalous at 120%; the Tuesday-9am slot has one day
+    // (n·1·100 > 120·n is false — a single-day slot can never flag,
+    // the correct cold-start behavior); Monday-10am stays quiet.
+    def at(day: String, hour: Int, n: Int) =
+      (1 to n).map(i => Timestamp.valueOf(f"$day $hour%02d:0$i:00"))
+    val ts = at("2024-01-01", 9, 2) ++ at("2024-01-08", 9, 8) ++
+      at("2024-01-02", 9, 5) ++ at("2024-01-01", 10, 3) ++
+      at("2024-01-08", 10, 3)
+    val got = graft.operators.SeriesStats
+      .seasonalBaselineAnomalies(ts.toDF("ts"), "ts", factorPct = 120)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.keySet == Set(("2024-01-08", 9)))
+    assert(got(("2024-01-08", 9)) == ((8L, 10L, 2L)))
+  }
+
   test("dyadicEwma: exact JVM replay, short-series normalization, invariance") {
     import spark.implicits._
     // key A: 4 points; key B: 1 point (ewma == the point itself)

@@ -182,4 +182,32 @@ class SketchesSpec extends SparkSpec {
     assert(r.getAs[Long]("shared") == 20L)
     assert(r.getAs[Long]("jaccard_est_micro") == 20L * 1000000 / 60)
   }
+
+  test("cmsJoinCardinality: exact inner product without collisions, never undercounts") {
+    import spark.implicits._
+    // A: key k1 ×3, k2 ×2, k3 ×1; B: k1 ×2, k3 ×4, k9 ×5
+    // |A ⋈ B| = 3·2 + 1·4 = 10
+    val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2") ++ Seq("k3")).toDF("k")
+    val b = (Seq.fill(2)("k1") ++ Seq.fill(4)("k3") ++ Seq.fill(5)("k9")).toDF("k")
+    // width 8192 with 4 keys: collisions are (astronomically) unlikely
+    // in EVERY one of the 4 rows — the estimate is exact
+    val wide = Sketches.cmsJoinCardinality(
+      Sketches.cmsSketch(a, "k", depth = 4, width = 8192),
+      Sketches.cmsSketch(b, "k", depth = 4, width = 8192))
+      .collect().head.getLong(0)
+    assert(wide == 10L)
+    // width 1 forces every key into one cell: the estimate collapses
+    // to ‖A‖₁·‖B‖₁ — the documented always-≥-truth degradation
+    val tight = Sketches.cmsJoinCardinality(
+      Sketches.cmsSketch(a, "k", depth = 4, width = 1),
+      Sketches.cmsSketch(b, "k", depth = 4, width = 1))
+      .collect().head.getLong(0)
+    assert(tight == 6L * 11L)
+    // disjoint key sets at full width: zero shared cells → estimate 0
+    val disjoint = Sketches.cmsJoinCardinality(
+      Sketches.cmsSketch(Seq("x").toDF("k"), "k", depth = 4, width = 8192),
+      Sketches.cmsSketch(Seq("y").toDF("k"), "k", depth = 4, width = 8192))
+      .collect().head.getLong(0)
+    assert(disjoint == 0L)
+  }
 }
