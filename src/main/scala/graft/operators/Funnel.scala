@@ -123,6 +123,53 @@ object Funnel {
     * Output: one row per (conversion, touch) with `touch_rank`,
     * `n_touches`, `credit_micro`.
     */
+  /** Ordered event-sequence pattern match — the MATCH_RECOGNIZE /
+    * funnel-with-negation primitive [[funnelSteps]] cannot express:
+    * "signup, then purchase, with NO error in between" needs an
+    * exclusion over the gap, which min-chains (that only look at the
+    * earliest next step) structurally miss.
+    *
+    * Per key, events map to one-character symbols (`symbols`; types
+    * absent from the map collapse to `defaultSym`), sort into the
+    * (tsCol, tieCol) order and concatenate into a symbol string; the
+    * pattern is an ordinary regular expression evaluated ONCE per key
+    * — n_matches counts leftmost non-overlapping matches, the shared
+    * greedy semantics of every mainstream regex engine, which is what
+    * lets a different engine replay the count exactly.
+    *
+    * Determinism: the per-key event order comes from `sort_array`
+    * over (ts, tie, sym) structs — independent of collect order and
+    * partitioning; `tieCol` must be unique per key.
+    *
+    * Scale: one keyed exchange (the groupBy collect); per-key state
+    * is the key's own event symbols (1 byte each — a 10⁵-event user
+    * is a 100 KB string), and the regex runs keyed-parallel. This is
+    * the deliberate trade against [[funnelSteps]]: full
+    * pattern-language power for per-key-sequence-sized state.
+    */
+  def sequencePattern(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, typeCol: String, symbols: Map[String, String],
+      pattern: String, defaultSym: String = "x"): DataFrame = {
+    require(symbols.nonEmpty, "sequencePattern: empty symbol map")
+    require((symbols.values.toSeq :+ defaultSym).forall(_.length == 1),
+      "sequencePattern: symbols must be single characters")
+    val symExpr = symbols.foldLeft(lit(defaultSym)) {
+      case (acc, (t, s)) => when(col(typeCol) === t, lit(s)).otherwise(acc)
+    }
+    df.select(col(keyCol).as("_k"),
+        struct(col(tsCol).as("_t"), col(tieCol).as("_i"), symExpr.as("_s"))
+          .as("_e"))
+      .groupBy(col("_k"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        sort_array(collect_list(col("_e"))).as("_lst"))
+      .select(col("_k").as(keyCol), col("n_events"),
+        array_join(expr("transform(_lst, x -> x._s)"), "").as("symbols"))
+      .withColumn("n_matches",
+        regexp_count(col("symbols"), lit(pattern)).cast("long"))
+      .withColumn("matched",
+        when(col("n_matches") > 0, 1).otherwise(0).cast("int"))
+  }
+
   def multiTouchAttribution(conversions: DataFrame, touches: DataFrame,
       userCol: String, convTsCol: String, convIdCol: String,
       touchTsCol: String, touchIdCol: String,

@@ -78,6 +78,39 @@ object Materialize {
       .groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Retraction-aware partials: every batch row carries `opCol` = +1
+    * (insert) or −1 (delete), and the partials become signed — count
+    * = Σop, each sum = Σ op·value — so a delete retracts exactly what
+    * its insert contributed. This is what lets the view absorb CDC
+    * streams (q100/q134 diffs) instead of insert-only deltas.
+    *
+    * min/max are structurally NOT retractable under bounded state
+    * (deleting the current max needs a rescan of the survivors), so a
+    * spec carrying them is rejected loudly rather than served wrong —
+    * the honest contract every incremental-view engine documents.
+    */
+  def retractPartials(batch: DataFrame, opCol: String,
+      spec: MvSpec): DataFrame = {
+    require(spec.mins.isEmpty && spec.maxs.isEmpty,
+      "min/max cannot be maintained under retraction with bounded state")
+    val aggs =
+      sum(col(opCol).cast(LongType)).cast(LongType).as(spec.countAs) +:
+        spec.sums.map { case (src, a) =>
+          sum(col(src).cast(DecimalType(18, 6)) * col(opCol))
+            .cast(SumType).as(a)
+        }
+    batch.groupBy(spec.keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[merge]] for retractable views: identical signed addition, plus
+    * dropping groups whose row count reached zero — a fully-retracted
+    * key leaves the view instead of lingering as a ghost row.
+    */
+  def mergeRetract(current: DataFrame, deltaPartials: DataFrame,
+      spec: MvSpec): DataFrame =
+    merge(current, deltaPartials, spec)
+      .filter(col(spec.countAs) =!= 0L)
+
   /** Initialize the view from its first batch; returns the snapshot
     * version (1).
     */

@@ -108,30 +108,47 @@ object SeriesStats {
       orderCol: String, valueCol: String,
       lags: Seq[Int] = Seq(1)): DataFrame = {
     require(lags.nonEmpty && lags.forall(_ >= 1), s"bad lags $lags")
-    val dec = DecimalType(28, 8)
+    // EXACT formulation (round-8 fix): the original accumulated
+    // double deviation-products through DECIMAL(28,8) casts, and the
+    // double→decimal rounding of a product sitting ON the 10⁻⁸ half
+    // differs between engines (Spark rounds the shortest decimal
+    // string, others round the exact binary expansion) — a
+    // data-dependent ULP flake the regenerated sf0.1 fixtures
+    // actually hit. Instead, scale values to exact micro-integers and
+    // cross-multiply the mean away: with S = Σv_mic and n points,
+    // dv_i := v_mic_i·n − S is an exact integer, and
+    // acf_L = Σ dv·dv_lag / Σ dv² — the n² and 10¹² factors cancel,
+    // every sum is exact DECIMAL(38,0), and the ONLY float operation
+    // left is the final division of two bit-identical integers.
+    val big = DecimalType(38, 0)
     val series = df.select(col(keyCol).as("_k"), col(orderCol).as("_t"),
-      col(valueCol).cast(DoubleType).as("_v"))
+      (col(valueCol).cast(DecimalType(18, 6)) * 1000000L)
+        .cast(LongType).as("_vm"))
     val stats = series.groupBy(col("_k")).agg(
-      count(lit(1)).as("n_points"),
-      (sum(col("_v").cast(DecimalType(18, 6))).cast(DoubleType) /
-        count(lit(1)).cast(DoubleType)).as("mean"))
+      count(lit(1)).as("n_points"), sum(col("_vm")).as("_s"))
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
     val withDev = series.join(stats, Seq("_k"))
-      .withColumn("_dev", col("_v") - col("mean"))
+      .withColumn("_dev",
+        (col("_vm") * col("n_points") - col("_s")).cast(big))
     val lagged = lags.foldLeft(withDev) { (acc, l) =>
       acc.withColumn(s"_dev_l$l", lag(col("_dev"), l).over(w))
     }
     val aggs: Seq[Column] =
       Seq(max(col("n_points")).cast(LongType).as("n_points"),
-        max(col("mean")).as("mean"),
-        sum((col("_dev") * col("_dev")).cast(dec)).cast(DoubleType).as("_den")) ++
+        max(col("_s")).as("_s"),
+        sum(col("_dev") * col("_dev")).cast(big).as("_den")) ++
         lags.map(l =>
-          sum((col("_dev") * col(s"_dev_l$l")).cast(dec)).cast(DoubleType)
-            .as(s"_num$l"))
+          sum(col("_dev") * col(s"_dev_l$l")).cast(big).as(s"_num$l"))
     val outCols: Seq[Column] =
-      Seq(col("_k").as(keyCol), col("n_points"), col("mean")) ++
+      Seq(col("_k").as(keyCol), col("n_points"),
+        // mean = S/10⁶/n: S < 2⁵³ casts to double exactly, then two
+        // IEEE divisions on identical operands — deterministic on any
+        // engine (CAST(S AS DOUBLE)/1000000.0/n replays it verbatim)
+        (col("_s").cast(DoubleType) / lit(1000000.0) /
+          col("n_points").cast(DoubleType)).as("mean")) ++
         lags.map(l =>
-          when(col("_den") =!= 0.0, col(s"_num$l") / col("_den"))
+          when(col("_den") =!= lit(0L).cast(big),
+            col(s"_num$l").cast(DoubleType) / col("_den").cast(DoubleType))
             .as(s"acf_$l"))
     lagged.groupBy(col("_k")).agg(aggs.head, aggs.tail: _*)
       .select(outCols: _*)

@@ -55,29 +55,41 @@ object SeriesQueries {
       .orderBy("event_type")
   }
 
+  // exact-integer ACF replay (the round-8 reformulation): micro-unit
+  // daily totals, cross-multiplied deviations dv = v·n − S as HUGEINT,
+  // exact product sums, ONE double division at the end — no
+  // double→decimal rounding anywhere for either engine to disagree on
   val q172Sql: String =
     """WITH daily AS (
       |  SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
       |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS v
       |  FROM events GROUP BY 1, 2),
+      |vm AS (
+      |  SELECT event_type, day,
+      |    CAST(CAST(v AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+      |  FROM daily),
       |st AS (
-      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
-      |    CAST(sum(CAST(v AS DECIMAL(18,6))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean
-      |  FROM daily GROUP BY 1),
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(vm) AS BIGINT) AS s
+      |  FROM vm GROUP BY 1),
       |dev AS (
-      |  SELECT d.event_type, d.day, d.v - st.mean AS dv,
-      |    lag(d.v - st.mean, 1) OVER (PARTITION BY d.event_type ORDER BY d.day) AS dv1,
-      |    lag(d.v - st.mean, 2) OVER (PARTITION BY d.event_type ORDER BY d.day) AS dv2
-      |  FROM daily d JOIN st USING (event_type)),
+      |  SELECT vm.event_type,
+      |    CAST(vm.vm * st.n - st.s AS HUGEINT) AS dv,
+      |    lag(CAST(vm.vm * st.n - st.s AS HUGEINT), 1)
+      |      OVER (PARTITION BY vm.event_type ORDER BY vm.day) AS dv1,
+      |    lag(CAST(vm.vm * st.n - st.s AS HUGEINT), 2)
+      |      OVER (PARTITION BY vm.event_type ORDER BY vm.day) AS dv2
+      |  FROM vm JOIN st USING (event_type)),
       |ag AS (
-      |  SELECT event_type,
-      |    CAST(sum(CAST(dv * dv AS DECIMAL(28,8))) AS DOUBLE) AS den,
-      |    CAST(sum(CAST(dv * dv1 AS DECIMAL(28,8))) AS DOUBLE) AS num1,
-      |    CAST(sum(CAST(dv * dv2 AS DECIMAL(28,8))) AS DOUBLE) AS num2
+      |  SELECT event_type, sum(dv * dv) AS den,
+      |    sum(dv * dv1) AS num1, sum(dv * dv2) AS num2
       |  FROM dev GROUP BY 1)
-      |SELECT st.event_type, st.n_points, st.mean,
-      |  CASE WHEN den <> 0.0 THEN num1 / den END AS acf_1,
-      |  CASE WHEN den <> 0.0 THEN num2 / den END AS acf_2
+      |SELECT st.event_type, st.n AS n_points,
+      |  CAST(st.s AS DOUBLE) / 1000000.0 / CAST(st.n AS DOUBLE) AS mean,
+      |  CASE WHEN ag.den <> 0
+      |    THEN CAST(ag.num1 AS DOUBLE) / CAST(ag.den AS DOUBLE) END AS acf_1,
+      |  CASE WHEN ag.den <> 0
+      |    THEN CAST(ag.num2 AS DOUBLE) / CAST(ag.den AS DOUBLE) END AS acf_2
       |FROM st JOIN ag USING (event_type)
       |ORDER BY event_type""".stripMargin
 
@@ -214,7 +226,44 @@ object SeriesQueries {
       |WHERE c.n * b.slot_days * 100 > 120 * b.slot_total
       |ORDER BY day, hr""".stripMargin
 
+  /** Ordered sequence-pattern match
+    * ([[graft.operators.Funnel.sequencePattern]], the MATCH_RECOGNIZE
+    * shape): per user, how many times a signup is followed by a
+    * purchase with NO error and no earlier purchase in between —
+    * `s[^ep]*p` over the user's time-ordered symbol string. The
+    * negation over the gap is exactly what q97's min-chain funnel
+    * cannot express. The oracle rebuilds every symbol string with an
+    * ordered string_agg and recounts the leftmost non-overlapping
+    * matches.
+    */
+  def q194SequencePattern(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.sequencePattern(
+        Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+        Map("signup" -> "s", "view" -> "v", "click" -> "c",
+          "purchase" -> "p", "error" -> "e"),
+        pattern = "s[^ep]*p")
+      .orderBy("user_id")
+
+  val q194Sql: String =
+    """WITH sym AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+      |      WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+      |      WHEN 'error' THEN 'e' ELSE 'x' END AS s
+      |  FROM events),
+      |agg AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |    string_agg(s, '' ORDER BY ts, event_id) AS symbols
+      |  FROM sym GROUP BY user_id)
+      |SELECT user_id, n_events, symbols,
+      |  CAST(len(regexp_extract_all(symbols, 's[^ep]*p')) AS BIGINT) AS n_matches,
+      |  CAST(CASE WHEN regexp_matches(symbols, 's[^ep]*p')
+      |    THEN 1 ELSE 0 END AS INT) AS matched
+      |FROM agg
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q194_sequence_pattern" -> q194SequencePattern _,
     "q193_seasonal_anomaly" -> q193SeasonalAnomaly _,
     "q189_dyadic_ewma" -> q189DyadicEwma _,
     "q182_interval_join_twin" -> q182IntervalJoinTwin _,
@@ -223,6 +272,7 @@ object SeriesQueries {
     "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
+    "q194_sequence_pattern" -> q194Sql,
     "q193_seasonal_anomaly" -> q193Sql,
     "q189_dyadic_ewma" -> q189Sql,
     "q182_interval_join_twin" -> q182Sql,

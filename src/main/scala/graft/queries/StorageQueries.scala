@@ -746,7 +746,53 @@ object StorageQueries {
       |FROM m LEFT JOIN mt USING (zone)
       |ORDER BY zone""".stripMargin
 
+  /** Retractable incremental view maintenance
+    * ([[graft.operators.Materialize.retractPartials]] /
+    * [[Materialize.mergeRetract]]): q123's insert-only view upgraded
+    * to absorb a CDC-style delta of inserts AND deletes — signed
+    * partials (Σop, Σ op·value) retract exactly what an insert
+    * contributed, fully-retracted keys leave the view. Batches are
+    * md5-bucketed; the second delta inserts bucket 2 and deletes
+    * every 5th-orderkey row of bucket 0. The oracle aggregates the
+    * FINAL logical row set directly — proving the incremental signed
+    * path lands on the recompute answer, zero ghost keys included.
+    */
+  def q195RetractableMv(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Materialize
+    import graft.operators.Materialize.MvSpec
+    val spec = MvSpec(keys = Seq("o_custkey"),
+      sums = Seq("o_totalprice" -> "total_price"), countAs = "n_orders")
+    val b = Tables.orders(s, dir).withColumn("b",
+      pmod(graft.functions.TextFunctions.md5Hash60(
+        concat(col("o_orderkey").cast("string"), lit("mvr"))), lit(3L)))
+    val batch1 = b.where(col("b") < 2).withColumn("op", lit(1))
+    val delta2 = b.where(col("b") === 2).withColumn("op", lit(1))
+      .unionByName(b.where(col("b") === 0 && col("o_orderkey") % 5 === 0)
+        .withColumn("op", lit(-1)))
+    val view = Materialize.mergeRetract(
+      Materialize.retractPartials(batch1, "op", spec),
+      Materialize.retractPartials(delta2, "op", spec), spec)
+    view.select(col("o_custkey"), col("n_orders"),
+        col("total_price").cast("double").as("total_price"))
+      .orderBy("o_custkey")
+  }
+
+  val q195Sql: String =
+    s"""WITH b AS (
+       |  SELECT *, ('0x' || substr(md5(o_orderkey::VARCHAR || 'mvr'),
+       |    1, 15))::BIGINT % 3 AS b
+       |  FROM orders),
+       |final AS (
+       |  SELECT * FROM b
+       |  WHERE (b < 2 AND NOT (b = 0 AND o_orderkey % 5 = 0)) OR b = 2)
+       |SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+       |  ${Det.exactSumSql("o_totalprice")} AS total_price
+       |FROM final
+       |GROUP BY o_custkey
+       |ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q195_retractable_mv"  -> q195RetractableMv _,
     "q175_zone_map_prune"  -> q175ZoneMapPrune _,
     "q134_cdc_apply"       -> q134CdcApply _,
     "q123_incremental_mv"  -> q123IncrementalMv _,
@@ -765,6 +811,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q195_retractable_mv"  -> q195Sql,
     "q175_zone_map_prune"  -> q175Sql,
     "q134_cdc_apply"       -> q134Sql,
     "q123_incremental_mv"  -> q123Sql,

@@ -114,4 +114,36 @@ class FunnelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(2L -> 500000L, 3L -> 500000L))
   }
+
+  test("sequencePattern: negation over the gap, overlap rule, tie-ordered symbols") {
+    import spark.implicits._
+    // user 1: s v p  s e p  → symbols "svpsep": matches s[^ep]*p once
+    //   (the second signup is blocked by the error)
+    // user 2: s p s p      → two non-overlapping matches
+    // user 3: p s v e      → signup never completes: zero matches
+    // user 4: same TIMESTAMP events — event_id breaks the tie: s(id1)
+    //   p(id2) → one match; a collect-order dependence would flip it
+    val rows = Seq(
+      (1L, 10L, 1L, "signup"), (1L, 20L, 2L, "view"), (1L, 30L, 3L, "purchase"),
+      (1L, 40L, 4L, "signup"), (1L, 50L, 5L, "error"), (1L, 60L, 6L, "purchase"),
+      (2L, 10L, 1L, "signup"), (2L, 20L, 2L, "purchase"),
+      (2L, 30L, 3L, "signup"), (2L, 40L, 4L, "purchase"),
+      (3L, 10L, 1L, "purchase"), (3L, 20L, 2L, "signup"),
+      (3L, 30L, 3L, "view"), (3L, 40L, 4L, "error"),
+      (4L, 10L, 1L, "signup"), (4L, 10L, 2L, "purchase"))
+      .toDF("u", "t", "i", "et")
+    val syms = Map("signup" -> "s", "view" -> "v", "click" -> "c",
+      "purchase" -> "p", "error" -> "e")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Funnel.sequencePattern(df, "u", "t", "i", "et", syms, "s[^ep]*p")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(2), r.getLong(3), r.getInt(4))))
+        .toMap
+    val got = run(rows)
+    assert(got(1L) == (("svpsep", 1L, 1)))
+    assert(got(2L) == (("spsp", 2L, 1)))
+    assert(got(3L) == (("psve", 0L, 0)))
+    assert(got(4L) == (("sp", 1L, 1)))
+    assert(run(rows.repartition(7)) == got)
+  }
 }

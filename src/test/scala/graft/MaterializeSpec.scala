@@ -79,4 +79,27 @@ class MaterializeSpec extends SparkSpec {
     assert(merged.columns.toSeq == Seq("k", "n", "sum_v", "min_t", "max_t"))
     assert(merged.count() == 5)
   }
+
+  test("retraction: deletes cancel inserts exactly, zero-count keys vanish") {
+    import spark.implicits._
+    val spec = Materialize.MvSpec(keys = Seq("k"),
+      sums = Seq("v" -> "sum_v"), countAs = "n")
+    // batch 1: k=a {1.5, 2.5}, k=b {10.0}; delta: insert a 4.0,
+    // delete a 1.5, delete b 10.0 (b fully retracted)
+    val b1 = Seq(("a", 1.5, 1), ("a", 2.5, 1), ("b", 10.0, 1))
+      .toDF("k", "v", "op")
+    val d2 = Seq(("a", 4.0, 1), ("a", 1.5, -1), ("b", 10.0, -1))
+      .toDF("k", "v", "op")
+    val view = Materialize.mergeRetract(
+      Materialize.retractPartials(b1, "op", spec),
+      Materialize.retractPartials(d2, "op", spec), spec)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2).doubleValue))).toMap
+    assert(view == Map("a" -> ((2L, 6.5))))
+    // min/max specs are rejected, not silently wrong
+    intercept[IllegalArgumentException] {
+      Materialize.retractPartials(b1, "op",
+        Materialize.MvSpec(Seq("k"), mins = Seq("v" -> "min_v")))
+    }
+  }
 }
