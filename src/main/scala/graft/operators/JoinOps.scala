@@ -177,6 +177,64 @@ object JoinOps {
       .join(small, Seq(key), joinType)
   }
 
+  /** Per-partition Bloom manifest: for every value of `partCol`, the
+    * packed word/mask rows of a `numBits`-bit Bloom filter over that
+    * partition's `keyCol` values — the point-lookup companion to the
+    * q175 zone-map manifest (min/max prunes RANGES; a Bloom prunes
+    * EQUALITY probes, which min/max can't help with when keys are
+    * uniformly spread across partitions). Stored as an ordinary
+    * (part, w, mask) DataFrame — parquet-persistable, mergeable by
+    * bit_or, and rebuildable cell-by-cell by any engine running the
+    * same md5 bit recipe ([[bloomFilterBits]]'s `key ‖ ':' ‖ i`).
+    *
+    * Scale: keys explode ×numHashes into positions only, per-word OR
+    * masks collapse map-side; the manifest is parts·numBits/64 rows —
+    * metadata-sized, never corpus-sized.
+    */
+  def bloomManifest(df: DataFrame, partCol: String, keyCol: String,
+      numBits: Int, numHashes: Int): DataFrame = {
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64: $numBits")
+    require(numHashes >= 1 && numHashes <= 16, s"numHashes in [1,16]: $numHashes")
+    df.filter(col(keyCol).isNotNull)
+      .select(col(partCol).as("part"),
+        explode(array((0 until numHashes).map(i =>
+          bloomPos(col(keyCol), i, numBits)): _*)).as("_pos"))
+      .select(col("part"), (col("_pos") / 64).cast(LongType).as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("_pos"), lit(64L)).cast(IntegerType)).as("_m"))
+      .groupBy(col("part"), col("w")).agg(bit_or(col("_m")).as("mask"))
+  }
+
+  /** Candidate partitions per probe key against a [[bloomManifest]]:
+    * (key, part) for every partition whose Bloom filter MIGHT contain
+    * the key (all `numHashes` bits set — no false negatives, so a
+    * scan restricted to the candidates is exact after re-filtering).
+    * This is manifest-level file skipping: the probe matrix is
+    * probes × parts × hashes rows of integers — driver never sees it,
+    * the corpus is never touched.
+    */
+  def bloomCandidates(manifest: DataFrame, probes: DataFrame,
+      keyCol: String, numBits: Int, numHashes: Int): DataFrame = {
+    val parts = manifest.select(col("part")).distinct()
+    val ppos = probes.select(col(keyCol).as("_k")).distinct()
+      .select(col("_k"), posexplode(array((0 until numHashes).map(i =>
+        bloomPos(col("_k"), i, numBits)): _*)).as(Seq("_i", "_pos")))
+      .select(col("_k"), col("_i"),
+        (col("_pos") / 64).cast(LongType).as("w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("_pos"), lit(64L)).cast(IntegerType)).as("_m"))
+      .crossJoin(broadcast(parts))
+    ppos.join(manifest, Seq("part", "w"), "left")
+      .withColumn("_hit",
+        when(col("mask").isNotNull &&
+          (col("mask").bitwiseAND(col("_m")) =!= 0L), 1).otherwise(0))
+      .groupBy(col("_k"), col("part"))
+      .agg(min(col("_hit")).as("_pass"))
+      .filter(col("_pass") === 1)
+      .select(col("_k").as(keyCol), col("part"))
+  }
+
   /** Skew remediation planner — the measurement that decides WHICH
     * keys [[saltedJoin]] should salt and by how much, instead of
     * salting everything (which taxes the uniform keys) or guessing.

@@ -61,4 +61,62 @@ object RobustStats {
           .otherwise(0L)).as("n_outliers"))
       .withColumnRenamed("_g", groupCol)
   }
+
+  /** Exact percentile-rank normalization — the distribution-free
+    * feature scaling (rank transform) a training pipeline applies
+    * before mixing columns with wildly different scales: every row
+    * gets rank_lt = #rows with a STRICTLY smaller value (ties share a
+    * rank, the standard "min rank − 1" contract) and pct_scaled =
+    * rank_lt·10⁶ DIV (N−1) ∈ [0, 10⁶].
+    *
+    * Exact and global with NO global window: (1) rows collapse to the
+    * distinct-value count frame (one keyed exchange); (2) values
+    * range-bucket by their driver-bounded min/max into `nBuckets`
+    * contiguous shards, so bucket-major order IS value order — the
+    * [[Sampling.budgetSelect]] two-phase trick; (3) the exclusive
+    * prefix sum runs as per-bucket windows over the DISTINCT frame
+    * plus ≤nBuckets carry-in offsets collected, prefix-summed
+    * driver-side and broadcast back; (4) ranks join back to rows
+    * keyed on the value. Values go through the micro-unit decimal
+    * cast so bucketing and ordering are integer-exact.
+    */
+  def percentileRank(df: DataFrame, idCol: String, valueCol: String,
+      nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val spark = df.sparkSession
+    val rows = df.select(col(idCol).as("_id"),
+      (col(valueCol).cast(DecimalType(18, 6)) * 1000000L)
+        .cast(LongType).as("_vm"))
+    val bounds = rows.agg(min(col("_vm")).as("mn"), max(col("_vm")).as("mx"))
+      .collect()(0)
+    if (bounds.isNullAt(0)) // empty input
+      return rows.select(col("_id").as(idCol), col("_vm"),
+        col("_vm").as("rank_lt"), col("_vm").as("pct_scaled"))
+        .filter(lit(false))
+    val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(mx - mn, 0L) + 1L
+    val counts = rows.groupBy(col("_vm")).agg(count(lit(1)).as("_c"))
+      // integer div, NOT Column./ (which is double division)
+      .withColumn("_qb",
+        expr(s"((_vm - ${mn}L) * ${nBuckets}L) div ${span}L"))
+    val totals = counts.groupBy(col("_qb")).agg(sum(col("_c")).as("_t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offs = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init)
+    val planDf = spark.createDataFrame(offs.toSeq).toDF("_qb", "_off")
+    val n = totals.map(_._2).sum
+    val den = math.max(n - 1L, 1L)
+    val win = Window.partitionBy(col("_qb")).orderBy(col("_vm"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = counts.join(broadcast(planDf), Seq("_qb"))
+      .withColumn("rank_lt",
+        col("_off") + sum(col("_c")).over(win) - col("_c"))
+      .select(col("_vm"), col("rank_lt"))
+    rows.join(ranks, Seq("_vm"))
+      .select(col("_id").as(idCol), col("_vm"),
+        col("rank_lt").cast(LongType).as("rank_lt"),
+        expr(s"(rank_lt * 1000000L) div ${den}L")
+          .cast(LongType).as("pct_scaled"))
+  }
 }

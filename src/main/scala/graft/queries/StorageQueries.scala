@@ -791,7 +791,89 @@ object StorageQueries {
        |GROUP BY o_custkey
        |ORDER BY o_custkey""".stripMargin
 
+  /** Bloom-manifest file skipping ([[graft.operators.JoinOps
+    * .bloomManifest]] / [[graft.operators.JoinOps.bloomCandidates]]):
+    * the point-lookup companion to q175's zone-map pruning. Documents
+    * land in 8 disk partitions; an 8192-bit-per-partition Bloom
+    * manifest answers "which partitions COULD hold key k" for a probe
+    * set that is half present keys, half absent — the absent half is
+    * where the manifest earns its keep (min/max zones can't prune
+    * uniformly-hashed keys at all). The exact lookup then touches
+    * only candidate (shard, key) pairs; no false negatives by
+    * construction, and the oracle rebuilds every Bloom word and
+    * replays every membership bit test.
+    */
+  def q196BloomPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.JoinOps
+    val path = scratchPath("q196", dir) + "/t"
+    Tables.documents(s, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    val t = s.read.parquet(path)
+    val manifest = JoinOps.bloomManifest(t, "shard", "doc_id",
+      numBits = 8192, numHashes = 4)
+    val docs = Tables.documents(s, dir)
+    val probes = docs.filter(col("doc_id") % 10 === 3).select(col("doc_id"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + 1000000L).as("doc_id")))
+    val cand = JoinOps.bloomCandidates(manifest, probes, "doc_id",
+      numBits = 8192, numHashes = 4)
+    val nc = cand.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidate_shards"))
+    val fnd = cand.withColumnRenamed("part", "shard")
+      .join(t, Seq("doc_id", "shard"))
+      .select(col("doc_id")).distinct().withColumn("found", lit(1))
+    probes.join(nc, Seq("doc_id"), "left").join(fnd, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidate_shards"), lit(0L)).as("n_candidate_shards"),
+        coalesce(col("found"), lit(0)).cast("int").as("found"))
+      .orderBy("doc_id")
+  }
+
+  val q196Sql: String =
+    """WITH d AS (SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard FROM documents),
+      |pos AS (
+      |  SELECT shard,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || ':' || t.i::VARCHAR),
+      |     1, 15))::BIGINT % 8192 AS p
+      |  FROM d CROSS JOIN range(4) t(i)),
+      |words AS (
+      |  SELECT shard, p // 64 AS w,
+      |    bit_or(1::HUGEINT << CAST(p % 64 AS INT)) AS mask
+      |  FROM pos GROUP BY 1, 2),
+      |probes AS (
+      |  SELECT doc_id FROM documents WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 FROM documents WHERE doc_id % 10 = 7),
+      |pp AS (
+      |  SELECT pr.doc_id AS k, s.shard, t.i,
+      |    ('0x' || substr(md5(pr.doc_id::VARCHAR || ':' || t.i::VARCHAR),
+      |     1, 15))::BIGINT % 8192 AS p
+      |  FROM probes pr
+      |  CROSS JOIN (SELECT DISTINCT shard FROM d) s
+      |  CROSS JOIN range(4) t(i)),
+      |hit AS (
+      |  SELECT pp.k, pp.shard,
+      |    min(CASE WHEN w.mask IS NOT NULL
+      |      AND (w.mask & (1::HUGEINT << CAST(pp.p % 64 AS INT))) <> 0
+      |      THEN 1 ELSE 0 END) AS pass
+      |  FROM pp LEFT JOIN words w ON w.shard = pp.shard AND w.w = pp.p // 64
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT k, shard FROM hit WHERE pass = 1),
+      |nc AS (SELECT k, CAST(count(*) AS BIGINT) AS n_candidate_shards
+      |       FROM cand GROUP BY 1),
+      |fnd AS (SELECT DISTINCT c.k FROM cand c
+      |        JOIN d ON d.doc_id = c.k AND d.shard = c.shard)
+      |SELECT pr.doc_id,
+      |  COALESCE(nc.n_candidate_shards, 0) AS n_candidate_shards,
+      |  CAST(CASE WHEN fnd.k IS NOT NULL THEN 1 ELSE 0 END AS INT) AS found
+      |FROM probes pr
+      |LEFT JOIN nc ON nc.k = pr.doc_id
+      |LEFT JOIN fnd ON fnd.k = pr.doc_id
+      |ORDER BY pr.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q196_bloom_prune"     -> q196BloomPrune _,
     "q195_retractable_mv"  -> q195RetractableMv _,
     "q175_zone_map_prune"  -> q175ZoneMapPrune _,
     "q134_cdc_apply"       -> q134CdcApply _,
@@ -811,6 +893,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q196_bloom_prune"     -> q196Sql,
     "q195_retractable_mv"  -> q195Sql,
     "q175_zone_map_prune"  -> q175Sql,
     "q134_cdc_apply"       -> q134Sql,

@@ -3351,7 +3351,34 @@ object TrainingData {
       |        WHERE l_quantity >= 40 GROUP BY 1) b USING (l_partkey))
       |SELECT est, true_n FROM est CROSS JOIN tr""".stripMargin
 
+  /** Exact percentile-rank normalization
+    * ([[graft.operators.RobustStats.percentileRank]]): every
+    * document's n_chars mapped to rank_lt (#docs strictly smaller;
+    * ties share) and pct_scaled ∈ [0, 10⁶] — the distribution-free
+    * feature scaling, computed with the two-phase range-bucket prefix
+    * sum (never a global window). The ORACLE is the global-window
+    * formulation (`rank() OVER (ORDER BY …)`) — exactly the plan
+    * shape the operator avoids, proving the sharded path computes the
+    * identical ranking.
+    */
+  def q197PercentileRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.percentileRank(
+        Tables.documents(s, dir), "doc_id", "n_chars")
+      .select(col("doc_id"), col("rank_lt"), col("pct_scaled"))
+      .orderBy("doc_id")
+
+  val q197Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, rank() OVER (ORDER BY n_chars) - 1 AS rank_lt,
+      |    count(*) OVER () AS n
+      |  FROM documents)
+      |SELECT doc_id, CAST(rank_lt AS BIGINT) AS rank_lt,
+      |  CAST((rank_lt * 1000000)
+      |    // (CASE WHEN n > 1 THEN n - 1 ELSE 1 END) AS BIGINT) AS pct_scaled
+      |FROM r ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q197_percentile_rank" -> q197PercentileRank _,
     "q191_join_cardinality" -> q191JoinCardinality _,
     "q188_sorted_neighborhood" -> q188SortedNeighborhood _,
     "q190_negative_samples" -> q190NegativeSamples _,
@@ -3423,6 +3450,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q197_percentile_rank" -> q197Sql,
     "q191_join_cardinality" -> q191Sql,
     "q188_sorted_neighborhood" -> q188Sql,
     "q190_negative_samples" -> q190Sql,

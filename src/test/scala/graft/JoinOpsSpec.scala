@@ -162,4 +162,27 @@ class JoinOpsSpec extends SparkSpec {
     val emptyBits = JoinOps.bloomFilterBits(dim.filter(col("k") < 0), "k", 64, 2)
     assert(emptyBits.forall(_ == 0L), "empty dim -> empty filter")
   }
+
+  test("bloomManifest/bloomCandidates: no false negatives, absent keys prune everywhere") {
+    import spark.implicits._
+    // 3 partitions with disjoint key ranges; wide filter → candidate
+    // sets are exact (collisions astronomically unlikely)
+    val t = (0L until 300L).map(k => (k, (k / 100L).toInt)).toDF("k", "p")
+    val manifest = JoinOps.bloomManifest(t, "p", "k",
+      numBits = 8192, numHashes = 4)
+    // manifest is metadata-sized: ≤ parts × bits/64 rows
+    assert(manifest.count() <= 3L * 8192 / 64)
+    val probes = Seq(5L, 150L, 299L, 1000L, 2000L).toDF("k")
+    val cand = JoinOps.bloomCandidates(manifest, probes, "k", 8192, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSet
+    // every present key's true partition is a candidate (no false
+    // negatives — the structural guarantee); absent keys prune all 3
+    assert(cand == Set(5L -> 0, 150L -> 1, 299L -> 2))
+    // a too-small filter degrades to MORE candidates, never fewer:
+    // the present keys' true partitions must still all be candidates
+    val tiny = JoinOps.bloomCandidates(
+      JoinOps.bloomManifest(t, "p", "k", 64, 4), probes, "k", 64, 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toSet
+    assert(Set(5L -> 0, 150L -> 1, 299L -> 2).subsetOf(tiny))
+  }
 }

@@ -103,4 +103,25 @@ class StatsOpsSpec extends SparkSpec {
     assert(got.head.getAs[String]("item_a") == "X")
     assert(got.head.getAs[Long]("n_pairs") == 2L)
   }
+
+  test("percentileRank: ties share min-rank, bucket-count invariant, extremes exact") {
+    import spark.implicits._
+    import graft.operators.RobustStats
+    // values 10,10,20,30,30,30,40 → rank_lt: 0,0,2,3,3,3,6; N−1=6
+    val df = Seq((1L, 10.0), (2L, 10.0), (3L, 20.0), (4L, 30.0),
+      (5L, 30.0), (6L, 30.0), (7L, 40.0)).toDF("id", "v")
+    def run(b: Int) = RobustStats.percentileRank(df, "id", "v", nBuckets = b)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val got = run(4)
+    assert(got(1L) == ((0L, 0L)) && got(2L) == ((0L, 0L)))
+    assert(got(3L) == ((2L, 2L * 1000000 / 6)))
+    assert(got(4L) == ((3L, 500000L)))
+    assert(got(7L) == ((6L, 1000000L))) // the max hits exactly 10⁶
+    // the shard count is an implementation knob, never a semantic one
+    assert(run(1) == got && run(256) == got)
+    // single row: rank 0, pct 0 (den clamps to 1)
+    val one = RobustStats.percentileRank(Seq((9L, 5.0)).toDF("id", "v"), "id", "v")
+      .collect().head
+    assert(one.getLong(2) == 0L && one.getLong(3) == 0L)
+  }
 }
