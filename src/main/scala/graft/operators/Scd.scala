@@ -72,6 +72,36 @@ object Scd {
     * each fact matches AT MOST one row — row counts never amplify
     * (ScdSpec asserts this).
     */
+  /** Bitemporal as-of: the state of each key at VALID time V as it
+    * was KNOWN at transaction time T — the two-axis question neither
+    * [[scd2FromEvents]] (valid time only) nor a snapshot store
+    * (transaction time only) answers alone: "what did we believe on
+    * commit T the state at business date V was", the reproducibility
+    * contract of a regulated warehouse and of any training run that
+    * must be replayed against the data AS IT WAS.
+    *
+    * `table` rows carry (key, validFromCol, txCol, attrs…). Visible
+    * row per key = among rows with tx ≤ T and valid_from ≤ V, the max
+    * valid_from; ties on valid_from resolve to max tx (a later
+    * correction of the same business date wins). Keys with nothing
+    * valid yet are absent.
+    *
+    * Scale: one filter (both predicates pushable to the scan /
+    * partition pruning when the table is tx- or date-partitioned) and
+    * ONE keyed window — no self-join, no global sort.
+    */
+  def bitemporalAsOf(table: DataFrame, keyCol: String,
+      validFromCol: String, txCol: String,
+      validTime: Column, txTime: Column): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(validFromCol).desc, col(txCol).desc)
+    table
+      .filter(col(txCol) <= txTime && col(validFromCol) <= validTime)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
   def asOfLookup(
       facts: DataFrame, dim: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val d = dim.select(

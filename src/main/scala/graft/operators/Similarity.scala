@@ -534,4 +534,80 @@ object Similarity {
         first(col(vecOut)).as(vecOut))
       .select(col(outId), col("centroid_id"), col(vecOut))
   }
+
+  /** Maximal-marginal-relevance diversified top-k: greedy selection
+    * maximizing λ·relevance − (1−λ)·max-similarity-to-already-chosen,
+    * the standard retrieval/sampling diversifier (a plain top-k
+    * returns k near-copies of the best hit; MMR's penalty term forces
+    * coverage — the property a few-shot example picker or dedup-aware
+    * retriever actually wants).
+    *
+    * Greedy steps are part of the SEMANTICS (each pick conditions on
+    * the set so far — there is nothing to parallelize ACROSS steps),
+    * so the loop runs k bounded iterations, each one keyed window
+    * over frames bounded by |queries|·shortlist: the relevance
+    * shortlist and its |shortlist|² pairwise similarities are
+    * computed ONCE and checkpointed; a step is one anti-join, one
+    * keyed max-penalty aggregate and one keyed argmax. Relevance and
+    * similarity use the exact decimal dot ([[graft.functions
+    * .VectorFunctions.dotExact]]), the score combiner is two IEEE
+    * multiplies on identical operands, ties break on neighbor id —
+    * every pick is bit-reproducible and ANSI-replayable (q199's
+    * oracle unrolls all k picks).
+    *
+    * `lambdaPct` ∈ [0,100]: 100 = pure relevance (plain top-k),
+    * 0 = pure diversity.
+    */
+  def mmrTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      shortlist: Int, k: Int, lambdaPct: Int): DataFrame = {
+    require(shortlist >= k && k >= 1, s"bad MMR parameters ($shortlist, $k)")
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"bad lambdaPct $lambdaPct")
+    val lam = lambdaPct.toDouble
+    val pen = (100 - lambdaPct).toDouble
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
+    val wRel = Window.partitionBy(col("query_id"))
+      .orderBy(desc("rel"), asc("neighbor_id"))
+    val cand = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("rel", dotExact(col("_qv"), col("_cv")))
+      .withColumn("_r", row_number().over(wRel))
+      .filter(col("_r") <= shortlist)
+      .select(col("query_id"), col("neighbor_id"), col("rel"), col("_cv"))
+      .localCheckpoint(true)
+    val sims = cand.as("a").join(cand.as("b"),
+        col("a.query_id") === col("b.query_id") &&
+          col("a.neighbor_id") =!= col("b.neighbor_id"))
+      .select(col("a.query_id").as("query_id"),
+        col("a.neighbor_id").as("na"), col("b.neighbor_id").as("nb"),
+        dotExact(col("a._cv"), col("b._cv")).as("sim"))
+      .localCheckpoint(true)
+    val wPick = Window.partitionBy(col("query_id"))
+      .orderBy(desc("_mmr"), asc("neighbor_id"))
+    var selected = cand
+      .withColumn("_mmr", lit(lam) * col("rel"))
+      .withColumn("_rn", row_number().over(wPick))
+      .filter(col("_rn") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        lit(1).as("sel_rank"))
+      .localCheckpoint(true)
+    for (i <- 2 to k) {
+      val penalty = sims
+        .join(selected.select(col("query_id"), col("neighbor_id").as("nb")),
+          Seq("query_id", "nb"))
+        .groupBy(col("query_id"), col("na").as("neighbor_id"))
+        .agg(max(col("sim")).as("_pen"))
+      val pick = cand
+        .join(selected.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_anti")
+        .join(penalty, Seq("query_id", "neighbor_id"))
+        .withColumn("_mmr", lit(lam) * col("rel") - lit(pen) * col("_pen"))
+        .withColumn("_rn", row_number().over(wPick))
+        .filter(col("_rn") === 1)
+        .select(col("query_id"), col("neighbor_id"), col("rel"),
+          lit(i).as("sel_rank"))
+      selected = selected.unionByName(pick).localCheckpoint(true)
+    }
+    selected.withColumn("sel_rank", col("sel_rank").cast(IntegerType))
+  }
 }

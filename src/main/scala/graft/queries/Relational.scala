@@ -1964,7 +1964,62 @@ object Relational {
        |${bfStepSql("d2", "d3")}
        |SELECT id, CAST(dist AS BIGINT) AS dist FROM d3 ORDER BY id""".stripMargin
 
+  /** Bitemporal as-of ([[graft.operators.Scd.bitemporalAsOf]]): order
+    * state at valid time 1996-06-01 as known at transaction time 1
+    * AND at transaction time 2 — tx 2 revises every 7th order (status
+    * R, doubled price) effective 30 days after its order date. The
+    * two as-of-tx snapshots differ exactly where a revision's valid
+    * date has been reached by V and was committed by T — the two-axis
+    * reproducibility question neither SCD2 (valid only) nor snapshot
+    * versions (tx only) answer alone. The oracle replays the
+    * filter + (valid_from desc, tx desc) argmax for both tx times.
+    */
+  def q198Bitemporal(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus").as("status"),
+        col("o_totalprice").as("price"),
+        to_date(col("o_orderdate")).as("valid_from"))
+      .withColumn("tx", lit(1L))
+    val fix = base.filter(col("o_orderkey") % 7 === 0)
+      .withColumn("valid_from", date_add(col("valid_from"), 30))
+      .withColumn("price", col("price") * 2)
+      .withColumn("status", lit("R"))
+      .withColumn("tx", lit(2L))
+    val bi = base.unionByName(fix)
+    val v = to_date(lit("1996-06-01"))
+    def snap(t: Long) = graft.operators.Scd
+      .bitemporalAsOf(bi, "o_orderkey", "valid_from", "tx", v, lit(t))
+      .withColumn("as_of_tx", lit(t.toInt))
+    snap(1L).unionByName(snap(2L))
+      .select(col("as_of_tx"), col("o_orderkey"), col("status"),
+        col("price"),
+        date_format(col("valid_from"), "yyyy-MM-dd").as("valid_from"),
+        col("tx"))
+      .orderBy("as_of_tx", "o_orderkey")
+  }
+
+  val q198Sql: String =
+    """WITH bi AS (
+      |  SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS price,
+      |    CAST(o_orderdate AS DATE) AS valid_from, CAST(1 AS BIGINT) AS tx
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'R', o_totalprice * 2,
+      |    CAST(o_orderdate AS DATE) + 30, CAST(2 AS BIGINT)
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |pick AS (
+      |  SELECT t.n AS as_of_tx, bi.*,
+      |    row_number() OVER (PARTITION BY t.n, o_orderkey
+      |      ORDER BY valid_from DESC, tx DESC) AS rn
+      |  FROM bi CROSS JOIN (SELECT unnest([1, 2]) AS n) t
+      |  WHERE bi.tx <= t.n AND bi.valid_from <= DATE '1996-06-01')
+      |SELECT CAST(as_of_tx AS INT) AS as_of_tx, o_orderkey, status, price,
+      |  strftime(valid_from, '%Y-%m-%d') AS valid_from, tx
+      |FROM pick WHERE rn = 1
+      |ORDER BY as_of_tx, o_orderkey""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q198_bitemporal"      -> q198Bitemporal _,
     "q192_sssp_routes"     -> q192SsspRoutes _,
     "q185_kcore"           -> q185KCore _,
     "q187_gini_profile"    -> q187GiniProfile _,
@@ -2019,6 +2074,7 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q198_bitemporal"      -> q198Sql,
     "q192_sssp_routes"     -> q192Sql,
     "q185_kcore"           -> q185Sql,
     "q187_gini_profile"    -> q187Sql,

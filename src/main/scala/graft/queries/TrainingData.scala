@@ -3377,7 +3377,71 @@ object TrainingData {
       |    // (CASE WHEN n > 1 THEN n - 1 ELSE 1 END) AS BIGINT) AS pct_scaled
       |FROM r ORDER BY doc_id""".stripMargin
 
+  /** MMR diversified top-k ([[graft.operators.Similarity.mmrTopK]]):
+    * 5 diversified picks from a 20-candidate relevance shortlist per
+    * query at λ=0.5 — the few-shot-example / retrieval diversifier
+    * (plain top-k returns near-copies; the penalty term forces
+    * coverage). All relevance and pairwise-similarity dots are the
+    * exact decimal fold; the oracle unrolls every greedy pick as a
+    * CTE, so each step's argmax (including the diversity penalty and
+    * id tie-breaks) is cross-engine-proven.
+    */
+  def q199MmrTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.mmrTopK(emb, emb.filter(col("vec_id") < 3),
+        "vec_id", "embedding", shortlist = 20, k = 5, lambdaPct = 50)
+      .select(col("query_id"), col("neighbor_id"), col("rel"),
+        col("sel_rank"))
+      .orderBy("query_id", "sel_rank")
+  }
+
+  private def mmrStepSql(i: Int): String =
+    s"""pick$i AS (
+       |  SELECT qid, nid, rel, $i AS sel_rank FROM (
+       |    SELECT c.qid, c.nid, c.rel,
+       |      50 * c.rel - 50 * max(m.sim) AS mmr
+       |    FROM cand c
+       |    JOIN sim m ON m.qid = c.qid AND m.na = c.nid
+       |    JOIN sel${i - 1} s ON s.qid = m.qid AND s.nid = m.nb
+       |    WHERE NOT EXISTS (SELECT 1 FROM sel${i - 1} x
+       |      WHERE x.qid = c.qid AND x.nid = c.nid)
+       |    GROUP BY c.qid, c.nid, c.rel)
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY mmr DESC, nid ASC) = 1),
+       |sel$i AS (SELECT qid, nid, rel, sel_rank FROM sel${i - 1}
+       |  UNION ALL SELECT qid, nid, rel, sel_rank FROM pick$i)""".stripMargin
+
+  val q199Sql: String =
+    s"""WITH raw AS (
+       |  SELECT q.vec_id AS qid, e.vec_id AS nid,
+       |    CAST(${dotDecSql("q.embedding", "e.embedding")} AS DOUBLE) AS rel
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id < 3 AND e.vec_id <> q.vec_id),
+       |cand AS (
+       |  SELECT qid, nid, rel FROM raw
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY rel DESC, nid ASC) <= 20),
+       |sim AS (
+       |  SELECT a.qid, a.nid AS na, b.nid AS nb,
+       |    CAST(${dotDecSql("ea.embedding", "eb.embedding")} AS DOUBLE) AS sim
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+       |  JOIN embeddings ea ON ea.vec_id = a.nid
+       |  JOIN embeddings eb ON eb.vec_id = b.nid),
+       |sel1 AS (
+       |  SELECT qid, nid, rel, 1 AS sel_rank FROM cand
+       |  QUALIFY row_number() OVER (PARTITION BY qid
+       |    ORDER BY (50 * rel) DESC, nid ASC) = 1),
+       |${mmrStepSql(2)},
+       |${mmrStepSql(3)},
+       |${mmrStepSql(4)},
+       |${mmrStepSql(5)}
+       |SELECT qid AS query_id, nid AS neighbor_id, rel,
+       |  CAST(sel_rank AS INT) AS sel_rank
+       |FROM sel5
+       |ORDER BY query_id, sel_rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q199_mmr_topk"        -> q199MmrTopK _,
     "q197_percentile_rank" -> q197PercentileRank _,
     "q191_join_cardinality" -> q191JoinCardinality _,
     "q188_sorted_neighborhood" -> q188SortedNeighborhood _,
@@ -3450,6 +3514,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q199_mmr_topk"        -> q199Sql,
     "q197_percentile_rank" -> q197Sql,
     "q191_join_cardinality" -> q191Sql,
     "q188_sorted_neighborhood" -> q188Sql,

@@ -68,4 +68,30 @@ class ScdSpec extends SparkSpec {
       103L -> Some("C"), 104L -> None))
     assert(Scd.asOfLookup(facts, dim, "uid", "t").count() == facts.count())
   }
+
+  test("bitemporalAsOf: both axes independent, correction-wins tie rule") {
+    import spark.implicits._
+    // key 1: original (vf=10, tx=1, "a"); correction of the SAME
+    //   business date (vf=10, tx=2, "a2"); later business state
+    //   (vf=20, tx=1, "b")
+    // key 2: only becomes valid at vf=50
+    val t = Seq(
+      (1L, 10L, 1L, "a"), (1L, 10L, 2L, "a2"), (1L, 20L, 1L, "b"),
+      (2L, 50L, 1L, "z"))
+      .toDF("k", "vf", "tx", "attr")
+    def at(v: Long, tx: Long) = Scd
+      .bitemporalAsOf(t, "k", "vf", "tx", lit(v), lit(tx))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    // V=15, T=1: only vf=10 valid, correction not yet known → "a"
+    assert(at(15L, 1L) == Map(1L -> "a"))
+    // V=15, T=2: the tx-2 correction of vf=10 wins the tie → "a2"
+    assert(at(15L, 2L) == Map(1L -> "a2"))
+    // V=25 at any T: vf=20 is the latest valid state → "b";
+    // the vf=10 correction is shadowed by newer business state
+    assert(at(25L, 2L) == Map(1L -> "b"))
+    // V=60, T=1: key 2 appears once its validity starts
+    assert(at(60L, 1L) == Map(1L -> "b", 2L -> "z"))
+    // V before everything: empty, not null-rows
+    assert(at(5L, 2L).isEmpty)
+  }
 }

@@ -285,4 +285,33 @@ class SimilaritySpec extends SparkSpec {
     val idxDir = new java.io.File(s"$appended/index")
     assert(idxDir.listFiles().count(_.getName.startsWith("centroid_id=")) > 0)
   }
+
+  test("mmrTopK: diversity penalty breaks up a near-duplicate cluster") {
+    import spark.implicits._
+    // query along e1; corpus: a cluster of 3 near-copies with the
+    // highest relevance, plus two moderately-relevant but mutually
+    // near-orthogonal vectors. Plain top-3 = the cluster; at a
+    // diversity-heavy λ=30 MMR must pick ONE cluster member then the
+    // two outsiders (hand math: pick-2 scores 30·rel − 70·maxSim are
+    // v2: 30·.94−70·.896 = −34.5 vs v4: 30·.6−70·.57 = −21.9).
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // query
+      (1L, Array(0.95f, 0.05f, 0.0f, 0.0f)),
+      (2L, Array(0.94f, 0.06f, 0.0f, 0.0f)),
+      (3L, Array(0.93f, 0.07f, 0.0f, 0.0f)),
+      (4L, Array(0.6f, 0.0f, 0.8f, 0.0f)),
+      (5L, Array(0.6f, 0.0f, 0.0f, 0.8f)))
+      .toDF("vec_id", "embedding")
+    val corpus = vecs.filter(col("vec_id") > 0)
+    val query = vecs.filter(col("vec_id") === 0)
+    val got = Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+        shortlist = 5, k = 3, lambdaPct = 30)
+      .orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(1L, 4L, 5L), s"got $got")
+    // λ=100 degenerates to plain relevance top-k: the whole cluster
+    val plain = Similarity.mmrTopK(corpus, query, "vec_id", "embedding",
+        shortlist = 5, k = 3, lambdaPct = 100)
+      .orderBy("sel_rank").collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L, 3L), s"got $plain")
+  }
 }
