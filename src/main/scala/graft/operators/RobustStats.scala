@@ -83,21 +83,44 @@ object RobustStats {
   def percentileRank(df: DataFrame, idCol: String, valueCol: String,
       nBuckets: Int = 256): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
-    val spark = df.sparkSession
     val rows = df.select(col(idCol).as("_id"),
       (col(valueCol).cast(DecimalType(18, 6)) * 1000000L)
         .cast(LongType).as("_vm"))
-    val bounds = rows.agg(min(col("_vm")).as("mn"), max(col("_vm")).as("mx"))
+    valueRanks(rows.select(col("_vm")), nBuckets) match {
+      case None =>
+        rows.select(col("_id").as(idCol), col("_vm"),
+          col("_vm").as("rank_lt"), col("_vm").as("pct_scaled"))
+          .filter(lit(false))
+      case Some((ranks, n)) =>
+        val den = math.max(n - 1L, 1L)
+        rows.join(ranks.select(col("_vm"), col("rank_lt")), Seq("_vm"))
+          .select(col("_id").as(idCol), col("_vm"),
+            col("rank_lt").cast(LongType).as("rank_lt"),
+            expr(s"(rank_lt * 1000000L) div ${den}L")
+              .cast(LongType).as("pct_scaled"))
+    }
+  }
+
+  /** Exclusive prefix counts per DISTINCT value of the `_vm` column,
+    * in value order, with NO global window: values range-bucket by
+    * their driver-bounded min/max; bucket-major order is value order,
+    * so per-bucket windows plus ≤nBuckets collected carry-in offsets
+    * give the global prefix — the [[Sampling.budgetSelect]] two-phase
+    * shape shared by [[percentileRank]] and [[quantileNormalize]].
+    * Returns (the (_vm, _c, rank_lt) frame, total row count), or None
+    * on empty input.
+    */
+  private def valueRanks(values: DataFrame,
+      nBuckets: Int): Option[(DataFrame, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = values.sparkSession
+    val bounds = values.agg(min(col("_vm")).as("mn"), max(col("_vm")).as("mx"))
       .collect()(0)
-    if (bounds.isNullAt(0)) // empty input
-      return rows.select(col("_id").as(idCol), col("_vm"),
-        col("_vm").as("rank_lt"), col("_vm").as("pct_scaled"))
-        .filter(lit(false))
+    if (bounds.isNullAt(0)) return None
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(mx - mn, 0L) + 1L
-    val counts = rows.groupBy(col("_vm")).agg(count(lit(1)).as("_c"))
+    val counts = values.groupBy(col("_vm")).agg(count(lit(1)).as("_c"))
       // integer div, NOT Column./ (which is double division)
       .withColumn("_qb",
         expr(s"((_vm - ${mn}L) * ${nBuckets}L) div ${span}L"))
@@ -105,18 +128,57 @@ object RobustStats {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offs = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init)
     val planDf = spark.createDataFrame(offs.toSeq).toDF("_qb", "_off")
-    val n = totals.map(_._2).sum
-    val den = math.max(n - 1L, 1L)
     val win = Window.partitionBy(col("_qb")).orderBy(col("_vm"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val ranks = counts.join(broadcast(planDf), Seq("_qb"))
       .withColumn("rank_lt",
         col("_off") + sum(col("_c")).over(win) - col("_c"))
-      .select(col("_vm"), col("rank_lt"))
-    rows.join(ranks, Seq("_vm"))
-      .select(col("_id").as(idCol), col("_vm"),
-        col("rank_lt").cast(LongType).as("rank_lt"),
-        expr(s"(rank_lt * 1000000L) div ${den}L")
-          .cast(LongType).as("pct_scaled"))
+      .select(col("_vm"), col("_c"), col("rank_lt"))
+    Some((ranks, totals.map(_._2).sum))
+  }
+
+  /** Quantile normalization across groups — the batch-effect
+    * correction that maps every group's value distribution onto the
+    * POOLED distribution (two sources whose length/score scales drift
+    * apart become comparable without inventing a parametric model):
+    * a row at within-group rank r_g maps to the pooled order
+    * statistic at position r_g·(N−1) DIV (n_g−1).
+    *
+    * All positions are exact integers; the pooled order-statistic
+    * lookup is a range join of positions against the distinct-value
+    * interval frame ([rank_lt, rank_lt+cnt)), built by [[valueRanks]]
+    * without a global window. The within-group rank is ONE keyed
+    * window (min-rank ties). Output: id, group, value_mic, norm_mic
+    * (the pooled value, micro units).
+    */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, nBuckets: Int = 256): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val rows = df.select(col(idCol).as("_id"), col(groupCol).as("_g"),
+      (col(valueCol).cast(DecimalType(18, 6)) * 1000000L)
+        .cast(LongType).as("_vm"))
+    valueRanks(rows.select(col("_vm")), nBuckets) match {
+      case None =>
+        rows.select(col("_id").as(idCol), col("_g").as(groupCol),
+          col("_vm").as("value_mic"), col("_vm").as("norm_mic"))
+          .filter(lit(false))
+      case Some((pooled, n)) =>
+        val wg = Window.partitionBy(col("_g")).orderBy(col("_vm"))
+        val ng = rows.groupBy(col("_g")).agg(count(lit(1)).as("_ng"))
+        val pos = rows
+          .withColumn("_rg", rank().over(wg).cast(LongType) - 1L)
+          .join(ng, Seq("_g"))
+          .withColumn("_p", expr(
+            s"(_rg * ${math.max(n - 1L, 0L)}L) div " +
+              "(CASE WHEN _ng > 1 THEN _ng - 1 ELSE 1 END)"))
+        val iv = pooled.select(col("_vm").as("_pv"), col("_c"),
+          col("rank_lt").as("_rl"))
+        pos.join(iv,
+            col("_p") >= col("_rl") && col("_p") < col("_rl") + col("_c"))
+          .select(col("_id").as(idCol), col("_g").as(groupCol),
+            col("_vm").as("value_mic"), col("_pv").as("norm_mic"))
+    }
   }
 }

@@ -2018,7 +2018,83 @@ object Relational {
       |FROM pick WHERE rn = 1
       |ORDER BY as_of_tx, o_orderkey""".stripMargin
 
+  /** Local clustering coefficients
+    * ([[graft.operators.Graph.clusteringCoefficient]]) on q114's
+    * co-purchase graph: 2·T/(deg·(deg−1)) as the exact integer
+    * (2·T·10⁶) DIV (deg·(deg−1)) — the community-density signal raw
+    * triangle counts miss (hubs dilute). The oracle recomputes
+    * triangles, degrees and the division from scratch.
+    */
+  def q201ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val edges = p.as("a")
+      .join(p.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+      .orderBy("node_id")
+  }
+
+  val q201Sql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+      |  FROM p a JOIN p b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |tri AS (
+      |  SELECT a.lo AS x, a.hi AS y, b.hi AS z
+      |  FROM e a
+      |  JOIN e b ON b.lo = a.hi
+      |  JOIN e c ON c.lo = a.lo AND c.hi = b.hi),
+      |pn AS (
+      |  SELECT node_id, CAST(count(*) AS BIGINT) AS n_triangles
+      |  FROM (SELECT unnest([x, y, z]) AS node_id FROM tri)
+      |  GROUP BY node_id),
+      |deg AS (
+      |  SELECT node_id, CAST(count(*) AS BIGINT) AS degree
+      |  FROM (SELECT lo AS node_id FROM e UNION ALL SELECT hi FROM e)
+      |  GROUP BY node_id)
+      |SELECT d.node_id, d.degree,
+      |  coalesce(pn.n_triangles, 0) AS n_triangles,
+      |  CAST(CASE WHEN d.degree >= 2
+      |    THEN (2 * coalesce(pn.n_triangles, 0) * 1000000)
+      |      // (d.degree * (d.degree - 1))
+      |    ELSE 0 END AS BIGINT) AS cc_scaled
+      |FROM deg d LEFT JOIN pn USING (node_id)
+      |ORDER BY d.node_id""".stripMargin
+
+  /** Unpivot / melt — the wide→long reshaping every feature pipeline
+    * needs somewhere (per-metric rows for a generic quality monitor,
+    * long-format exports): four lineitem measures stacked into
+    * (metric, value) rows with Spark's native `stack` generator — a
+    * narrow 4× row expansion, zero exchanges, the exact inverse
+    * surface of q47's pivot.
+    */
+  def q202Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir).filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        expr("""stack(4,
+          'quantity', CAST(l_quantity AS DOUBLE),
+          'extendedprice', CAST(l_extendedprice AS DOUBLE),
+          'discount', CAST(l_discount AS DOUBLE),
+          'tax', CAST(l_tax AS DOUBLE)) AS (metric, value)"""))
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  val q202Sql: String = {
+    def leg(m: String, c: String): String =
+      s"""SELECT l_orderkey, l_linenumber, '$m' AS metric,
+         |  CAST($c AS DOUBLE) AS value
+         |FROM lineitem WHERE l_orderkey < 200""".stripMargin
+    Seq(leg("quantity", "l_quantity"), leg("extendedprice", "l_extendedprice"),
+      leg("discount", "l_discount"), leg("tax", "l_tax"))
+      .mkString("", "\nUNION ALL\n",
+        "\nORDER BY l_orderkey, l_linenumber, metric")
+  }
+
   val queries: Map[String, Q] = Map(
+    "q201_clustering_coeff" -> q201ClusteringCoeff _,
+    "q202_unpivot"         -> q202Unpivot _,
     "q198_bitemporal"      -> q198Bitemporal _,
     "q192_sssp_routes"     -> q192SsspRoutes _,
     "q185_kcore"           -> q185KCore _,
@@ -2074,6 +2150,8 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q201_clustering_coeff" -> q201Sql,
+    "q202_unpivot"         -> q202Sql,
     "q198_bitemporal"      -> q198Sql,
     "q192_sssp_routes"     -> q192Sql,
     "q185_kcore"           -> q185Sql,

@@ -3440,7 +3440,48 @@ object TrainingData {
        |FROM sel5
        |ORDER BY query_id, sel_rank""".stripMargin
 
+  /** Quantile normalization across sources
+    * ([[graft.operators.RobustStats.quantileNormalize]]): each
+    * source's n_chars distribution mapped onto the POOLED
+    * distribution — the batch-effect correction that makes per-source
+    * length/score scales comparable without a parametric model. All
+    * rank positions are exact integers; the pooled order-statistic
+    * lookup replays as a range join against distinct-value intervals.
+    */
+  def q200QuantileNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.quantileNormalize(
+        Tables.documents(s, dir), "doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
+  val q200Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST(n_chars AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS vm
+      |  FROM documents),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |grp AS (
+      |  SELECT doc_id, source, vm,
+      |    rank() OVER (PARTITION BY source ORDER BY vm) - 1 AS rg,
+      |    count(*) OVER (PARTITION BY source) AS ng
+      |  FROM v),
+      |pos AS (
+      |  SELECT g.doc_id, g.source, g.vm,
+      |    (g.rg * (nn.n - 1))
+      |      // (CASE WHEN g.ng > 1 THEN g.ng - 1 ELSE 1 END) AS p
+      |  FROM grp g CROSS JOIN nn),
+      |pooled AS (SELECT vm AS pv, CAST(count(*) AS BIGINT) AS c
+      |           FROM v GROUP BY vm),
+      |pr AS (
+      |  SELECT pv, c, COALESCE(sum(c) OVER (ORDER BY pv
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rl
+      |  FROM pooled)
+      |SELECT pos.doc_id, pos.source, pos.vm AS value_mic,
+      |  pr.pv AS norm_mic
+      |FROM pos JOIN pr ON pos.p >= pr.rl AND pos.p < pr.rl + pr.c
+      |ORDER BY pos.doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q200_quantile_normalize" -> q200QuantileNormalize _,
     "q199_mmr_topk"        -> q199MmrTopK _,
     "q197_percentile_rank" -> q197PercentileRank _,
     "q191_join_cardinality" -> q191JoinCardinality _,
@@ -3514,6 +3555,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q200_quantile_normalize" -> q200Sql,
     "q199_mmr_topk"        -> q199Sql,
     "q197_percentile_rank" -> q197Sql,
     "q191_join_cardinality" -> q191Sql,

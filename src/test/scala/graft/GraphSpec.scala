@@ -237,6 +237,23 @@ class GraphSpec extends SparkSpec {
     assert(run(1).toSeq == run(7).toSeq)
   }
 
+  test("clusteringCoefficient: clique 10⁶, tail 0, triangle-with-tail hand value") {
+    import spark.implicits._
+    // K4 {1,2,3,4}: every node cc = 1.0 (all neighbor pairs closed);
+    // node 10 hangs off 1 (degree 1 → 0); node 1 then has degree 4,
+    // triangles 3 → 2·3·10⁶ div (4·3) = 500000
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.clusteringCoefficient(
+        (k4 :+ (1L, 10L)).toDF("src", "dst"), "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    assert(got(1L) == ((4L, 500000L)))
+    assert(got(2L) == ((3L, 1000000L)))
+    assert(got(3L) == ((3L, 1000000L)))
+    assert(got(4L) == ((3L, 1000000L)))
+    assert(got(10L) == ((1L, 0L)))
+  }
+
   test("ssspBounded: cheap long route beats expensive direct edge") {
     import spark.implicits._
     // 1→4 direct costs 100; 1→2→3→4 costs 3; the cheap route needs 3

@@ -124,4 +124,36 @@ class StatsOpsSpec extends SparkSpec {
       .collect().head
     assert(one.getLong(2) == 0L && one.getLong(3) == 0L)
   }
+
+  test("quantileNormalize: groups land on pooled order statistics, identity on one group") {
+    import spark.implicits._
+    import graft.operators.RobustStats
+    // group A = {10, 20, 30, 40}, group B = {1000, 2000, 3000, 4000}:
+    // same shape, shifted scale. Pooled sorted (micro):
+    // 10,20,30,40,1000,2000,3000,4000 → positions 0..7. Each group's
+    // rank r∈{0..3} maps to position r·7 div 3 = 0,2,4,7 → pooled
+    // values 10,30,1000,4000 — IDENTICAL for both groups (and the
+    // extremes land on the pooled extremes): the point of the
+    // transform.
+    val df = (Seq(10, 20, 30, 40).map(v => ("A", v.toLong)) ++
+      Seq(1000, 2000, 3000, 4000).map(v => ("B", v.toLong)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v.toDouble) }
+      .toDF("id", "g", "v")
+    val got = RobustStats.quantileNormalize(df, "id", "g", "v")
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2) / 1000000L) -> (r.getLong(3) / 1000000L))
+      .toMap
+    assert(got == Map(
+      ("A", 10L) -> 10L, ("A", 20L) -> 30L, ("A", 30L) -> 1000L,
+      ("A", 40L) -> 4000L,
+      ("B", 1000L) -> 10L, ("B", 2000L) -> 30L, ("B", 3000L) -> 1000L,
+      ("B", 4000L) -> 4000L))
+    // a single group maps onto itself at every rank position where
+    // r·(N−1) div (n−1) = r — which holds when the group IS the pool
+    val solo = Seq((1L, "X", 5.0), (2L, "X", 7.0), (3L, "X", 9.0))
+      .toDF("id", "g", "v")
+    val self = RobustStats.quantileNormalize(solo, "id", "g", "v")
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(self.forall { case (v, nv) => v == nv })
+  }
 }
