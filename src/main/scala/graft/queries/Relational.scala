@@ -2092,7 +2092,72 @@ object Relational {
         "\nORDER BY l_orderkey, l_linenumber, metric")
   }
 
+  /** Correlated LATERAL subquery — the per-row-subquery SQL surface
+    * (top-2 orders per customer by price, expressed the way an
+    * analyst writes it, not pre-rewritten into a window). Catalyst's
+    * decorrelation compiles the LATERAL ... ORDER BY ... LIMIT into a
+    * keyed rank window — the scalable plan — and this query proves
+    * that the DECLARATIVE form reaches it; the oracle runs the
+    * identical LATERAL text in DuckDB.
+    */
+  def q203LateralTopK(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+               WHERE o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o""")
+      .orderBy(col("c_custkey"), desc("o_totalprice"), col("o_orderkey"))
+  }
+
+  val q203Sql: String =
+    """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      |ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey""".stripMargin
+
+  /** Dynamic partition pruning: events written date-partitioned, a
+    * selective dim (every 7th day-of-month) joined on the PARTITION
+    * column — Catalyst injects the dim's keys as a runtime partition
+    * filter, so the fact scan reads ~3/30 partitions instead of all
+    * (the 100 TB point of date-partitioned layouts; PlanShapeSpec
+    * asserts the `dynamicpruning` subquery is actually in the scan).
+    * The oracle recomputes the selected days' aggregates from the
+    * raw table.
+    */
+  def q204Dpp(s: SparkSession, dir: String): DataFrame = {
+    val path = Det.scratchPath("q204", dir) + "/t"
+    val ev = Tables.events(s, dir).select(col("event_id"), col("value"),
+      to_date(col("ts")).as("d"))
+    ev.write.partitionBy("d").mode("overwrite").parquet(path)
+    val fact = s.read.parquet(path)
+    val dim = s.read.parquet(path).select(col("d")).distinct()
+      .filter(dayofmonth(col("d")) % 7 === 2)
+    fact.join(broadcast(dim), Seq("d"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_events"),
+        Det.exactSum(col("value")).as("sum_value"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("sum_value"))
+      .orderBy("day")
+  }
+
+  val q204Sql: String =
+    s"""SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       |  count(*) AS n_events,
+       |  ${Det.exactSumSql("value")} AS sum_value
+       |FROM events
+       |WHERE day(CAST(ts AS DATE)) % 7 = 2
+       |GROUP BY 1
+       |ORDER BY 1""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q203_lateral_topk"    -> q203LateralTopK _,
+    "q204_dpp"             -> q204Dpp _,
     "q201_clustering_coeff" -> q201ClusteringCoeff _,
     "q202_unpivot"         -> q202Unpivot _,
     "q198_bitemporal"      -> q198Bitemporal _,
@@ -2150,6 +2215,8 @@ object Relational {
     "q13_anti_join"         -> q13AntiJoin _)
 
   val oracle: Map[String, String] = Map(
+    "q203_lateral_topk"    -> q203Sql,
+    "q204_dpp"             -> q204Sql,
     "q201_clustering_coeff" -> q201Sql,
     "q202_unpivot"         -> q202Sql,
     "q198_bitemporal"      -> q198Sql,

@@ -147,6 +147,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(bad.isEmpty, s"UDFs in plans of: ${bad.mkString(", ")}")
   }
 
+  test("LATERAL top-k decorrelates to a keyed rank window") {
+    // the declarative correlated form must reach the scalable plan —
+    // a per-customer re-execution (or worse, a cartesian) would be a
+    // decorrelation regression
+    val p = plans("q203_lateral_topk")
+    assert(p.contains("Window"), s"no window in q203 plan:\n$p")
+  }
+
+  test("partition-keyed dim join injects dynamic partition pruning") {
+    // the date-partitioned fact scan must carry the runtime
+    // dynamicpruning subquery — without it the join reads all ~30
+    // partitions for a 5-day dim at every scale
+    val p = plans("q204_dpp")
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no dynamic partition pruning in q204 plan:\n$p")
+  }
+
   test("selective scans push their filters into the parquet reader") {
     // regressing one of these to a post-scan filter re-reads full
     // row-groups at 100 TB
