@@ -980,7 +980,45 @@ object StreamingQueries {
       |GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Sliding-quota rate limiting, batch twin
+    * ([[graft.streaming.EventStreams.rateLimit]] — the
+    * `transformWithState` processor whose ListState holds each user's
+    * window-pruned arrivals): an event is allowed iff fewer than 4
+    * same-user arrivals precede it within 24 h. Here the SAME verdict
+    * comes from a keyed RANGE window over arrival micros — the
+    * declarative twin the stream must match (StreamingSpec asserts
+    * it); per-user admission totals go through the oracle.
+    */
+  def q205RateLimitTwin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-86400L * 1000000L, -1L)
+    Tables.events(s, dir)
+      .withColumn("n_recent", count(lit(1)).over(w).cast(LongType))
+      .withColumn("allowed",
+        when(col("n_recent") < 4, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("allowed")).cast(LongType).as("n_allowed"),
+        max(col("n_recent")).as("max_recent"))
+      .orderBy("user_id")
+  }
+
+  val q205Sql: String =
+    """WITH r AS (
+      |  SELECT user_id,
+      |    count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |      RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS n_recent
+      |  FROM events)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN n_recent < 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+      |  CAST(max(n_recent) AS BIGINT) AS max_recent
+      |FROM r
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q205_rate_limit_twin" -> q205RateLimitTwin _,
     "q181_session_window" -> q181SessionWindow _,
     "q162_session_concurrency" -> q162SessionConcurrency _,
     "q160_ab_experiment"  -> q160AbExperiment _,
@@ -1004,6 +1042,7 @@ object StreamingQueries {
     "q44_stream_dedup"    -> q44StreamDedup _)
 
   val oracle: Map[String, String] = Map(
+    "q205_rate_limit_twin" -> q205Sql,
     "q181_session_window" -> q181Sql,
     "q162_session_concurrency" -> q162Sql,
     "q160_ab_experiment"  -> q160Sql,

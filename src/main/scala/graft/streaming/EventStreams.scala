@@ -318,4 +318,74 @@ object EventStreams {
           closed.reverse.iterator
       }
   }
+
+  // ------------------------------------------------------------------
+  // transformWithState (arbitrary stateful processing v2, Spark 4):
+  // sliding-quota rate limiting
+  // ------------------------------------------------------------------
+
+  final case class RateVerdict(
+    user_id: Long, event_id: Long, n_recent: Long, allowed: Int)
+
+  /** Per-key sliding-quota state machine on the `transformWithState`
+    * API (the Spark-4 successor to mapGroupsWithState: typed
+    * ValueState/ListState/MapState handles, native TTL, timers): each
+    * user's recent arrival timestamps ride in a ListState, pruned to
+    * the window on every event — state is ≤quota-ish timestamps per
+    * active key, never the history. An event is `allowed` iff fewer
+    * than `quota` arrivals precede it within `windowSec` — the
+    * admission decision of any ingestion throttle / abuse gate.
+    *
+    * Within-batch rows sort by (event time, event id) before the fold
+    * so the verdicts are replay-deterministic; the batch twin (q205)
+    * is the RANGE-window formulation over the same arrival counts,
+    * and StreamingSpec asserts stream == batch on in-order feeds.
+    */
+  class RateLimitProcessor(windowSec: Long, quota: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, RateVerdict] {
+    @transient private var recent:
+      org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(
+        outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      recent = getHandle.getListState[Long]("recent",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    private def us(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos % 1000000) / 1000
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[RateVerdict] = {
+      val sorted = rows.toArray.sortBy(e => (us(e.ts), e.event_id))
+      var state: Array[Long] =
+        if (recent.exists()) recent.get().toArray else Array.empty
+      val out = sorted.map { e =>
+        val u = us(e.ts)
+        val lo = u - windowSec * 1000000L
+        state = state.filter(_ >= lo)
+        val n = state.count(_ < u)
+        val verdict = RateVerdict(key, e.event_id, n.toLong,
+          if (n < quota) 1 else 0)
+        state :+= u
+        verdict
+      }
+      recent.clear()
+      if (state.nonEmpty) recent.appendList(state)
+      out.iterator
+    }
+  }
+
+  /** [[RateLimitProcessor]] wired through `transformWithState`. */
+  def rateLimit(events: Dataset[Event], windowSec: Long,
+      quota: Int): Dataset[RateVerdict] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RateLimitProcessor(windowSec, quota),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
 }

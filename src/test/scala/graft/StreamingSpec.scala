@@ -341,4 +341,65 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.toSet == batch)
     } finally q.stop()
   }
+
+  test("transformWithState rate limiter matches the RANGE-window batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // transformWithState requires the RocksDB state store provider
+    val prevProvider = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Event]
+    val verdicts = EventStreams.rateLimit(input.toDS(),
+      windowSec = 600, quota = 2)
+    val q = verdicts.writeStream.outputMode("append")
+      .format("memory").queryName("rate_out").start()
+    try {
+      // user 1: four events inside 10 min (3rd and 4th throttled at
+      // quota 2), then one after the window slides past the first two
+      // — delivered across TWO triggers so ListState carries over
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:03:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 10:06:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ts("2024-01-01 10:09:00"), 1, "click", 1.0),
+        Event(5, ts("2024-01-01 10:14:00"), 1, "click", 1.0),
+        Event(6, ts("2024-01-01 10:00:00"), 2, "click", 1.0))
+      q.processAllAvailable()
+      val streamed = spark.table("rate_out").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+      // batch twin over the same rows
+      val rows = Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L), (2L, ts("2024-01-01 10:03:00"), 1L),
+        (3L, ts("2024-01-01 10:06:00"), 1L), (4L, ts("2024-01-01 10:09:00"), 1L),
+        (5L, ts("2024-01-01 10:14:00"), 1L), (6L, ts("2024-01-01 10:00:00"), 2L))
+        .toDF("event_id", "ts", "user_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+        .rangeBetween(-600L * 1000000L, -1L)
+      val batch = rows
+        .withColumn("n_recent", count(lit(1)).over(w))
+        .withColumn("allowed", when(col("n_recent") < 2, 1).otherwise(0))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getInt(4))).toSet
+      assert(streamed == batch, s"stream $streamed != batch $batch")
+      // the hand-computable verdicts: events 3 and 4 throttled (2 in
+      // window), event 5 allowed again (10:04–10:14 window holds 3:06,
+      // 3 events... recompute: within [10:04, 10:14) are 10:06, 10:09
+      // → n_recent=2 → throttled!), event 6 is another user's first
+      assert(streamed == Set((1L, 0L, 1), (2L, 1L, 1), (3L, 2L, 0),
+        (4L, 3L, 0), (5L, 2L, 0), (6L, 0L, 1)))
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
