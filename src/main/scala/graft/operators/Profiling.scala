@@ -129,6 +129,49 @@ object Profiling {
     branches.reduceLeft(_.unionByName(_)).orderBy(col("col_name"))
   }
 
+  /** Benford first-digit audit: the observed first-significant-digit
+    * distribution of a positive numeric column against Benford's law
+    * — the classic fabricated-data screen (organic multiplicative
+    * quantities follow log₁₀(1+1/d); invented or uniformly-generated
+    * figures don't, which is itself informative about a synthetic
+    * source). Expected shares are PUBLIC constants in ppm
+    * (301030, 176091, …); observed shares are exact integers
+    * obs·10⁶ DIV N, so the deviation column is integer end-to-end.
+    *
+    * First digit extraction is string-of-BIGINT (floor → cast →
+    * first char) — never a formatted double, so any engine matches
+    * byte-for-byte. The audited domain is [1, 2⁶³): rows below 1
+    * have no first significant digit at this resolution, rows at or
+    * above 2⁶³ would overflow the exact integer path (a money/count
+    * column never gets there; both bounds are part of the declared
+    * semantics and replayed by the oracle). Scale: one 1-column
+    * pruned scan → 9-row aggregate.
+    */
+  val benfordPpm: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val digit = substring(
+      floor(col(valueCol)).cast("bigint").cast("string"), 1, 1).cast("int")
+    val obs = df
+      .filter(col(valueCol) >= 1 && col(valueCol) < 9.223372036854775e18)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val expected = obs.sparkSession
+      .createDataFrame(benfordPpm).toDF("digit", "expected_ppm")
+    val n = obs.agg(sum(col("n_obs")).as("_n"))
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("digit"),
+        coalesce(col("n_obs"), lit(0L)).cast("bigint").as("n_obs"),
+        expr("(coalesce(n_obs, 0L) * 1000000L) div _n").as("obs_ppm"),
+        col("expected_ppm"),
+        abs(expr("(coalesce(n_obs, 0L) * 1000000L) div _n") -
+          col("expected_ppm")).as("dev_ppm"))
+      .orderBy("digit")
+  }
+
   def functionalDependencies(df: DataFrame, tableName: String,
       candidates: Seq[(String, String)]): DataFrame = {
     require(candidates.nonEmpty, "need at least one candidate pair")

@@ -137,6 +137,43 @@ object RobustStats {
     Some((ranks, totals.map(_._2).sum))
   }
 
+  /** Exact weighted median per group: the smallest value whose
+    * cumulative weight reaches half the group total (2·cumw ≥ totw,
+    * integer cross-multiplied — no float half). The size-aware
+    * central tendency a corpus report actually needs: the unweighted
+    * median of document LENGTHS answers "the typical document"; the
+    * token-weighted median answers "the typical TOKEN's document" —
+    * wildly different under skew.
+    *
+    * One keyed window (cumulative weight in (value, id) order) + one
+    * keyed argmin — deviation from [[madOutlierStats]]'s unweighted
+    * median machinery is exactly the weight column. Values and
+    * weights are cast to long (micro-scale upstream if fractional).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rows = df.select(col(groupCol).as("_g"),
+      col(valueCol).cast(LongType).as("_v"),
+      col(weightCol).cast(LongType).as("_w"),
+      col(idCol).as("_id"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"), col("_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = rows.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("_w")).as("total_w"))
+    rows.withColumn("_cum", sum(col("_w")).over(w))
+      .join(tot, Seq("_g"))
+      .filter(col("_cum") * 2 >= col("total_w"))
+      .groupBy(col("_g"))
+      .agg(min(col("_v")).as("wmedian"),
+        first(col("n_rows")).as("n_rows"),
+        first(col("total_w")).as("total_w"))
+      .select(col("_g").as(groupCol),
+        col("n_rows").cast(LongType).as("n_rows"),
+        col("total_w").cast(LongType).as("total_w"),
+        col("wmedian").cast(LongType).as("wmedian"))
+  }
+
   /** Quantile normalization across groups — the batch-effect
     * correction that maps every group's value distribution onto the
     * POOLED distribution (two sources whose length/score scales drift

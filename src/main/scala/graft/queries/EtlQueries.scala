@@ -581,7 +581,43 @@ object EtlQueries {
       |GROUP BY cell.c_nationkey, cell.bal_bucket, grp.ng, grp.cvp, tot.ntot
       |ORDER BY cell.c_nationkey, cell.bal_bucket""".stripMargin
 
+  /** Benford first-digit audit
+    * ([[graft.operators.Profiling.benfordAudit]]) of order totals:
+    * observed first-significant-digit shares (exact integer ppm) vs
+    * the public Benford constants — the fabricated-data screen. The
+    * fixture's uniform-ish totals genuinely DEVIATE from Benford,
+    * which is what the audit is for; the oracle replays digit
+    * extraction (string-of-BIGINT, never a formatted double), counts
+    * and every ppm division.
+    */
+  def q206Benford(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.benfordAudit(
+      Tables.orders(s, dir), "o_totalprice")
+
+  val q206Sql: String =
+    """WITH obs AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+      |      1, 1) AS INT) AS digit,
+      |    CAST(count(*) AS BIGINT) AS n_obs
+      |  FROM orders
+      |  WHERE o_totalprice >= 1 AND o_totalprice < 9.223372036854775e18
+      |  GROUP BY 1),
+      |n AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs),
+      |e AS (
+      |  SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+      |    unnest([301030,176091,124939,96910,79181,66947,57992,51153,45757])
+      |      AS expected_ppm)
+      |SELECT e.digit,
+      |  COALESCE(o.n_obs, 0) AS n_obs,
+      |  CAST((COALESCE(o.n_obs, 0) * 1000000) // n.n AS BIGINT) AS obs_ppm,
+      |  CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+      |  CAST(abs((COALESCE(o.n_obs, 0) * 1000000) // n.n - e.expected_ppm)
+      |    AS BIGINT) AS dev_ppm
+      |FROM e LEFT JOIN obs o USING (digit) CROSS JOIN n
+      |ORDER BY e.digit""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q206_benford_audit"  -> q206Benford _,
     "q186_t_closeness"    -> q186TCloseness _,
     "q180_l_diversity"    -> q180LDiversity _,
     "q133_golden_records" -> q133GoldenRecords _,
@@ -598,6 +634,7 @@ object EtlQueries {
     "q107_pseudonymize"   -> q107Pseudonymize _)
 
   val oracle: Map[String, String] = Map(
+    "q206_benford_audit"  -> q206Sql,
     "q186_t_closeness"    -> q186Sql,
     "q180_l_diversity"    -> q180Sql,
     "q133_golden_records" -> q133Sql,

@@ -3480,7 +3480,41 @@ object TrainingData {
       |FROM pos JOIN pr ON pos.p >= pr.rl AND pos.p < pr.rl + pr.c
       |ORDER BY pos.doc_id""".stripMargin
 
+  /** Token-weighted median document length per source
+    * ([[graft.operators.RobustStats.weightedMedian]]): the smallest
+    * n_chars whose cumulative TOKEN weight reaches half the source's
+    * total — "the typical token's document", which under length skew
+    * sits far from the unweighted median ("the typical document").
+    * Integer cross-multiplied threshold (2·cumw ≥ totw), replayed by
+    * the oracle window-for-window.
+    */
+  def q207WeightedMedian(s: SparkSession, dir: String): DataFrame =
+    graft.operators.RobustStats.weightedMedian(
+        Tables.documents(s, dir)
+          .withColumn("n_tok", tokenCount(col("text")).cast("long")),
+        "source", "n_chars", "n_tok", "doc_id")
+      .orderBy("source")
+
+  val q207Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS v,
+      |    CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS w
+      |  FROM documents),
+      |c AS (
+      |  SELECT *,
+      |    sum(w) OVER (PARTITION BY source ORDER BY v, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    sum(w) OVER (PARTITION BY source) AS tot,
+      |    count(*) OVER (PARTITION BY source) AS n
+      |  FROM d)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_rows,
+      |  CAST(max(tot) AS BIGINT) AS total_w,
+      |  CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS wmedian
+      |FROM c GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q207_weighted_median" -> q207WeightedMedian _,
     "q200_quantile_normalize" -> q200QuantileNormalize _,
     "q199_mmr_topk"        -> q199MmrTopK _,
     "q197_percentile_rank" -> q197PercentileRank _,
@@ -3555,6 +3589,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q207_weighted_median" -> q207Sql,
     "q200_quantile_normalize" -> q200Sql,
     "q199_mmr_topk"        -> q199Sql,
     "q197_percentile_rank" -> q197Sql,

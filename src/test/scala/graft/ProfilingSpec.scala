@@ -79,4 +79,27 @@ class ProfilingSpec extends SparkSpec {
     // 2×a + 2×NULL: nulls are a value class → (16−8)·10⁶/16 = 500000
     assert(got("holey") == ((4L, 2L, 500000L)))
   }
+
+  test("benfordAudit: powers of 2 are near-Benford, absent digits emit zero rows") {
+    import spark.implicits._
+    // 2^0..2^62 (the audited domain tops out below 2⁶³): the
+    // canonical Benford-conforming sequence — every
+    // digit’s observed share lands within ~2.5% of the law
+    val pows = (0 until 63).map(i => math.pow(2.0, i)).toDF("v")
+    val got = graft.operators.Profiling.benfordAudit(pows, "v")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(4)))).toMap
+    assert(got.keySet == (1 to 9).toSet)
+    assert(got.values.map(_._1).sum == 63L)
+    got.foreach { case (d, (_, dev)) =>
+      assert(dev <= 35000L, s"digit $d deviates $dev ppm from Benford")
+    }
+    // all-same-digit data: digit 7 over-represented, the rest at
+    // n_obs 0 with dev = the full expected share; sub-1 values drop
+    val sevens = Seq(7.0, 70.5, 0.3, 700.0).toDF("v")
+    val g7 = graft.operators.Profiling.benfordAudit(sevens, "v")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(g7(7) == ((3L, 1000000L)))
+    assert(g7(1) == ((0L, 0L)))
+  }
 }

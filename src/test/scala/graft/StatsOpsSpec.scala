@@ -156,4 +156,21 @@ class StatsOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
     assert(self.forall { case (v, nv) => v == nv })
   }
+
+  test("weightedMedian: weight skew moves the median; equal weights reduce to plain") {
+    import spark.implicits._
+    import graft.operators.RobustStats
+    // group A: values 1..5, weight 1 each EXCEPT value 5 carries 10:
+    //   tot=14, cum at v=5 first reaches 2·cum ≥ 14 → wmedian 5
+    // group B: same values, all weight 1: tot=5, cum 1,2,3 → v=3
+    val rows =
+      (1L to 5L).map(v => ("A", v, if (v == 5L) 10L else 1L, v)) ++
+        (1L to 5L).map(v => ("B", v, 1L, v + 10))
+    val got = RobustStats.weightedMedian(
+        rows.toDF("g", "v", "w", "id"), "g", "v", "w", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("A") == ((5L, 14L, 5L)))
+    assert(got("B") == ((5L, 5L, 3L)))
+  }
 }
