@@ -212,7 +212,13 @@ object RobustStats {
               "(CASE WHEN _ng > 1 THEN _ng - 1 ELSE 1 END)"))
         val iv = pooled.select(col("_vm").as("_pv"), col("_c"),
           col("rank_lt").as("_rl"))
-        pos.join(iv,
+        // the interval frame (distinct-value-sized) is the BUILD side
+        // of the range lookup — without the hint Catalyst broadcast
+        // the CORPUS positions instead (observed), which inverts the
+        // size asymmetry at scale. A corpus whose distinct-value
+        // frame outgrows broadcast needs the bucketed RangeJoin
+        // operator here instead.
+        pos.join(broadcast(iv),
             col("_p") >= col("_rl") && col("_p") < col("_rl") + col("_c"))
           .select(col("_id").as(idCol), col("_g").as(groupCol),
             col("_vm").as("value_mic"), col("_pv").as("norm_mic"))
