@@ -108,6 +108,11 @@ class PlanShapeSpec extends SparkSpec {
                               // frame and the exact-size sum over the
                               // keyed count-join frame — partial
                               // buffers cross in both, one row out
+      "q206_benford_audit",   // the total-N scalar: ONE sum over the
+                              // ≤9-row digit-count frame (partial
+                              // buffers cross), broadcast back as the
+                              // ppm denominator; the digit count
+                              // itself is an ordinary keyed aggregate
       "q183_fd_discovery",    // per-candidate-pair FD summary: ONE
                               // scalar agg per pair whose INPUT is the
                               // keyed count-distinct frame (partial
