@@ -225,6 +225,17 @@ object Graph {
     * least one (normalized) edge, zero-filled, ordered by node_id.
     */
   def triangleCounts(
+      edgeList: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    trianglesWithDegree(edgeList, srcCol, dstCol)
+      .select(col("node_id"), col("n_triangles"))
+
+  /** Shared triangle core: (node_id, n_triangles, degree) over the
+    * normalized simple graph. [[clusteringCoefficient]] reads the
+    * degree column directly instead of re-normalizing the edge list
+    * and recounting degrees (a full second pass over the input at
+    * scale for a frame this computation already built).
+    */
+  private def trianglesWithDegree(
       edgeList: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = graft.sources.Tables.widen(edgeList)
       .select(col(srcCol).cast(LongType).as("_a"),
@@ -267,10 +278,11 @@ object Graph {
             .hint("shuffle_hash"), Seq("_x", "_z"))
           .select(explode(array(col("_x"), col("_y"), col("_z"))).as("node_id"))
           .groupBy(col("node_id")).agg(count(lit(1)).as("n_triangles"))
-        deg.select(col("_id").as("node_id"))
+        deg.select(col("_id").as("node_id"), col("_deg").cast(LongType).as("degree"))
           .join(tris, Seq("node_id"), "left")
           .select(col("node_id"),
-            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+            col("degree"))
           .orderBy(col("node_id"))
           .localCheckpoint(true)
       } finally deg.unpersist()
@@ -340,26 +352,17 @@ object Graph {
     * graph.
     */
   def clusteringCoefficient(
-      edgeList: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val deg = graft.sources.Tables.widen(edgeList)
-      .select(col(srcCol).cast(LongType).as("_a"),
-        col(dstCol).cast(LongType).as("_b"))
-      .filter(col("_a").isNotNull && col("_b").isNotNull &&
-        col("_a") =!= col("_b"))
-      .select(least(col("_a"), col("_b")).as("_lo"),
-        greatest(col("_a"), col("_b")).as("_hi"))
-      .distinct()
-      .select(explode(array(col("_lo"), col("_hi"))).as("node_id"))
-      .groupBy(col("node_id")).agg(count(lit(1)).cast(LongType).as("degree"))
-    triangleCounts(edgeList, srcCol, dstCol)
-      .join(deg, Seq("node_id"))
+      edgeList: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    // degree rides along from the triangle core's own normalization
+    // (round-9: previously this re-normalized the edge list and
+    // recounted degrees — a duplicated full pass over the input)
+    trianglesWithDegree(edgeList, srcCol, dstCol)
       .withColumn("cc_scaled",
         when(col("degree") >= 2,
           expr("(2L * n_triangles * 1000000L) div (degree * (degree - 1L))"))
           .otherwise(lit(0L)).cast(LongType))
       .select(col("node_id"), col("degree"), col("n_triangles"),
         col("cc_scaled"))
-  }
 
   /** Bounded k-core peeling: `rounds` synchronous iterations of
     * "drop every node with degree < k, then drop edges touching a

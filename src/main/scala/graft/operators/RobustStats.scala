@@ -121,9 +121,15 @@ object RobustStats {
     val (mn, mx) = (bounds.getLong(0), bounds.getLong(1))
     val span = math.max(mx - mn, 0L) + 1L
     val counts = values.groupBy(col("_vm")).agg(count(lit(1)).as("_c"))
-      // integer div, NOT Column./ (which is double division)
+      // integer div, NOT Column./ (which is double division). The
+      // bucket multiply runs in DECIMAL(38,0): with micro-unit inputs
+      // the span can reach ~2e18, and (_vm-mn)*nBuckets in BIGINT
+      // would overflow 2^63 (ANSI runtime failure) well inside the
+      // accepted input domain. The quotient is < nBuckets, so the
+      // final cast back to BIGINT is always safe.
       .withColumn("_qb",
-        expr(s"((_vm - ${mn}L) * ${nBuckets}L) div ${span}L"))
+        expr(s"CAST((CAST(_vm AS DECIMAL(38,0)) - ${mn}L) * ${nBuckets}L" +
+          s" div ${span}L AS BIGINT)"))
     val totals = counts.groupBy(col("_qb")).agg(sum(col("_c")).as("_t"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offs = totals.map(_._1).zip(totals.scanLeft(0L)(_ + _._2).init)

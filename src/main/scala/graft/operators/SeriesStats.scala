@@ -128,8 +128,12 @@ object SeriesStats {
       count(lit(1)).as("n_points"), sum(col("_vm")).as("_s"))
     val w = Window.partitionBy(col("_k")).orderBy(col("_t"))
     val withDev = series.join(stats, Seq("_k"))
+      // _vm widens to DECIMAL(38,0) BEFORE the ×n multiply: in Long
+      // arithmetic |v|·10⁶·n overflows 2⁶³ for values near 1e9 with
+      // ~9200 points — inside the DECIMAL(18,6) input domain (the
+      // oracle mirrors with a HUGEINT cast before its multiply)
       .withColumn("_dev",
-        (col("_vm") * col("n_points") - col("_s")).cast(big))
+        col("_vm").cast(big) * col("n_points") - col("_s").cast(big))
     val lagged = lags.foldLeft(withDev) { (acc, l) =>
       acc.withColumn(s"_dev_l$l", lag(col("_dev"), l).over(w))
     }

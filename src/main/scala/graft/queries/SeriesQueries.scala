@@ -74,10 +74,10 @@ object SeriesQueries {
       |  FROM vm GROUP BY 1),
       |dev AS (
       |  SELECT vm.event_type,
-      |    CAST(vm.vm * st.n - st.s AS HUGEINT) AS dv,
-      |    lag(CAST(vm.vm * st.n - st.s AS HUGEINT), 1)
+      |    CAST(vm.vm AS HUGEINT) * st.n - st.s AS dv,
+      |    lag(CAST(vm.vm AS HUGEINT) * st.n - st.s, 1)
       |      OVER (PARTITION BY vm.event_type ORDER BY vm.day) AS dv1,
-      |    lag(CAST(vm.vm * st.n - st.s AS HUGEINT), 2)
+      |    lag(CAST(vm.vm AS HUGEINT) * st.n - st.s, 2)
       |      OVER (PARTITION BY vm.event_type ORDER BY vm.day) AS dv2
       |  FROM vm JOIN st USING (event_type)),
       |ag AS (

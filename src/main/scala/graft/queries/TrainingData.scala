@@ -3231,7 +3231,7 @@ object TrainingData {
     import graft.functions.TextFunctions
     graft.operators.Linkage.sortedNeighborhoodPairs(
         Tables.widen(Tables.documents(s, dir)), "doc_id",
-        concat(substring(col("text"), 1, 64), lit(""),
+        concat(substring(col("text"), 1, 64), lit("\u0001"),
           lpad(col("doc_id").cast("string"), 10, "0")),
         transform(TextFunctions.tokens(col("text")),
           t => TextFunctions.md5Hash60(t)),
@@ -3513,7 +3513,90 @@ object TrainingData {
       |  CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS wmedian
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Exact substring-level dedup
+    * ([[graft.operators.SubstringDedup.exactSubstringDedup]], the Lee
+    * et al. ExactSubstr pass at 20-token granularity — the fixture
+    * corpus averages ~54 tokens/doc, so 20 exercises genuine
+    * cross-document verbatim spans while the operator's default stays
+    * at the published 50): every repeated 20-token window keeps its
+    * globally-first occurrence and loses every other copy. The oracle
+    * replays the positional shingle hashes, the first-site election,
+    * the coverage merge and the scrubbed reassembly verbatim.
+    */
+  def q208SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstringDedup
+      .exactSubstringDedup(Tables.documents(s, dir), "doc_id", "text", k = 20)
+      .orderBy("doc_id")
+
+  private def substrOracleCore(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |    x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |    ('0x' || substr(md5(array_to_string(toks[i : i + ${k - 1}], ' ')),
+       |      1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - $k + 2)) AS i
+       |        FROM t WHERE len(toks) >= $k)),
+       |dup AS (
+       |  SELECT h, min(doc_id) AS fd FROM occ
+       |  GROUP BY h HAVING count(*) >= 2),
+       |firstp AS (
+       |  SELECT o.h, o.doc_id AS fd, min(o.pos) AS fp
+       |  FROM occ o JOIN dup ON o.h = dup.h AND o.doc_id = dup.fd
+       |  GROUP BY o.h, o.doc_id),
+       |marked AS (
+       |  SELECT o.doc_id, o.pos FROM occ o JOIN firstp f ON o.h = f.h
+       |  WHERE NOT (o.doc_id = f.fd AND o.pos = f.fp))""".stripMargin
+
+  val q208Sql: String =
+    substrOracleCore(20) +
+      """,
+        |tok AS (
+        |  SELECT doc_id, unnest(toks) AS tok,
+        |    unnest(range(0, len(toks))) AS pos
+        |  FROM t),
+        |cov AS (
+        |  SELECT tk.doc_id, tk.pos, tk.tok,
+        |    CASE WHEN EXISTS (SELECT 1 FROM marked m
+        |      WHERE m.doc_id = tk.doc_id
+        |        AND m.pos BETWEEN tk.pos - 19 AND tk.pos) THEN 1 ELSE 0 END AS c
+        |  FROM tok tk)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+        |  CAST(sum(c) AS INT) AS n_dup_tokens,
+        |  coalesce(string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY pos),
+        |    '') AS dedup_text
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Duplicated-span audit
+    * ([[graft.operators.SubstringDedup.duplicatedSpans]]): the maximal
+    * scrubbed regions behind q208 — per removed copy, where the
+    * verbatim duplicate sits and how many tokens it spans
+    * (gaps-and-islands over the marked window starts, merge gap ≤ k).
+    */
+  def q209SubstringSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstringDedup
+      .duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 20)
+      .orderBy("doc_id", "span_start")
+
+  val q209Sql: String =
+    substrOracleCore(20) +
+      """,
+        |isl AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 20 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+        |  FROM (SELECT doc_id, pos,
+        |          lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |        FROM marked))
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q208_substring_dedup" -> q208SubstringDedup _,
+    "q209_substring_spans" -> q209SubstringSpans _,
     "q207_weighted_median" -> q207WeightedMedian _,
     "q200_quantile_normalize" -> q200QuantileNormalize _,
     "q199_mmr_topk"        -> q199MmrTopK _,
@@ -3589,6 +3672,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q208_substring_dedup" -> q208Sql,
+    "q209_substring_spans" -> q209Sql,
     "q207_weighted_median" -> q207Sql,
     "q200_quantile_normalize" -> q200Sql,
     "q199_mmr_topk"        -> q199Sql,
