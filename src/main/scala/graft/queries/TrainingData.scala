@@ -1457,7 +1457,7 @@ object TrainingData {
   }
 
   val q81Sql: String =
-    s"""WITH wf AS (
+    s"""WITH wf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
        |    FROM documents WHERE text IS NOT NULL)
@@ -1516,7 +1516,7 @@ object TrainingData {
        |  GROUP BY m.word)""".stripMargin
 
   val q77Sql: String =
-    s"""WITH wf AS (
+    s"""WITH wf AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
        |    FROM documents WHERE text IS NOT NULL)
@@ -1970,7 +1970,7 @@ object TrainingData {
        |  SELECT i, j, cov FROM cov
        |  UNION ALL
        |  SELECT j AS i, i AS j, cov FROM cov WHERE i < j),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT i AS vi, CAST(1.0 AS DOUBLE) / sqrt(CAST(64 AS DOUBLE)) AS val
        |  FROM range(0, 64) t(i)),
        |${(1 to 5).map(t => step(t, s"v${t - 1}")).mkString(",\n")},
@@ -2415,7 +2415,7 @@ object TrainingData {
       |pref AS (
       |  SELECT doc_id, g, n, rn FROM ranked
       |  WHERE rn <= n - ((8 * n + 9) // 10) + 1),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
       |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
       |  WHERE 10 * least(a.n, b.n) >= 8 * greatest(a.n, b.n)
@@ -3417,7 +3417,7 @@ object TrainingData {
        |    CAST(${dotDecSql("q.embedding", "e.embedding")} AS DOUBLE) AS rel
        |  FROM embeddings q JOIN embeddings e
        |    ON q.vec_id < 3 AND e.vec_id <> q.vec_id),
-       |cand AS (
+       |cand AS MATERIALIZED (
        |  SELECT qid, nid, rel FROM raw
        |  QUALIFY row_number() OVER (PARTITION BY qid
        |    ORDER BY rel DESC, nid ASC) <= 20),
@@ -3513,6 +3513,159 @@ object TrainingData {
       |  CAST(min(CASE WHEN cum * 2 >= tot THEN v END) AS BIGINT) AS wmedian
       |FROM c GROUP BY source ORDER BY source""".stripMargin
 
+  /** Unigram-LM (SentencePiece-style) tokenizer fit
+    * ([[graft.operators.Unigram.learnUnigramVocab]] — the EM-prune
+    * twin of q77's BPE): substring-frequency seed, then 2 Viterbi
+    * hard-EM rounds under integer micro-log2 likelihoods, pruning to
+    * a 16-piece multi-character budget each round (all seen single
+    * characters retained, add-one smoothed). Output is the full
+    * learning TRACE — (iter, piece, cnt) for the seed and both EM
+    * rounds — so a divergence ANYWHERE (a substring miscounted, a log
+    * approximated differently, a Viterbi tie broken the other way, a
+    * prune rank flipped) changes some row and breaks the hash. The
+    * DuckDB twin replays every round: candidate substrings, the
+    * bit-length micro-log2 arithmetic in HUGEINT, the position-
+    * unrolled Viterbi DP (16 steps — fixture words are ≤8 chars), the
+    * backpointer walk, the EM recount and both prunes.
+    */
+  def q210UnigramFit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.learnUnigramVocab(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "text", keepMulti = 16, iters = 2, maxPieceLen = 4, minCount = 2)
+      .orderBy("iter", "piece")
+
+  /** The inference side of q210
+    * ([[graft.operators.Unigram.unigramTokenCounts]], the q81
+    * contract): fit the unigram vocabulary, Viterbi-segment the
+    * DISTINCT-word vocabulary once under the final scores, join
+    * per-word piece counts back for a per-doc sum.
+    */
+  def q211UnigramTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Unigram.unigramTokenCounts(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")),
+        "doc_id", "text", keepMulti = 16, iters = 2, maxPieceLen = 4,
+        minCount = 2)
+      .orderBy("doc_id")
+
+  // ---- unigram oracle machinery (generated CTE unroll) ----
+
+  /** Integer micro-log2 of a positive BIGINT expression, in exact
+    * HUGEINT arithmetic — the DuckDB mirror of Unigram.ilog2Micro. */
+  private def ilogSql(x: String): String =
+    s"(length(bin($x))-1)*1000000 + CAST(CAST($x - (1::BIGINT << (length(bin($x))-1)) AS HUGEINT) * 1000000 // (1::BIGINT << (length(bin($x))-1)) AS BIGINT)"
+
+  private val UniMaxWordLen = 16 // fixture words are <= 8 chars; 2x headroom
+
+  /** One EM round in SQL: vocab `vin` → scores, position-unrolled
+    * Viterbi DP, backpointer walk, recount, prune → vocab `vout`.
+    * Tag `t` uniquifies the round's CTE names.
+    */
+  private def unigramEmStepSql(vin: String, vout: String, t: String,
+      keepMulti: Int): String = {
+    val L = UniMaxWordLen
+    val dpSteps = (1 to L).map { m =>
+      s"""dp${t}_$m AS MATERIALIZED (
+         |  SELECT * FROM dp${t}_${m - 1}
+         |  UNION ALL
+         |  SELECT word, $m AS pos, sc AS score, j AS bp FROM (
+         |    SELECT word, sc, j,
+         |      row_number() OVER (PARTITION BY word ORDER BY sc DESC, j ASC) AS rn
+         |    FROM (SELECT e.word AS word, d.score + e.s AS sc, e.j AS j
+         |          FROM e$t e JOIN dp${t}_${m - 1} d
+         |            ON d.word = e.word AND d.pos = e.j
+         |          WHERE e.i = $m)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val btSteps = (1 to (L - 1)).map { n =>
+      s"""bt${t}_$n AS MATERIALIZED (
+         |  SELECT b.word, d.bp AS pos
+         |  FROM bt${t}_${n - 1} b JOIN dp${t}_$L d
+         |    ON d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val btUnion = (0 until L).map(n => s"SELECT * FROM bt${t}_$n")
+      .mkString("\n  UNION ALL ")
+    s"""t$t AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS tot FROM $vin),
+       |s$t AS MATERIALIZED (SELECT p, ${ilogSql("c")} - ${ilogSql("tot")} AS s
+       |        FROM $vin CROSS JOIN t$t),
+       |e$t AS MATERIALIZED (SELECT c.word, c.freq, c.j, c.i, s.s
+       |        FROM cand c JOIN s$t s ON c.p = s.p),
+       |dp${t}_0 AS MATERIALIZED (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score, -1 AS bp
+       |             FROM wf),
+       |$dpSteps,
+       |bt${t}_0 AS MATERIALIZED (SELECT word, length(word) AS pos FROM wf),
+       |$btSteps,
+       |bt$t AS MATERIALIZED ($btUnion),
+       |seg$t AS MATERIALIZED (
+       |  SELECT b.word, substr(b.word, d.bp + 1, b.pos - d.bp) AS p
+       |  FROM bt$t b JOIN dp${t}_$L d ON d.word = b.word AND d.pos = b.pos
+       |  WHERE b.pos > 0),
+       |emc$t AS MATERIALIZED (SELECT s.p, CAST(sum(w.freq) AS BIGINT) AS c
+       |          FROM seg$t s JOIN wf w ON s.word = w.word GROUP BY s.p),
+       |$vout AS MATERIALIZED (
+       |  SELECT c0.p, CAST(COALESCE(m.c, 0) + 1 AS BIGINT) AS c
+       |  FROM chars0 c0 LEFT JOIN emc$t m ON c0.p = m.p
+       |  UNION ALL
+       |  SELECT p, c FROM (SELECT p, c FROM emc$t WHERE length(p) > 1
+       |    ORDER BY c DESC, p ASC LIMIT $keepMulti))""".stripMargin
+  }
+
+  /** Shared prefix: word freqs, candidate substrings, seed vocab v0,
+    * then EM rounds v1..v`iters`. */
+  private def unigramCoreSql(maxPieceLen: Int, keepMulti: Int,
+      minCount: Int, iters: Int): String = {
+    val em = (1 to iters)
+      .map(k => unigramEmStepSql(s"v${k - 1}", s"v$k", s"m$k", keepMulti))
+      .mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(word) > 0 GROUP BY word),
+       |cand AS MATERIALIZED (
+       |  SELECT word, freq, (e).j AS j, (e).i AS i, (e).p AS p FROM (
+       |    SELECT word, freq,
+       |      unnest(flatten(list_transform(range(0, length(word)),
+       |        j -> list_transform(range(1, least($maxPieceLen, length(word)-j)+1),
+       |          l -> {'j': j, 'i': j+l, 'p': substr(word, j+1, l)})))) AS e
+       |    FROM wf)),
+       |seedc AS MATERIALIZED (SELECT p, CAST(sum(freq) AS BIGINT) AS c FROM cand GROUP BY p),
+       |chars0 AS MATERIALIZED (SELECT p, c FROM seedc WHERE length(p) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT p, c FROM chars0
+       |  UNION ALL
+       |  SELECT p, c FROM (SELECT p, c FROM seedc
+       |    WHERE length(p) > 1 AND c >= $minCount
+       |    ORDER BY c DESC, p ASC LIMIT $keepMulti)),
+       |$em""".stripMargin
+  }
+
+  val q210Sql: String =
+    unigramCoreSql(maxPieceLen = 4, keepMulti = 16, minCount = 2, iters = 2) +
+      """
+        |SELECT 0 AS iter, p AS piece, c AS cnt FROM v0
+        |UNION ALL SELECT 1, p, c FROM v1
+        |UNION ALL SELECT 2, p, c FROM v2
+        |ORDER BY iter, piece""".stripMargin
+
+  val q211Sql: String =
+    unigramCoreSql(maxPieceLen = 4, keepMulti = 16, minCount = 2, iters = 2) +
+      "," + unigramEmStepSql("v2", "vF", "mf", keepMulti = 16) +
+      """
+        |, wtok AS (SELECT word, CAST(count(*) AS BIGINT) AS ntok
+        |           FROM segmf GROUP BY word),
+        |docwords AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0)
+        |SELECT d.doc_id,
+        |  COALESCE(CAST(sum(w.ntok) AS BIGINT), 0) AS n_unigram_tokens
+        |FROM documents d
+        |LEFT JOIN docwords dw ON d.doc_id = dw.doc_id
+        |LEFT JOIN wtok w ON dw.word = w.word
+        |GROUP BY d.doc_id
+        |ORDER BY d.doc_id""".stripMargin
+
   /** Exact substring-level dedup
     * ([[graft.operators.SubstringDedup.exactSubstringDedup]], the Lee
     * et al. ExactSubstr pass at 20-token granularity — the fixture
@@ -3595,6 +3748,8 @@ object TrainingData {
         |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
 
   val queries: Map[String, Q] = Map(
+    "q210_unigram_fit" -> q210UnigramFit _,
+    "q211_unigram_tokenize" -> q211UnigramTokenize _,
     "q208_substring_dedup" -> q208SubstringDedup _,
     "q209_substring_spans" -> q209SubstringSpans _,
     "q207_weighted_median" -> q207WeightedMedian _,
@@ -3672,6 +3827,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q210_unigram_fit" -> q210Sql,
+    "q211_unigram_tokenize" -> q211Sql,
     "q208_substring_dedup" -> q208Sql,
     "q209_substring_spans" -> q209Sql,
     "q207_weighted_median" -> q207Sql,

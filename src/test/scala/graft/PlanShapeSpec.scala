@@ -108,6 +108,13 @@ class PlanShapeSpec extends SparkSpec {
                               // frame and the exact-size sum over the
                               // keyed count-join frame — partial
                               // buffers cross in both, one row out
+      "q211_unigram_tokenize", // the vocabulary-total scalar: ONE sum
+                              // over the final VOCAB frame (≤ chars +
+                              // keepMulti rows by construction — the
+                              // corpus word count below it is an
+                              // ordinary keyed aggregate); partial
+                              // buffers cross, one row broadcasts
+                              // back as the micro-log2 denominator
       "q206_benford_audit",   // the total-N scalar: ONE sum over the
                               // ≤9-row digit-count frame (partial
                               // buffers cross), broadcast back as the
