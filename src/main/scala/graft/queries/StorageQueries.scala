@@ -872,7 +872,108 @@ object StorageQueries {
       |LEFT JOIN fnd ON fnd.k = pr.doc_id
       |ORDER BY pr.doc_id""".stripMargin
 
+  /** Unified file-skipping API ([[graft.sinks.Pruning]]): ONE
+    * `pruneFiles(table, predicates)` consulting BOTH skipping
+    * structures — q175's min/max zone maps and q196's Bloom manifests
+    * — and feeding the scan's partition filters. Two probes through
+    * the SAME api on the same zone-partitioned lineitem layout:
+    *  - a ship-day RANGE, where the zone stats prune (orderkey Bloom
+    *    not consulted — not an equality);
+    *  - an orderkey EQUALITY, where the zone stats are useless (every
+    *    zone spans nearly the whole orderkey domain — order dates are
+    *    independent of keys) and the per-zone Bloom prunes to the
+    *    zones actually holding the key plus its deterministic false
+    *    positives.
+    * Output is the per-(probe, zone) decision table with the match
+    * counts found by the RESTRICTED scan; the oracle recomputes zone
+    * stats, every Bloom word and every probe bit from the raw table —
+    * so an unsound prune (a dropped zone that held matches) or a
+    * wrong bit recipe breaks the hash. PlanShapeSpec separately
+    * asserts both probes reach PartitionFilters.
+    */
+  def q212UnifiedPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.Pruning
+    import org.apache.spark.sql.types.IntegerType
+    val path = scratchPath("q212", dir) + "/t"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(to_date(l_shipdate), DATE '1995-01-01') AS INT)")
+          .as("ship_day"))
+      .withColumn("zone", expr("CAST(ship_day div 90 AS INT)"))
+      .write.partitionBy("zone").mode("overwrite").parquet(path)
+    Pruning.writeManifest(s, path, "zone",
+      zoneCols = Seq("ship_day", "l_orderkey"),
+      bloomCols = Seq("l_orderkey"), numBits = 8192, numHashes = 4)
+    val probes = Seq(
+      "range_ship_day" -> Seq(Pruning.Pred.range("ship_day", 731L, 911L)),
+      "eq_orderkey" -> Seq(Pruning.Pred.eq("l_orderkey", 4999L)))
+    val allZones = s.read.parquet(s"$path/_graft_manifest/zones")
+      .select(col("part")).distinct()
+    probes.map { case (tag, preds) =>
+      val keep = Pruning.pruneFiles(s, path, preds)
+      val matches = Pruning.prunedRead(s, path, "zone", preds)
+        .groupBy(col("zone").cast("long").as("part"))
+        .agg(count(lit(1)).as("n_match"))
+      allZones.join(matches, Seq("part"), "left")
+        .select(lit(tag).as("probe"),
+          col("part").cast(IntegerType).as("zone"),
+          when(col("part").isin(keep: _*), 1).otherwise(0)
+            .cast(IntegerType).as("scanned"),
+          coalesce(col("n_match"), lit(0L)).as("n_match"))
+    }.reduce(_ unionByName _).orderBy("probe", "zone")
+  }
+
+  val q212Sql: String =
+    """WITH zz AS (
+      |  SELECT l_orderkey,
+      |    datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) AS ship_day,
+      |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 90 AS INT) AS zone
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT zone, min(ship_day) AS sd_mn, max(ship_day) AS sd_mx,
+      |    min(l_orderkey) AS ok_mn, max(l_orderkey) AS ok_mx
+      |  FROM zz GROUP BY zone),
+      |ma AS (SELECT zone, CAST(count(*) AS BIGINT) AS n FROM zz
+      |       WHERE ship_day BETWEEN 731 AND 911 GROUP BY zone),
+      |pos AS (
+      |  SELECT zone,
+      |    ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || t.i::VARCHAR),
+      |     1, 15))::BIGINT % 8192 AS p
+      |  FROM (SELECT DISTINCT zone, l_orderkey FROM zz) q
+      |  CROSS JOIN range(4) t(i)),
+      |words AS (
+      |  SELECT zone, p // 64 AS w,
+      |    bit_or(1::HUGEINT << CAST(p % 64 AS INT)) AS mask
+      |  FROM pos GROUP BY 1, 2),
+      |pb AS (
+      |  SELECT ('0x' || substr(md5('4999' || ':' || t.i::VARCHAR),
+      |    1, 15))::BIGINT % 8192 AS p
+      |  FROM range(4) t(i)),
+      |hitb AS (
+      |  SELECT m.zone,
+      |    min(CASE WHEN w.mask IS NOT NULL
+      |      AND (w.mask & (1::HUGEINT << CAST(pb.p % 64 AS INT))) <> 0
+      |      THEN 1 ELSE 0 END) AS pass
+      |  FROM m CROSS JOIN pb
+      |  LEFT JOIN words w ON w.zone = m.zone AND w.w = pb.p // 64
+      |  GROUP BY m.zone),
+      |mb AS (SELECT zone, CAST(count(*) AS BIGINT) AS n FROM zz
+      |       WHERE l_orderkey = 4999 GROUP BY zone)
+      |SELECT 'range_ship_day' AS probe, m.zone,
+      |  CAST(CASE WHEN m.sd_mx >= 731 AND m.sd_mn <= 911 THEN 1 ELSE 0 END AS INT) AS scanned,
+      |  COALESCE(ma.n, 0) AS n_match
+      |FROM m LEFT JOIN ma ON ma.zone = m.zone
+      |UNION ALL
+      |SELECT 'eq_orderkey', m.zone,
+      |  CAST(CASE WHEN m.ok_mn <= 4999 AND m.ok_mx >= 4999 AND h.pass = 1
+      |    THEN 1 ELSE 0 END AS INT),
+      |  COALESCE(mb.n, 0)
+      |FROM m JOIN hitb h ON h.zone = m.zone
+      |LEFT JOIN mb ON mb.zone = m.zone
+      |ORDER BY probe, zone""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q212_unified_prune"   -> q212UnifiedPrune _,
     "q196_bloom_prune"     -> q196BloomPrune _,
     "q195_retractable_mv"  -> q195RetractableMv _,
     "q175_zone_map_prune"  -> q175ZoneMapPrune _,
@@ -893,6 +994,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q212_unified_prune"   -> q212Sql,
     "q196_bloom_prune"     -> q196Sql,
     "q195_retractable_mv"  -> q195Sql,
     "q175_zone_map_prune"  -> q175Sql,

@@ -1,0 +1,154 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Unified file-skipping: ONE manifest + ONE pruning entry point over
+  * the two skipping structures the engine already demonstrates
+  * separately — per-partition min/max zone maps (q175, range
+  * predicates) and per-partition Bloom filters (q196, equality
+  * probes on uniformly-spread keys that min/max can't prune). A
+  * production table wants a single `pruneFiles(table, predicates)`
+  * that consults BOTH and feeds the scan's partition filters; this is
+  * that API (the Iceberg/Delta data-skipping loop in engine
+  * primitives).
+  *
+  * Layout: next to the table at `<path>/_graft_manifest/`,
+  *   - `meta`    — one row: (part_col, num_bits, num_hashes)
+  *   - `zones`   — (part, col_name, min_v, max_v, n_rows) per
+  *                 partition × covered column (values long-encoded;
+  *                 date columns enter as day numbers)
+  *   - `bloom`   — (col_name, part, w, mask) packed Bloom words per
+  *                 partition × covered column
+  * (parquet frames — mergeable, engine-replayable: the Bloom recipe
+  * is [[graft.operators.JoinOps.bloomManifest]]'s md5 bit scheme, the
+  * zone stats are plain min/max aggregates).
+  *
+  * Scale shape: the manifest is metadata-sized (partitions × columns
+  * for zones, partitions × numBits/64 words for Blooms). Pruning
+  * reads ONLY the manifest; the surviving-partition list the driver
+  * holds is ≤ |partitions| by construction (the q175 contract), and
+  * the restricted scan filters on the PARTITION column, so Catalyst
+  * prunes unread files at planning time (PartitionFilters —
+  * PlanShapeSpec asserts it for both predicate shapes).
+  */
+object Pruning {
+
+  /** A conjunction atom over a long-encoded manifest column: closed
+    * range `[lo, hi]` (either bound optional) — equality is the
+    * degenerate `lo == hi`. */
+  final case class Pred(column: String, lo: Option[Long], hi: Option[Long]) {
+    def isEquality: Boolean = lo.isDefined && lo == hi
+  }
+  object Pred {
+    def eq(column: String, v: Long): Pred = Pred(column, Some(v), Some(v))
+    def range(column: String, lo: Long, hi: Long): Pred =
+      Pred(column, Some(lo), Some(hi))
+  }
+
+  private def manifestDir(path: String) = s"$path/_graft_manifest"
+
+  /** Build and persist the combined manifest for a table partitioned
+    * by numeric `partCol`. `zoneCols` get min/max zone stats;
+    * `bloomCols` additionally get per-partition Bloom filters. All
+    * covered columns must be long-castable (encode dates as day
+    * numbers upstream).
+    */
+  def writeManifest(spark: SparkSession, path: String, partCol: String,
+      zoneCols: Seq[String], bloomCols: Seq[String],
+      numBits: Int = 8192, numHashes: Int = 4): Unit = {
+    require(zoneCols.nonEmpty, "at least one zone column")
+    require(bloomCols.forall(zoneCols.contains),
+      "bloom columns must also carry zone stats (the equality pred " +
+        "consults both)")
+    val t = spark.read.parquet(path)
+    val zones = zoneCols.map { c =>
+      t.groupBy(col(partCol).cast(LongType).as("part"))
+        .agg(min(col(c)).cast(LongType).as("min_v"),
+          max(col(c)).cast(LongType).as("max_v"),
+          count(lit(1)).as("n_rows"))
+        .select(col("part"), lit(c).as("col_name"),
+          col("min_v"), col("max_v"), col("n_rows"))
+    }.reduce(_ unionByName _)
+    zones.write.mode("overwrite").parquet(s"${manifestDir(path)}/zones")
+    val blooms = bloomCols.map { c =>
+      graft.operators.JoinOps
+        .bloomManifest(t.select(col(partCol).cast(LongType).as("_bp"),
+          col(c)), "_bp", c, numBits, numHashes)
+        .select(lit(c).as("col_name"), col("part"), col("w"), col("mask"))
+    }
+    blooms.reduceOption(_ unionByName _).foreach {
+      _.write.mode("overwrite").parquet(s"${manifestDir(path)}/bloom")
+    }
+    import spark.implicits._
+    Seq((partCol, numBits, numHashes))
+      .toDF("part_col", "num_bits", "num_hashes")
+      .write.mode("overwrite").parquet(s"${manifestDir(path)}/meta")
+  }
+
+  /** The pruning decision: partition values that can possibly hold
+    * rows satisfying ALL `preds`, consulting zone stats for every
+    * predicate and the Bloom filter additionally for equality
+    * predicates on Bloom-covered columns. Sound by construction (a
+    * partition is dropped only on zone-bound disproof or an unset
+    * Bloom bit — no false negatives), so a scan over the survivors
+    * plus the residual filter is exact. Returns the sorted surviving
+    * partition values (≤ |partitions|, driver-bounded).
+    */
+  def pruneFiles(spark: SparkSession, path: String,
+      preds: Seq[Pred]): Seq[Long] = {
+    require(preds.nonEmpty, "at least one predicate")
+    val zones = spark.read.parquet(s"${manifestDir(path)}/zones")
+    val meta = spark.read.parquet(s"${manifestDir(path)}/meta").collect()(0)
+    val (numBits, numHashes) =
+      (meta.getAs[Int]("num_bits"), meta.getAs[Int]("num_hashes"))
+    val all = zones.select(col("part")).distinct()
+    val covered = zones.select(col("col_name")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val bloomCovered: Set[String] =
+      try spark.read.parquet(s"${manifestDir(path)}/bloom")
+        .select(col("col_name")).distinct().collect().map(_.getString(0)).toSet
+      catch { case _: org.apache.spark.sql.AnalysisException => Set.empty }
+    val survivors = preds.foldLeft(all) { (acc, p) =>
+      val zoned =
+        if (!covered(p.column)) acc
+        else {
+          val stats = zones.filter(col("col_name") === p.column)
+          val keep = Seq(
+            p.lo.map(v => col("max_v") >= v),
+            p.hi.map(v => col("min_v") <= v)).flatten.reduce(_ && _)
+          acc.join(stats.filter(keep).select(col("part")), Seq("part"),
+            "left_semi")
+        }
+      if (p.isEquality && bloomCovered(p.column)) {
+        import spark.implicits._
+        val manifest = spark.read
+          .parquet(s"${manifestDir(path)}/bloom")
+          .filter(col("col_name") === p.column)
+          .select(col("part"), col("w"), col("mask"))
+        val cand = graft.operators.JoinOps.bloomCandidates(manifest,
+          Seq(p.lo.get).toDF("_k"), "_k", numBits, numHashes)
+        zoned.join(cand.select(col("part")), Seq("part"), "left_semi")
+      } else zoned
+    }
+    survivors.collect().map(_.getLong(0)).sorted.toSeq
+  }
+
+  /** Restricted scan: the table filtered to the surviving partitions
+    * (an `isin` on the partition column — Catalyst turns it into
+    * PartitionFilters, so pruned files are never opened) with the
+    * residual predicates re-applied exactly.
+    */
+  def prunedRead(spark: SparkSession, path: String, partCol: String,
+      preds: Seq[Pred]): DataFrame = {
+    val keep = pruneFiles(spark, path, preds)
+    val residual = preds.map { p =>
+      Seq(p.lo.map(col(p.column) >= _), p.hi.map(col(p.column) <= _))
+        .flatten.reduce(_ && _)
+    }.reduce(_ && _)
+    spark.read.parquet(path)
+      .filter(col(partCol).isin(keep: _*))
+      .filter(residual)
+  }
+}

@@ -405,6 +405,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(pruned.count() == full)
   }
 
+  test("unified pruning API: both predicate shapes reach PartitionFilters") {
+    // q212's scale contract: pruneFiles consults zone maps + Bloom
+    // manifests and prunedRead must plan the survivors as PARTITION
+    // filters — for an equality AND a range predicate through the
+    // same API (a post-scan filter would open every file at 100 TB)
+    import org.apache.spark.sql.functions._
+    import graft.sinks.Pruning
+    val path = graft.queries.Det.scratchPath("prunespec", sfDir) + "/t"
+    graft.sources.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(to_date(l_shipdate), DATE '1995-01-01') AS INT)")
+          .as("ship_day"))
+      .withColumn("zone", expr("CAST(ship_day div 90 AS INT)"))
+      .write.partitionBy("zone").mode("overwrite").parquet(path)
+    Pruning.writeManifest(spark, path, "zone",
+      zoneCols = Seq("ship_day", "l_orderkey"),
+      bloomCols = Seq("l_orderkey"), numBits = 8192, numHashes = 4)
+    val nZones = spark.read.parquet(path).select("zone").distinct().count()
+    for ((tag, preds) <- Seq(
+        "range" -> Seq(Pruning.Pred.range("ship_day", 731L, 911L)),
+        "equality" -> Seq(Pruning.Pred.eq("l_orderkey", 42L)))) {
+      val keep = Pruning.pruneFiles(spark, path, preds)
+      assert(keep.size < nZones,
+        s"$tag predicate pruned nothing (${keep.size} of $nZones zones)")
+      val pruned = Pruning.prunedRead(spark, path, "zone", preds)
+      val p = pruned.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [") &&
+        !p.contains("PartitionFilters: []"),
+        s"$tag predicate not in PartitionFilters:\n$p")
+      // soundness: the restricted scan finds exactly the full-scan rows
+      val full = spark.read.parquet(path).filter(preds.map(pr =>
+        Seq(pr.lo.map(col(pr.column) >= _), pr.hi.map(col(pr.column) <= _))
+          .flatten.reduce(_ && _)).reduce(_ && _)).count()
+      assert(pruned.count() == full, s"$tag pruned scan lost rows")
+    }
+  }
+
   test("hot aggregation queries stay inside whole-stage codegen") {
     // "*(n)" marks operators fused into a generated stage; a plan with
     // none at all has fallen out of codegen entirely. Codegen insertion
