@@ -1078,18 +1078,61 @@ object Dedup {
       val shBytes = sh.queryExecution.optimizedPlan.stats.sizeInBytes
       def side(v: DataFrame): DataFrame =
         if (threshold > 0 && shBytes <= threshold) broadcast(v) else v
-      cands
-        .join(side(sh.select(col("_id").as("_ida"), col("_sh").as("_sha"),
-          col("_n").as("_na"))), Seq("_ida"))
-        .join(side(sh.select(col("_id").as("_idb"), col("_sh").as("_shb"),
-          col("_n").as("_nb"))), Seq("_idb"))
-        .withColumn("_ov", ov)
-        .filter(den * col("_ov") >= num * (col("_na") + col("_nb") - col("_ov")))
-        .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
-          col("_ov").as("overlap_sz"), col("_na").as("size_a"),
-          col("_nb").as("size_b"))
-        .orderBy(col("doc_a"), col("doc_b"))
-        .localCheckpoint(true)
+      // Size the verify join's exchanges from the MEASURED candidate
+      // count: each surviving pair carries BOTH sorted shingle arrays
+      // (~2× mean set size × 8 B), so at a fixed session partition
+      // count the per-partition payload grows with the corpus until
+      // it spill-thrashes (round-9 sf3 sweep: 3× the data took ~10×
+      // the time at 32 fixed partitions; a global 8× initial-partition
+      // bump regressed the graph family instead — stage-local sizing
+      // is the correct shape). One extra count over the (long, long)
+      // candidate frame is noise next to the join it right-sizes.
+      val spark = df.sparkSession
+      val candsMat = cands.localCheckpoint(true)
+      val meanSetBytes = Option(sh.agg(avg(col("_n"))).collect()(0).get(0))
+        .map(_.asInstanceOf[Double]).getOrElse(0.0) * 8
+      val pairBytes = (2 * meanSetBytes + 64).toLong
+      // 256 MB of verify payload per task, capped at 8× the cluster
+      // parallelism: below the cap the count is bytes-driven (the
+      // spill fix); the cap keeps mapper×reducer shuffle-segment
+      // fan-out bounded (the sf3 A/B measured 1420 partitions SLOWER
+      // than 256 on 32 cores — segment I/O, not spill, dominates past
+      // ~8× parallelism; a 1000-executor cluster's cap is ~64k, i.e.
+      // effectively bytes-driven)
+      val targetPartBytes = 256L << 20
+      val sessParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val parallelismCap = spark.sparkContext.defaultParallelism * 8
+      val verifyParts = math.min(parallelismCap, math.max(sessParts,
+        ((candsMat.count() * pairBytes) / targetPartBytes).toInt))
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      val prevInit = spark.conf.getOption(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+      spark.conf.set("spark.sql.shuffle.partitions", verifyParts.toString)
+      spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        verifyParts.toString)
+      try {
+        candsMat
+          .join(side(sh.select(col("_id").as("_ida"), col("_sh").as("_sha"),
+            col("_n").as("_na"))), Seq("_ida"))
+          .join(side(sh.select(col("_id").as("_idb"), col("_sh").as("_shb"),
+            col("_n").as("_nb"))), Seq("_idb"))
+          .withColumn("_ov", ov)
+          .filter(den * col("_ov") >= num * (col("_na") + col("_nb") - col("_ov")))
+          .select(col("_ida").as("doc_a"), col("_idb").as("doc_b"),
+            col("_ov").as("overlap_sz"), col("_na").as("size_a"),
+            col("_nb").as("size_b"))
+          .orderBy(col("doc_a"), col("doc_b"))
+          .localCheckpoint(true) // materializes HERE, under the sized conf
+      } finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+        prevInit match {
+          case Some(v) => spark.conf.set(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", v)
+          case None => spark.conf.unset(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum")
+        }
+      }
     } finally { sh.unpersist() }
   }
 }

@@ -378,7 +378,14 @@ object Geo {
         (col("ptb") + col("o.dk")).as("tb"))
     val d2 = (col("ax") - col("bx")) * (col("ax") - col("bx")) +
       (col("ay") - col("by")) * (col("ay") - col("by"))
-    build.join(probe, Seq("cx", "cy", "tb"))
+    // merge hint: left to AQE's estimates this join BROADCASTS the
+    // build side at mid scale (measured round 9: sf1 runs 2× slower
+    // than 3× the data at sf3, where the estimate crosses the
+    // threshold and the plan flips to the cell-partitioned
+    // sort-merge). Per-cell partitioning is the correct regime at
+    // every scale — the ×27 exploded probe stream stays partitioned
+    // by cell instead of re-probing a broadcast relation per task.
+    build.join(probe.hint("merge"), Seq("cx", "cy", "tb"))
       .where(col("a_u") < col("b_u") &&
         abs(col("a_us") - col("b_us")) <= gapUs && d2 <= r2)
       .groupBy(col("a_u").as("a_track"), col("b_u").as("b_track"))

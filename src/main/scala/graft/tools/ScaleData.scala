@@ -60,16 +60,24 @@ object ScaleData {
       shiftCols(_, _, "event_id", "user_id")), "events")
 
     // documents: shift ids, rotate the alphabet per copy (length- and
-    // whitespace-preserving, shingle-vocabulary-disjoint)
-    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    // whitespace-preserving, shingle-vocabulary-disjoint). The ring is
+    // 36 chars (a-z0-9), not 26: at >26 copies a pure letter rotation
+    // collides (copy k ≡ k+26 produced IDENTICAL text — the round-9
+    // sf3 sweep caught q112 measuring 4 pairs of duplicated corpora
+    // instead of a 30× corpus). Source text is letters-only, so any
+    // two distinct rotations of the 36-ring share no token, up to 36
+    // copies; letters mapping into digits is fine for bench-only
+    // fixtures (lengths, whitespace, and token boundaries preserved).
+    require(copies <= 36,
+      s"text rotation ring supports at most 36 disjoint copies, got $copies")
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
     write(replicate(read("documents"), copies) { (d, k) =>
-      val rot = (k % 26)
+      val rot = (k % 36)
       val to = alpha.drop(rot) + alpha.take(rot)
       shiftCols(d, k, "doc_id")
         .withColumn("text",
           if (rot == 0) col("text")
-          else translate(col("text"), alpha + alpha.toUpperCase,
-            to + to.toUpperCase))
+          else translate(col("text"), alpha, to))
     }, "documents")
 
     // embeddings: shift ids, add deterministic per-copy noise
