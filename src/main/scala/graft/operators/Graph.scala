@@ -450,6 +450,57 @@ object Graph {
     dist
   }
 
+  /** HyperBall-style approximate neighborhood function: for every node,
+    * the estimated number of distinct nodes reachable within `hops`
+    * out-steps (self included) — the sketch behind effective-diameter /
+    * centrality estimation on graphs whose exact per-node reach sets
+    * are quadratically out of reach (Boldi–Vigna HyperBall: HLL
+    * counters iterated along edges).
+    *
+    * b₀(v) = {v}; b_{h+1}(v) = b_h(v) ∪ ⋃_{v→u} b_h(u) — all as
+    * DataSketches HLL registers (`hll_sketch_agg`/`hll_union`), so the
+    * per-round state is nodes × sketchBytes and the merge is the
+    * register max: order-invariant, hence deterministic under any
+    * partitioning. Per round: one keyed join of the node-sized sketch
+    * frame against the edge list + one partial-aggregated register
+    * union — never a frontier expansion, never a distinct over pair
+    * sets. The 100 TB shape: h rounds of node-sized exchanges
+    * regardless of how dense the h-hop balls get (exact per-node reach
+    * would be Σ|ball| rows — the thing that explodes).
+    *
+    * Exactness is auditable, not assumed: pair with an exact
+    * frontier-join count on a seed sample (q215's gate pattern — the
+    * q29 sketch-contract discipline).
+    *
+    * @return (id, est_reach): BIGINT sketch estimate per node
+    */
+  def neighborhoodSketch(edges: DataFrame, srcCol: String, dstCol: String,
+      hops: Int, lgConfigK: Int = 10): DataFrame = {
+    require(hops >= 1, s"hops must be >= 1, got $hops")
+    val e = edges.select(col(srcCol).cast(LongType).as("_src"),
+        col(dstCol).cast(LongType).as("_dst"))
+      .filter(col("_src").isNotNull && col("_dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("_src").as("id"))
+      .unionByName(e.select(col("_dst").as("id"))).distinct()
+    var b = nodes.groupBy(col("id"))
+      .agg(expr(s"hll_sketch_agg(id, $lgConfigK)").as("_sk"))
+      .localCheckpoint(true)
+    for (_ <- 1 to hops) {
+      val fromNbrs = e.join(b, col("id") === col("_dst"))
+        .groupBy(col("_src"))
+        .agg(expr("hll_union_agg(_sk)").as("_nb"))
+        .withColumnRenamed("_src", "id")
+      b = b.join(fromNbrs, Seq("id"), "left_outer")
+        .select(col("id"),
+          when(col("_nb").isNull, col("_sk"))
+            .otherwise(expr("hll_union(_sk, _nb)")).as("_sk"))
+        .localCheckpoint(true)
+    }
+    b.select(col("id"), expr("hll_sketch_estimate(_sk)").as("est_reach"))
+  }
+
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
       seeds: DataFrame, seedCol: String, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")

@@ -216,6 +216,84 @@ object SeriesStats {
         col("slot_days").cast(LongType).as("slot_days"))
   }
 
+  /** Per-group two-feature least squares — y ~ x1 + x2 by the closed
+    * normal equations (2×2 Cramer), entirely in deterministic integer
+    * arithmetic. The multiple-regression big sibling of the q146
+    * single-feature slope: trend estimation with a confounder
+    * controlled (e.g. metric vs time, adjusting for hour-of-day).
+    *
+    * Two corpus scans BY DESIGN: pass 1 takes per-group integer means
+    * (one |groups|-sized hash aggregate), pass 2 sums CENTERED products
+    * after a broadcast join of the means. Raw (uncentered) moments
+    * would allow one pass, but their Cramer products scale with n³ and
+    * overflow DECIMAL(38,0) near 10¹² rows — centering keeps every
+    * covariance ~range², row-count-independent, because each centered
+    * covariance is normalized by n (integer div) before the
+    * determinant. Truncation from the integer means/normalization is
+    * identical on both engines (the determinism > exactness rule used
+    * throughout; error is ≤1 unit per moment against moments of order
+    * range²).
+    *
+    * Bounds (documented, ANSI-mode safe): |x−mean| ≤ 3·10⁹ keeps the
+    * BIGINT centered squares exact before the DECIMAL(38,0) cast;
+    * normalized covariances keep all Cramer products under 10³⁸ for
+    * any n whenever range1²·range2²·outScale < 10³⁸.
+    *
+    * @param x1Col,x2Col integral feature columns (cast to BIGINT)
+    * @param valueCol    double target, scaled to exact micro-units
+    * @param outScale    slope output unit multiplier (e.g. 86400 for
+    *                    per-day when x1 is seconds)
+    * @return (group, n, slope1_scaled, slope2_scaled) — micro-target
+    *         per outScale·x-unit, NULL when the design is degenerate
+    */
+  def groupedRegression2(df: DataFrame, groupCol: String,
+      x1Col: String, x2Col: String, valueCol: String,
+      outScale: Long = 1L): DataFrame = {
+    val base = df.select(col(groupCol).as("_g"),
+      col(x1Col).cast(LongType).as("_x1"),
+      col(x2Col).cast(LongType).as("_x2"),
+      (col(valueCol).cast(DecimalType(18, 6)) * 1000000L)
+        .cast(LongType).as("_y"))
+
+    // decimal sums: a BIGINT sum of seconds/micro-units overflows near
+    // 10¹² rows; the integer-div mean always fits back in BIGINT
+    val means = base.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"),
+        expr("CAST(sum(CAST(_x1 AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("_m1"),
+        expr("CAST(sum(CAST(_x2 AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("_m2"),
+        expr("CAST(sum(CAST(_y  AS DECIMAL(38,0))) div count(1) AS BIGINT)").as("_my"))
+
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    val centered = base.join(broadcast(means), Seq("_g"))
+      .select(col("_g"), col("_n"),
+        (col("_x1") - col("_m1")).as("_d1"),
+        (col("_x2") - col("_m2")).as("_d2"),
+        (col("_y") - col("_my")).as("_dy"))
+    val covs = centered.groupBy(col("_g"), col("_n"))
+      .agg(sum(dec(col("_d1")) * col("_d1")).as("_s11"),
+        sum(dec(col("_d1")) * col("_d2")).as("_s12"),
+        sum(dec(col("_d2")) * col("_d2")).as("_s22"),
+        sum(dec(col("_d1")) * col("_dy")).as("_s1y"),
+        sum(dec(col("_d2")) * col("_dy")).as("_s2y"))
+      .select(col("_g"), col("_n"),
+        expr("_s11 div _n").as("_c11"), expr("_s12 div _n").as("_c12"),
+        expr("_s22 div _n").as("_c22"), expr("_s1y div _n").as("_c1y"),
+        expr("_s2y div _n").as("_c2y"))
+
+    // widen the normalized covariances back to DECIMAL(38,0): the
+    // Cramer products (c22·c1y etc.) exceed BIGINT once outScale or a
+    // feature range is large, and ANSI mode would fail loudly
+    val det = "nullif(CAST(_c11 AS DECIMAL(38,0)) * _c22 - " +
+      "CAST(_c12 AS DECIMAL(38,0)) * _c12, 0)"
+    covs.select(col("_g").as(groupCol), col("_n").as("n"),
+      expr(s"CAST(($outScale * (CAST(_c22 AS DECIMAL(38,0)) * _c1y - " +
+        s"CAST(_c12 AS DECIMAL(38,0)) * _c2y)) div $det AS BIGINT)")
+        .as("slope1_scaled"),
+      expr(s"CAST(($outScale * (CAST(_c11 AS DECIMAL(38,0)) * _c2y - " +
+        s"CAST(_c12 AS DECIMAL(38,0)) * _c1y)) div $det AS BIGINT)")
+        .as("slope2_scaled"))
+  }
+
   def dyadicEwma(df: DataFrame, keyCol: String, orderCols: Seq[String],
       valueCol: String, span: Int): DataFrame = {
     require(span >= 1 && span <= 32, s"span must be in [1,32], got $span")

@@ -1417,6 +1417,69 @@ object Relational {
       |FROM nodes n LEFT JOIN pn USING (node_id)
       |ORDER BY n.node_id""".stripMargin
 
+  /** HyperBall-style neighborhood function with an exact audit sample
+    * ([[graft.operators.Graph.neighborhoodSketch]]): per-part estimated
+    * 2-hop reach on the co-purchase graph via iterated HLL register
+    * merges (node-sized state per round — the shape that scales where
+    * exact per-node ball enumeration is quadratic), audited the q29
+    * way: for the deterministic seed sample (partkey % 97 = 0) the
+    * exact 2-hop reach is computed by frontier joins and the gate
+    * carries (exact count, sketch-within-20% claim). DuckDB recomputes
+    * the exact counts with a different algorithm (2 self-joins +
+    * distinct union) and states the contract; a sketch regression
+    * flips the boolean and fails the hash.
+    */
+  def q215ReachSketch(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e = p.as("a")
+      .join(p.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+      .localCheckpoint(true)
+
+    val est = graft.operators.Graph
+      .neighborhoodSketch(e, "src", "dst", hops = 2, lgConfigK = 10)
+
+    // exact 2-hop reach for the audit seeds, by frontier joins
+    val seeds = e.select(col("src").as("seed")).distinct()
+      .filter(col("seed") % 97 === 0)
+    val h1 = seeds.join(e, col("seed") === col("src"))
+      .select(col("seed"), col("dst").as("n"))
+    val e2 = e.select(col("src").as("m"), col("dst").as("n2"))
+    val h2 = h1.join(e2, col("n") === col("m"))
+      .select(col("seed"), col("n2").as("n"))
+    val exact = seeds.select(col("seed"), col("seed").as("n"))
+      .unionByName(h1).unionByName(h2)
+      .distinct()
+      .groupBy(col("seed")).agg(count(lit(1)).as("exact_reach2"))
+
+    exact.join(est, col("seed") === col("id"))
+      .select(col("seed").as("part_id"), col("exact_reach2"),
+        (abs(col("est_reach").cast(DoubleType) -
+          col("exact_reach2").cast(DoubleType)) <=
+          lit(0.2) * col("exact_reach2").cast(DoubleType)).as("est_ok"))
+      .orderBy("part_id")
+  }
+
+  val q215Sql: String =
+    """WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM p a JOIN p b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+      |seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src % 97 = 0),
+      |h1 AS (SELECT s.seed, e.dst AS n FROM seeds s JOIN e ON e.src = s.seed),
+      |h2 AS (SELECT h1.seed, e.dst AS n FROM h1 JOIN e ON e.src = h1.n),
+      |r AS (SELECT DISTINCT seed, n FROM (
+      |        SELECT seed, seed AS n FROM seeds
+      |        UNION ALL SELECT seed, n FROM h1
+      |        UNION ALL SELECT seed, n FROM h2))
+      |SELECT seed AS part_id, CAST(count(*) AS BIGINT) AS exact_reach2,
+      |  TRUE AS est_ok
+      |FROM r GROUP BY seed ORDER BY part_id""".stripMargin
+
   /** TPC-H Q21 flavor on the fixture schema: suppliers who were the
     * SOLE late shipper in a multi-supplier order ("late" = shipped
     * more than 90 days after the order date). Three correlated
@@ -2176,6 +2239,7 @@ object Relational {
     "q140_blame_supplier"  -> q140BlameSupplier _,
     "q141_sales_opportunity" -> q141SalesOpportunity _,
     "q114_triangle_counts" -> q114TriangleCounts _,
+    "q215_reach_sketch"   -> q215ReachSketch _,
     "q88_profile_table"   -> q88ProfileTable _,
     "q62_grouping_sets"   -> q62GroupingSets _,
     "q57_bucketed_join"   -> q57BucketedJoin _,
@@ -2242,6 +2306,7 @@ object Relational {
     "q92_bloom_join" -> q92Sql,
     "q93_pagerank" -> q93Sql,
     "q114_triangle_counts" -> q114Sql,
+    "q215_reach_sketch" -> q215Sql,
     "q95_sketch_maintenance" -> q95Sql,
     "q108_histogram_quantiles" -> q108Sql,
     "q97_funnel" -> q97Sql,

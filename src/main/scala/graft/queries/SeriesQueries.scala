@@ -262,7 +262,58 @@ object SeriesQueries {
       |FROM agg
       |ORDER BY user_id""".stripMargin
 
+  /** Per-group two-feature regression
+    * ([[graft.operators.SeriesStats.groupedRegression2]]): value
+    * trended against time CONTROLLING for hour-of-day, per event type —
+    * the confounder-adjusted big sibling of q146's single-feature
+    * slope. Two corpus scans (means, then centered moments — the
+    * formulation whose Cramer products stay inside DECIMAL(38,0) at any
+    * row count), one broadcast join, zero floats. The oracle replays
+    * the integer means, every centered product sum, the
+    * div-n normalization, and both Cramer divisions in HUGEINT.
+    */
+  def q216GroupedRegression(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_type"),
+      expr("(unix_micros(ts) - 1704067200000000) div 1000000").as("x1"),
+      hour(col("ts")).cast("long").as("x2"),
+      col("value"))
+    graft.operators.SeriesStats
+      .groupedRegression2(ev, "event_type", "x1", "x2", "value",
+        outScale = 86400L)
+      .orderBy("event_type")
+  }
+
+  val q216Sql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    (epoch_us(ts) - 1704067200000000) // 1000000 AS x1,
+      |    CAST(extract(hour FROM ts) AS BIGINT) AS x2,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+      |  FROM events),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(CAST(sum(x1) AS HUGEINT) // count(*) AS BIGINT) AS m1,
+      |        CAST(CAST(sum(x2) AS HUGEINT) // count(*) AS BIGINT) AS m2,
+      |        CAST(CAST(sum(y)  AS HUGEINT) // count(*) AS BIGINT) AS my
+      |      FROM b GROUP BY event_type),
+      |c AS (SELECT b.event_type, m.n,
+      |        b.x1 - m.m1 AS d1, b.x2 - m.m2 AS d2, b.y - m.my AS dy
+      |      FROM b JOIN m USING (event_type)),
+      |v AS (SELECT event_type, n,
+      |        sum(CAST(d1 AS HUGEINT) * d1) // n AS c11,
+      |        sum(CAST(d1 AS HUGEINT) * d2) // n AS c12,
+      |        sum(CAST(d2 AS HUGEINT) * d2) // n AS c22,
+      |        sum(CAST(d1 AS HUGEINT) * dy) // n AS c1y,
+      |        sum(CAST(d2 AS HUGEINT) * dy) // n AS c2y
+      |      FROM c GROUP BY event_type, n)
+      |SELECT event_type, n,
+      |  CAST((86400 * (c22 * c1y - c12 * c2y))
+      |    // nullif(c11 * c22 - c12 * c12, 0) AS BIGINT) AS slope1_scaled,
+      |  CAST((86400 * (c11 * c2y - c12 * c1y))
+      |    // nullif(c11 * c22 - c12 * c12, 0) AS BIGINT) AS slope2_scaled
+      |FROM v ORDER BY event_type""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q216_grouped_regression" -> q216GroupedRegression _,
     "q194_sequence_pattern" -> q194SequencePattern _,
     "q193_seasonal_anomaly" -> q193SeasonalAnomaly _,
     "q189_dyadic_ewma" -> q189DyadicEwma _,
@@ -272,6 +323,7 @@ object SeriesQueries {
     "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
+    "q216_grouped_regression" -> q216Sql,
     "q194_sequence_pattern" -> q194Sql,
     "q193_seasonal_anomaly" -> q193Sql,
     "q189_dyadic_ewma" -> q189Sql,

@@ -3747,7 +3747,121 @@ object TrainingData {
         |  CAST(max(pos) + 20 - min(pos) AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, isl ORDER BY doc_id, span_start""".stripMargin
 
+  /** Leakage-safe categorical feature encoding
+    * ([[graft.operators.Encoding.looTargetEncode]]): leave-one-out
+    * m-estimate target encoding of event_type against the event value —
+    * one |categories|-row aggregate + one broadcast join back, the
+    * corpus never shuffles. Every encoded value is exact integer
+    * arithmetic (micro-units, one truncating division), so the oracle
+    * replays all 10,000 of them bit-for-bit; any leak of the row's own
+    * label, a wrong smoothing denominator, or a float sneaking into the
+    * mean breaks the hash.
+    */
+  def q213TargetEncoding(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Encoding.looTargetEncode(
+      Tables.events(s, dir), "event_id", "event_type", "value",
+      priorWeight = 10)
+      .orderBy("event_id")
+
+  val q213Sql: String =
+    """WITH b AS (
+      |  SELECT event_id, event_type,
+      |    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS y
+      |  FROM events),
+      |c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS s
+      |      FROM b GROUP BY event_type),
+      |g AS (SELECT CAST((CAST(sum(s) AS HUGEINT) * 10)
+      |        // CAST(sum(n) AS HUGEINT) AS BIGINT) AS mprior FROM c)
+      |SELECT b.event_id, b.event_type,
+      |  CAST((c.s - b.y + g.mprior) // (c.n - 1 + 10) AS BIGINT)
+      |    AS loo_micro
+      |FROM b JOIN c USING (event_type) CROSS JOIN g
+      |ORDER BY event_id""".stripMargin
+
+  /** Coverage-driven curation
+    * ([[graft.operators.Coverage.greedyCoverageSelect]]): three greedy
+    * max-coverage rounds over 12-char shingles — each round one
+    * broadcast anti-join + count, corpus shingled exactly once. The
+    * oracle unrolls all three rounds in SQL (gain ranking, lowest-id
+    * tie-break, running coverage), so a wrong gain count, a stale
+    * covered set, or a tie broken differently shifts a winner and
+    * breaks the hash.
+    */
+  def q214CoverageSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Coverage.greedyCoverageSelect(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleSize = 12, rounds = 3)
+
+  val q214Sql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    ('0x' || substr(md5(substr(text, CAST(i AS INT), 12)), 1, 15))::BIGINT AS h
+      |  FROM documents, unnest(range(1, length(text) - 12 + 2)) AS t(i)
+      |  WHERE text IS NOT NULL AND length(text) >= 12),
+      |g1 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+      |       FROM sh GROUP BY doc_id),
+      |w1 AS (SELECT doc_id, gain FROM g1 ORDER BY gain DESC, doc_id LIMIT 1),
+      |c1 AS (SELECT DISTINCT h FROM sh
+      |       WHERE doc_id = (SELECT doc_id FROM w1)),
+      |g2 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh
+      |       WHERE doc_id <> (SELECT doc_id FROM w1)
+      |         AND h NOT IN (SELECT h FROM c1)
+      |       GROUP BY doc_id),
+      |w2 AS (SELECT doc_id, gain FROM g2 ORDER BY gain DESC, doc_id LIMIT 1),
+      |c2 AS (SELECT DISTINCT h FROM sh
+      |       WHERE doc_id IN (SELECT doc_id FROM w1
+      |                        UNION SELECT doc_id FROM w2)),
+      |g3 AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS gain FROM sh
+      |       WHERE doc_id NOT IN (SELECT doc_id FROM w1
+      |                            UNION SELECT doc_id FROM w2)
+      |         AND h NOT IN (SELECT h FROM c2)
+      |       GROUP BY doc_id),
+      |w3 AS (SELECT doc_id, gain FROM g3 ORDER BY gain DESC, doc_id LIMIT 1)
+      |SELECT CAST(1 AS INT) AS round, doc_id, gain, gain AS covered_total
+      |FROM w1
+      |UNION ALL
+      |SELECT 2, w2.doc_id, w2.gain, (SELECT gain FROM w1) + w2.gain FROM w2
+      |UNION ALL
+      |SELECT 3, w3.doc_id, w3.gain,
+      |  (SELECT gain FROM w1) + (SELECT gain FROM w2) + w3.gain FROM w3
+      |ORDER BY round""".stripMargin
+
+  /** Character-entropy quality profile
+    * ([[graft.operators.Entropy.charEntropyProfile]]): exact integer
+    * Shannon entropy per document in micro-bits via the same
+    * piecewise-linear micro-log2 the unigram tokenizer scores with —
+    * two content-free hash aggregates, symbols travel as 60-bit md5
+    * tokens. The oracle replays length, per-symbol counts, every
+    * micro-log2 term, and the final division for all documents.
+    */
+  def q217CharEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Entropy.charEntropyProfile(
+      Tables.documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q217Sql: String = {
+    val ilogN = ilogSql("n")
+    val ilogC = ilogSql("c")
+    s"""WITH ch AS (
+       |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+       |    ('0x' || substr(md5(substr(text, CAST(i AS INT), 1)), 1, 15))::BIGINT AS h
+       |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)
+       |  WHERE text IS NOT NULL AND length(text) >= 1),
+       |cc AS (SELECT doc_id, n, h, CAST(count(*) AS BIGINT) AS c
+       |       FROM ch GROUP BY doc_id, n, h),
+       |tm AS (SELECT doc_id, n, CAST(count(*) AS BIGINT) AS n_symbols,
+       |         sum(c * (($ilogN) - ($ilogC))) AS tsum
+       |       FROM cc GROUP BY doc_id, n)
+       |SELECT doc_id, n AS n_chars, n_symbols,
+       |  CAST(tsum // n AS BIGINT) AS entropy_microbits
+       |FROM tm ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q213_target_encoding" -> q213TargetEncoding _,
+    "q214_coverage_select" -> q214CoverageSelect _,
+    "q217_char_entropy" -> q217CharEntropy _,
     "q210_unigram_fit" -> q210UnigramFit _,
     "q211_unigram_tokenize" -> q211UnigramTokenize _,
     "q208_substring_dedup" -> q208SubstringDedup _,
@@ -3827,6 +3941,9 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q213_target_encoding" -> q213Sql,
+    "q214_coverage_select" -> q214Sql,
+    "q217_char_entropy" -> q217Sql,
     "q210_unigram_fit" -> q210Sql,
     "q211_unigram_tokenize" -> q211Sql,
     "q208_substring_dedup" -> q208Sql,

@@ -272,6 +272,33 @@ class GraphSpec extends SparkSpec {
     assert(run(6).toSeq == run(3).toSeq)
   }
 
+  test("neighborhoodSketch: exact on small graphs (sparse HLL regime)") {
+    import spark.implicits._
+    // path 1→2→3→4→5 plus a diamond 10→{11,12}→13 (13 reachable via
+    // two routes must count ONCE)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (10L, 12L), (11L, 13L), (12L, 13L)).toDF("src", "dst")
+    val got = Graph.neighborhoodSketch(edges, "src", "dst", hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ≤2-hop out-reach incl. self; HLL is exact at these cardinalities
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 2L, 5L -> 1L,
+      10L -> 4L, 11L -> 2L, 12L -> 2L, 13L -> 1L))
+  }
+
+  test("neighborhoodSketch: monotone in hops and layout-invariant") {
+    import spark.implicits._
+    val edges = (1L to 120L).map(i => (i, (i * 7) % 40)).toDF("src", "dst")
+    val h1 = Graph.neighborhoodSketch(edges, "src", "dst", hops = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val h2 = Graph.neighborhoodSketch(edges, "src", "dst", hops = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h1.keySet == h2.keySet)
+    h1.keys.foreach(k => assert(h2(k) >= h1(k)))
+    val rep = Graph.neighborhoodSketch(edges.repartition(7), "src", "dst",
+      hops = 2).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rep == h2) // register merges are order-invariant
+  }
+
   test("saltPlan: flags exactly the planted heavy key with ceil(count/mean) buckets") {
     import spark.implicits._
     // 9 keys × 10 rows + key 99 × 200 rows → mean = 290/10 = 29

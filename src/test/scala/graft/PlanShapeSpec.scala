@@ -132,6 +132,12 @@ class PlanShapeSpec extends SparkSpec {
                               // bounded itself with its own top-k
                               // before the fuse); the BM25/dot arms
                               // below are ordinary parallel plans
+      "q213_target_encoding", // the m·prior scalar: ONE sum over the
+                              // |categories|-sized stats frame (partial
+                              // buffers cross, one row out), broadcast
+                              // back into the encode projection; the
+                              // category stats themselves are an
+                              // ordinary keyed aggregate
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind

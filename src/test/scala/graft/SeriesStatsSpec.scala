@@ -188,4 +188,46 @@ class SeriesStatsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
     assert(p7 == got)
   }
+
+  test("groupedRegression2 recovers exact planted slopes on a balanced design") {
+    import spark.implicits._
+    // y = 2.5 + 3·x1 + 7·x2 exactly, on a design whose integer means are
+    // exact (x1 sum 24 over 8 rows, x2 sum 8 over 8) so centering loses
+    // nothing and both slopes come back in exact micro-units
+    val rows = for (x1 <- Seq(0L, 2L, 4L, 6L); x2 <- Seq(0L, 2L))
+      yield ("g", x1, x2, 2.5 + 3.0 * x1 + 7.0 * x2)
+    val got = graft.operators.SeriesStats
+      .groupedRegression2(rows.toDF("g", "x1", "x2", "v"),
+        "g", "x1", "x2", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(("g", 8L, 3000000L, 7000000L)))
+  }
+
+  test("groupedRegression2 separates correlated features and scales output") {
+    import spark.implicits._
+    // x2 confounds x1 (x2 = x1 for half the rows): a single-feature
+    // slope of v~x1 would absorb x2's effect; the 2-feature fit must not
+    val rows = Seq[(String, Long, Long, Double)](
+      ("g", 0L, 0L, 0.0), ("g", 2L, 2L, 24.0), ("g", 4L, 4L, 48.0),
+      ("g", 6L, 6L, 72.0), ("g", 0L, 2L, 20.0), ("g", 2L, 0L, 4.0),
+      ("g", 4L, 6L, 68.0), ("g", 6L, 4L, 52.0))
+    // v = 2·x1 + 10·x2 exactly; means: x1 24/8=3, x2 24/8=3 exact
+    val got = graft.operators.SeriesStats
+      .groupedRegression2(rows.toDF("g", "x1", "x2", "v"),
+        "g", "x1", "x2", "v", outScale = 100L)
+      .collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((200000000L, 1000000000L)))
+  }
+
+  test("groupedRegression2: degenerate design yields NULL slopes") {
+    import spark.implicits._
+    // x2 constant → singular normal matrix → NULL, not a crash/garbage
+    val rows = Seq[(String, Long, Long, Double)](
+      ("g", 0L, 5L, 1.0), ("g", 1L, 5L, 2.0), ("g", 2L, 5L, 3.0))
+    val r = graft.operators.SeriesStats
+      .groupedRegression2(rows.toDF("g", "x1", "x2", "v"),
+        "g", "x1", "x2", "v").collect().head
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
 }
