@@ -163,4 +163,61 @@ object Ranking {
         col("cos2_micros"))
       .orderBy(col(idCol), col("cos2_micros").desc, col("nn_id"))
   }
+
+  /** Graded retrieval-quality evaluation: NDCG@k per query, in exact
+    * integer arithmetic — the ranking-eval companion to the recall
+    * contract (q173). DCG uses the engine's one replayable logarithm
+    * ([[Unigram.ilog2Micro]]'s piecewise-linear micro-log2, the same
+    * recipe behind the unigram tokenizer and entropy scoring):
+    *
+    *   dcg_micro  = Σ_{i≤k} rel_i · 10¹² div ilog2m(i + 1)
+    *   idcg_micro = the same sum over the k best labels
+    *   ndcg_ppm   = dcg·10⁶ div idcg  (NULL when no relevant docs)
+    *
+    * Scale shape: the run side is already ≤ |queries|·k rows; the
+    * ideal side takes the top-k labels per query through ONE keyed
+    * window over (query, rel desc, doc asc) — exchanges carry
+    * (query, doc, rel) triples only. Unjudged run docs score rel 0
+    * (the standard convention), via a left join on (query, doc).
+    *
+    * @param run  (qidCol, docCol, rankCol): ranked results, rank 1-based
+    * @param rels (qidCol, docCol, relCol): graded labels (missing = 0)
+    * @return (qidCol, dcg_micro, idcg_micro, ndcg_ppm) per query
+    */
+  def ndcgAtK(run: DataFrame, rels: DataFrame, qidCol: String,
+      docCol: String, rankCol: String, relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    // rel·10¹² div ilog2m(rank+1): one truncating integer division per
+    // contribution, exactly replayable (rel ≥ 0 keeps operands positive)
+    def gain(rel: Column, rank: Column): Column =
+      call_function("div",
+        (rel * 1000000000000L).cast(DecimalType(38, 0)),
+        Unigram.ilog2Micro(rank + lit(1L))).cast(LongType)
+
+    val labels = rels.select(col(qidCol).as("_q"), col(docCol).as("_d"),
+      col(relCol).cast(LongType).as("_rel"))
+    val dcg = run
+      .select(col(qidCol).as("_q"), col(docCol).as("_d"),
+        col(rankCol).cast(LongType).as("_r"))
+      .filter(col("_r") <= k)
+      .join(labels, Seq("_q", "_d"), "left_outer")
+      .select(col("_q"), gain(coalesce(col("_rel"), lit(0L)), col("_r"))
+        .as("_g"))
+      .groupBy(col("_q")).agg(sum(col("_g")).as("dcg_micro"))
+
+    val idealRank = Window.partitionBy(col("_q"))
+      .orderBy(col("_rel").desc, col("_d").asc)
+    val idcg = labels
+      .withColumn("_ir", row_number().over(idealRank).cast(LongType))
+      .filter(col("_ir") <= k && col("_rel") > 0)
+      .select(col("_q"), gain(col("_rel"), col("_ir")).as("_g"))
+      .groupBy(col("_q")).agg(sum(col("_g")).as("idcg_micro"))
+
+    dcg.join(idcg, Seq("_q"), "left_outer")
+      .select(col("_q").as(qidCol), col("dcg_micro"),
+        coalesce(col("idcg_micro"), lit(0L)).as("idcg_micro"),
+        expr("CAST((CAST(dcg_micro AS DECIMAL(38,0)) * 1000000) div " +
+          "nullif(idcg_micro, 0) AS BIGINT)").as("ndcg_ppm"))
+  }
 }

@@ -474,4 +474,84 @@ object Sampling {
         col("neg_id"))
     drawn.join(corpus.withColumnRenamed(corpusIdCol, "neg_id"), Seq("neg_id"))
   }
+
+  /** EXACT proportional corpus apportionment: select exactly `budget`
+    * documents across sources in proportion to source size, by the
+    * largest-remainder (Hamilton) method — the exact-count sibling of
+    * [[balanceSources]]/[[temperatureSample]], whose per-row rate gates
+    * hit the target only in expectation. When the mixing spec says
+    * "exactly 2 M documents, proportional to source share", this is the
+    * operator.
+    *
+    * Quotas: q_s = ⌊B·n_s/N⌋ plus one bonus for the B − Σ⌊·⌋ sources
+    * with the largest remainder (ties → smaller source name) — all
+    * exact integer arithmetic on the |sources|-sized count frame,
+    * computed driver-side (sources are driver-bounded by construction).
+    *
+    * Selection: within each source, documents rank by the cross-engine
+    * composite order (md5 bucket, md5 hex, id) — hash-stable, so the
+    * selected set is layout- and append-order-independent for fixed
+    * source contents — and the rank runs INSIDE (source, bucket)
+    * windows with cross-bucket offsets from a |sources|·nBuckets
+    * count frame (collected, prefix-summed driver-side, broadcast
+    * back): the [[budgetSelect]] two-phase pattern, so no source ever
+    * pays a single-partition window no matter how large.
+    *
+    * @return selected rows: (idCol, srcCol, sel_rank, quota) with
+    *         sel_rank 1-based within the source
+    */
+  def apportionSelect(df: DataFrame, idCol: String, srcCol: String,
+      budget: Long, nBuckets: Int = 64, salt: String = "apq"):
+      DataFrame = {
+    require(budget >= 0 && nBuckets >= 1,
+      s"bad parameters ($budget, $nBuckets)")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+      .sortBy(_._1)
+    val totalN = counts.map(_._2).sum
+    if (totalN == 0L || budget == 0L)
+      return df.select(col(idCol), col(srcCol))
+        .withColumn("sel_rank", lit(0L)).withColumn("quota", lit(0L))
+        .filter(lit(false))
+    val floorQ = counts.map { case (s, n) =>
+      (s, n, budget * n / totalN, budget * n % totalN)
+    }
+    val leftover = (budget - floorQ.map(_._3).sum).toInt
+    val bonus = floorQ.sortBy { case (s, _, _, rem) => (-rem, s) }
+      .take(leftover).map(_._1).toSet
+    val quotas = floorQ.map { case (s, n, q0, _) =>
+      (s, math.min(n, q0 + (if (bonus(s)) 1L else 0L)))
+    }
+    val quotaDf = spark.createDataFrame(quotas.toSeq)
+      .toDF(srcCol, "quota")
+
+    // two-phase per-source rank over the (bucket, md5hex, id) order
+    val keyed = df.select(col(idCol).as("_id"), col(srcCol).as("_src"))
+      .withColumn("_b", md5Bucket(col("_id"), nBuckets, salt))
+      .withColumn("_hx", md5(concat(col("_id").cast("string"), lit(salt))))
+    val offs: Seq[(String, Int, Long)] = keyed
+      .groupBy(col("_src"), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.get(0).toString, r.getInt(1), r.getLong(2)))
+      .toSeq
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        val sorted = rows.sortBy(_._2)
+        sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3).init)
+          .map { case (b, off) => (s, b, off) }
+      }
+    val offDf = spark.createDataFrame(offs).toDF("_src", "_b", "_off")
+    val w = Window.partitionBy(col("_src"), col("_b"))
+      .orderBy(col("_hx").asc, col("_id").asc)
+    keyed.join(broadcast(offDf), Seq("_src", "_b"))
+      .withColumn("sel_rank",
+        col("_off") + row_number().over(w).cast("long"))
+      .join(broadcast(quotaDf.withColumnRenamed(srcCol, "_src")),
+        Seq("_src"))
+      .filter(col("sel_rank") <= col("quota"))
+      .select(col("_id").as(idCol), col("_src").as(srcCol),
+        col("sel_rank"), col("quota"))
+  }
 }

@@ -87,6 +87,37 @@ object Sketches {
     * One explode(depth) + hash aggregate: the exchange carries at
     * most depth·width cells per task after map-side combine.
     */
+  /** Sliding-window distinct maintenance from per-unit sketches: given
+    * the per-day HLL sketch table [[distinctSketches]] maintains, the
+    * trailing-`window`-day distinct count for EVERY day is a merge of
+    * ≤`window` sketches — the days-frame never touches the corpus
+    * again. The 100 TB promise: "7-day unique users, daily" costs one
+    * |days|×window self-join over a days-sized table, not |days|
+    * rescans of the event log (the naive form re-deduplicates ~window×
+    * the corpus).
+    *
+    * Returns (groupCol, window_days, estimate): the HLL estimate per
+    * day over [day − window + 1, day]. `groupCol` must be an ISO date
+    * string (lexicographic = chronological). Register-max merging makes
+    * the estimate independent of merge order and of how the daily
+    * sketches were batched.
+    */
+  def slidingDistinct(daily: DataFrame, groupCol: String,
+      window: Int): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val target = daily.select(col(groupCol).as("_day"))
+    val contrib = daily.select(col(groupCol).as("_src_day"), col("sketch"))
+    target.join(contrib,
+        col("_src_day") <= col("_day") &&
+          col("_src_day") >= date_format(
+            date_sub(to_date(col("_day")), window - 1), "yyyy-MM-dd"))
+      .groupBy(col("_day"))
+      .agg(hll_union_agg(col("sketch")).as("_merged"))
+      .select(col("_day").as(groupCol),
+        lit(window).as("window_days"),
+        hll_sketch_estimate(col("_merged")).as("estimate"))
+  }
+
   def cmsSketch(df: DataFrame, keyCol: String,
       depth: Int = 4, width: Int = 512): DataFrame = {
     require(depth >= 1 && width >= 1, s"bad CMS shape $depth x $width")

@@ -312,7 +312,55 @@ object SeriesQueries {
       |    // nullif(c11 * c22 - c12 * c12, 0) AS BIGINT) AS slope2_scaled
       |FROM v ORDER BY event_type""".stripMargin
 
+  /** Sliding-window distinct maintenance
+    * ([[graft.operators.Sketches.slidingDistinct]]): 7-day unique
+    * users per day from the per-day HLL sketch table — the trailing
+    * window is a merge of ≤7 day-sketches over the DAYS frame, never a
+    * window-length rescan of the event log. The q29 sketch-contract
+    * gate: exact counts (recomputed here by the naive ×7 expansion the
+    * sketch exists to avoid) plus a per-day within-5% claim the sketch
+    * must honor; DuckDB recomputes the exact side with a different
+    * algorithm and states the contract.
+    */
+  def q220SlidingDistinct(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DoubleType
+    val ev = Tables.events(s, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("user_id"))
+    val daily = graft.operators.Sketches.distinctSketches(ev, "day", "user_id")
+    val est = graft.operators.Sketches.slidingDistinct(daily, "day", 7)
+      .withColumnRenamed("day", "_eday")
+    val pairs = ev.distinct()
+    val days = pairs.select(col("day").as("_d")).distinct()
+    val exact = days.join(pairs,
+        col("day") <= col("_d") &&
+          col("day") >= date_format(date_sub(to_date(col("_d")), 6),
+            "yyyy-MM-dd"))
+      .groupBy(col("_d"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(est, col("_d") === col("_eday"))
+      .select(col("_d").as("day"), col("window_days"), col("exact_users"),
+        (abs(col("estimate").cast(DoubleType) -
+          col("exact_users").cast(DoubleType)) <=
+          lit(0.05) * col("exact_users").cast(DoubleType) + lit(2.0))
+          .as("est_ok"))
+      .orderBy("day")
+  }
+
+  val q220Sql: String =
+    """WITH p AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+      |           FROM events),
+      |d AS (SELECT DISTINCT day FROM p)
+      |SELECT d.day, CAST(7 AS INT) AS window_days,
+      |  CAST(count(DISTINCT p.user_id) AS BIGINT) AS exact_users,
+      |  TRUE AS est_ok
+      |FROM d JOIN p ON p.day <= d.day
+      |  AND p.day >= strftime(CAST(d.day AS DATE) - INTERVAL 6 DAY,
+      |                        '%Y-%m-%d')
+      |GROUP BY d.day ORDER BY d.day""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q220_sliding_distinct" -> q220SlidingDistinct _,
     "q216_grouped_regression" -> q216GroupedRegression _,
     "q194_sequence_pattern" -> q194SequencePattern _,
     "q193_seasonal_anomaly" -> q193SeasonalAnomaly _,
@@ -323,6 +371,7 @@ object SeriesQueries {
     "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
+    "q220_sliding_distinct" -> q220Sql,
     "q216_grouped_regression" -> q216Sql,
     "q194_sequence_pattern" -> q194Sql,
     "q193_seasonal_anomaly" -> q193Sql,

@@ -972,7 +972,97 @@ object StorageQueries {
       |LEFT JOIN mb ON mb.zone = m.zone
       |ORDER BY probe, zone""".stripMargin
 
+  /** Targeted key erasure through the file-skipping manifest
+    * ([[graft.sinks.Writers.deleteKeysPruned]] over
+    * [[graft.sinks.Pruning]]): delete three order keys from the
+    * zone-partitioned lineitem layout of q212 — only zones the
+    * manifest cannot prove clean are READ (zone bounds + Bloom bits),
+    * only zones actually holding matches are REWRITTEN (staged write +
+    * locked rename-swap); everything else stays byte-identical. The
+    * audit row per zone carries (scanned, n_deleted, rewritten) plus
+    * the survivor count from RE-READING the table after the delete —
+    * so a leaked row, a lost survivor, an unsound prune, or a wrong
+    * Bloom bit all break the hash. The oracle recomputes zone bounds,
+    * every Bloom word, each key's probe bits, and both counts from the
+    * raw table.
+    */
+  def q221PrunedDelete(s: SparkSession, dir: String): DataFrame = {
+    import graft.sinks.{Pruning, Writers}
+    import org.apache.spark.sql.types.IntegerType
+    val path = scratchPath("q221", dir) + "/t"
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"),
+        expr("CAST(datediff(to_date(l_shipdate), DATE '1995-01-01') AS INT)")
+          .as("ship_day"))
+      .withColumn("zone", expr("CAST(ship_day div 90 AS INT)"))
+      .write.partitionBy("zone").mode("overwrite").parquet(path)
+    Pruning.writeManifest(s, path, "zone",
+      zoneCols = Seq("ship_day", "l_orderkey"),
+      bloomCols = Seq("l_orderkey"), numBits = 8192, numHashes = 4)
+    val keys = Seq(4999L, 32L, 11111L)
+    val audit = Writers.deleteKeysPruned(s, path, "zone", "l_orderkey", keys)
+    val post = s.read.parquet(path)
+      .groupBy(col("zone").cast("long").as("part"))
+      .agg(count(lit(1)).as("n_remaining"))
+    audit.join(post, Seq("part"), "left_outer")
+      .select(col("part").cast(IntegerType).as("zone"),
+        col("scanned"), col("n_deleted"), col("rewritten"),
+        coalesce(col("n_remaining"), lit(0L)).as("n_remaining"))
+      .orderBy("zone")
+  }
+
+  val q221Sql: String =
+    """WITH zz AS (
+      |  SELECT l_orderkey,
+      |    CAST(datediff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE)) // 90 AS INT) AS zone
+      |  FROM lineitem),
+      |m AS (SELECT zone, min(l_orderkey) AS ok_mn, max(l_orderkey) AS ok_mx
+      |      FROM zz GROUP BY zone),
+      |keys(k) AS (VALUES (4999), (32), (11111)),
+      |pos AS (
+      |  SELECT zone,
+      |    ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || t.i::VARCHAR),
+      |     1, 15))::BIGINT % 8192 AS p
+      |  FROM (SELECT DISTINCT zone, l_orderkey FROM zz) q
+      |  CROSS JOIN range(4) t(i)),
+      |words AS (
+      |  SELECT zone, p // 64 AS w,
+      |    bit_or(1::HUGEINT << CAST(p % 64 AS INT)) AS mask
+      |  FROM pos GROUP BY 1, 2),
+      |pb AS (
+      |  SELECT k, ('0x' || substr(md5(k::VARCHAR || ':' || t.i::VARCHAR),
+      |    1, 15))::BIGINT % 8192 AS p
+      |  FROM keys CROSS JOIN range(4) t(i)),
+      |hit AS (
+      |  SELECT m.zone, pb.k,
+      |    min(CASE WHEN w.mask IS NOT NULL
+      |      AND (w.mask & (1::HUGEINT << CAST(pb.p % 64 AS INT))) <> 0
+      |      THEN 1 ELSE 0 END) AS pass
+      |  FROM m CROSS JOIN pb
+      |  LEFT JOIN words w ON w.zone = m.zone AND w.w = pb.p // 64
+      |  GROUP BY m.zone, pb.k),
+      |sc AS (
+      |  SELECT m.zone,
+      |    max(CASE WHEN m.ok_mn <= h.k AND m.ok_mx >= h.k AND h.pass = 1
+      |      THEN 1 ELSE 0 END) AS scanned
+      |  FROM m JOIN hit h ON h.zone = m.zone GROUP BY m.zone),
+      |del AS (SELECT zone, CAST(count(*) AS BIGINT) AS n_deleted FROM zz
+      |        WHERE l_orderkey IN (4999, 32, 11111) GROUP BY zone),
+      |rem AS (SELECT zone, CAST(count(*) AS BIGINT) AS n_remaining FROM zz
+      |        WHERE l_orderkey NOT IN (4999, 32, 11111) GROUP BY zone)
+      |SELECT m.zone, CAST(sc.scanned AS INT) AS scanned,
+      |  COALESCE(del.n_deleted, 0) AS n_deleted,
+      |  CAST(CASE WHEN COALESCE(del.n_deleted, 0) > 0 THEN 1 ELSE 0 END
+      |    AS INT) AS rewritten,
+      |  COALESCE(rem.n_remaining, 0) AS n_remaining
+      |FROM m
+      |LEFT JOIN sc ON sc.zone = m.zone
+      |LEFT JOIN del ON del.zone = m.zone
+      |LEFT JOIN rem ON rem.zone = m.zone
+      |ORDER BY m.zone""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q221_pruned_delete"   -> q221PrunedDelete _,
     "q212_unified_prune"   -> q212UnifiedPrune _,
     "q196_bloom_prune"     -> q196BloomPrune _,
     "q195_retractable_mv"  -> q195RetractableMv _,
@@ -994,6 +1084,7 @@ object StorageQueries {
     "q72_partition_overwrite" -> q72PartitionOverwrite _)
 
   val oracle: Map[String, String] = Map(
+    "q221_pruned_delete"   -> q221Sql,
     "q212_unified_prune"   -> q212Sql,
     "q196_bloom_prune"     -> q196Sql,
     "q195_retractable_mv"  -> q195Sql,

@@ -3858,7 +3858,226 @@ object TrainingData {
        |FROM tm ORDER BY doc_id""".stripMargin
   }
 
+  /** Graded retrieval evaluation ([[graft.operators.Ranking.ndcgAtK]]):
+    * NDCG@10 for three probe queries — the run is a deliberately
+    * imperfect single-term tf ranking, the labels grade documents by
+    * how many of the query's three terms they contain, so the metric
+    * is genuinely < 1 and every discounted-gain division matters. DCG
+    * uses the engine's one replayable logarithm (micro-log2), so the
+    * oracle recomputes runs, labels, ideal rankings, and every
+    * truncating gain division bit-for-bit.
+    */
+  def q218NdcgEval(s: SparkSession, dir: String): DataFrame = {
+    val qdefs = Seq((1, Seq("merge", "join", "filter")),
+      (2, Seq("hash", "scan", "sort")),
+      (3, Seq("vector", "batch", "window")))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), nonEmptyTokens(lower(col("text"))).as("_toks"))
+      .filter(col("_toks").isNotNull)
+    val runs = qdefs.map { case (qid, terms) =>
+      docs.select(lit(qid).as("qid"), col("doc_id"),
+        size(filter(col("_toks"), t => t === lit(terms.head))).as("_tf"))
+        .filter(col("_tf") > 0)
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_tf").desc, col("doc_id").asc)
+    val run = runs.withColumn("rank", row_number().over(w))
+    val rels = qdefs.map { case (qid, terms) =>
+      docs.select(lit(qid).as("qid"), col("doc_id"),
+        terms.map(t => when(array_contains(col("_toks"), t), 1L)
+          .otherwise(0L)).reduce(_ + _).as("rel"))
+        .filter(col("rel") > 0)
+    }.reduce(_ unionByName _)
+    graft.operators.Ranking
+      .ndcgAtK(run, rels, "qid", "doc_id", "rank", "rel", k = 10)
+      .orderBy("qid")
+  }
+
+  val q218Sql: String = {
+    def ilogp(x: String) = s"(${ilogSql(x)})"
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                x -> length(x) > 0) AS toks
+       |  FROM documents),
+       |q(qid, t1, t2, t3) AS (VALUES
+       |  (1, 'merge', 'join', 'filter'),
+       |  (2, 'hash', 'scan', 'sort'),
+       |  (3, 'vector', 'batch', 'window')),
+       |run0 AS (
+       |  SELECT q.qid, t.doc_id,
+       |    len(list_filter(t.toks, x -> x = q.t1)) AS tf
+       |  FROM q, t),
+       |run AS (
+       |  SELECT qid, doc_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY tf DESC, doc_id) AS r
+       |  FROM run0 WHERE tf > 0),
+       |rp AS (
+       |  SELECT q.qid, t.doc_id,
+       |    CAST(CASE WHEN list_contains(t.toks, q.t1) THEN 1 ELSE 0 END +
+       |         CASE WHEN list_contains(t.toks, q.t2) THEN 1 ELSE 0 END +
+       |         CASE WHEN list_contains(t.toks, q.t3) THEN 1 ELSE 0 END
+       |      AS BIGINT) AS rel
+       |  FROM q, t
+       |  WHERE list_contains(t.toks, q.t1) OR list_contains(t.toks, q.t2)
+       |     OR list_contains(t.toks, q.t3)),
+       |dcg AS (
+       |  SELECT r.qid,
+       |    CAST(sum((COALESCE(l.rel, 0) * 1000000000000)
+       |      // ${ilogp("r.r + 1")}) AS BIGINT) AS dcg_micro
+       |  FROM run r LEFT JOIN rp l ON l.qid = r.qid AND l.doc_id = r.doc_id
+       |  WHERE r.r <= 10 GROUP BY r.qid),
+       |irk AS (
+       |  SELECT qid, rel,
+       |    row_number() OVER (PARTITION BY qid ORDER BY rel DESC, doc_id) AS ir
+       |  FROM rp),
+       |idcg AS (
+       |  SELECT qid, CAST(sum((rel * 1000000000000)
+       |    // ${ilogp("ir + 1")}) AS BIGINT) AS idcg_micro
+       |  FROM irk WHERE ir <= 10 GROUP BY qid)
+       |SELECT d.qid, d.dcg_micro,
+       |  COALESCE(i.idcg_micro, 0) AS idcg_micro,
+       |  CAST((CAST(d.dcg_micro AS HUGEINT) * 1000000)
+       |    // nullif(i.idcg_micro, 0) AS BIGINT) AS ndcg_ppm
+       |FROM dcg d LEFT JOIN idcg i USING (qid) ORDER BY qid""".stripMargin
+  }
+
+  /** Exact proportional corpus apportionment
+    * ([[graft.operators.Sampling.apportionSelect]]): exactly 137
+    * documents split across languages by the largest-remainder
+    * (Hamilton) method — 137 is chosen so two bonus seats exist and
+    * the remainder ranking is exercised. The oracle replays quotas,
+    * remainders, bonus assignment, and the per-source composite
+    * (md5 bucket, md5 hex, id) selection rank for every selected row.
+    */
+  def q219ApportionSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.apportionSelect(
+      Tables.documents(s, dir), "doc_id", "lang",
+      budget = 137L, nBuckets = 64, salt = "apq")
+      .orderBy("lang", "sel_rank")
+
+  val q219Sql: String =
+    """WITH n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+      |           FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM n),
+      |fq AS (SELECT lang, n, (137 * n) // tot AS q0, (137 * n) % tot AS rem
+      |       FROM n, t),
+      |lo AS (SELECT 137 - CAST(sum(q0) AS BIGINT) AS l FROM fq),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rr
+      |       FROM fq),
+      |quota AS (SELECT lang,
+      |    least(n, q0 + CASE WHEN rr <= (SELECT l FROM lo)
+      |      THEN 1 ELSE 0 END) AS quota
+      |  FROM rk),
+      |ord AS (SELECT doc_id, lang,
+      |    ('0x' || substr(md5(doc_id::VARCHAR || 'apq'), 1, 15))::BIGINT
+      |      % 64 AS b,
+      |    md5(doc_id::VARCHAR || 'apq') AS hx
+      |  FROM documents),
+      |rkd AS (SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang ORDER BY b, hx, doc_id) AS r
+      |  FROM ord)
+      |SELECT d.doc_id, d.lang, CAST(d.r AS BIGINT) AS sel_rank, q.quota
+      |FROM rkd d JOIN quota q USING (lang)
+      |WHERE d.r <= q.quota
+      |ORDER BY d.lang, sel_rank""".stripMargin
+
+  // ---- WordPiece oracle machinery (q222/q223) ----
+
+  /** Shared WordPiece SQL core: word freqs, substring candidates,
+    * frequency-selected vocabulary (chars + top-16 multi ≥ 2). */
+  private val wpCoreSql: String =
+    """WITH dw AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+      |  FROM documents WHERE text IS NOT NULL),
+      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+      |         CAST(length(w) AS INT) AS len
+      |       FROM dw WHERE length(w) > 0 GROUP BY w),
+      |cand AS (
+      |  SELECT wf.w, wf.freq, wf.len, CAST(t.j AS INT) AS j,
+      |    CAST(t.j + u.l AS INT) AS i,
+      |    substr(wf.w, CAST(t.j + 1 AS INT), CAST(u.l AS INT)) AS p
+      |  FROM wf,
+      |    unnest(range(0, wf.len)) AS t(j),
+      |    unnest(range(1, least(4, wf.len - t.j) + 1)) AS u(l)),
+      |cnts AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt
+      |         FROM cand GROUP BY p),
+      |vocab AS (
+      |  SELECT p, cnt FROM cnts WHERE length(p) = 1
+      |  UNION ALL
+      |  SELECT p, cnt FROM (
+      |    SELECT p, cnt FROM cnts WHERE length(p) > 1 AND cnt >= 2
+      |    ORDER BY cnt DESC, p LIMIT 16))""".stripMargin
+
+  /** One greedy longest-match step: state (pos, cnt) per word. */
+  private def wpStepSql(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT s.w, s.freq, s.len,
+       |    CASE WHEN s.pos >= s.len THEN s.pos
+       |         ELSE (SELECT max(e.i) FROM edges e
+       |               WHERE e.w = s.w AND e.j = s.pos) END AS pos,
+       |    s.cnt + CASE WHEN s.pos >= s.len THEN 0 ELSE 1 END AS cnt
+       |  FROM $prev s)""".stripMargin
+
+  /** WordPiece-style tokenizer fit
+    * ([[graft.operators.WordPiece.learnVocab]]): the third tokenizer
+    * family next to BPE (q77) and unigram-LM (q210) — vocabulary =
+    * every character plus the top-16 multi-char substrings by
+    * occurrence-weighted frequency. The oracle rebuilds word
+    * frequencies, all substring candidates, and the ranked selection.
+    */
+  def q222WordPieceVocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WordPiece.learnVocab(
+      Tables.documents(s, dir), "text",
+      maxPieceLen = 4, keepMulti = 16, minCount = 2)
+      .orderBy("piece")
+
+  val q222Sql: String =
+    wpCoreSql + "\nSELECT p AS piece, cnt FROM vocab ORDER BY piece"
+
+  /** WordPiece greedy longest-match tokenization
+    * ([[graft.operators.WordPiece.wordPieceTokenCounts]]): the
+    * BERT-family inference rule — at each position consume the LONGEST
+    * vocabulary piece. The distinct-word table is segmented once (one
+    * Catalyst fold per word, no shuffle) and per-doc counts join back.
+    * The oracle unrolls the greedy walk position by position (16
+    * steps, the q210 unroll convention) — a different rule (shortest
+    * match, off-by-one, a stale covered position) shifts token counts
+    * and breaks the hash.
+    */
+  def q223WordPieceTokenize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.WordPiece.wordPieceTokenCounts(
+      Tables.documents(s, dir), "doc_id", "text",
+      maxPieceLen = 4, keepMulti = 16, minCount = 2)
+      .orderBy("doc_id")
+
+  val q223Sql: String = {
+    val steps = (1 to 16)
+      .map(i => wpStepSql(s"s${i - 1}", s"s$i")).mkString(",\n")
+    wpCoreSql +
+      s""",
+         |edges AS (SELECT DISTINCT c.w, c.j, c.i
+         |          FROM cand c JOIN vocab v ON v.p = c.p),
+         |s0 AS (SELECT w, freq, len, 0 AS pos, CAST(0 AS BIGINT) AS cnt
+         |       FROM wf),
+         |$steps,
+         |wtok AS (SELECT w, cnt FROM s16),
+         |docw AS (
+         |  SELECT dw.doc_id, t.cnt
+         |  FROM dw JOIN wtok t ON t.w = dw.w
+         |  WHERE length(dw.w) > 0)
+         |SELECT d.doc_id,
+         |  COALESCE(CAST(sum(x.cnt) AS BIGINT), 0) AS n_wordpiece_tokens
+         |FROM documents d
+         |LEFT JOIN docw x ON x.doc_id = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q218_ndcg_eval" -> q218NdcgEval _,
+    "q219_apportion_select" -> q219ApportionSelect _,
+    "q222_wordpiece_vocab" -> q222WordPieceVocab _,
+    "q223_wordpiece_tokenize" -> q223WordPieceTokenize _,
     "q213_target_encoding" -> q213TargetEncoding _,
     "q214_coverage_select" -> q214CoverageSelect _,
     "q217_char_entropy" -> q217CharEntropy _,
@@ -3941,6 +4160,10 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q218_ndcg_eval" -> q218Sql,
+    "q219_apportion_select" -> q219Sql,
+    "q222_wordpiece_vocab" -> q222Sql,
+    "q223_wordpiece_tokenize" -> q223Sql,
     "q213_target_encoding" -> q213Sql,
     "q214_coverage_select" -> q214Sql,
     "q217_char_entropy" -> q217Sql,

@@ -649,6 +649,84 @@ object Writers {
     spark.read.parquet(files: _*)
   }
 
+  /** Targeted key erasure over a hive-partitioned table — the GDPR /
+    * "delete these records everywhere" write shape, composed with the
+    * unified file-skipping manifest ([[graft.sinks.Pruning]]): only
+    * partitions the manifest CANNOT prove clean (zone bounds + Bloom
+    * bits, sound over-approximation) are even READ; of those, only
+    * partitions that actually hold matching rows are REWRITTEN
+    * (staged write + locked rename-swap, the [[compactParquet]] crash
+    * discipline); everything else stays byte-identical. At 100 TB a
+    * handful of subject keys touches a handful of files — never a
+    * full-table rewrite, never a full-table scan.
+    *
+    * The manifest stays SOUND after the delete (Bloom bits of removed
+    * keys remain set, zone bounds can only over-cover) — re-run
+    * [[Pruning.writeManifest]] to re-tighten when drift accumulates.
+    * A delete that empties a leaf leaves an empty directory (readers
+    * see zero rows; compaction may later remove it).
+    *
+    * Returns the per-partition audit frame:
+    * (part, scanned, n_deleted, rewritten) — `scanned` = the manifest
+    * could not prove the partition clean for at least one key.
+    * Keys are driver-bounded by construction (an erasure request).
+    */
+  def deleteKeysPruned(spark: SparkSession, path: String,
+      partCol: String, keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty, "deleteKeysPruned: need at least one key")
+    import graft.sinks.Pruning
+    val affected = keys
+      .flatMap(k => Pruning.pruneFiles(spark, path,
+        Seq(Pruning.Pred.eq(keyCol, k))))
+      .distinct.sorted
+    val audit = affected.map { v =>
+      val leaf = new Path(s"$path/$partCol=$v")
+      val fs = leaf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val lock = new Path(leaf.toString + ".delete.lock")
+      acquireSwapLock(fs, lock, "deleteKeysPruned")
+      var keepLock = false
+      try {
+        val df = spark.read.parquet(leaf.toString)
+        val nDel = df.filter(col(keyCol).isin(keys: _*)).count()
+        if (nDel == 0L) (v, 1, 0L, 0) // Bloom false positive: untouched
+        else {
+          val survivors = df.filter(!col(keyCol).isin(keys: _*))
+          val stamp = java.util.UUID.randomUUID().toString
+          val tmp = new Path(leaf.toString + ".tmp-" + stamp)
+          val bak = new Path(leaf.toString + ".bak-" + stamp)
+          survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+          if (!fs.rename(leaf, bak))
+            throw new java.io.IOException(
+              s"deleteKeysPruned: rename $leaf -> $bak failed")
+          if (!fs.rename(tmp, leaf)) {
+            if (!fs.rename(bak, leaf)) {
+              keepLock = true
+              throw new java.io.IOException(
+                s"deleteKeysPruned: rename $tmp -> $leaf failed AND " +
+                  s"restoring $bak -> $leaf failed; live path ABSENT. " +
+                  s"Data preserved at $bak/$tmp; lock $lock retained")
+            }
+            throw new java.io.IOException(
+              s"deleteKeysPruned: rename $tmp -> $leaf failed")
+          }
+          fs.delete(bak, true)
+          (v, 1, nDel, 1)
+        }
+      } finally if (!keepLock) fs.delete(lock, false): Unit
+    }
+    val allParts = spark.read.parquet(s"$path/_graft_manifest/zones")
+      .select(col("part")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val byPart = audit.map(a => a._1 -> a).toMap
+    import spark.implicits._
+    allParts.map { v =>
+      byPart.get(v) match {
+        case Some((_, s, d, r)) => (v, s, d, r)
+        case None               => (v, 0, 0L, 0)
+      }
+    }.toSeq.toDF("part", "scanned", "n_deleted", "rewritten")
+  }
+
   /** Retire all but the newest `keep` versions: delete their manifests
     * first (the commit record — after this no reader can pin them),
     * then every data file owned by a retired version, then any
