@@ -716,6 +716,63 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** INCREMENTAL connected components: fold a batch of new edges into
+    * a persisted (id, component) assignment without recomputing
+    * history — the union-find shape of streaming sessionization,
+    * identity stitching, and daily near-dup graph maintenance. A new
+    * edge can only MERGE existing components (or attach new nodes), so
+    * the full recompute collapses to:
+    *
+    *  1. map each new edge's endpoints to their current component
+    *     (absent → the node is its own component) — one broadcast-or-
+    *     keyed join per side, increment-sized;
+    *  2. run components on the COMPONENT graph those edges induce —
+    *     a graph bounded by the batch size, never the corpus
+    *     ([[connectedComponents]]' pointer-jump, min-label canonical);
+    *  3. remap: one broadcast join of the (old component → merged
+    *     component) table, increment-bounded, onto the assignment.
+    *
+    * The corpus-sized assignment crosses exactly one join per batch;
+    * min-label canonicalization makes the result IDENTICAL to a full
+    * recompute over base ∪ increment (min of merged minima = global
+    * min), which is exactly what the q225 oracle replays.
+    *
+    * @param baseAssign (idCol, compCol) persisted assignment
+    * @param newEdges   increment edge batch
+    * @return (id, component) over base nodes ∪ new endpoints
+    */
+  def incrementalComponents(baseAssign: DataFrame, idCol: String,
+      compCol: String, newEdges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val base = baseAssign.select(col(idCol).cast(LongType).as("id"),
+      col(compCol).cast(LongType).as("comp"))
+    val e = newEdges.select(col(srcCol).cast(LongType).as("_s"),
+        col(dstCol).cast(LongType).as("_d"))
+      .filter(col("_s").isNotNull && col("_d").isNotNull)
+    // endpoints absent from the base enter as their own component
+    val ends = e.select(col("_s").as("id"))
+      .unionByName(e.select(col("_d").as("id"))).distinct()
+    val newNodes = ends.join(base.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("comp"))
+    val assignAll = base.unionByName(newNodes)
+    // the component graph the new edges induce (increment-bounded)
+    val lookup = assignAll.withColumnRenamed("id", "_n")
+    val cEdges = e
+      .join(lookup.select(col("_n").as("_s"), col("comp").as("_cs")), Seq("_s"))
+      .join(lookup.select(col("_n").as("_d"), col("comp").as("_cd")), Seq("_d"))
+      .select(col("_cs").as("id_a"), col("_cd").as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    if (cEdges.isEmpty) return assignAll
+      .select(col("id"), col("comp").as("component_id"))
+    val merged = connectedComponents(cEdges)
+      .withColumnRenamed("id", "comp")
+      .withColumnRenamed("component_id", "_super")
+    assignAll.join(broadcast(merged), Seq("comp"), "left_outer")
+      .select(col("id"),
+        coalesce(col("_super"), col("comp")).as("component_id"))
+  }
+
   /** Near-dup remediation: drop every row whose id belongs to a
     * component but is not its minimum — the multi-copy generalization
     * of [[dedupByFingerprint]]'s keep-lowest-id policy. Rows not in

@@ -73,6 +73,18 @@ object Ranking {
     val tf = hits.groupBy(col("_id"), col("_term"))
       .agg(count(lit(1)).cast(DoubleType).as("_tf"),
         first(col("_dl")).as("_dl"))
+    scoreTopK(tf, queryTerms, k, k1, b, n, sumDl)
+      .withColumnRenamed("_id", idCol)
+  }
+
+  /** Shared BM25 scoring tail over a (_id, _term, _tf, _dl) frame —
+    * identical expression tree for the direct (q85) and index-probed
+    * (q224) paths, so the two answer bit-identically.
+    */
+  private def scoreTopK(tf: DataFrame, queryTerms: Seq[String], k: Int,
+      k1: Double, b: Double, n: Long, sumDl: Long): DataFrame = {
+    // one IEEE division on exact integer operands — identical everywhere
+    val avgdl = lit(sumDl.toDouble) / lit(n.toDouble)
     val dfreq = tf.groupBy(col("_term"))
       .agg(count(lit(1)).cast(DoubleType).as("_df"))
     val scored = tf.join(broadcast(dfreq), "_term")
@@ -97,6 +109,69 @@ object Ranking {
       .select(col("_id"), score.as("score"), nHit.cast(IntegerType).as("n_terms_hit"))
       .orderBy(col("score").desc, col("_id"))
       .limit(k)
+  }
+
+  /** Persist an inverted postings index for BM25 probing: the text
+    * twin of the IVF vector index (q65) — postings (term, doc, tf, dl)
+    * written `partitionBy(term-bucket)`, so a query's terms prune the
+    * read to ≤|terms| buckets via PartitionFilters; corpus constants
+    * (N, Σdl) land in a 1-row `_stats` sidecar. Per-term document
+    * frequencies are NOT materialized: the probe derives them exactly
+    * from the postings it reads anyway (df = rows per term).
+    *
+    * Build cost: one corpus scan + one (term, doc) aggregate — the
+    * one-off a production query stream amortizes. The md5 bucket is
+    * the cross-engine [[Sampling.md5Bucket]] recipe, so any engine can
+    * locate a term's bucket.
+    */
+  def writePostingsIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, nBuckets: Int = 32): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
+    val base = docs
+      .select(col(idCol).as("_id"),
+        nonEmptyTokens(lower(col(textCol))).as("_toks"))
+    base.agg(count(lit(1)).as("n"),
+        sum(size(col("_toks")).cast(LongType)).as("sum_dl"))
+      .write.mode("overwrite").parquet(s"$path/_stats")
+    base
+      .select(col("_id"), size(col("_toks")).cast(LongType).as("dl"),
+        explode(col("_toks")).as("term"))
+      .groupBy(col("term"), col("_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("tb", Sampling.md5Bucket(col("term"), nBuckets))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$path/postings")
+  }
+
+  /** Driver-side twin of [[Sampling.md5Bucket]] for locating a term's
+    * postings bucket without touching the cluster. */
+  private[graft] def md5BucketOf(s: String, buckets: Int): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    val hex = d.map(b => f"$b%02x").mkString.substring(0, 15)
+    (java.lang.Long.parseLong(hex, 16) % buckets).toInt
+  }
+
+  /** BM25 top-k through the persisted postings index: reads ONLY the
+    * query terms' buckets (PartitionFilters — PlanShapeSpec-asserted),
+    * then runs the exact [[bm25TopK]] scoring tail, so results are
+    * bit-identical to scanning the corpus. 100 TB of text, |terms|
+    * bucket reads.
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, queryTerms: Seq[String], k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 32): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val st = spark.read.parquet(s"$path/_stats").collect()(0)
+    val (n, sumDl) = (st.getLong(0), st.getLong(1))
+    val buckets = queryTerms.map(t => md5BucketOf(t, nBuckets)).distinct
+    val tf = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(queryTerms: _*))
+      .select(col("_id"), col("term").as("_term"),
+        col("tf").cast(DoubleType).as("_tf"),
+        col("dl").cast(DoubleType).as("_dl"))
+    scoreTopK(tf, queryTerms, k, k1, b, n, sumDl)
       .withColumnRenamed("_id", idCol)
   }
 

@@ -475,6 +475,36 @@ object Sampling {
     drawn.join(corpus.withColumnRenamed(corpusIdCol, "neg_id"), Seq("neg_id"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: each row
+    * goes to the shard maximizing md5(id:shard) — the consistent-
+    * placement scheme whose defining property is MINIMAL MOVEMENT:
+    * adding a shard moves only the rows whose new-shard hash wins
+    * (~1/(n+1) of the corpus), and NOTHING moves laterally between
+    * surviving shards (a row's old winner still beats every other old
+    * shard). Cross-engine replayable: the weight is the
+    * [[graft.functions.TextFunctions.md5Hash60]] recipe over
+    * `id:shard`; ties (astronomically unlikely, still defined) break
+    * to the lexicographically LARGER shard name on both engines.
+    *
+    * One map-only projection — |shards| hash evaluations per row,
+    * zero exchanges; the assignment is layout-, append-, and
+    * history-independent.
+    */
+  def rendezvousAssign(df: DataFrame, idCol: String,
+      shards: Seq[String]): DataFrame = {
+    require(shards.nonEmpty && shards.distinct == shards,
+      "shards must be non-empty and distinct")
+    val weighted = shards.map { sh =>
+      struct(
+        graft.functions.TextFunctions.md5Hash60(
+          concat(col(idCol).cast("string"), lit(":" + sh))).as("h"),
+        lit(sh).as("shard"))
+    }
+    val pick =
+      if (weighted.size == 1) weighted.head else greatest(weighted: _*)
+    df.withColumn("shard", pick.getField("shard"))
+  }
+
   /** EXACT proportional corpus apportionment: select exactly `budget`
     * documents across sources in proportion to source size, by the
     * largest-remainder (Hamilton) method — the exact-count sibling of

@@ -459,4 +459,49 @@ object TextAnalysis {
         expr("n_novel * 1000000 div n_tokens").as("novelty_micro"))
       .orderBy(col("bucket"))
   }
+
+  /** Zipf-law audit per group: the log-log slope of term frequency
+    * against frequency rank — the corpus-health number (natural text
+    * sits near −1; template floods and synthetic spam bend it). All
+    * integer: x = ilog2m(rank), y = ilog2m(count) under the engine's
+    * piecewise-linear micro-log2, slope from the closed-form OLS in
+    * DECIMAL(38,0) (the q146 recipe), reported in ppm (Zipf ≈
+    * −1,000,000).
+    *
+    * Scale shape: one corpus aggregate to (group, term, count) —
+    * content-free after hashing? No: the term travels (it IS the
+    * group-by key), but the frame is vocabulary-sized from there on.
+    * The rank window runs per GROUP over the vocab frame
+    * (vocab-bounded by construction), then one sufficient-statistics
+    * aggregate per group.
+    *
+    * @return (groupCol, n_terms, zipf_slope_ppm)
+    */
+  def zipfSlope(docs: DataFrame, groupCol: String,
+      textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DecimalType, LongType}
+    val counts = docs.filter(col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        explode(nonEmptyTokens(lower(col(textCol)))).as("_t"))
+      .groupBy(col("_g"), col("_t")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("_c").desc, col("_t").asc)
+    val xy = counts
+      .withColumn("_r", row_number().over(w).cast(LongType))
+      .select(col("_g"),
+        Unigram.ilog2Micro(col("_r")).as("_x"),
+        Unigram.ilog2Micro(col("_c")).as("_y"))
+    xy.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x").cast(DecimalType(38, 0)) * col("_x")).as("_sxx"),
+        sum(col("_x").cast(DecimalType(38, 0)) * col("_y")).as("_sxy"))
+      .select(col("_g").as(groupCol), col("n_terms"),
+        expr("CAST((1000000 * (n_terms * _sxy - " +
+          "CAST(_sx AS DECIMAL(38,0)) * _sy)) div " +
+          "nullif(n_terms * _sxx - " +
+          "CAST(_sx AS DECIMAL(38,0)) * _sx, 0) AS BIGINT)")
+          .as("zipf_slope_ppm"))
+  }
 }

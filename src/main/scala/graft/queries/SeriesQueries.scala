@@ -359,7 +359,71 @@ object SeriesQueries {
       |                        '%Y-%m-%d')
       |GROUP BY d.day ORDER BY d.day""".stripMargin
 
+  /** Incremental sessionization as union-find
+    * ([[graft.operators.Dedup.incrementalComponents]]): events link
+    * when consecutive for a user within 1 hour; the month splits at
+    * Jan 16 into a PERSISTED base assignment (components of the
+    * pre-cutoff edges) and an increment batch folded in WITHOUT
+    * recomputing history — cross-cutoff edges exercise the
+    * component-merge path, post-cutoff newcomers the attach path. The
+    * oracle computes every session independently by gaps-and-islands
+    * (a different algorithm with no notion of "incremental"), so a
+    * stale base label, a missed merge, or a lost singleton breaks the
+    * hash on some event's session id.
+    */
+  def q225IncrementalSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val linked = ev
+      .withColumn("_nid", lead(col("event_id"), 1).over(w))
+      .withColumn("_nts", lead(col("ts"), 1).over(w))
+      .filter(col("_nid").isNotNull &&
+        expr("unix_micros(_nts) - unix_micros(ts) <= 3600000000"))
+      .select(col("event_id").as("id_a"), col("_nid").as("id_b"),
+        col("_nts").as("_bts"))
+    val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
+    val baseEdges = linked.filter(col("_bts") < cutoff)
+      .select(col("id_a"), col("id_b"))
+    val incEdges = linked.filter(!(col("_bts") < cutoff))
+      .select(col("id_a"), col("id_b"))
+    val baseIds = ev.filter(col("ts") < cutoff)
+      .select(col("event_id").as("id"))
+    val baseAssign = baseIds
+      .join(graft.operators.Dedup.connectedComponents(baseEdges),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("component_id"), col("id")).as("component"))
+    val updated = graft.operators.Dedup.incrementalComponents(
+      baseAssign, "id", "component", incEdges, "id_a", "id_b")
+    ev.select(col("event_id").as("id"))
+      .join(updated, Seq("id"), "left_outer")
+      .select(col("id").as("event_id"),
+        coalesce(col("component_id"), col("id")).as("session_id"))
+      .orderBy("event_id")
+  }
+
+  val q225Sql: String =
+    """WITH o AS (
+      |  SELECT event_id, user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts
+      |  FROM events),
+      |isl AS (
+      |  SELECT event_id, user_id,
+      |    sum(CASE WHEN pts IS NULL
+      |        OR epoch_us(ts) - epoch_us(pts) > 3600000000
+      |        THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+      |  FROM o)
+      |SELECT event_id,
+      |  CAST(min(event_id) OVER (PARTITION BY user_id, g) AS BIGINT)
+      |    AS session_id
+      |FROM isl ORDER BY event_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q225_incremental_sessions" -> q225IncrementalSessions _,
     "q220_sliding_distinct" -> q220SlidingDistinct _,
     "q216_grouped_regression" -> q216GroupedRegression _,
     "q194_sequence_pattern" -> q194SequencePattern _,
@@ -371,6 +435,7 @@ object SeriesQueries {
     "q174_late_data_audit" -> q174LateDataAudit _)
 
   val oracle: Map[String, String] = Map(
+    "q225_incremental_sessions" -> q225Sql,
     "q220_sliding_distinct" -> q220Sql,
     "q216_grouped_regression" -> q216Sql,
     "q194_sequence_pattern" -> q194Sql,

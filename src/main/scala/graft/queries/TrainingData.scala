@@ -4073,7 +4073,161 @@ object TrainingData {
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
   }
 
+  /** BM25 through a persisted inverted postings index
+    * ([[graft.operators.Ranking.writePostingsIndex]] /
+    * [[graft.operators.Ranking.bm25TopKFromIndex]]): the text twin of
+    * the IVF vector index q65 — postings partitioned by term bucket,
+    * the probe reads ONLY the query terms' buckets (PartitionFilters,
+    * PlanShapeSpec-asserted) and must answer BIT-IDENTICALLY to
+    * scanning the corpus, which is exactly what the oracle does
+    * (the q85 rational-BM25 replay over raw documents, different
+    * terms). Index write inside the timed region by design (the q65
+    * convention: the one-off a production query stream amortizes).
+    */
+  def q224IndexedBm25(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q224", dir) + "/ix"
+    graft.operators.Ranking.writePostingsIndex(
+      Tables.documents(s, dir), "doc_id", "text", path, nBuckets = 32)
+    graft.operators.Ranking.bm25TopKFromIndex(
+      s, path, "doc_id", Seq("customer", "vector", "stream"),
+      k = 15, nBuckets = 32)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  val q224Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(trim(lower(text)), '\s+'),
+      |                x -> length(x) > 0) AS toks
+      |  FROM documents),
+      |const AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(len(toks)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl
+      |  FROM t),
+      |hit AS (
+      |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+      |    unnest(toks) AS term
+      |  FROM t),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+      |  FROM hit WHERE term IN ('customer', 'vector', 'stream')
+      |  GROUP BY doc_id, term),
+      |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    (((SELECT n FROM const) - df + 0.5) / (df + 0.5))
+      |      * (tf * (CAST(1.2 AS DOUBLE) + 1.0))
+      |      / (tf + CAST(1.2 AS DOUBLE)
+      |         * ((1.0 - CAST(0.75 AS DOUBLE))
+      |            + CAST(0.75 AS DOUBLE) * dl / (SELECT avgdl FROM const))) AS s
+      |  FROM tf JOIN dfq USING (term)),
+      |piv AS (
+      |  SELECT doc_id,
+      |    max(CASE WHEN term = 'customer' THEN s END) AS s0,
+      |    max(CASE WHEN term = 'vector'   THEN s END) AS s1,
+      |    max(CASE WHEN term = 'stream'   THEN s END) AS s2
+      |  FROM scored GROUP BY doc_id)
+      |SELECT doc_id,
+      |  COALESCE(s0, 0.0) + COALESCE(s1, 0.0) + COALESCE(s2, 0.0) AS score,
+      |  CAST((CASE WHEN s0 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS INT) AS n_terms_hit
+      |FROM piv
+      |ORDER BY score DESC, doc_id
+      |LIMIT 15""".stripMargin
+
+  /** Rendezvous (highest-random-weight) sharding stability
+    * ([[graft.operators.Sampling.rendezvousAssign]]): assign every
+    * document under 5 shards and again under 6, and publish the full
+    * transition matrix. The defining property — adding a shard moves
+    * rows ONLY into the new shard, never laterally — is visible in the
+    * output (`lateral_move` rows carry the moved counts; there must be
+    * none) and hash-checked against the oracle's independent argmax
+    * replay; RendezvousSpec additionally asserts the zero-lateral
+    * invariant directly.
+    */
+  def q226RendezvousShards(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = Tables.documents(s, dir).select(col("doc_id"))
+    val five = Seq("n0", "n1", "n2", "n3", "n4")
+    val a = Sampling.rendezvousAssign(docs, "doc_id", five)
+      .withColumnRenamed("shard", "shard5")
+    val b = Sampling.rendezvousAssign(docs, "doc_id", five :+ "n5")
+      .withColumnRenamed("shard", "shard6")
+    a.join(b, Seq("doc_id"))
+      .groupBy(col("shard5"), col("shard6"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("shard5"), col("shard6"), col("n_docs"),
+        (col("shard5") =!= col("shard6") && col("shard6") =!= "n5")
+          .as("lateral_move"))
+      .orderBy("shard5", "shard6")
+  }
+
+  val q226Sql: String =
+    """WITH sh5(s) AS (VALUES ('n0'), ('n1'), ('n2'), ('n3'), ('n4')),
+      |sh6(s) AS (VALUES ('n0'), ('n1'), ('n2'), ('n3'), ('n4'), ('n5')),
+      |a AS (
+      |  SELECT doc_id, s AS shard5 FROM (
+      |    SELECT d.doc_id, sh5.s,
+      |      row_number() OVER (PARTITION BY d.doc_id ORDER BY
+      |        ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || sh5.s),
+      |         1, 15))::BIGINT DESC, sh5.s DESC) AS rn
+      |    FROM documents d, sh5) WHERE rn = 1),
+      |b AS (
+      |  SELECT doc_id, s AS shard6 FROM (
+      |    SELECT d.doc_id, sh6.s,
+      |      row_number() OVER (PARTITION BY d.doc_id ORDER BY
+      |        ('0x' || substr(md5(d.doc_id::VARCHAR || ':' || sh6.s),
+      |         1, 15))::BIGINT DESC, sh6.s DESC) AS rn
+      |    FROM documents d, sh6) WHERE rn = 1)
+      |SELECT a.shard5, b.shard6, CAST(count(*) AS BIGINT) AS n_docs,
+      |  (a.shard5 <> b.shard6 AND b.shard6 <> 'n5') AS lateral_move
+      |FROM a JOIN b USING (doc_id)
+      |GROUP BY a.shard5, b.shard6
+      |ORDER BY shard5, shard6""".stripMargin
+
+  /** Zipf-law corpus-health audit per language
+    * ([[graft.operators.TextAnalysis.zipfSlope]]): the log-log OLS
+    * slope of term frequency vs rank in exact integer arithmetic —
+    * micro-log2 coordinates, DECIMAL(38,0) closed-form slope. The
+    * oracle recomputes counts, ranks (count desc, term asc), both
+    * micro-logs, and the Cramer division per language.
+    */
+  def q227ZipfSlope(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis
+      .zipfSlope(Tables.documents(s, dir), "lang", "text")
+      .orderBy("lang")
+
+  val q227Sql: String = {
+    def ilogp(x: String) = s"(${ilogSql(x)})"
+    s"""WITH tok AS (
+       |  SELECT lang,
+       |    unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |           x -> length(x) > 0)) AS t
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+       |      FROM tok GROUP BY lang, t),
+       |r AS (SELECT lang, c,
+       |        row_number() OVER (PARTITION BY lang
+       |          ORDER BY c DESC, t ASC) AS rk
+       |      FROM c),
+       |xy AS (SELECT lang, ${ilogp("rk")} AS x, ${ilogp("c")} AS y FROM r),
+       |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_terms,
+       |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+       |        CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+       |        CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+       |      FROM xy GROUP BY lang)
+       |SELECT lang, n_terms,
+       |  CAST((1000000 * (n_terms * sxy - sx * sy))
+       |    // nullif(n_terms * sxx - sx * sx, 0) AS BIGINT)
+       |    AS zipf_slope_ppm
+       |FROM g ORDER BY lang""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q224_indexed_bm25" -> q224IndexedBm25 _,
+    "q226_rendezvous_shards" -> q226RendezvousShards _,
+    "q227_zipf_slope" -> q227ZipfSlope _,
     "q218_ndcg_eval" -> q218NdcgEval _,
     "q219_apportion_select" -> q219ApportionSelect _,
     "q222_wordpiece_vocab" -> q222WordPieceVocab _,
@@ -4160,6 +4314,9 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q224_indexed_bm25" -> q224Sql,
+    "q226_rendezvous_shards" -> q226Sql,
+    "q227_zipf_slope" -> q227Sql,
     "q218_ndcg_eval" -> q218Sql,
     "q219_apportion_select" -> q219Sql,
     "q222_wordpiece_vocab" -> q222Sql,
