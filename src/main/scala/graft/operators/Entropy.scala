@@ -23,10 +23,18 @@ import graft.functions.TextFunctions
   * logarithm recipe serves the whole engine).
   *
   * Engine shape: one explode to (id, symbolHash) — symbols travel as
-  * 60-bit md5 tokens, never as content — one keyed count per (doc,
+  * xxhash64 tokens, never as content — one keyed count per (doc,
   * symbol), one keyed rollup per doc. Both exchanges carry ids +
   * hashes + counts only; per-doc state is alphabet-bounded. 100 TB of
   * text costs two hash aggregates.
+  *
+  * The symbol hash only partitions symbols WITHIN a doc (its identity
+  * never reaches the output — entropy needs counts, not names), so the
+  * cheap codegen xxhash64 is correct here and the oracle simply groups
+  * by the raw character; the md5 recipe is reserved for values an
+  * external engine must reproduce bit-for-bit. (A within-doc 64-bit
+  * collision across a ≤10³-symbol alphabet is ~10⁻¹³ and would surface
+  * as a deterministic hash-gate failure, not silence.)
   */
 object Entropy {
 
@@ -42,8 +50,7 @@ object Entropy {
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("_id"), length(col(textCol)).cast(LongType).as("_n"),
         explode(TextFunctions.charNGrams(col(textCol), 1)).as("_ch"))
-      .select(col("_id"), col("_n"),
-        TextFunctions.md5Hash60(col("_ch")).as("_h"))
+      .select(col("_id"), col("_n"), xxhash64(col("_ch")).as("_h"))
       .groupBy(col("_id"), col("_n"), col("_h"))
       .agg(count(lit(1)).as("_c"))
 

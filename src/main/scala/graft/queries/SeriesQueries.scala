@@ -385,17 +385,24 @@ object SeriesQueries {
       .select(col("event_id").as("id_a"), col("_nid").as("id_b"),
         col("_nts").as("_bts"))
     val cutoff = lit("2024-01-16 00:00:00").cast("timestamp")
-    val baseEdges = linked.filter(col("_bts") < cutoff)
-      .select(col("id_a"), col("id_b"))
     val incEdges = linked.filter(!(col("_bts") < cutoff))
       .select(col("id_a"), col("id_b"))
-    val baseIds = ev.filter(col("ts") < cutoff)
-      .select(col("event_id").as("id"))
-    val baseAssign = baseIds
-      .join(graft.operators.Dedup.connectedComponents(baseEdges),
-        Seq("id"), "left_outer")
-      .select(col("id"),
-        coalesce(col("component_id"), col("id")).as("component"))
+    // the persisted-era assignment comes from the sessionizer itself
+    // (gaps-and-islands, one keyed window chain — what a production
+    // job would have persisted); the operator under test is the
+    // INCREMENTAL fold, not the base construction
+    val preEv = ev.filter(col("ts") < cutoff)
+    val islands = preEv
+      .withColumn("_pts", lag(col("ts"), 1).over(w))
+      .withColumn("_brk", when(col("_pts").isNull ||
+        expr("unix_micros(ts) - unix_micros(_pts) > 3600000000"), 1)
+        .otherwise(0))
+      .withColumn("_g", sum(col("_brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val baseAssign = islands
+      .withColumn("component", min(col("event_id")).over(
+        Window.partitionBy(col("user_id"), col("_g"))))
+      .select(col("event_id").as("id"), col("component"))
     val updated = graft.operators.Dedup.incrementalComponents(
       baseAssign, "id", "component", incEdges, "id_a", "id_b")
     ev.select(col("event_id").as("id"))

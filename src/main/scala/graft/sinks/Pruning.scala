@@ -135,6 +135,49 @@ object Pruning {
     survivors.collect().map(_.getLong(0)).sorted.toSeq
   }
 
+  /** Disjunctive multi-key equality pruning in ONE manifest pass:
+    * the partitions that may hold ANY of `keys` in `column` — the
+    * erasure-request shape ([[Writers.deleteKeysPruned]]), where
+    * per-key [[pruneFiles]] calls would re-read the manifest |keys|
+    * times. Same soundness: a partition is dropped only when the zone
+    * bounds disprove every key or the Bloom filter rejects every key
+    * it zoned for.
+    */
+  def pruneFilesAnyOf(spark: SparkSession, path: String,
+      column: String, keys: Seq[Long]): Seq[Long] = {
+    require(keys.nonEmpty, "at least one key")
+    import spark.implicits._
+    val zones = spark.read.parquet(s"${manifestDir(path)}/zones")
+    val meta = spark.read.parquet(s"${manifestDir(path)}/meta").collect()(0)
+    val (numBits, numHashes) =
+      (meta.getAs[Int]("num_bits"), meta.getAs[Int]("num_hashes"))
+    val kdf = keys.toDF("_k")
+    val covered = zones.filter(col("col_name") === column)
+    val zoned =
+      if (covered.isEmpty)
+        zones.select(col("part")).distinct().crossJoin(kdf)
+      else covered
+        .join(kdf, col("min_v") <= col("_k") && col("max_v") >= col("_k"))
+        .select(col("part"), col("_k"))
+    val bloomCovered: Boolean =
+      try spark.read.parquet(s"${manifestDir(path)}/bloom")
+        .filter(col("col_name") === column).head(1).nonEmpty
+      catch { case _: org.apache.spark.sql.AnalysisException => false }
+    val survivors =
+      if (!bloomCovered) zoned
+      else {
+        val manifest = spark.read.parquet(s"${manifestDir(path)}/bloom")
+          .filter(col("col_name") === column)
+          .select(col("part"), col("w"), col("mask"))
+        zoned.join(
+          graft.operators.JoinOps.bloomCandidates(
+            manifest, kdf, "_k", numBits, numHashes),
+          Seq("part", "_k"), "left_semi")
+      }
+    survivors.select(col("part")).distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+  }
+
   /** Restricted scan: the table filtered to the surviving partitions
     * (an `isin` on the partition column — Catalyst turns it into
     * PartitionFilters, so pruned files are never opened) with the

@@ -672,14 +672,46 @@ object Writers {
     * Keys are driver-bounded by construction (an erasure request).
     */
   def deleteKeysPruned(spark: SparkSession, path: String,
-      partCol: String, keyCol: String, keys: Seq[Long]): DataFrame = {
+      partCol: String, keyCol: String, keys: Seq[Long],
+      maxConcurrentLeaves: Int = 8): DataFrame = {
     require(keys.nonEmpty, "deleteKeysPruned: need at least one key")
     import graft.sinks.Pruning
-    val affected = keys
-      .flatMap(k => Pruning.pruneFiles(spark, path,
-        Seq(Pruning.Pred.eq(keyCol, k))))
-      .distinct.sorted
-    val audit = affected.map { v =>
+    // one manifest pass for the whole key set, not one per key
+    val affected =
+      Pruning.pruneFilesAnyOf(spark, path, keyCol, keys)
+    // leaf jobs from a bounded pool (the compactPartitionedTable
+    // convention): the per-leaf read+rewrite is tiny, the job
+    // round-trip is not — keep the scheduler fed
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxConcurrentLeaves, math.max(1, affected.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val auditF = affected.map { v =>
+      scala.concurrent.Future(rewriteLeaf(spark, path, partCol, keyCol,
+        keys, v))
+    }
+    val audit =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(auditF),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
+    val allParts = spark.read.parquet(s"$path/_graft_manifest/zones")
+      .select(col("part")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val byPart = audit.map(a => a._1 -> a).toMap
+    import spark.implicits._
+    allParts.map { v =>
+      byPart.get(v) match {
+        case Some((_, s, d, r)) => (v, s, d, r)
+        case None               => (v, 0, 0L, 0)
+      }
+    }.toSeq.toDF("part", "scanned", "n_deleted", "rewritten")
+  }
+
+  private def rewriteLeaf(spark: SparkSession, path: String,
+      partCol: String, keyCol: String, keys: Seq[Long],
+      v: Long): (Long, Int, Long, Int) = {
+    {
       val leaf = new Path(s"$path/$partCol=$v")
       val fs = leaf.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val lock = new Path(leaf.toString + ".delete.lock")
@@ -714,17 +746,6 @@ object Writers {
         }
       } finally if (!keepLock) fs.delete(lock, false): Unit
     }
-    val allParts = spark.read.parquet(s"$path/_graft_manifest/zones")
-      .select(col("part")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val byPart = audit.map(a => a._1 -> a).toMap
-    import spark.implicits._
-    allParts.map { v =>
-      byPart.get(v) match {
-        case Some((_, s, d, r)) => (v, s, d, r)
-        case None               => (v, 0, 0L, 0)
-      }
-    }.toSeq.toDF("part", "scanned", "n_deleted", "rewritten")
   }
 
   /** Retire all but the newest `keep` versions: delete their manifests
