@@ -1422,9 +1422,10 @@ object Relational {
     * 2-hop reach on the co-purchase graph via iterated HLL register
     * merges (node-sized state per round — the shape that scales where
     * exact per-node ball enumeration is quadratic), audited the q29
-    * way: for the deterministic seed sample (partkey % 97 = 0) the
+    * way: for the deterministic seed sample (partkey % 199 = 0) the
     * exact 2-hop reach is computed by frontier joins and the gate
-    * carries (exact count, sketch-within-20% claim). DuckDB recomputes
+    * carries (exact count, sketch-within-25% claim — 5.4 sigma at
+    * lgConfigK=9, chosen so the sketch state stays 256 B/node). DuckDB recomputes
     * the exact counts with a different algorithm (2 self-joins +
     * distinct union) and states the contract; a sketch regression
     * flips the boolean and fails the hash.
@@ -1440,11 +1441,11 @@ object Relational {
       .localCheckpoint(true)
 
     val est = graft.operators.Graph
-      .neighborhoodSketch(e, "src", "dst", hops = 2, lgConfigK = 10)
+      .neighborhoodSketch(e, "src", "dst", hops = 2, lgConfigK = 9)
 
     // exact 2-hop reach for the audit seeds, by frontier joins
     val seeds = e.select(col("src").as("seed")).distinct()
-      .filter(col("seed") % 97 === 0)
+      .filter(col("seed") % 199 === 0)
     val h1 = seeds.join(e, col("seed") === col("src"))
       .select(col("seed"), col("dst").as("n"))
     val e2 = e.select(col("src").as("m"), col("dst").as("n2"))
@@ -1459,7 +1460,7 @@ object Relational {
       .select(col("seed").as("part_id"), col("exact_reach2"),
         (abs(col("est_reach").cast(DoubleType) -
           col("exact_reach2").cast(DoubleType)) <=
-          lit(0.2) * col("exact_reach2").cast(DoubleType)).as("est_ok"))
+          lit(0.25) * col("exact_reach2").cast(DoubleType)).as("est_ok"))
       .orderBy("part_id")
   }
 
@@ -1469,7 +1470,7 @@ object Relational {
       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
       |  FROM p a JOIN p b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
-      |seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src % 97 = 0),
+      |seeds AS (SELECT DISTINCT src AS seed FROM e WHERE src % 199 = 0),
       |h1 AS (SELECT s.seed, e.dst AS n FROM seeds s JOIN e ON e.src = s.seed),
       |h2 AS (SELECT h1.seed, e.dst AS n FROM h1 JOIN e ON e.src = h1.n),
       |r AS (SELECT DISTINCT seed, n FROM (
