@@ -3551,8 +3551,13 @@ object TrainingData {
 
   /** Integer micro-log2 of a positive BIGINT expression, in exact
     * HUGEINT arithmetic — the DuckDB mirror of Unigram.ilog2Micro. */
+  // NOTE: self-parenthesized — the expansion is a SUM, and an
+  // unparenthesized `ilog(a) - ilog(b)` interpolation flips the sign
+  // of b's interpolation term (a real bug: it skewed the q210 oracle's
+  // piece scores by a constant per piece, a more-pieces bonus that
+  // flipped segmentations first at sf0.1)
   private def ilogSql(x: String): String =
-    s"(length(bin($x))-1)*1000000 + CAST(CAST($x - (1::BIGINT << (length(bin($x))-1)) AS HUGEINT) * 1000000 // (1::BIGINT << (length(bin($x))-1)) AS BIGINT)"
+    s"((length(bin($x))-1)*1000000 + CAST(CAST($x - (1::BIGINT << (length(bin($x))-1)) AS HUGEINT) * 1000000 // (1::BIGINT << (length(bin($x))-1)) AS BIGINT))"
 
   private val UniMaxWordLen = 16 // fixture words are <= 8 chars; 2x headroom
 
@@ -3585,7 +3590,7 @@ object TrainingData {
     val btUnion = (0 until L).map(n => s"SELECT * FROM bt${t}_$n")
       .mkString("\n  UNION ALL ")
     s"""t$t AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS tot FROM $vin),
-       |s$t AS MATERIALIZED (SELECT p, ${ilogSql("c")} - ${ilogSql("tot")} AS s
+       |s$t AS MATERIALIZED (SELECT p, (${ilogSql("c")}) - (${ilogSql("tot")}) AS s
        |        FROM $vin CROSS JOIN t$t),
        |e$t AS MATERIALIZED (SELECT c.word, c.freq, c.j, c.i, s.s
        |        FROM cand c JOIN s$t s ON c.p = s.p),
