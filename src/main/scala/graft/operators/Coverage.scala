@@ -18,12 +18,19 @@ import graft.functions.TextFunctions
   *    60-bit md5 tokens, so text never crosses an exchange — and
   *    materialized (localCheckpoint) so no round re-reads or
   *    re-shingles the corpus;
-  *  - per round, the covered-shingle set is bounded by
-  *    rounds × (shingles per doc) — a driver-bounded, BROADCAST frame.
-  *    Gain = one broadcast LEFT ANTI join + one partial-aggregated
-  *    count per doc; the only 1-row driver materialization is the
-  *    argmax winner. k selection rounds over 100 TB cost k
-  *    broadcast-scan aggregates, never a growing shuffle.
+  *  - the covered-shingle set lives CLUSTER-SIDE as an accumulated
+  *    checkpointed frame (size = exactly the running covered_total,
+  *    kept distinct per round) — the driver holds only the per-round
+  *    picks, so a many-rounds curation run never re-ships a growing
+  *    vector driver→cluster. Gain = one LEFT ANTI join (broadcast
+  *    while covered_total is under `broadcastMaxHashes`, shuffle
+  *    after) + one partial-aggregated count per doc; the only 1-row
+  *    driver materialization is the argmax winner. k selection rounds
+  *    over 100 TB cost k anti-join-scan aggregates, never a
+  *    quadratically growing broadcast.
+  *  - the loop BREAKS on the first round with no winner: once nothing
+  *    contributes a new shingle, no later round can either (coverage
+  *    is monotone), so remaining rounds would be pure waste.
   *
   * Determinism: gains are exact distinct-shingle counts (integer), the
   * winner tie-breaks on lowest id, and coverage totals are running sums
@@ -39,12 +46,20 @@ object Coverage {
     * @param shingleSize character n-gram width (docs shorter contribute
     *                    nothing, matching the substr window recipe)
     * @param rounds      number of documents to select
+    * @param broadcastMaxHashes while the covered set holds at most this
+    *                    many distinct shingles (its size is KNOWN
+    *                    exactly — it is the running covered_total), the
+    *                    anti-join broadcasts it; past the guard it
+    *                    falls back to a shuffled anti-join. 2M 8-byte
+    *                    hashes ≈ 16 MB on the wire — comfortably under
+    *                    executor broadcast budgets
     * @return one row per selection round:
     *         (round, doc_id, gain, covered_total) — gain = distinct new
     *         shingles contributed; covered_total = running coverage
     */
   def greedyCoverageSelect(docs: DataFrame, idCol: String, textCol: String,
-      shingleSize: Int, rounds: Int): DataFrame = {
+      shingleSize: Int, rounds: Int,
+      broadcastMaxHashes: Long = 2000000L): DataFrame = {
     require(shingleSize >= 2 && rounds >= 1,
       s"bad parameters ($shingleSize, $rounds)")
     val spark = docs.sparkSession
@@ -60,33 +75,49 @@ object Coverage {
       .localCheckpoint()
 
     val picked = scala.collection.mutable.ArrayBuffer.empty[Row]
-    var coveredHashes = Vector.empty[Long]
+    // Covered shingles stay on the cluster: an accumulated checkpointed
+    // (_h) frame, deduplicated each round so its cardinality is exactly
+    // coveredTotal. The driver holds only the picks.
+    var covered: Option[DataFrame] = None
     var pickedIds = Vector.empty[Long]
     var coveredTotal = 0L
+    var exhausted = false
 
-    for (r <- 1 to rounds) {
-      val coveredDf = spark.createDataFrame(
-        spark.sparkContext.parallelize(coveredHashes.map(Row(_)), 1),
-        StructType(Seq(StructField("_h", LongType, nullable = false))))
-      val gains = shingles
+    for (r <- 1 to rounds if !exhausted) {
+      val remaining = shingles
         .filter(if (pickedIds.isEmpty) lit(true)
                 else !col("_id").isin(pickedIds: _*))
-        .join(broadcast(coveredDf), Seq("_h"), "left_anti")
+      val fresh = covered match {
+        case None => remaining
+        case Some(c) =>
+          val rhs = if (coveredTotal <= broadcastMaxHashes) broadcast(c) else c
+          remaining.join(rhs, Seq("_h"), "left_anti")
+      }
+      val winner = fresh
         .groupBy(col("_id"))
         .agg(count(lit(1)).as("_gain"))
-      val winner = gains
         .orderBy(col("_gain").desc, col("_id").asc)
         .limit(1).collect()
       winner.headOption match {
-        case None => // no doc contributes anything new: stop early
+        case None =>
+          // no doc contributes anything new — and coverage gain is
+          // monotone non-increasing, so none ever will: stop the loop
+          // instead of re-running identical empty rounds
+          exhausted = true
         case Some(w) =>
           val id = w.getLong(0); val gain = w.getLong(1)
           coveredTotal += gain
           picked += Row(r, id, gain, coveredTotal)
           pickedIds :+= id
-          // the winner's shingles: bounded by one doc's length
-          coveredHashes ++= shingles.filter(col("_id") === id)
-            .select(col("_h")).collect().map(_.getLong(0))
+          // fold the winner's shingles into the cluster-side covered
+          // set; distinct keeps its size == coveredTotal, and the eager
+          // checkpoint cuts lineage so round r never replays rounds <r
+          val winnerShingles =
+            shingles.filter(col("_id") === id).select(col("_h"))
+          covered = Some((covered match {
+            case None => winnerShingles
+            case Some(c) => c.unionByName(winnerShingles).distinct()
+          }).localCheckpoint(true))
       }
     }
 

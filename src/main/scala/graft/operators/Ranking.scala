@@ -63,9 +63,6 @@ object Ranking {
           StructField("n_terms_hit", IntegerType))))
         .withColumnRenamed("_id0", idCol)
     }
-    // one IEEE division on exact integer operands — identical everywhere
-    val avgdl = lit(sumDl.toDouble) / lit(n.toDouble)
-
     val hits = base
       .select(col("_id"), size(col("_toks")).cast(DoubleType).as("_dl"),
         explode(col("_toks")).as("_term"))
@@ -162,6 +159,10 @@ object Ranking {
       path: String, idCol: String, queryTerms: Seq[String], k: Int = 20,
       k1: Double = 1.2, b: Double = 0.75, nBuckets: Int = 32): DataFrame = {
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    // same contract as bm25TopK: a duplicated term would double-count
+    // its score and n_terms_hit through the per-term pivot — fail fast
+    // instead of silently diverging from the direct-scan path
+    require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     val st = spark.read.parquet(s"$path/_stats").collect()(0)
     val (n, sumDl) = (st.getLong(0), st.getLong(1))
     val buckets = queryTerms.map(t => md5BucketOf(t, nBuckets)).distinct

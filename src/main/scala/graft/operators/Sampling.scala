@@ -538,8 +538,14 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val spark = df.sparkSession
 
-    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("_n"))
-      .collect().map(r => (r.get(0).toString, r.getLong(1)))
+    // All driver-side keying and the quota/offset joins below run on
+    // ONE string form of the source column — Spark's own CAST — so a
+    // non-string source (decimal, date) can't mismatch between a JVM
+    // toString and an implicit join cast. The original-typed column is
+    // carried through untouched and re-exposed in the output.
+    val counts = df.groupBy(col(srcCol).cast("string").as("_src"))
+      .agg(count(lit(1)).as("_n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
     val totalN = counts.map(_._2).sum
     if (totalN == 0L || budget == 0L)
@@ -556,16 +562,17 @@ object Sampling {
       (s, math.min(n, q0 + (if (bonus(s)) 1L else 0L)))
     }
     val quotaDf = spark.createDataFrame(quotas.toSeq)
-      .toDF(srcCol, "quota")
+      .toDF("_src", "quota")
 
     // two-phase per-source rank over the (bucket, md5hex, id) order
-    val keyed = df.select(col(idCol).as("_id"), col(srcCol).as("_src"))
+    val keyed = df.select(col(idCol).as("_id"), col(srcCol).as("_srcorig"))
+      .withColumn("_src", col("_srcorig").cast("string"))
       .withColumn("_b", md5Bucket(col("_id"), nBuckets, salt))
       .withColumn("_hx", md5(concat(col("_id").cast("string"), lit(salt))))
     val offs: Seq[(String, Int, Long)] = keyed
       .groupBy(col("_src"), col("_b"))
       .agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.get(0).toString, r.getInt(1), r.getLong(2)))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
       .toSeq
       .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
         val sorted = rows.sortBy(_._2)
@@ -578,10 +585,9 @@ object Sampling {
     keyed.join(broadcast(offDf), Seq("_src", "_b"))
       .withColumn("sel_rank",
         col("_off") + row_number().over(w).cast("long"))
-      .join(broadcast(quotaDf.withColumnRenamed(srcCol, "_src")),
-        Seq("_src"))
+      .join(broadcast(quotaDf), Seq("_src"))
       .filter(col("sel_rank") <= col("quota"))
-      .select(col("_id").as(idCol), col("_src").as(srcCol),
+      .select(col("_id").as(idCol), col("_srcorig").as(srcCol),
         col("sel_rank"), col("quota"))
   }
 }

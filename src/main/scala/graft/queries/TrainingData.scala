@@ -4050,11 +4050,29 @@ object TrainingData {
     * match, off-by-one, a stale covered position) shifts token counts
     * and breaks the hash.
     */
-  def q223WordPieceTokenize(s: SparkSession, dir: String): DataFrame =
+  def q223WordPieceTokenize(s: SparkSession, dir: String): DataFrame = {
+    // The oracle unrolls exactly UniMaxWordLen greedy steps while the
+    // Spark fold iterates word-length steps: a fixture word longer than
+    // the unroll would silently break the hash gate. Fail loudly here
+    // instead (the q210 family shares the same unroll depth).
+    requireMaxWordLen(s, dir)
     graft.operators.WordPiece.wordPieceTokenCounts(
       Tables.documents(s, dir), "doc_id", "text",
       maxPieceLen = 4, keepMulti = 16, minCount = 2)
       .orderBy("doc_id")
+  }
+
+  /** Guard shared by the unrolled-oracle tokenizer queries: assert no
+    * fixture word exceeds the oracle's [[UniMaxWordLen]]-step unroll. */
+  private def requireMaxWordLen(s: SparkSession, dir: String): Unit = {
+    val m = Tables.documents(s, dir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("_w"))
+      .agg(max(length(col("_w"))).as("_m")).collect()(0)
+    val maxLen = if (m.isNullAt(0)) 0 else m.getInt(0)
+    require(maxLen <= UniMaxWordLen,
+      s"fixture word length $maxLen exceeds the oracle unroll depth " +
+        s"$UniMaxWordLen — deepen the SQL unroll before trusting the gate")
+  }
 
   val q223Sql: String = {
     val steps = (1 to 16)

@@ -43,6 +43,45 @@ class CoverageSpec extends SparkSpec {
     assert(got == Seq(2L, 7L))
   }
 
+  test("50+ rounds: cluster-side covered set, break on exhaustion, " +
+      "shuffle fallback matches the broadcast path") {
+    // 55 contributing docs — each carries a unique 4-gram "#NNN" plus a
+    // shared tail — and 5 exact duplicates of docs 0-4 (ids 100-104)
+    // that can never contribute once their original is picked.
+    val contributing = (0 until 55).map(i =>
+      (i.toLong, f"#$i%03d the shared tail every document repeats"))
+    val dupes = (0 until 5).map(i =>
+      (100L + i, f"#$i%03d the shared tail every document repeats"))
+    val df = docs((contributing ++ dupes): _*)
+
+    val got = Coverage.greedyCoverageSelect(df, "doc_id", "text",
+      shingleSize = 4, rounds = 60)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+
+    // exactly the 55 contributing docs are picked, then the loop breaks
+    assert(got.length == 55)
+    assert(got.map(_._1) == (1 to 55))
+    assert(got.map(_._2).toSet == (0L until 55L).toSet)
+    // covered_total is the strictly increasing running sum of gains and
+    // ends at the corpus-wide distinct shingle count
+    assert(got.map(_._4) == got.map(_._3).scanLeft(0L)(_ + _).tail)
+    assert(got.forall(_._3 >= 1L))
+    val totalDistinct = df
+      .select(org.apache.spark.sql.functions.explode(
+        graft.functions.TextFunctions.charNGrams(
+          org.apache.spark.sql.functions.col("text"), 4)).as("g"))
+      .distinct().count()
+    assert(got.last._4 == totalDistinct)
+
+    // forcing the shuffled anti-join (guard at 0) replays identically
+    val shuffled = Coverage.greedyCoverageSelect(df, "doc_id", "text",
+      shingleSize = 4, rounds = 60, broadcastMaxHashes = 0L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(shuffled == got)
+  }
+
   test("stops early when nothing new remains; short/null docs ignored") {
     val df = docs((0L, "abcdef"), (1L, "abcdef"), (2L, "ab"), (3L, null))
     val got = Coverage.greedyCoverageSelect(df, "doc_id", "text",
