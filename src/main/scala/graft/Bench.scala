@@ -137,6 +137,27 @@ object Bench {
     val ok = results.map(_._2).filter(_ >= 0)
     val total = ok.sum
     val nFailed = results.size - ok.size
+    // Drift calibration (round 10): two consecutive rounds spent
+    // adjudication effort separating machine drift from regressions by
+    // hand. The suite now self-reports a calibration scalar — the
+    // median ratio of current-vs-prior time over ~10 pinned, cheap,
+    // historically stable queries whose code hasn't changed in rounds.
+    // A round's per-query elevations at ≈ the scalar are environment;
+    // an isolated outlier far above it is a real regression.
+    val calibrationSet = Seq("q02_filter_project", "q03_shipping_priority",
+      "q05_local_supplier", "q06_revenue_filter", "q07_top_customers",
+      "q08_window_rank", "q09_duplicate_groups", "q101_shuffle_shard",
+      "q102_chunk_docs", "q106_category_drift")
+    val calibration: Option[Double] = {
+      val rm = results.toMap
+      val ratios = calibrationSet.flatMap { n =>
+        for (p <- prior.get(n); t <- rm.get(n) if t > 0 && p > 0)
+          yield t / p
+      }.sorted
+      // need most of the panel present for the median to mean anything
+      if (ratios.size >= 5) Some(ratios(ratios.size / 2)) else None
+    }
+    val calStr = calibration.map(fmt).getOrElse("null")
     // Round 9: at 210 queries even short-key per-query maps (~2.5 KB)
     // overflow the driver's 2000-char tail capture (BENCH_r08 parsed:
     // null, front of the line clipped). The stdout line is now a
@@ -150,7 +171,7 @@ object Bench {
       .mkString("[", ",", "]")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"failed_names":$failedNames,"sf":"$sfDir","slowest":${qmap(slowest, shortNames)},"out":"$outPath"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"failed":$nFailed,"failed_names":$failedNames,"sf":"$sfDir","calibration":$calStr,"slowest":${qmap(slowest, shortNames)},"out":"$outPath"}"""
     println(line)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { path =>
       // full-name map, plus measurement-protocol transparency for the
@@ -165,7 +186,7 @@ object Bench {
           ",\"in_suite\":" + fmt(inSuite) + ",\"protocol\":\"" + proto + "\"}"
       }.mkString("{", ",", "}")
       val fileLine =
-        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results, identity)},"short_keys":${qmap(results, shortNames)},"pinned":$pinnedDetail,"failed":$nFailed,"sf":"$sfDir"}"""
+        s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qmap(results, identity)},"short_keys":${qmap(results, shortNames)},"pinned":$pinnedDetail,"failed":$nFailed,"sf":"$sfDir","calibration":$calStr}"""
       val w = new java.io.PrintWriter(new java.io.File(path))
       try w.println(fileLine) finally w.close()
     }

@@ -372,9 +372,19 @@ object Dedup {
       df: DataFrame, path: String, idCol: String, textCol: String,
       shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24): Unit = {
     val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
-    try sigs.select(col("_id"), col("_sh"), col("_bands"))
-      .write.mode("overwrite").parquet(path)
-    finally sigs.unpersist()
+    try {
+      sigs.select(col("_id"), col("_sh"), col("_bands"))
+        .write.mode("overwrite").parquet(path)
+      // shared index manifest (round 10): the build parameters the
+      // probe/append paths MUST align with are now a recorded
+      // handshake, not a scaladoc discipline; n_docs is the freshness
+      // counter appends bump (the ~30% re-index threshold audit)
+      graft.sinks.Pruning.writeIndexMeta(df.sparkSession, path,
+        graft.sinks.Pruning.IndexMeta("minhash", "", Map(
+          "shingle_size" -> shingleSize.toLong,
+          "num_hashes" -> numHashes.toLong, "bands" -> bands.toLong,
+          "n_docs" -> sigs.count())))
+    } finally sigs.unpersist()
   }
 
   /** Append an increment's signatures to a persisted
@@ -388,10 +398,16 @@ object Dedup {
   def appendToMinHashIndex(
       df: DataFrame, path: String, idCol: String, textCol: String,
       shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24): Unit = {
+    graft.sinks.Pruning.requireIndexParams(df.sparkSession, path, "minhash",
+      Map("shingle_size" -> shingleSize.toLong,
+        "num_hashes" -> numHashes.toLong, "bands" -> bands.toLong))
     val sigs = shingleBands(df, idCol, textCol, shingleSize, numHashes, bands)
-    try sigs.select(col("_id"), col("_sh"), col("_bands"))
-      .write.mode("append").parquet(path)
-    finally sigs.unpersist()
+    try {
+      sigs.select(col("_id"), col("_sh"), col("_bands"))
+        .write.mode("append").parquet(path)
+      graft.sinks.Pruning.bumpIndexMeta(df.sparkSession, path,
+        Map("n_docs" -> sigs.count()))
+    } finally sigs.unpersist()
   }
 
   /** RETENTION for the persisted index (r7 — closes the "appends
@@ -452,6 +468,12 @@ object Dedup {
       shingleSize: Int = 7, numHashes: Int = 96, bands: Int = 24,
       maxBucketSize: Int = 10000): CappedPairs = {
     val spark = newDocs.sparkSession
+    // manifest handshake: a probe with different (shingleSize,
+    // numHashes, bands) than the index build would silently align NO
+    // band keys and report zero duplicates — fail fast instead
+    graft.sinks.Pruning.requireIndexParams(spark, indexPath, "minhash",
+      Map("shingle_size" -> shingleSize.toLong,
+        "num_hashes" -> numHashes.toLong, "bands" -> bands.toLong))
     val index = spark.read.parquet(indexPath)
     val sigs = shingleBands(newDocs, idCol, textCol, shingleSize, numHashes, bands)
     try {

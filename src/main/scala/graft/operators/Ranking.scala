@@ -127,9 +127,12 @@ object Ranking {
     val base = docs
       .select(col(idCol).as("_id"),
         nonEmptyTokens(lower(col(textCol))).as("_toks"))
-    base.agg(count(lit(1)).as("n"),
-        sum(size(col("_toks")).cast(LongType)).as("sum_dl"))
-      .write.mode("overwrite").parquet(s"$path/_stats")
+    // corpus constants land in the shared index manifest (the former
+    // one-off `_stats` sidecar, folded into the _graft_manifest
+    // convention in round 10 so all persisted indexes audit alike)
+    val st = base.agg(count(lit(1)).as("n"),
+      sum(size(col("_toks")).cast(LongType)).as("sum_dl")).collect()(0)
+    val (n, sumDl) = (st.getLong(0), if (st.isNullAt(1)) 0L else st.getLong(1))
     base
       .select(col("_id"), size(col("_toks")).cast(LongType).as("dl"),
         explode(col("_toks")).as("term"))
@@ -138,6 +141,9 @@ object Ranking {
       .withColumn("tb", Sampling.md5Bucket(col("term"), nBuckets))
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"$path/postings")
+    graft.sinks.Pruning.writeIndexMeta(docs.sparkSession, path,
+      graft.sinks.Pruning.IndexMeta("postings", "tb", Map(
+        "n_buckets" -> nBuckets.toLong, "n_docs" -> n, "sum_dl" -> sumDl)))
   }
 
   /** Driver-side twin of [[Sampling.md5Bucket]] for locating a term's
@@ -163,8 +169,15 @@ object Ranking {
     // its score and n_terms_hit through the per-term pivot — fail fast
     // instead of silently diverging from the direct-scan path
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
-    val st = spark.read.parquet(s"$path/_stats").collect()(0)
-    val (n, sumDl) = (st.getLong(0), st.getLong(1))
+    // manifest handshake: corpus constants come FROM the index record,
+    // and a probe invoked with a different bucket count than the build
+    // throws instead of silently reading the wrong partitions
+    val meta = graft.sinks.Pruning.readIndexMeta(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"no index manifest at $path — build with writePostingsIndex"))
+    graft.sinks.Pruning.requireIndexParams(spark, path, "postings",
+      Map("n_buckets" -> nBuckets.toLong))
+    val (n, sumDl) = (meta.params("n_docs"), meta.params("sum_dl"))
     val buckets = queryTerms.map(t => md5BucketOf(t, nBuckets)).distinct
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(buckets: _*) &&

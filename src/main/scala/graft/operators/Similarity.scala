@@ -167,6 +167,13 @@ object Similarity {
       .select(col("neighbor_id"), col("_cv").as("embedding"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id")
       .parquet(s"$path/index")
+    // shared index manifest (round 10): record what was unrecorded —
+    // nlist/refine_iters for rebuild audits, n_vectors as the
+    // freshness counter the append path bumps
+    graft.sinks.Pruning.writeIndexMeta(corpus.sparkSession, path,
+      graft.sinks.Pruning.IndexMeta("ivf", "centroid_id", Map(
+        "nlist" -> nlist.toLong, "refine_iters" -> refineIters.toLong,
+        "n_vectors" -> corpus.count())))
   }
 
   /** Append new vectors to a persisted IVF index WITHOUT touching the
@@ -194,6 +201,8 @@ object Similarity {
       .select(col("neighbor_id"), col("_cv").as("embedding"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/index")
+    graft.sinks.Pruning.bumpIndexMeta(spark, path,
+      Map("n_vectors" -> newVectors.count()))
   }
 
   /** ANN search against a persisted IVF index: assign queries to their
@@ -208,6 +217,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, idCol: String, vecCol: String, k: Int,
       nprobe: Int = 4): DataFrame = {
+    // manifest handshake (lenient on pre-manifest artifacts): a
+    // non-IVF index probed here fails fast instead of mis-reading
+    graft.sinks.Pruning.requireIndexParams(spark, path, "ivf", Map.empty)
     val centroids = spark.read.parquet(s"$path/centroids")
     // materialized once: both the centroid-id collect below AND the
     // final join read `probed` — unchecked, the scoring projection

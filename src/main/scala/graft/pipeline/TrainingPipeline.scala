@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling, TextAnalysis}
+import graft.operators.{Dedup, Sampling, SubstringDedup, TextAnalysis, WordPiece}
 
 /** End-to-end training-corpus preparation: the composition every
   * operator in this library exists for, in the order a production
@@ -17,7 +17,14 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   *   3. exact   — drop byte-duplicate content, keep lowest id
   *   4. near    — MinHash+LSH near-dup pairs → connected components →
   *                keep each cluster's canonical (lowest-id) doc
-  *   5. split   — deterministic hash-based train/val/test assignment
+  *   5. substr  — OPTIONAL (`exactSubstrK`): Lee-et-al ExactSubstr
+  *                scrub — remove every non-first copy of any repeated
+  *                k-token window corpus-wide
+  *                ([[graft.operators.SubstringDedup.exactSubstringDedup]])
+  *   6. tokens  — OPTIONAL (`wordPieceCfg`): fit a WordPiece vocabulary
+  *                on the final corpus and attach per-doc token counts
+  *                ([[graft.operators.WordPiece.wordPieceTokenCounts]])
+  *   7. split   — deterministic hash-based train/val/test assignment
   *
   * Scale shape: stages 1-2 are pure projections/filters (no shuffle);
   * stage 3 shuffles (hash, id) pairs only — duplicate ids resolve by
@@ -25,9 +32,16 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   * the text payload never crosses an exchange (the id-join default
   * since r6; see [[graft.operators.Dedup.dedupByFingerprint]]);
   * stage 4 shuffles band keys + ids and verifies candidates only;
-  * stage 5 is a projection.
+  * stage 5 moves only 60-bit positional shingle hashes plus ONE
+  * id-keyed reassembly exchange; stage 6 fits on the distinct-word
+  * table (vocabulary-bounded) and joins counts back by id; stage 7 is
+  * a projection.
   */
 object TrainingPipeline {
+
+  /** Stage-6 tokenizer parameters (the q222/q223 WordPiece recipe). */
+  final case class WordPieceCfg(
+      maxPieceLen: Int = 4, keepMulti: Int = 16, minCount: Long = 2)
 
   final case class Config(
       idCol: String = "doc_id",
@@ -43,9 +57,29 @@ object TrainingPipeline {
       // md5-based split assignment instead of xxhash64: any ANSI engine
       // reproduces it bit-for-bit (external audits, the q59 oracle);
       // costs a per-row hex materialization, so default off at scale
-      auditableSplit: Boolean = false)
+      auditableSplit: Boolean = false,
+      // stage 5: ExactSubstr scrub window (None = stage off). When on,
+      // the corpus text becomes the scrubbed text and the output gains
+      // n_tokens / n_dup_tokens columns (the q208 audit counters).
+      exactSubstrK: Option[Int] = None,
+      // stage 6: WordPiece fit + per-doc token counts (None = stage
+      // off). When on, the output gains an n_wordpiece_tokens column.
+      wordPieceCfg: Option[WordPieceCfg] = None,
+      // per-stage metering: when on, [[Prepared.meters]] carries one
+      // (stage, rows, whitespace-tokens) row per pipeline stage. Each
+      // meter is an extra action over a (mostly checkpointed) stage
+      // output — default off so the metered path is opt-in at scale.
+      meterStages: Boolean = false)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** One per-stage meter row: rows surviving the stage and the total
+    * whitespace-token count of the corpus text at that point (for the
+    * tokenizer stage, the total WordPiece token count instead — the
+    * number a packing stage actually budgets against).
+    */
+  final case class StageMeter(stageNo: Int, stage: String,
+      nRows: Long, nTokens: Long)
 
   /** [[prepare]]'s result plus the near-dup stage's capped-bucket count.
     * `cappedBucketCount > 0` means some LSH buckets were star-linked:
@@ -53,7 +87,8 @@ object TrainingPipeline {
     * to the bucket representative is below `minJaccard` (the lossier
     * capped semantics — see [[graft.operators.Dedup.cappedBandPairs]]).
     */
-  final case class Prepared(corpus: DataFrame, cappedBucketCount: Long)
+  final case class Prepared(corpus: DataFrame, cappedBucketCount: Long,
+      meters: Seq[StageMeter] = Nil)
 
   /** Run the full preparation; returns the cleaned corpus with a
     * `split` column. Deterministic end to end: no rand(), no
@@ -69,8 +104,20 @@ object TrainingPipeline {
     * that data-loss mode must be visible to the pipeline caller.
     */
   def prepareMetered(docs: DataFrame, cfg: Config = Config()): Prepared = {
+    val meters = scala.collection.mutable.ArrayBuffer.empty[StageMeter]
+    // whitespace-token meter, empty/null-safe (mirrors nonEmptyTokens)
+    def meter(no: Int, stage: String, df: DataFrame): Unit =
+      if (cfg.meterStages) {
+        val r = df.agg(
+          count(lit(1)),
+          coalesce(sum(size(filter(split(trim(col(cfg.textCol)), "\\s+"),
+            t => length(t) > 0)).cast("long")), lit(0L))).collect()(0)
+        meters += StageMeter(no, stage, r.getLong(0), r.getLong(1))
+      }
     // 1. scrub (projection only)
     val scrubbed = docs.withColumn(cfg.textCol, scrubText(col(cfg.textCol)))
+    meter(1, "input", docs)
+    meter(2, "scrubbed", scrubbed)
     // 2. quality gate — MATERIALIZED (localCheckpoint cuts lineage and
     // pins the stage output): the id-join dedup below references its
     // input twice by construction, and the near-dup stage traverses the
@@ -95,10 +142,43 @@ object TrainingPipeline {
         "were star-linked — near-dup drops in those buckets are unverified " +
         "(possible below-threshold drops); see Dedup.cappedBandPairs")
     val nearDeduped = Dedup.dropNearDuplicates(exact, cfg.idCol, cp.pairs)
-    // 5. deterministic split
-    val split =
-      if (cfg.auditableSplit) Sampling.md5Split(nearDeduped, cfg.idCol, cfg.splits)
-      else Sampling.hashSplit(nearDeduped, cfg.idCol, cfg.splits)
-    Prepared(split, cp.cappedBucketCount)
+    meter(3, "gated", gated)
+    meter(4, "exact_dedup", exact)
+    meter(5, "near_dedup", nearDeduped)
+    // 5. OPTIONAL corpus-wide exact-substring scrub: the text column
+    // becomes the scrubbed reassembly; n_tokens/n_dup_tokens ride along
+    // as audit counters. Materialized when a tokenizer stage follows
+    // (the fit traverses the corpus again).
+    val substred = cfg.exactSubstrK match {
+      case None => nearDeduped
+      case Some(k) =>
+        val out = SubstringDedup
+          .exactSubstringDedup(nearDeduped, cfg.idCol, cfg.textCol, k)
+          .withColumnRenamed("dedup_text", cfg.textCol)
+          .localCheckpoint(true)
+        meter(6, "substr_scrub", out)
+        out
+    }
+    // 6. OPTIONAL tokenizer fit + per-doc token counts on the FINAL
+    // text (post-substr): the count a packing stage budgets against
+    val tokenized = cfg.wordPieceCfg match {
+      case None => substred
+      case Some(wp) =>
+        val counts = WordPiece.wordPieceTokenCounts(
+          substred, cfg.idCol, cfg.textCol,
+          wp.maxPieceLen, wp.keepMulti, wp.minCount)
+        val out = substred.join(counts, Seq(cfg.idCol))
+        if (cfg.meterStages) {
+          val r = out.agg(count(lit(1)),
+            coalesce(sum(col("n_wordpiece_tokens")), lit(0L))).collect()(0)
+          meters += StageMeter(7, "wordpiece", r.getLong(0), r.getLong(1))
+        }
+        out
+    }
+    // 7. deterministic split
+    val assigned =
+      if (cfg.auditableSplit) Sampling.md5Split(tokenized, cfg.idCol, cfg.splits)
+      else Sampling.hashSplit(tokenized, cfg.idCol, cfg.splits)
+    Prepared(assigned, cp.cappedBucketCount, meters.toSeq)
   }
 }

@@ -961,7 +961,7 @@ object TrainingData {
        |      + greatest(1.0 - (n_punct / greatest(n_chars, 1)) * 10.0, 0.0) * 0.2
        |      + (CASE WHEN tok_chars / greatest(n_tok, 1) BETWEEN 3.0 AND 10.0
        |              THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.3),
-       |deduped AS (
+       |deduped AS MATERIALIZED (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
        |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
@@ -3687,11 +3687,19 @@ object TrainingData {
       .orderBy("doc_id")
 
   private def substrOracleCore(k: Int): String =
-    s"""WITH t AS (
+    "WITH " + substrCtes(k, "documents")
+
+  /** The ExactSubstr detection CTE chain (t/occ/dup/firstp/marked) as a
+    * fragment over an arbitrary source relation — shared by q208/q209
+    * (over `documents`) and the composed-pipeline q228 (over the
+    * near-deduped corpus CTE).
+    */
+  private def substrCtes(k: Int, src: String): String =
+    s"""t AS MATERIALIZED (
        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
        |    x -> length(x) > 0) AS toks
-       |  FROM documents),
-       |occ AS (
+       |  FROM $src),
+       |occ AS MATERIALIZED (
        |  SELECT doc_id, i - 1 AS pos,
        |    ('0x' || substr(md5(array_to_string(toks[i : i + ${k - 1}], ' ')),
        |      1, 15))::BIGINT AS h
@@ -3704,7 +3712,7 @@ object TrainingData {
        |  SELECT o.h, o.doc_id AS fd, min(o.pos) AS fp
        |  FROM occ o JOIN dup ON o.h = dup.h AND o.doc_id = dup.fd
        |  GROUP BY o.h, o.doc_id),
-       |marked AS (
+       |marked AS MATERIALIZED (
        |  SELECT o.doc_id, o.pos FROM occ o JOIN firstp f ON o.h = f.h
        |  WHERE NOT (o.doc_id = f.fd AND o.pos = f.fp))""".stripMargin
 
@@ -3991,23 +3999,30 @@ object TrainingData {
 
   /** Shared WordPiece SQL core: word freqs, substring candidates,
     * frequency-selected vocabulary (chars + top-16 multi ≥ 2). */
-  private val wpCoreSql: String =
-    """WITH dw AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
-      |  FROM documents WHERE text IS NOT NULL),
-      |wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+  private val wpCoreSql: String = "WITH " + wpCtes("documents")
+
+  /** The WordPiece fit CTE chain (dw/wf/cand/cnts/vocab) as a fragment
+    * over an arbitrary source relation — shared by q222/q223 (over
+    * `documents`) and the composed-pipeline q228 (over the final
+    * substring-scrubbed corpus CTE).
+    */
+  private def wpCtes(src: String): String =
+    s"""dw AS MATERIALIZED (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      |  FROM $src WHERE text IS NOT NULL),
+      |wf AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS freq,
       |         CAST(length(w) AS INT) AS len
       |       FROM dw WHERE length(w) > 0 GROUP BY w),
-      |cand AS (
+      |cand AS MATERIALIZED (
       |  SELECT wf.w, wf.freq, wf.len, CAST(t.j AS INT) AS j,
       |    CAST(t.j + u.l AS INT) AS i,
       |    substr(wf.w, CAST(t.j + 1 AS INT), CAST(u.l AS INT)) AS p
       |  FROM wf,
       |    unnest(range(0, wf.len)) AS t(j),
       |    unnest(range(1, least(4, wf.len - t.j) + 1)) AS u(l)),
-      |cnts AS (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt
+      |cnts AS MATERIALIZED (SELECT p, CAST(sum(freq) AS BIGINT) AS cnt
       |         FROM cand GROUP BY p),
-      |vocab AS (
+      |vocab AS MATERIALIZED (
       |  SELECT p, cnt FROM cnts WHERE length(p) = 1
       |  UNION ALL
       |  SELECT p, cnt FROM (
@@ -4015,11 +4030,12 @@ object TrainingData {
       |    ORDER BY cnt DESC, p LIMIT 16))""".stripMargin
 
   /** One greedy longest-match step: state (pos, cnt) per word. */
-  private def wpStepSql(prev: String, out: String): String =
-    s"""$out AS (
+  private def wpStepSql(prev: String, out: String,
+      edges: String = "edges"): String =
+    s"""$out AS MATERIALIZED (
        |  SELECT s.w, s.freq, s.len,
        |    CASE WHEN s.pos >= s.len THEN s.pos
-       |         ELSE (SELECT max(e.i) FROM edges e
+       |         ELSE (SELECT max(e.i) FROM $edges e
        |               WHERE e.w = s.w AND e.j = s.pos) END AS pos,
        |    s.cnt + CASE WHEN s.pos >= s.len THEN 0 ELSE 1 END AS cnt
        |  FROM $prev s)""".stripMargin
@@ -4247,7 +4263,260 @@ object TrainingData {
        |FROM g ORDER BY lang""".stripMargin
   }
 
+  // ---- q228/q229: the COMPOSED flagship pipeline (round-10 ask #1) ----
+
+  /** Constant filler appended to the q228 substring-planted docs: long
+    * enough to dilute Jaccard vs the span donor to ≈0.3 (comfortably
+    * below the 0.5 LSH-recall floor AND the 0.6 gate, so the planted
+    * docs deterministically SURVIVE near-dedup and reach the
+    * ExactSubstr stage), every word ≤ 10 chars (the WP unroll guard).
+    */
+  private val ComposedFiller: String =
+    "the quick brown fox jumps over the lazy dog while common filler " +
+      "words pad this synthetic tail to dilute similarity safely below " +
+      "the near dup threshold"
+
+  /** q228/q229 fixture: the q59 planting (near-dup char truncations,
+    * +100000) plus substring-span plants (+200000) — each is the first
+    * 25 TOKENS of a real doc followed by the constant filler and a
+    * unique marker token, so after near-dedup keeps them, the
+    * ExactSubstr stage must find and scrub exactly the 25-token donor
+    * span (its 20-token windows all re-occur in the lower-id donor).
+    */
+  private def composedPlanted(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    docs
+      .unionAll(docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))")
+          .as("text")))
+      .unionAll(docs.filter(col("doc_id") < 40).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(
+          array_join(slice(filter(split(trim(col("text")), "\\s+"),
+            t => length(t) > 0), 1, 25), " "),
+          lit(" " + ComposedFiller + " zz"),
+          (col("doc_id") + 200000).cast("string")).as("text")))
+  }
+
+  private val composedConfig = graft.pipeline.TrainingPipeline.Config(
+    auditableSplit = true,
+    exactSubstrK = Some(20),
+    wordPieceCfg = Some(graft.pipeline.TrainingPipeline.WordPieceCfg(
+      maxPieceLen = 4, keepMulti = 16, minCount = 2)))
+
+  /** Shared oracle CTE chain for q228/q229: the q59 pipeline mirror
+    * (scrub → quality gate → exact dedup → all-pairs near-dup +
+    * recursive components) extended with the round-9 stages — the
+    * ExactSubstr scrub ([[substrCtes]] over the kept corpus, k=20,
+    * positional coverage + reassembly) and the WordPiece fit +
+    * greedy-unroll tokenize ([[wpCtes]] over the FINAL scrubbed text).
+    * One WITH chain, so a single hash verifies the whole composition.
+    */
+  private def composedCtes: String = {
+    val stop = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'it','that','this','for','on','with','as','at','by','be']"
+    val wpSteps = (1 to 16)
+      .map(i => wpStepSql(s"s${i - 1}", s"s$i", edges = "wpedges"))
+      .mkString(",\n")
+    s"""planted AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+       |  FROM documents WHERE doc_id < 60
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    array_to_string(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> length(x) > 0)[1:25], ' ') ||
+       |      ' $ComposedFiller zz' || CAST(doc_id + 200000 AS VARCHAR)
+       |      AS text
+       |  FROM documents WHERE doc_id < 40),
+       |scrubbed AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(text,
+       |            '$emailPattern', '<EMAIL>', 'g'),
+       |          '$urlPattern', '<URL>', 'g'),
+       |        '$phonePattern', '<PHONE>', 'g'),
+       |      '\\s+', ' ', 'g')) AS text
+       |  FROM planted),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> list_contains($stop, t))) AS DOUBLE) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+       |      t -> length(t))) AS DOUBLE) AS tok_chars
+       |  FROM scrubbed),
+       |gated AS MATERIALIZED (
+       |  SELECT doc_id, text FROM scored
+       |  WHERE n_tok >= 10
+       |    AND least(n_tok / 100.0, 1.0) * 0.3
+       |      + least((n_stop / greatest(n_tok, 1)) * 3.0, 1.0) * 0.3
+       |      + greatest(1.0 - (n_punct / greatest(n_chars, 1)) * 10.0, 0.0) * 0.2
+       |      + (CASE WHEN tok_chars / greatest(n_tok, 1) BETWEEN 3.0 AND 10.0
+       |              THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.3),
+       |deduped AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM gated)
+       |  WHERE rn = 1),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+       |  FROM deduped WHERE length(text) >= 7),
+       |ex AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS d FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |doomed AS (
+       |  SELECT s AS doc_id FROM reach GROUP BY s
+       |  HAVING least(min(d), s) < s),
+       |kept AS MATERIALIZED (
+       |  SELECT doc_id, text FROM deduped
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM doomed)),
+       |${substrCtes(20, "kept")},
+       |tok AS (
+       |  SELECT doc_id, unnest(toks) AS tok,
+       |    unnest(range(0, len(toks))) AS pos
+       |  FROM t),
+       |cov AS (
+       |  SELECT tk.doc_id, tk.pos, tk.tok,
+       |    CASE WHEN EXISTS (SELECT 1 FROM marked m
+       |      WHERE m.doc_id = tk.doc_id
+       |        AND m.pos BETWEEN tk.pos - 19 AND tk.pos) THEN 1 ELSE 0 END AS c
+       |  FROM tok tk),
+       |final AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS INT) AS n_tokens,
+       |    CAST(sum(c) AS INT) AS n_dup_tokens,
+       |    coalesce(string_agg(CASE WHEN c = 0 THEN tok END, ' ' ORDER BY pos),
+       |      '') AS text
+       |  FROM cov GROUP BY doc_id),
+       |${wpCtes("final")},
+       |wpedges AS MATERIALIZED (SELECT DISTINCT c.w, c.j, c.i
+       |            FROM cand c JOIN vocab v ON v.p = c.p),
+       |s0 AS (SELECT w, freq, len, 0 AS pos, CAST(0 AS BIGINT) AS cnt
+       |       FROM wf),
+       |$wpSteps,
+       |wtok AS (SELECT w, cnt FROM s16),
+       |docw AS (
+       |  SELECT dw.doc_id, wt.cnt
+       |  FROM dw JOIN wtok wt ON wt.w = dw.w
+       |  WHERE length(dw.w) > 0),
+       |wpc AS MATERIALIZED (
+       |  SELECT f.doc_id,
+       |    COALESCE(CAST(sum(x.cnt) AS BIGINT), 0) AS n_wordpiece_tokens
+       |  FROM final f LEFT JOIN docw x ON x.doc_id = f.doc_id
+       |  GROUP BY f.doc_id)""".stripMargin
+  }
+
+  /** The composed flagship pipeline ([[graft.pipeline.TrainingPipeline]]
+    * with BOTH round-9 stages on): scrub → quality gate → exact dedup →
+    * near-dup components → ExactSubstr scrub (k=20) → WordPiece fit +
+    * tokenize → auditable split, hash-matched end to end. The fixture
+    * plants BOTH failure modes: char-truncated near-dups (+100000, the
+    * q59 plant — must be DROPPED by stage 4) and 25-token verbatim-span
+    * borrowers (+200000 — must SURVIVE stage 4 at J≈0.3, then lose
+    * exactly the donor span to stage 5). One hash verifies the whole
+    * composition: doc set, per-doc substr counters, WordPiece token
+    * counts over the final text, split assignment, and content md5.
+    */
+  def q228ComposedPipeline(s: SparkSession, dir: String): DataFrame = {
+    requireMaxWordLen(s, dir) // WP-unroll guard (filler/marker words ≤ 10)
+    val prep = graft.pipeline.TrainingPipeline
+      .prepareMetered(composedPlanted(s, dir), composedConfig)
+    prep.corpus.select(col("doc_id"), col("split"), col("n_tokens"),
+        col("n_dup_tokens"), col("n_wordpiece_tokens"),
+        md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q228Sql: String =
+    s"""WITH RECURSIVE
+       |${composedCtes}
+       |SELECT f.doc_id,
+       |  CASE WHEN bucket < 800000 THEN 'train'
+       |       WHEN bucket < 900000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  f.n_tokens, f.n_dup_tokens, w.n_wordpiece_tokens,
+       |  md5(f.text) AS content_md5
+       |FROM (
+       |  SELECT doc_id, n_tokens, n_dup_tokens, text,
+       |    ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS bucket
+       |  FROM final) f
+       |JOIN wpc w ON w.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+
+  /** Per-stage pipeline metering
+    * ([[graft.pipeline.TrainingPipeline.Config.meterStages]]): one row
+    * per stage of the q228 composition with surviving rows and the
+    * corpus token total at that point (WordPiece tokens for the
+    * tokenizer stage — the number a packing stage budgets against).
+    * The oracle recounts every stage from its own CTE chain, so the
+    * meters themselves are cross-engine-verified, not just logged.
+    */
+  def q229PipelineMeters(s: SparkSession, dir: String): DataFrame = {
+    val prep = graft.pipeline.TrainingPipeline.prepareMetered(
+      composedPlanted(s, dir), composedConfig.copy(meterStages = true))
+    import s.implicits._
+    prep.meters.map(m => (m.stageNo, m.stage, m.nRows, m.nTokens))
+      .toDF("stage_no", "stage", "n_rows", "n_tokens")
+      .orderBy("stage_no")
+  }
+
+  val q229Sql: String = {
+    val toksum = "coalesce(CAST(sum(len(list_filter(" +
+      "string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))) " +
+      "AS BIGINT), 0)"
+    s"""WITH RECURSIVE
+       |${composedCtes}
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INT) AS stage_no, 'input' AS stage,
+       |    CAST(count(*) AS BIGINT) AS n_rows, $toksum AS n_tokens
+       |  FROM planted
+       |  UNION ALL
+       |  SELECT CAST(2 AS INT), 'scrubbed', CAST(count(*) AS BIGINT),
+       |    $toksum FROM scrubbed
+       |  UNION ALL
+       |  SELECT CAST(3 AS INT), 'gated', CAST(count(*) AS BIGINT),
+       |    $toksum FROM gated
+       |  UNION ALL
+       |  SELECT CAST(4 AS INT), 'exact_dedup', CAST(count(*) AS BIGINT),
+       |    $toksum FROM deduped
+       |  UNION ALL
+       |  SELECT CAST(5 AS INT), 'near_dedup', CAST(count(*) AS BIGINT),
+       |    $toksum FROM kept
+       |  UNION ALL
+       |  SELECT CAST(6 AS INT), 'substr_scrub', CAST(count(*) AS BIGINT),
+       |    $toksum FROM final
+       |  UNION ALL
+       |  SELECT CAST(7 AS INT), 'wordpiece', CAST(count(*) AS BIGINT),
+       |    coalesce(CAST(sum(n_wordpiece_tokens) AS BIGINT), 0) FROM wpc)
+       |ORDER BY stage_no""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q228_composed_pipeline" -> q228ComposedPipeline _,
+    "q229_pipeline_meters" -> q229PipelineMeters _,
     "q224_indexed_bm25" -> q224IndexedBm25 _,
     "q226_rendezvous_shards" -> q226RendezvousShards _,
     "q227_zipf_slope" -> q227ZipfSlope _,
@@ -4337,6 +4606,8 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q228_composed_pipeline" -> q228Sql,
+    "q229_pipeline_meters" -> q229Sql,
     "q224_indexed_bm25" -> q224Sql,
     "q226_rendezvous_shards" -> q226Sql,
     "q227_zipf_slope" -> q227Sql,

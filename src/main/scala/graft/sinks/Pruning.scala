@@ -178,6 +178,83 @@ object Pruning {
       .collect().map(_.getLong(0)).sorted.toSeq
   }
 
+  // ---- shared index-manifest convention (round 10) ----
+
+  /** What a persisted derived index IS and how it was built: kind
+    * ("ivf" | "postings" | "minhash"), the partition column its probe
+    * prunes on ("" for unpartitioned layouts), and the build
+    * parameters + freshness counters as a flat name→long map.
+    *
+    * Before round 10 each index carried its own convention — postings
+    * a `_stats` sidecar, IVF nothing (nlist unrecorded), MinHash a
+    * documented "caller owns the parameter discipline" with NO
+    * metadata handshake at all. All three now write THIS record under
+    * the same `_graft_manifest/` directory as table-skipping
+    * manifests, and their readers consult it: one audited code path
+    * for "can I probe this artifact with these parameters".
+    */
+  final case class IndexMeta(kind: String, partCol: String,
+      params: Map[String, Long])
+
+  /** Persist (overwrite) an index's manifest record. One row per
+    * parameter — a flat (kind, part_col, param, value) frame, so any
+    * engine (or the DuckDB oracle) can audit it without a schema
+    * registry.
+    */
+  def writeIndexMeta(spark: SparkSession, path: String,
+      meta: IndexMeta): Unit = {
+    import spark.implicits._
+    meta.params.toSeq.sortBy(_._1)
+      .map { case (k, v) => (meta.kind, meta.partCol, k, v) }
+      .toDF("kind", "part_col", "param", "value")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${manifestDir(path)}/index_meta")
+  }
+
+  /** Read an index manifest back; None when the artifact predates the
+    * convention (readers stay lenient for those, strict once present).
+    */
+  def readIndexMeta(spark: SparkSession, path: String): Option[IndexMeta] =
+    try {
+      val rows = spark.read
+        .parquet(s"${manifestDir(path)}/index_meta").collect()
+      rows.headOption.map { h =>
+        IndexMeta(h.getAs[String]("kind"), h.getAs[String]("part_col"),
+          rows.map(r => r.getAs[String]("param") -> r.getAs[Long]("value"))
+            .toMap)
+      }
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Freshness bump for append paths: add `deltas` to the named
+    * counters (missing counters start at 0). Metadata-sized rewrite;
+    * the index append jobs are single-writer by their own contracts
+    * (locks / daily-job discipline), so no CAS is needed here.
+    */
+  def bumpIndexMeta(spark: SparkSession, path: String,
+      deltas: Map[String, Long]): Unit =
+    readIndexMeta(spark, path).foreach { m =>
+      writeIndexMeta(spark, path, m.copy(params =
+        m.params ++ deltas.map { case (k, d) =>
+          k -> (m.params.getOrElse(k, 0L) + d)
+        }))
+    }
+
+  /** Fail-fast handshake: require that the manifest (when present)
+    * matches the parameters a probe/append was invoked with. Replaces
+    * per-index "the caller owns the parameter discipline" caveats —
+    * a mismatched probe now throws instead of silently mis-bucketing.
+    */
+  def requireIndexParams(spark: SparkSession, path: String, kind: String,
+      expect: Map[String, Long]): Unit =
+    readIndexMeta(spark, path).foreach { m =>
+      require(m.kind == kind,
+        s"index at $path is kind '${m.kind}', expected '$kind'")
+      expect.foreach { case (k, v) =>
+        m.params.get(k).foreach(actual => require(actual == v,
+          s"index at $path was built with $k=$actual, probed with $k=$v"))
+      }
+    }
+
   /** Restricted scan: the table filtered to the surviving partitions
     * (an `isin` on the partition column — Catalyst turns it into
     * PartitionFilters, so pruned files are never opened) with the

@@ -62,6 +62,66 @@ class IncrementalOpsSpec extends SparkSpec {
       s"expected a tb PartitionFilters prune in:\n$plan")
   }
 
+  test("index manifests: one _graft_manifest convention across " +
+    "postings/minhash/ivf, fail-fast parameter handshake, append bumps") {
+    import spark.implicits._
+    import graft.sinks.Pruning
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-ixmeta").toString
+
+    // postings: constants live in the manifest; wrong-bucket probe throws
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+    val pix = s"$base/postings"
+    Ranking.writePostingsIndex(docs, "doc_id", "text", pix, nBuckets = 32)
+    val pm = Pruning.readIndexMeta(spark, pix).get
+    assert(pm.kind == "postings" && pm.partCol == "tb")
+    assert(pm.params("n_buckets") == 32L && pm.params("n_docs") > 0L &&
+      pm.params("sum_dl") > 0L)
+    intercept[IllegalArgumentException] {
+      Ranking.bm25TopKFromIndex(spark, pix, "doc_id", Seq("merge"),
+        k = 5, nBuckets = 16)
+    }
+
+    // minhash: handshake on (shingle, hashes, bands); append bumps n_docs
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog " +
+        "and then runs far away to the old barn"),
+      (2L, "completely different content about winter snow storms " +
+        "blowing across the frozen plains at night")).toDF("doc_id", "text")
+    val mix = s"$base/minhash"
+    Dedup.writeMinHashIndex(corpus, mix, "doc_id", "text")
+    val mm = Pruning.readIndexMeta(spark, mix).get
+    assert(mm.kind == "minhash" && mm.params("n_docs") == 2L &&
+      mm.params("bands") == 24L)
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDupPairs(corpus, mix, "doc_id", "text",
+        bands = 12)
+    }
+    Dedup.appendToMinHashIndex(
+      Seq((3L, "a third unrelated document about summer harvests in " +
+        "the valley beyond the river bend")).toDF("doc_id", "text"),
+      mix, "doc_id", "text")
+    assert(Pruning.readIndexMeta(spark, mix).get.params("n_docs") == 3L)
+
+    // ivf: nlist recorded, append bumps n_vectors, wrong-kind probe throws
+    val emb = (1 to 40).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 7 + d) % 13).toFloat)))
+      .toDF("vec_id", "embedding")
+    val vix = s"$base/ivf"
+    graft.operators.Similarity.writeIvfIndex(
+      emb, vix, "vec_id", "embedding", nlist = 4)
+    val vm = Pruning.readIndexMeta(spark, vix).get
+    assert(vm.kind == "ivf" && vm.params("nlist") == 4L &&
+      vm.params("n_vectors") == 40L)
+    graft.operators.Similarity.appendToIvfIndex(spark, vix,
+      Seq((99L, Array.tabulate(8)(_.toFloat))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    assert(Pruning.readIndexMeta(spark, vix).get.params("n_vectors") == 41L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Similarity.ivfTopKFromIndex(spark, mix,
+        emb.limit(1), "vec_id", "embedding", k = 3)
+    }
+  }
+
   test("rendezvousAssign: adding a shard never moves a row laterally") {
     import spark.implicits._
     val df = (1L to 500L).toDF("id")

@@ -153,4 +153,54 @@ class PipelineSpec extends SparkSpec {
       graft.pipeline.TrainingPipeline.Config(minJaccard = 0.5)).collect()
     assert(rerun.map(_.toString).sorted.sameElements(rows.map(_.toString).sorted))
   }
+
+  test("composed pipeline: ExactSubstr scrub + WordPiece counts + stage meters") {
+    import spark.implicits._
+    val donor = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    // first 12 donor tokens + 8 unique ones: survives near-dedup
+    // (Jaccard ≈ 0.39 < 0.5) but loses the borrowed span to ExactSubstr
+    val borrower = donor.split(" ").take(12).mkString(" ") +
+      " uniqa uniqb uniqc uniqd uniqe uniqf uniqg uniqh"
+    val docs = Seq(
+      (1L, donor),
+      (2L, donor),      // exact dup, dropped at stage 3
+      (3L, borrower),
+      (4L, "too short") // gated out
+    ).toDF("doc_id", "text")
+    val prep = graft.pipeline.TrainingPipeline.prepareMetered(docs,
+      graft.pipeline.TrainingPipeline.Config(minJaccard = 0.5,
+        exactSubstrK = Some(8),
+        wordPieceCfg = Some(graft.pipeline.TrainingPipeline.WordPieceCfg(4, 16, 2)),
+        meterStages = true))
+    val rows = prep.corpus.collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId.keySet == Set(1L, 3L))
+    // borrower: windows 0-4 re-occur in the lower-id donor → the first
+    // 12 tokens (coverage reach 4+8-1=11) are scrubbed, uniq tail stays
+    assert(byId(3L).getAs[Int]("n_tokens") == 20)
+    assert(byId(3L).getAs[Int]("n_dup_tokens") == 12)
+    assert(byId(3L).getAs[String]("text") ==
+      "uniqa uniqb uniqc uniqd uniqe uniqf uniqg uniqh")
+    // donor holds every first occurrence: nothing scrubbed
+    assert(byId(1L).getAs[Int]("n_dup_tokens") == 0)
+    assert(byId(1L).getAs[String]("text") == donor)
+    // WordPiece counts: >= one piece per surviving word
+    rows.foreach { r =>
+      val words = r.getAs[String]("text").split("\\s+").count(_.nonEmpty)
+      assert(r.getAs[Long]("n_wordpiece_tokens") >= words.toLong)
+    }
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+    // stage meters: every stage accounted for, monotone doc counts
+    val meters = prep.meters.map(m => m.stage -> (m.nRows, m.nTokens)).toMap
+    assert(prep.meters.map(_.stage) == Seq("input", "scrubbed", "gated",
+      "exact_dedup", "near_dedup", "substr_scrub", "wordpiece"))
+    assert(meters("input")._1 == 4 && meters("gated")._1 == 3)
+    assert(meters("exact_dedup")._1 == 2 && meters("near_dedup")._1 == 2)
+    // the substr stage removed exactly the 12 borrowed tokens
+    assert(meters("near_dedup")._2 - meters("substr_scrub")._2 == 12)
+    // the wordpiece meter totals the corpus token count the packer sees
+    assert(meters("wordpiece")._2 ==
+      rows.map(_.getAs[Long]("n_wordpiece_tokens")).sum)
+  }
 }
