@@ -482,23 +482,83 @@ object Graph {
       .filter(col("_src").isNotNull && col("_dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
+    val spark = edges.sparkSession
     val nodes = e.select(col("_src").as("id"))
       .unionByName(e.select(col("_dst").as("id"))).distinct()
-    var b = nodes.groupBy(col("id"))
-      .agg(expr(s"hll_sketch_agg(id, $lgConfigK)").as("_sk"))
+    // hop 1 needs no register join at all: b₁(v) = sketch({v} ∪ N(v))
+    // built DIRECTLY from neighbor ids — HLL registers are order/
+    // grouping-invariant (max over hashed positions), so this is
+    // bit-identical to unioning singleton sketches along edges, at
+    // the cost of one narrow (id, member) aggregate instead of an
+    // edge×blob join. Halves the blob joins of a 2-hop run. Its
+    // session-default sort fallback handles only narrow long pairs —
+    // cheap at any scale.
+    var b = nodes.select(col("id"), col("id").as("_m"))
+      .unionByName(e.select(col("_src").as("id"), col("_dst").as("_m")))
+      .groupBy(col("id"))
+      .agg(expr(s"hll_sketch_agg(_m, $lgConfigK)").as("_sk"))
       .localCheckpoint(true)
-    for (_ <- 1 to hops) {
-      val fromNbrs = e.join(b, col("id") === col("_dst"))
-        .groupBy(col("_src"))
-        .agg(expr("hll_union_agg(_sk)").as("_nb"))
-        .withColumnRenamed("_src", "id")
-      b = b.join(fromNbrs, Seq("id"), "left_outer")
-        .select(col("id"),
-          when(col("_nb").isNull, col("_sk"))
-            .otherwise(expr("hll_union(_sk, _nb)")).as("_sk"))
-        .localCheckpoint(true)
-    }
-    b.select(col("id"), expr("hll_sketch_estimate(_sk)").as("est_reach"))
+    // |nodes| read for free off the materialized hop-1 result: it
+    // drives the register-bearing hops' aggregation regime below.
+    val nNodes = b.count()
+    // hll_union_agg is an ObjectHashAggregate, and the session-default
+    // sort-based fallback threshold (128 groups) made every register-
+    // bearing hop SORT its edge×blob stream instead of folding it
+    // into a hash map — measured as the q215 second-decade wall (sf3:
+    // 9× time for 3× data, pure spill thrash; explicit exchange
+    // re-sizing measured a NON-fix at 273 vs 232 s). The right bound
+    // is structural — per task the map holds ≤ |nodes| register
+    // states — so raise the threshold to the measured node count for
+    // the duration of the (eagerly materialized) hops, restore after.
+    //
+    // Map-side partial aggregation holds one ~(K + few hundred)-byte
+    // JVM sketch object per group a task has SEEN — up to |nodes| per
+    // task, × concurrent tasks. While that total fits a heap slice,
+    // map-side combine is the fastest plan (no extra exchange,
+    // nothing sorted). Past the budget — the 30× regime, measured
+    // exit-52 heap death — the aggregate repartitions BY THE GROUP
+    // KEY first, bounding every agg task's map to its own key slice;
+    // the exchanged bytes are the same edge×blob volume the old sort
+    // fallback was already spilling, as lz4 shuffle blocks instead of
+    // sort-merge passes. Both regimes produce identical registers;
+    // only the exchange placement differs. (sf3 measured: 232 s
+    // before → 76 s after, at the default heap.)
+    val threshKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevThresh = spark.conf.get(threshKey)
+    spark.conf.set(threshKey, math.max(128L, nNodes + 1).toString)
+    try {
+      val stateBytes = (1L << lgConfigK) + 256
+      val concurrency = spark.sparkContext.defaultParallelism.toLong
+      val exchangeFirst =
+        nNodes * stateBytes * concurrency > Runtime.getRuntime.maxMemory / 8
+      // In the exchange-first regime, size that exchange from the
+      // MEASURED blob volume (the q112 convention): at the session
+      // default the per-task slice (edge×blob / partitions) left the
+      // 30× run flaky-OOM under concurrent page allocation; ~256 MB
+      // of register payload per task is spill-safe.
+      val exchangeParts =
+        if (!exchangeFirst) 0
+        else {
+          val vol = e.count() * (stateBytes / 2 + 64)
+          math.max(spark.conf.get("spark.sql.shuffle.partitions").toInt,
+            math.min(16L * concurrency, vol / (512L << 20) + 1).toInt)
+        }
+      for (_ <- 2 to hops) {
+        val joined = e.join(b, col("id") === col("_dst"))
+        val fromNbrs =
+          (if (exchangeFirst) joined.repartition(exchangeParts, col("_src"))
+           else joined)
+            .groupBy(col("_src"))
+            .agg(expr("hll_union_agg(_sk)").as("_nb"))
+            .withColumnRenamed("_src", "id")
+        b = b.join(fromNbrs, Seq("id"), "left_outer")
+          .select(col("id"),
+            when(col("_nb").isNull, col("_sk"))
+              .otherwise(expr("hll_union(_sk, _nb)")).as("_sk"))
+          .localCheckpoint(true)
+      }
+      b.select(col("id"), expr("hll_sketch_estimate(_sk)").as("est_reach"))
+    } finally spark.conf.set(threshKey, prevThresh)
   }
 
   def bfsHops(edges: DataFrame, srcCol: String, dstCol: String,
