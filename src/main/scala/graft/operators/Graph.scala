@@ -450,6 +450,47 @@ object Graph {
     dist
   }
 
+  /** Per-JVM aggregation-memory budget for [[neighborhoodSketch]]'s
+    * regime choice, in bytes. On a cluster this is the EXECUTOR's
+    * unified-memory region — `spark.executor.memory` (minus Spark's
+    * 300 MB reserve) × `spark.memory.fraction` — because that JVM, not
+    * the driver, holds the aggregation hash maps; the driver's own
+    * heap says nothing about it (round-10 finding: sizing from
+    * `Runtime.maxMemory` picks the wrong regime whenever driver and
+    * executor heaps differ). Under local[*] — or when no executor
+    * memory is configured — the driver heap IS the executor heap, so
+    * `Runtime.maxMemory` is the honest measurement of this JVM.
+    */
+  private[graft] def executorAggBudgetBytes(
+      sc: org.apache.spark.SparkContext): Long =
+    executorAggBudgetBytes(sc.getConf, sc.isLocal)
+
+  private[graft] def executorAggBudgetBytes(
+      conf: org.apache.spark.SparkConf, isLocal: Boolean): Long = {
+    val fraction = conf.getDouble("spark.memory.fraction", 0.6)
+    if (isLocal || !conf.contains("spark.executor.memory"))
+      (Runtime.getRuntime.maxMemory * fraction).toLong
+    else {
+      val reserved = 300L * 1024 * 1024 // Spark's RESERVED_SYSTEM_MEMORY
+      val execBytes = conf.getSizeAsBytes("spark.executor.memory")
+      (math.max(0L, execBytes - reserved) * fraction).toLong
+    }
+  }
+
+  /** True when a register-bearing hop's map-side partial aggregation
+    * would overflow its JVM's aggregation budget — each concurrent
+    * task's hash map holds up to |nodes| sketch states — so the hop
+    * must exchange by group key FIRST (bounding every task's map to
+    * its own key slice) instead of combining map-side. One fifth of
+    * the unified region is the slice the hop may claim: execution
+    * memory shares that region with cached blocks and the hop's own
+    * shuffle buffers, and the measured sf3 runs sat safely at this
+    * bound while the sort-fallback regime it replaces was thrashing.
+    */
+  private[graft] def exchangeFirstRegime(nNodes: Long, stateBytes: Long,
+      concurrency: Long, budgetBytes: Long): Boolean =
+    nNodes * stateBytes * concurrency > budgetBytes / 5
+
   /** HyperBall-style approximate neighborhood function: for every node,
     * the estimated number of distinct nodes reachable within `hops`
     * out-steps (self included) — the sketch behind effective-diameter /
@@ -471,6 +512,15 @@ object Graph {
     * Exactness is auditable, not assumed: pair with an exact
     * frontier-join count on a seed sample (q215's gate pattern — the
     * q29 sketch-contract discipline).
+    *
+    * Session-conf caveat: for the duration of the hop jobs this call
+    * raises `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    * on the session (restored in `finally`). Queries running
+    * CONCURRENTLY on the same SparkSession from other threads observe
+    * the raised threshold — never a correctness issue (it only moves
+    * the aggregate's hash-map→sort spill point), but if plan-shape
+    * stability matters to a concurrent workload, run this on its own
+    * session.
     *
     * @return (id, est_reach): BIGINT sketch estimate per node
     */
@@ -523,14 +573,38 @@ object Graph {
     // sort-merge passes. Both regimes produce identical registers;
     // only the exchange placement differs. (sf3 measured: 232 s
     // before → 76 s after, at the default heap.)
+    // Conf-scope decision (written down, per the round-10 review): the
+    // raised threshold is a SESSION-level override, restored in
+    // `finally`. Every hop below ends in an EAGER localCheckpoint, so
+    // the override is live only while this call runs its own jobs; the
+    // one observable window is a query launched CONCURRENTLY on the
+    // same SparkSession from another thread, which would run its
+    // ObjectHashAggregates with the raised fallback threshold —
+    // harmless for correctness (the threshold only moves the
+    // hash-map→sort spill point) but a plan-shape perturbation. True
+    // isolation would need a cloned session, and rebinding the
+    // register-blob frames into it costs a per-hop InternalRow→Row
+    // round trip over nodes × sketchBytes — worse than the exposure.
+    // Callers running concurrent same-session queries: see scaladoc.
     val threshKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
     val prevThresh = spark.conf.get(threshKey)
     spark.conf.set(threshKey, math.max(128L, nNodes + 1).toString)
     try {
       val stateBytes = (1L << lgConfigK) + 256
-      val concurrency = spark.sparkContext.defaultParallelism.toLong
+      // Per-EXECUTOR task concurrency: on a cluster each executor's
+      // aggregation hash maps hold at most (its own task slots) ×
+      // |nodes| register states, so the budget comparison must be
+      // executor-local — defaultParallelism (cluster-wide slots) would
+      // overstate per-JVM pressure by the executor count. Under
+      // local[*] the driver IS the one executor, so cluster-wide and
+      // per-JVM concurrency coincide.
+      val sc = spark.sparkContext
+      val concurrency =
+        if (sc.isLocal) sc.defaultParallelism.toLong
+        else sc.getConf.getInt("spark.executor.cores", 1).toLong
       val exchangeFirst =
-        nNodes * stateBytes * concurrency > Runtime.getRuntime.maxMemory / 8
+        exchangeFirstRegime(nNodes, stateBytes, concurrency,
+          executorAggBudgetBytes(sc))
       // In the exchange-first regime, size that exchange from the
       // MEASURED blob volume (the q112 convention): at the session
       // default the per-task slice (edge×blob / partitions) left the

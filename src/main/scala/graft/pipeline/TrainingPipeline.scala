@@ -147,14 +147,21 @@ object TrainingPipeline {
     meter(5, "near_dedup", nearDeduped)
     // 5. OPTIONAL corpus-wide exact-substring scrub: the text column
     // becomes the scrubbed reassembly; n_tokens/n_dup_tokens ride along
-    // as audit counters. Materialized when a tokenizer stage follows
+    // as audit counters. The scrub result carries only
+    // (id, counters, dedup_text), so it is joined back by id onto the
+    // surviving corpus — every other corpus column (source, lang,
+    // metadata, ...) that stages 1-4 preserved rides through this stage
+    // too. One id-keyed exchange; text crosses it once, as everywhere
+    // else in the pipeline. Materialized when a tokenizer stage follows
     // (the fit traverses the corpus again).
     val substred = cfg.exactSubstrK match {
       case None => nearDeduped
       case Some(k) =>
-        val out = SubstringDedup
+        val scrub = SubstringDedup
           .exactSubstringDedup(nearDeduped, cfg.idCol, cfg.textCol, k)
           .withColumnRenamed("dedup_text", cfg.textCol)
+        val out = nearDeduped.drop(cfg.textCol)
+          .join(scrub, Seq(cfg.idCol))
           .localCheckpoint(true)
         meter(6, "substr_scrub", out)
         out

@@ -299,6 +299,39 @@ class GraphSpec extends SparkSpec {
     assert(rep == h2) // register merges are order-invariant
   }
 
+  test("neighborhoodSketch regime: budget comes from executor memory, not driver heap") {
+    import org.apache.spark.SparkConf
+    // A cluster conf with small executors: the regime must flip to
+    // exchange-first even though THIS JVM's (driver) heap is large
+    // enough that the old Runtime.maxMemory-based heuristic would have
+    // kept map-side combine (the round-10 portability bug).
+    val smallExec = new SparkConf()
+      .set("spark.executor.memory", "1g")
+    val smallBudget = Graph.executorAggBudgetBytes(smallExec, isLocal = false)
+    // (1g - 300m reserve) * 0.6 default fraction
+    assert(smallBudget == ((1024L - 300L) * 1024 * 1024 * 0.6).toLong)
+    // 5M nodes × 1280-byte sketches × 4 slots ≫ a 1 GB executor slice
+    val nNodes = 5000000L; val stateBytes = 1280L; val slots = 4L
+    assert(Graph.exchangeFirstRegime(nNodes, stateBytes, slots, smallBudget))
+    // ... while the driver-heap proxy would (wrongly, for that cluster)
+    // stay map-side whenever the test JVM has ≳ 256 GB × 0.12 — assert
+    // instead the direct contrast: a big-executor conf keeps map-side
+    // for the same workload.
+    val bigExec = new SparkConf().set("spark.executor.memory", "256g")
+    val bigBudget = Graph.executorAggBudgetBytes(bigExec, isLocal = false)
+    assert(!Graph.exchangeFirstRegime(nNodes, stateBytes, slots, bigBudget))
+    // local[*]: executor memory conf is IGNORED (driver heap is the
+    // executor heap), so the budget measures this JVM
+    val localBudget = Graph.executorAggBudgetBytes(smallExec, isLocal = true)
+    val fraction = 0.6
+    assert(localBudget == (Runtime.getRuntime.maxMemory * fraction).toLong)
+    // custom memory fraction honored
+    val fracConf = new SparkConf()
+      .set("spark.executor.memory", "1g").set("spark.memory.fraction", "0.3")
+    assert(Graph.executorAggBudgetBytes(fracConf, isLocal = false) ==
+      ((1024L - 300L) * 1024 * 1024 * 0.3).toLong)
+  }
+
   test("saltPlan: flags exactly the planted heavy key with ceil(count/mean) buckets") {
     import spark.implicits._
     // 9 keys × 10 rows + key 99 × 200 rows → mean = 290/10 = 29

@@ -203,4 +203,33 @@ class PipelineSpec extends SparkSpec {
     assert(meters("wordpiece")._2 ==
       rows.map(_.getAs[Long]("n_wordpiece_tokens")).sum)
   }
+
+  test("ExactSubstr stage preserves every non-text corpus column") {
+    import spark.implicits._
+    val donor = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val borrower = donor.split(" ").take(12).mkString(" ") +
+      " uniqa uniqb uniqc uniqd uniqe uniqf uniqg uniqh"
+    // extra columns (source, lang) must ride through the substr stage —
+    // the round-10 review found the scrub result replaced the corpus
+    // frame wholesale, silently dropping them
+    val docs = Seq(
+      (1L, donor, "web", "en"),
+      (3L, borrower, "books", "de")
+    ).toDF("doc_id", "text", "source", "lang")
+    val out = graft.pipeline.TrainingPipeline.prepare(docs,
+      graft.pipeline.TrainingPipeline.Config(minJaccard = 0.5,
+        exactSubstrK = Some(8)))
+    assert(Set("doc_id", "text", "source", "lang", "n_tokens",
+      "n_dup_tokens", "split").subsetOf(out.columns.toSet))
+    val byId = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(1L).getAs[String]("source") == "web" &&
+      byId(1L).getAs[String]("lang") == "en")
+    assert(byId(3L).getAs[String]("source") == "books" &&
+      byId(3L).getAs[String]("lang") == "de")
+    // and the scrub itself still applied on the joined-back text
+    assert(byId(3L).getAs[String]("text") ==
+      "uniqa uniqb uniqc uniqd uniqe uniqf uniqg uniqh")
+    assert(byId(3L).getAs[Int]("n_dup_tokens") == 12)
+  }
 }
