@@ -392,8 +392,9 @@ object Dedup {
     * deduping an increment against the index, the SURVIVORS join it so
     * tomorrow's increment dedups against them too. MUST use the same
     * (shingleSize, numHashes, bands) as the index (same seeds ⇒ band
-    * keys align); there is no metadata handshake, the caller owns the
-    * parameter discipline.
+    * keys align) — enforced by the `_graft_manifest/index_meta`
+    * handshake (round 10): a mismatched append throws instead of
+    * silently writing misaligned band keys.
     */
   def appendToMinHashIndex(
       df: DataFrame, path: String, idCol: String, textCol: String,
@@ -405,6 +406,10 @@ object Dedup {
     try {
       sigs.select(col("_id"), col("_sh"), col("_bands"))
         .write.mode("append").parquet(path)
+      // crash between append and bump leaves n_docs understating the
+      // index — benign: probes read signatures directly, the counter
+      // only feeds the re-index-threshold audit (FaultInjectionSpec)
+      graft.sinks.FaultInjection.point("appendToMinHashIndex:appended")
       graft.sinks.Pruning.bumpIndexMeta(df.sparkSession, path,
         Map("n_docs" -> sigs.count()))
     } finally sigs.unpersist()

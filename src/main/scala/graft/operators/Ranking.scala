@@ -171,13 +171,27 @@ object Ranking {
     require(queryTerms.distinct == queryTerms, "queryTerms must be distinct")
     // manifest handshake: corpus constants come FROM the index record,
     // and a probe invoked with a different bucket count than the build
-    // throws instead of silently reading the wrong partitions
-    val meta = graft.sinks.Pruning.readIndexMeta(spark, path).getOrElse(
-      throw new IllegalStateException(
-        s"no index manifest at $path — build with writePostingsIndex"))
-    graft.sinks.Pruning.requireIndexParams(spark, path, "postings",
-      Map("n_buckets" -> nBuckets.toLong))
-    val (n, sumDl) = (meta.params("n_docs"), meta.params("sum_dl"))
+    // throws instead of silently reading the wrong partitions.
+    // Pre-round-10 indexes carried the constants in a 1-row `_stats`
+    // sidecar instead — readers stay lenient for those (the Pruning
+    // convention: strict once a manifest exists, lenient before), so
+    // legacy artifacts remain probe-able without a rebuild; only an
+    // index with NEITHER record is an error.
+    val (n, sumDl) = graft.sinks.Pruning.readIndexMeta(spark, path) match {
+      case Some(meta) =>
+        graft.sinks.Pruning.requireIndexParams(spark, path, "postings",
+          Map("n_buckets" -> nBuckets.toLong))
+        (meta.params("n_docs"), meta.params("sum_dl"))
+      case None =>
+        val st =
+          try spark.read.parquet(s"$path/_stats").collect()(0)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalStateException(
+              s"no index manifest (and no legacy _stats sidecar) at " +
+                s"$path — build with writePostingsIndex")
+          }
+        (st.getLong(0), st.getLong(1))
+    }
     val buckets = queryTerms.map(t => md5BucketOf(t, nBuckets)).distinct
     val tf = spark.read.parquet(s"$path/postings")
       .filter(col("tb").isin(buckets: _*) &&

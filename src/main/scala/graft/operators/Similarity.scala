@@ -201,6 +201,12 @@ object Similarity {
       .select(col("neighbor_id"), col("_cv").as("embedding"), col("centroid_id"))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$path/index")
+    // data append and counter bump are two steps: a crash between them
+    // (the FaultInjection point) leaves n_vectors UNDERSTATING the
+    // index — benign by design, since probes read the data directly
+    // and never gate on the freshness counter (FaultInjectionSpec
+    // proves the probe stays exact across that window)
+    graft.sinks.FaultInjection.point("appendToIvfIndex:appended")
     graft.sinks.Pruning.bumpIndexMeta(spark, path,
       Map("n_vectors" -> newVectors.count()))
   }

@@ -196,19 +196,37 @@ object Pruning {
   final case class IndexMeta(kind: String, partCol: String,
       params: Map[String, Long])
 
-  /** Persist (overwrite) an index's manifest record. One row per
+  /** Persist (replace) an index's manifest record. One row per
     * parameter — a flat (kind, part_col, param, value) frame, so any
     * engine (or the DuckDB oracle) can audit it without a schema
     * registry.
+    *
+    * The replace rides [[Writers.publishByRename]]'s staging + checked
+    * rename-swap discipline (round-11 fix — a direct parquet overwrite
+    * deletes the live record before the new one is complete, so a
+    * crash mid-overwrite left a TORN manifest): the new record is
+    * fully staged under a `.tmp-` path, then published by two
+    * metadata-only renames. A crashed bump therefore leaves the old
+    * record, the new record, or a clean absence with both copies
+    * preserved — an absent/old manifest only makes [[readIndexMeta]]
+    * readers lenient (freshness counters understate), never wrong.
+    * No lock: index writes are single-writer by their own contracts
+    * (daily-job discipline / build-then-probe lifecycle).
     */
   def writeIndexMeta(spark: SparkSession, path: String,
       meta: IndexMeta): Unit = {
+    import org.apache.hadoop.fs.Path
     import spark.implicits._
+    val dst = new Path(s"${manifestDir(path)}/index_meta")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (tmp, bak) = Writers.swapPaths(dst)
     meta.params.toSeq.sortBy(_._1)
       .map { case (k, v) => (meta.kind, meta.partCol, k, v) }
       .toDF("kind", "part_col", "param", "value")
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"${manifestDir(path)}/index_meta")
+      .write.mode("overwrite").parquet(tmp.toString)
+    Writers.publishByRename(fs, dst, tmp, bak, "writeIndexMeta",
+      hadPrior = fs.exists(dst))
   }
 
   /** Read an index manifest back; None when the artifact predates the

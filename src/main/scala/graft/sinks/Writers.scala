@@ -53,6 +53,84 @@ object Writers {
     }
   }
 
+  /** Staging/backup paths for a swap of `dst`: siblings whose last
+    * component is DOT-PREFIXED, so a concurrent Spark reader listing
+    * the PARENT directory never sees the staged or retired copy as
+    * data — Spark's hidden-path filtering skips `.`/`_` names during
+    * file listing. This matters precisely for the per-leaf swaps
+    * ([[deleteKeysPruned]], [[compactPartitionedTable]]) where the
+    * parent IS the table root: an un-prefixed `p=0.tmp-…` sibling is
+    * picked up by partition discovery, so a concurrent full-table read
+    * would see the leaf TWICE during a normal swap (old + staged) and
+    * a crashed delete would resurrect erased keys through the `.bak`
+    * (FaultInjectionSpec caught exactly this). Same parent ⇒ the
+    * publish renames stay same-filesystem metadata-only ops.
+    */
+  private[graft] def swapPaths(dst: Path): (Path, Path) = {
+    val stamp = java.util.UUID.randomUUID().toString
+    val parent = Option(dst.getParent).getOrElse(
+      throw new IllegalArgumentException(s"swap of filesystem root: $dst"))
+    (new Path(parent, s".${dst.getName}.tmp-$stamp"),
+      new Path(parent, s".${dst.getName}.bak-$stamp"))
+  }
+
+  /** Publish a fully-staged artifact at `tmp` as the live `dst` via two
+    * CHECKED metadata-only renames: dst→bak (retire), tmp→dst
+    * (publish), then delete the bak. The one shared swap discipline
+    * behind [[compactParquet]], [[upsertInventory]],
+    * [[deleteKeysPruned]] and [[Pruning.writeIndexMeta]].
+    *
+    * Crash contract, step by step (each boundary is a
+    * [[FaultInjection]] point, proven by FaultInjectionSpec):
+    *  - before the retire rename: live path holds the OLD artifact,
+    *    complete; the staged copy is invisible to readers.
+    *  - between the renames (`:retired`): live path is ABSENT — the
+    *    documented recovery state — with the old artifact complete at
+    *    `bak` and the new one complete at `tmp`.
+    *  - after the publish rename: live path holds the NEW artifact,
+    *    complete; the bak is redundant.
+    * A reader therefore sees old, new, or clean absence — NEVER a torn
+    * directory, because renames are atomic namespace ops on file/hdfs
+    * and data files are only ever written under `tmp`.
+    *
+    * Failure handling (rename returning false): a failed publish
+    * restores `bak` to `dst` before throwing; if that restore ALSO
+    * fails, `onUnrecovered()` runs (callers keep their lock there) and
+    * the thrown message names both preserved copies. A failed bak
+    * delete after a verified publish only strands a stale backup —
+    * logged, not fatal.
+    *
+    * @param hadPrior pass false on a first write (no dst to retire)
+    */
+  private[graft] def publishByRename(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dst: Path, tmp: Path, bak: Path, what: String,
+      hadPrior: Boolean = true,
+      onUnrecovered: () => Unit = () => ()): Unit = {
+    FaultInjection.point(s"$what:staged")
+    if (hadPrior && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"$what: rename $dst -> $bak failed")
+    FaultInjection.point(s"$what:retired")
+    if (!fs.rename(tmp, dst)) {
+      // put the previous artifact back before failing: the live path
+      // must not be left absent when a full copy exists
+      if (hadPrior && !fs.rename(bak, dst)) {
+        onUnrecovered()
+        throw new java.io.IOException(
+          s"$what: rename $tmp -> $dst failed AND restoring " +
+            s"$bak -> $dst failed; live path $dst is ABSENT. Data is " +
+            s"preserved at $bak (old) and $tmp (new) — restore $bak " +
+            s"to $dst manually")
+      }
+      throw new java.io.IOException(s"$what: rename $tmp -> $dst failed")
+    }
+    FaultInjection.point(s"$what:published")
+    // swap verified — the .bak is now redundant; a failed delete only
+    // strands a stale backup (harmless), so its result is not fatal
+    if (hadPrior && !fs.delete(bak, true))
+      log.warn(s"$what: could not delete redundant backup $bak")
+  }
+
   /** K1: idempotent per-day load. Dynamic partition overwrite means only
     * the partitions present in `df` are replaced — the Spark equivalent of
     * the reference's drop-and-recreate-per-day-table.
@@ -269,27 +347,14 @@ object Writers {
     // inconsistency must be repaired manually before any other writer runs.
     var keepLock = false
     try {
+      FaultInjection.point("compactParquet:locked")
       val totalBytes = fs.getContentSummary(dst).getLength
       val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
       val df = spark.read.parquet(path)
-      val stamp = java.util.UUID.randomUUID().toString
-      val tmp = new Path(path + ".tmp-" + stamp)
-      val bak = new Path(path + ".bak-" + stamp)
+      val (tmp, bak) = swapPaths(dst)
       df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      if (!fs.rename(dst, bak))
-        throw new java.io.IOException(s"compactParquet: rename $dst -> $bak failed")
-      if (!fs.rename(tmp, dst)) {
-        if (!fs.rename(bak, dst)) {
-          keepLock = true
-          throw new java.io.IOException(
-            s"compactParquet: rename $tmp -> $dst failed AND restoring " +
-              s"$bak -> $dst failed; live path $dst is ABSENT. Data is " +
-              s"preserved at $bak (original) and $tmp (compacted); lock " +
-              s"$lock retained — restore $bak to $dst manually, then remove the lock")
-        }
-        throw new java.io.IOException(s"compactParquet: rename $tmp -> $dst failed")
-      }
-      fs.delete(bak, true)
+      publishByRename(fs, dst, tmp, bak, "compactParquet",
+        onUnrecovered = () => keepLock = true)
       nFiles
     } finally if (!keepLock) fs.delete(lock, false)
   }
@@ -443,29 +508,11 @@ object Writers {
     // rename fail, keep the lock so no writer runs against an absent path
     var keepLock = false
     try {
-      val stamp = java.util.UUID.randomUUID().toString
-      val tmp = new Path(inventoryPath + ".tmp-" + stamp)
-      val bak = new Path(inventoryPath + ".bak-" + stamp)
+      FaultInjection.point("upsertInventory:locked")
+      val (tmp, bak) = swapPaths(dst)
       out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val hadPrior = fs.exists(dst)
-      if (hadPrior && !fs.rename(dst, bak))
-        throw new java.io.IOException(s"upsertInventory: rename $dst -> $bak failed")
-      if (!fs.rename(tmp, dst)) {
-        // put the previous catalog back before failing: the live path
-        // must not be left absent when a full copy exists
-        if (hadPrior && !fs.rename(bak, dst)) {
-          keepLock = true
-          throw new java.io.IOException(
-            s"upsertInventory: rename $tmp -> $dst failed AND restoring " +
-              s"$bak -> $dst failed; live path $dst is ABSENT. Data is " +
-              s"preserved at $bak and $tmp; lock $lock retained — restore " +
-              s"$bak to $dst manually, then remove the lock")
-        }
-        throw new java.io.IOException(s"upsertInventory: rename $tmp -> $dst failed")
-      }
-      // swap verified — the .bak is now redundant; a failed delete only
-      // strands a stale backup (harmless), so its result is not fatal
-      if (hadPrior) fs.delete(bak, true)
+      publishByRename(fs, dst, tmp, bak, "upsertInventory",
+        hadPrior = fs.exists(dst), onUnrecovered = () => keepLock = true)
     } finally if (!keepLock) fs.delete(lock, false)
     spark.read.parquet(inventoryPath)
   }
@@ -718,30 +765,19 @@ object Writers {
       acquireSwapLock(fs, lock, "deleteKeysPruned")
       var keepLock = false
       try {
+        FaultInjection.point("deleteKeysPruned:locked")
         val df = spark.read.parquet(leaf.toString)
         val nDel = df.filter(col(keyCol).isin(keys: _*)).count()
         if (nDel == 0L) (v, 1, 0L, 0) // Bloom false positive: untouched
         else {
           val survivors = df.filter(!col(keyCol).isin(keys: _*))
-          val stamp = java.util.UUID.randomUUID().toString
-          val tmp = new Path(leaf.toString + ".tmp-" + stamp)
-          val bak = new Path(leaf.toString + ".bak-" + stamp)
+          // dot-prefixed staging (swapPaths): tmp/bak live inside the
+          // TABLE ROOT here, so un-hidden names would surface in a
+          // concurrent reader's partition discovery as extra data
+          val (tmp, bak) = swapPaths(leaf)
           survivors.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-          if (!fs.rename(leaf, bak))
-            throw new java.io.IOException(
-              s"deleteKeysPruned: rename $leaf -> $bak failed")
-          if (!fs.rename(tmp, leaf)) {
-            if (!fs.rename(bak, leaf)) {
-              keepLock = true
-              throw new java.io.IOException(
-                s"deleteKeysPruned: rename $tmp -> $leaf failed AND " +
-                  s"restoring $bak -> $leaf failed; live path ABSENT. " +
-                  s"Data preserved at $bak/$tmp; lock $lock retained")
-            }
-            throw new java.io.IOException(
-              s"deleteKeysPruned: rename $tmp -> $leaf failed")
-          }
-          fs.delete(bak, true)
+          publishByRename(fs, leaf, tmp, bak, "deleteKeysPruned",
+            onUnrecovered = () => keepLock = true)
           (v, 1, nDel, 1)
         }
       } finally if (!keepLock) fs.delete(lock, false): Unit
