@@ -84,9 +84,7 @@ object Coverage {
     var exhausted = false
 
     for (r <- 1 to rounds if !exhausted) {
-      val remaining = shingles
-        .filter(if (pickedIds.isEmpty) lit(true)
-                else !col("_id").isin(pickedIds: _*))
+      val remaining = excludePicked(shingles, pickedIds)
       val fresh = covered match {
         case None => remaining
         case Some(c) =>
@@ -123,11 +121,31 @@ object Coverage {
 
     spark.createDataFrame(
       spark.sparkContext.parallelize(picked.toSeq, 1),
-      StructType(Seq(
-        StructField("round", IntegerType, nullable = false),
-        StructField("doc_id", LongType, nullable = false),
-        StructField("gain", LongType, nullable = false),
-        StructField("covered_total", LongType, nullable = false))))
+      pickedSchema)
       .orderBy("round")
   }
+
+  /** Drop already-picked docs from the shingle frame via a broadcast
+    * LEFT ANTI join against the (driver-built, `rounds`-bounded) picks
+    * frame — NOT an `isin` literal, whose predicate (and its codegen)
+    * grows with every round: a thousands-of-rounds curation run would
+    * bloat each round's plan compilation linearly, while the anti-join
+    * plan is rounds-independent (the picks ride one tiny broadcast
+    * LocalRelation; CoverageSpec asserts the plan-size invariance).
+    */
+  private[graft] def excludePicked(
+      shingles: DataFrame, pickedIds: Seq[Long]): DataFrame =
+    if (pickedIds.isEmpty) shingles
+    else {
+      val s = shingles.sparkSession
+      import s.implicits._
+      shingles.join(broadcast(pickedIds.toDF("_id")), Seq("_id"), "left_anti")
+    }
+
+  private val pickedSchema =
+    StructType(Seq(
+      StructField("round", IntegerType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("gain", LongType, nullable = false),
+      StructField("covered_total", LongType, nullable = false)))
 }

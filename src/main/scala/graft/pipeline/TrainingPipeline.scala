@@ -105,19 +105,38 @@ object TrainingPipeline {
     */
   def prepareMetered(docs: DataFrame, cfg: Config = Config()): Prepared = {
     val meters = scala.collection.mutable.ArrayBuffer.empty[StageMeter]
-    // whitespace-token meter, empty/null-safe (mirrors nonEmptyTokens)
+    // whitespace-token meter aggregates, empty/null-safe (mirrors
+    // nonEmptyTokens)
+    def meterAggs: Seq[org.apache.spark.sql.Column] = Seq(
+      count(lit(1)).as("_m_rows"),
+      coalesce(sum(size(filter(split(trim(col(cfg.textCol)), "\\s+"),
+        t => length(t) > 0)).cast("long")), lit(0L)).as("_m_toks"))
+    // post-checkpoint meter: one extra 1-row aggregate action over a
+    // materialized stage output
     def meter(no: Int, stage: String, df: DataFrame): Unit =
       if (cfg.meterStages) {
-        val r = df.agg(
-          count(lit(1)),
-          coalesce(sum(size(filter(split(trim(col(cfg.textCol)), "\\s+"),
-            t => length(t) > 0)).cast("long")), lit(0L))).collect()(0)
+        val r = df.agg(meterAggs.head, meterAggs.tail: _*).collect()(0)
         meters += StageMeter(no, stage, r.getLong(0), r.getLong(1))
       }
+    // PRE-checkpoint meters (stages 1-2) ride the stage-2 checkpoint's
+    // OWN execution as observe() metrics instead of re-traversing the
+    // lineage: a separate aggregate action here would re-run the
+    // regex-heavy scrub projection over the whole corpus once per
+    // meter (at 100 TB, a metered run would pay the scrub twice more —
+    // the r10 plan-audit finding). CollectMetrics nodes are free riders
+    // on the execution the pipeline performs anyway.
+    val obsInput =
+      if (cfg.meterStages) Some(new org.apache.spark.sql.Observation("tp_input"))
+      else None
+    val obsScrub =
+      if (cfg.meterStages) Some(new org.apache.spark.sql.Observation("tp_scrubbed"))
+      else None
+    def observed(df: DataFrame, obs: Option[org.apache.spark.sql.Observation]) =
+      obs.map(o => df.observe(o, meterAggs.head, meterAggs(1))).getOrElse(df)
     // 1. scrub (projection only)
-    val scrubbed = docs.withColumn(cfg.textCol, scrubText(col(cfg.textCol)))
-    meter(1, "input", docs)
-    meter(2, "scrubbed", scrubbed)
+    val scrubbed = observed(
+      observed(docs, obsInput).withColumn(cfg.textCol, scrubText(col(cfg.textCol))),
+      obsScrub)
     // 2. quality gate — MATERIALIZED (localCheckpoint cuts lineage and
     // pins the stage output): the id-join dedup below references its
     // input twice by construction, and the near-dup stage traverses the
@@ -129,6 +148,18 @@ object TrainingPipeline {
     val gated = TextAnalysis.qualityFilter(
       scrubbed, cfg.textCol, cfg.minTokens, cfg.minScore)
       .localCheckpoint(true)
+    // the eager checkpoint above just executed the scrub ONCE; harvest
+    // the stage-1/2 observations it carried (get blocks until the
+    // metrics of a completed action are available)
+    def harvest(no: Int, stage: String,
+        obs: Option[org.apache.spark.sql.Observation]): Unit =
+      obs.foreach { o =>
+        val m = o.get
+        meters += StageMeter(no, stage,
+          m("_m_rows").asInstanceOf[Long], m("_m_toks").asInstanceOf[Long])
+      }
+    harvest(1, "input", obsInput)
+    harvest(2, "scrubbed", obsScrub)
     // 3. exact dedup on content fingerprint — also materialized: it is
     // read by both the near-dup pair builder and the final drop
     val exact = Dedup.dedupByFingerprint(gated, cfg.textCol, cfg.idCol)

@@ -91,4 +91,22 @@ class CoverageSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got.head.getLong(1) == 0L && got.head.getLong(2) == 4L)
   }
+
+  test("picked-doc exclusion plan is rounds-independent (anti-join, not isin)") {
+    import spark.implicits._
+    val shingles = Seq((1L, 10L), (2L, 20L)).toDF("_id", "_h")
+    def planSize(nPicked: Int): Int =
+      Coverage.excludePicked(shingles, (1L to nPicked.toLong))
+        .queryExecution.analyzed.toString.length
+    // an isin literal grows the predicate (and its codegen) linearly
+    // with rounds; the broadcast anti-join's plan stays flat — the
+    // picks ride LocalRelation DATA, not plan text
+    val p10 = planSize(10); val p5000 = planSize(5000)
+    assert(p5000 <= p10 + 32,
+      s"exclusion plan grew with picks: $p10 -> $p5000")
+    // and it still excludes: both rows drop once their ids are picked
+    assert(Coverage.excludePicked(shingles, Seq(1L, 2L)).count() == 0)
+    assert(Coverage.excludePicked(shingles, Seq(1L)).select("_id")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
 }
