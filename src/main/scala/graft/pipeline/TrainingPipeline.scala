@@ -69,7 +69,13 @@ object TrainingPipeline {
       // (stage, rows, whitespace-tokens) row per pipeline stage. Each
       // meter is an extra action over a (mostly checkpointed) stage
       // output — default off so the metered path is opt-in at scale.
-      meterStages: Boolean = false)
+      meterStages: Boolean = false,
+      // stage-4 LSH bucket cap: buckets larger than this are
+      // star-linked to their representative instead of expanded
+      // all-pairs (component-preserving; the Zipf-headed boilerplate
+      // flood guard — see [[graft.operators.Dedup.cappedBandPairs]]).
+      // A capped run surfaces through [[Prepared.cappedBucketCount]].
+      maxBucketSize: Int = 10000)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -167,7 +173,7 @@ object TrainingPipeline {
     // 4. near-dup clusters → keep canonical doc per cluster
     val cp = Dedup.verifiedNearDupPairsMetered(
       exact, cfg.idCol, cfg.textCol, cfg.minJaccard,
-      cfg.shingleSize, cfg.numHashes, cfg.bands)
+      cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.maxBucketSize)
     if (cp.cappedBucketCount > 0)
       log.warn(s"TrainingPipeline.prepare: ${cp.cappedBucketCount} over-cap LSH bucket(s) " +
         "were star-linked — near-dup drops in those buckets are unverified " +

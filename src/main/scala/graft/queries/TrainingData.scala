@@ -4514,7 +4514,144 @@ object TrainingData {
        |ORDER BY stage_no""".stripMargin
   }
 
+  // ---- q230: skew-adversarial LSH flood (round-10 ask #4) ----
+
+  /** q230 flood base: 40 distinct nonsense tokens (letters only, 6-7
+    * chars) sharing essentially no 7-gram shingle with the corpus text,
+    * so the flood's star links can only land INSIDE the flood — the
+    * capped-bucket drop can never pull a corpus doc into the flood
+    * component, which is what makes the uncapped all-pairs oracle
+    * exact on a capped run.
+    */
+  private val FloodBase: String =
+    "vorqel blenth krastu zimbor fleqan drubex woshti plarnik gevoti " +
+      "muxard qelfin tarvok xubeni ralques pintoq hasver jolkri wexang " +
+      "bruqom steyfal cruvek gyphor naldriq welbuxo zarqint fomelk " +
+      "trubiqa heskarn uvraqel biltrox ogrenv dwemiq yastrub kelvorn " +
+      "ximbral puqzet larvex snovqil merqath jixolb"
+
+  /** Zipf-headed near-dup flood through the full pipeline with the LSH
+    * bucket cap DOWN at 64: 260 copies of one nonsense-token document
+    * (each with a unique marker suffix, so none is an exact dup and
+    * every pairwise Jaccard is ≈0.9) are planted at +300000 amid the
+    * real corpus. With 260 near-identical docs, every band's majority
+    * bucket is ~4× over the cap — the guard MUST fire
+    * ([[graft.pipeline.TrainingPipeline.Prepared.cappedBucketCount]]
+    * surfaces it, emitted here as `capped_fired`), pairs inside the
+    * flood become star links to the bucket representative instead of
+    * an O(260²)-per-band expansion, and the canonical (lowest-id)
+    * flood doc must be the component's sole survivor. The oracle is
+    * the UNCAPPED exact all-pairs chain (q59's mirror): hash equality
+    * proves capped components ≡ uncapped components on this fixture.
+    * The natural corpus buckets stay under the cap (measured max 30 at
+    * sf0.1, 3 at sf0.01 with the (96, 24) config), so corpus-side
+    * semantics are exactly q59's.
+    */
+  def q230CappedFlood(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val flood = s.range(260).select(
+      (col("id") + 300000L).as("doc_id"),
+      concat(lit(FloodBase + " m"), col("id").cast("string")).as("text"))
+    val planted = docs.unionAll(flood)
+    val prep = graft.pipeline.TrainingPipeline.prepareMetered(planted,
+      graft.pipeline.TrainingPipeline.Config(
+        auditableSplit = true, maxBucketSize = 64))
+    prep.corpus.select(col("doc_id"), col("split"),
+        md5(col("text")).as("content_md5"),
+        lit(prep.cappedBucketCount > 0).as("capped_fired"))
+      .orderBy("doc_id")
+  }
+
+  /** The oracle's `TRUE AS capped_fired` is an assertion about the
+    * fixture, not a recomputation: 260 near-identical docs against a
+    * cap of 64 over-fills the majority bucket of every band by ~4×
+    * deterministically (seeded MinHash), so any correct capped-LSH
+    * implementation must report a capped run here.
+    */
+  val q230Sql: String = {
+    val stop = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'it','that','this','for','on','with','as','at','by','be']"
+    s"""WITH RECURSIVE planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT 300000 + i AS doc_id,
+       |    '$FloodBase m' || CAST(i AS VARCHAR) AS text
+       |  FROM range(0, 260) t(i)),
+       |scrubbed AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(text,
+       |            '$emailPattern', '<EMAIL>', 'g'),
+       |          '$urlPattern', '<URL>', 'g'),
+       |        '$phonePattern', '<PHONE>', 'g'),
+       |      '\\s+', ' ', 'g')) AS text
+       |  FROM planted),
+       |scored AS (
+       |  SELECT doc_id, text,
+       |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+       |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |      t -> list_contains($stop, t))) AS DOUBLE) AS n_stop,
+       |    CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE) AS n_punct,
+       |    CAST(length(text) AS DOUBLE) AS n_chars,
+       |    CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),
+       |      t -> length(t))) AS DOUBLE) AS tok_chars
+       |  FROM scrubbed),
+       |gated AS (
+       |  SELECT doc_id, text FROM scored
+       |  WHERE n_tok >= 10
+       |    AND least(n_tok / 100.0, 1.0) * 0.3
+       |      + least((n_stop / greatest(n_tok, 1)) * 3.0, 1.0) * 0.3
+       |      + greatest(1.0 - (n_punct / greatest(n_chars, 1)) * 10.0, 0.0) * 0.2
+       |      + (CASE WHEN tok_chars / greatest(n_tok, 1) BETWEEN 3.0 AND 10.0
+       |              THEN 1.0 ELSE 0.5 END) * 0.2 >= 0.3),
+       |deduped AS MATERIALIZED (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+       |    FROM gated)
+       |  WHERE rn = 1),
+       |sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+       |  FROM deduped WHERE length(text) >= 7),
+       |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM inter
+       |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.6),
+       |edges AS (
+       |  SELECT id_a AS s, id_b AS d FROM pairs
+       |  UNION
+       |  SELECT id_b AS s, id_a AS d FROM pairs),
+       |reach(s, d) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+       |doomed AS (
+       |  SELECT s AS doc_id FROM reach GROUP BY s
+       |  HAVING least(min(d), s) < s)
+       |SELECT doc_id,
+       |  CASE WHEN bucket < 800000 THEN 'train'
+       |       WHEN bucket < 900000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  md5(text) AS content_md5,
+       |  TRUE AS capped_fired
+       |FROM (
+       |  SELECT doc_id, text,
+       |    ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS bucket
+       |  FROM deduped
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM doomed))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q230_capped_flood" -> q230CappedFlood _,
     "q228_composed_pipeline" -> q228ComposedPipeline _,
     "q229_pipeline_meters" -> q229PipelineMeters _,
     "q224_indexed_bm25" -> q224IndexedBm25 _,
@@ -4606,6 +4743,7 @@ object TrainingData {
     "q25_fingerprints"     -> q25Fingerprints _)
 
   val oracle: Map[String, String] = Map(
+    "q230_capped_flood" -> q230Sql,
     "q228_composed_pipeline" -> q228Sql,
     "q229_pipeline_meters" -> q229Sql,
     "q224_indexed_bm25" -> q224Sql,

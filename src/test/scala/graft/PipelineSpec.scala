@@ -232,4 +232,36 @@ class PipelineSpec extends SparkSpec {
       "uniqa uniqb uniqc uniqd uniqe uniqf uniqg uniqh")
     assert(byId(3L).getAs[Int]("n_dup_tokens") == 12)
   }
+
+  test("LSH bucket cap: Zipf-headed flood fires the guard, components preserved") {
+    import spark.implicits._
+    // a near-dup FLOOD: 40 copies of one nonsense-token doc, each with
+    // a unique marker token (no exact dups; pairwise Jaccard ≈ 0.9),
+    // amid two unrelated real docs. With maxBucketSize = 8 every band's
+    // majority bucket is ~5× over the cap → star-linked, and the
+    // canonical (lowest-id) flood doc must be the sole survivor —
+    // identical to the uncapped all-pairs semantics.
+    val floodBase = "vorqel blenth krastu zimbor fleqan drubex woshti " +
+      "plarnik gevoti muxard qelfin tarvok xubeni ralques pintoq hasver"
+    val others = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and then it runs " +
+        "far away to the old barn where it sleeps for a while in the hay"),
+      (2L, "completely different content about winter snow storms blowing " +
+        "across the frozen plains while travelers huddle in small cabins"))
+    val docs = (others ++ (0 until 40).map(i =>
+      (2000L + i, s"$floodBase m$i"))).toDF("doc_id", "text")
+    val capped = graft.pipeline.TrainingPipeline.prepareMetered(docs,
+      graft.pipeline.TrainingPipeline.Config(maxBucketSize = 8))
+    assert(capped.cappedBucketCount > 0,
+      "a 40-doc near-identical flood against cap 8 must fire the guard")
+    val uncapped = graft.pipeline.TrainingPipeline.prepareMetered(docs,
+      graft.pipeline.TrainingPipeline.Config(maxBucketSize = 10000))
+    assert(uncapped.cappedBucketCount == 0)
+    val cappedIds = capped.corpus.collect().map(_.getAs[Long]("doc_id")).toSet
+    val uncappedIds = uncapped.corpus.collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(cappedIds == uncappedIds,
+      s"capped survivors $cappedIds != uncapped $uncappedIds")
+    // both regimes: flood collapses to its canonical doc, others survive
+    assert(cappedIds == Set(1L, 2L, 2000L))
+  }
 }
