@@ -60,19 +60,25 @@ object ScaleData {
       shiftCols(_, _, "event_id", "user_id")), "events")
 
     // documents: shift ids, rotate the alphabet per copy (length- and
-    // whitespace-preserving, shingle-vocabulary-disjoint). The ring is
-    // 36 chars (a-z0-9), not 26: at >26 copies a pure letter rotation
-    // collides (copy k ≡ k+26 produced IDENTICAL text — the round-9
-    // sf3 sweep caught q112 measuring 4 pairs of duplicated corpora
-    // instead of a 30× corpus). Source text is letters-only, so any
-    // two distinct rotations of the 36-ring share no token, up to 36
-    // copies; letters mapping into digits is fine for bench-only
-    // fixtures (lengths, whitespace, and token boundaries preserved).
-    require(copies <= 36,
-      s"text rotation ring supports at most 36 disjoint copies, got $copies")
-    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789"
+    // whitespace-preserving, shingle-vocabulary-disjoint). The ring
+    // must be LARGER than the copy count or rotations repeat (copy
+    // k ≡ k+ring produced IDENTICAL text — the round-9 sf3 sweep
+    // caught q112 measuring 4 pairs of duplicated corpora instead of
+    // a 30× corpus). Ring = a-z0-9 (36) + Latin-1 letters À..ÿ minus
+    // ×/÷ (62) + Latin-Extended-A Ā.. (30) = 128 chars, supporting the
+    // round-10 ask's 100-copy (sf10) probe. Source text is
+    // letters-only, so any two distinct rotations share no token;
+    // letters mapping into digits/accented letters is fine for
+    // bench-only fixtures (char lengths, whitespace, and token
+    // boundaries preserved — Spark string ops are char-based).
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789" +
+      (0xC0 to 0xFF).filter(c => c != 0xD7 && c != 0xF7)
+        .map(_.toChar).mkString +
+      (0x100 until 0x11E).map(_.toChar).mkString
+    require(copies <= alpha.length,
+      s"text rotation ring supports at most ${alpha.length} disjoint copies, got $copies")
     write(replicate(read("documents"), copies) { (d, k) =>
-      val rot = (k % 36)
+      val rot = (k % alpha.length)
       val to = alpha.drop(rot) + alpha.take(rot)
       shiftCols(d, k, "doc_id")
         .withColumn("text",
