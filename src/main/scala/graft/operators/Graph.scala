@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.plans.Checkpoints
+
 /** Graph ranking over edge lists (the quality-weighting side of a
   * training-data pipeline: host/domain link graphs rank sources the
   * way CommonCrawl-derived corpora weight pages, and the same shape
@@ -261,7 +263,7 @@ object Graph {
             when(col("_dlo") < col("_dhi") ||
               (col("_dlo") === col("_dhi") && col("_lo") < col("_hi")),
               col("_hi")).otherwise(col("_lo")).as("_d"))
-          .localCheckpoint(true) // read by e1, e2, AND the closure join
+          .transform(Checkpoints.serialized(_)) // read by e1, e2, AND the closure join (edge-scale: serialized)
         // Both joins build their hash table on the EDGE side (m rows)
         // and stream the wedge side (Σ outdeg² rows, ~40× larger here):
         // the shuffle_hash hint keeps Catalyst from sort-merge-joining,
@@ -394,18 +396,17 @@ object Graph {
     require(k >= 1, s"k must be >= 1, got $k")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val once = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"))
-    var e = once
+    var e = Checkpoints.serialized(once
       .unionByName(once.select(col("_d").as("_s"), col("_s").as("_d")))
       .filter(col("_s") =!= col("_d")) // self-loops never count toward k
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     for (_ <- 1 to rounds) {
       val alive = e.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
         .filter(col("_deg") >= k)
         .select(col("_s"))
-      e = e.join(alive, Seq("_s"), "left_semi")
-        .join(alive.select(col("_s").as("_d")), Seq("_d"), "left_semi")
-        .localCheckpoint(true)
+      e = Checkpoints.serialized(
+        e.join(alive, Seq("_s"), "left_semi")
+          .join(alive.select(col("_s").as("_d")), Seq("_d"), "left_semi"))
     }
     e.groupBy(col("_s").as("id")).agg(count(lit(1)).as("degree"))
       .orderBy("id")
@@ -431,10 +432,10 @@ object Graph {
       weightCol: String, seeds: Seq[Long], rounds: Int): DataFrame = {
     require(seeds.nonEmpty, "ssspBounded: need at least one seed")
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
-    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"),
-        col(weightCol).cast(LongType).as("_w"))
-      .groupBy(col("_s"), col("_d")).agg(min(col("_w")).as("_w"))
-      .localCheckpoint(true)
+    val e = Checkpoints.serialized(
+      edges.select(col(srcCol).as("_s"), col(dstCol).as("_d"),
+          col(weightCol).cast(LongType).as("_w"))
+        .groupBy(col("_s"), col("_d")).agg(min(col("_w")).as("_w")))
     var dist = e.select(col("_s").as("id"))
       .unionByName(e.select(col("_d").as("id"))).distinct()
       .filter(col("id").isin(seeds: _*))
@@ -527,11 +528,14 @@ object Graph {
   def neighborhoodSketch(edges: DataFrame, srcCol: String, dstCol: String,
       hops: Int, lgConfigK: Int = 10): DataFrame = {
     require(hops >= 1, s"hops must be >= 1, got $hops")
-    val e = edges.select(col(srcCol).cast(LongType).as("_src"),
-        col(dstCol).cast(LongType).as("_dst"))
-      .filter(col("_src").isNotNull && col("_dst").isNotNull)
-      .distinct()
-      .localCheckpoint(true)
+    // edge-scale frame: serialized checkpoint (the round-11 sf10 probe
+    // measured the deserialized default OOM-ing on a 239M-row edge
+    // list before the first hop — see graft.plans.Checkpoints)
+    val e = Checkpoints.serialized(
+      edges.select(col(srcCol).cast(LongType).as("_src"),
+          col(dstCol).cast(LongType).as("_dst"))
+        .filter(col("_src").isNotNull && col("_dst").isNotNull)
+        .distinct())
     val spark = edges.sparkSession
     val nodes = e.select(col("_src").as("id"))
       .unionByName(e.select(col("_dst").as("id"))).distinct()
@@ -543,11 +547,11 @@ object Graph {
     // edge×blob join. Halves the blob joins of a 2-hop run. Its
     // session-default sort fallback handles only narrow long pairs —
     // cheap at any scale.
-    var b = nodes.select(col("id"), col("id").as("_m"))
-      .unionByName(e.select(col("_src").as("id"), col("_dst").as("_m")))
-      .groupBy(col("id"))
-      .agg(expr(s"hll_sketch_agg(_m, $lgConfigK)").as("_sk"))
-      .localCheckpoint(true)
+    var b = Checkpoints.serialized(
+      nodes.select(col("id"), col("id").as("_m"))
+        .unionByName(e.select(col("_src").as("id"), col("_dst").as("_m")))
+        .groupBy(col("id"))
+        .agg(expr(s"hll_sketch_agg(_m, $lgConfigK)").as("_sk")))
     // |nodes| read for free off the materialized hop-1 result: it
     // drives the register-bearing hops' aggregation regime below.
     val nNodes = b.count()
@@ -625,11 +629,11 @@ object Graph {
             .groupBy(col("_src"))
             .agg(expr("hll_union_agg(_sk)").as("_nb"))
             .withColumnRenamed("_src", "id")
-        b = b.join(fromNbrs, Seq("id"), "left_outer")
-          .select(col("id"),
-            when(col("_nb").isNull, col("_sk"))
-              .otherwise(expr("hll_union(_sk, _nb)")).as("_sk"))
-          .localCheckpoint(true)
+        b = Checkpoints.serialized(
+          b.join(fromNbrs, Seq("id"), "left_outer")
+            .select(col("id"),
+              when(col("_nb").isNull, col("_sk"))
+                .otherwise(expr("hll_union(_sk, _nb)")).as("_sk")))
       }
       b.select(col("id"), expr("hll_sketch_estimate(_sk)").as("est_reach"))
     } finally spark.conf.set(threshKey, prevThresh)

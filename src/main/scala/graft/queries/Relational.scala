@@ -1433,12 +1433,14 @@ object Relational {
   def q215ReachSketch(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e = p.as("a")
+    // edge-scale frame: serialized checkpoint — deserialized row
+    // caching of this co-occurrence edge list (239M rows at 100×)
+    // OOM'd a 24g heap in the round-11 sf10 probe
+    val e = graft.plans.Checkpoints.serialized(p.as("a")
       .join(p.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
         col("a.l_partkey") =!= col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
 
     val est = graft.operators.Graph
       .neighborhoodSketch(e, "src", "dst", hops = 2, lgConfigK = 9)
