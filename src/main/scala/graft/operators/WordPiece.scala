@@ -106,6 +106,61 @@ object WordPiece {
     * vocabulary once, join counts back onto (doc, word) occurrences.
     * Returns (idCol, n_wordpiece_tokens), zero for empty/null docs.
     */
+  /** Tokenizer-quality evaluation: fit the vocabulary on the
+    * `fitPred` slice of the corpus (e.g. one language), then measure
+    * per `groupCol` how the tokenizer generalizes to the WHOLE corpus:
+    *
+    *   - `n_words`: word occurrences in the group
+    *   - `n_unk_words`: occurrences of words the vocabulary CANNOT
+    *     segment — a character absent from the fit slice's charset has
+    *     no vocab edge, so the word is an UNK (counted as one token,
+    *     the BERT convention)
+    *   - `n_tokens`: total emitted tokens (greedy pieces + UNKs)
+    *   - `fertility`: n_tokens / n_words — the standard cross-lingual
+    *     tokenizer-efficiency metric (tokens per word; 1.0 = every
+    *     word is one piece, higher = more fragmentation)
+    *
+    * All counts are exact BIGINTs; fertility is one double division —
+    * the whole report is engine-replayable. Scale: identical to
+    * [[wordPieceTokenCounts]] (the corpus crosses once into word
+    * frequencies; everything else is distinct-word-bounded), plus one
+    * broadcast of the bounded vocabulary for the coverage probe.
+    */
+  def fertilityByGroup(docs: DataFrame, textCol: String,
+      groupCol: String, fitPred: Column, maxPieceLen: Int,
+      keepMulti: Int, minCount: Long): DataFrame = {
+    val vocab = learnVocab(docs.filter(fitPred), textCol, maxPieceLen,
+      keepMulti, minCount)
+    val words = wordFreqs(docs, textCol)
+    // coverage probe: a word segments iff EVERY character position has
+    // a single-char vocab edge (single-char pieces guarantee the greedy
+    // walk advances; a charset miss means no edge at that position)
+    val charMatch = candidates(words, maxPieceLen)
+      .filter(col("_i") - col("_j") === 1)
+      .join(broadcast(vocab.select(col("piece").as("_p"))), Seq("_p"))
+      .groupBy(col("_w"))
+      .agg(any_value(col("_len")).as("_clen"), count(lit(1)).as("_cov"))
+    val covered = charMatch.filter(col("_cov") === col("_clen")).select("_w")
+    val wordStats = greedyWordTokens(words.join(covered, Seq("_w")),
+        vocab, maxPieceLen)
+      .select(col("_w"), col("_ntok"), lit(false).as("_unk"))
+      .unionByName(words.join(covered, Seq("_w"), "left_anti")
+        .select(col("_w"), lit(1L).as("_ntok"), lit(true).as("_unk")))
+    val docWords = docs
+      .select(col(groupCol).as("_grp"),
+        explode(split(trim(col(textCol)), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+    docWords.join(wordStats, Seq("_w"))
+      .groupBy(col("_grp"))
+      .agg(count(lit(1)).cast(LongType).as("n_words"),
+        sum(col("_unk").cast(LongType)).cast(LongType).as("n_unk_words"),
+        sum(col("_ntok")).cast(LongType).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast(DoubleType) / col("n_words").cast(DoubleType))
+      .select(col("_grp").as(groupCol), col("n_words"),
+        col("n_unk_words"), col("n_tokens"), col("fertility"))
+  }
+
   def wordPieceTokenCounts(docs: DataFrame, idCol: String,
       textCol: String, maxPieceLen: Int, keepMulti: Int,
       minCount: Long): DataFrame = {

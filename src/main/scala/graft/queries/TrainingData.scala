@@ -4650,7 +4650,257 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Leakage-safe train/val/test split
+    * ([[graft.operators.Selection.leakageSafeSplit]]): the q50 planted
+    * near-dup corpus, split 80/10/10 by the md5 bucket of each
+    * document's near-dup COMPONENT representative — so a near-dup of a
+    * training document can never land in val/test. The output carries
+    * the audit alongside the split sizes: `leaked_pairs` counts
+    * near-dup pairs straddling a split boundary and must be 0 by
+    * construction, which the DuckDB oracle re-proves from scratch
+    * (recursive-CTE components + its own md5 assignment + its own
+    * leak join). Per-document md5Split on the SAME corpus leaks —
+    * the planted twins hash independently — so the zero is earned by
+    * the component key, not by fixture luck.
+    */
+  def q231LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+    val pairs = Dedup.verifiedNearDupPairs(planted, "doc_id", "text",
+      minJaccard = 0.5, shingleSize = 7, numHashes = 96, bands = 24)
+    val assigned = graft.operators.Selection.leakageSafeSplit(
+      planted, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val leaks = graft.operators.Selection.crossSplitLeaks(
+      assigned, "doc_id", pairs)
+    assigned.groupBy(col("split"))
+      .agg(count(lit(1)).cast(LongType).as("n_docs"),
+        countDistinct(col("group_id")).cast(LongType).as("n_groups"))
+      .crossJoin(broadcast(leaks))
+      .orderBy("split")
+  }
+
+  val q231Sql: String =
+    """WITH RECURSIVE planted AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id,
+      |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+      |  FROM documents WHERE doc_id < 60),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, length(text)-7+2), i -> substr(text, i, 7))) AS s
+      |  FROM planted WHERE length(text) >= 7),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    count(*) AS i, any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY a.doc_id, b.doc_id),
+      |pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  WHERE CAST(i AS DOUBLE) / CAST(na + nb - i AS DOUBLE) >= 0.5),
+      |edges AS (
+      |  SELECT id_a AS s, id_b AS d FROM pairs
+      |  UNION
+      |  SELECT id_b AS s, id_a AS d FROM pairs),
+      |reach(s, d) AS (
+      |  SELECT s, d FROM edges
+      |  UNION
+      |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      |comp AS (
+      |  SELECT s AS doc_id, least(min(d), s) AS component_id
+      |  FROM reach GROUP BY s),
+      |asg AS (
+      |  SELECT doc_id, g,
+      |    CASE WHEN b < 800000 THEN 'train'
+      |         WHEN b < 900000 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT p.doc_id, COALESCE(c.component_id, p.doc_id) AS g,
+      |      ('0x'||substr(md5(CAST(COALESCE(c.component_id, p.doc_id) AS VARCHAR)), 1, 15))::BIGINT
+      |        % 1000000 AS b
+      |    FROM planted p LEFT JOIN comp c ON c.doc_id = p.doc_id)),
+      |leak AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+      |  FROM pairs p
+      |  JOIN asg a ON a.doc_id = p.id_a
+      |  JOIN asg b ON b.doc_id = p.id_b
+      |  WHERE a.split <> b.split)
+      |SELECT asg.split, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(count(DISTINCT g) AS BIGINT) AS n_groups,
+      |  (SELECT leaked_pairs FROM leak) AS leaked_pairs
+      |FROM asg
+      |GROUP BY asg.split
+      |ORDER BY asg.split""".stripMargin
+
+  /** Prototype pruning ([[graft.operators.Selection.prototypePrune]]):
+    * the q76 k-means fit (nlist 16, 2 Lloyd rounds, identical seeds)
+    * then per cluster DROP the 25% of members nearest their centroid
+    * by cosine — the SemDeDup/SSL-prototypes curation rule. The output
+    * is the dropped set with its within-cluster rank; the oracle
+    * replays the full k-means (q76's CTE machinery), recomputes every
+    * member's cosine to its winning centroid, and re-derives the
+    * floor(n/4) cut — any drift in assignment, tie-break, or the cut
+    * arithmetic moves a vec across the boundary and breaks the hash.
+    */
+  def q232PrototypePrune(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.prototypePrune(
+      Tables.embeddings(s, dir).select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nlist = 16, iters = 2, dropNum = 1, dropDen = 4)
+      .orderBy("vec_id")
+
+  val q232Sql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |n_e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM e),
+       |seed AS (SELECT vec_id AS cid, embedding AS c FROM e ORDER BY vec_id LIMIT 16),
+       |n_seed AS (
+       |  SELECT cid, c,
+       |    sqrt(list_reduce(list_transform(c, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |                     (a, b) -> a + b)) AS nrm
+       |  FROM seed),
+       |${kmeansStepSql("seed", "it1")},
+       |${kmeansStepSql("it1", "it2")},
+       |fa AS (
+       |  SELECT e.vec_id, c.cid,
+       |    list_reduce(list_transform(list_zip(e.embedding, c.c),
+       |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+       |      / (e.nrm * c.nrm) AS sim
+       |  FROM n_e e CROSS JOIN n_it2 c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id ORDER BY sim DESC, c.cid ASC) = 1),
+       |sized AS (SELECT cid, CAST(count(*) AS BIGINT) AS n FROM fa GROUP BY cid),
+       |ranked AS (
+       |  SELECT vec_id, cid,
+       |    CAST(row_number() OVER (PARTITION BY cid ORDER BY sim DESC, vec_id ASC) AS INT) AS rnk
+       |  FROM fa)
+       |SELECT r.vec_id, r.cid AS centroid_id, r.rnk AS proto_rank
+       |FROM ranked r JOIN sized s ON s.cid = r.cid
+       |WHERE r.rnk <= (s.n * 1) // 4
+       |ORDER BY r.vec_id""".stripMargin
+
+  /** Cross-lingual tokenizer-quality report
+    * ([[graft.operators.WordPiece.fertilityByGroup]]): fit the
+    * WordPiece vocabulary on the ENGLISH slice only, then measure
+    * per-language fertility (tokens per word) and UNK-word rate over
+    * the whole corpus — the standard eval for "how badly does an
+    * en-fit tokenizer fragment the other languages". The zh slice has
+    * characters outside the en fit charset, so real UNKs appear; the
+    * oracle refits the vocabulary on the same slice and replays
+    * coverage, the 16-step greedy walk, and the per-language sums.
+    */
+  def q233TokenFertility(s: SparkSession, dir: String): DataFrame = {
+    requireMaxWordLen(s, dir)
+    graft.operators.WordPiece.fertilityByGroup(
+      Tables.documents(s, dir), "text", "lang", col("lang") === "en",
+      maxPieceLen = 4, keepMulti = 16, minCount = 2)
+      .orderBy("lang")
+  }
+
+  val q233Sql: String = {
+    val steps = (1 to 16)
+      .map(i => wpStepSql(s"f${i - 1}", s"f$i", edges = "edgesF"))
+      .mkString(",\n")
+    "WITH " + wpCtes("(SELECT doc_id, text FROM documents WHERE lang = 'en')") +
+      s""",
+         |dwF AS MATERIALIZED (
+         |  SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |wfF AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+         |    CAST(length(w) AS INT) AS len
+         |  FROM dwF WHERE length(w) > 0 GROUP BY w),
+         |candF AS MATERIALIZED (
+         |  SELECT wfF.w, wfF.len, CAST(t.j AS INT) AS j,
+         |    CAST(t.j + u.l AS INT) AS i,
+         |    substr(wfF.w, CAST(t.j + 1 AS INT), CAST(u.l AS INT)) AS p
+         |  FROM wfF,
+         |    unnest(range(0, wfF.len)) AS t(j),
+         |    unnest(range(1, least(4, wfF.len - t.j) + 1)) AS u(l)),
+         |cov AS (
+         |  SELECT c.w, count(*) AS m
+         |  FROM candF c JOIN vocab v ON v.p = c.p
+         |  WHERE c.i - c.j = 1
+         |  GROUP BY c.w),
+         |covered AS (
+         |  SELECT wfF.w, wfF.freq, wfF.len
+         |  FROM wfF JOIN cov ON cov.w = wfF.w AND cov.m = wfF.len),
+         |edgesF AS (SELECT DISTINCT c.w, c.j, c.i
+         |           FROM candF c JOIN vocab v ON v.p = c.p),
+         |f0 AS (SELECT w, freq, len, 0 AS pos, CAST(0 AS BIGINT) AS cnt
+         |       FROM covered),
+         |$steps,
+         |wstats AS (
+         |  SELECT w, cnt AS ntok, FALSE AS unk FROM f16
+         |  UNION ALL
+         |  SELECT w, CAST(1 AS BIGINT) AS ntok, TRUE AS unk
+         |  FROM wfF WHERE w NOT IN (SELECT w FROM covered))
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(CASE WHEN ws.unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words,
+         |  CAST(sum(ws.ntok) AS BIGINT) AS n_tokens,
+         |  CAST(CAST(sum(ws.ntok) AS BIGINT) AS DOUBLE)
+         |    / CAST(CAST(count(*) AS BIGINT) AS DOUBLE) AS fertility
+         |FROM (SELECT lang, w FROM dwF WHERE length(w) > 0) d
+         |JOIN wstats ws ON ws.w = d.w
+         |GROUP BY d.lang
+         |ORDER BY d.lang""".stripMargin
+  }
+
+  /** DSIR importance selection
+    * ([[graft.operators.Selection.dsirTopK]]): target distribution =
+    * the English slice, features = 4096 md5-hashed lowercase unigram
+    * buckets, document weight = add-one-smoothed log-likelihood ratio
+    * in EXACT integer micro-log2 units (the q210 ilog convention —
+    * no float log anywhere near the ranking). Top-100 by
+    * (weight DESC, doc_id). The oracle rebuilds both hashed unigram
+    * models and every document's weight in HUGEINT-exact arithmetic;
+    * a one-ulp float shortcut on the Spark side would reorder the
+    * boundary and break the hash.
+    */
+  def q234DsirSelect(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Selection.dsirTopK(
+      Tables.documents(s, dir), "doc_id", "text",
+      target = col("lang") === "en", nBuckets = 4096, k = 100)
+
+  val q234Sql: String = {
+    def ilog(x: String) = ilogSql(x)
+    s"""WITH tok AS (
+       |  SELECT doc_id, tgt,
+       |    ('0x'||substr(md5(w), 1, 15))::BIGINT % 4096 AS b
+       |  FROM (
+       |    SELECT doc_id, (lang = 'en') AS tgt,
+       |      unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(w) > 0),
+       |raw AS (SELECT b, CAST(count(*) AS BIGINT) AS r FROM tok GROUP BY b),
+       |tgt AS (SELECT b, CAST(count(*) AS BIGINT) AS t FROM tok WHERE tgt GROUP BY b),
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(r) AS BIGINT) FROM raw) AS rr,
+       |    (SELECT CAST(sum(t) AS BIGINT) FROM tgt) AS tt),
+       |bw AS (
+       |  SELECT raw.b,
+       |    ((${ilog("COALESCE(tgt.t, 0) + 1")}) - (${ilog("tot.tt + 4096")}))
+       |      - ((${ilog("raw.r + 1")}) - (${ilog("tot.rr + 4096")})) AS wm
+       |  FROM raw LEFT JOIN tgt ON raw.b = tgt.b CROSS JOIN tot)
+       |SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(bw.wm) AS BIGINT) AS weight_micro
+       |FROM tok JOIN bw ON bw.b = tok.b
+       |GROUP BY tok.doc_id
+       |ORDER BY weight_micro DESC, tok.doc_id
+       |LIMIT 100""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q231_leakage_safe_split" -> q231LeakageSafeSplit _,
+    "q232_prototype_prune" -> q232PrototypePrune _,
+    "q233_token_fertility" -> q233TokenFertility _,
+    "q234_dsir_select" -> q234DsirSelect _,
     "q230_capped_flood" -> q230CappedFlood _,
     "q228_composed_pipeline" -> q228ComposedPipeline _,
     "q229_pipeline_meters" -> q229PipelineMeters _,
@@ -4744,6 +4994,10 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
+    "q231_leakage_safe_split" -> q231Sql,
+    "q232_prototype_prune" -> q232Sql,
+    "q233_token_fertility" -> q233Sql,
+    "q234_dsir_select" -> q234Sql,
     "q228_composed_pipeline" -> q228Sql,
     "q229_pipeline_meters" -> q229Sql,
     "q224_indexed_bm25" -> q224Sql,
