@@ -138,6 +138,20 @@ class PlanShapeSpec extends SparkSpec {
                               // back into the encode projection; the
                               // category stats themselves are an
                               // ordinary keyed aggregate
+      "q231_leakage_safe_split", // the leaked_pairs audit scalar: ONE
+                              // global count over the (bounded)
+                              // near-dup pair frame (partial count
+                              // buffers cross), broadcast back onto
+                              // the 3-row split summary; components
+                              // and the split assignment below are
+                              // ordinary id-keyed plans
+      "q234_dsir_select",     // the (R, T) totals scalar: ONE sum per
+                              // model over the ≤nBuckets-row bucket
+                              // frame (partial buffers cross, one row
+                              // broadcasts back into the bucket
+                              // weights); the corpus token count is an
+                              // ordinary keyed aggregate and the top-k
+                              // is a TakeOrdered, not a global sort
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind
