@@ -4896,7 +4896,90 @@ object TrainingData {
        |LIMIT 100""".stripMargin
   }
 
+  /** Margin-based bitext mining
+    * ([[graft.operators.Bitext.marginMutualPairs]]): the embedding
+    * table split into two disjoint "language" slices (even / odd
+    * vec_id), mined for translation pairs by the CCMatrix rule —
+    * ratio-margin scoring over both endpoints' 4-NN neighborhoods,
+    * mutual-argmax selection. The oracle replays the whole recipe:
+    * both brute-force arms, the rank-ordered neighborhood means, the
+    * margin division, and both argmax selections with their id
+    * tie-breaks — any drift in a single cosine fold or in either
+    * argmax moves a pair in or out and breaks the hash.
+    */
+  def q235BitextMine(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    graft.operators.Bitext.marginMutualPairs(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = 4)
+      .orderBy("src_id")
+  }
+
+  val q235Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |         (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |src AS (SELECT * FROM n WHERE vec_id % 2 = 0),
+      |tgt AS (SELECT * FROM n WHERE vec_id % 2 = 1),
+      |fwd0 AS (
+      |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+      |    list_reduce(list_transform(list_zip(s.embedding, t.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+      |      / (s.nrm * t.nrm) AS cosine
+      |  FROM src s CROSS JOIN tgt t),
+      |fwd AS (
+      |  SELECT src_id, tgt_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY src_id
+      |      ORDER BY cosine DESC, tgt_id ASC) AS INT) AS rank
+      |  FROM fwd0 QUALIFY rank <= 4),
+      |bwd AS (
+      |  SELECT src_id, tgt_id, cosine,
+      |    CAST(row_number() OVER (PARTITION BY tgt_id
+      |      ORDER BY cosine DESC, src_id ASC) AS INT) AS rank
+      |  FROM fwd0 QUALIFY rank <= 4),
+      |af AS (
+      |  SELECT src_id,
+      |    list_reduce(list(cosine ORDER BY rank), (a, b) -> a + b)
+      |      / count(*) AS af
+      |  FROM fwd GROUP BY src_id),
+      |ab AS (
+      |  SELECT tgt_id,
+      |    list_reduce(list(cosine ORDER BY rank), (a, b) -> a + b)
+      |      / count(*) AS ab
+      |  FROM bwd GROUP BY tgt_id),
+      |cand AS (
+      |  SELECT src_id, tgt_id, min(cosine) AS cosine
+      |  FROM (SELECT src_id, tgt_id, cosine FROM fwd
+      |        UNION ALL
+      |        SELECT src_id, tgt_id, cosine FROM bwd)
+      |  WHERE cosine IS NOT NULL
+      |  GROUP BY src_id, tgt_id),
+      |scored AS (
+      |  SELECT c.src_id, c.tgt_id, c.cosine,
+      |    2.0 * c.cosine / (af.af + ab.ab) AS margin
+      |  FROM cand c
+      |  JOIN af ON af.src_id = c.src_id
+      |  JOIN ab ON ab.tgt_id = c.tgt_id),
+      |bf AS (
+      |  SELECT src_id, tgt_id FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY src_id
+      |    ORDER BY margin DESC, tgt_id ASC) = 1),
+      |bb AS (
+      |  SELECT src_id, tgt_id FROM scored
+      |  QUALIFY row_number() OVER (PARTITION BY tgt_id
+      |    ORDER BY margin DESC, src_id ASC) = 1)
+      |SELECT s.src_id, s.tgt_id, s.cosine, s.margin
+      |FROM scored s
+      |JOIN bf ON bf.src_id = s.src_id AND bf.tgt_id = s.tgt_id
+      |JOIN bb ON bb.src_id = s.src_id AND bb.tgt_id = s.tgt_id
+      |ORDER BY s.src_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q235_bitext_mine" -> q235BitextMine _,
     "q231_leakage_safe_split" -> q231LeakageSafeSplit _,
     "q232_prototype_prune" -> q232PrototypePrune _,
     "q233_token_fertility" -> q233TokenFertility _,
@@ -4994,6 +5077,7 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
+    "q235_bitext_mine" -> q235Sql,
     "q231_leakage_safe_split" -> q231Sql,
     "q232_prototype_prune" -> q232Sql,
     "q233_token_fertility" -> q233Sql,
