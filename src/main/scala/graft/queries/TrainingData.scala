@@ -4978,7 +4978,74 @@ object TrainingData {
       |JOIN bb ON bb.src_id = s.src_id AND bb.tgt_id = s.tgt_id
       |ORDER BY s.src_id""".stripMargin
 
+  /** Raked mixture calibration
+    * ([[graft.operators.Raking.rakeWeights]]): per-(lang × source)
+    * sampling weights fitted by 3 rounds of iterative proportional
+    * fitting to hit "40% en, 15% each other language" AND "uniform
+    * 5% per source" simultaneously — the joint-marginal training-mix
+    * problem independent per-dimension scaling cannot solve. Every
+    * float sum that feeds a division is a sorted fold, so the oracle
+    * replays all 6 unrolled rake steps bit-for-bit.
+    */
+  def q236RakedMixture(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val langT = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15).toDF("lang", "target")
+    val srcT = (0 until 20).map(i => s"src$i" -> 0.05).toDF("source", "target")
+    graft.operators.Raking.rakeWeights(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+      "lang", "source", langT, srcT, iters = 3)
+      .orderBy("lang", "source")
+  }
+
+  val q236Sql: String = {
+    def rowStep(prev: String, next: String) =
+      s"""${next}_s AS (
+         |  SELECT lang, list_reduce(list(CAST(n_docs AS DOUBLE) * w
+         |      ORDER BY source), (a, b) -> a + b) AS s
+         |  FROM $prev GROUP BY lang),
+         |$next AS (
+         |  SELECT p.lang, p.source, p.n_docs, p.tr, p.tc,
+         |    p.w * (p.tr * tot.n) / st.s AS w
+         |  FROM $prev p JOIN ${next}_s st ON st.lang = p.lang CROSS JOIN tot)"""
+        .stripMargin
+    def colStep(prev: String, next: String) =
+      s"""${next}_s AS (
+         |  SELECT source, list_reduce(list(CAST(n_docs AS DOUBLE) * w
+         |      ORDER BY lang), (a, b) -> a + b) AS s
+         |  FROM $prev GROUP BY source),
+         |$next AS (
+         |  SELECT p.lang, p.source, p.n_docs, p.tr, p.tc,
+         |    p.w * (p.tc * tot.n) / st.s AS w
+         |  FROM $prev p JOIN ${next}_s st ON st.source = p.source CROSS JOIN tot)"""
+        .stripMargin
+    val steps = (1 to 3).map(i =>
+      rowStep(if (i == 1) "w0" else s"c${i - 1}", s"r$i") + ",\n" +
+        colStep(s"r$i", s"c$i")).mkString(",\n")
+    val langVals = Seq("en" -> 0.4, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+      .map { case (l, t) => s"('$l', $t)" }.mkString(", ")
+    val srcVals = (0 until 20).map(i => s"('src$i', 0.05)").mkString(", ")
+    s"""WITH rt AS (SELECT * FROM (VALUES $langVals) AS v(lang, t)),
+       |ct AS (SELECT * FROM (VALUES $srcVals) AS v(source, t)),
+       |cells AS (
+       |  SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |    any_value(rt.t) AS tr, any_value(ct.t) AS tc
+       |  FROM documents d
+       |  JOIN rt ON rt.lang = d.lang
+       |  JOIN ct ON ct.source = d.source
+       |  GROUP BY d.lang, d.source),
+       |tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n FROM cells),
+       |w0 AS (SELECT lang, source, n_docs, tr, tc, 1.0 AS w FROM cells),
+       |$steps
+       |SELECT lang, source, n_docs, w AS weight,
+       |  CAST(n_docs AS DOUBLE) * w AS expected
+       |FROM c3
+       |ORDER BY lang, source""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q231_leakage_safe_split" -> q231LeakageSafeSplit _,
     "q232_prototype_prune" -> q232PrototypePrune _,
@@ -5077,6 +5144,7 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
+    "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q231_leakage_safe_split" -> q231Sql,
     "q232_prototype_prune" -> q232Sql,
