@@ -5044,7 +5044,68 @@ object TrainingData {
        |ORDER BY lang, source""".stripMargin
   }
 
+  /** Exact phrase search, direct scan
+    * ([[graft.operators.Phrase.phraseMatches]]): per-document match
+    * count and first position of the 2-token phrase "table hash" —
+    * the corpus-forensics query BM25 cannot answer (bag-of-words has
+    * no adjacency). The oracle rebuilds every token position and
+    * replays the adjacency join; an off-by-one anywhere in the
+    * position arithmetic moves first_pos and breaks the hash.
+    */
+  def q237PhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Phrase.phraseMatches(
+      Tables.documents(s, dir), "doc_id", "text", Seq("table", "hash"))
+      .orderBy("doc_id")
+
+  private def phraseSql(terms: Seq[String]): String = {
+    val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+      s"  JOIN p t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.term = '$t'"
+    }.mkString("\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                w -> length(w) > 0) AS l
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, l[u.i] AS term
+       |  FROM t, unnest(range(1, len(l) + 1)) AS u(i)),
+       |m AS (
+       |  SELECT t0.doc_id, t0.pos
+       |  FROM p t0
+       |$joins
+       |  WHERE t0.term = '${terms.head}')
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM m
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  val q237Sql: String = phraseSql(Seq("table", "hash"))
+
+  /** Exact phrase search through the persisted positional index
+    * ([[graft.operators.Phrase.writePositionalIndex]] →
+    * [[graft.operators.Phrase.phraseMatchesFromIndex]]): build the
+    * term-md5-bucketed (term, doc, pos) index, then answer a 3-token
+    * phrase by reading only the phrase terms' buckets
+    * (PartitionFilters). Bit-identical to the q237 scan path by
+    * construction; the oracle is the same full positional replay, so
+    * the index round-trip itself is what's being proven.
+    */
+  def q237bPhraseIndexed(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q237b", dir) + "/ix"
+    graft.operators.Phrase.writePositionalIndex(
+      Tables.documents(s, dir), "doc_id", "text", path, nBuckets = 32)
+    graft.operators.Phrase.phraseMatchesFromIndex(
+      s, path, "doc_id", Seq("a", "key", "column"), nBuckets = 32)
+      .orderBy("doc_id")
+  }
+
+  val q237bSql: String = phraseSql(Seq("a", "key", "column"))
+
   val queries: Map[String, Q] = Map(
+    "q237_phrase_search" -> q237PhraseSearch _,
+    "q237b_phrase_indexed" -> q237bPhraseIndexed _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q231_leakage_safe_split" -> q231LeakageSafeSplit _,
@@ -5144,6 +5205,8 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
+    "q237_phrase_search" -> q237Sql,
+    "q237b_phrase_indexed" -> q237bSql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q231_leakage_safe_split" -> q231Sql,

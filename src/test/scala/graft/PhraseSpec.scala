@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Phrase
+
+class PhraseSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.toList.map { case (i, t) => Row(i, t) }).asJava),
+      docSchema)
+
+  private def report(df: DataFrame): Map[Long, (Long, Long)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"))).toMap
+
+  test("finds the phrase with counts and first position") {
+    val d = docs(
+      1L -> "the quick fox and the quick dog",
+      2L -> "quick the fox",
+      3L -> "nothing here")
+    val got = report(Phrase.phraseMatches(d, "doc_id", "text",
+      Seq("the", "quick")))
+    assert(got == Map(1L -> (2L, 0L)))
+  }
+
+  test("overlapping matches count separately") {
+    val d = docs(1L -> "a a a a")
+    val got = report(Phrase.phraseMatches(d, "doc_id", "text", Seq("a", "a")))
+    assert(got == Map(1L -> (3L, 0L)))
+  }
+
+  test("repeated phrase terms at different offsets") {
+    val d = docs(1L -> "x y x z x y x", 2L -> "x y z")
+    val got = report(Phrase.phraseMatches(d, "doc_id", "text",
+      Seq("x", "y", "x")))
+    assert(got == Map(1L -> (2L, 0L)))
+  }
+
+  test("matching is case- and whitespace-normalized") {
+    val d = docs(1L -> "  The   QUICK fox")
+    val got = report(Phrase.phraseMatches(d, "doc_id", "text",
+      Seq("THE", "Quick")))
+    assert(got == Map(1L -> (1L, 0L)))
+  }
+
+  test("index path is bit-identical to the scan path") {
+    val d = docs((1L to 50L).map(i =>
+      i -> s"w${i % 3} w${i % 5} w${i % 3} w${i % 5} w${i % 7}"): _*)
+    val dir = java.nio.file.Files.createTempDirectory("phraseix").toString
+    Phrase.writePositionalIndex(d, "doc_id", "text", dir, nBuckets = 8)
+    val phrase = Seq("w1", "w2")
+    val scan = report(Phrase.phraseMatches(d, "doc_id", "text", phrase))
+    val ix = report(Phrase.phraseMatchesFromIndex(
+      spark, dir, "doc_id", phrase, nBuckets = 8))
+    assert(scan.nonEmpty && scan == ix)
+  }
+
+  test("index probe fails fast on a parameter mismatch") {
+    val d = docs(1L -> "a b c")
+    val dir = java.nio.file.Files.createTempDirectory("phrasebad").toString
+    Phrase.writePositionalIndex(d, "doc_id", "text", dir, nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Phrase.phraseMatchesFromIndex(spark, dir, "doc_id", Seq("a"), nBuckets = 16)
+    }
+    assert(e.getMessage.contains("n_buckets"))
+  }
+
+  test("rejects empty and multi-token phrase elements") {
+    val d = docs(1L -> "a b")
+    intercept[IllegalArgumentException] {
+      Phrase.phraseMatches(d, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Phrase.phraseMatches(d, "doc_id", "text", Seq("a b"))
+    }
+  }
+}
