@@ -106,4 +106,23 @@ object Bitext {
       Similarity.cosineTopKExact(tgt, src, idCol, vecCol, k),
       Similarity.cosineTopKExact(src, tgt, idCol, vecCol, k))
   }
+
+  /** The 100 TB path: [[Similarity.ivfTopK]] arms — each direction's
+    * candidate volume is |queries|·nprobe·(corpus/nlist) instead of
+    * |queries|·|corpus|, so with the standing nlist ≈ √N rule the
+    * mining drops from quadratic to N^1.5 (measured: see BENCH_NOTES
+    * R11). At `nprobe = nlist` probing is exhaustive and the result
+    * is BIT-IDENTICAL to [[marginMutualPairs]] (same cosine
+    * expression, same tie-breaks — the q65 oracle discipline);
+    * at `nprobe < nlist` pairs whose endpoints land in unprobed
+    * cells can be missed — recall is the fixture-tested tradeoff.
+    */
+  def marginMutualPairsIvf(src: DataFrame, tgt: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, nprobe: Int): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    marginMutualFromTopK(
+      Similarity.ivfTopK(tgt, src, idCol, vecCol, k, nlist, nprobe),
+      Similarity.ivfTopK(src, tgt, idCol, vecCol, k, nlist, nprobe))
+  }
 }

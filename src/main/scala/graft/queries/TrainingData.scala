@@ -4978,6 +4978,27 @@ object TrainingData {
       |JOIN bb ON bb.src_id = s.src_id AND bb.tgt_id = s.tgt_id
       |ORDER BY s.src_id""".stripMargin
 
+  /** q235's scale path on the oracle gate
+    * ([[graft.operators.Bitext.marginMutualPairsIvf]]): the same
+    * mining through IVF arms at `nprobe = nlist` — exhaustive probing
+    * makes the candidate set equal to the brute-force arms', so the
+    * output must be BIT-IDENTICAL to q235 and shares its oracle (the
+    * q65/q65b discipline: the approximate machinery faces the exact
+    * oracle in the regime where it is provably exact; the
+    * nprobe < nlist recall tradeoff is fixture-tested in BitextSpec
+    * and the N^1.5 slope is measured in BENCH_NOTES R11).
+    */
+  def q235bBitextIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    graft.operators.Bitext.marginMutualPairsIvf(
+      emb.filter(pmod(col("vec_id"), lit(2)) === 0),
+      emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+      "vec_id", "embedding", k = 4, nlist = 16, nprobe = 16)
+      .orderBy("src_id")
+  }
+
+  val q235bSql: String = q235Sql
+
   /** Raked mixture calibration
     * ([[graft.operators.Raking.rakeWeights]]): per-(lang × source)
     * sampling weights fitted by 3 rounds of iterative proportional
@@ -5108,6 +5129,7 @@ object TrainingData {
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
+    "q235b_bitext_ivf" -> q235bBitextIvf _,
     "q231_leakage_safe_split" -> q231LeakageSafeSplit _,
     "q232_prototype_prune" -> q232PrototypePrune _,
     "q233_token_fertility" -> q233TokenFertility _,
@@ -5209,6 +5231,7 @@ object TrainingData {
     "q237b_phrase_indexed" -> q237bSql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
+    "q235b_bitext_ivf" -> q235bSql,
     "q231_leakage_safe_split" -> q231Sql,
     "q232_prototype_prune" -> q232Sql,
     "q233_token_fertility" -> q233Sql,

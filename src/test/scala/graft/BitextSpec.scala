@@ -82,6 +82,41 @@ class BitextSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("IVF arms with exhaustive probing are bit-identical to the exact arms") {
+    val all = (0L until 80L).map(i =>
+      i -> Seq.tabulate(8)(d => math.sin(i * 17 + d * 5).toFloat))
+    val src = vecs(all.filter(_._1 % 2 == 0): _*)
+    val tgt = vecs(all.filter(_._1 % 2 == 1): _*)
+    val exact = Bitext.marginMutualPairs(src, tgt, "vec_id", "embedding", 4)
+      .orderBy("src_id").collect().toSeq
+    val ivf = Bitext.marginMutualPairsIvf(src, tgt, "vec_id", "embedding",
+        4, nlist = 8, nprobe = 8)
+      .orderBy("src_id").collect().toSeq
+    assert(exact.nonEmpty && exact == ivf)
+  }
+
+  test("IVF arms with partial probing keep the planted tight pairs") {
+    // two well-separated clusters; each src vector's twin sits in the
+    // same cluster, so nprobe=2 of nlist=4 must still find every pair
+    def cluster(base: Long, axis: Int, n: Int) = (0 until n).map { j =>
+      (base + 2 * j) -> Seq.tabulate(8)(d =>
+        (if (d == axis) 1f else 0f) + 0.01f * ((base + 2 * j + d) % 5))
+    }
+    val srcV = cluster(0L, 0, 10) ++ cluster(100L, 4, 10)
+    val tgtV = (cluster(1L, 0, 10) ++ cluster(101L, 4, 10))
+    val src = vecs(srcV: _*)
+    val tgt = vecs(tgtV: _*)
+    val exact = Bitext.marginMutualPairs(src, tgt, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet
+    val ivf = Bitext.marginMutualPairsIvf(src, tgt, "vec_id", "embedding",
+        3, nlist = 4, nprobe = 2)
+      .collect().map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet
+    assert(exact.nonEmpty)
+    // every exact pair is within-cluster by construction; the probed
+    // cells cover the clusters, so recall is total on this fixture
+    assert(ivf == exact)
+  }
+
   test("pairs come only from the top-k candidate pool") {
     val all = (0L until 60L).map(i =>
       i -> Seq.tabulate(8)(d => math.cos(i * 13 + d * 3).toFloat))
