@@ -121,6 +121,76 @@ object Selection {
       .select(col("_id").as(idCol), col("centroid_id"), col("proto_rank"))
   }
 
+  /** HARD-NEGATIVE mining for contrastive training pairs: for every
+    * anchor, the k corpus vectors most similar by cosine that are NOT
+    * the anchor itself and NOT one of its labeled positives — the
+    * negatives that actually move an embedding model (random negatives
+    * — [[Sampling.negativeSamples]] — are trivially separable; hard
+    * ones come from the neighborhood).
+    *
+    * `semiHard = true` applies the FaceNet band: keep only negatives
+    * LESS similar than the anchor's least-similar positive
+    * (`cos(a, n) < min_p cos(a, p)`), the regime where the triplet
+    * loss has gradient without collapsing on label noise. Anchors
+    * with no labeled positive keep all candidates (no threshold).
+    *
+    * Determinism: the engine cosine fold, (cosine DESC, id ASC)
+    * ranking — the [[Similarity.cosineTopKExact]] contract, with the
+    * positive exclusion applied BEFORE ranking so the output is a
+    * true top-k of the eligible set (excluding after rank would
+    * silently return fewer than k).
+    *
+    * Scale: brute-force arms like the bitext baseline — swap the
+    * candidate generator for the IVF path past ~10⁶ vectors; the
+    * exclusion anti-join and the threshold join are keyed by anchor
+    * id on positives-sized frames either way.
+    *
+    * `positives` carries (query_id, neighbor_id) pairs — anchor id,
+    * positive's corpus id. Output: (query_id, neighbor_id, cosine,
+    * rank) with rank 1..k per anchor.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame,
+      positives: DataFrame, idCol: String, vecCol: String, k: Int,
+      semiHard: Boolean): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    def fold(pairProduct: Column): Column =
+      aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
+    def nrm(v: Column): Column =
+      sqrt(fold(zip_with(v, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType))))
+    def cos(qv: Column, qn: Column, cv: Column, cn: Column): Column = {
+      val denom = qn * cn
+      when(denom === 0.0, lit(null).cast(DoubleType))
+        .otherwise(fold(zip_with(qv, cv,
+          (x, y) => x.cast(DoubleType) * y.cast(DoubleType))) / denom)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("_cv"), nrm(col(vecCol)).as("_cn"))
+    val a = anchors.select(col(idCol).as("query_id"),
+      col(vecCol).as("_qv"), nrm(col(vecCol)).as("_qn"))
+    val pos = positives.select(col("query_id"), col("neighbor_id"))
+    val cand = c.join(broadcast(a), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cos(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
+      .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    val banded = if (!semiHard) cand else {
+      // least-similar positive per anchor = the semi-hard ceiling
+      val thresh = pos
+        .join(a, Seq("query_id"))
+        .join(c, Seq("neighbor_id"))
+        .withColumn("_pc", cos(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
+        .groupBy(col("query_id")).agg(min(col("_pc")).as("_pc"))
+      cand.join(broadcast(thresh), Seq("query_id"), "left")
+        .filter(col("_pc").isNull || col("cosine") < col("_pc"))
+        .drop("_pc")
+    }
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    banded
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** DSIR-style importance scoring (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", 2023): hashed-unigram
     * bag-of-words importance weights, top-k selection.

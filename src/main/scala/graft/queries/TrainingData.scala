@@ -5124,7 +5124,66 @@ object TrainingData {
 
   val q237bSql: String = phraseSql(Seq("a", "key", "column"))
 
+  /** Semi-hard negative mining
+    * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
+    * with planted positives (partner = vec_id+20), top-5 semi-hard
+    * negatives each — most-similar corpus vectors that are (a) not the
+    * anchor, (b) not the labeled positive, (c) LESS similar than the
+    * positive (the FaceNet band). The oracle replays all three rules:
+    * a NOT EXISTS for the exclusion, the positive-cosine ceiling, and
+    * the (cosine DESC, id) ranking — exclusion-after-ranking (the easy
+    * bug: positives eating top-k slots) would change row counts and
+    * break the hash.
+    */
+  def q238HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val anchors = emb.filter(col("vec_id") < 20)
+    val pos = anchors.select(col("vec_id").as("query_id"),
+      (col("vec_id") + 20).as("neighbor_id"))
+    graft.operators.Selection.hardNegatives(
+      emb, anchors, pos, "vec_id", "embedding", k = 5, semiHard = true)
+      .orderBy("query_id", "rank")
+  }
+
+  val q238Sql: String =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |         (a, b) -> a + b)) AS nrm
+      |  FROM embeddings),
+      |a AS (SELECT * FROM n WHERE vec_id < 20),
+      |pos AS (SELECT vec_id AS qid, vec_id + 20 AS pid FROM a),
+      |pc AS (
+      |  SELECT p.qid,
+      |    min(list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+      |      / (q.nrm * c.nrm)) AS pcos
+      |  FROM pos p
+      |  JOIN n q ON q.vec_id = p.qid
+      |  JOIN n c ON c.vec_id = p.pid
+      |  GROUP BY p.qid),
+      |cand AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |    list_reduce(list_transform(list_zip(q.embedding, c.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+      |      / (q.nrm * c.nrm) AS cosine
+      |  FROM a q JOIN n c ON c.vec_id <> q.vec_id
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM pos WHERE pos.qid = q.vec_id AND pos.pid = c.vec_id)),
+      |sh AS (
+      |  SELECT cand.query_id, cand.neighbor_id, cand.cosine
+      |  FROM cand LEFT JOIN pc ON pc.qid = cand.query_id
+      |  WHERE pc.pcos IS NULL OR cand.cosine < pc.pcos)
+      |SELECT query_id, neighbor_id, cosine,
+      |  CAST(row_number() OVER (PARTITION BY query_id
+      |    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
+      |FROM sh
+      |QUALIFY rank <= 5
+      |ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q238_hard_negatives" -> q238HardNegatives _,
     "q237_phrase_search" -> q237PhraseSearch _,
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
     "q236_raked_mixture" -> q236RakedMixture _,
@@ -5227,6 +5286,7 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
+    "q238_hard_negatives" -> q238Sql,
     "q237_phrase_search" -> q237Sql,
     "q237b_phrase_indexed" -> q237bSql,
     "q236_raked_mixture" -> q236Sql,

@@ -28,6 +28,75 @@ class SelectionSpec extends SparkSpec {
   private def pairs(ps: (Long, Long)*): DataFrame =
     frame(pairSchema, ps.map { case (a, b) => Row(a, b) }: _*)
 
+  // (vecSchema is defined with the prototypePrune fixtures below)
+  private def vecFrame(rows: (Long, Seq[Float])*): DataFrame =
+    frame(vecSchema, rows.map { case (i, v) => Row(i, v) }: _*)
+
+  private val pairIdSchema = StructType(Seq(
+    StructField("query_id", LongType),
+    StructField("neighbor_id", LongType)))
+
+  // ---- hardNegatives ----
+
+  test("hardNegatives excludes self and positives, ranks by cosine") {
+    val corpus = vecFrame(
+      0L -> Seq(1f, 0f),        // anchor
+      1L -> Seq(0.99f, 0.1f),   // labeled positive — must be excluded
+      2L -> Seq(0.95f, 0.2f),   // hardest negative
+      3L -> Seq(0.5f, 0.5f),
+      4L -> Seq(0f, 1f))
+    val anchors = corpus.filter(col("vec_id") === 0L)
+    val pos = frame(pairIdSchema, Row(0L, 1L))
+    val got = Selection.hardNegatives(corpus, anchors, pos,
+        "vec_id", "embedding", k = 2, semiHard = false)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(got.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
+  test("semiHard keeps only negatives below the least-similar positive") {
+    val corpus = vecFrame(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0.9f, 0.3f),    // positive, cos ≈ 0.949
+      2L -> Seq(0.99f, 0.05f),  // HARDER than the positive → banned
+      3L -> Seq(0.6f, 0.4f),    // semi-hard, kept
+      4L -> Seq(0f, 1f))        // easy, kept
+    val anchors = corpus.filter(col("vec_id") === 0L)
+    val pos = frame(pairIdSchema, Row(0L, 1L))
+    val kept = Selection.hardNegatives(corpus, anchors, pos,
+        "vec_id", "embedding", k = 5, semiHard = true)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(kept == Set(3L, 4L))
+  }
+
+  test("anchors without positives keep all candidates under semiHard") {
+    val corpus = vecFrame(
+      0L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 4L -> Seq(0f, 1f))
+    val anchors = corpus.filter(col("vec_id") === 0L)
+    val pos = frame(pairIdSchema) // empty
+    val got = Selection.hardNegatives(corpus, anchors, pos,
+        "vec_id", "embedding", k = 5, semiHard = true)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(got == Set(2L, 4L))
+  }
+
+  test("exclusion happens before ranking: k eligible negatives returned") {
+    // 1 anchor, 1 positive that would be rank 1, k=3 — the output must
+    // still have 3 rows (the positive must not eat a slot)
+    val corpus = vecFrame(
+      0L -> Seq(1f, 0f, 0f),
+      1L -> Seq(1f, 0.001f, 0f),
+      2L -> Seq(0.9f, 0.1f, 0f),
+      3L -> Seq(0.8f, 0.2f, 0f),
+      4L -> Seq(0.7f, 0.3f, 0f))
+    val anchors = corpus.filter(col("vec_id") === 0L)
+    val pos = frame(pairIdSchema, Row(0L, 1L))
+    val got = Selection.hardNegatives(corpus, anchors, pos,
+      "vec_id", "embedding", k = 3, semiHard = false).collect()
+    assert(got.length == 3)
+    assert(!got.map(_.getAs[Long]("neighbor_id")).contains(1L))
+  }
+
   // ---- leakageSafeSplit ----
 
   test("leakageSafeSplit keeps every near-dup component in one split") {
