@@ -69,6 +69,29 @@ object Phrase {
         "n_buckets" -> nBuckets.toLong, "n_docs" -> nDocs)))
   }
 
+  /** Incremental maintenance: append a new document batch's positions
+    * to a persisted positional index — same bucketing, fail-fast on a
+    * parameter mismatch ([[graft.sinks.Pruning.requireIndexParams]]),
+    * freshness counter bumped after the data lands (crash between the
+    * two leaves `n_docs` understating the index — benign, probes read
+    * postings directly; the unified-index convention shared with the
+    * MinHash/IVF/postings appenders).
+    */
+  def appendToPositionalIndex(docs: DataFrame, idCol: String,
+      textCol: String, path: String, nBuckets: Int = 32): Unit = {
+    graft.sinks.Pruning.requireIndexParams(docs.sparkSession, path,
+      "positional", Map("n_buckets" -> nBuckets.toLong))
+    docs.select(col(idCol).as("_id"),
+        posexplode(nonEmptyTokens(lower(col(textCol)))))
+      .withColumnRenamed("col", "term")
+      .withColumn("tb", Sampling.md5Bucket(col("term"), nBuckets))
+      .write.partitionBy("tb").mode("append")
+      .parquet(s"$path/postings")
+    graft.sinks.FaultInjection.point("appendToPositionalIndex:appended")
+    graft.sinks.Pruning.bumpIndexMeta(docs.sparkSession, path,
+      Map("n_docs" -> docs.select(col(idCol)).count()))
+  }
+
   /** Phrase report through the persisted index: reads ONLY the phrase
     * terms' buckets (an `isin` on the partition column →
     * PartitionFilters), then the same adjacency tail as the scan

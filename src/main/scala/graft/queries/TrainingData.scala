@@ -5115,8 +5115,16 @@ object TrainingData {
     */
   def q237bPhraseIndexed(s: SparkSession, dir: String): DataFrame = {
     val path = scratchPath("q237b", dir) + "/ix"
+    val docs = Tables.documents(s, dir)
+    // write the even half, APPEND the odd half — the probe below must
+    // see both batches (append read-transparency on the oracle gate,
+    // the q60b discipline) and the oracle replays the WHOLE corpus
     graft.operators.Phrase.writePositionalIndex(
-      Tables.documents(s, dir), "doc_id", "text", path, nBuckets = 32)
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+      "doc_id", "text", path, nBuckets = 32)
+    graft.operators.Phrase.appendToPositionalIndex(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+      "doc_id", "text", path, nBuckets = 32)
     graft.operators.Phrase.phraseMatchesFromIndex(
       s, path, "doc_id", Seq("a", "key", "column"), nBuckets = 32)
       .orderBy("doc_id")

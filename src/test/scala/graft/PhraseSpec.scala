@@ -65,6 +65,29 @@ class PhraseSpec extends SparkSpec {
     assert(scan.nonEmpty && scan == ix)
   }
 
+  test("append is read-transparent and bumps the freshness counter") {
+    val batch1 = docs(1L -> "p q r", 2L -> "p q")
+    val batch2 = docs(3L -> "x p q y", 4L -> "q p")
+    val dir = java.nio.file.Files.createTempDirectory("phraseapp").toString
+    Phrase.writePositionalIndex(batch1, "doc_id", "text", dir, nBuckets = 8)
+    Phrase.appendToPositionalIndex(batch2, "doc_id", "text", dir, nBuckets = 8)
+    val got = report(Phrase.phraseMatchesFromIndex(
+      spark, dir, "doc_id", Seq("p", "q"), nBuckets = 8))
+    assert(got == Map(1L -> (1L, 0L), 2L -> (1L, 0L), 3L -> (1L, 1L)))
+    val meta = graft.sinks.Pruning.readIndexMeta(spark, dir).get
+    assert(meta.params("n_docs") == 4L)
+  }
+
+  test("append fails fast on a bucket-count mismatch") {
+    val d = docs(1L -> "a b")
+    val dir = java.nio.file.Files.createTempDirectory("phraseappbad").toString
+    Phrase.writePositionalIndex(d, "doc_id", "text", dir, nBuckets = 8)
+    val e = intercept[IllegalArgumentException] {
+      Phrase.appendToPositionalIndex(d, "doc_id", "text", dir, nBuckets = 4)
+    }
+    assert(e.getMessage.contains("n_buckets"))
+  }
+
   test("index probe fails fast on a parameter mismatch") {
     val d = docs(1L -> "a b c")
     val dir = java.nio.file.Files.createTempDirectory("phrasebad").toString
