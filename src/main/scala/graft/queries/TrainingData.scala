@@ -5190,7 +5190,95 @@ object TrainingData {
       |QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
 
+  /** HTML boilerplate extraction
+    * ([[graft.operators.Markup.extractText]]): every document wrapped
+    * in a deterministic page shell (title, link-dense nav, h1, the
+    * real text as a paragraph, a tiny paragraph, a link-dense footer)
+    * and run through the jusText-style extractor — the nav/footer/
+    * title/h1/tiny blocks must ALL drop (link density or minChars)
+    * and the content paragraph alone survives. The oracle rebuilds
+    * the same pages and replays the whole extraction (block split,
+    * tag strip, entity decode in the same order, per-block anchor
+    * lengths, the integer 2·anchor < text rule, order-preserving
+    * rejoin) — the md5 of the cleaned text pins every byte.
+    */
+  def q239BoilerplateExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>body{margin:0}</style></head><body>"),
+      lit("<nav><a href='/'>Home</a> <a href='/about'>About</a> <a href='/contact'>Contact</a></nav>"),
+      lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      lit("<p>tiny</p>"),
+      lit("<footer><a href='/terms'>Terms</a> &amp; <a href='/privacy'>Privacy</a></footer></body></html>"))
+    docs
+      .select(col("doc_id"),
+        graft.operators.Markup.extractText(html, minChars = 25).as("r"))
+      .select(col("doc_id"),
+        col("r.n_blocks").as("n_blocks"), col("r.n_kept").as("n_kept"),
+        length(col("r.text")).cast(LongType).as("clean_len"),
+        md5(col("r.text")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q239Sql: String = {
+    // the Spark-side strip chain, inlined in DuckDB's dialect: same
+    // patterns (Java ∩ RE2 subset), 'g' flag everywhere (DuckDB
+    // replaces only the first match without it — Spark replaces all)
+    def strip(e: String) =
+      s"""trim(regexp_replace(replace(replace(replace(replace(replace(
+         |  regexp_replace(regexp_replace(regexp_replace($e,
+         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |    '<[^>]*>', ' ', 'g'),
+         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |  '&amp;', '&'),
+         |  '\\s+', ' ', 'g'))""".stripMargin
+    val blockRe =
+      "(?i)</?(?:p|div|li|ul|ol|h[1-6]|nav|footer|header|table|tr|td|br|section|article)[^>]*>"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>body{margin:0}</style></head><body>' ||
+       |    '<nav><a href=''/''>Home</a> <a href=''/about''>About</a> <a href=''/contact''>Contact</a></nav>' ||
+       |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+       |    '<p>' || COALESCE(text, '') || '</p>' ||
+       |    '<p>tiny</p>' ||
+       |    '<footer><a href=''/terms''>Terms</a> &amp; <a href=''/privacy''>Privacy</a></footer></body></html>'
+       |      AS h
+       |  FROM documents),
+       |ex AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      list_zip(
+       |        list_transform(string_split_regex(h, '$blockRe'),
+       |          b -> ${strip("b")}),
+       |        list_transform(string_split_regex(h, '$blockRe'),
+       |          b -> COALESCE(list_sum(list_transform(
+       |                 regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |                 a -> length(${strip("a")}))), 0))),
+       |      s -> length(s[1]) > 0) AS pairs
+       |  FROM d),
+       |kept AS (
+       |  SELECT doc_id, pairs,
+       |    list_filter(pairs,
+       |      s -> length(s[1]) >= 25 AND s[2] * 2 < length(s[1])) AS keeps
+       |  FROM ex),
+       |fin AS (
+       |  SELECT doc_id,
+       |    CAST(len(pairs) AS INTEGER) AS n_blocks,
+       |    CAST(len(keeps) AS INTEGER) AS n_kept,
+       |    array_to_string(list_transform(keeps, s -> s[1]), ' ') AS t
+       |  FROM kept)
+       |SELECT doc_id, n_blocks, n_kept,
+       |  CAST(length(t) AS BIGINT) AS clean_len, md5(t) AS clean_md5
+       |FROM fin
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
+    "q239_boilerplate_extract" -> q239BoilerplateExtract _,
     "q238_hard_negatives" -> q238HardNegatives _,
     "q237_phrase_search" -> q237PhraseSearch _,
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
@@ -5294,6 +5382,7 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
+    "q239_boilerplate_extract" -> q239Sql,
     "q238_hard_negatives" -> q238Sql,
     "q237_phrase_search" -> q237Sql,
     "q237b_phrase_indexed" -> q237bSql,
