@@ -56,17 +56,24 @@ object Phrase {
   def writePositionalIndex(docs: DataFrame, idCol: String,
       textCol: String, path: String, nBuckets: Int = 32): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1: $nBuckets")
-    val base = docs.select(col(idCol).as("_id"),
-      posexplode(nonEmptyTokens(lower(col(textCol)))))
+    // the n_docs freshness counter rides the write job itself as an
+    // observe() metric over the PRE-explode rows (counted where doc
+    // rows flow, so empty/null-text docs still count) — a separate
+    // docs.count() action here would pay a second full corpus scan per
+    // (re)build at 100 TB (the r11 VERDICT finding; same convention as
+    // TrainingPipeline's stage meters)
+    val obs = new org.apache.spark.sql.Observation("pos_index_write")
+    docs.observe(obs, count(lit(1)).as("n_docs"))
+      .select(col(idCol).as("_id"),
+        posexplode(nonEmptyTokens(lower(col(textCol)))))
       .withColumnRenamed("col", "term")
-    val nDocs = docs.select(col(idCol)).count()
-    base
       .withColumn("tb", Sampling.md5Bucket(col("term"), nBuckets))
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"$path/postings")
     graft.sinks.Pruning.writeIndexMeta(docs.sparkSession, path,
       graft.sinks.Pruning.IndexMeta("positional", "tb", Map(
-        "n_buckets" -> nBuckets.toLong, "n_docs" -> nDocs)))
+        "n_buckets" -> nBuckets.toLong,
+        "n_docs" -> obs.get("n_docs").asInstanceOf[Long])))
   }
 
   /** Incremental maintenance: append a new document batch's positions
@@ -81,7 +88,11 @@ object Phrase {
       textCol: String, path: String, nBuckets: Int = 32): Unit = {
     graft.sinks.Pruning.requireIndexParams(docs.sparkSession, path,
       "positional", Map("n_buckets" -> nBuckets.toLong))
-    docs.select(col(idCol).as("_id"),
+    // batch size rides the append job as an observe() metric — one
+    // scan total, as in [[writePositionalIndex]]
+    val obs = new org.apache.spark.sql.Observation("pos_index_append")
+    docs.observe(obs, count(lit(1)).as("n_docs"))
+      .select(col(idCol).as("_id"),
         posexplode(nonEmptyTokens(lower(col(textCol)))))
       .withColumnRenamed("col", "term")
       .withColumn("tb", Sampling.md5Bucket(col("term"), nBuckets))
@@ -89,7 +100,7 @@ object Phrase {
       .parquet(s"$path/postings")
     graft.sinks.FaultInjection.point("appendToPositionalIndex:appended")
     graft.sinks.Pruning.bumpIndexMeta(docs.sparkSession, path,
-      Map("n_docs" -> docs.select(col(idCol)).count()))
+      Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
   }
 
   /** Phrase report through the persisted index: reads ONLY the phrase

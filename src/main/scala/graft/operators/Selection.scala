@@ -117,7 +117,12 @@ object Selection {
       .withColumn("_sim", sim)
       .withColumn("proto_rank", row_number().over(w).cast(IntegerType))
       .withColumn("_n", count(lit(1)).over(wAll))
-      .filter(col("proto_rank") <= col("_n") * dropNum / dropDen)
+      // integer DIV, not `/`: Spark's `/` on integer operands is double
+      // division, which matches the floored contract only while
+      // n·dropNum stays inside double's exact-integer range — DIV keeps
+      // the documented `floor(n·dropNum/dropDen)` bit-exact at any
+      // magnitude (the q232 oracle replays it as DuckDB `//`)
+      .filter(col("proto_rank") <= expr(s"(_n * $dropNum) DIV $dropDen"))
       .select(col("_id").as(idCol), col("centroid_id"), col("proto_rank"))
   }
 
@@ -140,10 +145,17 @@ object Selection {
     * true top-k of the eligible set (excluding after rank would
     * silently return fewer than k).
     *
-    * Scale: brute-force arms like the bitext baseline — swap the
-    * candidate generator for the IVF path past ~10⁶ vectors; the
-    * exclusion anti-join and the threshold join are keyed by anchor
-    * id on positives-sized frames either way.
+    * Scale: PLUGGABLE CANDIDATE ARMS, the bitext pattern
+    * ([[graft.operators.Bitext]]) — [[hardNegatives]] is the
+    * brute-force baseline arm (broadcast-NLJ anchors × corpus, the
+    * oracle-exact quadratic), [[hardNegativesIvf]] swaps in
+    * [[Similarity.ivfCandidates]] (probe volume
+    * |anchors|·nprobe·(n/nlist) — N^1.5 under the nlist ≈ √N rule)
+    * past ~10⁶ vectors; the exclusion anti-join, the threshold join,
+    * and the ranking are arm-agnostic ([[hardNegativesFromCandidates]])
+    * and keyed by anchor id either way. At `nprobe = nlist` the IVF
+    * pool equals the brute-force pool, so the two arms are
+    * bit-identical (the q65/q235b oracle discipline — q238b).
     *
     * `positives` carries (query_id, neighbor_id) pairs — anchor id,
     * positive's corpus id. Output: (query_id, neighbor_id, cosine,
@@ -152,34 +164,68 @@ object Selection {
   def hardNegatives(corpus: DataFrame, anchors: DataFrame,
       positives: DataFrame, idCol: String, vecCol: String, k: Int,
       semiHard: Boolean): DataFrame = {
-    require(k >= 1, s"bad k $k")
-    def fold(pairProduct: Column): Column =
-      aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
-    def nrm(v: Column): Column =
-      sqrt(fold(zip_with(v, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType))))
-    def cos(qv: Column, qn: Column, cv: Column, cn: Column): Column = {
-      val denom = qn * cn
-      when(denom === 0.0, lit(null).cast(DoubleType))
-        .otherwise(fold(zip_with(qv, cv,
-          (x, y) => x.cast(DoubleType) * y.cast(DoubleType))) / denom)
-    }
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"), nrm(col(vecCol)).as("_cn"))
     val a = anchors.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv"), nrm(col(vecCol)).as("_qn"))
-    val pos = positives.select(col("query_id"), col("neighbor_id"))
     val cand = c.join(broadcast(a), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cos(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
+      .withColumn("cosine",
+        cosPre(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+    hardNegativesFromCandidates(cand, corpus, anchors, positives,
+      idCol, vecCol, k, semiHard)
+  }
+
+  /** [[hardNegatives]] through the IVF candidate arm
+    * ([[Similarity.ivfCandidates]]): same exclusion / semi-hard band /
+    * ranking, candidate volume |anchors|·nprobe·(n/nlist) instead of
+    * |anchors|·n. Exhaustive probing (`nprobe = nlist`) is
+    * bit-identical to [[hardNegatives]]; partial probing can miss
+    * negatives whose corpus vector lives in an unprobed cell — the
+    * recall knob, fixture-tested in SelectionSpec.
+    */
+  def hardNegativesIvf(corpus: DataFrame, anchors: DataFrame,
+      positives: DataFrame, idCol: String, vecCol: String, k: Int,
+      semiHard: Boolean, nlist: Int, nprobe: Int): DataFrame =
+    hardNegativesFromCandidates(
+      Similarity.ivfCandidates(corpus, anchors, idCol, vecCol, nlist, nprobe),
+      corpus, anchors, positives, idCol, vecCol, k, semiHard)
+
+  /** Arm-agnostic tail of hard-negative mining: positive exclusion,
+    * optional semi-hard ceiling, (cosine DESC, id ASC) top-k — over any
+    * (query_id, neighbor_id, cosine) candidate arm. Null cosines
+    * (zero-norm corpus vectors) are dropped up front — a vector with no
+    * defined direction is never a usable negative, and nulls-last
+    * ranking would otherwise emit them whenever an anchor has fewer
+    * than k real candidates (the r11 ADVICE finding); this also mirrors
+    * [[Bitext.marginMutualFromTopK]]'s candidate pool.
+    *
+    * The semi-hard ceiling is computed from the (corpus, anchors)
+    * VECTORS, not from the arm — a labeled positive must bound the band
+    * even when the arm's probing missed it.
+    */
+  def hardNegativesFromCandidates(cand: DataFrame, corpus: DataFrame,
+      anchors: DataFrame, positives: DataFrame, idCol: String,
+      vecCol: String, k: Int, semiHard: Boolean): DataFrame = {
+    require(k >= 1, s"bad k $k")
+    val pos = positives.select(col("query_id"), col("neighbor_id"))
+    val eligible = cand
+      .filter(col("cosine").isNotNull)
       .join(pos, Seq("query_id", "neighbor_id"), "left_anti")
       .select(col("query_id"), col("neighbor_id"), col("cosine"))
-    val banded = if (!semiHard) cand else {
+    val banded = if (!semiHard) eligible else {
+      val c = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("_cv"), nrm(col(vecCol)).as("_cn"))
+      val a = anchors.select(col(idCol).as("query_id"),
+        col(vecCol).as("_qv"), nrm(col(vecCol)).as("_qn"))
       // least-similar positive per anchor = the semi-hard ceiling
       val thresh = pos
         .join(a, Seq("query_id"))
         .join(c, Seq("neighbor_id"))
-        .withColumn("_pc", cos(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
+        .withColumn("_pc",
+          cosPre(col("_qv"), col("_qn"), col("_cv"), col("_cn")))
         .groupBy(col("query_id")).agg(min(col("_pc")).as("_pc"))
-      cand.join(broadcast(thresh), Seq("query_id"), "left")
+      eligible.join(broadcast(thresh), Seq("query_id"), "left")
         .filter(col("_pc").isNull || col("cosine") < col("_pc"))
         .drop("_pc")
     }
@@ -189,6 +235,24 @@ object Selection {
       .withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** The engine cosine fold with PRECOMPUTED norms (same sequential
+    * element-order fold and zero-norm → NULL convention as
+    * [[graft.functions.VectorFunctions.cosine]], which recomputes norms
+    * per pair — precomputing them once per row is the broadcast-NLJ
+    * arm's saving). Values are bit-identical: the norm is the same
+    * fold either way and multiplication order is preserved.
+    */
+  private def fold(pairProduct: Column): Column =
+    aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
+  private def nrm(v: Column): Column =
+    sqrt(fold(zip_with(v, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType))))
+  private def cosPre(qv: Column, qn: Column, cv: Column, cn: Column): Column = {
+    val denom = qn * cn
+    when(denom === 0.0, lit(null).cast(DoubleType))
+      .otherwise(fold(zip_with(qv, cv,
+        (x, y) => x.cast(DoubleType) * y.cast(DoubleType))) / denom)
   }
 
   /** DSIR-style importance scoring (Xie et al., "Data Selection for

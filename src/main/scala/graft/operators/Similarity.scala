@@ -120,6 +120,36 @@ object Similarity {
       idCol: String, vecCol: String, k: Int,
       nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0,
       literalCellBudget: Int = maxLiteralCells): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine"), asc("neighbor_id"))
+    ivfCandidates(corpus, queries, idCol, vecCol, nlist, nprobe,
+      refineIters, literalCellBudget)
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** The probed IVF candidate pool WITHOUT the top-k cut:
+    * (query_id, neighbor_id, cosine) for every corpus vector living in
+    * one of the query's `nprobe` nearest lists. This is the pluggable
+    * CANDIDATE ARM for operators whose semantics are defined over a
+    * candidate pool rather than a fixed top-k — semi-hard negative
+    * mining ([[Selection.hardNegativesIvf]]) filters the pool by a
+    * per-anchor ceiling BEFORE ranking, so a pre-cut top-k arm would
+    * return fewer than k survivors. At `nprobe = nlist` the pool is
+    * exactly the brute-force pair set (minus self-pairs), making the
+    * consumer bit-identical to its exact arm — the q65/q235b oracle
+    * discipline.
+    *
+    * Scale: candidate volume is |queries|·nprobe·(n/nlist) rows instead
+    * of |queries|·n; under the standing nlist ≈ √N rule the downstream
+    * per-query work drops from quadratic to N^1.5.
+    */
+  def ivfCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String,
+      nlist: Int = 16, nprobe: Int = 4, refineIters: Int = 0,
+      literalCellBudget: Int = maxLiteralCells): DataFrame = {
     // deterministic centroid sample via TakeOrderedAndProject
     // (per-partition top-nlist heaps + driver merge of nlist·P rows).
     // A row_number() over a global Window.orderBy here would funnel
@@ -135,14 +165,10 @@ object Similarity {
       "neighbor_id", literalCellBudget)
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine"), asc("neighbor_id"))
     assigned.join(probed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", cosine(col("_qv"), col("_cv")))
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
   }
 
   /** Persist the IVF index: centroids plus the corpus assignment,

@@ -4662,6 +4662,19 @@ object TrainingData {
     * leak join). Per-document md5Split on the SAME corpus leaks —
     * the planted twins hash independently — so the zero is earned by
     * the component key, not by fixture luck.
+    *
+    * Banding-vs-oracle margin (the r11 ADVICE note): the Spark side
+    * finds pairs through MinHash banding (96 hashes / 24 bands of 4)
+    * while the oracle enumerates ALL pairs at true Jaccard ≥ 0.5, so a
+    * borderline pair near J = 0.5 could in principle be missed by
+    * banding (hit probability 1−(1−J⁴)²⁴ ≈ 0.79 at J = 0.5). The
+    * fixture is deliberately NOT borderline: a 15-char tail truncation
+    * leaves the twin sharing all but ~21 of the donor's 7-gram
+    * shingles, so even at the 40-char truncation floor the planted
+    * Jaccard is ≥ ~0.77 (miss probability < 4·10⁻⁵ per pair; typical
+    * docs are hundreds of chars, J > 0.9, miss < 10⁻¹¹) — every
+    * planted pair sits far above the banding recall knee, which is
+    * what licenses the exact all-pairs oracle on a banded run.
     */
   def q231LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
@@ -5141,7 +5154,9 @@ object TrainingData {
     * a NOT EXISTS for the exclusion, the positive-cosine ceiling, and
     * the (cosine DESC, id) ranking — exclusion-after-ranking (the easy
     * bug: positives eating top-k slots) would change row counts and
-    * break the hash.
+    * break the hash. Null cosines (zero-norm vectors) are excluded on
+    * both sides (the r11 ADVICE fix — no reliance on engine null
+    * ordering when an anchor has fewer than k real candidates).
     */
   def q238HardNegatives(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
@@ -5182,13 +5197,38 @@ object TrainingData {
       |sh AS (
       |  SELECT cand.query_id, cand.neighbor_id, cand.cosine
       |  FROM cand LEFT JOIN pc ON pc.qid = cand.query_id
-      |  WHERE pc.pcos IS NULL OR cand.cosine < pc.pcos)
+      |  WHERE cand.cosine IS NOT NULL
+      |    AND (pc.pcos IS NULL OR cand.cosine < pc.pcos))
       |SELECT query_id, neighbor_id, cosine,
       |  CAST(row_number() OVER (PARTITION BY query_id
       |    ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank
       |FROM sh
       |QUALIFY rank <= 5
       |ORDER BY query_id, rank""".stripMargin
+
+  /** q238's scale path on the oracle gate
+    * ([[graft.operators.Selection.hardNegativesIvf]]): the same mining
+    * through the IVF candidate arm ([[graft.operators.Similarity
+    * .ivfCandidates]]) at `nprobe = nlist` — exhaustive probing makes
+    * the candidate pool equal to the brute-force arm's, so the output
+    * must be BIT-IDENTICAL to q238 and shares its oracle (the
+    * q65b/q235b discipline: the approximate machinery faces the exact
+    * oracle in the regime where it is provably exact; the
+    * nprobe < nlist recall tradeoff is fixture-tested in SelectionSpec
+    * and the sub-quadratic slope is measured in BENCH_NOTES R12).
+    */
+  def q238bHardNegativesIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).select(col("vec_id"), col("embedding"))
+    val anchors = emb.filter(col("vec_id") < 20)
+    val pos = anchors.select(col("vec_id").as("query_id"),
+      (col("vec_id") + 20).as("neighbor_id"))
+    graft.operators.Selection.hardNegativesIvf(
+      emb, anchors, pos, "vec_id", "embedding", k = 5, semiHard = true,
+      nlist = 16, nprobe = 16)
+      .orderBy("query_id", "rank")
+  }
+
+  val q238bSql: String = q238Sql
 
   /** HTML boilerplate extraction
     * ([[graft.operators.Markup.extractText]]): every document wrapped
@@ -5280,6 +5320,7 @@ object TrainingData {
   val queries: Map[String, Q] = Map(
     "q239_boilerplate_extract" -> q239BoilerplateExtract _,
     "q238_hard_negatives" -> q238HardNegatives _,
+    "q238b_hard_negatives_ivf" -> q238bHardNegativesIvf _,
     "q237_phrase_search" -> q237PhraseSearch _,
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
     "q236_raked_mixture" -> q236RakedMixture _,
@@ -5384,6 +5425,7 @@ object TrainingData {
     "q230_capped_flood" -> q230Sql,
     "q239_boilerplate_extract" -> q239Sql,
     "q238_hard_negatives" -> q238Sql,
+    "q238b_hard_negatives_ivf" -> q238bSql,
     "q237_phrase_search" -> q237Sql,
     "q237b_phrase_indexed" -> q237bSql,
     "q236_raked_mixture" -> q236Sql,

@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   */
 object BitextProbe {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: BitextProbe <sfDir> <k> <nlist> <nprobe>")
+      sys.exit(1)
+    }
     val Array(sfDir, k, nlist, nprobe) = args.take(4)
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)

@@ -274,6 +274,68 @@ class FaultInjectionSpec extends SparkSpec {
       == before + b2.count())
   }
 
+  // ---------------- positional-index append / bump pair ----------------
+
+  test("appendToPositionalIndex: crash between data append and bump keeps probes exact") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 200)
+    val even = docs.filter(col("doc_id") % 2 === 0)
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val oneShot = tmpDir("pos1") + "/idx"
+    val crashed = tmpDir("pos2") + "/idx"
+    val phrase = Seq("a", "key", "column")
+    Phrase.writePositionalIndex(docs, "doc_id", "text", oneShot)
+    Phrase.writePositionalIndex(even, "doc_id", "text", crashed)
+    val before = Pruning.readIndexMeta(spark, crashed).get.params("n_docs")
+    assert(before == even.count())
+    crashAt("appendToPositionalIndex:appended") {
+      Phrase.appendToPositionalIndex(odd, "doc_id", "text", crashed)
+    }
+    // counter UNDERSTATES (the benign documented mode): odd's bump died
+    assert(Pruning.readIndexMeta(spark, crashed).get.params("n_docs")
+      == before)
+    // probes never gate on the counter — the appended postings are
+    // live, so the phrase report equals a one-shot full-corpus build
+    def report(p: String) = Phrase.phraseMatchesFromIndex(
+        spark, p, "doc_id", phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(report(crashed) == report(oneShot))
+    assert(report(crashed).nonEmpty, "fixture phrase must match")
+    // a retried bump lands (bumpIndexMeta rides the rename swap), and
+    // the parameter handshake survived the crash window
+    Pruning.bumpIndexMeta(spark, crashed, Map("n_docs" -> odd.count()))
+    assert(Pruning.readIndexMeta(spark, crashed).get.params("n_docs")
+      == before + odd.count())
+    intercept[IllegalArgumentException] {
+      Phrase.appendToPositionalIndex(odd, "doc_id", "text", crashed,
+        nBuckets = 16)
+    }
+  }
+
+  test("appendToPositionalIndex: crash mid meta swap leaves probes on the lenient fallback") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 120)
+    val p = tmpDir("pos3") + "/idx"
+    Phrase.writePositionalIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", p)
+    val expect = Phrase.phraseMatches(docs, "doc_id", "text",
+        Seq("a", "key", "column"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // crash BETWEEN the meta renames (retire done, publish pending):
+    // live meta path absent — the documented recovery state
+    crashAt("writeIndexMeta:retired") {
+      Phrase.appendToPositionalIndex(
+        docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", p)
+    }
+    // the postings themselves landed before the meta swap, and probes
+    // tolerate the absent-meta window (the pre-manifest legacy
+    // fallback), answering from the full appended data
+    val got = Phrase.phraseMatchesFromIndex(spark, p, "doc_id",
+        Seq("a", "key", "column"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
   // ---------------- MinHash append / bump pair ----------------
 
   test("appendToMinHashIndex: crash between data append and bump keeps dedup exact") {
@@ -307,4 +369,5 @@ class FaultInjectionSpec extends SparkSpec {
 
   private def Similarity = graft.operators.Similarity
   private def Dedup = graft.operators.Dedup
+  private def Phrase = graft.operators.Phrase
 }

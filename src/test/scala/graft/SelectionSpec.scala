@@ -97,6 +97,57 @@ class SelectionSpec extends SparkSpec {
     assert(!got.map(_.getAs[Long]("neighbor_id")).contains(1L))
   }
 
+  test("zero-norm corpus vectors are never emitted as negatives") {
+    // anchor has only 2 real candidates but k = 4: without the
+    // null-cosine filter the zero-norm vectors would fill the missing
+    // slots via nulls-last ranking (the r11 ADVICE finding)
+    val corpus = vecFrame(
+      0L -> Seq(1f, 0f),
+      2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0.5f, 0.5f),
+      4L -> Seq(0f, 0f),        // zero norm — cosine undefined
+      5L -> Seq(0f, 0f))
+    val anchors = corpus.filter(col("vec_id") === 0L)
+    val got = Selection.hardNegatives(corpus, anchors, frame(pairIdSchema),
+      "vec_id", "embedding", k = 4, semiHard = false).collect()
+    assert(got.length == 2)
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSet == Set(2L, 3L))
+    assert(got.forall(!_.isNullAt(2)))
+  }
+
+  test("hardNegativesIvf at exhaustive probing == brute-force arm") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+    val anchors = emb.filter(col("vec_id") < 12)
+    val pos = anchors.select(col("vec_id").as("query_id"),
+      (col("vec_id") + 12).as("neighbor_id"))
+    def rows(df: DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Double]("cosine"), r.getAs[Int]("rank"))).toSet
+    val brute = rows(Selection.hardNegatives(
+      emb, anchors, pos, "vec_id", "embedding", k = 4, semiHard = true))
+    val ivf = rows(Selection.hardNegativesIvf(
+      emb, anchors, pos, "vec_id", "embedding", k = 4, semiHard = true,
+      nlist = 8, nprobe = 8))
+    assert(ivf == brute) // bit-identical: doubles compared exactly
+  }
+
+  test("hardNegativesIvf partial probing trades recall for probe volume") {
+    // two well-separated cells; centroids are the two lowest ids
+    // (centroidSample), so nprobe = 1 from anchor 0 probes cell 0 only
+    val corpus = vecFrame(
+      0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.8f, 0.2f),
+      4L -> Seq(0.1f, 0.9f), 5L -> Seq(0.2f, 0.8f))
+    val anchors = corpus.filter(col("vec_id") === 0L)
+    def ids(nprobe: Int) = Selection.hardNegativesIvf(
+        corpus, anchors, frame(pairIdSchema), "vec_id", "embedding",
+        k = 5, semiHard = false, nlist = 2, nprobe = nprobe)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ids(1) == Set(2L, 3L))                  // own cell only
+    assert(ids(2) == Set(1L, 2L, 3L, 4L, 5L))      // exhaustive = all
+  }
+
   // ---- leakageSafeSplit ----
 
   test("leakageSafeSplit keeps every near-dup component in one split") {
