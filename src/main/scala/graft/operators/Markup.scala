@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** HTML → training text: strip markup and drop boilerplate blocks —
   * step 0 of every web-corpus pipeline (the jusText/trafilatura
@@ -33,20 +33,75 @@ object Markup {
   /** Anchor bodies (group 1), for per-block link-density measurement. */
   private[graft] val anchorRe = "(?is)<a[^>]*>(.*?)</a>"
 
-  /** Remove every remaining tag and decode the five core entities,
-    * collapsing whitespace — the per-block text normalizer. Script and
-    * style bodies are dropped first (their CONTENT is code, not text;
-    * a plain tag-strip would leak it). `&amp;` decodes LAST so
-    * `&amp;lt;` becomes `&lt;`, not `<` (the classic double-decode).
+  /** Numeric character reference pattern: decimal `&#8217;` and hex
+    * `&#x2019;` forms, digit runs BOUNDED (8 dec / 6 hex — enough for
+    * every valid codepoint; longer runs stay literal text, so the
+    * codepoint parse can never overflow).
+    */
+  private[graft] val numRefRe = "&#(?:[0-9]{1,8}|[xX][0-9a-fA-F]{1,6});"
+  private[graft] val numRefGroupRe = "&#([0-9]{1,8}|[xX][0-9a-fA-F]{1,6});"
+
+  /** One character from a codepoint, full Unicode — Spark's `chr` is
+    * ASCII-only, so the codepoint is rendered as UTF-16BE code units
+    * (surrogate pair arithmetic for the supplementary planes) and
+    * decoded back, all native expressions. Invalid codepoints (0,
+    * > U+10FFFF, the surrogate range) map to U+FFFD — the HTML5
+    * replacement rule, and the DuckDB twin is its native `chr`.
+    */
+  private def chrUnicode(cp0: Column): Column = {
+    val valid = cp0 >= 1L && cp0 <= 0x10FFFFL &&
+      !(cp0 >= 0xD800L && cp0 <= 0xDFFFL)
+    val cp = when(valid, cp0).otherwise(lit(0xFFFDL))
+    val bmp = decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE")
+    val v = cp - 0x10000L
+    val units = concat(
+      lpad(hex(shiftright(v, 10) + 0xD800L), 4, "0"),
+      lpad(hex(v.bitwiseAND(0x3FFL) + 0xDC00L), 4, "0"))
+    when(cp < 0x10000L, bmp).otherwise(decode(unhex(units), "UTF-16BE"))
+  }
+
+  /** Codepoint of one extracted reference body (`8217` or `x2019`). */
+  private def refCodepoint(r: Column): Column =
+    when(lower(substring(r, 1, 1)) === "x",
+      conv(substring(r, 2, 6), 16, 10).cast(LongType))
+      .otherwise(r.cast(LongType))
+
+  /** Decode decimal/hex numeric character references in one SINGLE
+    * pass (`&#38;#39;` yields the literal `&#39;`, never `'` — the
+    * HTML single-decode rule): split the text around every reference,
+    * decode each extracted codepoint, and re-interleave. Row-local
+    * native expressions throughout — no UDF, no exchange.
+    */
+  def decodeNumericRefs(c: Column): Column = {
+    val parts = split(c, numRefRe, -1)
+    val refs = regexp_extract_all(c, lit(numRefGroupRe), lit(1))
+    val decoded = transform(refs, r => chrUnicode(refCodepoint(r)))
+    concat(
+      aggregate(
+        zip_with(slice(parts, lit(1), size(refs)), decoded,
+          (p, d) => concat(p, d)),
+        lit(""), (acc, x) => concat(acc, x)),
+      element_at(parts, -1))
+  }
+
+  /** Remove every remaining tag and decode entities — the five named
+    * core entities plus decimal/hex NUMERIC character references
+    * (`&#39;`, `&#x2019;` — real crawl text is full of them; the r11
+    * scope gap) — collapsing whitespace: the per-block text
+    * normalizer. Script and style bodies are dropped first (their
+    * CONTENT is code, not text; a plain tag-strip would leak it).
+    * `&amp;` decodes LAST so `&amp;lt;` becomes `&lt;`, not `<`, and
+    * `&amp;#39;` stays `&#39;` (the classic double-decode traps —
+    * numeric refs decode BEFORE `&amp;` for the same reason).
     */
   def stripTags(c: Column): Column = {
     val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
     val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
-    val decoded = regexp_replace(regexp_replace(regexp_replace(
-      regexp_replace(regexp_replace(noTags,
-        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
-      "&amp;", "&")
+    val named = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags,
+        "&nbsp;", " "), "&lt;", "<"), "&gt;", ">"), "&quot;", "\"")
+    val decoded = regexp_replace(decodeNumericRefs(named), "&amp;", "&")
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 

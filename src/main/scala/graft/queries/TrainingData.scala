@@ -5249,7 +5249,13 @@ object TrainingData {
       lit("</title><style>body{margin:0}</style></head><body>"),
       lit("<nav><a href='/'>Home</a> <a href='/about'>About</a> <a href='/contact'>Contact</a></nav>"),
       lit("<h1>Doc "), col("doc_id").cast("string"), lit("</h1>"),
-      lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      lit("<p>"), coalesce(col("text"), lit("")),
+      // numeric-reference gauntlet appended to the surviving content
+      // block: BMP + supplementary decodes, the HTML5 invalid→U+FFFD
+      // rule, the single-decode rule (&amp;#39; → literal &#39;), and
+      // an overlong digit run that must stay literal — clean_md5 pins
+      // every decoded byte cross-engine
+      lit(" It&#8217;s &#x1F600; fine &#0; &amp;#39; &#999999999; end</p>"),
       lit("<p>tiny</p>"),
       lit("<footer><a href='/terms'>Terms</a> &amp; <a href='/privacy'>Privacy</a></footer></body></html>"))
     docs
@@ -5266,13 +5272,42 @@ object TrainingData {
     // the Spark-side strip chain, inlined in DuckDB's dialect: same
     // patterns (Java ∩ RE2 subset), 'g' flag everywhere (DuckDB
     // replaces only the first match without it — Spark replaces all)
-    def strip(e: String) =
-      s"""trim(regexp_replace(replace(replace(replace(replace(replace(
+    //
+    // numdec replays Markup.decodeNumericRefs: split around every
+    // bounded numeric reference, decode each codepoint through
+    // DuckDB's native chr() (the engine renders UTF-16BE units — same
+    // characters), HTML5 invalid→U+FFFD, re-interleave. Single-element
+    // list_transform([x], v -> ...) is the let-binding that keeps the
+    // (already block-nested) expression from inlining its input four
+    // times.
+    val numRe = "&#(?:[0-9]{1,8}|[xX][0-9a-fA-F]{1,6});"
+    val numReG = "&#([0-9]{1,8}|[xX][0-9a-fA-F]{1,6});"
+    val cp0 = "CASE WHEN lower(x[1:1]) = 'x' THEN " +
+      "list_reduce(list_transform(range(2, CAST(length(x)+1 AS BIGINT)), " +
+      "j -> CAST(strpos('0123456789abcdef', substr(lower(x), CAST(j AS INTEGER), 1)) - 1 AS BIGINT)), " +
+      "(a,b) -> a*16 + b) ELSE CAST(x AS BIGINT) END"
+    val chrx = s"list_transform([$cp0], c -> chr(CAST(" +
+      "CASE WHEN c BETWEEN 1 AND 1114111 AND NOT (c BETWEEN 55296 AND 57343) " +
+      "THEN c ELSE 65533 END AS INTEGER)))[1]"
+    def numdec(e: String) =
+      s"""list_transform([$e], s ->
+         |  list_transform([struct_pack(p := string_split_regex(s, '$numRe'),
+         |                              r := regexp_extract_all(s, '$numReG', 1))], t ->
+         |    CASE WHEN len(t.r) = 0 THEN s
+         |         ELSE array_to_string(list_transform(range(1, len(t.r)+1),
+         |                i -> t.p[CAST(i AS INTEGER)] ||
+         |                     list_transform([t.r[CAST(i AS INTEGER)]], x -> $chrx)[1]), '') ||
+         |              t.p[CAST(len(t.r)+1 AS INTEGER)]
+         |    END)[1])[1]""".stripMargin
+    def named(e: String) =
+      s"""replace(replace(replace(replace(
          |  regexp_replace(regexp_replace(regexp_replace($e,
          |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
          |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
          |    '<[^>]*>', ' ', 'g'),
-         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')""".stripMargin
+    def strip(e: String) =
+      s"""trim(regexp_replace(replace(${numdec(named(e))},
          |  '&amp;', '&'),
          |  '\\s+', ' ', 'g'))""".stripMargin
     val blockRe =
@@ -5283,7 +5318,8 @@ object TrainingData {
        |    '</title><style>body{margin:0}</style></head><body>' ||
        |    '<nav><a href=''/''>Home</a> <a href=''/about''>About</a> <a href=''/contact''>Contact</a></nav>' ||
        |    '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
-       |    '<p>' || COALESCE(text, '') || '</p>' ||
+       |    '<p>' || COALESCE(text, '') ||
+       |    ' It&#8217;s &#x1F600; fine &#0; &amp;#39; &#999999999; end</p>' ||
        |    '<p>tiny</p>' ||
        |    '<footer><a href=''/terms''>Terms</a> &amp; <a href=''/privacy''>Privacy</a></footer></body></html>'
        |      AS h

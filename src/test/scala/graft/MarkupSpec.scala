@@ -30,6 +30,36 @@ class MarkupSpec extends SparkSpec {
     assert(r.getString(0) == "write &lt; for a less-than sign")
   }
 
+  test("numeric character references decode: dec, hex, supplementary") {
+    val r = extract(
+      "<p>It&#8217;s &#65; smiley &#x1F600; and an &#x26; ampersand here</p>")
+    assert(r.getString(0) == "It’s A smiley 😀 and an & ampersand here")
+  }
+
+  test("invalid numeric refs map to U+FFFD (HTML5 replacement rule)") {
+    // NUL, a bare surrogate, and one-past-the-last-codepoint all
+    // become the replacement character; surrounding text is preserved
+    val r = extract("<p>bad refs here x&#0;y&#xD800;z&#1114112;w end</p>")
+    assert(r.getString(0) == "bad refs here x�y�z�w end")
+  }
+
+  test("overlong digit runs stay literal text (no overflow parse)") {
+    val r = extract("<p>not a ref &#999999999; nor &#x1234567; here ok</p>")
+    assert(r.getString(0) == "not a ref &#999999999; nor &#x1234567; here ok")
+  }
+
+  test("&amp;#39; single-decodes to the literal &#39;, never to '") {
+    val r = extract("<p>write &amp;#39; to show an apostrophe ref</p>")
+    assert(r.getString(0) == "write &#39; to show an apostrophe ref")
+  }
+
+  test("adjacent refs and whitespace-decoding refs collapse correctly") {
+    // &#32;&#32; decodes to two spaces, then whitespace-collapses;
+    // &#10; decodes to a newline, also collapsed
+    val r = extract("<p>gap a&#32;&#32;b and line c&#10;d joined here</p>")
+    assert(r.getString(0) == "gap a b and line c d joined here")
+  }
+
   test("script and style bodies never leak into the text") {
     val r = extract(
       "<p>real content paragraph here</p>" +
