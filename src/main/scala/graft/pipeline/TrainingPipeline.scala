@@ -4,13 +4,20 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Sampling, SubstringDedup, TextAnalysis, WordPiece}
+import graft.operators.{Dedup, Markup, Sampling, Selection, SubstringDedup, TextAnalysis, WordPiece}
 
 /** End-to-end training-corpus preparation: the composition every
   * operator in this library exists for, in the order a production
   * pretraining pipeline runs it (each stage is the library operator —
   * nothing here is new logic, which is the point: the pieces compose).
   *
+  *   0. html    — OPTIONAL (`htmlExtract`): jusText-style boilerplate
+  *                extraction ([[graft.operators.Markup.extractText]]) —
+  *                a 100 TB web crawl is mostly markup, and leaked nav/
+  *                footer chrome shared across pages would create FALSE
+  *                near-dup edges downstream (stage 4 would merge
+  *                unrelated pages into one chrome-keyed component);
+  *                `n_blocks`/`n_kept` ride along as metered columns
   *   1. scrub   — mask identifier-like spans, normalize whitespace
   *                ([[graft.functions.TextFunctions.scrubText]])
   *   2. gate    — drop low-quality docs (token count + quality score)
@@ -24,9 +31,12 @@ import graft.operators.{Dedup, Sampling, SubstringDedup, TextAnalysis, WordPiece
   *   6. tokens  — OPTIONAL (`wordPieceCfg`): fit a WordPiece vocabulary
   *                on the final corpus and attach per-doc token counts
   *                ([[graft.operators.WordPiece.wordPieceTokenCounts]])
-  *   7. split   — deterministic hash-based train/val/test assignment
+  *   7. split   — deterministic hash-based train/val/test assignment;
+  *                with `splitByComponent` the split key is the
+  *                near-dup COMPONENT from stage 4 (leakage-safe when
+  *                near-dup families are kept — see `dropNearDups`)
   *
-  * Scale shape: stages 1-2 are pure projections/filters (no shuffle);
+  * Scale shape: stages 0-2 are pure projections/filters (no shuffle);
   * stage 3 shuffles (hash, id) pairs only — duplicate ids resolve by
   * min-id aggregation and the corpus anti-joins them away on id, so
   * the text payload never crosses an exchange (the id-join default
@@ -75,7 +85,25 @@ object TrainingPipeline {
       // all-pairs (component-preserving; the Zipf-headed boilerplate
       // flood guard — see [[graft.operators.Dedup.cappedBandPairs]]).
       // A capped run surfaces through [[Prepared.cappedBucketCount]].
-      maxBucketSize: Int = 10000)
+      maxBucketSize: Int = 10000,
+      // stage 0: jusText-style HTML boilerplate extraction with this
+      // minChars (None = corpus is already clean text). When on, the
+      // text column becomes the extracted text and the output gains
+      // n_blocks / n_kept audit columns.
+      htmlExtract: Option[Int] = None,
+      // stage 4 drop toggle: false KEEPS near-dup families (data-
+      // augmentation mixes) — pairs/components are still computed and
+      // feed splitByComponent, which is then REQUIRED for a
+      // leakage-safe split (per-doc hashing would strand twins across
+      // split boundaries).
+      dropNearDups: Boolean = true,
+      // stage 7 split key: true = the near-dup COMPONENT representative
+      // from stage 4's pairs (the q231 leakage-safe policy, zero extra
+      // exchange classes — the output gains a group_id column); false =
+      // the per-document id. With dropNearDups = true the survivors are
+      // one-per-component, so both keys give leak-free splits; with
+      // dropNearDups = false only the component key is safe.
+      splitByComponent: Boolean = false)
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
@@ -139,9 +167,26 @@ object TrainingPipeline {
       else None
     def observed(df: DataFrame, obs: Option[org.apache.spark.sql.Observation]) =
       obs.map(o => df.observe(o, meterAggs.head, meterAggs(1))).getOrElse(df)
+    // 0. OPTIONAL HTML boilerplate extraction (projection only): the
+    // text column becomes the extracted text; n_blocks/n_kept ride as
+    // audit columns. Runs BEFORE the near-dup machinery on purpose —
+    // chrome shared across pages must never reach the shingler (a
+    // leaked nav/footer would star unrelated pages into one
+    // component). The input meter counts raw (markup) tokens; the
+    // scrubbed meter is post-extraction text.
+    val extracted = cfg.htmlExtract match {
+      case None => observed(docs, obsInput)
+      case Some(minChars) =>
+        observed(docs, obsInput)
+          .withColumn("_x", Markup.extractText(col(cfg.textCol), minChars))
+          .withColumn(cfg.textCol, col("_x.text"))
+          .withColumn("n_blocks", col("_x.n_blocks"))
+          .withColumn("n_kept", col("_x.n_kept"))
+          .drop("_x")
+    }
     // 1. scrub (projection only)
     val scrubbed = observed(
-      observed(docs, obsInput).withColumn(cfg.textCol, scrubText(col(cfg.textCol))),
+      extracted.withColumn(cfg.textCol, scrubText(col(cfg.textCol))),
       obsScrub)
     // 2. quality gate — MATERIALIZED (localCheckpoint cuts lineage and
     // pins the stage output): the id-join dedup below references its
@@ -178,7 +223,18 @@ object TrainingPipeline {
       log.warn(s"TrainingPipeline.prepare: ${cp.cappedBucketCount} over-cap LSH bucket(s) " +
         "were star-linked — near-dup drops in those buckets are unverified " +
         "(possible below-threshold drops); see Dedup.cappedBandPairs")
-    val nearDeduped = Dedup.dropNearDuplicates(exact, cfg.idCol, cp.pairs)
+    // the pairs frame is re-read by the component split and the leak
+    // meter below — materialize it (SERIALIZED: an id-pair frame at
+    // data scale is exactly the edge-list shape the r11 q215 fix
+    // targets) instead of re-running the MinHash band machinery per
+    // consumer
+    val pairs =
+      if (cfg.splitByComponent || cfg.meterStages)
+        graft.plans.Checkpoints.serialized(cp.pairs)
+      else cp.pairs
+    val nearDeduped =
+      if (cfg.dropNearDups) Dedup.dropNearDuplicates(exact, cfg.idCol, pairs)
+      else exact
     meter(3, "gated", gated)
     meter(4, "exact_dedup", exact)
     meter(5, "near_dedup", nearDeduped)
@@ -219,10 +275,34 @@ object TrainingPipeline {
         }
         out
     }
-    // 7. deterministic split
+    // 7. deterministic split — per-document key, or the near-dup
+    // COMPONENT representative from stage 4's pairs (the q231
+    // leakage-safe policy: reuses the already-computed pairs, so the
+    // only addition is one id-keyed component join — no new exchange
+    // class)
+    val (splitKeyed, keyCol) =
+      if (!cfg.splitByComponent) (tokenized, cfg.idCol)
+      else {
+        val comps = Dedup.connectedComponents(pairs)
+          .select(col("id").as(cfg.idCol), col("component_id").as("_comp"))
+        (tokenized.join(comps, Seq(cfg.idCol), "left")
+          .withColumn("group_id", coalesce(col("_comp"), col(cfg.idCol)))
+          .drop("_comp"), "group_id")
+      }
     val assigned =
-      if (cfg.auditableSplit) Sampling.md5Split(tokenized, cfg.idCol, cfg.splits)
-      else Sampling.hashSplit(tokenized, cfg.idCol, cfg.splits)
+      if (cfg.auditableSplit) Sampling.md5Split(splitKeyed, keyCol, cfg.splits)
+      else Sampling.hashSplit(splitKeyed, keyCol, cfg.splits)
+    // split-leak audit meter: near-dup pairs straddling a split
+    // boundary (Selection.crossSplitLeaks). Zero when dropNearDups
+    // left one doc per component OR the split is component-keyed;
+    // nonzero quantifies the leakage of a per-doc split over a kept
+    // near-dup family — the number an eval-contamination review wants
+    // in the pipeline report, not in a side query.
+    if (cfg.meterStages) {
+      val lk = Selection.crossSplitLeaks(assigned, cfg.idCol, pairs)
+        .collect()(0).getLong(0)
+      meters += StageMeter(8, "split_leaks", lk, 0L)
+    }
     Prepared(assigned, cp.cappedBucketCount, meters.toSeq)
   }
 }

@@ -4313,26 +4313,18 @@ object TrainingData {
     * greedy-unroll tokenize ([[wpCtes]] over the FINAL scrubbed text).
     * One WITH chain, so a single hash verifies the whole composition.
     */
-  private def composedCtes: String = {
+  /** The pipeline FRONT HALF as oracle CTE text over a `src` CTE with
+    * (doc_id, text): scrub → quality gate → exact dedup → all-pairs
+    * near-dup at the pipeline's default J ≥ 0.6 → recursive components
+    * → `doomed`/`kept`. Thresholds mirror `TrainingPipeline.Config`
+    * defaults. Shared by q228/q229 (the composed flagship), q240 (the
+    * HTML-input composition) and q241 (kept near-dup families) so one
+    * SQL text cannot drift per query.
+    */
+  private def frontCtes(src: String): String = {
     val stop = "['the','a','an','and','or','of','to','in','is','are','was'," +
       "'it','that','this','for','on','with','as','at','by','be']"
-    val wpSteps = (1 to 16)
-      .map(i => wpStepSql(s"s${i - 1}", s"s$i", edges = "wpedges"))
-      .mkString(",\n")
-    s"""planted AS MATERIALIZED (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + 100000 AS doc_id,
-       |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
-       |  FROM documents WHERE doc_id < 60
-       |  UNION ALL
-       |  SELECT doc_id + 200000 AS doc_id,
-       |    array_to_string(list_filter(string_split_regex(trim(text), '\\s+'),
-       |      x -> length(x) > 0)[1:25], ' ') ||
-       |      ' $ComposedFiller zz' || CAST(doc_id + 200000 AS VARCHAR)
-       |      AS text
-       |  FROM documents WHERE doc_id < 40),
-       |scrubbed AS MATERIALIZED (
+    s"""scrubbed AS MATERIALIZED (
        |  SELECT doc_id,
        |    trim(regexp_replace(
        |      regexp_replace(
@@ -4342,7 +4334,7 @@ object TrainingData {
        |          '$urlPattern', '<URL>', 'g'),
        |        '$phonePattern', '<PHONE>', 'g'),
        |      '\\s+', ' ', 'g')) AS text
-       |  FROM planted),
+       |  FROM $src),
        |scored AS (
        |  SELECT doc_id, text,
        |    len(string_split_regex(trim(text), '\\s+')) AS n_tok,
@@ -4393,7 +4385,27 @@ object TrainingData {
        |  HAVING least(min(d), s) < s),
        |kept AS MATERIALIZED (
        |  SELECT doc_id, text FROM deduped
-       |  WHERE doc_id NOT IN (SELECT doc_id FROM doomed)),
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM doomed))""".stripMargin
+  }
+
+  private def composedCtes: String = {
+    val wpSteps = (1 to 16)
+      .map(i => wpStepSql(s"s${i - 1}", s"s$i", edges = "wpedges"))
+      .mkString(",\n")
+    s"""planted AS MATERIALIZED (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+       |  FROM documents WHERE doc_id < 60
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    array_to_string(list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> length(x) > 0)[1:25], ' ') ||
+       |      ' $ComposedFiller zz' || CAST(doc_id + 200000 AS VARCHAR)
+       |      AS text
+       |  FROM documents WHERE doc_id < 40),
+       |${frontCtes("planted")},
        |${substrCtes(20, "kept")},
        |tok AS (
        |  SELECT doc_id, unnest(toks) AS tok,
@@ -4488,7 +4500,16 @@ object TrainingData {
       "string_split_regex(trim(text), '\\s+'), x -> length(x) > 0))) " +
       "AS BIGINT), 0)"
     s"""WITH RECURSIVE
-       |${composedCtes}
+       |${composedCtes},
+       |splitasg AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 800000 THEN 'train'
+       |         WHEN b < 900000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS b
+       |    FROM final))
        |SELECT * FROM (
        |  SELECT CAST(1 AS INT) AS stage_no, 'input' AS stage,
        |    CAST(count(*) AS BIGINT) AS n_rows, $toksum AS n_tokens
@@ -4510,7 +4531,14 @@ object TrainingData {
        |    $toksum FROM final
        |  UNION ALL
        |  SELECT CAST(7 AS INT), 'wordpiece', CAST(count(*) AS BIGINT),
-       |    coalesce(CAST(sum(n_wordpiece_tokens) AS BIGINT), 0) FROM wpc)
+       |    coalesce(CAST(sum(n_wordpiece_tokens) AS BIGINT), 0) FROM wpc
+       |  UNION ALL
+       |  SELECT CAST(8 AS INT), 'split_leaks',
+       |    CAST((SELECT count(*) FROM pairs p
+       |          JOIN splitasg a ON a.doc_id = p.id_a
+       |          JOIN splitasg b ON b.doc_id = p.id_b
+       |          WHERE a.split <> b.split) AS BIGINT),
+       |    CAST(0 AS BIGINT))
        |ORDER BY stage_no""".stripMargin
   }
 
@@ -5268,18 +5296,23 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  val q239Sql: String = {
-    // the Spark-side strip chain, inlined in DuckDB's dialect: same
-    // patterns (Java ∩ RE2 subset), 'g' flag everywhere (DuckDB
-    // replaces only the first match without it — Spark replaces all)
-    //
-    // numdec replays Markup.decodeNumericRefs: split around every
-    // bounded numeric reference, decode each codepoint through
-    // DuckDB's native chr() (the engine renders UTF-16BE units — same
-    // characters), HTML5 invalid→U+FFFD, re-interleave. Single-element
-    // list_transform([x], v -> ...) is the let-binding that keeps the
-    // (already block-nested) expression from inlining its input four
-    // times.
+  // ---- Markup.stripTags / extractText replayed in DuckDB's dialect:
+  // same patterns (Java ∩ RE2 subset), 'g' flag everywhere (DuckDB
+  // replaces only the first match without it — Spark replaces all).
+  // Shared by the q239 extraction oracle and the q240 HTML-pipeline
+  // composition so the SQL text cannot drift per query.
+  //
+  // duckNumdec replays Markup.decodeNumericRefs: split around every
+  // bounded numeric reference, decode each codepoint through DuckDB's
+  // native chr() (the engine renders UTF-16BE units — same
+  // characters), HTML5 invalid→U+FFFD, re-interleave. Single-element
+  // list_transform([x], v -> ...) is the let-binding that keeps the
+  // (already block-nested) expression from inlining its input four
+  // times.
+  private val duckBlockRe =
+    "(?i)</?(?:p|div|li|ul|ol|h[1-6]|nav|footer|header|table|tr|td|br|section|article)[^>]*>"
+
+  private def duckNumdec(e: String): String = {
     val numRe = "&#(?:[0-9]{1,8}|[xX][0-9a-fA-F]{1,6});"
     val numReG = "&#([0-9]{1,8}|[xX][0-9a-fA-F]{1,6});"
     val cp0 = "CASE WHEN lower(x[1:1]) = 'x' THEN " +
@@ -5289,29 +5322,48 @@ object TrainingData {
     val chrx = s"list_transform([$cp0], c -> chr(CAST(" +
       "CASE WHEN c BETWEEN 1 AND 1114111 AND NOT (c BETWEEN 55296 AND 57343) " +
       "THEN c ELSE 65533 END AS INTEGER)))[1]"
-    def numdec(e: String) =
-      s"""list_transform([$e], s ->
-         |  list_transform([struct_pack(p := string_split_regex(s, '$numRe'),
-         |                              r := regexp_extract_all(s, '$numReG', 1))], t ->
-         |    CASE WHEN len(t.r) = 0 THEN s
-         |         ELSE array_to_string(list_transform(range(1, len(t.r)+1),
-         |                i -> t.p[CAST(i AS INTEGER)] ||
-         |                     list_transform([t.r[CAST(i AS INTEGER)]], x -> $chrx)[1]), '') ||
-         |              t.p[CAST(len(t.r)+1 AS INTEGER)]
-         |    END)[1])[1]""".stripMargin
-    def named(e: String) =
-      s"""replace(replace(replace(replace(
-         |  regexp_replace(regexp_replace(regexp_replace($e,
-         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
-         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
-         |    '<[^>]*>', ' ', 'g'),
-         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')""".stripMargin
-    def strip(e: String) =
-      s"""trim(regexp_replace(replace(${numdec(named(e))},
-         |  '&amp;', '&'),
-         |  '\\s+', ' ', 'g'))""".stripMargin
-    val blockRe =
-      "(?i)</?(?:p|div|li|ul|ol|h[1-6]|nav|footer|header|table|tr|td|br|section|article)[^>]*>"
+    s"""list_transform([$e], s ->
+       |  list_transform([struct_pack(p := string_split_regex(s, '$numRe'),
+       |                              r := regexp_extract_all(s, '$numReG', 1))], t ->
+       |    CASE WHEN len(t.r) = 0 THEN s
+       |         ELSE array_to_string(list_transform(range(1, len(t.r)+1),
+       |                i -> t.p[CAST(i AS INTEGER)] ||
+       |                     list_transform([t.r[CAST(i AS INTEGER)]], x -> $chrx)[1]), '') ||
+       |              t.p[CAST(len(t.r)+1 AS INTEGER)]
+       |    END)[1])[1]""".stripMargin
+  }
+
+  private def duckNamedEntities(e: String): String =
+    s"""replace(replace(replace(replace(
+       |  regexp_replace(regexp_replace(regexp_replace($e,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '<[^>]*>', ' ', 'g'),
+       |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"')""".stripMargin
+
+  private def duckStrip(e: String): String =
+    s"""trim(regexp_replace(replace(${duckNumdec(duckNamedEntities(e))},
+       |  '&amp;', '&'),
+       |  '\\s+', ' ', 'g'))""".stripMargin
+
+  /** One CTE of per-doc extraction pairs (block text + anchor length),
+    * replaying [[graft.operators.Markup.extractText]] over `htmlCol`
+    * of CTE `src`: non-empty blocks with their link densities, ready
+    * for the keep rule. */
+  private def duckExtractPairs(src: String, htmlCol: String): String =
+    s"""  SELECT doc_id,
+       |    list_filter(
+       |      list_zip(
+       |        list_transform(string_split_regex($htmlCol, '$duckBlockRe'),
+       |          b -> ${duckStrip("b")}),
+       |        list_transform(string_split_regex($htmlCol, '$duckBlockRe'),
+       |          b -> COALESCE(list_sum(list_transform(
+       |                 regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |                 a -> length(${duckStrip("a")}))), 0))),
+       |      s -> length(s[1]) > 0) AS pairs
+       |  FROM $src""".stripMargin
+
+  val q239Sql: String = {
     s"""WITH d AS (
        |  SELECT doc_id,
        |    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
@@ -5325,17 +5377,7 @@ object TrainingData {
        |      AS h
        |  FROM documents),
        |ex AS (
-       |  SELECT doc_id,
-       |    list_filter(
-       |      list_zip(
-       |        list_transform(string_split_regex(h, '$blockRe'),
-       |          b -> ${strip("b")}),
-       |        list_transform(string_split_regex(h, '$blockRe'),
-       |          b -> COALESCE(list_sum(list_transform(
-       |                 regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
-       |                 a -> length(${strip("a")}))), 0))),
-       |      s -> length(s[1]) > 0) AS pairs
-       |  FROM d),
+       |${duckExtractPairs("d", "h")}),
        |kept AS (
        |  SELECT doc_id, pairs,
        |    list_filter(pairs,
@@ -5353,7 +5395,166 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Page chrome shared by EVERY q240 page — deliberately heavy link
+    * text: if the extractor leaked it, unrelated pages would share
+    * hundreds of identical characters and the near-dup stage would
+    * merge them into one chrome-keyed component (PipelineSpec proves
+    * that counterfactual: the same pages WITHOUT extraction collapse
+    * to one survivor). Dropped correctly, pages dedup on their CONTENT
+    * only, so the planted twins (+100000) drop exactly as in q59/q231.
+    */
+  private val Q240Nav: String =
+    "<nav><a href='/home'>Home page now</a> <a href='/archive'>Archive of posts</a> " +
+      "<a href='/topics'>All topics index</a> <a href='/about'>About this site</a> " +
+      "<a href='/contact'>Contact the team</a> <a href='/login'>Member login</a></nav>"
+  private val Q240Footer: String =
+    "<footer><a href='/terms'>Terms of service</a> <a href='/privacy'>Privacy policy</a> " +
+      "<a href='/rss'>RSS feed link</a> <a href='/jobs'>Jobs and careers</a> " +
+      "copyright 2024 example press</footer>"
+
+  /** The HTML-input flagship composition (the r11 VERDICT ask #1):
+    * [[graft.pipeline.TrainingPipeline]] with `htmlExtract` on —
+    * stage 0 jusText extraction feeding scrub → gate → exact dedup →
+    * near-dup components → auditable split, hash-matched end to end
+    * against ONE DuckDB CTE chain (the q228 discipline; the extraction
+    * CTEs are the shared q239 replay, the pipeline CTEs the shared
+    * q228 front half). Every page carries the same link-dense chrome;
+    * the planted twins (+100000) must still drop at stage 4 on content
+    * alone, and n_blocks/n_kept ride through the whole pipeline as
+    * audit columns.
+    */
+  def q240HtmlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+    val pages = planted.select(col("doc_id"), concat(
+      lit("<html><head><title>Page "), col("doc_id").cast("string"),
+      lit("</title><style>.m{padding:0}</style></head><body>"),
+      lit(Q240Nav),
+      lit("<h1>Page "), col("doc_id").cast("string"), lit("</h1>"),
+      lit("<p>"), coalesce(col("text"), lit("")), lit("</p>"),
+      lit(Q240Footer), lit("</body></html>")).as("text"))
+    val corpus = graft.pipeline.TrainingPipeline.prepare(pages,
+      graft.pipeline.TrainingPipeline.Config(
+        auditableSplit = true, htmlExtract = Some(25)))
+    corpus.select(col("doc_id"), col("split"),
+        col("n_blocks"), col("n_kept"),
+        md5(col("text")).as("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q240Sql: String = {
+    val navSql = Q240Nav.replace("'", "''")
+    val footSql = Q240Footer.replace("'", "''")
+    s"""WITH RECURSIVE planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+       |  FROM documents WHERE doc_id < 60),
+       |pg AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>Page ' || CAST(doc_id AS VARCHAR) ||
+       |    '</title><style>.m{padding:0}</style></head><body>' ||
+       |    '$navSql' ||
+       |    '<h1>Page ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+       |    '<p>' || COALESCE(text, '') || '</p>' ||
+       |    '$footSql' || '</body></html>' AS h
+       |  FROM planted),
+       |exb AS (
+       |${duckExtractPairs("pg", "h")}),
+       |extracted AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(list_filter(pairs,
+       |      s -> length(s[1]) >= 25 AND s[2] * 2 < length(s[1])),
+       |      s -> s[1]), ' ') AS text,
+       |    CAST(len(pairs) AS INTEGER) AS n_blocks,
+       |    CAST(len(list_filter(pairs,
+       |      s -> length(s[1]) >= 25 AND s[2] * 2 < length(s[1]))) AS INTEGER)
+       |      AS n_kept
+       |  FROM exb),
+       |${frontCtes("extracted")}
+       |SELECT k.doc_id,
+       |  CASE WHEN k.b < 800000 THEN 'train'
+       |       WHEN k.b < 900000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  e.n_blocks, e.n_kept, md5(k.text) AS content_md5
+       |FROM (
+       |  SELECT doc_id, text,
+       |    ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS b
+       |  FROM kept) k
+       |JOIN extracted e ON e.doc_id = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+  }
+
+  /** Component-keyed pipeline split over KEPT near-dup families (the
+    * r11 VERDICT ask #5): `dropNearDups = false` keeps the planted
+    * twins (a data-augmentation mix), and `splitByComponent = true`
+    * reuses stage 4's pairs to key the split by the near-dup COMPONENT
+    * — so each twin family lands whole in one split. The output pins
+    * every doc's group_id and split, plus the pipeline's own stage-8
+    * `split_leaks` meter (must be 0); the oracle recomputes components,
+    * assignment, and the leak join from scratch.
+    */
+  def q241ComponentSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.unionAll(
+      docs.filter(col("doc_id") < 60).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        expr("substring(text, 1, greatest(length(text) - 15, 40))").as("text")))
+    val prep = graft.pipeline.TrainingPipeline.prepareMetered(planted,
+      graft.pipeline.TrainingPipeline.Config(
+        auditableSplit = true, dropNearDups = false,
+        splitByComponent = true, meterStages = true))
+    val leaks = prep.meters.find(_.stage == "split_leaks")
+      .map(_.nRows).getOrElse(-1L)
+    prep.corpus.select(col("doc_id"), col("group_id"), col("split"),
+        md5(col("text")).as("content_md5"))
+      .withColumn("leaked_pairs", lit(leaks))
+      .orderBy("doc_id")
+  }
+
+  val q241Sql: String =
+    s"""WITH RECURSIVE planted AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    substr(text, 1, greatest(length(text) - 15, 40)) AS text
+       |  FROM documents WHERE doc_id < 60),
+       |${frontCtes("planted")},
+       |comp AS (
+       |  SELECT s AS doc_id, least(min(d), s) AS component_id
+       |  FROM reach GROUP BY s),
+       |asg AS (
+       |  SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id,
+       |    d.text
+       |  FROM deduped d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |spl AS (
+       |  SELECT doc_id, group_id, text,
+       |    CASE WHEN b < 800000 THEN 'train'
+       |         WHEN b < 900000 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (
+       |    SELECT doc_id, group_id, text,
+       |      ('0x'||substr(md5(CAST(group_id AS VARCHAR)), 1, 15))::BIGINT
+       |        % 1000000 AS b
+       |    FROM asg)),
+       |leak AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS leaked_pairs
+       |  FROM pairs p
+       |  JOIN spl a ON a.doc_id = p.id_a
+       |  JOIN spl b2 ON b2.doc_id = p.id_b
+       |  WHERE a.split <> b2.split)
+       |SELECT doc_id, group_id, split, md5(text) AS content_md5,
+       |  (SELECT leaked_pairs FROM leak) AS leaked_pairs
+       |FROM spl
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "q240_html_pipeline" -> q240HtmlPipeline _,
+    "q241_component_split" -> q241ComponentSplit _,
     "q239_boilerplate_extract" -> q239BoilerplateExtract _,
     "q238_hard_negatives" -> q238HardNegatives _,
     "q238b_hard_negatives_ivf" -> q238bHardNegativesIvf _,
@@ -5459,6 +5660,8 @@ object TrainingData {
 
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
+    "q240_html_pipeline" -> q240Sql,
+    "q241_component_split" -> q241Sql,
     "q239_boilerplate_extract" -> q239Sql,
     "q238_hard_negatives" -> q238Sql,
     "q238b_hard_negatives_ivf" -> q238bSql,

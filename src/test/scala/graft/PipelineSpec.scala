@@ -194,8 +194,11 @@ class PipelineSpec extends SparkSpec {
     // stage meters: every stage accounted for, monotone doc counts
     val meters = prep.meters.map(m => m.stage -> (m.nRows, m.nTokens)).toMap
     assert(prep.meters.map(_.stage) == Seq("input", "scrubbed", "gated",
-      "exact_dedup", "near_dedup", "substr_scrub", "wordpiece"))
+      "exact_dedup", "near_dedup", "substr_scrub", "wordpiece",
+      "split_leaks"))
     assert(meters("input")._1 == 4 && meters("gated")._1 == 3)
+    // dedup left one doc per component, so no pair can straddle splits
+    assert(meters("split_leaks") == (0L, 0L))
     assert(meters("exact_dedup")._1 == 2 && meters("near_dedup")._1 == 2)
     // the substr stage removed exactly the 12 borrowed tokens
     assert(meters("near_dedup")._2 - meters("substr_scrub")._2 == 12)
@@ -263,5 +266,82 @@ class PipelineSpec extends SparkSpec {
       s"capped survivors $cappedIds != uncapped $uncappedIds")
     // both regimes: flood collapses to its canonical doc, others survive
     assert(cappedIds == Set(1L, 2L, 2000L))
+  }
+
+  test("HTML stage 0: leaked chrome would merge unrelated pages; extraction prevents it") {
+    import spark.implicits._
+    // three pages, IDENTICAL heavy link-chrome, distinct short content:
+    // chrome bytes dwarf content bytes, so if the chrome reached the
+    // shingler every page would be a near-dup of every other
+    val nav = "<nav><a href='/home'>Home page now</a> " +
+      "<a href='/archive'>Archive of older posts</a> " +
+      "<a href='/topics'>All topics index list</a> " +
+      "<a href='/about'>About this site here</a> " +
+      "<a href='/contact'>Contact the whole team</a> " +
+      "<a href='/login'>Member login portal</a> " +
+      "<a href='/search'>Search every article</a> " +
+      "<a href='/help'>Help and support desk</a></nav>"
+    val footer = "<footer><a href='/terms'>Terms of service text</a> " +
+      "<a href='/privacy'>Privacy policy details</a> " +
+      "<a href='/rss'>RSS feed subscription</a> " +
+      "<a href='/jobs'>Jobs and open careers</a></footer>"
+    val contents = Seq(
+      1L -> ("the quick brown fox jumps over one lazy dog near the old " +
+        "barn today at dawn"),
+      2L -> ("winter snow storms blow across the frozen plains while " +
+        "tired travelers rest inside"),
+      3L -> ("bright summer markets sell ripe fruit beside the busy " +
+        "harbor every single morning"))
+    val pages = contents.map { case (id, c) =>
+      (id, s"<html><body>$nav<p>$c</p>$footer</body></html>")
+    }.toDF("doc_id", "text")
+    // WITH extraction: chrome drops, contents are unrelated → all 3
+    // survive, and exactly one block (the content <p>) is kept per page
+    val clean = graft.pipeline.TrainingPipeline.prepare(pages,
+      graft.pipeline.TrainingPipeline.Config(
+        minJaccard = 0.5, htmlExtract = Some(25))).collect()
+    assert(clean.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    assert(clean.forall(_.getAs[Int]("n_kept") == 1))
+    assert(clean.forall(r => !r.getAs[String]("text").contains("Home page")))
+    // WITHOUT extraction (raw HTML fed as text): the shared chrome
+    // dominates the shingles → the three unrelated pages merge into
+    // one near-dup component and only the canonical page survives —
+    // the false-dedup failure mode stage 0 exists to prevent
+    val leaked = graft.pipeline.TrainingPipeline.prepare(pages,
+      graft.pipeline.TrainingPipeline.Config(minJaccard = 0.5)).collect()
+    assert(leaked.map(_.getAs[Long]("doc_id")).toSet == Set(1L),
+      "raw chrome must merge all pages into one component")
+  }
+
+  test("splitByComponent with kept near-dup families: twins share group and split, zero leaks") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and then it " +
+      "runs far away to the old barn where it sleeps for a while in the " +
+      "warm hay before it wakes and hunts again near the river bank"
+    val docs = Seq(
+      (1L, base + " first variant tail words here"),
+      (3L, base + " and some extra trailing words now"), // near dup of 1
+      (5L, "completely different content about winter snow storms " +
+        "blowing across the frozen plains while travelers huddle in " +
+        "small cabins drinking hot tea and telling long stories"))
+      .toDF("doc_id", "text")
+    val prep = graft.pipeline.TrainingPipeline.prepareMetered(docs,
+      graft.pipeline.TrainingPipeline.Config(
+        minJaccard = 0.5, dropNearDups = false,
+        splitByComponent = true, auditableSplit = true,
+        meterStages = true))
+    val rows = prep.corpus.collect()
+    // families KEPT: all three docs present
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L))
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // twins carry the component representative as group, singleton = self
+    assert(byId(1L).getAs[Long]("group_id") == 1L)
+    assert(byId(3L).getAs[Long]("group_id") == 1L)
+    assert(byId(5L).getAs[Long]("group_id") == 5L)
+    // the family lands whole in one split
+    assert(byId(1L).getAs[String]("split") == byId(3L).getAs[String]("split"))
+    // and the pipeline's own stage-8 audit meter proves zero leakage
+    val leak = prep.meters.find(_.stage == "split_leaks")
+    assert(leak.exists(m => m.stageNo == 8 && m.nRows == 0L), s"$leak")
   }
 }
