@@ -122,6 +122,60 @@ object Phrase {
     matchStarts(pos, idCol, terms)
   }
 
+  /** BATCH probe: N phrases against ONE index read — the
+    * contamination-audit shape (thousands of probe phrases per run),
+    * where per-phrase [[phraseMatchesFromIndex]] calls would each pay
+    * their own scan of the term buckets. One read of the UNION of all
+    * phrases' buckets, then a single relational adjacency pass: each
+    * (phrase, offset, term) row joins the postings to a candidate
+    * start `pos − offset`, and a start is a match iff ALL `len` offsets
+    * hit — `count(*) == len` per (phrase, doc, start), exact because a
+    * posting row can satisfy only the offset that produced it. Same
+    * per-phrase semantics as [[phraseMatches]] (overlaps count,
+    * repeated terms handled), proven in PhraseSpec.
+    *
+    * Output: (phrase_id, idCol, n_matches, first_pos) — `phrase_id` is
+    * the 0-based index into `phrases`; phrases with no match
+    * contribute no rows.
+    *
+    * Scale: the phrase table is driver-side tiny (Σ phrase lengths)
+    * and broadcast; the postings read is pruned to the probed buckets
+    * (PartitionFilters); the one exchange is keyed
+    * (phrase_id, doc, start) and bounded by Σ per-phrase posting
+    * volumes — the same bound as N separate probes, paid with ONE scan
+    * and ONE shuffle instead of N.
+    */
+  def phraseMatchesMany(spark: SparkSession, path: String, idCol: String,
+      phrases: Seq[Seq[String]], nBuckets: Int = 32): DataFrame = {
+    require(phrases.nonEmpty, "phrases must be non-empty")
+    val norm = phrases.map(normalized)
+    graft.sinks.Pruning.requireIndexParams(spark, path, "positional",
+      Map("n_buckets" -> nBuckets.toLong))
+    val allTerms = norm.flatten.distinct
+    val buckets = allTerms.map(Ranking.md5BucketOf(_, nBuckets)).distinct
+    import spark.implicits._
+    val phraseTerms = norm.zipWithIndex.flatMap { case (ts, pid) =>
+      ts.zipWithIndex.map { case (t, i) =>
+        (pid.toLong, t, i.toLong, ts.length.toLong)
+      }
+    }.toDF("phrase_id", "term", "_i", "_len")
+    val pos = spark.read.parquet(s"$path/postings")
+      .filter(col("tb").isin(buckets: _*) &&
+        col("term").isin(allTerms: _*))
+      .select(col("_id"), col("pos"), col("term"))
+    pos.join(broadcast(phraseTerms), Seq("term"))
+      .select(col("phrase_id"), col("_id"),
+        (col("pos").cast(LongType) - col("_i")).as("_start"), col("_len"))
+      .groupBy(col("phrase_id"), col("_id"), col("_start"))
+      .agg(count(lit(1)).as("_hits"), max(col("_len")).as("_len"))
+      .filter(col("_hits") === col("_len"))
+      .groupBy(col("phrase_id"), col("_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_matches"),
+        min(col("_start")).as("first_pos"))
+      .select(col("phrase_id"), col("_id").as(idCol),
+        col("n_matches"), col("first_pos"))
+  }
+
   private def normalized(phrase: Seq[String]): Seq[String] = {
     val terms = phrase.map(_.trim.toLowerCase)
     require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.exists(_.isWhitespace)),

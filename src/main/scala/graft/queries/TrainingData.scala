@@ -5173,6 +5173,61 @@ object TrainingData {
 
   val q237bSql: String = phraseSql(Seq("a", "key", "column"))
 
+  /** Batch phrase probe
+    * ([[graft.operators.Phrase.phraseMatchesMany]]): three phrases —
+    * two that hit the corpus, one that cannot — answered from ONE
+    * positional-index read (a single postings scan + one
+    * (phrase, doc, start) exchange; PhraseSpec pins the one-scan plan
+    * shape). The contamination-audit consumer runs thousands of probe
+    * phrases; per-phrase probes would pay a bucket scan each. The
+    * oracle replays every phrase independently from full positional
+    * joins and unions the reports — per-phrase semantics must be
+    * IDENTICAL to q237's scan path, no-match phrases contribute no
+    * rows.
+    */
+  def q242PhraseBatch(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q242", dir) + "/ix"
+    val docs = Tables.documents(s, dir)
+    graft.operators.Phrase.writePositionalIndex(
+      docs, "doc_id", "text", path, nBuckets = 32)
+    graft.operators.Phrase.phraseMatchesMany(s, path, "doc_id",
+      Seq(Seq("a", "key", "column"), Seq("table", "hash"),
+        Seq("zqxval", "never", "present")),
+      nBuckets = 32)
+      .orderBy("phrase_id", "doc_id")
+  }
+
+  val q242Sql: String = {
+    def arm(pid: Int, terms: Seq[String]): String = {
+      val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+        s"  JOIN p t$i ON t$i.doc_id = t0.doc_id AND t$i.pos = t0.pos + $i AND t$i.term = '$t'"
+      }.mkString("\n")
+      s"""SELECT CAST($pid AS BIGINT) AS phrase_id, doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_matches,
+         |  CAST(min(pos) AS BIGINT) AS first_pos
+         |FROM (
+         |  SELECT t0.doc_id, t0.pos
+         |  FROM p t0
+         |$joins
+         |  WHERE t0.term = '${terms.head}') m
+         |GROUP BY doc_id""".stripMargin
+    }
+    val arms = Seq(
+      arm(0, Seq("a", "key", "column")),
+      arm(1, Seq("table", "hash")),
+      arm(2, Seq("zqxval", "never", "present"))).mkString("\nUNION ALL\n")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                w -> length(w) > 0) AS l
+       |  FROM documents WHERE text IS NOT NULL),
+       |p AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos, l[u.i] AS term
+       |  FROM t, unnest(range(1, len(l) + 1)) AS u(i))
+       |$arms
+       |ORDER BY phrase_id, doc_id""".stripMargin
+  }
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -5560,6 +5615,7 @@ object TrainingData {
     "q238b_hard_negatives_ivf" -> q238bHardNegativesIvf _,
     "q237_phrase_search" -> q237PhraseSearch _,
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
+    "q242_phrase_batch" -> q242PhraseBatch _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -5667,6 +5723,7 @@ object TrainingData {
     "q238b_hard_negatives_ivf" -> q238bSql,
     "q237_phrase_search" -> q237Sql,
     "q237b_phrase_indexed" -> q237bSql,
+    "q242_phrase_batch" -> q242Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,

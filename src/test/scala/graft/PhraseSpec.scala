@@ -98,6 +98,50 @@ class PhraseSpec extends SparkSpec {
     assert(e.getMessage.contains("n_buckets"))
   }
 
+  test("batch probe equals per-phrase probes, one postings scan total") {
+    val d = docs(
+      1L -> "the quick fox and the quick dog",
+      2L -> "a a a a",
+      3L -> "x y x z x y x",
+      4L -> "nothing relevant at all")
+    val dir = java.nio.file.Files.createTempDirectory("phrasemany").toString
+    Phrase.writePositionalIndex(d, "doc_id", "text", dir, nBuckets = 8)
+    val phrases = Seq(
+      Seq("the", "quick"),     // 2 overlapping-free matches in doc 1
+      Seq("a", "a"),           // overlapping matches in doc 2
+      Seq("x", "y", "x"),      // repeated phrase term, doc 3
+      Seq("zz", "not", "here")) // no match anywhere
+    val batch = Phrase.phraseMatchesMany(spark, dir, "doc_id", phrases,
+      nBuckets = 8)
+    val got = batch.collect().map(r => (r.getAs[Long]("phrase_id"),
+      r.getAs[Long]("doc_id"), r.getAs[Long]("n_matches"),
+      r.getAs[Long]("first_pos"))).toSet
+    // per-phrase ground truth from the scan path
+    val expect = phrases.zipWithIndex.flatMap { case (p, pid) =>
+      Phrase.phraseMatches(d, "doc_id", "text", p).collect().map(r =>
+        (pid.toLong, r.getAs[Long]("doc_id"), r.getAs[Long]("n_matches"),
+          r.getAs[Long]("first_pos")))
+    }.toSet
+    assert(got == expect)
+    assert(!got.exists(_._1 == 3L), "no-match phrase must contribute no rows")
+    // the whole batch reads the postings ONCE — one parquet scan node
+    // (flatten through the AQE wrapper; collect() above finalized it)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(flatten)
+    }
+    val scans = flatten(batch.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.length == 1, s"expected one postings scan, got ${scans.length}")
+  }
+
   test("rejects empty and multi-token phrase elements") {
     val d = docs(1L -> "a b")
     intercept[IllegalArgumentException] {
