@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+import graft.functions.TextFunctions.{md5Hash60, nonEmptyTokens}
+
+/** Corpus-level BLEU counting (Papineni et al., "BLEU: a Method for
+  * Automatic Evaluation of Machine Translation", ACL 2002) — the
+  * generation-evaluation step a synthetic-data pipeline runs when it
+  * compares a model's rewrites/translations against references at
+  * corpus scale. The reference ETL has no evaluation concept at all.
+  *
+  * [[corpusNgramPrecision]] produces the exact integer CORE of BLEU —
+  * per-order clipped matches and totals plus the candidate/reference
+  * length totals (the brevity-penalty ratio) — rather than one float
+  * score: the counts are what aggregate across shards and replay on
+  * any engine; the float exponentiation is a driver-side afterthought
+  * the caller can apply (and the add-one-smoothed log2 precision is
+  * included in the exact integer micro-log2 convention shared with
+  * q210/q218/q234, so rank-ordering corpora by quality needs no float
+  * at all).
+  *
+  * Determinism / scale contract: tokens are the lowercased
+  * whitespace tokens used everywhere else ([[Ranking]]); n-grams are
+  * keyed by their 60-bit md5 ([[md5Hash60]] — the corpus-dedup
+  * convention), so the per-order exchange carries (doc, 60-bit hash,
+  * count) partials, never gram text. A hash collision would merge two
+  * distinct grams' counts (P < 2⁻⁶⁰ per gram pair, and the oracle
+  * replays the same hash, so cross-engine equality is unconditional).
+  * Everything map-side combines; the final aggregate is maxN 1-row
+  * frames.
+  */
+object Bleu {
+
+  /** All order-`n` grams of the lowercased whitespace tokens of `c`,
+    * space-joined (tokens contain no whitespace, so the join is
+    * unambiguous). Documents with fewer than n tokens yield no grams.
+    */
+  private[graft] def ngrams(c: Column, n: Int): Column = {
+    val toks = nonEmptyTokens(lower(c))
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** Per-order clipped n-gram precision counts over (candidate,
+    * reference) pairs:
+    *
+    *   - `matched` = Σ_docs Σ_g min(cand_count(g), ref_count(g)) —
+    *     the CLIPPED numerator (a candidate repeating a gram more
+    *     often than its reference gets no credit for the excess)
+    *   - `total`   = Σ_docs Σ_g cand_count(g)
+    *   - `prec_micro_log2` = ilog2µ(matched+1) − ilog2µ(total+1) —
+    *     add-one-smoothed log2 precision in exact integer micro units
+    *   - `cand_tokens` / `ref_tokens` — corpus length totals (the
+    *     caller's brevity-penalty ratio), constant across rows
+    *
+    * Output: one row per order n = 1..maxN.
+    */
+  def corpusNgramPrecision(pairs: DataFrame, idCol: String,
+      candCol: String, refCol: String, maxN: Int): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"bad maxN $maxN")
+    def gramCounts(side: Column, n: Int): DataFrame =
+      pairs.select(col(idCol).as("_id"), explode(ngrams(side, n)).as("_g"))
+        .groupBy(col("_id"), md5Hash60(col("_g")).as("_gh"))
+        .agg(count(lit(1)).as("_c"))
+    val perN = (1 to maxN).map { n =>
+      gramCounts(col(candCol), n)
+        .join(gramCounts(col(refCol), n).withColumnRenamed("_c", "_r"),
+          Seq("_id", "_gh"), "left")
+        .agg(
+          coalesce(sum(least(col("_c"), coalesce(col("_r"), lit(0L)))),
+            lit(0L)).cast(LongType).as("matched"),
+          coalesce(sum(col("_c")), lit(0L)).cast(LongType).as("total"))
+        .select(lit(n).as("n"), col("matched"), col("total"))
+    }.reduce(_ unionByName _)
+    val lens = pairs.agg(
+      coalesce(sum(size(nonEmptyTokens(lower(col(candCol)))).cast(LongType)),
+        lit(0L)).as("cand_tokens"),
+      coalesce(sum(size(nonEmptyTokens(lower(col(refCol)))).cast(LongType)),
+        lit(0L)).as("ref_tokens"))
+    perN
+      .withColumn("prec_micro_log2",
+        Unigram.ilog2Micro(col("matched") + 1L) -
+          Unigram.ilog2Micro(col("total") + 1L))
+      .crossJoin(broadcast(lens))
+      .select(col("n"), col("matched"), col("total"),
+        col("prec_micro_log2"), col("cand_tokens"), col("ref_tokens"))
+  }
+}

@@ -5228,6 +5228,91 @@ object TrainingData {
        |ORDER BY phrase_id, doc_id""".stripMargin
   }
 
+  /** Corpus BLEU counting ([[graft.operators.Bleu
+    * .corpusNgramPrecision]]): candidates are deterministic
+    * perturbations of the reference documents — even doc_ids truncate
+    * to the first 60% of tokens (the brevity side), odd doc_ids append
+    * their own first 5 tokens (repeats, so CLIPPING must bite: the
+    * excess gram occurrences earn no credit). The oracle rebuilds both
+    * sides, re-derives every order's gram multisets under the same
+    * 60-bit md5 keys, replays min-clipping, totals, and the
+    * micro-log2 smoothed precision in HUGEINT-exact arithmetic —
+    * a wrong clip, a boundary gram, or an off-by-one in the gram
+    * window changes `matched` and breaks the hash.
+    */
+  def q243BleuCounts(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val pairs = docs
+      .withColumn("_t",
+        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
+      .withColumn("cand",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          expr("array_join(slice(_t, 1, greatest(1, (size(_t) * 3) DIV 5)), ' ')"))
+          .otherwise(
+            expr("array_join(concat(_t, slice(_t, 1, least(5, size(_t)))), ' ')")))
+      .select(col("doc_id"), col("cand"), col("text").as("ref"))
+    graft.operators.Bleu.corpusNgramPrecision(
+      pairs, "doc_id", "cand", "ref", maxN = 4)
+      .orderBy("n")
+  }
+
+  val q243Sql: String = {
+    def ilog(x: String) = ilogSql(x)
+    def gramCte(tag: String, listCol: String, n: Int): String =
+      s"""${tag}$n AS (
+         |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT AS gh,
+         |    count(*) AS c
+         |  FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(range(1, len($listCol)-$n+2),
+         |        i -> array_to_string($listCol[i:i+$n-1], ' '))) AS g
+         |    FROM tok WHERE len($listCol) >= $n)
+         |  GROUP BY doc_id, gh)""".stripMargin
+    val gramCtes = (1 to 4).flatMap(n =>
+      Seq(gramCte("cg", "cl", n), gramCte("rg", "rl", n))).mkString(",\n")
+    val arms = (1 to 4).map(n =>
+      s"""SELECT CAST($n AS INT) AS n,
+         |  coalesce(CAST(sum(least(cg$n.c, coalesce(r.c2, 0))) AS BIGINT), 0)
+         |    AS matched,
+         |  coalesce(CAST(sum(cg$n.c) AS BIGINT), 0) AS total
+         |FROM cg$n
+         |LEFT JOIN (SELECT doc_id, gh, c AS c2 FROM rg$n) r
+         |  USING (doc_id, gh)""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> length(x) > 0) AS tl
+       |  FROM documents WHERE text IS NOT NULL),
+       |prs AS (
+       |  SELECT doc_id, text AS ref,
+       |    CASE WHEN doc_id % 2 = 0
+       |         THEN array_to_string(tl[1:greatest(1, (len(tl)*3)//5)], ' ')
+       |         ELSE array_to_string(list_concat(tl, tl[1:least(5, len(tl))]), ' ')
+       |    END AS cand
+       |  FROM t0),
+       |tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(lower(cand)), '\\s+'),
+       |      w -> length(w) > 0) AS cl,
+       |    list_filter(string_split_regex(trim(lower(ref)), '\\s+'),
+       |      w -> length(w) > 0) AS rl
+       |  FROM prs),
+       |$gramCtes,
+       |lens AS (
+       |  SELECT coalesce(CAST(sum(len(cl)) AS BIGINT), 0) AS cand_tokens,
+       |    coalesce(CAST(sum(len(rl)) AS BIGINT), 0) AS ref_tokens
+       |  FROM tok),
+       |pn AS (
+       |$arms)
+       |SELECT n, matched, total,
+       |  (${ilog("(matched+1)")}) - (${ilog("(total+1)")}) AS prec_micro_log2,
+       |  (SELECT cand_tokens FROM lens) AS cand_tokens,
+       |  (SELECT ref_tokens FROM lens) AS ref_tokens
+       |FROM pn
+       |ORDER BY n""".stripMargin
+  }
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -5616,6 +5701,7 @@ object TrainingData {
     "q237_phrase_search" -> q237PhraseSearch _,
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
     "q242_phrase_batch" -> q242PhraseBatch _,
+    "q243_bleu_counts" -> q243BleuCounts _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -5724,6 +5810,7 @@ object TrainingData {
     "q237_phrase_search" -> q237Sql,
     "q237b_phrase_indexed" -> q237bSql,
     "q242_phrase_batch" -> q242Sql,
+    "q243_bleu_counts" -> q243Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,
