@@ -76,12 +76,19 @@ object Markup {
     val parts = split(c, numRefRe, -1)
     val refs = regexp_extract_all(c, lit(numRefGroupRe), lit(1))
     val decoded = transform(refs, r => chrUnicode(refCodepoint(r)))
-    concat(
+    val full = concat(
       aggregate(
         zip_with(slice(parts, lit(1), size(refs)), decoded,
           (p, d) => concat(p, d)),
         lit(""), (acc, x) => concat(acc, x)),
       element_at(parts, -1))
+    // fast path: no "&#" substring → no reference can match → the
+    // decode is the identity. Most blocks of real markup (nav chrome,
+    // anchors measured for link density) carry no numeric refs, and
+    // the split/extract/interleave machinery is the expensive part of
+    // the strip chain — one instr() guards it. NULL input takes the
+    // otherwise branch and stays NULL either way.
+    when(instr(c, "&#") > 0, full).otherwise(c)
   }
 
   /** Remove every remaining tag and decode entities — the five named

@@ -5313,6 +5313,121 @@ object TrainingData {
        |ORDER BY n""".stripMargin
   }
 
+  /** URL canonicalization ([[graft.operators.Urls.canonicalize]]):
+    * deterministic synthetic URLs built from each document's fields
+    * exercise every rule — mixed-case scheme/host (lowercased),
+    * default ports :80/:443 (stripped) vs :8080 (kept), utm_* and
+    * click-id tracking params (dropped and counted), unsorted
+    * remaining params (sorted — note 'A=2' sorts before 'z=9' in byte
+    * order, pinning the collation), fragments (dropped), and co.uk
+    * hosts (three-label registrable domain). The oracle replays the
+    * PARSER rules on the same strings — it never shortcuts from the
+    * generator — so a regex off-by-one in authority/path/query
+    * splitting breaks the hash.
+    */
+  def q244UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val url = concat(
+      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS"))
+        .otherwise(lit("http")),
+      lit("://WWW."), col("source"),
+      when(pmod(col("doc_id"), lit(3)) === 0, lit(".Example.CO.UK"))
+        .otherwise(lit(".Example.COM")),
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        when(pmod(col("doc_id"), lit(2)) === 0, lit(":443"))
+          .otherwise(lit(":80")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, lit(":8080"))
+        .otherwise(lit("")),
+      lit("/Docs/"), col("doc_id").cast("string"),
+      when(pmod(col("doc_id"), lit(2)) === 0,
+        concat(lit("?utm_source=feed&b="), col("lang"),
+          lit("&utm_campaign=spring&a=1&fbclid=XYZ")))
+        .otherwise(lit("?z=9&A=2&gclid=g1")),
+      when(pmod(col("doc_id"), lit(5)) === 0, lit("#sec2"))
+        .otherwise(lit("")))
+    docs.select(col("doc_id"),
+        graft.operators.Urls.canonicalize(url).as("u"))
+      .select(col("doc_id"), col("u.canonical_url").as("canonical_url"),
+        col("u.host").as("host"),
+        col("u.registrable_domain").as("registrable_domain"),
+        col("u.n_params_dropped").as("n_params_dropped"))
+      .orderBy("doc_id")
+  }
+
+  val q244Sql: String = {
+    val tracking = "('fbclid','gclid','msclkid','igshid','mc_eid','ref')"
+    val suffixes = graft.operators.Urls.multiPartSuffixes
+      .map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+       |    '://WWW.' || source ||
+       |    (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
+       |          ELSE '.Example.COM' END) ||
+       |    (CASE WHEN doc_id % 4 = 0
+       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+       |          WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+       |    '/Docs/' || CAST(doc_id AS VARCHAR) ||
+       |    (CASE WHEN doc_id % 2 = 0
+       |          THEN '?utm_source=feed&b=' || lang ||
+       |               '&utm_campaign=spring&a=1&fbclid=XYZ'
+       |          ELSE '?z=9&A=2&gclid=g1' END) ||
+       |    (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS u
+       |  FROM documents),
+       |parsed AS (
+       |  SELECT doc_id, u,
+       |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+       |      AS scheme,
+       |    lower(regexp_extract(
+       |      regexp_extract(
+       |        regexp_extract(regexp_replace(u,
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+       |        '([^@]*)$$', 1),
+       |      '^([^:]*)', 1)) AS host,
+       |    regexp_extract(
+       |      regexp_extract(
+       |        regexp_extract(regexp_replace(u,
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+       |        '([^@]*)$$', 1),
+       |      ':([0-9]+)$$', 1) AS port,
+       |    regexp_extract(regexp_replace(u,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1)
+       |      AS path0,
+       |    regexp_extract(u,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)', 1) AS query
+       |  FROM d),
+       |par AS (
+       |  SELECT doc_id, scheme, host, port,
+       |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
+       |    list_filter(string_split(query, '&'), p -> length(p) > 0) AS raw
+       |  FROM parsed),
+       |flt AS (
+       |  SELECT doc_id, scheme, host, port, path, raw,
+       |    list_sort(list_filter(raw, p ->
+       |      NOT (starts_with(lower(split_part(p, '=', 1)), 'utm_')
+       |           OR lower(split_part(p, '=', 1)) IN $tracking))) AS kept,
+       |    string_split(host, '.') AS labels
+       |  FROM par)
+       |SELECT doc_id,
+       |  scheme || '://' || host ||
+       |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |               OR (scheme = 'https' AND port = '443')
+       |          THEN '' ELSE ':' || port END) ||
+       |  path ||
+       |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+       |        ELSE '' END) AS canonical_url,
+       |  host,
+       |  CASE WHEN len(labels) >= 3
+       |            AND labels[-2] || '.' || labels[-1] IN $suffixes
+       |       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |       WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+       |       ELSE host END AS registrable_domain,
+       |  CAST(len(raw) - len(kept) AS INTEGER) AS n_params_dropped
+       |FROM flt
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -5702,6 +5817,7 @@ object TrainingData {
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
     "q242_phrase_batch" -> q242PhraseBatch _,
     "q243_bleu_counts" -> q243BleuCounts _,
+    "q244_url_canonicalize" -> q244UrlCanonicalize _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -5811,6 +5927,7 @@ object TrainingData {
     "q237b_phrase_indexed" -> q237bSql,
     "q242_phrase_batch" -> q242Sql,
     "q243_bleu_counts" -> q243Sql,
+    "q244_url_canonicalize" -> q244Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,
