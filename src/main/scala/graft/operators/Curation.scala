@@ -190,4 +190,69 @@ object Curation {
       b(rRe).as("r_repetition"),
       b(rWc && rWl && rSw && rSy && rRe).as("keep"))
   }
+
+  /** Obfuscation fold for blocklist matching: the normalization that
+    * makes `SP4MW0RD`, `sp@mw0rd` and `sp​amword` (zero-width space
+    * inside) all match the blocklist entry `spamword`. Applied to BOTH
+    * the corpus tokens and the blocklist terms, in order:
+    *
+    *  1. lowercase
+    *  2. strip zero-width/invisible characters (U+200B..U+200D,
+    *     U+FEFF — the classic filter-evasion insert)
+    *  3. leetspeak character fold (`translate`, one pass):
+    *     0→o 1→l 3→e 4→a 5→s 7→t 8→b @→a $→s !→i
+    *  4. collapse repeated VOWEL runs (aa+→a per vowel — five
+    *     RE2-safe literal-class regexes; a generic same-char squeeze
+    *     needs a backreference, which RE2 lacks, so it is out of the
+    *     cross-engine subset by design)
+    *
+    * This is a MATCHING fold, not display normalization — legit words
+    * also change (`cool`→`col`), which is fine because the blocklist
+    * folds identically. Row-local `translate`/`regexp_replace`
+    * natives; zero exchanges.
+    */
+  def obfuscationFold(c: Column): Column = {
+    val lowered = lower(c)
+    val noZw = regexp_replace(lowered,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    val leet = translate(noZw, "0134578@$!", "oleastbasi")
+    Seq("a", "e", "i", "o", "u").foldLeft(leet)((acc, v) =>
+      regexp_replace(acc, s"$v{2,}", v))
+  }
+
+  /** Fold the obfuscation out of a string on the DRIVER — the exact
+    * Scala twin of [[obfuscationFold]], used to fold blocklist terms
+    * before broadcasting them (terms are driver-side literals).
+    */
+  private[graft] def foldTerm(t: String): String = {
+    val zw = Set('\u200B', '\u200C', '\u200D', '\uFEFF')
+    val map = "0134578@$!".zip("oleastbasi").toMap
+    val leet = t.toLowerCase.filterNot(zw).map(ch => map.getOrElse(ch, ch))
+    Seq('a', 'e', 'i', 'o', 'u').foldLeft(leet)((acc, v) =>
+      acc.replaceAll(s"$v{2,}", v.toString))
+  }
+
+  /** Blocklist matching over folded tokens: documents whose folded
+    * whitespace tokens contain any folded blocklist term, with hit
+    * counts. Output: (idCol, n_hits, n_terms) for MATCHED documents
+    * only — callers anti-join to drop them or join to inspect.
+    *
+    * Scale: the blocklist folds driver-side and broadcasts (safety
+    * lists are thousands of terms); the corpus folds in the scan
+    * projection, tokens reduce to per-doc hit partials through the
+    * one id-keyed aggregate. Token text joins against the broadcast
+    * list map-side — no corpus-sized exchange of text.
+    */
+  def blocklistHits(df: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "blocklist must be non-empty")
+    val folded = terms.map(foldTerm).distinct
+    val toks = nonEmptyTokens(obfuscationFold(col(textCol)))
+    df.select(col(idCol).as("_id"), explode(toks).as("_t"))
+      .filter(col("_t").isin(folded: _*))
+      .groupBy(col("_id"))
+      .agg(count(lit(1)).cast(LongType).as("n_hits"),
+        countDistinct(col("_t")).cast(LongType).as("n_terms"))
+      .select(col("_id").as(idCol), col("n_hits"), col("n_terms"))
+  }
 }

@@ -5428,6 +5428,60 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Obfuscation-folded blocklist matching
+    * ([[graft.operators.Curation.blocklistHits]]): planted evasions —
+    * leetspeak (`SP4MW0RD`), symbol substitution (`b@dtoken` twice,
+    * once with an extra 0→o fold), and a zero-width space inserted
+    * mid-word — must all match their blocklist entries after the fold.
+    * The oracle replays the ENTIRE fold chain (lowercase, zero-width
+    * strip, translate table, per-vowel run squeeze) on the same
+    * planted text; the blocklist terms are fold fixed points
+    * (documented), so both engines match them verbatim.
+    */
+  def q245BlocklistFold(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val planted = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(10)) === 0,
+        concat(col("text"), lit(" SP4MW0RD extra")))
+        .when(pmod(col("doc_id"), lit(10)) === 1,
+          concat(col("text"), lit(" b@dtoken and b@dt0ken")))
+        .when(pmod(col("doc_id"), lit(10)) === 2,
+          concat(col("text"), lit(" ev\u200Bilco ends")))
+        .otherwise(col("text")))
+    graft.operators.Curation.blocklistHits(
+      planted, "doc_id", "text", Seq("spamword", "badtoken", "evilco"))
+      .orderBy("doc_id")
+  }
+
+  val q245Sql: String = {
+    val zw = "\u200B"
+    def fold(x: String): String = {
+      val base = s"translate(regexp_replace(lower($x), " +
+        "'[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), " +
+        "'0134578@$!', 'oleastbasi')"
+      Seq("a", "e", "i", "o", "u").foldLeft(base)((acc, v) =>
+        s"regexp_replace($acc, '$v{2,}', '$v', 'g')")
+    }
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 10 = 0 THEN text || ' SP4MW0RD extra'
+       |         WHEN doc_id % 10 = 1 THEN text || ' b@dtoken and b@dt0ken'
+       |         WHEN doc_id % 10 = 2 THEN text || ' ev${zw}ilco ends'
+       |         ELSE text END AS text
+       |  FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_filter(
+       |    string_split_regex(trim(${fold("text")}), '\\s+'),
+       |    w -> length(w) > 0)) AS t
+       |  FROM planted)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(count(DISTINCT t) AS BIGINT) AS n_terms
+       |FROM tok
+       |WHERE t IN ('spamword', 'badtoken', 'evilco')
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -5818,6 +5872,7 @@ object TrainingData {
     "q242_phrase_batch" -> q242PhraseBatch _,
     "q243_bleu_counts" -> q243BleuCounts _,
     "q244_url_canonicalize" -> q244UrlCanonicalize _,
+    "q245_blocklist_fold" -> q245BlocklistFold _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -5928,6 +5983,7 @@ object TrainingData {
     "q242_phrase_batch" -> q242Sql,
     "q243_bleu_counts" -> q243Sql,
     "q244_url_canonicalize" -> q244Sql,
+    "q245_blocklist_fold" -> q245Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,

@@ -208,4 +208,44 @@ class CurationSpec extends SparkSpec {
       .temperatureSample(d, "doc_id", "source", targetTotal = 1000000L)
       .count() == 90L)
   }
+
+  // ---------------- obfuscationFold / blocklistHits ----------------
+
+  test("obfuscationFold: leet, symbols, zero-width, vowel runs") {
+    import org.apache.spark.sql.functions._
+    val d = docs(1L -> "placeholder")
+    def fold(s: String): String = d
+      .select(graft.operators.Curation.obfuscationFold(lit(s)).as("f"))
+      .collect()(0).getString(0)
+    assert(fold("SP4MW0RD") == "spamword")
+    assert(fold("b@dt0ken") == "badtoken")
+    assert(fold("ev\u200Bil\uFEFFco") == "evilco")
+    assert(fold("spaaamword") == "spamword")   // vowel run squeezed
+    assert(fold("c00l") == "col")              // matching fold, not display
+    assert(fold("$5") == "ss")                 // $→s, 5→s
+    assert(graft.operators.Curation.foldTerm("SP4MW0RD") == "spamword")
+    assert(graft.operators.Curation.foldTerm("ev\u200Bilco") == "evilco")
+  }
+
+  test("blocklistHits: folded corpus tokens match folded terms, counts exact") {
+    val d = docs(
+      1L -> "clean text with nothing bad here",
+      2L -> "contains SP4MW0RD once",
+      3L -> "b@dtoken twice b@dt0ken yes",
+      4L -> "zero width ev\u200Bilco hidden and spamword plain")
+    val got = graft.operators.Curation
+      .blocklistHits(d, "doc_id", "text",
+        Seq("spamword", "badtoken", "evilco"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_terms"))).toMap
+    assert(got == Map(2L -> (1L, 1L), 3L -> (2L, 1L), 4L -> (2L, 2L)))
+  }
+
+  test("blocklistHits folds the BLOCKLIST side too") {
+    val d = docs(1L -> "plain spamword here")
+    val got = graft.operators.Curation
+      .blocklistHits(d, "doc_id", "text", Seq("SP4MW0RD"))
+      .collect()
+    assert(got.length == 1 && got(0).getAs[Long]("n_hits") == 1L)
+  }
 }
