@@ -5482,6 +5482,66 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Sentence segmentation ([[graft.operators.Sentences.segment]]):
+    * every fourth document gets an abbreviation gauntlet appended —
+    * `Dr.` / `Prof.` / `fig.` (one-dot abbreviations), `e.g.` / `p.m.`
+    * (two-dot forms whose INNER dot is the classic false split),
+    * a decimal `3.14`, and `!`/`?` terminators — and the per-doc
+    * sentence count, total sentence characters, and the md5 of the
+    * unit-separator-joined sentence array must match the oracle's
+    * replay of the full mask-split-unmask chain. A wrong mask order
+    * (two-dot forms after one-dot) or a boundary slip changes the
+    * sentence array and breaks the hash.
+    */
+  def q246SentenceSegment(s: SparkSession, dir: String): DataFrame = {
+    val gauntlet = " Dr. Smith met Prof. Jones at 3.14 today! They e.g. " +
+      "agreed on p.m. plans. Look at fig. 7 now? The end"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    val planted = docs.withColumn("text",
+      when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(col("text"), lit(gauntlet)))
+        .otherwise(col("text")))
+    val sents = graft.operators.Sentences.segment(col("text"))
+    planted.select(col("doc_id"),
+        size(sents).cast(IntegerType).as("n_sentences"),
+        length(array_join(sents, "")).cast(LongType).as("total_sent_chars"),
+        md5(array_join(sents, "\u001F")).as("sents_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q246Sql: String = {
+    val gauntlet = " Dr. Smith met Prof. Jones at 3.14 today! They e.g. " +
+      "agreed on p.m. plans. Look at fig. 7 now? The end"
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN text || '$gauntlet'
+       |         ELSE text END AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |seg AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      regexp_extract_all(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              trim(regexp_replace(text, '\\s+', ' ', 'g')),
+       |              '(?i)\\b([eipa])\\.([gem])\\.',
+       |              '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+       |            '(?i)\\b(mr|mrs|ms|dr|prof|st|vs|etc|fig|inc|ltd|jr|sr)\\.',
+       |            '\\1' || chr(1), 'g'),
+       |          '([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'),
+       |        '[^.!?]+(?:[.!?]+|$$)'),
+       |      x -> trim(replace(x, chr(1), '.'))),
+       |      x -> length(x) > 0) AS l
+       |  FROM planted)
+       |SELECT doc_id, CAST(len(l) AS INTEGER) AS n_sentences,
+       |  CAST(length(array_to_string(l, '')) AS BIGINT) AS total_sent_chars,
+       |  md5(array_to_string(l, chr(31))) AS sents_md5
+       |FROM seg
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -5873,6 +5933,7 @@ object TrainingData {
     "q243_bleu_counts" -> q243BleuCounts _,
     "q244_url_canonicalize" -> q244UrlCanonicalize _,
     "q245_blocklist_fold" -> q245BlocklistFold _,
+    "q246_sentence_segment" -> q246SentenceSegment _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -5984,6 +6045,7 @@ object TrainingData {
     "q243_bleu_counts" -> q243Sql,
     "q244_url_canonicalize" -> q244Sql,
     "q245_blocklist_fold" -> q245Sql,
+    "q246_sentence_segment" -> q246Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,
