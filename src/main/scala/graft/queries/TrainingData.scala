@@ -5542,6 +5542,78 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** T5-style span corruption ([[graft.operators.SpanCorrupt
+    * .corrupt]]): the whole corpus turned into (input, target)
+    * denoising pairs under the derandomized block sampler — every full
+    * 8-token block hides one hash-placed span of 1–3 tokens behind its
+    * numbered sentinel. The oracle recomputes every block's two md5
+    * hashes, span geometry, the exact slice boundaries, the sentinel
+    * numbering, the tail passthrough, and both reassembled strings
+    * (pinned by md5) — an off-by-one in any slice or a wrong hash
+    * string changes input/target and breaks the hash.
+    */
+  def q247SpanCorrupt(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+    graft.operators.SpanCorrupt.corrupt(docs, "doc_id", "text",
+        blockLen = 8, maxSpan = 3)
+      .select(col("doc_id"),
+        md5(col("input_text")).as("input_md5"),
+        md5(col("target_text")).as("target_md5"),
+        col("n_tokens"), col("n_spans"), col("n_corrupted"))
+      .orderBy("doc_id")
+  }
+
+  val q247Sql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> length(x) > 0) AS tl
+       |  FROM documents WHERE text IS NOT NULL),
+       |blk AS (
+       |  SELECT doc_id, tl, len(tl) AS n,
+       |    CAST(len(tl) // 8 AS INTEGER) AS nb
+       |  FROM tok),
+       |geo AS (
+       |  SELECT doc_id, tl, n, nb, CAST(u.k AS INTEGER) AS k,
+       |    CAST(('0x'||substr(md5(doc_id::VARCHAR || ':' || u.k::VARCHAR),
+       |      1, 15))::BIGINT % 3 + 1 AS INTEGER) AS L
+       |  FROM blk, unnest(range(0, nb)) AS u(k)),
+       |geo2 AS (
+       |  SELECT doc_id, tl, n, nb, k, L,
+       |    CAST(('0x'||substr(md5(doc_id::VARCHAR || ':' || k::VARCHAR
+       |      || ':o'), 1, 15))::BIGINT % (8 - L + 1) AS INTEGER) AS s
+       |  FROM geo),
+       |partsk AS (
+       |  SELECT doc_id, k, L,
+       |    array_to_string(list_concat(list_concat(
+       |      tl[k*8+1 : k*8+s],
+       |      ['<extra_id_' || k::VARCHAR || '>']),
+       |      tl[k*8+s+L+1 : k*8+8]), ' ') AS ip,
+       |    array_to_string(list_concat(
+       |      ['<extra_id_' || k::VARCHAR || '>'],
+       |      tl[k*8+s+1 : k*8+s+L]), ' ') AS tp
+       |  FROM geo2),
+       |agg AS (
+       |  SELECT doc_id,
+       |    string_agg(ip, ' ' ORDER BY k) AS inp,
+       |    string_agg(tp, ' ' ORDER BY k) AS tgt,
+       |    CAST(sum(L) AS INTEGER) AS n_corrupted
+       |  FROM partsk GROUP BY doc_id)
+       |SELECT b.doc_id,
+       |  md5(CASE
+       |    WHEN b.n = 0 THEN ''
+       |    WHEN b.nb = 0 THEN array_to_string(b.tl, ' ')
+       |    WHEN b.n > b.nb*8 THEN a.inp || ' ' ||
+       |      array_to_string(b.tl[b.nb*8+1 : b.n], ' ')
+       |    ELSE a.inp END) AS input_md5,
+       |  md5(coalesce(a.tgt, '')) AS target_md5,
+       |  CAST(b.n AS INTEGER) AS n_tokens,
+       |  b.nb AS n_spans,
+       |  coalesce(a.n_corrupted, 0) AS n_corrupted
+       |FROM blk b LEFT JOIN agg a ON a.doc_id = b.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -5934,6 +6006,7 @@ object TrainingData {
     "q244_url_canonicalize" -> q244UrlCanonicalize _,
     "q245_blocklist_fold" -> q245BlocklistFold _,
     "q246_sentence_segment" -> q246SentenceSegment _,
+    "q247_span_corrupt" -> q247SpanCorrupt _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -6046,6 +6119,7 @@ object TrainingData {
     "q244_url_canonicalize" -> q244Sql,
     "q245_blocklist_fold" -> q245Sql,
     "q246_sentence_segment" -> q246Sql,
+    "q247_span_corrupt" -> q247Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,
