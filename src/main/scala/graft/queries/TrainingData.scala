@@ -5325,29 +5325,47 @@ object TrainingData {
     * generator — so a regex off-by-one in authority/path/query
     * splitting breaks the hash.
     */
+  /** The shared q244/q248 synthetic-URL generator (Spark side). */
+  private def syntheticUrl: org.apache.spark.sql.Column = concat(
+    when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS"))
+      .otherwise(lit("http")),
+    lit("://WWW."), col("source"),
+    when(pmod(col("doc_id"), lit(3)) === 0, lit(".Example.CO.UK"))
+      .otherwise(lit(".Example.COM")),
+    when(pmod(col("doc_id"), lit(4)) === 0,
+      when(pmod(col("doc_id"), lit(2)) === 0, lit(":443"))
+        .otherwise(lit(":80")))
+      .when(pmod(col("doc_id"), lit(4)) === 1, lit(":8080"))
+      .otherwise(lit("")),
+    lit("/Docs/"), col("doc_id").cast("string"),
+    when(pmod(col("doc_id"), lit(2)) === 0,
+      concat(lit("?utm_source=feed&b="), col("lang"),
+        lit("&utm_campaign=spring&a=1&fbclid=XYZ")))
+      .otherwise(lit("?z=9&A=2&gclid=g1")),
+    when(pmod(col("doc_id"), lit(5)) === 0, lit("#sec2"))
+      .otherwise(lit("")))
+
+  /** The same generator in DuckDB's dialect (the `u` column body). */
+  private val syntheticUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
+      |    '://WWW.' || source ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
+      |          ELSE '.Example.COM' END) ||
+      |    (CASE WHEN doc_id % 4 = 0
+      |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
+      |          WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/Docs/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 2 = 0
+      |          THEN '?utm_source=feed&b=' || lang ||
+      |               '&utm_campaign=spring&a=1&fbclid=XYZ'
+      |          ELSE '?z=9&A=2&gclid=g1' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END)""".stripMargin
+
   def q244UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("lang"))
-    val url = concat(
-      when(pmod(col("doc_id"), lit(2)) === 0, lit("HTTPS"))
-        .otherwise(lit("http")),
-      lit("://WWW."), col("source"),
-      when(pmod(col("doc_id"), lit(3)) === 0, lit(".Example.CO.UK"))
-        .otherwise(lit(".Example.COM")),
-      when(pmod(col("doc_id"), lit(4)) === 0,
-        when(pmod(col("doc_id"), lit(2)) === 0, lit(":443"))
-          .otherwise(lit(":80")))
-        .when(pmod(col("doc_id"), lit(4)) === 1, lit(":8080"))
-        .otherwise(lit("")),
-      lit("/Docs/"), col("doc_id").cast("string"),
-      when(pmod(col("doc_id"), lit(2)) === 0,
-        concat(lit("?utm_source=feed&b="), col("lang"),
-          lit("&utm_campaign=spring&a=1&fbclid=XYZ")))
-        .otherwise(lit("?z=9&A=2&gclid=g1")),
-      when(pmod(col("doc_id"), lit(5)) === 0, lit("#sec2"))
-        .otherwise(lit("")))
     docs.select(col("doc_id"),
-        graft.operators.Urls.canonicalize(url).as("u"))
+        graft.operators.Urls.canonicalize(syntheticUrl).as("u"))
       .select(col("doc_id"), col("u.canonical_url").as("canonical_url"),
         col("u.host").as("host"),
         col("u.registrable_domain").as("registrable_domain"),
@@ -5361,19 +5379,7 @@ object TrainingData {
       .map(s => s"'$s'").mkString("(", ",", ")")
     s"""WITH d AS (
        |  SELECT doc_id,
-       |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'http' END) ||
-       |    '://WWW.' || source ||
-       |    (CASE WHEN doc_id % 3 = 0 THEN '.Example.CO.UK'
-       |          ELSE '.Example.COM' END) ||
-       |    (CASE WHEN doc_id % 4 = 0
-       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
-       |          WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
-       |    '/Docs/' || CAST(doc_id AS VARCHAR) ||
-       |    (CASE WHEN doc_id % 2 = 0
-       |          THEN '?utm_source=feed&b=' || lang ||
-       |               '&utm_campaign=spring&a=1&fbclid=XYZ'
-       |          ELSE '?z=9&A=2&gclid=g1' END) ||
-       |    (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS u
+       |    $syntheticUrlSql AS u
        |  FROM documents),
        |parsed AS (
        |  SELECT doc_id, u,
@@ -5426,6 +5432,79 @@ object TrainingData {
        |  CAST(len(raw) - len(kept) AS INTEGER) AS n_params_dropped
        |FROM flt
        |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Per-domain crawl budgeting — the composition q244 + q219 exist
+    * for: canonicalize raw URLs ([[graft.operators.Urls.canonicalize]]
+    * → registrable domain), then apportion an exact crawl budget of 97
+    * pages across domains by the largest-remainder method
+    * ([[graft.operators.Sampling.apportionSelect]]) — "fetch exactly
+    * 97 pages, proportional to domain share, no domain over-crawled".
+    * The oracle replays BOTH halves from scratch: the URL parser rules
+    * down to the registrable domain, then quotas, remainders, bonus
+    * seats, and the per-domain composite (md5 bucket, hex, id)
+    * selection rank.
+    */
+  def q248DomainBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val withDom = docs.select(col("doc_id"),
+      graft.operators.Urls.canonicalize(syntheticUrl)
+        .getField("registrable_domain").as("registrable_domain"))
+    graft.operators.Sampling.apportionSelect(
+      withDom, "doc_id", "registrable_domain",
+      budget = 97L, nBuckets = 64, salt = "apq")
+      .orderBy("registrable_domain", "sel_rank")
+  }
+
+  val q248Sql: String = {
+    val suffixes = graft.operators.Urls.multiPartSuffixes
+      .map(s => s"'$s'").mkString("(", ",", ")")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    $syntheticUrlSql AS u
+       |  FROM documents),
+       |hosts AS (
+       |  SELECT doc_id,
+       |    string_split(lower(regexp_extract(
+       |      regexp_extract(
+       |        regexp_extract(regexp_replace(u,
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+       |        '([^@]*)$$', 1),
+       |      '^([^:]*)', 1)), '.') AS labels
+       |  FROM d),
+       |dom AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(labels) >= 3
+       |              AND labels[-2] || '.' || labels[-1] IN $suffixes
+       |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |         WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+       |         ELSE array_to_string(labels, '.') END AS g
+       |  FROM hosts),
+       |n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM dom GROUP BY g),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM n),
+       |fq AS (SELECT g, n, (97 * n) // tot AS q0, (97 * n) % tot AS rem
+       |       FROM n, t),
+       |lo AS (SELECT 97 - CAST(sum(q0) AS BIGINT) AS l FROM fq),
+       |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rr
+       |       FROM fq),
+       |quota AS (SELECT g,
+       |    least(n, q0 + CASE WHEN rr <= (SELECT l FROM lo)
+       |      THEN 1 ELSE 0 END) AS quota
+       |  FROM rk),
+       |ord AS (SELECT doc_id, g,
+       |    ('0x' || substr(md5(doc_id::VARCHAR || 'apq'), 1, 15))::BIGINT
+       |      % 64 AS b,
+       |    md5(doc_id::VARCHAR || 'apq') AS hx
+       |  FROM dom),
+       |rkd AS (SELECT doc_id, g,
+       |    row_number() OVER (PARTITION BY g ORDER BY b, hx, doc_id) AS r
+       |  FROM ord)
+       |SELECT d2.doc_id, d2.g AS registrable_domain,
+       |  CAST(d2.r AS BIGINT) AS sel_rank, q.quota
+       |FROM rkd d2 JOIN quota q USING (g)
+       |WHERE d2.r <= q.quota
+       |ORDER BY registrable_domain, sel_rank""".stripMargin
   }
 
   /** Obfuscation-folded blocklist matching
@@ -6007,6 +6086,7 @@ object TrainingData {
     "q245_blocklist_fold" -> q245BlocklistFold _,
     "q246_sentence_segment" -> q246SentenceSegment _,
     "q247_span_corrupt" -> q247SpanCorrupt _,
+    "q248_domain_budget" -> q248DomainBudget _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -6120,6 +6200,7 @@ object TrainingData {
     "q245_blocklist_fold" -> q245Sql,
     "q246_sentence_segment" -> q246Sql,
     "q247_span_corrupt" -> q247Sql,
+    "q248_domain_budget" -> q248Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,
