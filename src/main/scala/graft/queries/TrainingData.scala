@@ -5589,6 +5589,27 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** [[graft.operators.Sentences.segment]] replayed in DuckDB's
+    * dialect as a list expression over `x` — shared by q246 and the
+    * sentence-span dedup q249 so the mask-split-unmask SQL cannot
+    * drift per query.
+    */
+  private def duckSentences(x: String): String =
+    s"""list_filter(list_transform(
+       |      regexp_extract_all(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(
+       |              trim(regexp_replace($x, '\\s+', ' ', 'g')),
+       |              '(?i)\\b([eipa])\\.([gem])\\.',
+       |              '\\1' || chr(1) || '\\2' || chr(1), 'g'),
+       |            '(?i)\\b(mr|mrs|ms|dr|prof|st|vs|etc|fig|inc|ltd|jr|sr)\\.',
+       |            '\\1' || chr(1), 'g'),
+       |          '([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'),
+       |        '[^.!?]+(?:[.!?]+|$$)'),
+       |      s9 -> trim(replace(s9, chr(1), '.'))),
+       |      s9 -> length(s9) > 0)""".stripMargin
+
   val q246Sql: String = {
     val gauntlet = " Dr. Smith met Prof. Jones at 3.14 today! They e.g. " +
       "agreed on p.m. plans. Look at fig. 7 now? The end"
@@ -5599,20 +5620,7 @@ object TrainingData {
        |  FROM documents WHERE text IS NOT NULL),
        |seg AS (
        |  SELECT doc_id,
-       |    list_filter(list_transform(
-       |      regexp_extract_all(
-       |        regexp_replace(
-       |          regexp_replace(
-       |            regexp_replace(
-       |              trim(regexp_replace(text, '\\s+', ' ', 'g')),
-       |              '(?i)\\b([eipa])\\.([gem])\\.',
-       |              '\\1' || chr(1) || '\\2' || chr(1), 'g'),
-       |            '(?i)\\b(mr|mrs|ms|dr|prof|st|vs|etc|fig|inc|ltd|jr|sr)\\.',
-       |            '\\1' || chr(1), 'g'),
-       |          '([0-9])\\.([0-9])', '\\1' || chr(1) || '\\2', 'g'),
-       |        '[^.!?]+(?:[.!?]+|$$)'),
-       |      x -> trim(replace(x, chr(1), '.'))),
-       |      x -> length(x) > 0) AS l
+       |    ${duckSentences("text")} AS l
        |  FROM planted)
        |SELECT doc_id, CAST(len(l) AS INTEGER) AS n_sentences,
        |  CAST(length(array_to_string(l, '')) AS BIGINT) AS total_sent_chars,
@@ -5620,6 +5628,104 @@ object TrainingData {
        |FROM seg
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** C4-style duplicated three-sentence-span removal
+    * ([[graft.operators.SentenceDedup.dropDuplicateSpans]]): the
+    * corpus is first SENTENCED deterministically (5-token groups,
+    * period-joined) so the span machinery has real boundaries to cut
+    * at, then every doc under 40 gets a copier twin (+100000) that
+    * embeds the donor's sentences 2–4 between two unique sentences —
+    * C4's rule must remove exactly the borrowed span from the copier
+    * (the donor, lexicographically first, keeps it) and leave the
+    * unique head/tail intact. The oracle replays sentencing, the
+    * shared segmentation chain, span hashing, the global first-
+    * occurrence choice, range coverage, and the re-joined surviving
+    * text (pinned by md5).
+    */
+  def q249SentenceSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .withColumn("_t",
+        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
+      .filter(size(col("_t")) >= 25)
+      .withColumn("_ng", expr("size(_t) DIV 5").cast(IntegerType))
+    def group(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(slice(col("_t"), g * 5 + 1, lit(5)), " ")
+    val sentenced = docs.select(col("doc_id"),
+      concat(array_join(
+        transform(sequence(lit(0), col("_ng") - 1), g => group(g)),
+        ". "), lit(".")).as("text"))
+    val copiers = docs.filter(col("doc_id") < 40).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(
+        lit("uniq"), col("doc_id").cast("string"),
+        lit(" head marker sentence. "),
+        group(lit(1)), lit(". "), group(lit(2)), lit(". "),
+        group(lit(3)), lit(". uniq"), col("doc_id").cast("string"),
+        lit(" tail words end.")).as("text"))
+    graft.operators.SentenceDedup.dropDuplicateSpans(
+      sentenced.unionByName(copiers), "doc_id", "text", spanLen = 3)
+      .select(col("doc_id"), col("n_sentences"), col("n_dropped"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q249Sql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> length(x) > 0) AS tl
+       |  FROM documents WHERE text IS NOT NULL),
+       |t1 AS (
+       |  SELECT doc_id, tl, CAST(len(tl) // 5 AS INTEGER) AS ng
+       |  FROM t0 WHERE len(tl) >= 25),
+       |corpus AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(range(0, ng),
+       |      g -> array_to_string(tl[g*5+1 : g*5+5], ' ')), '. ') || '.'
+       |      AS text
+       |  FROM t1
+       |  UNION ALL
+       |  SELECT doc_id + 100000 AS doc_id,
+       |    'uniq' || CAST(doc_id AS VARCHAR) || ' head marker sentence. ' ||
+       |    array_to_string(tl[6:10], ' ') || '. ' ||
+       |    array_to_string(tl[11:15], ' ') || '. ' ||
+       |    array_to_string(tl[16:20], ' ') ||
+       |    '. uniq' || CAST(doc_id AS VARCHAR) || ' tail words end.' AS text
+       |  FROM t1 WHERE doc_id < 40),
+       |seg AS (
+       |  SELECT doc_id,
+       |    ${duckSentences("text")} AS l
+       |  FROM corpus),
+       |occ AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       |    ('0x'||substr(md5(array_to_string(l[u.i : u.i+2], chr(31))),
+       |      1, 15))::BIGINT AS h
+       |  FROM seg, unnest(range(1, len(l) - 1)) AS u(i)),
+       |dup AS (
+       |  SELECT doc_id, pos, h,
+       |    count(*) OVER (PARTITION BY h) AS cnt,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |marked AS (
+       |  SELECT doc_id, pos FROM dup WHERE cnt >= 2 AND rn > 1),
+       |sent AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS j, l[u.i] AS s
+       |  FROM seg, unnest(range(1, len(l) + 1)) AS u(i)),
+       |cov AS (
+       |  SELECT sent.doc_id, sent.j, sent.s,
+       |    CASE WHEN EXISTS (SELECT 1 FROM marked m
+       |      WHERE m.doc_id = sent.doc_id
+       |        AND m.pos BETWEEN sent.j - 2 AND sent.j) THEN 1 ELSE 0 END AS c
+       |  FROM sent)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INT) AS n_sentences,
+       |  CAST(sum(c) AS INT) AS n_dropped,
+       |  md5(coalesce(string_agg(CASE WHEN c = 0 THEN s END, ' '
+       |    ORDER BY j), '')) AS text_md5
+       |FROM cov
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
 
   /** T5-style span corruption ([[graft.operators.SpanCorrupt
     * .corrupt]]): the whole corpus turned into (input, target)
@@ -6087,6 +6193,7 @@ object TrainingData {
     "q246_sentence_segment" -> q246SentenceSegment _,
     "q247_span_corrupt" -> q247SpanCorrupt _,
     "q248_domain_budget" -> q248DomainBudget _,
+    "q249_sentence_span_dedup" -> q249SentenceSpanDedup _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -6201,6 +6308,7 @@ object TrainingData {
     "q246_sentence_segment" -> q246Sql,
     "q247_span_corrupt" -> q247Sql,
     "q248_domain_budget" -> q248Sql,
+    "q249_sentence_span_dedup" -> q249Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.operators.SentenceDedup
+
+class SentenceDedupSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def docs(rows: (Long, String)*) =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.toList.map { case (i, t) => Row(i, t) }).asJava),
+      schema)
+
+  private def run(d: org.apache.spark.sql.DataFrame,
+      spanLen: Int = 3): Map[Long, (Int, Int, String)] =
+    SentenceDedup.dropDuplicateSpans(d, "doc_id", "text", spanLen)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_sentences"), r.getAs[Int]("n_dropped"),
+          r.getAs[String]("text"))).toMap
+
+  test("copier loses exactly the borrowed three-sentence span; donor intact") {
+    val d = docs(
+      1L -> "Alpha one here. Bravo two there. Charlie three now. Delta four past. Echo five done.",
+      2L -> "My own head. Bravo two there. Charlie three now. Delta four past. My own tail.")
+    val got = run(d)
+    assert(got(1L) == (5, 0,
+      "Alpha one here. Bravo two there. Charlie three now. Delta four past. Echo five done."))
+    assert(got(2L) == (5, 3, "My own head. My own tail."))
+  }
+
+  test("keep-first is global (id, pos) order, not per-doc") {
+    // the SAME span appears twice inside doc 1: second occurrence drops
+    val d = docs(
+      1L -> "X a. Y b. Z c. Pad d. X a. Y b. Z c.")
+    val got = run(d)
+    assert(got(1L)._1 == 7)
+    assert(got(1L)._2 == 3)
+    assert(got(1L)._3 == "X a. Y b. Z c. Pad d.")
+  }
+
+  test("overlapping duplicated spans union their coverage") {
+    // doc 2 borrows FOUR consecutive sentences → two overlapping
+    // duplicated 3-spans; all four sentences drop, not six
+    val d = docs(
+      1L -> "K1 a. K2 b. K3 c. K4 d. K5 e.",
+      2L -> "Own head. K1 a. K2 b. K3 c. K4 d. Own tail.")
+    val got = run(d)
+    assert(got(2L) == (6, 4, "Own head. Own tail."))
+    assert(got(1L)._2 == 0)
+  }
+
+  test("documents with fewer than spanLen sentences are untouched") {
+    val d = docs(
+      1L -> "Only one. And two.",
+      2L -> "Only one. And two.")  // identical, but no 3-span exists
+    val got = run(d)
+    assert(got(1L) == (2, 0, "Only one. And two."))
+    assert(got(2L) == (2, 0, "Only one. And two."))
+  }
+
+  test("a fully-duplicated document scrubs to empty") {
+    val d = docs(
+      1L -> "S one. S two. S three.",
+      2L -> "S one. S two. S three.")
+    val got = run(d)
+    assert(got(1L) == (3, 0, "S one. S two. S three."))
+    assert(got(2L) == (3, 3, ""))
+  }
+}
