@@ -63,26 +63,40 @@ object Bleu {
   def corpusNgramPrecision(pairs: DataFrame, idCol: String,
       candCol: String, refCol: String, maxN: Int): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"bad maxN $maxN")
-    def gramCounts(side: Column, n: Int): DataFrame =
-      pairs.select(col(idCol).as("_id"), explode(ngrams(side, n)).as("_g"))
-        .groupBy(col("_id"), md5Hash60(col("_g")).as("_gh"))
+    // ALL orders in one explode → one (id, n, hash) aggregate per side
+    // → one join: 2 keyed exchanges total instead of 2·maxN (a
+    // per-order formulation re-scans the pair table 2·maxN times)
+    def gramCounts(side: Column): DataFrame =
+      pairs.select(col(idCol).as("_id"),
+          explode(concat((1 to maxN).map(n =>
+            transform(ngrams(side, n),
+              g => struct(lit(n).as("n"), g.as("g")))): _*)).as("_e"))
+        .groupBy(col("_id"), col("_e.n").as("n"),
+          md5Hash60(col("_e.g")).as("_gh"))
         .agg(count(lit(1)).as("_c"))
-    val perN = (1 to maxN).map { n =>
-      gramCounts(col(candCol), n)
-        .join(gramCounts(col(refCol), n).withColumnRenamed("_c", "_r"),
-          Seq("_id", "_gh"), "left")
-        .agg(
-          coalesce(sum(least(col("_c"), coalesce(col("_r"), lit(0L)))),
-            lit(0L)).cast(LongType).as("matched"),
-          coalesce(sum(col("_c")), lit(0L)).cast(LongType).as("total"))
-        .select(lit(n).as("n"), col("matched"), col("total"))
-    }.reduce(_ unionByName _)
+    val perN = gramCounts(col(candCol))
+      .join(gramCounts(col(refCol)).withColumnRenamed("_c", "_r"),
+        Seq("_id", "n", "_gh"), "left")
+      .groupBy(col("n"))
+      .agg(
+        coalesce(sum(least(col("_c"), coalesce(col("_r"), lit(0L)))),
+          lit(0L)).cast(LongType).as("matched"),
+        coalesce(sum(col("_c")), lit(0L)).cast(LongType).as("total"))
+    // orders with no grams anywhere (every doc shorter than n) have no
+    // rows after the aggregate — reinstate them as zero rows so the
+    // output is always maxN rows
+    val orders = pairs.sparkSession.range(1, maxN + 1)
+      .select(col("id").cast("int").as("n"))
+    val filled = orders.join(perN, Seq("n"), "left")
+      .select(col("n"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        coalesce(col("total"), lit(0L)).as("total"))
     val lens = pairs.agg(
       coalesce(sum(size(nonEmptyTokens(lower(col(candCol)))).cast(LongType)),
         lit(0L)).as("cand_tokens"),
       coalesce(sum(size(nonEmptyTokens(lower(col(refCol)))).cast(LongType)),
         lit(0L)).as("ref_tokens"))
-    perN
+    filled
       .withColumn("prec_micro_log2",
         Unigram.ilog2Micro(col("matched") + 1L) -
           Unigram.ilog2Micro(col("total") + 1L))
