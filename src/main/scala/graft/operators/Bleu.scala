@@ -38,13 +38,15 @@ object Bleu {
     * space-joined (tokens contain no whitespace, so the join is
     * unambiguous). Documents with fewer than n tokens yield no grams.
     */
-  private[graft] def ngrams(c: Column, n: Int): Column = {
-    val toks = nonEmptyTokens(lower(c))
+  private[graft] def ngrams(c: Column, n: Int): Column =
+    ngramsOfTokens(nonEmptyTokens(lower(c)), n)
+
+  /** Same, over an already-tokenized array column. */
+  private[graft] def ngramsOfTokens(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
       .otherwise(array().cast(ArrayType(StringType)))
-  }
 
   /** Per-order clipped n-gram precision counts over (candidate,
     * reference) pairs:
@@ -65,11 +67,16 @@ object Bleu {
     require(maxN >= 1 && maxN <= 8, s"bad maxN $maxN")
     // ALL orders in one explode → one (id, n, hash) aggregate per side
     // → one join: 2 keyed exchanges total instead of 2·maxN (a
-    // per-order formulation re-scans the pair table 2·maxN times)
+    // per-order formulation re-scans the pair table 2·maxN times).
+    // Tokenization materializes ONCE in its own projection — inlining
+    // it into every order's window expression re-tokenizes 4× per row
+    // (measured 3× slower than the per-order plan it replaced).
     def gramCounts(side: Column): DataFrame =
       pairs.select(col(idCol).as("_id"),
+          nonEmptyTokens(lower(side)).as("_toks"))
+        .select(col("_id"),
           explode(concat((1 to maxN).map(n =>
-            transform(ngrams(side, n),
+            transform(ngramsOfTokens(col("_toks"), n),
               g => struct(lit(n).as("n"), g.as("g")))): _*)).as("_e"))
         .groupBy(col("_id"), col("_e.n").as("n"),
           md5Hash60(col("_e.g")).as("_gh"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
@@ -113,5 +113,67 @@ object Urls {
       host.as("host"),
       registrable.as("registrable_domain"),
       (size(raw) - size(kept)).cast(IntegerType).as("n_params_dropped"))
+  }
+
+  /** robots.txt line pattern: `Allow:`/`Disallow:` directives, case-
+    * insensitive, multiline — matched as whole directives (group
+    * parsing happens per element; RE2's extract-all yields one group).
+    */
+  private[graft] val robotsLineRe = "(?im)^[ \\t]*(?:disallow|allow)[ \\t]*:[ \\t]*\\S*"
+
+  /** Parse robots.txt bodies into one rule row per directive:
+    * (domainCol, rule_type 'allow'|'disallow', rule_path, rule_len).
+    * Empty-path `Disallow:` lines (the "allow everything" idiom) are
+    * dropped — they match nothing by the longest-prefix rule anyway.
+    *
+    * SCOPE (documented): the whole file is treated as one agent group
+    * (the `*` group — per-agent groups and the `*`/`$` wildcards are
+    * data-model extensions, not algorithm changes); paths match as
+    * LITERAL prefixes.
+    */
+  def robotsRules(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame =
+    robots.select(col(domainCol),
+        explode(regexp_extract_all(col(txtCol), lit(robotsLineRe), lit(0)))
+          .as("_line"))
+      .select(col(domainCol),
+        lower(regexp_extract(col("_line"),
+          "(?i)^[ \\t]*(disallow|allow)", 1)).as("rule_type"),
+        regexp_extract(col("_line"), ":[ \\t]*(\\S*)$", 1).as("rule_path"))
+      .filter(length(col("rule_path")) > 0)
+      .withColumn("rule_len", length(col("rule_path")).cast(IntegerType))
+
+  /** Evaluate crawlability: for every URL, the longest-prefix robots
+    * rule of its HOST decides (ties → allow, the Google precedence);
+    * hosts with no matching rule — or no robots entry at all — are
+    * allowed. Output: (idCol, host, path, allowed, rule_type,
+    * rule_path) with null rule columns when nothing matched.
+    *
+    * Scale: rules frames are robots-corpus-sized (thousands of
+    * domains × tens of directives) and broadcast; the URL side is one
+    * scan projected to (id, host, path) — the decision is a broadcast
+    * join + one keyed max_by aggregate per URL.
+    */
+  def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
+      robots: DataFrame, domainCol: String, txtCol: String): DataFrame = {
+    val (host, _) = hostPort(col(urlCol))
+    val parsed = urls.select(col(idCol).as("_id"), host.as("host"),
+      pathOf(col(urlCol)).as("path"))
+    val rules = robotsRules(robots, domainCol, txtCol)
+      .withColumnRenamed(domainCol, "host")
+    val matched = parsed.join(broadcast(rules), Seq("host"))
+      .filter(col("path").startsWith(col("rule_path")))
+      .groupBy(col("_id"))
+      // longest rule wins; at equal length allow beats disallow
+      .agg(max_by(
+        struct(col("rule_type"), col("rule_path")),
+        struct(col("rule_len"),
+          when(col("rule_type") === "allow", 1).otherwise(0))).as("_w"))
+      .select(col("_id"), col("_w.rule_type").as("rule_type"),
+        col("_w.rule_path").as("rule_path"))
+    parsed.join(matched, Seq("_id"), "left")
+      .select(col("_id").as(idCol), col("host"), col("path"),
+        coalesce(col("rule_type") =!= "disallow", lit(true)).as("allowed"),
+        col("rule_type"), col("rule_path"))
   }
 }

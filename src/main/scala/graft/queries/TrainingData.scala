@@ -5629,6 +5629,92 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** robots.txt crawlability ([[graft.operators.Urls.robotsFilter]]):
+    * synthetic per-host robots files (Disallow /private, Allow
+    * /private/ok, a parity-dependent Disallow /tmp, comment/Sitemap
+    * noise lines; every 7th source has NO robots entry at all) against
+    * URLs whose paths hit every rule class. The longest-prefix /
+    * allow-on-tie precedence must hold: /private/ok/... survives
+    * because the 11-char Allow outranks the 8-char Disallow; hosts
+    * without robots — and paths matching nothing — stay allowed. The
+    * oracle re-parses the directive lines and replays the precedence
+    * rank per URL.
+    */
+  def q250RobotsFilter(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val path = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("/public/page"), col("doc_id").cast("string")))
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        concat(lit("/private/p"), col("doc_id").cast("string")))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("/private/ok/p"), col("doc_id").cast("string")))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(lit("/tmp/x"), col("doc_id").cast("string")))
+      .otherwise(lit("/"))
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://"), host, path).as("url"))
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val robots = Tables.documents(s, dir).select(col("source")).distinct()
+      .filter(srcNum % 7 =!= 3)
+      .select(concat(lit("www."), col("source"), lit(".example.com"))
+          .as("host"),
+        concat(
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
+          when(srcNum % 2 === 0, lit("Disallow: /tmp\n")).otherwise(lit("")),
+          lit("# notes\nSitemap: https://x.example.com/sitemap.xml\n"))
+          .as("robots_txt"))
+    graft.operators.Urls.robotsFilter(
+      urls, "doc_id", "url", robots, "host", "robots_txt")
+      .orderBy("doc_id")
+  }
+
+  val q250Sql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id,
+       |    'www.' || source || '.example.com' AS host,
+       |    CASE WHEN doc_id % 5 = 0 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 5 = 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 5 = 2 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 5 = 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+       |         ELSE '/' END AS path
+       |  FROM documents),
+       |rb AS (
+       |  SELECT 'www.' || source || '.example.com' AS host,
+       |    'User-agent: *' || chr(10) ||
+       |    'Disallow: /private' || chr(10) ||
+       |    'Allow: /private/ok' || chr(10) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |          THEN 'Disallow: /tmp' || chr(10) ELSE '' END) ||
+       |    '# notes' || chr(10) ||
+       |    'Sitemap: https://x.example.com/sitemap.xml' || chr(10) AS txt
+       |  FROM (SELECT DISTINCT source FROM documents)
+       |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3),
+       |rules AS (
+       |  SELECT host,
+       |    lower(regexp_extract(l, '(?i)^[ \\t]*(disallow|allow)', 1))
+       |      AS rule_type,
+       |    regexp_extract(l, ':[ \\t]*(\\S*)$$', 1) AS rule_path
+       |  FROM (
+       |    SELECT host,
+       |      unnest(regexp_extract_all(txt,
+       |        '(?im)^[ \\t]*(?:disallow|allow)[ \\t]*:[ \\t]*\\S*')) AS l
+       |    FROM rb)
+       |  WHERE length(regexp_extract(l, ':[ \\t]*(\\S*)$$', 1)) > 0),
+       |m AS (
+       |  SELECT u.doc_id, r.rule_type, r.rule_path,
+       |    row_number() OVER (PARTITION BY u.doc_id
+       |      ORDER BY length(r.rule_path) DESC,
+       |        CASE WHEN r.rule_type = 'allow' THEN 1 ELSE 0 END DESC) AS rn
+       |  FROM u JOIN rules r ON r.host = u.host
+       |    AND starts_with(u.path, r.rule_path))
+       |SELECT u.doc_id, u.host, u.path,
+       |  COALESCE(m.rule_type <> 'disallow', TRUE) AS allowed,
+       |  m.rule_type, m.rule_path
+       |FROM u LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+       |  ON m.doc_id = u.doc_id
+       |ORDER BY u.doc_id""".stripMargin
+
   /** C4-style duplicated three-sentence-span removal
     * ([[graft.operators.SentenceDedup.dropDuplicateSpans]]): the
     * corpus is first SENTENCED deterministically (5-token groups,
@@ -6194,6 +6280,7 @@ object TrainingData {
     "q247_span_corrupt" -> q247SpanCorrupt _,
     "q248_domain_budget" -> q248DomainBudget _,
     "q249_sentence_span_dedup" -> q249SentenceSpanDedup _,
+    "q250_robots_filter" -> q250RobotsFilter _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -6309,6 +6396,7 @@ object TrainingData {
     "q247_span_corrupt" -> q247Sql,
     "q248_domain_budget" -> q248Sql,
     "q249_sentence_span_dedup" -> q249Sql,
+    "q250_robots_filter" -> q250Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,

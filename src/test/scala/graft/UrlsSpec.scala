@@ -74,4 +74,61 @@ class UrlsSpec extends SparkSpec {
     assert(r.getString(0) == "https://e.com/p?A=2&Z=1")
     assert(r.getInt(3) == 1)
   }
+
+  // ---- robots.txt ----
+
+  private def robotsFixture(txt: String) = {
+    val rs = StructType(Seq(StructField("host", StringType),
+      StructField("txt", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          List(Row("h.com", txt))).asJava), rs)
+  }
+
+  private def decide(txt: String, urls: (Long, String)*): Map[Long, (Boolean, String)] = {
+    val us = StructType(Seq(StructField("id", LongType),
+      StructField("url", StringType)))
+    val u = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          urls.toList.map { case (i, p) => Row(i, p) }).asJava), us)
+    Urls.robotsFilter(u, "id", "url", robotsFixture(txt), "host", "txt")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("allowed"),
+          Option(r.getAs[String]("rule_path")).getOrElse(""))).toMap
+  }
+
+  test("longest-prefix rule wins; allow beats disallow on ties") {
+    val txt = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+    val got = decide(txt,
+      1L -> "https://h.com/private/secret",
+      2L -> "https://h.com/private/ok/page",
+      3L -> "https://h.com/public/x")
+    assert(got(1L) == (false, "/private"))
+    assert(got(2L) == (true, "/private/ok"))
+    assert(got(3L) == (true, ""))
+  }
+
+  test("hosts without a robots entry are allowed") {
+    val got = decide("User-agent: *\nDisallow: /\n",
+      1L -> "https://other.org/anything")
+    assert(got(1L) == (true, ""))
+  }
+
+  test("comment, sitemap, and empty-Disallow lines are ignored") {
+    val txt = "# hello\nSitemap: https://h.com/s.xml\nDisallow:\n" +
+      "  disallow : /x\n"
+    val got = decide(txt,
+      1L -> "https://h.com/x/deep",
+      2L -> "https://h.com/y")
+    assert(got(1L) == (false, "/x")) // case/space-tolerant directive
+    assert(got(2L) == (true, ""))    // empty Disallow never matches
+  }
+
+  test("Disallow / blocks the whole host") {
+    val got = decide("User-agent: *\nDisallow: /\n",
+      1L -> "https://h.com/", 2L -> "https://h.com/a/b?q=1")
+    assert(got(1L)._1 == false && got(2L)._1 == false)
+  }
 }
