@@ -191,6 +191,57 @@ object Curation {
       b(rWc && rWl && rSw && rSy && rRe).as("keep"))
   }
 
+  /** Gopher line/paragraph repetition battery (Rae et al. 2021 §A1.1,
+    * the STRUCTURAL half the token-level battery ([[gopherRules]],
+    * q53) does not cover): crawl boilerplate repeats as whole lines
+    * (nav crumbs, cookie banners) and whole paragraphs (syndicated
+    * blocks), and the Gopher filters gate on four fractions —
+    * duplicate lines / paragraphs by COUNT and by CHARACTER MASS:
+    *
+    *   - dup_line_frac:       (n_lines − n_distinct) / n_lines
+    *   - dup_line_char_frac:  chars in occurrences beyond each line's
+    *                          first / total line chars
+    *   - dup_para_frac / dup_para_char_frac: the same at paragraph
+    *     granularity (blank-line-separated blocks)
+    *
+    * `keep` applies the paper's thresholds (count fracs ≤ 0.30, char
+    * fracs ≤ 0.20). Lines/paragraphs trim and blank ones drop before
+    * counting. All counts are exact integers computed ROW-LOCALLY
+    * (the distinct-scan is O(u·n) per row like [[gopherRules]]'s
+    * repetition rule); each fraction is one double division — zero
+    * exchanges, any engine replays it.
+    */
+  def lineRepetitionRules(df: DataFrame, idCol: String, textCol: String,
+      maxDupFrac: Double = 0.3, maxDupCharFrac: Double = 0.2): DataFrame = {
+    def units(sep: String): Column =
+      filter(transform(split(col(textCol), sep), u => trim(u)),
+        u => length(u) > 0)
+    def stats(u: Column): (Column, Column, Column, Column) = {
+      val n = size(u)
+      val nd = size(array_distinct(u))
+      val totChars = aggregate(u, lit(0L), (a, x) => a + length(x))
+      val dupChars = aggregate(array_distinct(u), lit(0L), (a, d) =>
+        a + (size(filter(u, x => x === d)) - 1).cast(LongType) * length(d))
+      (n, nd,
+        (n - nd).cast(DoubleType) / greatest(n, lit(1)).cast(DoubleType),
+        dupChars.cast(DoubleType) /
+          greatest(totChars, lit(1L)).cast(DoubleType))
+    }
+    val (nl, _, dlf, dlcf) = stats(units("\\r?\\n"))
+    val (np, _, dpf, dpcf) = stats(units("(?:\\r?\\n){2,}"))
+    def b(c: Column): Column = when(c, 1).otherwise(0).cast(IntegerType)
+    graft.sources.Tables.widen(df).select(
+      col(idCol),
+      nl.cast(IntegerType).as("n_lines"),
+      dlf.as("dup_line_frac"),
+      dlcf.as("dup_line_char_frac"),
+      np.cast(IntegerType).as("n_paras"),
+      dpf.as("dup_para_frac"),
+      dpcf.as("dup_para_char_frac"),
+      b(dlf <= maxDupFrac && dpf <= maxDupFrac &&
+        dlcf <= maxDupCharFrac && dpcf <= maxDupCharFrac).as("keep"))
+  }
+
   /** Obfuscation fold for blocklist matching: the normalization that
     * makes `SP4MW0RD`, `sp@mw0rd` and `sp​amword` (zero-width space
     * inside) all match the blocklist entry `spamword`. Applied to BOTH

@@ -5715,6 +5715,110 @@ object TrainingData {
        |  ON m.doc_id = u.doc_id
        |ORDER BY u.doc_id""".stripMargin
 
+  /** Gopher line/paragraph repetition battery
+    * ([[graft.operators.Curation.lineRepetitionRules]]): the corpus is
+    * given deterministic line structure (6-token lines, 3-line
+    * paragraphs), then every 9th doc gets its first LINE twice more
+    * (count + char mass move at line granularity) and every 9th+1 doc
+    * its first PARAGRAPH again (both granularities move). The oracle
+    * rebuilds the same structure and replays all four fractions and
+    * the 0.30/0.20 keep thresholds — a missed trim, a blank-line
+    * miscount, or first-occurrence-vs-duplicate confusion in the char
+    * mass changes a fraction and breaks the hash.
+    */
+  def q251LineRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .withColumn("_t",
+        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
+      .filter(size(col("_t")) >= 24)
+      .withColumn("_nl", expr("size(_t) DIV 6").cast(IntegerType))
+    val lines = transform(sequence(lit(0), col("_nl") - 1),
+      g => array_join(slice(col("_t"), g * 6 + 1, lit(6)), " "))
+    val structured = docs
+      .withColumn("_lines",
+        when(pmod(col("doc_id"), lit(9)) === 0,
+          concat(slice(lines, lit(1), lit(1)), slice(lines, lit(1), lit(1)),
+            lines))
+          .otherwise(lines))
+      .withColumn("_np",
+        expr("(size(_lines) + 2) DIV 3").cast(IntegerType))
+      .withColumn("_paras",
+        transform(sequence(lit(0), col("_np") - 1),
+          p => array_join(slice(col("_lines"), p * 3 + 1, lit(3)), "\n")))
+      .withColumn("_paras2",
+        when(pmod(col("doc_id"), lit(9)) === 1,
+          concat(slice(col("_paras"), lit(1), lit(1)), col("_paras")))
+          .otherwise(col("_paras")))
+      .select(col("doc_id"), array_join(col("_paras2"), "\n\n").as("text"))
+    graft.operators.Curation.lineRepetitionRules(structured, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q251Sql: String = {
+    def stats(u: String) =
+      (s"len($u)", s"len(list_distinct($u))",
+        s"CAST(len($u) - len(list_distinct($u)) AS DOUBLE) / CAST(greatest(len($u), 1) AS DOUBLE)",
+        s"CAST(list_sum(list_transform(list_distinct($u), d -> (len(list_filter($u, x2 -> x2 = d)) - 1) * length(d))) AS DOUBLE) / CAST(greatest(list_sum(list_transform($u, x2 -> length(x2))), 1) AS DOUBLE)")
+    val (nl, _, dlf, dlcf) = stats("lns")
+    val (np, _, dpf, dpcf) = stats("prs")
+    s"""WITH t0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> length(x) > 0) AS tl
+       |  FROM documents WHERE text IS NOT NULL),
+       |t1 AS (
+       |  SELECT doc_id, tl, CAST(len(tl) // 6 AS INTEGER) AS nl
+       |  FROM t0 WHERE len(tl) >= 24),
+       |l0 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, nl),
+       |      g -> array_to_string(tl[g*6+1 : g*6+6], ' ')) AS lines0
+       |  FROM t1),
+       |l1 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 0
+       |         THEN list_concat(list_concat(lines0[1:1], lines0[1:1]), lines0)
+       |         ELSE lines0 END AS lines
+       |  FROM l0),
+       |p0 AS (
+       |  SELECT doc_id, lines,
+       |    list_transform(range(0, CAST((len(lines) + 2) // 3 AS INTEGER)),
+       |      p -> array_to_string(lines[p*3+1 : p*3+3], chr(10))) AS paras0
+       |  FROM l1),
+       |p1 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 9 = 1
+       |         THEN list_concat(paras0[1:1], paras0)
+       |         ELSE paras0 END AS paras
+       |  FROM p0),
+       |txt AS (
+       |  SELECT doc_id,
+       |    array_to_string(paras, chr(10) || chr(10)) AS text
+       |  FROM p1),
+       |u AS (
+       |  SELECT doc_id,
+       |    list_filter(list_transform(
+       |      string_split_regex(text, '\\r?\\n'), x2 -> trim(x2)),
+       |      x2 -> length(x2) > 0) AS lns,
+       |    list_filter(list_transform(
+       |      string_split_regex(text, '(?:\\r?\\n){2,}'), x2 -> trim(x2)),
+       |      x2 -> length(x2) > 0) AS prs
+       |  FROM txt)
+       |SELECT doc_id,
+       |  CAST($nl AS INTEGER) AS n_lines,
+       |  $dlf AS dup_line_frac,
+       |  $dlcf AS dup_line_char_frac,
+       |  CAST($np AS INTEGER) AS n_paras,
+       |  $dpf AS dup_para_frac,
+       |  $dpcf AS dup_para_char_frac,
+       |  CAST(CASE WHEN $dlf <= 0.3 AND $dpf <= 0.3
+       |       AND $dlcf <= 0.2 AND $dpcf <= 0.2
+       |       THEN 1 ELSE 0 END AS INTEGER) AS keep
+       |FROM u
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** C4-style duplicated three-sentence-span removal
     * ([[graft.operators.SentenceDedup.dropDuplicateSpans]]): the
     * corpus is first SENTENCED deterministically (5-token groups,
@@ -6281,6 +6385,7 @@ object TrainingData {
     "q248_domain_budget" -> q248DomainBudget _,
     "q249_sentence_span_dedup" -> q249SentenceSpanDedup _,
     "q250_robots_filter" -> q250RobotsFilter _,
+    "q251_line_repetition" -> q251LineRepetition _,
     "q236_raked_mixture" -> q236RakedMixture _,
     "q235_bitext_mine" -> q235BitextMine _,
     "q235b_bitext_ivf" -> q235bBitextIvf _,
@@ -6397,6 +6502,7 @@ object TrainingData {
     "q248_domain_budget" -> q248Sql,
     "q249_sentence_span_dedup" -> q249Sql,
     "q250_robots_filter" -> q250Sql,
+    "q251_line_repetition" -> q251Sql,
     "q236_raked_mixture" -> q236Sql,
     "q235_bitext_mine" -> q235Sql,
     "q235b_bitext_ivf" -> q235bSql,

@@ -248,4 +248,39 @@ class CurationSpec extends SparkSpec {
       .collect()
     assert(got.length == 1 && got(0).getAs[Long]("n_hits") == 1L)
   }
+
+  // ---------------- lineRepetitionRules ----------------
+
+  test("lineRepetitionRules: hand-computed fractions at both granularities") {
+    val d = docs(1L -> "a b\na b\nc d")
+    val r = graft.operators.Curation
+      .lineRepetitionRules(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_lines") == 3)
+    assert(math.abs(r.getAs[Double]("dup_line_frac") - 1.0 / 3) < 1e-12)
+    // "a b" twice: one duplicate occurrence of 3 chars over 9 line chars
+    assert(math.abs(r.getAs[Double]("dup_line_char_frac") - 3.0 / 9) < 1e-12)
+    assert(r.getAs[Int]("n_paras") == 1)
+    assert(r.getAs[Double]("dup_para_frac") == 0.0)
+    assert(r.getAs[Int]("keep") == 0) // 1/3 > 0.30 count threshold
+  }
+
+  test("lineRepetitionRules: duplicated paragraph moves both granularities") {
+    val d = docs(1L -> "line one\nline two\n\nline one\nline two")
+    val r = graft.operators.Curation
+      .lineRepetitionRules(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_paras") == 2)
+    assert(r.getAs[Double]("dup_para_frac") == 0.5)
+    assert(r.getAs[Double]("dup_line_frac") == 0.5)
+    assert(r.getAs[Int]("keep") == 0)
+  }
+
+  test("lineRepetitionRules: clean structured text keeps; blanks trim away") {
+    val d = docs(1L -> "  alpha beta \n gamma delta \n\n\n epsilon zeta ")
+    val r = graft.operators.Curation
+      .lineRepetitionRules(d, "doc_id", "text").collect()(0)
+    assert(r.getAs[Int]("n_lines") == 3)
+    assert(r.getAs[Int]("n_paras") == 2)
+    assert(r.getAs[Double]("dup_line_frac") == 0.0)
+    assert(r.getAs[Int]("keep") == 1)
+  }
 }
