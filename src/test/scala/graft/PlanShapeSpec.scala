@@ -152,6 +152,14 @@ class PlanShapeSpec extends SparkSpec {
                               // weights); the corpus token count is an
                               // ordinary keyed aggregate and the top-k
                               // is a TakeOrdered, not a global sort
+      "q243_bleu_counts",     // two scalar legs by construction: the
+                              // per-order matched/total sums over the
+                              // already-(id, n, hash)-keyed gram-count
+                              // join (partial buffers cross, maxN rows
+                              // out), and the corpus length totals —
+                              // ONE sum pair over the pair table
+                              // (partial buffers cross, one row
+                              // broadcasts back onto the 4-row output)
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind
