@@ -38,19 +38,8 @@ object SentenceDedup {
   def dropDuplicateSpans(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", spanLen: Int = 3): DataFrame = {
     require(spanLen >= 1, s"spanLen must be >= 1: $spanLen")
-    val base = graft.sources.Tables.widen(df)
-      .select(col(idCol).as("_id"),
-        Sentences.segment(col(textCol)).as("_sents"))
-    // sentence-span windows, unit-separator-joined (sentences contain
-    // spaces; U+001F keeps the window string boundary-unambiguous)
-    val windows = when(size(col("_sents")) < spanLen,
-      array().cast(ArrayType(StringType)))
-      .otherwise(transform(
-        sequence(lit(1), size(col("_sents")) - lit(spanLen - 1)),
-        i => array_join(slice(col("_sents"), i, lit(spanLen)), "\u001F")))
-    val occ = base
-      .select(col("_id"), posexplode(windows).as(Seq("_pos", "_sp")))
-      .select(col("_id"), col("_pos"), md5Hash60(col("_sp")).as("_h"))
+    val base = segmented(df, idCol, textCol)
+    val occ = occurrences(base, spanLen)
     val dup = occ
       .groupBy(col("_h"))
       .agg(count(lit(1)).as("_cnt"),
@@ -60,6 +49,118 @@ object SentenceDedup {
     val marked = occ.join(dup, Seq("_h"))
       .filter(!(col("_id") === col("_fd") && col("_pos") === col("_fp")))
       .select(col("_id"), col("_pos"))
+    scrubMarked(base, marked, idCol, spanLen)
+  }
+
+  /** Persist the corpus span-hash set: the distinct 60-bit hashes of
+    * every `spanLen`-sentence window, under the shared
+    * `_graft_manifest` convention (kind "spanhash"). The index is the
+    * SEEN-SPAN memory cross-snapshot dedup needs: yesterday's corpus
+    * writes once, each new crawl batch probes + appends — C4's rule
+    * without recomputing yesterday's spans. One segmentation scan;
+    * span text dies at the hash.
+    */
+  def writeSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, spanLen: Int = 3): Unit = {
+    val obs = new org.apache.spark.sql.Observation("span_index_write")
+    spanHashes(docs.observe(obs, count(lit(1)).as("n_docs")),
+        idCol, textCol, spanLen)
+      .select(col("_h").as("h")).distinct()
+      .write.mode("overwrite").parquet(s"$path/spans")
+    graft.sinks.Pruning.writeIndexMeta(docs.sparkSession, path,
+      graft.sinks.Pruning.IndexMeta("spanhash", "", Map(
+        "span_len" -> spanLen.toLong,
+        "n_docs" -> obs.get("n_docs").asInstanceOf[Long])))
+  }
+
+  /** Append a new batch's span hashes (fail-fast on a span_len
+    * mismatch; freshness counter bumped AFTER the data lands — a
+    * crash between leaves n_docs understating, benign as everywhere:
+    * probes read the span set directly). Appended batches may re-add
+    * hashes the index already holds; probes are semi-joins, so
+    * duplicates cost bytes, never correctness — `compactParquet`
+    * is the existing remedy when growth warrants it.
+    */
+  def appendToSpanIndex(docs: DataFrame, idCol: String, textCol: String,
+      path: String, spanLen: Int = 3): Unit = {
+    graft.sinks.Pruning.requireIndexParams(docs.sparkSession, path,
+      "spanhash", Map("span_len" -> spanLen.toLong))
+    val obs = new org.apache.spark.sql.Observation("span_index_append")
+    spanHashes(docs.observe(obs, count(lit(1)).as("n_docs")),
+        idCol, textCol, spanLen)
+      .select(col("_h").as("h")).distinct()
+      .write.mode("append").parquet(s"$path/spans")
+    graft.sinks.FaultInjection.point("appendToSpanIndex:appended")
+    graft.sinks.Pruning.bumpIndexMeta(docs.sparkSession, path,
+      Map("n_docs" -> obs.get("n_docs").asInstanceOf[Long]))
+  }
+
+  /** Incremental scrub: clean a NEW batch against the persisted span
+    * index AND against itself — a batch sentence span drops when its
+    * hash is already in the index (yesterday's corpus wins) or when it
+    * repeats within the batch (keep-first by (id, pos), the q249
+    * rule). Same report shape as [[dropDuplicateSpans]]. Callers
+    * append the surviving batch's hashes via [[appendToSpanIndex]]
+    * when they commit the batch.
+    *
+    * Scale: the index side is a hash column only; the decision is one
+    * hash-keyed semi-join plus the batch-local first-occurrence
+    * aggregate — batch-sized work against an index READ, never a
+    * recompute of the indexed corpus.
+    */
+  def dropDuplicateSpansIncremental(spark: org.apache.spark.sql.SparkSession,
+      path: String, docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", spanLen: Int = 3): DataFrame = {
+    require(spanLen >= 1, s"spanLen must be >= 1: $spanLen")
+    graft.sinks.Pruning.requireIndexParams(spark, path,
+      "spanhash", Map("span_len" -> spanLen.toLong))
+    val base = segmented(docs, idCol, textCol)
+    val occ = occurrences(base, spanLen)
+    val indexed = spark.read.parquet(s"$path/spans")
+      .select(col("h").as("_h")).distinct()
+    val inIndex = occ.join(indexed, Seq("_h"), "left_semi")
+      .select(col("_id"), col("_pos"))
+    val dupInBatch = occ.join(
+        occ.groupBy(col("_h"))
+          .agg(count(lit(1)).as("_cnt"),
+            min(struct(col("_id").as("d"), col("_pos").as("p"))).as("_first"))
+          .filter(col("_cnt") >= 2)
+          .select(col("_h"), col("_first.d").as("_fd"),
+            col("_first.p").as("_fp")),
+        Seq("_h"))
+      .filter(!(col("_id") === col("_fd") && col("_pos") === col("_fp")))
+      .select(col("_id"), col("_pos"))
+    val marked = inIndex.unionByName(dupInBatch).distinct()
+    scrubMarked(base, marked, idCol, spanLen)
+  }
+
+  private def segmented(df: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    graft.sources.Tables.widen(df)
+      .select(col(idCol).as("_id"),
+        Sentences.segment(col(textCol)).as("_sents"))
+
+  /** (_id, _pos, _h): one row per span occurrence of a segmented
+    * frame; span text dies here, only the 60-bit hash travels. */
+  private def occurrences(base: DataFrame, spanLen: Int): DataFrame = {
+    val windows = when(size(col("_sents")) < spanLen,
+      array().cast(ArrayType(StringType)))
+      .otherwise(transform(
+        sequence(lit(1), size(col("_sents")) - lit(spanLen - 1)),
+        i => array_join(slice(col("_sents"), i, lit(spanLen)), "\u001F")))
+    base
+      .select(col("_id"), posexplode(windows).as(Seq("_pos", "_sp")))
+      .select(col("_id"), col("_pos"), md5Hash60(col("_sp")).as("_h"))
+  }
+
+  private def spanHashes(df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int): DataFrame =
+    occurrences(segmented(df, idCol, textCol), spanLen)
+
+  /** Coverage + reassembly over marked span starts — the shared tail
+    * of the one-shot and incremental scrubs. */
+  private def scrubMarked(base: DataFrame, marked: DataFrame,
+      idCol: String, spanLen: Int): DataFrame = {
     // coverage: sentence at 0-based index j drops iff a marked span
     // start sits within [j - spanLen + 1, j] — the ExactSubstr
     // RANGE-frame union trick at sentence granularity

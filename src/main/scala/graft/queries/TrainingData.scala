@@ -5917,6 +5917,137 @@ object TrainingData {
        |GROUP BY doc_id
        |ORDER BY doc_id""".stripMargin
 
+  /** Incremental C4 span dedup against a persisted span-hash index
+    * ([[graft.operators.SentenceDedup.writeSpanIndex]] /
+    * [[graft.operators.SentenceDedup.dropDuplicateSpansIncremental]]):
+    * the even half of the sentenced corpus is indexed in TWO batches
+    * (write, then APPEND — the q60b/q237b read-transparency
+    * discipline rides the oracle gate), then a new batch — the odd
+    * half plus two plant families — scrubs against it: +200000
+    * copiers borrow sentences 2–4 from an INDEXED even donor (must
+    * drop via the index semi-join), +300000 copiers borrow from an
+    * odd donor INSIDE the batch (must drop via batch-local
+    * keep-first; the donor keeps). The oracle recomputes the indexed
+    * span set and the batch decision rule from scratch.
+    */
+  def q252IncrementalSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q252", dir) + "/ix"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
+      .withColumn("_t",
+        expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
+      .filter(size(col("_t")) >= 25)
+      .withColumn("_ng", expr("size(_t) DIV 5").cast(IntegerType))
+    def group(g: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array_join(slice(col("_t"), g * 5 + 1, lit(5)), " ")
+    val sentenced = docs.select(col("doc_id"),
+      concat(array_join(
+        transform(sequence(lit(0), col("_ng") - 1), g => group(g)),
+        ". "), lit(".")).as("text"))
+    def copiers(parity: Int, offset: Int, tag: String) =
+      docs.filter(pmod(col("doc_id"), lit(2)) === parity &&
+          col("doc_id") < 41).select(
+        (col("doc_id") + offset).as("doc_id"),
+        concat(
+          lit(tag), col("doc_id").cast("string"),
+          lit(" head marker sentence. "),
+          group(lit(1)), lit(". "), group(lit(2)), lit(". "),
+          group(lit(3)), lit(". " + tag), col("doc_id").cast("string"),
+          lit(" tail words end.")).as("text"))
+    val even = sentenced.filter(pmod(col("doc_id"), lit(2)) === 0)
+    graft.operators.SentenceDedup.writeSpanIndex(
+      even.filter(pmod(col("doc_id"), lit(4)) === 0),
+      "doc_id", "text", path, spanLen = 3)
+    graft.operators.SentenceDedup.appendToSpanIndex(
+      even.filter(pmod(col("doc_id"), lit(4)) === 2),
+      "doc_id", "text", path, spanLen = 3)
+    val batch = sentenced.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .unionByName(copiers(0, 200000, "uniqa"))
+      .unionByName(copiers(1, 300000, "uniqb"))
+    graft.operators.SentenceDedup.dropDuplicateSpansIncremental(
+        s, path, batch, "doc_id", "text", spanLen = 3)
+      .select(col("doc_id"), col("n_sentences"), col("n_dropped"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
+
+  val q252Sql: String =
+    s"""WITH t0 AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(trim(text), '\\s+'),
+       |      x -> length(x) > 0) AS tl
+       |  FROM documents WHERE text IS NOT NULL),
+       |t1 AS (
+       |  SELECT doc_id, tl, CAST(len(tl) // 5 AS INTEGER) AS ng
+       |  FROM t0 WHERE len(tl) >= 25),
+       |sentenced AS (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(range(0, ng),
+       |      g -> array_to_string(tl[g*5+1 : g*5+5], ' ')), '. ') || '.'
+       |      AS text
+       |  FROM t1),
+       |old AS (SELECT doc_id, text FROM sentenced WHERE doc_id % 2 = 0),
+       |batch AS (
+       |  SELECT doc_id, text FROM sentenced WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 200000 AS doc_id,
+       |    'uniqa' || CAST(doc_id AS VARCHAR) || ' head marker sentence. ' ||
+       |    array_to_string(tl[6:10], ' ') || '. ' ||
+       |    array_to_string(tl[11:15], ' ') || '. ' ||
+       |    array_to_string(tl[16:20], ' ') ||
+       |    '. uniqa' || CAST(doc_id AS VARCHAR) || ' tail words end.' AS text
+       |  FROM t1 WHERE doc_id % 2 = 0 AND doc_id < 41
+       |  UNION ALL
+       |  SELECT doc_id + 300000 AS doc_id,
+       |    'uniqb' || CAST(doc_id AS VARCHAR) || ' head marker sentence. ' ||
+       |    array_to_string(tl[6:10], ' ') || '. ' ||
+       |    array_to_string(tl[11:15], ' ') || '. ' ||
+       |    array_to_string(tl[16:20], ' ') ||
+       |    '. uniqb' || CAST(doc_id AS VARCHAR) || ' tail words end.' AS text
+       |  FROM t1 WHERE doc_id % 2 = 1 AND doc_id < 41),
+       |oldseg AS (
+       |  SELECT doc_id, ${duckSentences("text")} AS l FROM old),
+       |oldspans AS (
+       |  SELECT DISTINCT
+       |    ('0x'||substr(md5(array_to_string(l[u.i : u.i+2], chr(31))),
+       |      1, 15))::BIGINT AS h
+       |  FROM oldseg, unnest(range(1, len(l) - 1)) AS u(i)),
+       |bseg AS (
+       |  SELECT doc_id, ${duckSentences("text")} AS l FROM batch),
+       |bocc AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       |    ('0x'||substr(md5(array_to_string(l[u.i : u.i+2], chr(31))),
+       |      1, 15))::BIGINT AS h
+       |  FROM bseg, unnest(range(1, len(l) - 1)) AS u(i)),
+       |bdup AS (
+       |  SELECT doc_id, pos, h,
+       |    count(*) OVER (PARTITION BY h) AS cnt,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM bocc),
+       |marked AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, pos FROM bocc
+       |    WHERE h IN (SELECT h FROM oldspans)
+       |    UNION ALL
+       |    SELECT doc_id, pos FROM bdup WHERE cnt >= 2 AND rn > 1)),
+       |sent AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS j, l[u.i] AS s
+       |  FROM bseg, unnest(range(1, len(l) + 1)) AS u(i)),
+       |cov AS (
+       |  SELECT sent.doc_id, sent.j, sent.s,
+       |    CASE WHEN EXISTS (SELECT 1 FROM marked m
+       |      WHERE m.doc_id = sent.doc_id
+       |        AND m.pos BETWEEN sent.j - 2 AND sent.j) THEN 1 ELSE 0 END AS c
+       |  FROM sent)
+       |SELECT doc_id,
+       |  CAST(count(*) AS INT) AS n_sentences,
+       |  CAST(sum(c) AS INT) AS n_dropped,
+       |  md5(coalesce(string_agg(CASE WHEN c = 0 THEN s END, ' '
+       |    ORDER BY j), '')) AS text_md5
+       |FROM cov
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   /** T5-style span corruption ([[graft.operators.SpanCorrupt
     * .corrupt]]): the whole corpus turned into (input, target)
     * denoising pairs under the derandomized block sampler — every full
@@ -6384,6 +6515,7 @@ object TrainingData {
     "q247_span_corrupt" -> q247SpanCorrupt _,
     "q248_domain_budget" -> q248DomainBudget _,
     "q249_sentence_span_dedup" -> q249SentenceSpanDedup _,
+    "q252_incremental_span_dedup" -> q252IncrementalSpanDedup _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
     "q236_raked_mixture" -> q236RakedMixture _,
@@ -6501,6 +6633,7 @@ object TrainingData {
     "q247_span_corrupt" -> q247Sql,
     "q248_domain_budget" -> q248Sql,
     "q249_sentence_span_dedup" -> q249Sql,
+    "q252_incremental_span_dedup" -> q252Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,
     "q236_raked_mixture" -> q236Sql,

@@ -336,6 +336,46 @@ class FaultInjectionSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  // ---------------- span-hash-index append / bump pair ----------------
+
+  test("appendToSpanIndex: crash between data append and bump keeps probes exact") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    def mk(rows: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.toList.map { case (i, t) =>
+            org.apache.spark.sql.Row(i, t) }).asJava), schema)
+    val p = tmpDir("spanix") + "/idx"
+    SentenceDedup.writeSpanIndex(
+      mk(1L -> "A one. A two. A three."), "doc_id", "text", p)
+    val before = Pruning.readIndexMeta(spark, p).get.params("n_docs")
+    crashAt("appendToSpanIndex:appended") {
+      SentenceDedup.appendToSpanIndex(
+        mk(2L -> "B one. B two. B three."), "doc_id", "text", p)
+    }
+    // counter UNDERSTATES (the benign documented mode): the bump died
+    assert(Pruning.readIndexMeta(spark, p).get.params("n_docs") == before)
+    // the appended span hashes are LIVE: a probe of the crashed batch's
+    // content drops it — probes never gate on the counter
+    val got = SentenceDedup.dropDuplicateSpansIncremental(spark, p,
+        mk(10L -> "A one. A two. A three.",
+           11L -> "B one. B two. B three.",
+           12L -> "C one. C two. C three."), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Int]("n_dropped")).toMap
+    assert(got == Map(10L -> 3, 11L -> 3, 12L -> 0))
+    // a retried bump lands; the handshake survived the crash window
+    Pruning.bumpIndexMeta(spark, p, Map("n_docs" -> 1L))
+    assert(Pruning.readIndexMeta(spark, p).get.params("n_docs")
+      == before + 1L)
+    intercept[IllegalArgumentException] {
+      SentenceDedup.appendToSpanIndex(
+        mk(3L -> "x. y. z."), "doc_id", "text", p, spanLen = 4)
+    }
+  }
+
   // ---------------- MinHash append / bump pair ----------------
 
   test("appendToMinHashIndex: crash between data append and bump keeps dedup exact") {
@@ -370,4 +410,5 @@ class FaultInjectionSpec extends SparkSpec {
   private def Similarity = graft.operators.Similarity
   private def Dedup = graft.operators.Dedup
   private def Phrase = graft.operators.Phrase
+  private def SentenceDedup = graft.operators.SentenceDedup
 }

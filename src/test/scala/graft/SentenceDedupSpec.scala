@@ -73,4 +73,52 @@ class SentenceDedupSpec extends SparkSpec {
     assert(got(1L) == (3, 0, "S one. S two. S three."))
     assert(got(2L) == (3, 3, ""))
   }
+
+  // ---- incremental: persisted span index ----
+
+  test("incremental scrub: index hits drop, batch-local keep-first holds") {
+    val dir = java.nio.file.Files.createTempDirectory("spanix").toString + "/ix"
+    val indexed = docs(
+      1L -> "Old alpha one. Old bravo two. Old charlie three. Old delta four.")
+    SentenceDedup.writeSpanIndex(indexed, "doc_id", "text", dir)
+    val batch = docs(
+      10L -> "New head here. Old bravo two. Old charlie three. Old delta four. New tail there.",
+      11L -> "Fresh K one. Fresh K two. Fresh K three. Unique end.",
+      12L -> "Other head. Fresh K one. Fresh K two. Fresh K three. Other tail.")
+    val got = SentenceDedup
+      .dropDuplicateSpansIncremental(spark, dir, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_sentences"), r.getAs[Int]("n_dropped"),
+          r.getAs[String]("text"))).toMap
+    // doc 10 borrowed an INDEXED span → middle drops, head/tail stay
+    assert(got(10L) == (5, 3, "New head here. New tail there."))
+    // doc 11 is the batch-local FIRST occurrence → intact
+    assert(got(11L) == (4, 0,
+      "Fresh K one. Fresh K two. Fresh K three. Unique end."))
+    // doc 12 repeats doc 11's span within the batch → drops
+    assert(got(12L) == (5, 3, "Other head. Other tail."))
+  }
+
+  test("span index append is read-transparent; param handshake fails fast") {
+    val dir = java.nio.file.Files.createTempDirectory("spanix2").toString + "/ix"
+    SentenceDedup.writeSpanIndex(
+      docs(1L -> "A one. A two. A three."), "doc_id", "text", dir)
+    SentenceDedup.appendToSpanIndex(
+      docs(2L -> "B one. B two. B three."), "doc_id", "text", dir)
+    val batch = docs(
+      20L -> "A one. A two. A three.",   // hits the WRITE batch
+      21L -> "B one. B two. B three.",   // hits the APPEND batch
+      22L -> "C one. C two. C three.")   // fresh
+    val got = SentenceDedup
+      .dropDuplicateSpansIncremental(spark, dir, batch, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Int]("n_dropped")).toMap
+    assert(got == Map(20L -> 3, 21L -> 3, 22L -> 0))
+    assert(graft.sinks.Pruning.readIndexMeta(spark, dir)
+      .get.params("n_docs") == 2L)
+    intercept[IllegalArgumentException] {
+      SentenceDedup.appendToSpanIndex(
+        docs(3L -> "x. y. z."), "doc_id", "text", dir, spanLen = 4)
+    }
+  }
 }
