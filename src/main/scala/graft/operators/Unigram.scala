@@ -214,6 +214,52 @@ object Unigram {
     * once, per-word piece counts join back by word, docs sum. Docs
     * with no words count 0.
     */
+  /** CCNet-style per-document language-model score (Wenzek et al.
+    * 2020 §3.3 use a small LM's perplexity to split a crawl into
+    * head/middle/tail quality buckets): the document's NEGATIVE LOG
+    * LIKELIHOOD under the fitted unigram LM, in exact integer
+    * micro-log2 units — no float log anywhere, so scores (and any
+    * bucketing on them) replay bit-for-bit on any engine.
+    *
+    *   - `nll_micro` = Σ_pieces (ilog2µ(total) − ilog2µ(count)) over
+    *     the document's Viterbi segmentation (the q210/q211 machinery)
+    *   - `n_pieces`  = segmentation length
+    *   - `nll_per_piece_micro` = nll_micro DIV max(n_pieces, 1) — the
+    *     length-normalized perplexity proxy bucketing wants
+    *
+    * Scale: the fit and the per-WORD scores are distinct-word-bounded
+    * (vocabulary frames broadcast); the corpus crosses once as
+    * (id, word) pairs into the per-doc sum — the q211 shape with a
+    * score instead of a count.
+    */
+  def unigramNllScores(docs: DataFrame, idCol: String, textCol: String,
+      keepMulti: Int, iters: Int, maxPieceLen: Int = 4,
+      minCount: Int = 2): DataFrame = {
+    val (_, finalVocab, words) = fit(docs, textCol, keepMulti, iters,
+      maxPieceLen, minCount)
+    val scored = scoreVocab(finalVocab)
+    val wordNll = viterbiSegments(words, scored, maxPieceLen)
+      .select(col("_w"), explode(col("_pieces")).as("_p"))
+      .join(broadcast(scored.select(col("_p"), col("_s"))), Seq("_p"))
+      .groupBy(col("_w"))
+      .agg((-sum(col("_s"))).cast(LongType).as("_nll"),
+        count(lit(1)).cast(LongType).as("_np"))
+    val docWords = graft.sources.Tables.widen(docs)
+      .select(col(idCol),
+        explode(split(trim(col(textCol)), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val perDoc = docWords.join(wordNll, Seq("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_nll")).as("nll_micro"), sum(col("_np")).as("n_pieces"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .withColumn("nll_per_piece_micro",
+        expr("nll_micro DIV greatest(n_pieces, 1)"))
+  }
+
   def unigramTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       keepMulti: Int, iters: Int, maxPieceLen: Int = 4,
       minCount: Int = 2): DataFrame = {

@@ -3671,6 +3671,83 @@ object TrainingData {
         |GROUP BY d.doc_id
         |ORDER BY d.doc_id""".stripMargin
 
+  /** CCNet-style LM quality bucketing
+    * ([[graft.operators.Unigram.unigramNllScores]] +
+    * [[graft.operators.Sampling.bucketByQuantiles]]): every document
+    * scored by its negative log likelihood under the corpus-fitted
+    * unigram LM (exact integer micro-log2 — the q210/q211 machinery,
+    * no float log anywhere) and split into head/middle/tail terciles
+    * of the length-normalized score, the Wenzek et al. 2020 recipe.
+    * The oracle replays the ENTIRE composition: the 2-round EM fit, a
+    * final Viterbi segmentation, per-piece scores, per-doc NLL sums,
+    * and the q109 histogram rank-walk for the tercile thresholds —
+    * one hash covers fit + scoring + bucketing end to end.
+    */
+  def q253CcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val scores = graft.operators.Unigram.unigramNllScores(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")),
+      "doc_id", "text", keepMulti = 16, iters = 2, maxPieceLen = 4,
+      minCount = 2)
+    graft.operators.Sampling.bucketByQuantiles(
+        scores.withColumn("score",
+          col("nll_per_piece_micro").cast(DoubleType)),
+        "score", 0.0, 24000000.0, 256, Seq(1.0 / 3, 2.0 / 3))
+      .select(col("doc_id"), col("nll_micro"), col("n_pieces"),
+        col("nll_per_piece_micro"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q253Sql: String =
+    unigramCoreSql(maxPieceLen = 4, keepMulti = 16, minCount = 2, iters = 2) +
+      "," + unigramEmStepSql("v2", "vF", "mf", keepMulti = 16) +
+      s"""
+        |, wnll AS (
+        |  SELECT sg.word, CAST(-sum(s.s) AS BIGINT) AS nll,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM segmf sg JOIN smf s ON sg.p = s.p
+        |  GROUP BY sg.word),
+        |docwords AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0),
+        |dstat AS (
+        |  SELECT d.doc_id,
+        |    COALESCE(CAST(sum(w.nll) AS BIGINT), 0) AS nll_micro,
+        |    COALESCE(CAST(sum(w.np) AS BIGINT), 0) AS n_pieces
+        |  FROM documents d
+        |  LEFT JOIN docwords dw ON d.doc_id = dw.doc_id
+        |  LEFT JOIN wnll w ON dw.word = w.word
+        |  GROUP BY d.doc_id),
+        |dsc AS (
+        |  SELECT doc_id, nll_micro, n_pieces,
+        |    nll_micro // greatest(n_pieces, 1) AS ppm,
+        |    CAST(nll_micro // greatest(n_pieces, 1) AS DOUBLE) AS score
+        |  FROM dstat),
+        |hbins AS (
+        |  SELECT least(greatest(CAST(floor((score - 0.0) /
+        |      ((24000000.0 - 0.0) / 256)) AS BIGINT), 0), 255) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dsc WHERE score IS NOT NULL GROUP BY 1),
+        |hcum AS (
+        |  SELECT bin,
+        |    CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+        |         AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total
+        |  FROM hbins),
+        |pq AS (SELECT unnest([0.3333333333333333, 0.6666666666666666]) AS q),
+        |cuts AS (
+        |  SELECT q, 0.0 + CAST(min(bin) AS DOUBLE) * ((24000000.0 - 0.0) / 256)
+        |    AS est
+        |  FROM pq CROSS JOIN hcum
+        |  WHERE hcum.cum >= ceil(pq.q * CAST(hcum.total AS DOUBLE))
+        |  GROUP BY q)
+        |SELECT doc_id, nll_micro, n_pieces, ppm AS nll_per_piece_micro,
+        |  CAST((SELECT count(*) FROM cuts WHERE dsc.score >= cuts.est)
+        |    AS INTEGER) AS bucket
+        |FROM dsc
+        |ORDER BY doc_id""".stripMargin
+
   /** Exact substring-level dedup
     * ([[graft.operators.SubstringDedup.exactSubstringDedup]], the Lee
     * et al. ExactSubstr pass at 20-token granularity — the fixture
@@ -6540,6 +6617,7 @@ object TrainingData {
     "q217_char_entropy" -> q217CharEntropy _,
     "q210_unigram_fit" -> q210UnigramFit _,
     "q211_unigram_tokenize" -> q211UnigramTokenize _,
+    "q253_ccnet_buckets" -> q253CcnetBuckets _,
     "q208_substring_dedup" -> q208SubstringDedup _,
     "q209_substring_spans" -> q209SubstringSpans _,
     "q207_weighted_median" -> q207WeightedMedian _,
@@ -6657,6 +6735,7 @@ object TrainingData {
     "q217_char_entropy" -> q217Sql,
     "q210_unigram_fit" -> q210Sql,
     "q211_unigram_tokenize" -> q211Sql,
+    "q253_ccnet_buckets" -> q253Sql,
     "q208_substring_dedup" -> q208Sql,
     "q209_substring_spans" -> q209Sql,
     "q207_weighted_median" -> q207Sql,

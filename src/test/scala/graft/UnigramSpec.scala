@@ -101,4 +101,34 @@ class UnigramSpec extends SparkSpec {
     // with "the"/"sat" in-vocab the count is strictly below char count
     assert(out(0L) < 11L)
   }
+
+  test("NLL scores: consistent with token counts, rare text scores worse") {
+    val docs = corpus.unionByName(
+      Seq(("", 100L), ("zq zq", 101L)).toDF("text", "doc_id")
+        .select(col("text"), col("doc_id")))
+    val nll = Unigram.unigramNllScores(docs, "doc_id", "text",
+        keepMulti = 5, iters = 2, maxPieceLen = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val counts = Unigram.unigramTokenCounts(docs, "doc_id", "text",
+        keepMulti = 5, iters = 2, maxPieceLen = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // piece counts agree with the tokenizer's counts doc by doc
+    nll.foreach { case (id, (n, np, _)) =>
+      assert(np == counts(id), s"doc $id piece count")
+      assert(n >= 0L, s"doc $id NLL must be non-negative")
+    }
+    // blank doc: zero everything
+    assert(nll(100L) == (0L, 0L, 0L))
+    // rare characters cost more per piece than the corpus' common words
+    val common = nll(0L)._3   // "the cat sat"
+    val rare = nll(101L)._3   // "zq zq" — single-char fallbacks, count 1
+    assert(rare > common, s"rare $rare !> common $common")
+    // deterministic across runs
+    val again = Unigram.unigramNllScores(docs, "doc_id", "text",
+        keepMulti = 5, iters = 2, maxPieceLen = 3, minCount = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(again == nll)
+  }
 }
