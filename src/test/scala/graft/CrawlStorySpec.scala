@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{SentenceDedup, Urls}
+import graft.pipeline.TrainingPipeline
+
+/** The crawl-to-corpus story END TO END on one small synthetic web:
+  * robots.txt gate → URL canonicalization → frontier dedup →
+  * HTML-input training pipeline (extraction + scrub + gate + dedup +
+  * split) → sentence-span scrub. Every stage is the round-12 operator;
+  * this spec proves they COMPOSE — each stage's output is the next
+  * stage's input with no glue logic beyond column selection.
+  */
+class CrawlStorySpec extends SparkSpec {
+
+  private def frame(schema: StructType, rows: Row*): DataFrame =
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows.toList).asJava),
+      schema)
+
+  test("robots → canonicalize → frontier dedup → pipeline → span scrub") {
+    val chrome = "<nav><a href='/a'>All articles index</a> " +
+      "<a href='/b'>About this big site</a> " +
+      "<a href='/c'>Contact the whole team</a> " +
+      "<a href='/d'>Member login portal page</a></nav>"
+    def page(body: String): String =
+      s"<html><body>$chrome<p>$body</p></body></html>"
+    val bodyA = "the quick brown fox jumps over one lazy dog near the barn " +
+      "at dawn. a second sentence sits here quietly. and a third one ends it."
+    val bodyB = "winter snow storms blow across the frozen plains while " +
+      "travelers rest. days go past slowly there. nights last even longer"
+    // bodyC borrows a full 3-sentence run from bodyA between unique
+    // ends LONG enough to dilute whole-doc Jaccard below the near-dup
+    // threshold (the q228 filler discipline: the page must SURVIVE
+    // stage 4 and lose the borrowed span to the sentence scrub)
+    val bodyC = "completely fresh opener sentence with many original " +
+      "words about harbors markets bridges lanterns gardens rivers " +
+      "meadows and towers stretching on far beyond the usual measure " +
+      "of an opener. " + bodyA +
+      " totally fresh closer sentence that also rambles across " +
+      "orchards valleys castles harvests festivals wagons bakers " +
+      "millers weavers and a final quiet evening bell to end it"
+    val urlSchema = StructType(Seq(
+      StructField("page_id", LongType), StructField("url", StringType),
+      StructField("html", StringType)))
+    val fetched = frame(urlSchema,
+      // same page twice under tracking-param/case variants → ONE fetch
+      Row(1L, "HTTP://Site-A.example.COM:80/art/1?utm_source=x&v=1", page(bodyA)),
+      Row(2L, "http://site-a.example.com/art/1?v=1&fbclid=zz", page(bodyA)),
+      Row(3L, "https://site-a.example.com/private/x?v=2", page(bodyB)),
+      Row(4L, "https://site-b.example.com/art/2", page(bodyB)),
+      Row(5L, "https://site-b.example.com/art/3", page(bodyC)))
+    val robotsSchema = StructType(Seq(
+      StructField("host", StringType), StructField("txt", StringType)))
+    val robots = frame(robotsSchema,
+      Row("site-a.example.com", "User-agent: *\nDisallow: /private\n"),
+      Row("site-b.example.com", "User-agent: *\nDisallow: /tmp\n"))
+
+    // 1. robots gate: the /private fetch drops
+    val allowed = Urls.robotsFilter(fetched, "page_id", "url",
+        robots, "host", "txt")
+      .filter(col("allowed"))
+      .select(col("page_id"))
+    val crawlable = fetched.join(allowed, Seq("page_id"))
+    assert(crawlable.count() == 4)
+
+    // 2. canonicalize + frontier dedup: pages 1 and 2 are ONE url
+    val canon = crawlable
+      .withColumn("u", Urls.canonicalize(col("url")))
+      .withColumn("canonical_url", col("u.canonical_url"))
+    val frontier = canon
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("canonical_url")).orderBy(col("page_id"))))
+      .filter(col("rk") === 1)
+      .select(col("page_id").as("doc_id"), col("html").as("text"))
+    assert(frontier.count() == 3) // pages 1(=2), 4, 5
+    assert(canon.filter(col("page_id").isin(1L, 2L))
+      .select("canonical_url").distinct().count() == 1)
+
+    // 3. HTML-input pipeline: chrome never reaches the shingler; the
+    // three surviving pages have unrelated content → all pass
+    val corpus = TrainingPipeline.prepare(frontier,
+      TrainingPipeline.Config(minJaccard = 0.5, htmlExtract = Some(25)))
+    val rows = corpus.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L, 5L))
+    assert(rows.forall(r => !r.getAs[String]("text").contains("articles index")))
+    assert(rows.forall(r => Set("train", "val", "test")(r.getAs[String]("split"))))
+
+    // 4. sentence-span scrub: page 5's borrowed 3-sentence run drops
+    // (page 1, the lower id, keeps it); unique ends survive
+    val scrubbed = SentenceDedup.dropDuplicateSpans(
+        corpus.select(col("doc_id"), col("text")), "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_dropped"), r.getAs[String]("text"))).toMap
+    assert(scrubbed(1L)._1 == 0)
+    assert(scrubbed(4L)._1 == 0)
+    assert(scrubbed(5L)._1 == 3, s"page 5: ${scrubbed(5L)}")
+    assert(scrubbed(5L)._2.contains("fresh opener"))
+    assert(scrubbed(5L)._2.contains("fresh closer"))
+    assert(!scrubbed(5L)._2.contains("lazy dog"))
+  }
+}
