@@ -152,6 +152,15 @@ class PlanShapeSpec extends SparkSpec {
                               // weights); the corpus token count is an
                               // ordinary keyed aggregate and the top-k
                               // is a TakeOrdered, not a global sort
+      "q253_ccnet_buckets",   // the q211 shape plus the q109 bucketer:
+                              // the vocabulary-total scalar is ONE sum
+                              // over the ≤ chars+keepMulti vocab frame
+                              // (partial buffers cross, one row
+                              // broadcasts back as the micro-log2
+                              // denominator), and the histogram
+                              // quantile walk runs over the ≤256-row
+                              // merged sketch; the corpus scans below
+                              // both are ordinary keyed aggregates
       "q243_bleu_counts",     // two scalar legs by construction: the
                               // per-order matched/total sums over the
                               // already-(id, n, hash)-keyed gram-count
