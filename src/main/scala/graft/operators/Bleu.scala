@@ -98,11 +98,16 @@ object Bleu {
       .select(col("n"),
         coalesce(col("matched"), lit(0L)).as("matched"),
         coalesce(col("total"), lit(0L)).as("total"))
+    // null texts contribute 0 tokens (NOT size(null)'s legacy -1):
+    // the gram side silently drops null rows, and the brevity-penalty
+    // totals must stay consistent with the matched/total counts
+    def sideTokens(side: String): Column =
+      coalesce(sum(when(col(side).isNotNull,
+        size(nonEmptyTokens(lower(col(side))))).otherwise(lit(0))
+        .cast(LongType)), lit(0L))
     val lens = pairs.agg(
-      coalesce(sum(size(nonEmptyTokens(lower(col(candCol)))).cast(LongType)),
-        lit(0L)).as("cand_tokens"),
-      coalesce(sum(size(nonEmptyTokens(lower(col(refCol)))).cast(LongType)),
-        lit(0L)).as("ref_tokens"))
+      sideTokens(candCol).as("cand_tokens"),
+      sideTokens(refCol).as("ref_tokens"))
     filled
       .withColumn("prec_micro_log2",
         Unigram.ilog2Micro(col("matched") + 1L) -

@@ -213,8 +213,12 @@ object Curation {
     */
   def lineRepetitionRules(df: DataFrame, idCol: String, textCol: String,
       maxDupFrac: Double = 0.3, maxDupCharFrac: Double = 0.2): DataFrame = {
+    // null text folds to '' (zero lines/paragraphs, all fractions 0,
+    // keep = 1 — identical to the empty-string row), not the confusing
+    // size(null) = -1 sentinel counts
     def units(sep: String): Column =
-      filter(transform(split(col(textCol), sep), u => trim(u)),
+      filter(transform(split(coalesce(col(textCol), lit("")), sep),
+          u => trim(u)),
         u => length(u) > 0)
     def stats(u: Column): (Column, Column, Column, Column) = {
       val n = size(u)

@@ -175,7 +175,7 @@ object SentenceDedup {
     val covered = sented.unionByName(starts)
       .withColumn("_cov", max(col("_hit")).over(w))
       .filter(col("_s").isNotNull)
-    covered
+    val report = covered
       .groupBy(col("_id"))
       .agg(
         count(lit(1)).cast(IntegerType).as("n_sentences"),
@@ -185,6 +185,15 @@ object SentenceDedup {
             array_sort(collect_list(
               when(col("_cov") === 0, struct(col("_pos"), col("_s"))))),
             x => x.getField("_s")), " ").as("text"))
-      .withColumnRenamed("_id", idCol)
+    // sentence-less documents (empty/whitespace/null text) vanish at
+    // the posexplode above — reinstate them as (0, 0, "") rows so the
+    // report covers every input doc (the widen/left-join all-docs
+    // convention; a caller substituting `text` back loses nothing)
+    base.select(col("_id"))
+      .join(report, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_sentences"), lit(0)).as("n_sentences"),
+        coalesce(col("n_dropped"), lit(0)).as("n_dropped"),
+        coalesce(col("text"), lit("")).as("text"))
   }
 }

@@ -28,6 +28,15 @@ import graft.functions.TextFunctions.{md5Hash60, nonEmptyTokens}
   * maxSpan 3 → E[L] = 2) give the paper's ~25%/15% neighborhood;
   * both knobs are explicit.
   *
+  * SENTINEL-VOCABULARY CONTRACT: sentinel ids are the block index
+  * with no upper bound — a document longer than 100·blockLen tokens
+  * emits `<extra_id_100>` and beyond, which the standard T5 vocabulary
+  * (100 sentinels) does not contain. Chunking long documents to at
+  * most `sentinelVocabSize · blockLen` tokens before corruption is
+  * the CALLER's obligation; the `n_spans` output column is the audit
+  * handle (`max(n_spans)` over a corpus must stay ≤ the consumer's
+  * sentinel count).
+  *
   * Row-local higher-order expressions only: zero exchanges, zero
   * UDFs — 100 TB of denoising pairs is scan → project → write.
   */

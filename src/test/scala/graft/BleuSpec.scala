@@ -72,4 +72,16 @@ class BleuSpec extends SparkSpec {
     assert(got(2)._1 == 3L && got(2)._2 == 3L)  // "the cat","cat sat","dogs run"
     assert(got(1)._4 == 5L && got(1)._5 == 6L)
   }
+
+  test("null texts contribute zero tokens, consistent with the gram side") {
+    val d = pairs(
+      (1L, "the cat sat", "the cat sat"),
+      (2L, null, "ghost reference words"),
+      (3L, "ghost candidate", null))
+    val got = byN(Bleu.corpusNgramPrecision(d, "id", "cand", "ref", 2))
+    // gram counts see only the non-null sides; length totals must agree
+    // (a legacy size(null) = -1 would read cand_tokens = 4, ref_tokens = 5)
+    assert(got(1)._4 == 5L && got(1)._5 == 6L)
+    assert(got(1)._1 == 3L && got(1)._2 == 5L)
+  }
 }

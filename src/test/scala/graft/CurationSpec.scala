@@ -283,4 +283,15 @@ class CurationSpec extends SparkSpec {
     assert(r.getAs[Double]("dup_line_frac") == 0.0)
     assert(r.getAs[Int]("keep") == 1)
   }
+
+  test("lineRepetitionRules: null text folds to the empty-string row") {
+    val d = docs(1L -> null, 2L -> "")
+    val got = graft.operators.Curation
+      .lineRepetitionRules(d, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_lines"), r.getAs[Int]("n_paras"),
+          r.getAs[Double]("dup_line_frac"), r.getAs[Int]("keep"))).toMap
+    assert(got(1L) == got(2L))
+    assert(got(1L) == (0, 0, 0.0, 1))
+  }
 }

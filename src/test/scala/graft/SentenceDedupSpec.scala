@@ -121,4 +121,14 @@ class SentenceDedupSpec extends SparkSpec {
         docs(3L -> "x. y. z."), "doc_id", "text", dir, spanLen = 4)
     }
   }
+
+  test("sentence-less documents appear in the report as (0, 0, empty)") {
+    val got = run(docs(
+      1L -> "Alpha one here. Bravo two there. Charlie three now.",
+      2L -> "   ",
+      3L -> ""))
+    assert(got(1L) == (3, 0, "Alpha one here. Bravo two there. Charlie three now."))
+    assert(got(2L) == (0, 0, ""))
+    assert(got(3L) == (0, 0, ""))
+  }
 }
