@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, StringType}
 
@@ -115,60 +116,143 @@ object Urls {
       (size(raw) - size(kept)).cast(IntegerType).as("n_params_dropped"))
   }
 
-  /** robots.txt line pattern: `Allow:`/`Disallow:` directives, case-
-    * insensitive, multiline — matched as whole directives (group
-    * parsing happens per element; RE2's extract-all yields one group).
-    */
-  private[graft] val robotsLineRe = "(?im)^[ \\t]*(?:disallow|allow)[ \\t]*:[ \\t]*\\S*"
-
-  /** Parse robots.txt bodies into one rule row per directive:
-    * (domainCol, rule_type 'allow'|'disallow', rule_path, rule_len).
+  /** Parse robots.txt bodies into per-AGENT-GROUP rule rows and select
+    * each domain's EFFECTIVE rules for `agent` (RFC 9309 §2.2.1 / the
+    * Google precedence): lines split the file into groups — one or
+    * more consecutive `User-agent:` lines followed by their
+    * `Allow:`/`Disallow:` directives; a crawler obeys ONLY the
+    * matching group(s) with the most specific agent token, falling
+    * back to the `*` group. A token matches when it is `*` or a
+    * case-insensitive PREFIX of `agent` (crawler `googlebot-news`
+    * matches groups `googlebot` and `googlebot-news`; the longer
+    * token wins and the shorter — and `*` — groups are then IGNORED
+    * entirely, per the RFC's most-specific-only rule). Directives
+    * before any `User-agent:` line belong to the implicit `*` group.
     * Empty-path `Disallow:` lines (the "allow everything" idiom) are
-    * dropped — they match nothing by the longest-prefix rule anyway.
+    * dropped — they match nothing under longest-match anyway.
     *
-    * SCOPE (documented): the whole file is treated as one agent group
-    * (the `*` group — per-agent groups and the `*`/`$` wildcards are
-    * data-model extensions, not algorithm changes); paths match as
-    * LITERAL prefixes.
+    * Output: (domainCol, rule_type 'allow'|'disallow', rule_path,
+    * rule_len) — rule_len is the specificity key (path length AS
+    * WRITTEN, wildcards included, the Google rule).
+    *
+    * Scope (documented): agent tokens are product tokens (`Googlebot`),
+    * not versioned strings (`Googlebot/1.2` would not prefix-match);
+    * one directive per line, comments after the path ignored by the
+    * `\S*` capture.
+    *
+    * Scale: one line-explode over the robots corpus, one lag/sum
+    * window and two keyed aggregates — all exchanges keyed by domain;
+    * nothing is corpus×rules shaped.
     */
-  def robotsRules(robots: DataFrame, domainCol: String,
-      txtCol: String): DataFrame =
-    robots.select(col(domainCol),
-        explode(regexp_extract_all(col(txtCol), lit(robotsLineRe), lit(0)))
-          .as("_line"))
-      .select(col(domainCol),
-        lower(regexp_extract(col("_line"),
-          "(?i)^[ \\t]*(disallow|allow)", 1)).as("rule_type"),
-        regexp_extract(col("_line"), ":[ \\t]*(\\S*)$", 1).as("rule_path"))
-      .filter(length(col("rule_path")) > 0)
+  def robotsRules(robots: DataFrame, domainCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    val lines = robots.select(col(domainCol),
+      posexplode(split(col(txtCol), "\r?\n")).as(Seq("_ln", "_l")))
+    val typed = lines.select(col(domainCol), col("_ln"),
+        lower(regexp_extract(col("_l"),
+          "(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S*)", 1)).as("_ua"),
+        lower(regexp_extract(col("_l"),
+          "(?i)^[ \\t]*(disallow|allow)[ \\t]*:", 1)).as("rule_type"),
+        regexp_extract(col("_l"),
+          "(?i)^[ \\t]*(?:disallow|allow)[ \\t]*:[ \\t]*(\\S*)", 1)
+          .as("rule_path"))
+      .filter(col("_ua") =!= "" || col("rule_type") =!= "")
+    // group id: a User-agent line whose previous RELEVANT line was not
+    // a User-agent line starts a new group (consecutive UA lines share
+    // the directives that follow them)
+    val w = Window.partitionBy(col(domainCol)).orderBy(col("_ln"))
+    val grouped = typed
+      .withColumn("_isUa", col("_ua") =!= "")
+      .withColumn("_gid", sum(
+        when(col("_isUa") &&
+          !coalesce(lag(col("_isUa"), 1).over(w), lit(false)), 1)
+          .otherwise(0)).over(w))
+    // specificity of each group for `agent`: longest matching token,
+    // '*' counting 0, non-matching groups excluded
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val matchLen = when(col("_ua") === "*", 0)
+      .when(lit(agentLc).startsWith(col("_ua")), length(col("_ua")))
+      .otherwise(-1)
+    val groupBest = grouped.filter(col("_isUa"))
+      .groupBy(col(domainCol), col("_gid"))
+      .agg(max(matchLen).as("_best"))
+    val rules = grouped
+      .filter(col("rule_type") =!= "" && length(col("rule_path")) > 0)
+      .select(col(domainCol), col("_gid"), col("rule_type"),
+        col("rule_path"))
+    val withBest = rules.join(groupBest, Seq(domainCol, "_gid"), "left")
+      // headerless directives (gid 0 has no UA row) = the implicit '*'
+      // group at specificity 0
+      .withColumn("_b", coalesce(col("_best"),
+        when(col("_gid") === 0, 0).otherwise(-1)))
+      .filter(col("_b") >= 0)
+    val domainMax = withBest.groupBy(col(domainCol))
+      .agg(max(col("_b")).as("_dmax"))
+    withBest.join(domainMax, Seq(domainCol))
+      .filter(col("_b") === col("_dmax"))
+      .select(col(domainCol), col("rule_type"), col("rule_path"))
+      .distinct()
       .withColumn("rule_len", length(col("rule_path")).cast(IntegerType))
+  }
 
-  /** Evaluate crawlability: for every URL, the longest-prefix robots
-    * rule of its HOST decides (ties → allow, the Google precedence);
-    * hosts with no matching rule — or no robots entry at all — are
-    * allowed. Output: (idCol, host, path, allowed, rule_type,
-    * rule_path) with null rule columns when nothing matched.
+  /** rule_path → anchored RE2 pattern implementing the robots
+    * wildcards: `*` matches any character run; ONE trailing `$`
+    * anchors the end (a `$` anywhere else is literal, the Google
+    * semantics); everything else matches literally. A wildcard-free
+    * path compiles to `^literal` — exactly the old prefix rule.
+    */
+  private[graft] def wildcardPattern(rule: Column): Column = {
+    val anchored = rule.endsWith("$")
+    val body = when(anchored, rule.substr(lit(1), length(rule) - 1))
+      .otherwise(rule)
+    val esc = regexp_replace(body, "([.\\[\\]{}()+?^$\\\\|])", "\\\\$1")
+    // robots.txt has no escaping: every '*' in the path is a wildcard
+    // (the metachar escape above never touches '*')
+    val wild = regexp_replace(esc, "\\*", ".*")
+    concat(lit("^"), wild, when(anchored, lit("$")).otherwise(lit("")))
+  }
+
+  /** Evaluate crawlability for `agent`: per URL, the most specific
+    * (longest rule_path as written) matching rule of its HOST's
+    * effective agent group decides; ties resolve allow-over-disallow,
+    * then lexicographically-greatest rule_path (a TOTAL order, so the
+    * reported rule replays bit-for-bit on any engine); hosts with no
+    * matching rule — or no robots entry at all — are allowed. Output:
+    * (idCol, host, path, allowed, rule_type, rule_path) with null rule
+    * columns when nothing matched.
     *
-    * Scale: rules frames are robots-corpus-sized (thousands of
-    * domains × tens of directives) and broadcast; the URL side is one
-    * scan projected to (id, host, path) — the decision is a broadcast
-    * join + one keyed max_by aggregate per URL.
+    * Scale: the effective-rules frame is robots-corpus-bounded; it
+    * BROADCASTS only while its exact cardinality is within
+    * `broadcastMaxRules` (the Coverage guard convention — a full-web
+    * crawl carries rules for tens of millions of hosts, and an
+    * unguarded broadcast there is a driver OOM), falling back to a
+    * host-keyed shuffled join past the guard. The URL side is one scan
+    * projected to (id, host, path); the decision is the join + one
+    * id-keyed max_by. Wildcard rules compile per matched row (RLike on
+    * a non-foldable pattern) — bounded by rules-per-host, not corpus
+    * size.
     */
   def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
-      robots: DataFrame, domainCol: String, txtCol: String): DataFrame = {
+      robots: DataFrame, domainCol: String, txtCol: String,
+      agent: String = "*", broadcastMaxRules: Long = 2000000L): DataFrame = {
     val (host, _) = hostPort(col(urlCol))
     val parsed = urls.select(col(idCol).as("_id"), host.as("host"),
       pathOf(col(urlCol)).as("path"))
-    val rules = robotsRules(robots, domainCol, txtCol)
+    val rules = robotsRules(robots, domainCol, txtCol, agent)
       .withColumnRenamed(domainCol, "host")
-    val matched = parsed.join(broadcast(rules), Seq("host"))
-      .filter(col("path").startsWith(col("rule_path")))
+      .withColumn("_pat", wildcardPattern(col("rule_path")))
+    val nRules = rules.count()
+    val rhs = if (nRules <= broadcastMaxRules) broadcast(rules) else rules
+    val matched = parsed.join(rhs, Seq("host"))
+      .filter(regexp_like(col("path"), col("_pat")))
       .groupBy(col("_id"))
-      // longest rule wins; at equal length allow beats disallow
+      // longest rule wins; at equal length allow beats disallow; at
+      // equal (length, type) the greatest rule_path — deterministic
       .agg(max_by(
         struct(col("rule_type"), col("rule_path")),
         struct(col("rule_len"),
-          when(col("rule_type") === "allow", 1).otherwise(0))).as("_w"))
+          when(col("rule_type") === "allow", 1).otherwise(0),
+          col("rule_path"))).as("_w"))
       .select(col("_id"), col("_w.rule_type").as("rule_type"),
         col("_w.rule_path").as("rule_path"))
     parsed.join(matched, Seq("_id"), "left")

@@ -5706,28 +5706,41 @@ object TrainingData {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** robots.txt crawlability ([[graft.operators.Urls.robotsFilter]]):
-    * synthetic per-host robots files (Disallow /private, Allow
-    * /private/ok, a parity-dependent Disallow /tmp, comment/Sitemap
-    * noise lines; every 7th source has NO robots entry at all) against
-    * URLs whose paths hit every rule class. The longest-prefix /
-    * allow-on-tie precedence must hold: /private/ok/... survives
-    * because the 11-char Allow outranks the 8-char Disallow; hosts
-    * without robots — and paths matching nothing — stay allowed. The
-    * oracle re-parses the directive lines and replays the precedence
-    * rank per URL.
+  /** robots.txt crawlability ([[graft.operators.Urls.robotsFilter]]),
+    * crawling as agent `graftbot`: synthetic per-host robots files
+    * with PER-AGENT groups and WILDCARD rules — every host opens with
+    * a `Googlebot` block-everything group (must be IGNORED: a wrong
+    * agent match blocks the whole crawl), then the `*` group
+    * (Disallow /private, Allow /private/ok, a parity-dependent
+    * Disallow /tmp, comment/Sitemap noise); every 3rd source adds a
+    * `graft` group (Disallow /public — close-but-shorter token, must
+    * LOSE to the longer match) and a double-headed
+    * `graftbot`+`extrabot` group (a `*.pdf$` wildcard Disallow, plus
+    * Disallow /private, Allow /private/p). Every 7th source has NO robots at
+    * all. The paths hit every divergence: on graftbot-group hosts
+    * /private/p… flips to ALLOWED, /private/ok/… flips to DISALLOWED,
+    * /tmp survives even on even hosts (group exclusivity — `*` rules
+    * must NOT union in), `.pdf` dies to the wildcard and `.pdfx`
+    * proves the `$` anchor. The oracle replays group segmentation
+    * (lag/sum windows), agent-token specificity, the wildcard→regex
+    * translation, and the (len, allow, rule_path) precedence rank.
     */
   def q250RobotsFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
     val host = concat(lit("www."), col("source"), lit(".example.com"))
-    val path = when(pmod(col("doc_id"), lit(5)) === 0,
-        concat(lit("/public/page"), col("doc_id").cast("string")))
-      .when(pmod(col("doc_id"), lit(5)) === 1,
-        concat(lit("/private/p"), col("doc_id").cast("string")))
-      .when(pmod(col("doc_id"), lit(5)) === 2,
-        concat(lit("/private/ok/p"), col("doc_id").cast("string")))
-      .when(pmod(col("doc_id"), lit(5)) === 3,
-        concat(lit("/tmp/x"), col("doc_id").cast("string")))
+    val id = col("doc_id").cast("string")
+    val path = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(lit("/public/page"), id))
+      .when(pmod(col("doc_id"), lit(7)) === 1,
+        concat(lit("/private/p"), id))
+      .when(pmod(col("doc_id"), lit(7)) === 2,
+        concat(lit("/private/ok/p"), id))
+      .when(pmod(col("doc_id"), lit(7)) === 3,
+        concat(lit("/tmp/x"), id))
+      .when(pmod(col("doc_id"), lit(7)) === 4,
+        concat(lit("/files/d"), id, lit(".pdf")))
+      .when(pmod(col("doc_id"), lit(7)) === 5,
+        concat(lit("/files/d"), id, lit(".pdfx")))
       .otherwise(lit("/"))
     val urls = docs.select(col("doc_id"),
       concat(lit("https://"), host, path).as("url"))
@@ -5737,12 +5750,19 @@ object TrainingData {
       .select(concat(lit("www."), col("source"), lit(".example.com"))
           .as("host"),
         concat(
+          lit("User-agent: Googlebot\nDisallow: /\n\n"),
           lit("User-agent: *\nDisallow: /private\nAllow: /private/ok\n"),
           when(srcNum % 2 === 0, lit("Disallow: /tmp\n")).otherwise(lit("")),
-          lit("# notes\nSitemap: https://x.example.com/sitemap.xml\n"))
+          lit("# notes\nSitemap: https://x.example.com/sitemap.xml\n"),
+          when(srcNum % 3 === 0, lit(
+            "\nUser-agent: graft\nDisallow: /public\n" +
+              "\nUser-agent: graftbot\nUser-agent: extrabot\n" +
+              "Disallow: /*.pdf$\nDisallow: /private\nAllow: /private/p\n"))
+            .otherwise(lit("")))
           .as("robots_txt"))
     graft.operators.Urls.robotsFilter(
-      urls, "doc_id", "url", robots, "host", "robots_txt")
+      urls, "doc_id", "url", robots, "host", "robots_txt",
+      agent = "graftbot")
       .orderBy("doc_id")
   }
 
@@ -5750,41 +5770,97 @@ object TrainingData {
     s"""WITH u AS (
        |  SELECT doc_id,
        |    'www.' || source || '.example.com' AS host,
-       |    CASE WHEN doc_id % 5 = 0 THEN '/public/page' || CAST(doc_id AS VARCHAR)
-       |         WHEN doc_id % 5 = 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
-       |         WHEN doc_id % 5 = 2 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
-       |         WHEN doc_id % 5 = 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+       |    CASE WHEN doc_id % 7 = 0 THEN '/public/page' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 7 = 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 7 = 2 THEN '/private/ok/p' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 7 = 3 THEN '/tmp/x' || CAST(doc_id AS VARCHAR)
+       |         WHEN doc_id % 7 = 4 THEN '/files/d' || CAST(doc_id AS VARCHAR) || '.pdf'
+       |         WHEN doc_id % 7 = 5 THEN '/files/d' || CAST(doc_id AS VARCHAR) || '.pdfx'
        |         ELSE '/' END AS path
        |  FROM documents),
        |rb AS (
        |  SELECT 'www.' || source || '.example.com' AS host,
+       |    'User-agent: Googlebot' || chr(10) || 'Disallow: /' || chr(10) ||
+       |      chr(10) ||
        |    'User-agent: *' || chr(10) ||
        |    'Disallow: /private' || chr(10) ||
        |    'Allow: /private/ok' || chr(10) ||
        |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
        |          THEN 'Disallow: /tmp' || chr(10) ELSE '' END) ||
        |    '# notes' || chr(10) ||
-       |    'Sitemap: https://x.example.com/sitemap.xml' || chr(10) AS txt
+       |    'Sitemap: https://x.example.com/sitemap.xml' || chr(10) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+       |          THEN chr(10) || 'User-agent: graft' || chr(10) ||
+       |               'Disallow: /public' || chr(10) || chr(10) ||
+       |               'User-agent: graftbot' || chr(10) ||
+       |               'User-agent: extrabot' || chr(10) ||
+       |               'Disallow: /*.pdf$$' || chr(10) ||
+       |               'Disallow: /private' || chr(10) ||
+       |               'Allow: /private/p' || chr(10)
+       |          ELSE '' END) AS txt
        |  FROM (SELECT DISTINCT source FROM documents)
        |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3),
+       |lns AS (
+       |  SELECT host, CAST(u2.i AS INTEGER) AS ln, l[u2.i] AS line
+       |  FROM (SELECT host, string_split_regex(txt, '\\r?\\n') AS l FROM rb),
+       |    unnest(range(1, len(l) + 1)) AS u2(i)),
+       |kept AS (
+       |  SELECT host, ln,
+       |    lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S*)', 1)) AS ua,
+       |    lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*(disallow|allow)[ \\t]*:', 1)) AS rule_type,
+       |    regexp_extract(line,
+       |      '(?i)^[ \\t]*(?:disallow|allow)[ \\t]*:[ \\t]*(\\S*)', 1)
+       |      AS rule_path
+       |  FROM lns
+       |  WHERE lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S*)', 1)) <> ''
+       |    OR lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*(disallow|allow)[ \\t]*:', 1)) <> ''),
+       |lagged AS (
+       |  SELECT *, (ua <> '') AS is_ua,
+       |    coalesce(lag(ua <> '')
+       |      OVER (PARTITION BY host ORDER BY ln), FALSE) AS prev_ua
+       |  FROM kept),
+       |grp AS (
+       |  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host ORDER BY ln) AS gid
+       |  FROM lagged),
+       |gbest AS (
+       |  SELECT host, gid,
+       |    max(CASE WHEN ua = '*' THEN 0
+       |             WHEN starts_with('graftbot', ua) THEN length(ua)
+       |             ELSE -1 END) AS best
+       |  FROM grp WHERE is_ua GROUP BY host, gid),
+       |r0 AS (
+       |  SELECT g.host, g.rule_type, g.rule_path,
+       |    coalesce(b.best, CASE WHEN g.gid = 0 THEN 0 ELSE -1 END) AS best
+       |  FROM grp g LEFT JOIN gbest b ON b.host = g.host AND b.gid = g.gid
+       |  WHERE g.rule_type <> '' AND length(g.rule_path) > 0),
+       |r1 AS (SELECT * FROM r0 WHERE best >= 0),
+       |dmax AS (SELECT host, max(best) AS dmax FROM r1 GROUP BY host),
        |rules AS (
-       |  SELECT host,
-       |    lower(regexp_extract(l, '(?i)^[ \\t]*(disallow|allow)', 1))
-       |      AS rule_type,
-       |    regexp_extract(l, ':[ \\t]*(\\S*)$$', 1) AS rule_path
-       |  FROM (
-       |    SELECT host,
-       |      unnest(regexp_extract_all(txt,
-       |        '(?im)^[ \\t]*(?:disallow|allow)[ \\t]*:[ \\t]*\\S*')) AS l
-       |    FROM rb)
-       |  WHERE length(regexp_extract(l, ':[ \\t]*(\\S*)$$', 1)) > 0),
+       |  SELECT DISTINCT r.host, r.rule_type, r.rule_path
+       |  FROM r1 r JOIN dmax d ON d.host = r.host WHERE r.best = d.dmax),
+       |pat AS (
+       |  SELECT host, rule_type, rule_path,
+       |    CAST(length(rule_path) AS INTEGER) AS rule_len,
+       |    '^' || replace(regexp_replace(
+       |        CASE WHEN rule_path LIKE '%$$'
+       |             THEN substr(rule_path, 1, length(rule_path) - 1)
+       |             ELSE rule_path END,
+       |        '([.\\[\\]{}()+?^$$\\\\|])', '\\\\\\1', 'g'), '*', '.*') ||
+       |      (CASE WHEN rule_path LIKE '%$$' THEN '$$' ELSE '' END) AS rx
+       |  FROM rules),
        |m AS (
-       |  SELECT u.doc_id, r.rule_type, r.rule_path,
+       |  SELECT u.doc_id, p.rule_type, p.rule_path,
        |    row_number() OVER (PARTITION BY u.doc_id
-       |      ORDER BY length(r.rule_path) DESC,
-       |        CASE WHEN r.rule_type = 'allow' THEN 1 ELSE 0 END DESC) AS rn
-       |  FROM u JOIN rules r ON r.host = u.host
-       |    AND starts_with(u.path, r.rule_path))
+       |      ORDER BY p.rule_len DESC,
+       |        CASE WHEN p.rule_type = 'allow' THEN 1 ELSE 0 END DESC,
+       |        p.rule_path DESC) AS rn
+       |  FROM u JOIN pat p ON p.host = u.host
+       |    AND regexp_matches(u.path, p.rx))
        |SELECT u.doc_id, u.host, u.path,
        |  COALESCE(m.rule_type <> 'disallow', TRUE) AS allowed,
        |  m.rule_type, m.rule_path

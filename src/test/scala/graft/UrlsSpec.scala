@@ -131,4 +131,108 @@ class UrlsSpec extends SparkSpec {
       1L -> "https://h.com/", 2L -> "https://h.com/a/b?q=1")
     assert(got(1L)._1 == false && got(2L)._1 == false)
   }
+
+  private def decideAs(agent: String, txt: String,
+      urls: (Long, String)*): Map[Long, (Boolean, String)] = {
+    val us = StructType(Seq(StructField("id", LongType),
+      StructField("url", StringType)))
+    val u = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          urls.toList.map { case (i, p) => Row(i, p) }).asJava), us)
+    Urls.robotsFilter(u, "id", "url", robotsFixture(txt), "host", "txt",
+        agent = agent)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("allowed"),
+          Option(r.getAs[String]("rule_path")).getOrElse(""))).toMap
+  }
+
+  test("per-agent groups: most specific token wins, others IGNORED") {
+    val txt = "User-agent: Googlebot\nDisallow: /\n\n" +
+      "User-agent: *\nDisallow: /private\n\n" +
+      "User-agent: graft\nDisallow: /graftonly\n\n" +
+      "User-agent: graftbot\nUser-agent: extrabot\nAllow: /private/a\nDisallow: /private\n"
+    // crawling as graftbot: the len-8 group wins over 'graft' (5) and
+    // '*' (0); the Googlebot block-everything group never matches
+    val got = decideAs("graftbot", txt,
+      1L -> "https://h.com/private/a/x",
+      2L -> "https://h.com/private/b",
+      3L -> "https://h.com/graftonly/x", // 'graft' group IGNORED
+      4L -> "https://h.com/open")
+    assert(got(1L) == (true, "/private/a"))
+    assert(got(2L) == (false, "/private"))
+    assert(got(3L) == (true, ""))
+    assert(got(4L) == (true, ""))
+    // the multi-UA header attaches the same rules to extrabot
+    val got2 = decideAs("extrabot", txt, 1L -> "https://h.com/private/b")
+    assert(got2(1L) == (false, "/private"))
+    // an unrelated crawler falls back to the '*' group
+    val got3 = decideAs("otherbot", txt,
+      1L -> "https://h.com/private/a/x", 2L -> "https://h.com/graftonly/x")
+    assert(got3(1L) == (false, "/private"))
+    assert(got3(2L) == (true, ""))
+  }
+
+  test("wildcards: * spans segments, trailing $ anchors, mid-$ literal") {
+    val txt = "User-agent: *\nDisallow: /*.pdf$\nAllow: /files/pub*\n" +
+      "Disallow: /files\nDisallow: /cgi/a$b\n"
+    val got = decide(txt,
+      1L -> "https://h.com/files/doc.pdf",      // *.pdf$ (9) beats /files (6)... but pub?
+      2L -> "https://h.com/files/doc.pdfx",     // $ anchor: no .pdf match → /files
+      3L -> "https://h.com/files/pub/doc.pdf",  // tie len 10 vs 10? no: pub* = 10 ... see below
+      4L -> "https://h.com/cgi/a$b/x",          // mid-$ is literal
+      5L -> "https://h.com/cgi/ab/x")
+    assert(got(1L) == (false, "/*.pdf$"))
+    assert(got(2L) == (false, "/files"))
+    // /files/pub* (11 chars) outranks /*.pdf$ (7) and /files (6)
+    assert(got(3L) == (true, "/files/pub*"))
+    assert(got(4L) == (false, "/cgi/a$b"))
+    assert(got(5L)._1 == true)
+  }
+
+  test("equal-length equal-type rules report a deterministic rule_path") {
+    // two same-length disallows BOTH match one path: max_by must break
+    // the tie on rule_path (greatest wins), not map-side encounter
+    // order — the bit-for-bit replay contract
+    val both = decide("User-agent: *\nDisallow: /x\nAllow: /y\n" +
+      "Disallow: /aa*\nDisallow: /a*a\n", 1L -> "https://h.com/aaa")
+    assert(both(1L) == (false, "/aa*"))
+    val rev = (1 to 3).map(_ => decide(
+      "User-agent: *\nDisallow: /*b\nDisallow: /*a\n",
+      1L -> "https://h.com/ab"))
+    assert(rev.forall(_ == Map(1L -> (false, "/*b"))))
+  }
+
+  test("rules past broadcastMaxRules fall back to a shuffled join, same answer") {
+    val txt = "User-agent: *\nDisallow: /private\nAllow: /private/ok\n"
+    val urls = Seq(1L -> "https://h.com/private/x",
+      2L -> "https://h.com/private/ok/y", 3L -> "https://h.com/pub")
+    val us = StructType(Seq(StructField("id", LongType),
+      StructField("url", StringType)))
+    val u = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          urls.toList.map { case (i, p) => Row(i, p) }).asJava), us)
+    def run(maxRules: Long) =
+      Urls.robotsFilter(u, "id", "url", robotsFixture(txt), "host", "txt",
+        broadcastMaxRules = maxRules)
+    // auto-broadcast off: only the explicit hint can broadcast, so the
+    // plan shape reflects the guard's decision (at real scale the
+    // stats-based auto path would not fire either)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val guarded = run(1L) // 2 rules > 1 → shuffled path
+      val plan = guarded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"rules side still broadcast past the guard:\n$plan")
+      val hinted = run(2000000L)
+      assert(hinted.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin"),
+        "under-guard rules side lost its broadcast hint")
+      val a = hinted.collect().map(_.toSeq).toSet
+      val b = guarded.collect().map(_.toSeq).toSet
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
