@@ -46,6 +46,58 @@ object Sampling {
     df.withColumn("bucket", bucket.cast("int"))
   }
 
+  /** [[bucketByQuantiles]] per key (CCNet buckets WITHIN each
+    * language): each key gets its own histogram and its own quantile
+    * thresholds, so a verbose language's scores never shift a terse
+    * language's terciles. Same estimator as the ungrouped path —
+    * thresholds are the lower edges of the bins holding rank
+    * ceil(q·N_key) in each key's cumulative histogram; bucket =
+    * number of that key's thresholds ≤ the value. Keys with no
+    * non-null values bucket to 0.
+    *
+    * Scale: one keyed histogram aggregate (≤ n_keys·bins cells cross),
+    * a rank walk windowed PER KEY over those cells, and one broadcast
+    * join of the (n_keys)-row threshold-array table back onto the
+    * scan — no driver collect, no global sort, no per-key job loop.
+    */
+  def bucketByQuantilesKeyed(df: DataFrame, keyCol: String,
+      valueCol: String, lo: Double, hi: Double, bins: Int,
+      qs: Seq[Double]): DataFrame = {
+    require(bins >= 1 && hi > lo, s"bad histogram [$lo, $hi) x $bins")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"bad quantiles $qs")
+    val width = (hi - lo) / bins
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(keyCol).as("_k"),
+        Sketches.histogramBin(col(valueCol), lo, hi, bins).as("_bin"))
+      .agg(count(lit(1)).cast("long").as("_cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_k")).orderBy(col("_bin"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy(col("_k"))
+    val cuts = hist
+      .withColumn("_cum", sum(col("_cnt")).over(wCum))
+      .withColumn("_total", sum(col("_cnt")).over(wTot))
+      .select(col("_k"), col("_bin"), col("_cum"), col("_total"),
+        explode(array(qs.map(lit(_)): _*)).as("_q"))
+      .filter(col("_cum") >= ceil(col("_q") * col("_total").cast("double")))
+      .groupBy(col("_k"), col("_q"))
+      .agg(min(col("_bin")).as("_bin"))
+      .select(col("_k"),
+        (lit(lo) + col("_bin").cast("double") * lit(width)).as("_est"))
+      .groupBy(col("_k"))
+      .agg(sort_array(collect_list(col("_est"))).as("_cuts"))
+      .withColumnRenamed("_k", keyCol)
+    df.join(broadcast(cuts), Seq(keyCol), "left")
+      // explicit null guard, not coalesce: size(null) is -1 under the
+      // legacy config, and a keyless row must bucket to 0
+      .withColumn("bucket",
+        when(col("_cuts").isNull, lit(0))
+          .otherwise(size(filter(col("_cuts"),
+            t => col(valueCol).cast("double") >= t))).cast("int"))
+      .drop("_cuts")
+  }
+
   /** Cross-engine bucket index: md5-derived 60-bit hash of the id's
     * string form (any engine reproduces it as
     * `('0x'||substr(md5(id::VARCHAR || salt),1,15))::BIGINT % buckets`).

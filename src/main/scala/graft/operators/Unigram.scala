@@ -260,6 +260,175 @@ object Unigram {
         expr("nll_micro DIV greatest(n_pieces, 1)"))
   }
 
+  // ---- per-KEY (grouped) fit: the CCNet per-language shape ----
+  // Wenzek et al. 2020 fit ONE LM PER LANGUAGE and bucket within the
+  // language; a corpus-wide LM (the ungrouped path above) scores
+  // low-resource languages as noise. The grouped twins below thread a
+  // key column through every exchange: the corpus still crosses ONCE
+  // as (key, word) frequencies; vocab frames are (n_keys × budget)-
+  // bounded and broadcast; the per-key prune is a window rank instead
+  // of a global TakeOrdered. Languages are a bounded enum, so nothing
+  // here changes the distinct-word-bounded scale shape.
+
+  private def wordFreqsKeyed(docs: DataFrame, keyCol: String,
+      textCol: String): DataFrame =
+    graft.sources.Tables.widen(docs)
+      .select(col(keyCol).as("_k"),
+        explode(split(trim(col(textCol)), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+      .groupBy(col("_k"), col("_w"))
+      .agg(count(lit(1)).as("_freq"))
+
+  /** [[candidates]] with the key column riding along. */
+  private def candidatesKeyed(words: DataFrame,
+      maxPieceLen: Int): DataFrame =
+    words
+      .withColumn("_len", length(col("_w")).cast(IntegerType))
+      .select(col("_k"), col("_w"), col("_freq"), col("_len"),
+        explode(expr(
+          s"""flatten(transform(sequence(0, _len - 1), j ->
+             |  transform(sequence(1, least($maxPieceLen, _len - j)), l ->
+             |    struct(j AS j, j + l AS i,
+             |      substring(_w, j + 1, l) AS p))))""".stripMargin)).as("_e"))
+      .select(col("_k"), col("_w"), col("_freq"), col("_len"),
+        col("_e.j").as("_j"), col("_e.i").as("_i"), col("_e.p").as("_p"))
+
+  /** [[viterbiSegments]] per key: the SAME word segments differently
+    * under different keys' vocabularies, so word identity is
+    * (_k, _w) throughout. The DP/backtrack folds are unchanged
+    * (row-local expressions).
+    */
+  private[graft] def viterbiSegmentsKeyed(words: DataFrame,
+      scored: DataFrame, maxPieceLen: Int): DataFrame = {
+    val edges = candidatesKeyed(words, maxPieceLen)
+      .join(broadcast(scored.select(col("_k"), col("_p"), col("_s"))),
+        Seq("_k", "_p"))
+      .groupBy(col("_k"), col("_w"))
+      .agg(any_value(col("_freq")).as("_freq"),
+        any_value(col("_len")).as("_len"),
+        collect_list(struct(col("_j"), col("_i"), col("_s"))).as("_edges"))
+    val dp = aggregate(
+      sequence(lit(1), col("_len")),
+      array(struct(lit(0L).as("sc"), lit(-1).as("bp"))),
+      (acc, i) => {
+        val best = array_max(transform(
+          filter(col("_edges"), e => e.getField("_i") === i),
+          e => struct(
+            (element_at(acc, e.getField("_j") + 1).getField("sc") +
+              e.getField("_s")).as("sc"),
+            (-e.getField("_j")).as("negj"))))
+        concat(acc, array(struct(best.getField("sc").as("sc"),
+          (-best.getField("negj")).as("bp"))))
+      })
+    val bt = aggregate(
+      sequence(lit(1), col("_len")),
+      struct(col("_len").as("pos"),
+        array().cast(ArrayType(StringType)).as("ps")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val bp = element_at(col("_dp"), pos + 1).getField("bp")
+        when(pos <= 0, acc).otherwise(struct(
+          bp.as("pos"),
+          concat(acc.getField("ps"),
+            array(col("_w").substr(bp + lit(1), pos - bp))).as("ps")))
+      })
+    edges
+      .withColumn("_dp", dp)
+      .withColumn("_pieces", bt.getField("ps"))
+      .select(col("_k"), col("_w"), col("_freq"), col("_pieces"))
+  }
+
+  /** [[scoreVocab]] per key: each key's total normalizes its own
+    * vocabulary (the per-language partition function). The totals
+    * frame is n_keys rows and broadcasts.
+    */
+  private def scoreVocabKeyed(vocab: DataFrame): DataFrame = {
+    val tot = vocab.groupBy(col("_k"))
+      .agg(sum(col("_c")).cast(LongType).as("_tot"))
+    vocab.join(broadcast(tot), Seq("_k"))
+      .withColumn("_s", ilog2Micro(col("_c")) - ilog2Micro(col("_tot")))
+      .select(col("_k"), col("_p"), col("_c"), col("_s"))
+  }
+
+  /** The [[fit]] EM loop per key: (final vocab, word-frequency frame),
+    * both keyed. The per-key multi-piece prune is a window rank
+    * (PARTITION BY key ORDER BY count DESC, piece ASC ≤ budget) —
+    * vocabulary-bounded rows per key cross the rank exchange.
+    */
+  private def fitByKey(docs: DataFrame, keyCol: String, textCol: String,
+      keepMulti: Int, iters: Int, maxPieceLen: Int,
+      minCount: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1 && keepMulti >= 1 && maxPieceLen >= 2,
+      s"bad unigram parameters ($iters, $keepMulti, $maxPieceLen)")
+    val words = wordFreqsKeyed(docs, keyCol, textCol).localCheckpoint(true)
+    val seedCounts = candidatesKeyed(words, maxPieceLen)
+      .groupBy(col("_k"), col("_p"))
+      .agg(sum(col("_freq")).cast(LongType).as("_c"))
+      .localCheckpoint(true)
+    val chars = seedCounts.filter(length(col("_p")) === 1)
+      .localCheckpoint(true)
+    def pruneMulti(counts: DataFrame, withMin: Boolean): DataFrame = {
+      val multi = counts.filter(length(col("_p")) > 1)
+      val gated = if (withMin) multi.filter(col("_c") >= minCount) else multi
+      gated.withColumn("_rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("_k")).orderBy(desc("_c"), asc("_p"))))
+        .filter(col("_rn") <= keepMulti).drop("_rn")
+    }
+    var vocab = chars.unionByName(pruneMulti(seedCounts, withMin = true))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val seg = viterbiSegmentsKeyed(words, scoreVocabKeyed(vocab),
+        maxPieceLen)
+      val emCounts = seg
+        .select(col("_k"), col("_freq"), explode(col("_pieces")).as("_p"))
+        .groupBy(col("_k"), col("_p"))
+        .agg(sum(col("_freq")).cast(LongType).as("_c"))
+      val charCounts = chars.select(col("_k"), col("_p"))
+        .join(emCounts.filter(length(col("_p")) === 1),
+          Seq("_k", "_p"), "left")
+        .select(col("_k"), col("_p"),
+          (coalesce(col("_c"), lit(0L)) + 1L).as("_c"))
+      vocab = charCounts.unionByName(pruneMulti(emCounts, withMin = false))
+        .localCheckpoint(true)
+    }
+    (vocab, words)
+  }
+
+  /** [[unigramNllScores]] with one LM PER KEY (CCNet: per language) —
+    * fit, score and normalize within each key's own corpus slice.
+    * Output: (idCol, keyCol, nll_micro, n_pieces,
+    * nll_per_piece_micro); docs with no words score (0, 0, 0).
+    */
+  def unigramNllScoresByKey(docs: DataFrame, idCol: String,
+      keyCol: String, textCol: String, keepMulti: Int, iters: Int,
+      maxPieceLen: Int = 4, minCount: Int = 2): DataFrame = {
+    val (finalVocab, words) = fitByKey(docs, keyCol, textCol, keepMulti,
+      iters, maxPieceLen, minCount)
+    val scored = scoreVocabKeyed(finalVocab)
+    val wordNll = viterbiSegmentsKeyed(words, scored, maxPieceLen)
+      .select(col("_k"), col("_w"), explode(col("_pieces")).as("_p"))
+      .join(broadcast(scored.select(col("_k"), col("_p"), col("_s"))),
+        Seq("_k", "_p"))
+      .groupBy(col("_k"), col("_w"))
+      .agg((-sum(col("_s"))).cast(LongType).as("_nll"),
+        count(lit(1)).cast(LongType).as("_np"))
+    val docWords = graft.sources.Tables.widen(docs)
+      .select(col(idCol), col(keyCol).as("_k"),
+        explode(split(trim(col(textCol)), "\\s+")).as("_w"))
+      .filter(length(col("_w")) > 0)
+    val perDoc = docWords.join(wordNll, Seq("_k", "_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_nll")).as("nll_micro"), sum(col("_np")).as("n_pieces"))
+    docs.select(col(idCol), col(keyCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col(keyCol),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+      .withColumn("nll_per_piece_micro",
+        expr("nll_micro DIV greatest(n_pieces, 1)"))
+  }
+
   def unigramTokenCounts(docs: DataFrame, idCol: String, textCol: String,
       keepMulti: Int, iters: Int, maxPieceLen: Int = 4,
       minCount: Int = 2): DataFrame = {

@@ -3644,6 +3644,109 @@ object TrainingData {
        |$em""".stripMargin
   }
 
+  /** [[unigramEmStepSql]] with `lang` threaded through every CTE —
+    * the per-language EM round: totals, scores, DP, backtrack,
+    * recount and prune all key on (lang, …); the per-lang prune is a
+    * rank window instead of ORDER BY/LIMIT. Mirrors
+    * [[graft.operators.Unigram.unigramNllScoresByKey]]'s fit.
+    */
+  private def unigramEmStepSqlByLang(vin: String, vout: String, t: String,
+      keepMulti: Int): String = {
+    val L = UniMaxWordLen
+    val dpSteps = (1 to L).map { m =>
+      s"""dp${t}_$m AS MATERIALIZED (
+         |  SELECT * FROM dp${t}_${m - 1}
+         |  UNION ALL
+         |  SELECT lang, word, $m AS pos, sc AS score, j AS bp FROM (
+         |    SELECT lang, word, sc, j,
+         |      row_number() OVER (PARTITION BY lang, word
+         |        ORDER BY sc DESC, j ASC) AS rn
+         |    FROM (SELECT e.lang AS lang, e.word AS word,
+         |            d.score + e.s AS sc, e.j AS j
+         |          FROM e$t e JOIN dp${t}_${m - 1} d
+         |            ON d.lang = e.lang AND d.word = e.word AND d.pos = e.j
+         |          WHERE e.i = $m)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val btSteps = (1 to (L - 1)).map { n =>
+      s"""bt${t}_$n AS MATERIALIZED (
+         |  SELECT b.lang, b.word, d.bp AS pos
+         |  FROM bt${t}_${n - 1} b JOIN dp${t}_$L d
+         |    ON d.lang = b.lang AND d.word = b.word AND d.pos = b.pos
+         |  WHERE b.pos > 0)""".stripMargin
+    }.mkString(",\n")
+    val btUnion = (0 until L).map(n => s"SELECT * FROM bt${t}_$n")
+      .mkString("\n  UNION ALL ")
+    s"""t$t AS MATERIALIZED (SELECT lang, CAST(sum(c) AS BIGINT) AS tot
+       |        FROM $vin GROUP BY lang),
+       |s$t AS MATERIALIZED (SELECT v.lang, v.p,
+       |          (${ilogSql("c")}) - (${ilogSql("tot")}) AS s
+       |        FROM $vin v JOIN t$t tt ON tt.lang = v.lang),
+       |e$t AS MATERIALIZED (SELECT c.lang, c.word, c.freq, c.j, c.i, s.s
+       |        FROM cand c JOIN s$t s ON c.lang = s.lang AND c.p = s.p),
+       |dp${t}_0 AS MATERIALIZED (SELECT lang, word, 0 AS pos,
+       |               CAST(0 AS BIGINT) AS score, -1 AS bp
+       |             FROM wf),
+       |$dpSteps,
+       |bt${t}_0 AS MATERIALIZED (SELECT lang, word, length(word) AS pos
+       |            FROM wf),
+       |$btSteps,
+       |bt$t AS MATERIALIZED ($btUnion),
+       |seg$t AS MATERIALIZED (
+       |  SELECT b.lang, b.word, substr(b.word, d.bp + 1, b.pos - d.bp) AS p
+       |  FROM bt$t b JOIN dp${t}_$L d
+       |    ON d.lang = b.lang AND d.word = b.word AND d.pos = b.pos
+       |  WHERE b.pos > 0),
+       |emc$t AS MATERIALIZED (SELECT s.lang, s.p,
+       |            CAST(sum(w.freq) AS BIGINT) AS c
+       |          FROM seg$t s JOIN wf w
+       |            ON s.lang = w.lang AND s.word = w.word
+       |          GROUP BY s.lang, s.p),
+       |$vout AS MATERIALIZED (
+       |  SELECT c0.lang, c0.p, CAST(COALESCE(m.c, 0) + 1 AS BIGINT) AS c
+       |  FROM chars0 c0 LEFT JOIN emc$t m
+       |    ON c0.lang = m.lang AND c0.p = m.p
+       |  UNION ALL
+       |  SELECT lang, p, c FROM (SELECT lang, p, c,
+       |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, p ASC)
+       |        AS rn
+       |    FROM emc$t WHERE length(p) > 1) WHERE rn <= $keepMulti)""".stripMargin
+  }
+
+  /** [[unigramCoreSql]] per language: word freqs, candidates, seed
+    * and EM vocab CTEs all carry `lang`. */
+  private def unigramCoreSqlByLang(maxPieceLen: Int, keepMulti: Int,
+      minCount: Int, iters: Int): String = {
+    val em = (1 to iters)
+      .map(k => unigramEmStepSqlByLang(s"v${k - 1}", s"v$k", s"m$k",
+        keepMulti))
+      .mkString(",\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT lang, word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE length(word) > 0 GROUP BY lang, word),
+       |cand AS MATERIALIZED (
+       |  SELECT lang, word, freq, (e).j AS j, (e).i AS i, (e).p AS p FROM (
+       |    SELECT lang, word, freq,
+       |      unnest(flatten(list_transform(range(0, length(word)),
+       |        j -> list_transform(range(1, least($maxPieceLen, length(word)-j)+1),
+       |          l -> {'j': j, 'i': j+l, 'p': substr(word, j+1, l)})))) AS e
+       |    FROM wf)),
+       |seedc AS MATERIALIZED (SELECT lang, p, CAST(sum(freq) AS BIGINT) AS c
+       |  FROM cand GROUP BY lang, p),
+       |chars0 AS MATERIALIZED (SELECT lang, p, c FROM seedc
+       |  WHERE length(p) = 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT lang, p, c FROM chars0
+       |  UNION ALL
+       |  SELECT lang, p, c FROM (SELECT lang, p, c,
+       |      row_number() OVER (PARTITION BY lang ORDER BY c DESC, p ASC)
+       |        AS rn
+       |    FROM seedc WHERE length(p) > 1 AND c >= $minCount)
+       |  WHERE rn <= $keepMulti),
+       |$em""".stripMargin
+  }
+
   val q210Sql: String =
     unigramCoreSql(maxPieceLen = 4, keepMulti = 16, minCount = 2, iters = 2) +
       """
@@ -3744,6 +3847,91 @@ object TrainingData {
         |  GROUP BY q)
         |SELECT doc_id, nll_micro, n_pieces, ppm AS nll_per_piece_micro,
         |  CAST((SELECT count(*) FROM cuts WHERE dsc.score >= cuts.est)
+        |    AS INTEGER) AS bucket
+        |FROM dsc
+        |ORDER BY doc_id""".stripMargin
+
+  /** CCNet bucketing PER LANGUAGE (the Wenzek et al. 2020 recipe as
+    * published — one LM per language, head/middle/tail terciles
+    * WITHIN the language:
+    * [[graft.operators.Unigram.unigramNllScoresByKey]] +
+    * [[graft.operators.Sampling.bucketByQuantilesKeyed]]). q253's
+    * corpus-wide LM scores low-resource languages as noise; here each
+    * of the corpus's five languages gets its own fitted vocabulary,
+    * its own normalizing total, and its own tercile thresholds — a
+    * verbose language's scores must never shift a terse language's
+    * cuts. The oracle replays the per-language EM fit (every CTE
+    * keyed by lang, per-lang rank-window prunes), per-language
+    * scoring, and a per-language histogram rank-walk; one hash covers
+    * fit + score + bucket for all languages at once.
+    */
+  def q253bCcnetBucketsByLang(s: SparkSession, dir: String): DataFrame = {
+    val scores = graft.operators.Unigram.unigramNllScoresByKey(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        col("text")),
+      "doc_id", "lang", "text", keepMulti = 16, iters = 2,
+      maxPieceLen = 4, minCount = 2)
+    graft.operators.Sampling.bucketByQuantilesKeyed(
+        scores.withColumn("score",
+          col("nll_per_piece_micro").cast(DoubleType)),
+        "lang", "score", 0.0, 24000000.0, 256, Seq(1.0 / 3, 2.0 / 3))
+      .select(col("doc_id"), col("lang"), col("nll_micro"),
+        col("n_pieces"), col("nll_per_piece_micro"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val q253bSql: String =
+    unigramCoreSqlByLang(maxPieceLen = 4, keepMulti = 16, minCount = 2,
+      iters = 2) +
+      "," + unigramEmStepSqlByLang("v2", "vF", "mf", keepMulti = 16) +
+      s"""
+        |, wnll AS (
+        |  SELECT sg.lang, sg.word, CAST(-sum(s.s) AS BIGINT) AS nll,
+        |    CAST(count(*) AS BIGINT) AS np
+        |  FROM segmf sg JOIN smf s ON sg.lang = s.lang AND sg.p = s.p
+        |  GROUP BY sg.lang, sg.word),
+        |docwords AS (
+        |  SELECT doc_id, lang, word FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(string_split_regex(trim(text), '\\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL)
+        |  WHERE length(word) > 0),
+        |dstat AS (
+        |  SELECT d.doc_id, d.lang,
+        |    COALESCE(CAST(sum(w.nll) AS BIGINT), 0) AS nll_micro,
+        |    COALESCE(CAST(sum(w.np) AS BIGINT), 0) AS n_pieces
+        |  FROM documents d
+        |  LEFT JOIN docwords dw ON d.doc_id = dw.doc_id
+        |  LEFT JOIN wnll w ON dw.lang = w.lang AND dw.word = w.word
+        |  GROUP BY d.doc_id, d.lang),
+        |dsc AS (
+        |  SELECT doc_id, lang, nll_micro, n_pieces,
+        |    nll_micro // greatest(n_pieces, 1) AS ppm,
+        |    CAST(nll_micro // greatest(n_pieces, 1) AS DOUBLE) AS score
+        |  FROM dstat),
+        |hbins AS (
+        |  SELECT lang, least(greatest(CAST(floor((score - 0.0) /
+        |      ((24000000.0 - 0.0) / 256)) AS BIGINT), 0), 255) AS bin,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM dsc WHERE score IS NOT NULL GROUP BY 1, 2),
+        |hcum AS (
+        |  SELECT lang, bin,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM hbins),
+        |pq AS (SELECT unnest([0.3333333333333333, 0.6666666666666666]) AS q),
+        |cuts AS (
+        |  SELECT hcum.lang, q,
+        |    0.0 + CAST(min(bin) AS DOUBLE) * ((24000000.0 - 0.0) / 256)
+        |      AS est
+        |  FROM pq CROSS JOIN hcum
+        |  WHERE hcum.cum >= ceil(pq.q * CAST(hcum.total AS DOUBLE))
+        |  GROUP BY hcum.lang, q)
+        |SELECT doc_id, lang, nll_micro, n_pieces,
+        |  ppm AS nll_per_piece_micro,
+        |  CAST((SELECT count(*) FROM cuts
+        |        WHERE cuts.lang = dsc.lang AND dsc.score >= cuts.est)
         |    AS INTEGER) AS bucket
         |FROM dsc
         |ORDER BY doc_id""".stripMargin
@@ -6694,6 +6882,7 @@ object TrainingData {
     "q210_unigram_fit" -> q210UnigramFit _,
     "q211_unigram_tokenize" -> q211UnigramTokenize _,
     "q253_ccnet_buckets" -> q253CcnetBuckets _,
+    "q253b_ccnet_buckets_by_lang" -> q253bCcnetBucketsByLang _,
     "q208_substring_dedup" -> q208SubstringDedup _,
     "q209_substring_spans" -> q209SubstringSpans _,
     "q207_weighted_median" -> q207WeightedMedian _,
@@ -6812,6 +7001,7 @@ object TrainingData {
     "q210_unigram_fit" -> q210Sql,
     "q211_unigram_tokenize" -> q211Sql,
     "q253_ccnet_buckets" -> q253Sql,
+    "q253b_ccnet_buckets_by_lang" -> q253bSql,
     "q208_substring_dedup" -> q208Sql,
     "q209_substring_spans" -> q209Sql,
     "q207_weighted_median" -> q207Sql,

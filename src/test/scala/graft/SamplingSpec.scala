@@ -190,6 +190,36 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort in:\n$plan")
   }
 
+  test("keyed quantile buckets: per-key cuts match the per-slice ungrouped run") {
+    import spark.implicits._
+    // key a: values 1..1000; key b: values 2000..2099 — shared cuts
+    // would throw every b row into the top bucket
+    val df = ((1 to 1000).map(i => ("a", i.toDouble)) ++
+      (0 until 100).map(i => ("b", 2000.0 + i))).toDF("k", "score")
+    val keyed = Sampling.bucketByQuantilesKeyed(df, "k", "score",
+        0.0, 2200.0, 220, Seq(0.25, 0.5, 0.75))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getInt(2))
+      .toMap
+    for (k <- Seq("a", "b")) {
+      val solo = Sampling.bucketByQuantiles(
+          df.filter(col("k") === k), "score", 0.0, 2200.0, 220,
+          Seq(0.25, 0.5, 0.75))
+        .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getInt(2))
+        .toMap
+      solo.foreach { case (key, b) =>
+        assert(keyed(key) == b, s"$key: keyed ${keyed(key)} != solo $b")
+      }
+      // all four buckets occupied within each key
+      assert(keyed.collect { case ((`k`, _), b) => b }.toSet == Set(0, 1, 2, 3))
+    }
+    // a key with no rows after the null filter buckets to 0
+    val withNull = Sampling.bucketByQuantilesKeyed(
+      df.unionByName(Seq(("c", Option.empty[Double])).toDF("k", "score")),
+      "k", "score", 0.0, 2200.0, 220, Seq(0.5))
+    assert(withNull.filter(col("k") === "c").select("bucket")
+      .collect()(0).getInt(0) == 0)
+  }
+
   test("epochMix: budget met within one doc per source, direct recompute") {
     import spark.implicits._
     val docs = (0 until 400).map { i =>

@@ -131,4 +131,34 @@ class UnigramSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(again == nll)
   }
+
+  test("per-key NLL: each key's LM equals an independent fit on its slice") {
+    // two disjoint corpora under one frame: the grouped fit must score
+    // each exactly as the ungrouped fit does on that slice ALONE —
+    // neither language's words, totals, or vocab budget may leak into
+    // the other's scores
+    val en = Seq("the cat sat", "the cat", "the hat", "sat sat the")
+      .zipWithIndex.map { case (t, i) => (i.toLong, "en", t) }
+    val zz = Seq("zq zq", "zq ww", "ww ww zq")
+      .zipWithIndex.map { case (t, i) => (100L + i, "zz", t) }
+    val docs = (en ++ zz).toDF("doc_id", "lang", "text")
+    val grouped = Unigram.unigramNllScoresByKey(docs, "doc_id", "lang",
+        "text", keepMulti = 5, iters = 2, maxPieceLen = 3, minCount = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("lang"), r.getAs[Long]("nll_micro"),
+          r.getAs[Long]("n_pieces"), r.getAs[Long]("nll_per_piece_micro")))
+      .toMap
+    for ((key, slice) <- Seq("en" -> en, "zz" -> zz)) {
+      val solo = Unigram.unigramNllScores(
+          slice.toDF("doc_id", "lang", "text"), "doc_id", "text",
+          keepMulti = 5, iters = 2, maxPieceLen = 3, minCount = 2)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (key, r.getAs[Long]("nll_micro"), r.getAs[Long]("n_pieces"),
+            r.getAs[Long]("nll_per_piece_micro"))).toMap
+      solo.foreach { case (id, v) =>
+        assert(grouped(id) == v, s"doc $id: grouped ${grouped(id)} != solo $v")
+      }
+    }
+    assert(grouped.size == en.size + zz.size)
+  }
 }
