@@ -260,4 +260,92 @@ object Urls {
         coalesce(col("rule_type") =!= "disallow", lit(true)).as("allowed"),
         col("rule_type"), col("rule_path"))
   }
+
+  // ---- persisted frontier index: incremental URL dedup ----
+  // A rolling crawl re-probes its frontier EVERY batch: "have we ever
+  // fetched this page (under any raw spelling)?" must be answered
+  // from a persisted seen-set, never by recanonicalizing yesterday's
+  // corpus. Same write/append/probe convention as the span-hash and
+  // positional indexes (`_graft_manifest`, kind "frontier"): the
+  // index holds only the 60-bit md5 hashes of canonical URLs — raw
+  // URL text never lands in the index.
+
+  private def canonicalHashes(urls: DataFrame, urlCol: String) =
+    urls.select(canonicalize(col(urlCol))
+        .getField("canonical_url").as("_c"))
+      .filter(col("_c").isNotNull)
+      .select(graft.functions.TextFunctions.md5Hash60(col("_c")).as("h"))
+      .distinct()
+
+  /** Persist the seen-URL set: distinct canonical-URL hashes under
+    * `$path/urls` plus the manifest record. Non-URLs (no scheme) are
+    * not "seen" — they can never be fetched. One scan, hashes-only
+    * exchange; the `n_urls` freshness counter rides an `observe()` on
+    * the write job (no extra pass).
+    */
+  def writeFrontierIndex(urls: DataFrame, urlCol: String,
+      path: String): Unit = {
+    val obs = new org.apache.spark.sql.Observation("frontier_index_write")
+    canonicalHashes(urls.observe(obs, count(lit(1)).as("n_urls")), urlCol)
+      .write.mode("overwrite").parquet(s"$path/urls")
+    graft.sinks.Pruning.writeIndexMeta(urls.sparkSession, path,
+      graft.sinks.Pruning.IndexMeta("frontier", "", Map(
+        "n_urls" -> obs.get("n_urls").asInstanceOf[Long])))
+  }
+
+  /** Append a committed batch's canonical hashes (fail-fast on a kind
+    * mismatch; counter bumped AFTER the data lands — a crash between
+    * leaves `n_urls` understating, benign as everywhere: probes read
+    * the hash set directly). Duplicate hashes across appends cost
+    * bytes, never correctness (probes are hash joins);
+    * `compactParquet` is the existing remedy.
+    */
+  def appendToFrontierIndex(urls: DataFrame, urlCol: String,
+      path: String): Unit = {
+    graft.sinks.Pruning.requireIndexParams(urls.sparkSession, path,
+      "frontier", Map.empty)
+    val obs = new org.apache.spark.sql.Observation("frontier_index_append")
+    canonicalHashes(urls.observe(obs, count(lit(1)).as("n_urls")), urlCol)
+      .write.mode("append").parquet(s"$path/urls")
+    graft.sinks.FaultInjection.point("appendToFrontierIndex:appended")
+    graft.sinks.Pruning.bumpIndexMeta(urls.sparkSession, path,
+      Map("n_urls" -> obs.get("n_urls").asInstanceOf[Long]))
+  }
+
+  /** Probe a new batch against the persisted frontier: per input row,
+    * (idCol, canonical_url, is_url, in_index, dup_in_batch, fetch)
+    * where `fetch` = a parseable URL, never seen by the index, and
+    * the FIRST (lowest id) occurrence of its canonical form within
+    * the batch — the rows a crawler actually requests. Callers
+    * [[appendToFrontierIndex]] the batch when they commit it.
+    *
+    * Scale: batch-sized work against an index READ — one projection
+    * to (id, canonical, hash), one hash-keyed left join against the
+    * hash-only index scan, one batch-local min-id aggregate. Never a
+    * recompute of the indexed crawl.
+    */
+  def probeFrontier(spark: org.apache.spark.sql.SparkSession, path: String,
+      urls: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    graft.sinks.Pruning.requireIndexParams(spark, path, "frontier",
+      Map.empty)
+    val canon = urls.select(col(idCol).as("_id"),
+        canonicalize(col(urlCol)).getField("canonical_url")
+          .as("canonical_url"))
+      .withColumn("_h",
+        graft.functions.TextFunctions.md5Hash60(col("canonical_url")))
+    val indexed = spark.read.parquet(s"$path/urls")
+      .select(col("h").as("_h")).distinct()
+      .withColumn("_inx", lit(true))
+    val first = canon.filter(col("canonical_url").isNotNull)
+      .groupBy(col("_h")).agg(min(col("_id")).as("_fid"))
+    canon.join(indexed, Seq("_h"), "left")
+      .join(first, Seq("_h"), "left")
+      .select(col("_id").as(idCol), col("canonical_url"),
+        col("canonical_url").isNotNull.as("is_url"),
+        coalesce(col("_inx"), lit(false)).as("in_index"),
+        (col("canonical_url").isNotNull &&
+          col("_id") =!= col("_fid")).as("dup_in_batch"))
+      .withColumn("fetch",
+        col("is_url") && !col("in_index") && !col("dup_in_batch"))
+  }
 }

@@ -5638,15 +5638,20 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
-  val q244Sql: String = {
+  /** The canonicalization parser chain (the q244 oracle body) as CTE
+    * text over a relation `src` with (doc_id, u), tag-suffixed so two
+    * batches can run through it in one query: yields `canon$tag` with
+    * (doc_id, canonical_url, host, registrable_domain,
+    * n_params_dropped; canonical_url NULL for scheme-less non-URLs —
+    * the scheme || ... concat nulls out exactly like the Spark side's
+    * explicit null). Shared by q244 and the frontier probe q255 so
+    * the parser SQL cannot drift per query.
+    */
+  private def duckCanonicalCtes(src: String, tag: String): String = {
     val tracking = "('fbclid','gclid','msclkid','igshid','mc_eid','ref')"
     val suffixes = graft.operators.Urls.multiPartSuffixes
       .map(s => s"'$s'").mkString("(", ",", ")")
-    s"""WITH d AS (
-       |  SELECT doc_id,
-       |    $syntheticUrlSql AS u
-       |  FROM documents),
-       |parsed AS (
+    s"""parsed$tag AS (
        |  SELECT doc_id, u,
        |    lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
        |      AS scheme,
@@ -5667,37 +5672,49 @@ object TrainingData {
        |      AS path0,
        |    regexp_extract(u,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)', 1) AS query
-       |  FROM d),
-       |par AS (
+       |  FROM $src),
+       |par$tag AS (
        |  SELECT doc_id, scheme, host, port,
        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
        |    list_filter(string_split(query, '&'), p -> length(p) > 0) AS raw
-       |  FROM parsed),
-       |flt AS (
+       |  FROM parsed$tag),
+       |flt$tag AS (
        |  SELECT doc_id, scheme, host, port, path, raw,
        |    list_sort(list_filter(raw, p ->
        |      NOT (starts_with(lower(split_part(p, '=', 1)), 'utm_')
        |           OR lower(split_part(p, '=', 1)) IN $tracking))) AS kept,
        |    string_split(host, '.') AS labels
-       |  FROM par)
-       |SELECT doc_id,
-       |  scheme || '://' || host ||
-       |    (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
-       |               OR (scheme = 'https' AND port = '443')
-       |          THEN '' ELSE ':' || port END) ||
-       |  path ||
-       |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-       |        ELSE '' END) AS canonical_url,
-       |  host,
-       |  CASE WHEN len(labels) >= 3
-       |            AND labels[-2] || '.' || labels[-1] IN $suffixes
-       |       THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
-       |       WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
-       |       ELSE host END AS registrable_domain,
-       |  CAST(len(raw) - len(kept) AS INTEGER) AS n_params_dropped
-       |FROM flt
-       |ORDER BY doc_id""".stripMargin
+       |  FROM par$tag),
+       |canon$tag AS (
+       |  SELECT doc_id,
+       |    CASE WHEN scheme = '' THEN NULL
+       |         ELSE scheme || '://' || host ||
+       |      (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+       |                 OR (scheme = 'https' AND port = '443')
+       |            THEN '' ELSE ':' || port END) ||
+       |      path ||
+       |      (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+       |            ELSE '' END) END AS canonical_url,
+       |    host,
+       |    CASE WHEN len(labels) >= 3
+       |              AND labels[-2] || '.' || labels[-1] IN $suffixes
+       |         THEN labels[-3] || '.' || labels[-2] || '.' || labels[-1]
+       |         WHEN len(labels) >= 2 THEN labels[-2] || '.' || labels[-1]
+       |         ELSE host END AS registrable_domain,
+       |    CAST(len(raw) - len(kept) AS INTEGER) AS n_params_dropped
+       |  FROM flt$tag)""".stripMargin
   }
+
+  val q244Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    $syntheticUrlSql AS u
+       |  FROM documents),
+       |${duckCanonicalCtes("d", "")}
+       |SELECT doc_id, canonical_url, host, registrable_domain,
+       |  n_params_dropped
+       |FROM canon
+       |ORDER BY doc_id""".stripMargin
 
   /** Per-domain crawl budgeting — the composition q244 + q219 exist
     * for: canonicalize raw URLs ([[graft.operators.Urls.canonicalize]]
@@ -6461,6 +6478,100 @@ object TrainingData {
        |FROM blk b LEFT JOIN agg a ON a.doc_id = b.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  /** Incremental crawl-frontier dedup against a persisted
+    * canonical-URL hash index ([[graft.operators.Urls.probeFrontier]]
+    * — the q252 write/append/probe convention at URL granularity,
+    * closing the loop q244's scaladoc promises): yesterday's frontier
+    * (the even docs' URLs) is indexed in TWO batches (write, then
+    * APPEND — read-transparency rides the oracle gate), then today's
+    * batch probes it: the odd docs' URLs (fresh → fetch), +500000
+    * tracking-param respellings of INDEXED even URLs (canonicalize to
+    * a seen hash → in_index, no fetch), +600000 in-batch respellings
+    * of odd URLs (the lower-id spelling fetches, the twin is
+    * dup_in_batch), and +900000 scheme-less non-URLs (is_url false,
+    * never fetched). The oracle recomputes both batches' canonical
+    * forms through the shared q244 parser CTEs, the indexed hash set,
+    * and the batch-local first-occurrence rule from scratch.
+    */
+  def q255FrontierDedup(s: SparkSession, dir: String): DataFrame = {
+    val path = scratchPath("q255", dir) + "/ix"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val even = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+    def urlsOf(d: DataFrame) = d.select(col("doc_id"),
+      syntheticUrl.as("url"))
+    graft.operators.Urls.writeFrontierIndex(
+      urlsOf(even.filter(pmod(col("doc_id"), lit(4)) === 0)), "url", path)
+    graft.operators.Urls.appendToFrontierIndex(
+      urlsOf(even.filter(pmod(col("doc_id"), lit(4)) === 2)), "url", path)
+    // plants append tracking params, so donors must carry no fragment
+    // (doc_id % 5 != 0 — the generator's #sec2 branch)
+    val reSeen = even
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0 && col("doc_id") < 80)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(syntheticUrl, lit("&utm_x=1")).as("url"))
+    val dupTwin = odd
+      .filter(pmod(col("doc_id"), lit(5)) =!= 0 && col("doc_id") < 60)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        concat(syntheticUrl, lit("&fbclid=q")).as("url"))
+    val nonUrl = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + 900000).as("doc_id"),
+        concat(lit("not a url "), col("doc_id").cast("string")).as("url"))
+    val batch = urlsOf(odd).unionByName(reSeen).unionByName(dupTwin)
+      .unionByName(nonUrl)
+    graft.operators.Urls.probeFrontier(s, path, batch, "doc_id", "url")
+      .orderBy("doc_id")
+  }
+
+  val q255Sql: String =
+    s"""WITH b1 AS (
+       |  SELECT doc_id, $syntheticUrlSql AS u
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |b2 AS (
+       |  SELECT doc_id, $syntheticUrlSql AS u
+       |  FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL
+       |  SELECT doc_id + 500000 AS doc_id,
+       |    $syntheticUrlSql || '&utm_x=1' AS u
+       |  FROM documents
+       |  WHERE doc_id % 2 = 0 AND doc_id % 5 <> 0 AND doc_id < 80
+       |  UNION ALL
+       |  SELECT doc_id + 600000 AS doc_id,
+       |    $syntheticUrlSql || '&fbclid=q' AS u
+       |  FROM documents
+       |  WHERE doc_id % 2 = 1 AND doc_id % 5 <> 0 AND doc_id < 60
+       |  UNION ALL
+       |  SELECT doc_id + 900000 AS doc_id,
+       |    'not a url ' || CAST(doc_id AS VARCHAR) AS u
+       |  FROM documents WHERE doc_id < 5),
+       |${duckCanonicalCtes("b1", "b1")},
+       |${duckCanonicalCtes("b2", "b2")},
+       |idx AS (
+       |  SELECT DISTINCT
+       |    ('0x' || substr(md5(canonical_url), 1, 15))::BIGINT AS h
+       |  FROM canonb1 WHERE canonical_url IS NOT NULL),
+       |h2 AS (
+       |  SELECT doc_id, canonical_url,
+       |    CASE WHEN canonical_url IS NULL THEN NULL
+       |         ELSE ('0x' || substr(md5(canonical_url), 1, 15))::BIGINT
+       |         END AS h
+       |  FROM canonb2),
+       |firstb AS (
+       |  SELECT h, min(doc_id) AS fid FROM h2
+       |  WHERE canonical_url IS NOT NULL GROUP BY h)
+       |SELECT c.doc_id, c.canonical_url,
+       |  c.canonical_url IS NOT NULL AS is_url,
+       |  (c.canonical_url IS NOT NULL AND EXISTS (
+       |     SELECT 1 FROM idx WHERE idx.h = c.h)) AS in_index,
+       |  (c.canonical_url IS NOT NULL AND c.doc_id <> f.fid)
+       |    AS dup_in_batch,
+       |  (c.canonical_url IS NOT NULL
+       |    AND NOT EXISTS (SELECT 1 FROM idx WHERE idx.h = c.h)
+       |    AND c.doc_id = f.fid) AS fetch
+       |FROM h2 c LEFT JOIN firstb f ON f.h = c.h
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -6857,6 +6968,7 @@ object TrainingData {
     "q248_domain_budget" -> q248DomainBudget _,
     "q249_sentence_span_dedup" -> q249SentenceSpanDedup _,
     "q252_incremental_span_dedup" -> q252IncrementalSpanDedup _,
+    "q255_frontier_dedup" -> q255FrontierDedup _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
     "q236_raked_mixture" -> q236RakedMixture _,
@@ -6977,6 +7089,7 @@ object TrainingData {
     "q248_domain_budget" -> q248Sql,
     "q249_sentence_span_dedup" -> q249Sql,
     "q252_incremental_span_dedup" -> q252Sql,
+    "q255_frontier_dedup" -> q255Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,
     "q236_raked_mixture" -> q236Sql,

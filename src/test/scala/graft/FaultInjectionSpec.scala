@@ -407,8 +407,47 @@ class FaultInjectionSpec extends SparkSpec {
     }
   }
 
+  // ---------------- frontier-index append / bump pair ----------------
+
+  test("appendToFrontierIndex: crash between data append and bump keeps probes exact") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("url", StringType)))
+    def mk(rows: (Long, String)*) = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.toList.map { case (i, u) =>
+            org.apache.spark.sql.Row(i, u) }).asJava), schema)
+    val p = tmpDir("frontier") + "/idx"
+    Urls.writeFrontierIndex(
+      mk(1L -> "https://a.example.com/x?utm_s=1"), "url", p)
+    val before = Pruning.readIndexMeta(spark, p).get.params("n_urls")
+    assert(before == 1L)
+    crashAt("appendToFrontierIndex:appended") {
+      Urls.appendToFrontierIndex(
+        mk(2L -> "https://b.example.com/y"), "url", p)
+    }
+    // counter UNDERSTATES (the benign documented mode): the bump died
+    assert(Pruning.readIndexMeta(spark, p).get.params("n_urls") == before)
+    // the appended hashes are LIVE: probes never gate on the counter —
+    // respellings of BOTH batches' urls read as seen
+    val got = Urls.probeFrontier(spark, p,
+        mk(10L -> "HTTPS://A.example.COM:443/x",
+           11L -> "https://b.example.com/y?fbclid=z",
+           12L -> "https://c.example.com/new"), "id", "url")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("in_index"), r.getAs[Boolean]("fetch"))).toMap
+    assert(got == Map(10L -> (true, false), 11L -> (true, false),
+      12L -> (false, true)))
+    // a retried bump lands; the kind handshake still holds
+    Pruning.bumpIndexMeta(spark, p, Map("n_urls" -> 1L))
+    assert(Pruning.readIndexMeta(spark, p).get.params("n_urls")
+      == before + 1L)
+  }
+
   private def Similarity = graft.operators.Similarity
   private def Dedup = graft.operators.Dedup
   private def Phrase = graft.operators.Phrase
   private def SentenceDedup = graft.operators.SentenceDedup
+  private def Urls = graft.operators.Urls
 }

@@ -235,4 +235,48 @@ class UrlsSpec extends SparkSpec {
       assert(a == b)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ---- frontier index ----
+
+  private def urlFrame(rows: (Long, String)*) = {
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("url", StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          rows.toList.map { case (i, u) => Row(i, u) }).asJava), schema)
+  }
+
+  test("frontier probe: canonical respellings dedup across and within batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-frontier")
+      .toString + "/idx"
+    Urls.writeFrontierIndex(urlFrame(
+      1L -> "https://seen.example.com/a?utm_c=x&v=1",
+      2L -> "http://other.example.com/b"), "url", dir)
+    val probe = Urls.probeFrontier(spark, dir, urlFrame(
+      // respelling of an indexed url: case, default port, tracking
+      10L -> "HTTPS://Seen.example.COM:443/a?v=1&fbclid=q",
+      // fresh url, spelled twice → lower id fetches, twin is a dup
+      11L -> "https://new.example.com/c?z=1",
+      12L -> "https://new.example.com/c?z=1&utm_x=2",
+      // not a URL at all
+      13L -> "plain text"), "id", "url")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Boolean]("is_url"), r.getAs[Boolean]("in_index"),
+          r.getAs[Boolean]("dup_in_batch"), r.getAs[Boolean]("fetch")))
+      .toMap
+    assert(probe(10L) == (true, true, false, false))
+    assert(probe(11L) == (true, false, false, true))
+    assert(probe(12L) == (true, false, true, false))
+    assert(probe(13L) == (false, false, false, false))
+    // committing the batch appends it: a re-crawl fetches nothing
+    Urls.appendToFrontierIndex(urlFrame(
+      11L -> "https://new.example.com/c?z=1"), "url", dir)
+    val again = Urls.probeFrontier(spark, dir, urlFrame(
+      20L -> "https://new.example.com/c?z=1"), "id", "url")
+      .collect()(0)
+    assert(again.getAs[Boolean]("in_index") && !again.getAs[Boolean]("fetch"))
+    assert(graft.sinks.Pruning.readIndexMeta(spark, dir)
+      .get.params("n_urls") == 3L)
+  }
 }
