@@ -6218,6 +6218,52 @@ object TrainingData {
       .orderBy("doc_id")
   }
 
+  /** The C4 sentence-span dedup chain (spanLen = 3) as CTE text over a
+    * relation `src` with (doc_id, text): segmentation (the shared
+    * [[duckSentences]] replay), span hashing, global keep-first,
+    * range coverage, and the per-doc report CTE `spanrep` with
+    * (doc_id, n_sentences, n_dropped, text) — sentence-less docs
+    * reinstated as (0, 0, '') rows, the all-docs convention. Shared
+    * by q249 and the composed crawl flagship q254 so one SQL text
+    * cannot drift per query.
+    */
+  private def duckSpanCtes(src: String): String =
+    s"""sseg AS (
+       |  SELECT doc_id,
+       |    ${duckSentences("text")} AS l
+       |  FROM $src),
+       |socc AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+       |    ('0x'||substr(md5(array_to_string(l[u.i : u.i+2], chr(31))),
+       |      1, 15))::BIGINT AS h
+       |  FROM sseg, unnest(range(1, len(l) - 1)) AS u(i)),
+       |sdup AS (
+       |  SELECT doc_id, pos, h,
+       |    count(*) OVER (PARTITION BY h) AS cnt,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+       |  FROM socc),
+       |smarked AS (
+       |  SELECT doc_id, pos FROM sdup WHERE cnt >= 2 AND rn > 1),
+       |ssent AS (
+       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS j, l[u.i] AS s
+       |  FROM sseg, unnest(range(1, len(l) + 1)) AS u(i)),
+       |scov AS (
+       |  SELECT ssent.doc_id, ssent.j, ssent.s,
+       |    CASE WHEN EXISTS (SELECT 1 FROM smarked m
+       |      WHERE m.doc_id = ssent.doc_id
+       |        AND m.pos BETWEEN ssent.j - 2 AND ssent.j) THEN 1 ELSE 0 END AS c
+       |  FROM ssent),
+       |spanrep AS MATERIALIZED (
+       |  SELECT g.doc_id,
+       |    CAST(coalesce(r.ns, 0) AS INT) AS n_sentences,
+       |    CAST(coalesce(r.nd, 0) AS INT) AS n_dropped,
+       |    coalesce(r.t, '') AS text
+       |  FROM (SELECT doc_id FROM $src) g LEFT JOIN (
+       |    SELECT doc_id, count(*) AS ns, sum(c) AS nd,
+       |      coalesce(string_agg(CASE WHEN c = 0 THEN s END, ' '
+       |        ORDER BY j), '') AS t
+       |    FROM scov GROUP BY doc_id) r ON r.doc_id = g.doc_id)""".stripMargin
+
   val q249Sql: String =
     s"""WITH t0 AS (
        |  SELECT doc_id, text,
@@ -6241,38 +6287,9 @@ object TrainingData {
        |    array_to_string(tl[16:20], ' ') ||
        |    '. uniq' || CAST(doc_id AS VARCHAR) || ' tail words end.' AS text
        |  FROM t1 WHERE doc_id < 40),
-       |seg AS (
-       |  SELECT doc_id,
-       |    ${duckSentences("text")} AS l
-       |  FROM corpus),
-       |occ AS (
-       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
-       |    ('0x'||substr(md5(array_to_string(l[u.i : u.i+2], chr(31))),
-       |      1, 15))::BIGINT AS h
-       |  FROM seg, unnest(range(1, len(l) - 1)) AS u(i)),
-       |dup AS (
-       |  SELECT doc_id, pos, h,
-       |    count(*) OVER (PARTITION BY h) AS cnt,
-       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
-       |  FROM occ),
-       |marked AS (
-       |  SELECT doc_id, pos FROM dup WHERE cnt >= 2 AND rn > 1),
-       |sent AS (
-       |  SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS j, l[u.i] AS s
-       |  FROM seg, unnest(range(1, len(l) + 1)) AS u(i)),
-       |cov AS (
-       |  SELECT sent.doc_id, sent.j, sent.s,
-       |    CASE WHEN EXISTS (SELECT 1 FROM marked m
-       |      WHERE m.doc_id = sent.doc_id
-       |        AND m.pos BETWEEN sent.j - 2 AND sent.j) THEN 1 ELSE 0 END AS c
-       |  FROM sent)
-       |SELECT doc_id,
-       |  CAST(count(*) AS INT) AS n_sentences,
-       |  CAST(sum(c) AS INT) AS n_dropped,
-       |  md5(coalesce(string_agg(CASE WHEN c = 0 THEN s END, ' '
-       |    ORDER BY j), '')) AS text_md5
-       |FROM cov
-       |GROUP BY doc_id
+       |${duckSpanCtes("corpus")}
+       |SELECT doc_id, n_sentences, n_dropped, md5(text) AS text_md5
+       |FROM spanrep
        |ORDER BY doc_id""".stripMargin
 
   /** Incremental C4 span dedup against a persisted span-hash index
@@ -6951,8 +6968,416 @@ object TrainingData {
        |FROM spl
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q254/q254b: the crawl-to-corpus composed flagship ----
+
+  /** Span-S boilerplate shared by the budget counterfactual pair: the
+    * spamfarm donor (lower id, budget-dropped) and the keeper survivor
+    * both carry these EXACT three sentences — if the budget stage
+    * failed to drop the donor's domain, C4 keep-first would mark the
+    * survivor's copy and its content hash would change. */
+  private val CrawlSpanS: String =
+    "the spamfarm network syndicated this exact notice across many of " +
+      "its pages. every copy of the notice repeats the same three " +
+      "sentences verbatim. only the first crawled occurrence should " +
+      "keep this boilerplate text."
+
+  private val CrawlDonorBody: String =
+    CrawlSpanS + " spamfarm filler then rambles on with its own junk " +
+      "words about pills coupons lotteries and miracle diets that never " +
+      "appear in the keeper archive page at all."
+
+  // the survivor carries S TWICE: the second copy scrubs (same doc,
+  // higher position — keep-first is (id, pos)-ordered), so the span
+  // stage is LIVE in the q254 hash (n_dropped = 3), not only
+  // counterfactual; a budget leak would scrub both copies (donor id
+  // 610000 < 810000 → n_dropped = 6)
+  private val CrawlSurvivorBody: String =
+    "keeper archive page introduction written with plenty of ordinary " +
+      "descriptive words about the collection and its careful history " +
+      "so that the quality gate is passed easily. " + CrawlSpanS +
+      " the archive middle section then describes further holdings in " +
+      "its own distinct words. " + CrawlSpanS +
+      " closing remarks continue with additional ordinary and unique " +
+      "phrasing about the archive reading room and its catalog to " +
+      "finish the page."
+
+  /** The staged frames of the crawl chain — shared by q254 (the
+    * composed hash) and q254b (the oracle-recounted meters) so the
+    * fixture cannot drift between them.
+    */
+  private final case class CrawlStages(fetched: DataFrame,
+      crawlable: DataFrame, frontier: DataFrame, budgeted: DataFrame,
+      corpus: DataFrame, span: DataFrame, gates: DataFrame)
+
+  /** The crawl-to-corpus chain END TO END, every stage the library
+    * operator (the CrawlStorySpec composition promoted to the oracle
+    * gate, plus the per-domain budget stage):
+    *
+    *   1. robots gate     — [[graft.operators.Urls.robotsFilter]]
+    *   2. canonicalize +
+    *      frontier dedup  — [[graft.operators.Urls.canonicalize]],
+    *                        batch keep-first by canonical URL
+    *   3. domain budget   — [[graft.operators.Sampling.apportionSelect]]
+    *                        over the registrable domain, B = 200
+    *   4. HTML pipeline   — [[graft.pipeline.TrainingPipeline]] with
+    *                        extraction as stage 0 (the q240 config)
+    *   5. span scrub      — [[graft.operators.SentenceDedup.dropDuplicateSpans]]
+    *   6. quality gates   — [[graft.operators.Curation.gopherRules]]
+    *
+    * Cross-stage counterfactuals planted in the fixture:
+    *  - +600000 frontier twins: tracking/case respellings of allowed
+    *    URLs carrying ENTIRELY DIFFERENT page bodies — only the
+    *    frontier keep-first removes them (content dedup would not).
+    *  - +700000 robots/dedup twins: near-dup truncations of the
+    *    DISALLOWED /private pages — with robots working the twin
+    *    survives stage 4 alone; a leaked donor (lower id) would win
+    *    the near-dup component and evict it.
+    *  - the spamfarm/keeper span pair ([[CrawlSpanS]]): the donor's
+    *    1-page domain deterministically loses the B = 200 Hamilton
+    *    apportionment (502 crawlable URLs over example.com/aa/zz →
+    *    com floor 199, ONE leftover seat, remainder tie 200 = 200
+    *    broken by domain name: example.aa beats example.zz), so the
+    *    keeper survivor keeps its three sentences; a budget leak
+    *    would scrub them (donor id 610000 < 810000).
+    */
+  private def crawlStages(s: SparkSession, dir: String): CrawlStages = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val priv = pmod(col("doc_id"), lit(10)) === 1
+    val path = when(priv,
+        concat(lit("/private/p"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("/art/"), col("doc_id").cast("string")))
+    def page(id: org.apache.spark.sql.Column,
+        body: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat(
+        lit("<html><head><title>Page "), id.cast("string"),
+        lit("</title><style>.m{padding:0}</style></head><body>"),
+        lit(Q240Nav),
+        lit("<h1>Page "), id.cast("string"), lit("</h1>"),
+        lit("<p>"), coalesce(body, lit("")), lit("</p>"),
+        lit(Q240Footer), lit("</body></html>"))
+    val base = docs.select(col("doc_id").as("page_id"),
+      concat(lit("https://"), host, path).as("url"),
+      page(col("doc_id"), col("text")).as("html"))
+    val twinsA = docs
+      .filter(pmod(col("doc_id"), lit(10)) === 3 && col("doc_id") < 200)
+      .select((col("doc_id") + 600000).as("page_id"),
+        concat(lit("HTTPS://"), upper(host), path,
+          lit("?utm_q=1&fbclid=zz")).as("url"),
+        page(col("doc_id") + 600000,
+          concat(lit("frontier twin replacement body for donor "),
+            col("doc_id").cast("string"),
+            lit(" with entirely different long filler prose sharing " +
+              "nothing with the donor page content at all"))).as("html"))
+    val twinsB = docs.filter(priv)
+      .select((col("doc_id") + 700000).as("page_id"),
+        concat(lit("https://"), host, lit("/art/t"),
+          col("doc_id").cast("string")).as("url"),
+        page(col("doc_id") + 700000,
+          expr("substring(text, 1, greatest(length(text) - 15, 40))"))
+          .as("html"))
+    val extras = Seq(
+        (610000L, "https://www.spamfarm.example.zz/art/spam0",
+          CrawlDonorBody),
+        (810000L, "https://www.keeper.example.aa/art/keep0",
+          CrawlSurvivorBody))
+      .toDF("page_id", "url", "_body")
+      .select(col("page_id"), col("url"),
+        page(col("page_id"), col("_body")).as("html"))
+    val fetched = base.unionByName(twinsA).unionByName(twinsB)
+      .unionByName(extras)
+
+    // 1. robots gate: every example.com host disallows /private for
+    // every agent; the spamfarm/keeper hosts publish no robots
+    val robots = docs.select(col("source")).distinct()
+      .select(concat(lit("www."), col("source"), lit(".example.com"))
+          .as("host"),
+        lit("User-agent: *\nDisallow: /private\n").as("robots_txt"))
+    val allowedIds = graft.operators.Urls.robotsFilter(
+        fetched, "page_id", "url", robots, "host", "robots_txt")
+      .filter(col("allowed")).select(col("page_id"))
+    val crawlable = fetched.join(allowedIds, Seq("page_id"))
+
+    // 2. canonicalize + batch frontier dedup (keep-first by id)
+    val canon = crawlable
+      .withColumn("_c", graft.operators.Urls.canonicalize(col("url")))
+      .withColumn("canonical_url", col("_c.canonical_url"))
+      .withColumn("registrable_domain", col("_c.registrable_domain"))
+      .drop("_c")
+    val first = canon.groupBy(col("canonical_url"))
+      .agg(min(col("page_id")).as("_fid"))
+    val frontier = canon.join(first, Seq("canonical_url"))
+      .filter(col("page_id") === col("_fid")).drop("_fid")
+
+    // 3. per-domain budget: exactly 200 pages, Hamilton apportionment
+    val selected = graft.operators.Sampling.apportionSelect(
+      frontier.select(col("page_id"), col("registrable_domain")),
+      "page_id", "registrable_domain", budget = 200L)
+    val budgeted = frontier.join(selected.select(col("page_id")),
+      Seq("page_id"))
+
+    // 4. HTML-input training pipeline (the q240 config). Materialized:
+    // q254 reads the corpus twice (span join) and q254b recounts it.
+    val corpus = graft.pipeline.TrainingPipeline.prepare(
+        budgeted.select(col("page_id").as("doc_id"),
+          col("html").as("text")),
+        graft.pipeline.TrainingPipeline.Config(
+          auditableSplit = true, htmlExtract = Some(25)))
+      .localCheckpoint(true)
+
+    // 5. C4 sentence-span scrub over the corpus text (materialized:
+    // read by the gates, the q254 join, and the q254b meters)
+    val span = graft.operators.SentenceDedup.dropDuplicateSpans(
+        corpus.select(col("doc_id"), col("text")), "doc_id", "text")
+      .localCheckpoint(true)
+
+    // 6. Gopher hard-rule battery on the scrubbed text
+    val gates = graft.operators.Curation.gopherRules(
+      span, "doc_id", "text")
+    CrawlStages(fetched, crawlable, frontier, budgeted, corpus, span,
+      gates)
+  }
+
+  /** The crawl-to-corpus flagship, hash-matched end to end against ONE
+    * DuckDB CTE chain (the q228/q240 discipline): robots → frontier →
+    * budget → HTML pipeline → span scrub → gopher gates, with all
+    * three cross-stage counterfactuals riding the output hash (see
+    * [[crawlStages]]).
+    */
+  def q254CrawlPipeline(s: SparkSession, dir: String): DataFrame = {
+    val st = crawlStages(s, dir)
+    st.corpus.select(col("doc_id"), col("split"), col("n_blocks"),
+        col("n_kept"))
+      .join(st.span.select(col("doc_id"), col("n_sentences"),
+        col("n_dropped"), md5(col("text")).as("content_md5")),
+        Seq("doc_id"))
+      .join(st.gates.select(col("doc_id"), col("keep")), Seq("doc_id"))
+      .select(col("doc_id"), col("split"), col("n_blocks"), col("n_kept"),
+        col("n_sentences"), col("n_dropped"), col("keep"),
+        col("content_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-stage meters of the q254 chain, oracle-recounted (the q229
+    * discipline): one row per stage with surviving rows, plus the
+    * total scrubbed-sentence count on the span stage. */
+  def q254bCrawlMeters(s: SparkSession, dir: String): DataFrame = {
+    val st = crawlStages(s, dir)
+    import s.implicits._
+    val spanAgg = st.span.agg(count(lit(1)).cast(LongType),
+      coalesce(sum(col("n_dropped").cast(LongType)), lit(0L))).collect()(0)
+    Seq(
+      (1, "fetched", st.fetched.count(), 0L),
+      (2, "robots_allowed", st.crawlable.count(), 0L),
+      (3, "frontier_unique", st.frontier.count(), 0L),
+      (4, "budget_selected", st.budgeted.count(), 0L),
+      (5, "pipeline_corpus", st.corpus.count(), 0L),
+      (6, "span_scrubbed", spanAgg.getLong(0), spanAgg.getLong(1)),
+      (7, "gates_kept",
+        st.gates.filter(col("keep") === 1).count(), 0L))
+      .toDF("stage_no", "stage", "n_rows", "n_aux")
+      .orderBy("stage_no")
+  }
+
+  /** One page of the crawl fixture in DuckDB's dialect (the q240 page
+    * shape with the shared chrome). */
+  private def duckCrawlPage(id: String, body: String): String = {
+    val navSql = Q240Nav.replace("'", "''")
+    val footSql = Q240Footer.replace("'", "''")
+    s"""'<html><head><title>Page ' || CAST($id AS VARCHAR) ||
+       |      '</title><style>.m{padding:0}</style></head><body>' ||
+       |      '$navSql' ||
+       |      '<h1>Page ' || CAST($id AS VARCHAR) || '</h1>' ||
+       |      '<p>' || COALESCE($body, '') || '</p>' ||
+       |      '$footSql' || '</body></html>'""".stripMargin
+  }
+
+  /** The whole crawl chain as oracle CTE text: fixture pages, robots
+    * decision, canonical frontier, Hamilton budget (B = 200, the q248
+    * replay), extraction + pipeline front half, span scrub, gopher
+    * gates. Shared by q254 (hash) and q254b (meters). */
+  private def crawlCtes: String = {
+    val donor = CrawlDonorBody.replace("'", "''")
+    val survivor = CrawlSurvivorBody.replace("'", "''")
+    val twinABody = "'frontier twin replacement body for donor ' || " +
+      "CAST(doc_id AS VARCHAR) || ' with entirely different long " +
+      "filler prose sharing nothing with the donor page content at all'"
+    val stop = "['the','a','an','and','or','of','to','in','is','are','was'," +
+      "'it','that','this','for','on','with','as','at','by','be']"
+    s"""pb AS MATERIALIZED (
+       |  SELECT doc_id AS page_id,
+       |    'https://www.' || source || '.example.com' ||
+       |      (CASE WHEN doc_id % 10 = 1
+       |            THEN '/private/p' || CAST(doc_id AS VARCHAR)
+       |            ELSE '/art/' || CAST(doc_id AS VARCHAR) END) AS url,
+       |    ${duckCrawlPage("doc_id", "text")} AS html
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 600000,
+       |    'HTTPS://' || upper('www.' || source || '.example.com') ||
+       |      '/art/' || CAST(doc_id AS VARCHAR) || '?utm_q=1&fbclid=zz',
+       |    ${duckCrawlPage("doc_id + 600000", twinABody)}
+       |  FROM documents WHERE doc_id % 10 = 3 AND doc_id < 200
+       |  UNION ALL
+       |  SELECT doc_id + 700000,
+       |    'https://www.' || source || '.example.com/art/t' ||
+       |      CAST(doc_id AS VARCHAR),
+       |    ${duckCrawlPage("doc_id + 700000",
+            "substr(text, 1, greatest(length(text) - 15, 40))")}
+       |  FROM documents WHERE doc_id % 10 = 1
+       |  UNION ALL
+       |  SELECT 610000, 'https://www.spamfarm.example.zz/art/spam0',
+       |    ${duckCrawlPage("610000", s"'$donor'")}
+       |  UNION ALL
+       |  SELECT 810000, 'https://www.keeper.example.aa/art/keep0',
+       |    ${duckCrawlPage("810000", s"'$survivor'")}),
+       |rb AS (SELECT DISTINCT 'www.' || source || '.example.com' AS host
+       |       FROM documents),
+       |purl AS (
+       |  SELECT page_id, url, html,
+       |    lower(regexp_extract(
+       |      regexp_extract(
+       |        regexp_extract(regexp_replace(url,
+       |          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+       |        '([^@]*)$$', 1),
+       |      '^([^:]*)', 1)) AS host,
+       |    regexp_extract(regexp_replace(url,
+       |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''), '^([^?#]*)', 1)
+       |      AS path
+       |  FROM pb),
+       |crawlable AS MATERIALIZED (
+       |  SELECT page_id, url, html FROM purl p
+       |  WHERE NOT (EXISTS (SELECT 1 FROM rb WHERE rb.host = p.host)
+       |             AND starts_with(p.path, '/private'))),
+       |cf AS (SELECT page_id AS doc_id, url AS u FROM crawlable),
+       |${duckCanonicalCtes("cf", "cf")},
+       |fr AS MATERIALIZED (
+       |  SELECT c.doc_id AS page_id, c.canonical_url, c.registrable_domain
+       |  FROM canoncf c
+       |  JOIN (SELECT canonical_url, min(doc_id) AS fid
+       |        FROM canoncf GROUP BY canonical_url) f
+       |    ON f.canonical_url = c.canonical_url AND c.doc_id = f.fid),
+       |bn AS (SELECT registrable_domain AS g, CAST(count(*) AS BIGINT) AS n
+       |       FROM fr GROUP BY 1),
+       |btot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM bn),
+       |bfq AS (SELECT g, n, (200 * n) // tot AS q0, (200 * n) % tot AS rem
+       |        FROM bn, btot),
+       |blo AS (SELECT 200 - CAST(sum(q0) AS BIGINT) AS l FROM bfq),
+       |brk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, g) AS rr
+       |        FROM bfq),
+       |bq AS (SELECT g,
+       |    least(n, q0 + CASE WHEN rr <= (SELECT l FROM blo)
+       |      THEN 1 ELSE 0 END) AS quota
+       |  FROM brk),
+       |bord AS (SELECT page_id, registrable_domain AS g,
+       |    ('0x' || substr(md5(page_id::VARCHAR || 'apq'), 1, 15))::BIGINT
+       |      % 64 AS b,
+       |    md5(page_id::VARCHAR || 'apq') AS hx
+       |  FROM fr),
+       |brkd AS (SELECT page_id, g,
+       |    row_number() OVER (PARTITION BY g ORDER BY b, hx, page_id) AS r
+       |  FROM bord),
+       |budgeted AS MATERIALIZED (
+       |  SELECT c.page_id AS doc_id, c.html AS h
+       |  FROM crawlable c
+       |  JOIN brkd d2 ON d2.page_id = c.page_id
+       |  JOIN bq q ON q.g = d2.g
+       |  WHERE d2.r <= q.quota),
+       |exb AS (
+       |${duckExtractPairs("budgeted", "h")}),
+       |extracted AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    array_to_string(list_transform(list_filter(pairs,
+       |      s -> length(s[1]) >= 25 AND s[2] * 2 < length(s[1])),
+       |      s -> s[1]), ' ') AS text,
+       |    CAST(len(pairs) AS INTEGER) AS n_blocks,
+       |    CAST(len(list_filter(pairs,
+       |      s -> length(s[1]) >= 25 AND s[2] * 2 < length(s[1]))) AS INTEGER)
+       |      AS n_kept
+       |  FROM exb),
+       |${frontCtes("extracted")},
+       |${duckSpanCtes("kept")},
+       |gt AS (
+       |  SELECT doc_id, text,
+       |    list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |                x -> length(x) > 0) AS ts,
+       |    string_split_regex(trim(text), '\\s+') AS raw
+       |  FROM spanrep),
+       |gm AS (
+       |  SELECT doc_id,
+       |    CAST(len(ts) AS INT) AS n_tokens,
+       |    CAST(list_sum(list_transform(raw, x -> length(x))) AS DOUBLE)
+       |      / greatest(len(raw), 1) AS mwl,
+       |    len(list_filter(ts, x -> list_contains($stop, x))) AS n_stop,
+       |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       |    CAST(greatest(length(text), 1) AS DOUBLE) AS n_chars,
+       |    list_max(list_transform(list_distinct(ts),
+       |      d -> len(list_filter(ts, x -> x = d)))) AS top_tok
+       |  FROM gt),
+       |gk AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(CASE WHEN n_tokens >= 20 AND n_tokens <= 100000
+       |           AND mwl >= 3.0 AND mwl <= 10.0
+       |           AND n_stop >= 2
+       |           AND CAST(n_digit AS DOUBLE) / n_chars <= 0.2
+       |           AND COALESCE(CAST(top_tok AS DOUBLE)
+       |                 / CAST(greatest(n_tokens, 1) AS DOUBLE) <= 0.1, TRUE)
+       |      THEN 1 ELSE 0 END AS INT) AS keep
+       |  FROM gm)""".stripMargin
+  }
+
+  val q254Sql: String =
+    s"""WITH RECURSIVE
+       |$crawlCtes
+       |SELECT k.doc_id,
+       |  CASE WHEN k.b < 800000 THEN 'train'
+       |       WHEN k.b < 900000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  e.n_blocks, e.n_kept, sp.n_sentences, sp.n_dropped, g.keep,
+       |  md5(sp.text) AS content_md5
+       |FROM (
+       |  SELECT doc_id,
+       |    ('0x'||substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS b
+       |  FROM kept) k
+       |JOIN extracted e ON e.doc_id = k.doc_id
+       |JOIN spanrep sp ON sp.doc_id = k.doc_id
+       |JOIN gk g ON g.doc_id = k.doc_id
+       |ORDER BY k.doc_id""".stripMargin
+
+  val q254bSql: String =
+    s"""WITH RECURSIVE
+       |$crawlCtes
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INT) AS stage_no, 'fetched' AS stage,
+       |    CAST(count(*) AS BIGINT) AS n_rows, CAST(0 AS BIGINT) AS n_aux
+       |  FROM pb
+       |  UNION ALL
+       |  SELECT CAST(2 AS INT), 'robots_allowed', CAST(count(*) AS BIGINT),
+       |    CAST(0 AS BIGINT) FROM crawlable
+       |  UNION ALL
+       |  SELECT CAST(3 AS INT), 'frontier_unique', CAST(count(*) AS BIGINT),
+       |    CAST(0 AS BIGINT) FROM fr
+       |  UNION ALL
+       |  SELECT CAST(4 AS INT), 'budget_selected', CAST(count(*) AS BIGINT),
+       |    CAST(0 AS BIGINT) FROM budgeted
+       |  UNION ALL
+       |  SELECT CAST(5 AS INT), 'pipeline_corpus', CAST(count(*) AS BIGINT),
+       |    CAST(0 AS BIGINT) FROM kept
+       |  UNION ALL
+       |  SELECT CAST(6 AS INT), 'span_scrubbed', CAST(count(*) AS BIGINT),
+       |    CAST(coalesce(sum(n_dropped), 0) AS BIGINT) FROM spanrep
+       |  UNION ALL
+       |  SELECT CAST(7 AS INT), 'gates_kept',
+       |    CAST(coalesce(sum(keep), 0) AS BIGINT),
+       |    CAST(0 AS BIGINT) FROM gk)
+       |ORDER BY stage_no""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "q240_html_pipeline" -> q240HtmlPipeline _,
+    "q254_crawl_pipeline" -> q254CrawlPipeline _,
+    "q254b_crawl_meters" -> q254bCrawlMeters _,
     "q241_component_split" -> q241ComponentSplit _,
     "q239_boilerplate_extract" -> q239BoilerplateExtract _,
     "q238_hard_negatives" -> q238HardNegatives _,
@@ -7074,6 +7499,8 @@ object TrainingData {
   val oracle: Map[String, String] = Map(
     "q230_capped_flood" -> q230Sql,
     "q240_html_pipeline" -> q240Sql,
+    "q254_crawl_pipeline" -> q254Sql,
+    "q254b_crawl_meters" -> q254bSql,
     "q241_component_split" -> q241Sql,
     "q239_boilerplate_extract" -> q239Sql,
     "q238_hard_negatives" -> q238Sql,

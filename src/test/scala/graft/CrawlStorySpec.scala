@@ -103,5 +103,84 @@ class CrawlStorySpec extends SparkSpec {
     assert(scrubbed(5L)._2.contains("fresh opener"))
     assert(scrubbed(5L)._2.contains("fresh closer"))
     assert(!scrubbed(5L)._2.contains("lazy dog"))
+
+    // COUNTERFACTUAL: without the robots gate, the disallowed page 3
+    // (bodyB, LOWER id) leaks into the pipeline, wins the near-dup
+    // component against page 4, and evicts it — proving the robots
+    // stage is load-bearing for the dedup outcome, not just a filter
+    val leakedFrontier = fetched
+      .withColumn("u", Urls.canonicalize(col("url")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("u.canonical_url")).orderBy(col("page_id"))))
+      .filter(col("rk") === 1)
+      .select(col("page_id").as("doc_id"), col("html").as("text"))
+    val leaked = TrainingPipeline.prepare(leakedFrontier,
+        TrainingPipeline.Config(minJaccard = 0.5, htmlExtract = Some(25)))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(leaked == Set(1L, 3L, 5L),
+      s"robots leak must evict page 4 via the lower-id twin: $leaked")
+  }
+
+  test("budget gate: a dropped domain's span donor never scrubs the survivor") {
+    val spanS = "every copy of this syndicated notice is identical. " +
+      "the notice repeats exactly three sentences verbatim. " +
+      "only the first crawled occurrence may keep them."
+    def page(body: String): String =
+      s"<html><body><nav><a href='/x'>All articles index</a></nav>" +
+        s"<p>$body</p></body></html>"
+    val schema = StructType(Seq(
+      StructField("page_id", LongType), StructField("url", StringType),
+      StructField("html", StringType)))
+    val bigs = (0 until 6).map { i =>
+      Row(i.toLong, s"https://big.example.com/art/$i",
+        page(s"bigpage$i opens with alpha$i bravo$i charlie$i delta$i " +
+          s"echo$i foxtrot$i golf$i hotel$i india$i juliet$i kilo$i " +
+          s"lima$i and closes there"))
+    }
+    val donor = Row(50L, "https://www.x.example.zz/art/spam",
+      page(spanS + " unique donor trailing words then ramble onwards " +
+        "about coupons and pills separately."))
+    val survivor = Row(90L, "https://www.k.example.aa/art/keep",
+      page("keeper page opening sentence speaks in its own distinct " +
+        "words about the archive. " + spanS +
+        " keeper closing sentence wraps the page with other distinct " +
+        "words about the catalog."))
+    val fetched = frame(schema, (bigs :+ donor :+ survivor): _*)
+    val withDom = fetched.withColumn("registrable_domain",
+      Urls.canonicalize(col("url")).getField("registrable_domain"))
+    // Hamilton B=3 over counts (example.com 6, example.aa 1,
+    // example.zz 1, tot 8): com floor 2 (rem 2), aa/zz floor 0 rem 3
+    // each, ONE leftover seat → remainder tie broken by domain name →
+    // example.aa wins, the donor's domain gets nothing
+    val selected = graft.operators.Sampling.apportionSelect(
+        withDom.select(col("page_id"), col("registrable_domain")),
+        "page_id", "registrable_domain", budget = 3L)
+      .select(col("page_id")).collect().map(_.getLong(0)).toSet
+    assert(selected.contains(90L), s"survivor must win the aa seat: $selected")
+    assert(!selected.contains(50L), s"donor domain must get no seat: $selected")
+    assert(selected.size == 3)
+    def spanReport(ids: Set[Long]): Map[Long, (Int, String)] = {
+      val pages = fetched.filter(col("page_id").isin(ids.toSeq: _*))
+        .select(col("page_id").as("doc_id"), col("html").as("text"))
+      val corpus = TrainingPipeline.prepare(pages,
+        TrainingPipeline.Config(htmlExtract = Some(25)))
+      SentenceDedup.dropDuplicateSpans(
+          corpus.select(col("doc_id"), col("text")), "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Int]("n_dropped"), r.getAs[String]("text"))).toMap
+    }
+    // budget enforced: the survivor keeps its three sentences
+    val gated = spanReport(selected)
+    assert(gated(90L)._1 == 0)
+    assert(gated(90L)._2.contains("syndicated notice"))
+    // COUNTERFACTUAL: budget skipped → the donor (id 50 < 90) leaks,
+    // keep-first sides with it, and the survivor loses exactly the span
+    val leaked = spanReport(fetched.select("page_id")
+      .collect().map(_.getLong(0)).toSet)
+    assert(leaked(50L)._1 == 0)
+    assert(leaked(90L)._1 == 3, s"leaked donor must scrub the survivor: ${leaked(90L)}")
+    assert(!leaked(90L)._2.contains("syndicated notice"))
+    assert(leaked(90L)._2.contains("keeper page opening"))
   }
 }
