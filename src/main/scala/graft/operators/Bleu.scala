@@ -116,4 +116,46 @@ object Bleu {
       .select(col("n"), col("matched"), col("total"),
         col("prec_micro_log2"), col("cand_tokens"), col("ref_tokens"))
   }
+
+  /** ONE-row corpus BLEU SCORE in exact integer micro-log2 — the
+    * evaluation number itself (Papineni et al. §2.3, add-one
+    * smoothed), assembled from [[corpusNgramPrecision]]'s counts with
+    * no float anywhere:
+    *
+    *   - `mean_prec_micro_log2` = −((−Σₙ prec_n) DIV maxN): the
+    *     geometric-mean term (1/N)·Σ log2 p̃_n. The sum is NEGATED
+    *     before the integer division so the numerator is
+    *     non-negative — Spark's DIV truncates toward zero while
+    *     DuckDB's `//` floors, and they agree only on non-negative
+    *     operands (every prec_n ≤ 0 by add-one smoothing).
+    *   - `bp_micro_log2` = 0 when c ≥ r, else
+    *     −(((r−c)·1442695) DIV max(c, 1)): log2 BP = (1 − r/c)/ln 2
+    *     with 1/ln 2 in micro units (1442695). Overflow bound
+    *     (r−c)·1442695 < 2⁶³ holds to ~6.4·10¹² reference tokens —
+    *     beyond a 100 TB text corpus; past that, lift to DECIMAL.
+    *   - `bleu_micro_log2` = bp + mean — rank-orders corpora and
+    *     checkpoints bit-identically on any engine; 2^(x/10⁶) is the
+    *     caller's display-only float conversion.
+    *
+    * The aggregate runs over the maxN-row counts frame — driver-scale
+    * work regardless of corpus size.
+    */
+  def corpusBleuScore(pairs: DataFrame, idCol: String, candCol: String,
+      refCol: String, maxN: Int): DataFrame =
+    corpusNgramPrecision(pairs, idCol, candCol, refCol, maxN)
+      .agg(
+        sum(col("prec_micro_log2")).cast(LongType).as("_sp"),
+        max(col("cand_tokens")).as("cand_tokens"),
+        max(col("ref_tokens")).as("ref_tokens"))
+      .select(
+        expr(s"-((-_sp) DIV $maxN)").as("mean_prec_micro_log2"),
+        when(col("cand_tokens") >= col("ref_tokens"), lit(0L))
+          .otherwise(expr("-(((ref_tokens - cand_tokens) * 1442695) " +
+            "DIV greatest(cand_tokens, 1))"))
+          .as("bp_micro_log2"),
+        col("cand_tokens"), col("ref_tokens"))
+      .withColumn("bleu_micro_log2",
+        col("bp_micro_log2") + col("mean_prec_micro_log2"))
+      .select(col("mean_prec_micro_log2"), col("bp_micro_log2"),
+        col("bleu_micro_log2"), col("cand_tokens"), col("ref_tokens"))
 }

@@ -5505,10 +5505,12 @@ object TrainingData {
     * a wrong clip, a boundary gram, or an off-by-one in the gram
     * window changes `matched` and breaks the hash.
     */
-  def q243BleuCounts(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
+  /** The shared q243/q256 fixture: even docs get a TRUNCATED candidate
+    * (brevity-penalty pressure), odd docs a PADDED repeating one
+    * (clipping pressure). */
+  private def bleuPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("text")).filter(col("text").isNotNull)
-    val pairs = docs
       .withColumn("_t",
         expr("filter(split(trim(text), '\\\\s+'), x -> length(x) > 0)"))
       .withColumn("cand",
@@ -5517,13 +5519,52 @@ object TrainingData {
           .otherwise(
             expr("array_join(concat(_t, slice(_t, 1, least(5, size(_t)))), ' ')")))
       .select(col("doc_id"), col("cand"), col("text").as("ref"))
-    graft.operators.Bleu.corpusNgramPrecision(
-      pairs, "doc_id", "cand", "ref", maxN = 4)
-      .orderBy("n")
-  }
 
-  val q243Sql: String = {
-    def ilog(x: String) = ilogSql(x)
+  def q243BleuCounts(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bleu.corpusNgramPrecision(
+      bleuPairs(s, dir), "doc_id", "cand", "ref", maxN = 4)
+      .orderBy("n")
+
+  /** Corpus BLEU SCORE ([[graft.operators.Bleu.corpusBleuScore]]):
+    * the q243 counts assembled into the one evaluation number —
+    * add-one-smoothed geometric-mean precision plus the brevity
+    * penalty, all in exact integer micro-log2 (negate-before-DIV so
+    * truncating and flooring engines agree; 1/ln 2 as the micro
+    * constant 1442695). The truncated even-doc candidates force
+    * c < r, so the BP branch is live in the hash. The oracle rebuilds
+    * the score from the shared q243 counting chain.
+    */
+  def q256BleuScore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bleu.corpusBleuScore(
+      bleuPairs(s, dir), "doc_id", "cand", "ref", maxN = 4)
+
+  val q256Sql: String =
+    s"""$bleuCountCtes,
+       |ps AS (
+       |  SELECT CAST(sum((${ilogSql("(matched+1)")}) -
+       |    (${ilogSql("(total+1)")})) AS BIGINT) AS sp
+       |  FROM pn)
+       |SELECT
+       |  CAST(-((-sp) // 4) AS BIGINT) AS mean_prec_micro_log2,
+       |  CAST(CASE WHEN cand_tokens >= ref_tokens THEN 0
+       |       ELSE -(((ref_tokens - cand_tokens) * 1442695)
+       |              // greatest(cand_tokens, 1)) END AS BIGINT)
+       |    AS bp_micro_log2,
+       |  CAST(-((-sp) // 4) +
+       |    (CASE WHEN cand_tokens >= ref_tokens THEN 0
+       |          ELSE -(((ref_tokens - cand_tokens) * 1442695)
+       |                 // greatest(cand_tokens, 1)) END) AS BIGINT)
+       |    AS bleu_micro_log2,
+       |  cand_tokens, ref_tokens
+       |FROM ps, lens""".stripMargin
+
+  /** The q243 BLEU-count chain (fixture pairs, tokenization, per-order
+    * gram CTEs, `lens`, `pn`) as a WITH body — shared by q243 (the
+    * per-order counts) and q256 (the one-row score) so the counting
+    * SQL cannot drift per query. */
+  // lazy: referenced by q256Sql, which is declared above this val —
+  // a strict val would interpolate null at object init
+  private lazy val bleuCountCtes: String = {
     def gramCte(tag: String, listCol: String, n: Int): String =
       s"""${tag}$n AS (
          |  SELECT doc_id, ('0x'||substr(md5(g), 1, 15))::BIGINT AS gh,
@@ -5569,14 +5610,18 @@ object TrainingData {
        |    coalesce(CAST(sum(len(rl)) AS BIGINT), 0) AS ref_tokens
        |  FROM tok),
        |pn AS (
-       |$arms)
+       |$arms)""".stripMargin
+  }
+
+  val q243Sql: String =
+    s"""$bleuCountCtes
        |SELECT n, matched, total,
-       |  (${ilog("(matched+1)")}) - (${ilog("(total+1)")}) AS prec_micro_log2,
+       |  (${ilogSql("(matched+1)")}) - (${ilogSql("(total+1)")})
+       |    AS prec_micro_log2,
        |  (SELECT cand_tokens FROM lens) AS cand_tokens,
        |  (SELECT ref_tokens FROM lens) AS ref_tokens
        |FROM pn
        |ORDER BY n""".stripMargin
-  }
 
   /** URL canonicalization ([[graft.operators.Urls.canonicalize]]):
     * deterministic synthetic URLs built from each document's fields
@@ -7386,6 +7431,7 @@ object TrainingData {
     "q237b_phrase_indexed" -> q237bPhraseIndexed _,
     "q242_phrase_batch" -> q242PhraseBatch _,
     "q243_bleu_counts" -> q243BleuCounts _,
+    "q256_bleu_score" -> q256BleuScore _,
     "q244_url_canonicalize" -> q244UrlCanonicalize _,
     "q245_blocklist_fold" -> q245BlocklistFold _,
     "q246_sentence_segment" -> q246SentenceSegment _,
@@ -7509,6 +7555,7 @@ object TrainingData {
     "q237b_phrase_indexed" -> q237bSql,
     "q242_phrase_batch" -> q242Sql,
     "q243_bleu_counts" -> q243Sql,
+    "q256_bleu_score" -> q256Sql,
     "q244_url_canonicalize" -> q244Sql,
     "q245_blocklist_fold" -> q245Sql,
     "q246_sentence_segment" -> q246Sql,

@@ -73,6 +73,33 @@ class BleuSpec extends SparkSpec {
     assert(got(1)._4 == 5L && got(1)._5 == 6L)
   }
 
+  test("corpusBleuScore: a JVM replay of the integer micro-log2 assembly") {
+    val d = pairs(
+      (1L, "the cat sat", "the cat sat on the mat"),
+      (2L, "dogs run far", "dogs run"))
+    val counts = Bleu.corpusNgramPrecision(d, "id", "cand", "ref", 2)
+      .collect().map(r => (r.getAs[Long]("prec_micro_log2"),
+        r.getAs[Long]("cand_tokens"), r.getAs[Long]("ref_tokens")))
+    val got = Bleu.corpusBleuScore(d, "id", "cand", "ref", 2).collect()(0)
+    val sp = counts.map(_._1).sum
+    val (c, r) = (counts.head._2, counts.head._3)
+    val mean = -((-sp) / 2)
+    val bp = if (c >= r) 0L else -(((r - c) * 1442695L) / math.max(c, 1L))
+    assert(got.getAs[Long]("mean_prec_micro_log2") == mean)
+    assert(got.getAs[Long]("bp_micro_log2") == bp)
+    assert(got.getAs[Long]("bleu_micro_log2") == mean + bp)
+    assert(got.getAs[Long]("cand_tokens") == c)
+    assert(got.getAs[Long]("ref_tokens") == r)
+    // this fixture is length-balanced (6 vs 8 → BP branch live)
+    assert(c < r && bp < 0L)
+    // perfect candidate ⇒ BP 0 and score = the smoothing loss only
+    val perfect = Bleu.corpusBleuScore(
+      pairs((1L, "a b c d", "a b c d")), "id", "cand", "ref", 1).collect()(0)
+    assert(perfect.getAs[Long]("bp_micro_log2") == 0L)
+    assert(perfect.getAs[Long]("mean_prec_micro_log2") ==
+      perfect.getAs[Long]("bleu_micro_log2"))
+  }
+
   test("null texts contribute zero tokens, consistent with the gram side") {
     val d = pairs(
       (1L, "the cat sat", "the cat sat"),
