@@ -144,8 +144,15 @@ object Urls {
     * window and two keyed aggregates — all exchanges keyed by domain;
     * nothing is corpus×rules shaped.
     */
-  def robotsRules(robots: DataFrame, domainCol: String, txtCol: String,
-      agent: String = "*"): DataFrame = {
+  /** Shared group machinery: robots lines classified and segmented
+    * into agent groups — (domainCol, _ln, _ua, rule_type, rule_path,
+    * _delay, _isUa, _gid). EVERY directive class is kept (UA, allow/
+    * disallow, crawl-delay): rule lines separate consecutive UA runs
+    * even for consumers that ignore them, so [[robotsRules]] and
+    * [[crawlDelays]] segment identically.
+    */
+  private def agentGroups(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame = {
     val lines = robots.select(col(domainCol),
       posexplode(split(col(txtCol), "\r?\n")).as(Seq("_ln", "_l")))
     val typed = lines.select(col(domainCol), col("_ln"),
@@ -155,34 +162,45 @@ object Urls {
           "(?i)^[ \\t]*(disallow|allow)[ \\t]*:", 1)).as("rule_type"),
         regexp_extract(col("_l"),
           "(?i)^[ \\t]*(?:disallow|allow)[ \\t]*:[ \\t]*(\\S*)", 1)
-          .as("rule_path"))
-      .filter(col("_ua") =!= "" || col("rule_type") =!= "")
+          .as("rule_path"),
+        regexp_extract(col("_l"),
+          "(?i)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)[ \\t]*$", 1)
+          .as("_delay"))
+      .filter(col("_ua") =!= "" || col("rule_type") =!= "" ||
+        col("_delay") =!= "")
     // group id: a User-agent line whose previous RELEVANT line was not
     // a User-agent line starts a new group (consecutive UA lines share
     // the directives that follow them)
     val w = Window.partitionBy(col(domainCol)).orderBy(col("_ln"))
-    val grouped = typed
+    typed
       .withColumn("_isUa", col("_ua") =!= "")
       .withColumn("_gid", sum(
         when(col("_isUa") &&
           !coalesce(lag(col("_isUa"), 1).over(w), lit(false)), 1)
           .otherwise(0)).over(w))
-    // specificity of each group for `agent`: longest matching token,
-    // '*' counting 0, non-matching groups excluded
+  }
+
+  /** Per-(domain, group) agent specificity for `agent`: longest
+    * matching token, '*' counting 0, non-matching groups excluded. */
+  private def groupSpecificity(grouped: DataFrame, domainCol: String,
+      agent: String): DataFrame = {
     val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
     val matchLen = when(col("_ua") === "*", 0)
       .when(lit(agentLc).startsWith(col("_ua")), length(col("_ua")))
       .otherwise(-1)
-    val groupBest = grouped.filter(col("_isUa"))
+    grouped.filter(col("_isUa"))
       .groupBy(col(domainCol), col("_gid"))
       .agg(max(matchLen).as("_best"))
-    val rules = grouped
-      .filter(col("rule_type") =!= "" && length(col("rule_path")) > 0)
-      .select(col(domainCol), col("_gid"), col("rule_type"),
-        col("rule_path"))
-    val withBest = rules.join(groupBest, Seq(domainCol, "_gid"), "left")
-      // headerless directives (gid 0 has no UA row) = the implicit '*'
-      // group at specificity 0
+  }
+
+  /** Directive rows of the EFFECTIVE group(s) for `agent`: the input
+    * rows (any directive class) with headerless rows (gid 0, no UA
+    * header) treated as the implicit '*' group at specificity 0, and
+    * only the most specific matching group(s) surviving per domain. */
+  private def effectiveGroupRows(grouped: DataFrame, domainCol: String,
+      agent: String, rows: DataFrame): DataFrame = {
+    val best = groupSpecificity(grouped, domainCol, agent)
+    val withBest = rows.join(best, Seq(domainCol, "_gid"), "left")
       .withColumn("_b", coalesce(col("_best"),
         when(col("_gid") === 0, 0).otherwise(-1)))
       .filter(col("_b") >= 0)
@@ -190,6 +208,16 @@ object Urls {
       .agg(max(col("_b")).as("_dmax"))
     withBest.join(domainMax, Seq(domainCol))
       .filter(col("_b") === col("_dmax"))
+  }
+
+  def robotsRules(robots: DataFrame, domainCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    val grouped = agentGroups(robots, domainCol, txtCol)
+    val rules = grouped
+      .filter(col("rule_type") =!= "" && length(col("rule_path")) > 0)
+      .select(col(domainCol), col("_gid"), col("rule_type"),
+        col("rule_path"))
+    effectiveGroupRows(grouped, domainCol, agent, rules)
       .select(col(domainCol), col("rule_type"), col("rule_path"))
       .distinct()
       .withColumn("rule_len", length(col("rule_path")).cast(IntegerType))
@@ -259,6 +287,92 @@ object Urls {
       .select(col("_id").as(idCol), col("host"), col("path"),
         coalesce(col("rule_type") =!= "disallow", lit(true)).as("allowed"),
         col("rule_type"), col("rule_path"))
+  }
+
+  /** Per-domain `Crawl-delay` directives (the de-facto extension most
+    * robots files carry; RFC 9309 leaves it out, major crawlers honor
+    * it): the delay in SECONDS from the effective agent group —
+    * selected with exactly [[robotsRules]]'s precedence (most
+    * specific matching token, headerless lines = the `*` group).
+    * Non-numeric values are ignored; several delays in one effective
+    * group keep the LARGEST (the polite reading). Output: (domainCol,
+    * crawl_delay_sec DOUBLE). Domains with no directive are absent —
+    * callers left-join and default.
+    */
+  def crawlDelays(robots: DataFrame, domainCol: String, txtCol: String,
+      agent: String = "*"): DataFrame = {
+    val grouped = agentGroups(robots, domainCol, txtCol)
+    val delays = grouped.filter(col("_delay") =!= "")
+      .select(col(domainCol), col("_gid"),
+        col("_delay").cast("double").as("_d"))
+    effectiveGroupRows(grouped, domainCol, agent, delays)
+      .groupBy(col(domainCol))
+      .agg(max(col("_d")).as("crawl_delay_sec"))
+  }
+
+  /** `Sitemap:` pointers from robots.txt bodies — sitemap lines are
+    * GLOBAL (they belong to no agent group, RFC 9309 §2.4), so this
+    * is one multiline extract per file: (domainCol, sitemap_url), one
+    * row per pointer, duplicates dropped per domain.
+    */
+  def sitemapPointers(robots: DataFrame, domainCol: String,
+      txtCol: String): DataFrame =
+    robots.select(col(domainCol),
+        explode(regexp_extract_all(col(txtCol),
+          lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)"), lit(1)))
+          .as("sitemap_url"))
+      .distinct()
+
+  /** `<loc>` entries of sitemap XML bodies (sitemaps.org §XML format;
+    * also matches the nested <sitemap><loc> of index files): one row
+    * per loc with the XML-mandated entity escapes undone
+    * (`&amp; &lt; &gt; &quot; &apos;` — the five the format requires;
+    * `&amp;` LAST so `&amp;lt;` single-decodes, the q239 rule).
+    * Row-local extract-all + explode: a 100 TB sitemap corpus is
+    * scan → project → write.
+    */
+  def sitemapLocs(sitemaps: DataFrame, keyCol: String,
+      xmlCol: String): DataFrame = {
+    val raw = explode(regexp_extract_all(col(xmlCol),
+      lit("(?is)<loc[ \\t]*>(.*?)</loc[ \\t]*>"), lit(1)))
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+    sitemaps.select(col(keyCol), raw.as("_loc"))
+      .select(col(keyCol),
+        unescaped.foldLeft(trim(col("_loc"))) { case (c, (e, r)) =>
+          regexp_replace(c, e, r)
+        }.as("loc_url"))
+  }
+
+  /** Politeness schedule: given fetchable URLs and per-domain crawl
+    * delays, assign each URL its host-local fetch slot —
+    * (idCol, host, fetch_seq, fetch_offset_ms) where fetch_seq is the
+    * 1-based position in the host's queue (ordered by id — the
+    * deterministic arrival order) and fetch_offset_ms =
+    * (fetch_seq − 1) · delay·1000 (LONG millis, exact integer from
+    * the decimal seconds). Hosts without a delay row use
+    * `defaultDelaySec`. One host-keyed rank window + one broadcast
+    * join of the delay table: the schedule for a 100 TB frontier is
+    * embarrassingly host-parallel.
+    */
+  def politenessSchedule(urls: DataFrame, idCol: String, urlCol: String,
+      delays: DataFrame, domainCol: String,
+      defaultDelaySec: Double = 1.0,
+      broadcastMaxDelays: Long = 2000000L): DataFrame = {
+    val (host, _) = hostPort(col(urlCol))
+    val keyed = urls.select(col(idCol).as("_id"), host.as("host"))
+      .withColumn("fetch_seq", row_number().over(
+        Window.partitionBy(col("host")).orderBy(col("_id"))))
+    val d0 = delays.select(col(domainCol).as("host"),
+      col("crawl_delay_sec"))
+    // same exact-cardinality guard as robotsFilter: a full-web delay
+    // table is host-count-sized
+    val d = if (d0.count() <= broadcastMaxDelays) broadcast(d0) else d0
+    keyed.join(d, Seq("host"), "left")
+      .select(col("_id").as(idCol), col("host"), col("fetch_seq"),
+        ((col("fetch_seq") - 1).cast("long") *
+          (coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)) * 1000)
+            .cast("long")).as("fetch_offset_ms"))
   }
 
   // ---- persisted frontier index: incremental URL dedup ----

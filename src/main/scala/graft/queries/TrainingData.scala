@@ -6634,6 +6634,218 @@ object TrainingData {
        |FROM h2 c LEFT JOIN firstb f ON f.h = c.h
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Crawl-delay politeness scheduling
+    * ([[graft.operators.Urls.crawlDelays]] +
+    * [[graft.operators.Urls.politenessSchedule]], crawling as
+    * `graftbot`): per-host robots carry a Googlebot decoy delay (9 s,
+    * must be IGNORED), a `*` group whose even hosts declare TWO
+    * delays (2 then 1 — the larger must win, the polite reading) plus
+    * a junk non-numeric line (ignored), and every 3rd host a
+    * graftbot-specific 0.5 s that overrides the `*` group entirely.
+    * Each host's URLs are then slotted (fetch_seq, fetch_offset_ms =
+    * (seq−1)·delay·1000): group selection, max-delay, the junk skip,
+    * the 1 s default for delay-less and robots-less hosts, and the
+    * host-local rank all ride one hash. The oracle replays group
+    * segmentation (with rule lines as UA-run separators), token
+    * specificity, and the integer millisecond arithmetic
+    * (floor ≡ Spark's non-negative cast).
+    */
+  def q257CrawlDelaySchedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://"), host, lit("/p"),
+        col("doc_id").cast("string")).as("url"))
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val robots = Tables.documents(s, dir).select(col("source")).distinct()
+      .filter(srcNum % 7 =!= 3)
+      .select(concat(lit("www."), col("source"), lit(".example.com"))
+          .as("host"),
+        concat(
+          lit("User-agent: Googlebot\nCrawl-delay: 9\n\n"),
+          lit("User-agent: *\nDisallow: /private\n"),
+          when(srcNum % 2 === 0,
+            lit("Crawl-delay: 2\nCrawl-delay: 1\n")).otherwise(lit("")),
+          when(srcNum % 5 === 0, lit("Crawl-delay: soon\n"))
+            .otherwise(lit("")),
+          when(srcNum % 3 === 0, lit(
+            "\nUser-agent: graftbot\nCrawl-delay: 0.5\nAllow: /x\n"))
+            .otherwise(lit("")))
+          .as("robots_txt"))
+    val delays = graft.operators.Urls.crawlDelays(
+      robots, "host", "robots_txt", agent = "graftbot")
+    graft.operators.Urls.politenessSchedule(
+        urls, "doc_id", "url", delays, "host")
+      .orderBy("doc_id")
+  }
+
+  val q257Sql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, 'www.' || source || '.example.com' AS host
+       |  FROM documents),
+       |rb AS (
+       |  SELECT 'www.' || source || '.example.com' AS host,
+       |    'User-agent: Googlebot' || chr(10) || 'Crawl-delay: 9' ||
+       |      chr(10) || chr(10) ||
+       |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0
+       |          THEN 'Crawl-delay: 2' || chr(10) || 'Crawl-delay: 1' ||
+       |            chr(10) ELSE '' END) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+       |          THEN 'Crawl-delay: soon' || chr(10) ELSE '' END) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+       |          THEN chr(10) || 'User-agent: graftbot' || chr(10) ||
+       |               'Crawl-delay: 0.5' || chr(10) || 'Allow: /x' ||
+       |               chr(10)
+       |          ELSE '' END) AS txt
+       |  FROM (SELECT DISTINCT source FROM documents)
+       |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3),
+       |lns AS (
+       |  SELECT host, CAST(u2.i AS INTEGER) AS ln, l[u2.i] AS line
+       |  FROM (SELECT host, string_split_regex(txt, '\\r?\\n') AS l FROM rb),
+       |    unnest(range(1, len(l) + 1)) AS u2(i)),
+       |kept AS (
+       |  SELECT host, ln,
+       |    lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S*)', 1)) AS ua,
+       |    lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*(disallow|allow)[ \\t]*:', 1)) AS rule_type,
+       |    regexp_extract(line,
+       |      '(?i)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)[ \\t]*$$', 1)
+       |      AS dl
+       |  FROM lns
+       |  WHERE lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*user-agent[ \\t]*:[ \\t]*(\\S*)', 1)) <> ''
+       |    OR lower(regexp_extract(line,
+       |      '(?i)^[ \\t]*(disallow|allow)[ \\t]*:', 1)) <> ''
+       |    OR regexp_extract(line,
+       |      '(?i)^[ \\t]*crawl-delay[ \\t]*:[ \\t]*([0-9]+(?:\\.[0-9]+)?)[ \\t]*$$', 1) <> ''),
+       |lagged AS (
+       |  SELECT *, (ua <> '') AS is_ua,
+       |    coalesce(lag(ua <> '')
+       |      OVER (PARTITION BY host ORDER BY ln), FALSE) AS prev_ua
+       |  FROM kept),
+       |grp AS (
+       |  SELECT *, sum(CASE WHEN is_ua AND NOT prev_ua THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY host ORDER BY ln) AS gid
+       |  FROM lagged),
+       |gbest AS (
+       |  SELECT host, gid,
+       |    max(CASE WHEN ua = '*' THEN 0
+       |             WHEN starts_with('graftbot', ua) THEN length(ua)
+       |             ELSE -1 END) AS best
+       |  FROM grp WHERE is_ua GROUP BY host, gid),
+       |d0 AS (
+       |  SELECT g.host, CAST(g.dl AS DOUBLE) AS d,
+       |    coalesce(b.best, CASE WHEN g.gid = 0 THEN 0 ELSE -1 END) AS best
+       |  FROM grp g LEFT JOIN gbest b ON b.host = g.host AND b.gid = g.gid
+       |  WHERE g.dl <> ''),
+       |d1 AS (SELECT * FROM d0 WHERE best >= 0),
+       |ddmax AS (SELECT host, max(best) AS dmax FROM d1 GROUP BY host),
+       |del AS (
+       |  SELECT d1.host, max(d1.d) AS delay
+       |  FROM d1 JOIN ddmax ON ddmax.host = d1.host
+       |  WHERE d1.best = ddmax.dmax GROUP BY d1.host),
+       |sched AS (
+       |  SELECT doc_id, host,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+       |      AS INTEGER) AS fetch_seq
+       |  FROM u)
+       |SELECT s.doc_id, s.host, s.fetch_seq,
+       |  CAST(CAST(s.fetch_seq - 1 AS BIGINT) *
+       |    CAST(floor(coalesce(del.delay, 1.0) * 1000) AS BIGINT)
+       |    AS BIGINT) AS fetch_offset_ms
+       |FROM sched s LEFT JOIN del ON del.host = s.host
+       |ORDER BY s.doc_id""".stripMargin
+
+  /** Sitemap seeding ([[graft.operators.Urls.sitemapPointers]] +
+    * [[graft.operators.Urls.sitemapLocs]]): `Sitemap:` pointers are
+    * GLOBAL lines (no agent group) extracted per host; each pointed
+    * sitemap's XML yields its `<loc>` entries — whitespace-trimmed,
+    * the five XML entity escapes undone (`&amp;` LAST, the
+    * single-decode rule), nested `<sitemap><loc>` index entries
+    * included — and every loc canonicalizes through the q244 parser
+    * (the seeded frontier projection). Hosts without robots seed
+    * nothing. The oracle replays pointer extraction, loc extraction,
+    * the unescape chain, and canonicalization.
+    */
+  def q258SitemapSeeds(s: SparkSession, dir: String): DataFrame = {
+    val srcNum = expr("CAST(substring(source, 4) AS INT)")
+    val robots = Tables.documents(s, dir).select(col("source")).distinct()
+      .filter(srcNum % 7 =!= 3)
+      .select(concat(lit("www."), col("source"), lit(".example.com"))
+          .as("host"),
+        concat(
+          lit("User-agent: *\nDisallow: /private\n"),
+          lit("Sitemap: https://www."), col("source"),
+          lit(".example.com/sitemap.xml\n# end\n")).as("robots_txt"))
+    val pointers = graft.operators.Urls.sitemapPointers(
+      robots, "host", "robots_txt")
+    val bodies = pointers.select(col("host"),
+      concat(
+        lit("<urlset>\n<url><loc>https://"), col("host"),
+        lit("/page/1?b=2&amp;a=1</loc></url>\n"),
+        lit("<url><loc>  https://"), col("host"),
+        lit("/page/1?a=1&amp;b=2&amp;utm_z=9 </loc></url>\n"),
+        lit("<url><loc>https://"), col("host"),
+        lit("/other/&lt;x&gt;&apos;q&quot;</loc></url>\n"),
+        lit("<sitemap><loc>https://"), col("host"),
+        lit("/sitemap2.xml</loc></sitemap>\n</urlset>")).as("xml"))
+    graft.operators.Urls.sitemapLocs(bodies, "host", "xml")
+      .withColumn("canonical_url",
+        graft.operators.Urls.canonicalize(col("loc_url"))
+          .getField("canonical_url"))
+      .orderBy("host", "loc_url")
+  }
+
+  val q258Sql: String =
+    s"""WITH rb AS (
+       |  SELECT 'www.' || source || '.example.com' AS host,
+       |    'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) ||
+       |    'Sitemap: https://www.' || source ||
+       |      '.example.com/sitemap.xml' || chr(10) || '# end' || chr(10)
+       |      AS txt
+       |  FROM (SELECT DISTINCT source FROM documents)
+       |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3),
+       |ptr AS (
+       |  SELECT DISTINCT host,
+       |    unnest(regexp_extract_all(txt,
+       |      '(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*(\\S+)', 1)) AS sitemap_url
+       |  FROM rb),
+       |xmls AS (
+       |  SELECT host,
+       |    '<urlset>' || chr(10) ||
+       |    '<url><loc>https://' || host || '/page/1?b=2&amp;a=1</loc></url>'
+       |      || chr(10) ||
+       |    '<url><loc>  https://' || host ||
+       |      '/page/1?a=1&amp;b=2&amp;utm_z=9 </loc></url>' || chr(10) ||
+       |    '<url><loc>https://' || host ||
+       |      '/other/&lt;x&gt;&apos;q&quot;</loc></url>' || chr(10) ||
+       |    '<sitemap><loc>https://' || host ||
+       |      '/sitemap2.xml</loc></sitemap>' || chr(10) || '</urlset>'
+       |      AS x
+       |  FROM ptr),
+       |locs AS (
+       |  SELECT host,
+       |    unnest(regexp_extract_all(x,
+       |      '(?is)<loc[ \\t]*>(.*?)</loc[ \\t]*>', 1)) AS raw
+       |  FROM xmls),
+       |un AS (
+       |  SELECT host,
+       |    replace(replace(replace(replace(replace(trim(raw),
+       |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |      '&apos;', ''''), '&amp;', '&') AS loc_url
+       |  FROM locs),
+       |un2 AS (
+       |  SELECT row_number() OVER (ORDER BY host, loc_url) AS doc_id,
+       |    host, loc_url
+       |  FROM un),
+       |cs AS (SELECT doc_id, loc_url AS u FROM un2),
+       |${duckCanonicalCtes("cs", "sm")}
+       |SELECT u2.host, u2.loc_url, c.canonical_url
+       |FROM un2 u2 JOIN canonsm c ON c.doc_id = u2.doc_id
+       |ORDER BY u2.host, u2.loc_url""".stripMargin
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -7440,6 +7652,8 @@ object TrainingData {
     "q249_sentence_span_dedup" -> q249SentenceSpanDedup _,
     "q252_incremental_span_dedup" -> q252IncrementalSpanDedup _,
     "q255_frontier_dedup" -> q255FrontierDedup _,
+    "q257_crawl_delay_schedule" -> q257CrawlDelaySchedule _,
+    "q258_sitemap_seeds" -> q258SitemapSeeds _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
     "q236_raked_mixture" -> q236RakedMixture _,
@@ -7564,6 +7778,8 @@ object TrainingData {
     "q249_sentence_span_dedup" -> q249Sql,
     "q252_incremental_span_dedup" -> q252Sql,
     "q255_frontier_dedup" -> q255Sql,
+    "q257_crawl_delay_schedule" -> q257Sql,
+    "q258_sitemap_seeds" -> q258Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,
     "q236_raked_mixture" -> q236Sql,

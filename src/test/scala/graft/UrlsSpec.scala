@@ -236,6 +236,59 @@ class UrlsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("crawlDelays: group selection, max-of-group, junk skip; schedule slots") {
+    val txt = "User-agent: Googlebot\nCrawl-delay: 9\n\n" +
+      "User-agent: *\nDisallow: /private\nCrawl-delay: 2\nCrawl-delay: 1\n" +
+      "Crawl-delay: soon\n\n" +
+      "User-agent: graftbot\nAllow: /x\nCrawl-delay: 0.5\n"
+    def delayFor(agent: String): Option[Double] =
+      Urls.crawlDelays(robotsFixture(txt), "host", "txt", agent)
+        .collect().headOption.map(_.getAs[Double]("crawl_delay_sec"))
+    // graftbot's own group wins outright — the '*' delays are IGNORED
+    assert(delayFor("graftbot").contains(0.5))
+    // an unrelated crawler reads the '*' group: max(2, 1), junk skipped
+    assert(delayFor("otherbot").contains(2.0))
+    // the Allow line between UA runs keeps the groups separate: were
+    // rule lines dropped from the lag chain, '*' and 'graftbot' would
+    // merge and otherbot would read 0.5 into its max
+    val sched = Urls.politenessSchedule(
+        urlFrame(1L -> "https://h.com/a", 2L -> "https://h.com/b",
+          3L -> "https://h.com/c", 4L -> "https://nodelay.org/z"),
+        "id", "url",
+        Urls.crawlDelays(robotsFixture(txt), "host", "txt", "otherbot"),
+        "host")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Int]("fetch_seq"), r.getAs[Long]("fetch_offset_ms")))
+      .toMap
+    assert(sched(1L) == (1, 0L))
+    assert(sched(2L) == (2, 2000L))
+    assert(sched(3L) == (3, 4000L))
+    assert(sched(4L) == (1, 0L)) // no delay row → 1 s default, seq 1
+  }
+
+  test("sitemap pointers and locs: global lines, entity unescape, nesting") {
+    val txt = "User-agent: *\nDisallow: /x\n" +
+      "Sitemap: https://h.com/s1.xml\n# c\nsitemap: https://h.com/s2.xml\n"
+    val ptrs = Urls.sitemapPointers(robotsFixture(txt), "host", "txt")
+      .collect().map(_.getAs[String]("sitemap_url")).toSet
+    assert(ptrs == Set("https://h.com/s1.xml", "https://h.com/s2.xml"))
+    val xml = "<urlset><url><loc> https://h.com/a?x=1&amp;y=2 </loc></url>" +
+      "<url><loc>https://h.com/&lt;b&gt;&apos;c&quot;</loc></url>" +
+      "<sitemap><loc>https://h.com/nested.xml</loc></sitemap></urlset>"
+    val xs = StructType(Seq(StructField("k", StringType),
+      StructField("xml", StringType)))
+    val frame = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          List(Row("h", xml))).asJava), xs)
+    val locs = Urls.sitemapLocs(frame, "k", "xml")
+      .collect().map(_.getAs[String]("loc_url")).toSet
+    assert(locs == Set(
+      "https://h.com/a?x=1&y=2",
+      "https://h.com/<b>'c\"",
+      "https://h.com/nested.xml"))
+  }
+
   // ---- frontier index ----
 
   private def urlFrame(rows: (Long, String)*) = {
