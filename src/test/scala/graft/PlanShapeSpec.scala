@@ -161,6 +161,12 @@ class PlanShapeSpec extends SparkSpec {
                               // quantile walk runs over the ≤256-row
                               // merged sketch; the corpus scans below
                               // both are ordinary keyed aggregates
+      "q256_bleu_score",      // the q243 chain plus ONE more scalar
+                              // reduction: the score assembles from
+                              // the maxN-row counts frame (partial
+                              // buffers cross, one row out) — every
+                              // corpus-sized aggregate below it is the
+                              // q243 keyed shape
       "q243_bleu_counts",     // two scalar legs by construction: the
                               // per-order matched/total sums over the
                               // already-(id, n, hash)-keyed gram-count
