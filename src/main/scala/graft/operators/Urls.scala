@@ -447,7 +447,17 @@ object Urls {
           .as("canonical_url"))
       .withColumn("_h",
         graft.functions.TextFunctions.md5Hash60(col("canonical_url")))
-    val indexed = spark.read.parquet(s"$path/urls")
+    // a missing/empty index is an EMPTY frontier (the bootstrap state
+    // of a brand-new crawl), not an error — the streaming ingest's
+    // first batch probes before anything has been written
+    val urlsDir = new org.apache.hadoop.fs.Path(s"$path/urls")
+    val fs = urlsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasIndex = fs.exists(urlsDir) && fs.listStatus(urlsDir).exists { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    val indexed = (if (hasIndex) spark.read.parquet(s"$path/urls")
+      else spark.range(0).select(col("id").as("h")))
       .select(col("h").as("_h")).distinct()
       .withColumn("_inx", lit(true))
     val first = canon.filter(col("canonical_url").isNotNull)

@@ -6634,6 +6634,132 @@ object TrainingData {
        |FROM h2 c LEFT JOIN firstb f ON f.h = c.h
        |ORDER BY c.doc_id""".stripMargin
 
+  /** Streaming crawl-frontier ingestion on the oracle gate
+    * ([[graft.streaming.FrontierIngest.ingestBatch]] — the batch twin
+    * of the `foreachBatch` stream, stream==batch and exactly-once
+    * proven in StreamingSpec; the q78 pattern at URL granularity):
+    * three discovery batches — the first 300 docs' URLs; then the
+    * rest plus case/port/tracking RESPELLINGS of batch-1 URLs (must
+    * drop via the index) and tracking twins of same-batch URLs (must
+    * drop via in-batch keep-first); then respellings of batch-2 URLs,
+    * scheme-less non-URLs, and genuinely fresh URLs — flow through
+    * index-backed sequential dedup. The oracle replays the greedy
+    * batch-order semantics: fetched(b) = first-in-batch canonical
+    * occurrences of b whose canonical is not in fetched(<b), each
+    * batch re-canonicalized through the shared q244 parser CTEs.
+    * Output = the final fetch log; any wrongly fetched or skipped URL
+    * at any step breaks the hash.
+    */
+  def q259StreamingFrontier(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.FrontierIngest
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    def baseUrl(suffix: org.apache.spark.sql.Column*) =
+      concat((Seq(lit("https://"), host, lit("/d/"),
+        col("doc_id").cast("string")) ++ suffix): _*)
+    val b1 = docs.filter(col("doc_id") < 300)
+      .select(col("doc_id"), baseUrl().as("url"))
+    val respell1 = docs.filter(col("doc_id") < 40).select(
+      (col("doc_id") + 500000).as("doc_id"),
+      concat(lit("HTTPS://"), upper(host), lit("/d/"),
+        col("doc_id").cast("string"), lit("?utm_b=2")).as("url"))
+    val twins2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 330)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        baseUrl(lit("?gclid=x")).as("url"))
+    val b2 = docs.filter(col("doc_id") >= 300)
+      .select(col("doc_id"), baseUrl().as("url"))
+      .unionByName(respell1).unionByName(twins2)
+    val respell2 = docs.filter(col("doc_id") >= 300 && col("doc_id") < 340)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        baseUrl(lit("?utm_z=1")).as("url"))
+    val nonUrl = docs.filter(col("doc_id") < 5).select(
+      (col("doc_id") + 800000).as("doc_id"),
+      concat(lit("not a url "), col("doc_id").cast("string")).as("url"))
+    val fresh = docs.filter(col("doc_id") < 10).select(
+      (col("doc_id") + 900000).as("doc_id"),
+      concat(lit("https://late.example.net/n/"),
+        col("doc_id").cast("string")).as("url"))
+    val b3 = respell2.unionByName(nonUrl).unionByName(fresh)
+    val idxPath = scratchPath("q259_idx", dir)
+    val logPath = scratchPath("q259_log", dir)
+    // rerun hygiene: ingest accretes by design (the q78 convention)
+    Seq(idxPath, logPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true): Unit
+    }
+    Seq(b1, b2, b3).foreach { b =>
+      FrontierIngest.ingestBatch(b, idxPath, logPath, "doc_id", "url"): Unit
+    }
+    s.read.parquet(logPath)
+      .select(col("doc_id"), col("url"), col("canonical_url"))
+      .orderBy("doc_id")
+  }
+
+  val q259Sql: String = {
+    def kept(tag: String, prior: String): String =
+      s"""k$tag AS (
+         |  SELECT c.doc_id, c.canonical_url
+         |  FROM canonf$tag c
+         |  JOIN (SELECT canonical_url, min(doc_id) AS fid
+         |        FROM canonf$tag WHERE canonical_url IS NOT NULL
+         |        GROUP BY canonical_url) f
+         |    ON f.canonical_url = c.canonical_url AND c.doc_id = f.fid
+         |  $prior)""".stripMargin
+    s"""WITH bb1 AS (
+       |  SELECT doc_id,
+       |    'https://www.' || source || '.example.com/d/' ||
+       |      CAST(doc_id AS VARCHAR) AS u
+       |  FROM documents WHERE doc_id < 300),
+       |bb2 AS (
+       |  SELECT doc_id,
+       |    'https://www.' || source || '.example.com/d/' ||
+       |      CAST(doc_id AS VARCHAR) AS u
+       |  FROM documents WHERE doc_id >= 300
+       |  UNION ALL
+       |  SELECT doc_id + 500000,
+       |    'HTTPS://' || upper('www.' || source || '.example.com') ||
+       |      '/d/' || CAST(doc_id AS VARCHAR) || '?utm_b=2'
+       |  FROM documents WHERE doc_id < 40
+       |  UNION ALL
+       |  SELECT doc_id + 600000,
+       |    'https://www.' || source || '.example.com/d/' ||
+       |      CAST(doc_id AS VARCHAR) || '?gclid=x'
+       |  FROM documents WHERE doc_id >= 300 AND doc_id < 330),
+       |bb3 AS (
+       |  SELECT doc_id + 700000 AS doc_id,
+       |    'https://www.' || source || '.example.com/d/' ||
+       |      CAST(doc_id AS VARCHAR) || '?utm_z=1' AS u
+       |  FROM documents WHERE doc_id >= 300 AND doc_id < 340
+       |  UNION ALL
+       |  SELECT doc_id + 800000, 'not a url ' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id < 5
+       |  UNION ALL
+       |  SELECT doc_id + 900000,
+       |    'https://late.example.net/n/' || CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id < 10),
+       |${duckCanonicalCtes("bb1", "f1")},
+       |${duckCanonicalCtes("bb2", "f2")},
+       |${duckCanonicalCtes("bb3", "f3")},
+       |${kept("1", "")},
+       |${kept("2",
+          "WHERE c.canonical_url NOT IN (SELECT canonical_url FROM k1)")},
+       |${kept("3",
+          "WHERE c.canonical_url NOT IN (SELECT canonical_url FROM k1 " +
+            "UNION ALL SELECT canonical_url FROM k2)")},
+       |fetched AS (
+       |  SELECT doc_id, canonical_url FROM k1
+       |  UNION ALL SELECT doc_id, canonical_url FROM k2
+       |  UNION ALL SELECT doc_id, canonical_url FROM k3),
+       |raws AS (
+       |  SELECT doc_id, u FROM bb1
+       |  UNION ALL SELECT doc_id, u FROM bb2
+       |  UNION ALL SELECT doc_id, u FROM bb3)
+       |SELECT f.doc_id, r.u AS url, f.canonical_url
+       |FROM fetched f JOIN raws r ON r.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+
   /** Crawl-delay politeness scheduling
     * ([[graft.operators.Urls.crawlDelays]] +
     * [[graft.operators.Urls.politenessSchedule]], crawling as
@@ -7659,6 +7785,7 @@ object TrainingData {
     "q252_incremental_span_dedup" -> q252IncrementalSpanDedup _,
     "q255_frontier_dedup" -> q255FrontierDedup _,
     "q257_crawl_delay_schedule" -> q257CrawlDelaySchedule _,
+    "q259_streaming_frontier" -> q259StreamingFrontier _,
     "q258_sitemap_seeds" -> q258SitemapSeeds _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
@@ -7785,6 +7912,7 @@ object TrainingData {
     "q252_incremental_span_dedup" -> q252Sql,
     "q255_frontier_dedup" -> q255Sql,
     "q257_crawl_delay_schedule" -> q257Sql,
+    "q259_streaming_frontier" -> q259Sql,
     "q258_sitemap_seeds" -> q258Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,

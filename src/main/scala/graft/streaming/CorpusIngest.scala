@@ -42,45 +42,7 @@ object CorpusIngest {
 
   import org.apache.hadoop.fs.{FileSystem, Path}
 
-  private def batchPrefix(id: Long) = s"batch$id-"
-
-  /** Data files of a parquet output dir (skips _SUCCESS/.crc hidden files). */
-  private def dataFiles(fs: FileSystem, dir: Path) =
-    fs.listStatus(dir).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getPath).sortBy(_.getName)
-
-  /** True iff `dir` exists and holds at least one data file — an index
-    * directory left empty by a crashed-then-cleaned first batch must
-    * bootstrap, not be read as an (unreadable) empty parquet table.
-    */
-  private def hasData(fs: FileSystem, dir: Path): Boolean =
-    fs.exists(dir) && dataFiles(fs, dir).nonEmpty
-
-  /** Delete this batch's files from a live dir — the partial residue of
-    * a commit that crashed between file moves.
-    */
-  private def cleanBatchFiles(fs: FileSystem, dir: Path, id: Long): Unit =
-    if (fs.exists(dir))
-      fs.listStatus(dir).foreach { st =>
-        if (st.getPath.getName.startsWith(batchPrefix(id)))
-          fs.delete(st.getPath, false): Unit
-      }
-
-  /** Move staging data files into the live dir under deterministic
-    * batch-keyed names, then drop the staging dir. Deterministic names
-    * make a retried move idempotent after [[cleanBatchFiles]].
-    */
-  private def moveIn(fs: FileSystem, staging: Path, dest: Path, id: Long): Unit = {
-    fs.mkdirs(dest)
-    dataFiles(fs, staging).zipWithIndex.foreach { case (src, i) =>
-      val target = new Path(dest, s"${batchPrefix(id)}$i-${src.getName}")
-      if (!fs.rename(src, target))
-        throw new java.io.IOException(s"rename $src -> $target failed")
-    }
-    fs.delete(staging, true): Unit
-  }
+  import BatchCommit.{cleanBatchFiles, hasData, moveIn}
 
   /** Ingest ONE batch: dedup against the index (bootstrap: a missing
     * index means nothing ingested yet — everything survives), append
@@ -131,9 +93,7 @@ object CorpusIngest {
         val marker = new Path(corpusPath, s"_committed-batch-$id")
         if (fs.exists(marker)) {
           // replay of a committed batch: exactly-once no-op
-          val in = fs.open(marker)
-          try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-          finally in.close()
+          BatchCommit.readMarker(fs, marker)
         } else {
           // crashed-attempt residue must go BEFORE the recompute, so
           // the anti-join sees exactly the pre-batch index state
@@ -151,16 +111,8 @@ object CorpusIngest {
             textCol, shingleSize, numHashes, bands)
           moveIn(fs, stagingCorpus, corpus, id)
           moveIn(fs, stagingIndex, idx, id)
-          // single atomic commit point: the marker appears only with
-          // its full content (create+write is NOT atomic — a crash
-          // mid-write would leave an existing-but-empty marker that
-          // poisons every replay)
-          val tmpMarker = new Path(corpusPath, s".committing-batch-$id")
-          fs.delete(tmpMarker, false)
-          val out = fs.create(tmpMarker, true)
-          try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-          if (!fs.rename(tmpMarker, marker))
-            throw new java.io.IOException(s"commit rename $tmpMarker -> $marker failed")
+          // single atomic commit point (see BatchCommit.writeMarker)
+          BatchCommit.writeMarker(fs, corpusPath, id, n)
           n
         }
     }

@@ -307,6 +307,76 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(idx).count() == 40)
   }
 
+  test("streaming frontier ingest: stream == sequential batch ingest (3 batches)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.FrontierIngest
+    def urlDf(rows: Seq[(Long, String)]) = rows.toDF("id", "url")
+    val b1 = (0 until 20).map(i => (i.toLong, s"https://h$i.example.com/a?x=$i"))
+    val b2 = (20 until 40).map(i => (i.toLong, s"https://h$i.example.com/a?x=$i")) ++
+      (0 until 5).map(i =>          // respellings of b1: case/port/tracking
+        (1000L + i, s"HTTPS://H$i.example.COM:443/a?x=$i&utm_r=1")) ++
+      Seq((2000L, "https://dup.example.com/z"),
+        (2001L, "https://dup.example.com/z?fbclid=1")) // intra-batch twin
+    val b3 = (20 until 25).map(i =>  // respellings of b2
+        (3000L + i, s"https://h$i.example.com/a?utm_q=2&x=$i")) ++
+      Seq((4000L, "not a url"), (4001L, "https://fresh.example.net/new"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fingest").toString
+    Seq(b1, b2, b3).foreach(b => FrontierIngest.ingestBatch(
+      urlDf(b), s"$tmp/idxB", s"$tmp/logB", "id", "url"): Unit)
+    val batchKept = spark.read.parquet(s"$tmp/logB")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(batchKept ==
+      ((0 until 40).map(_.toLong) ++ Seq(2000L, 4001L)).toSet,
+      s"respellings/twins/non-urls must drop: $batchKept")
+    val input = MemoryStream[(Long, String)]
+    Seq(b1, b2, b3).foreach { b =>
+      input.addData(b)
+      val q = FrontierIngest.ingestStream(
+        input.toDF().toDF("id", "url"),
+        s"$tmp/idxS", s"$tmp/logS", "id", "url", s"$tmp/ckpt")
+      q.awaitTermination()
+    }
+    val streamKept = spark.read.parquet(s"$tmp/logS")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(streamKept == batchKept, "stream != batch")
+  }
+
+  test("frontier ingest keyed commit: crash replay and duplicate replay are exactly-once") {
+    import spark.implicits._
+    import graft.streaming.FrontierIngest
+    import org.apache.hadoop.fs.Path
+    def urlDf(rows: Seq[(Long, String)]) = rows.toDF("id", "url")
+    val b1 = (0 until 20).map(i => (i.toLong, s"https://h$i.example.com/a"))
+    val b2 = (20 until 40).map(i => (i.toLong, s"https://h$i.example.com/a")) ++
+      (0 until 5).map(i => (1000L + i, s"https://h$i.example.com/a?utm_r=1"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fexonce").toString
+    val (idx, log) = (s"$tmp/idx", s"$tmp/log")
+    val fs = new Path(tmp).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(FrontierIngest.ingestBatch(urlDf(b1), idx, log, "id", "url",
+      batchId = Some(0L)) == 20)
+    assert(FrontierIngest.ingestBatch(urlDf(b2), idx, log, "id", "url",
+      batchId = Some(1L)) == 20)
+    // crash window: marker gone + one batch1 log file gone → the
+    // replay sweeps residue and redoes the batch from pre-batch state
+    fs.delete(new Path(log, "_committed-batch-1"), false)
+    val partial = fs.listStatus(new Path(log))
+      .filter(_.getPath.getName.startsWith("batch1-")).head.getPath
+    fs.delete(partial, false)
+    assert(FrontierIngest.ingestBatch(urlDf(b2), idx, log, "id", "url",
+      batchId = Some(1L)) == 20)
+    assert(spark.read.parquet(log).groupBy("id").count()
+      .filter(col("count") > 1).count() == 0, "crash replay duplicated rows")
+    assert(spark.read.parquet(log).count() == 40)
+    // committed replay: pure no-op reporting the committed count
+    val before = fs.listStatus(new Path(log)).map(_.getPath.getName).toSet
+    assert(FrontierIngest.ingestBatch(urlDf(b2), idx, log, "id", "url",
+      batchId = Some(1L)) == 20)
+    assert(fs.listStatus(new Path(log)).map(_.getPath.getName).toSet == before)
+    // index holds exactly one hash per fetched canonical
+    assert(spark.read.parquet(s"$idx/urls").distinct().count() == 40)
+  }
+
   test("streaming geofence alerts == batch fenceTransitions across triggers") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
