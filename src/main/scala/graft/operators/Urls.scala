@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
 
 /** URL canonicalization for crawl pipelines: the frontier-dedup /
   * per-domain-budget step every web corpus runs before anything else —
@@ -373,6 +373,82 @@ object Urls {
         ((col("fetch_seq") - 1).cast("long") *
           (coalesce(col("crawl_delay_sec"), lit(defaultDelaySec)) * 1000)
             .cast("long")).as("fetch_offset_ms"))
+  }
+
+  // ---- link discovery: href extraction + relative resolution ----
+  // The step that FEEDS the frontier: a fetched page's anchors are
+  // mostly relative ("../a", "/b", "?p=2", "#sec"), and a crawler
+  // that cannot resolve them against the page URL discovers nothing.
+
+  /** All `<a href>` values of an HTML column, in document order:
+    * single- or double-quoted attribute values, tags with other
+    * attributes before/after href. Row-local extract-all — zero
+    * exchanges.
+    */
+  def extractHrefs(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a[^>]*?href[ \\t]*=[ \\t]*['\"]([^'\"]*)['\"]"), lit(1))
+
+  /** RFC 3986 §5 relative resolution of `href` against absolute
+    * `base`, as one row-local native expression:
+    *
+    *   - absolute href (has scheme) → itself
+    *   - protocol-relative `//host/p` → base scheme + href
+    *   - root-relative `/p` → base origin + remove_dot_segments(p)
+    *   - `?q` → base origin + base path + query
+    *   - `#f` → base minus fragment + fragment
+    *   - empty → base minus fragment
+    *   - relative `p`, `./p`, `../p` → merged with the base path's
+    *     directory, dot segments removed by the §5.2.4 stack walk (a
+    *     Catalyst `aggregate` fold over the split segments — excess
+    *     `..` at the root drop, the RFC rule)
+    *
+    * Documented simplifications: empty segments collapse (`a//b` →
+    * `a/b`) and the base must itself be absolute (a null/scheme-less
+    * base yields null). Returns the resolved ABSOLUTE url — callers
+    * canonicalize next ([[canonicalize]] drops the fragment, so `#f`
+    * links dedup onto their page).
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val h = trim(href)
+    val scheme = schemeOf(base)
+    val origin = regexp_extract(base,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val basePath = pathOf(base)
+    val baseNoFrag = regexp_extract(base, "^([^#]*)", 1)
+    // directory of the base path: up to and including the last '/'
+    val baseDir = regexp_extract(basePath, "^(.*/)", 1)
+    // split href into its path part and the ?query#fragment tail
+    val hPath = regexp_extract(h, "^([^?#]*)", 1)
+    val hTail = regexp_extract(h, "^[^?#]*([?#].*)$", 1)
+    def removeDots(p: Column): Column = {
+      val segs = filter(split(p, "/"),
+        s => s =!= "" && s =!= ".")
+      val stack = aggregate(segs,
+        array().cast(ArrayType(StringType)),
+        (acc, s) => when(s === "..",
+          slice(acc, lit(1),
+            greatest(size(acc) - 1, lit(0)))).otherwise(
+          concat(acc, array(s))))
+      val trailing = when(
+        p.endsWith("/") || p.endsWith("/.") || p.endsWith("/..") ||
+          p === "." || p === "..",
+        when(size(stack) > 0, lit("/")).otherwise(lit("")))
+        .otherwise(lit(""))
+      concat(lit("/"), array_join(stack, "/"), trailing)
+    }
+    when(scheme === "", lit(null).cast(StringType))
+      .when(h === "", baseNoFrag)
+      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+      .when(h.startsWith("/"),
+        concat(origin, removeDots(hPath), hTail))
+      .when(h.startsWith("#"), concat(baseNoFrag, h))
+      .when(h.startsWith("?"), concat(origin, basePath, h))
+      .otherwise(concat(origin,
+        removeDots(concat(coalesce(
+          when(baseDir === "", lit("/")).otherwise(baseDir), lit("/")),
+          hPath)), hTail))
   }
 
   // ---- persisted frontier index: incremental URL dedup ----

@@ -6760,6 +6760,135 @@ object TrainingData {
        |ORDER BY f.doc_id""".stripMargin
   }
 
+  /** Link discovery ([[graft.operators.Urls.extractHrefs]] +
+    * [[graft.operators.Urls.resolveUrl]] — the step that FEEDS the
+    * frontier): every page carries one anchor of each RFC 3986
+    * reference class (absolute, protocol-relative, root-relative with
+    * dot segments, sibling, parent, dot-prefixed with a trailing
+    * slash, query-only, fragment-only, a mailto, and a
+    * double-slash-collapse case), extracted in document order,
+    * resolved against the page URL, and canonicalized (the fragment
+    * link dedups onto its page; the mailto canonicalizes to NULL —
+    * non-hierarchical). The oracle replays extraction, the full
+    * resolution CASE (dot-segment removal as a bounded
+    * regexp-replace unroll — the UniMaxWordLen precedent), and the
+    * shared q244 canonical parser.
+    */
+  def q260LinkResolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val id = col("doc_id").cast("string")
+    val base = concat(lit("https://www."), col("source"),
+      lit(".example.com/dir/sub/page"), id, lit(".html?q=1"))
+    val html = concat(
+      lit("<html><body><a href=\"https://other.example.org/abs/"), id,
+      lit("\">a</a>"),
+      lit("<a class='x' href='//cdn.example.net/x"), id, lit(".js'>b</a>"),
+      lit("<a href=\"/root/a/../b"), id, lit("\">c</a>"),
+      lit("<a href='page"), id, lit("'>d</a>"),
+      lit("<a href='../up/one"), id, lit("'>e</a>"),
+      lit("<a href='./same/dir/'>f</a>"),
+      lit("<a href='?page="), id, lit("'>g</a>"),
+      lit("<a href='#frag'>h</a>"),
+      lit("<a href='mailto:x@example.com'>i</a>"),
+      lit("<a href='sub//dbl/"), id, lit("'>j</a></body></html>"))
+    docs.select(col("doc_id"), base.as("base_url"), html.as("html"))
+      .select(col("doc_id"), col("base_url"),
+        posexplode(graft.operators.Urls.extractHrefs(col("html")))
+          .as(Seq("link_no", "href")))
+      .withColumn("resolved_url",
+        graft.operators.Urls.resolveUrl(col("base_url"), col("href")))
+      .withColumn("canonical_url",
+        graft.operators.Urls.canonicalize(col("resolved_url"))
+          .getField("canonical_url"))
+      .select(col("doc_id"), col("link_no"), col("href"),
+        col("resolved_url"), col("canonical_url"))
+      .orderBy("doc_id", "link_no")
+  }
+
+  val q260Sql: String = {
+    // dot-segment removal as a bounded regexp-replace unroll: collapse
+    // runs of '/', add the directory form for trailing '/.'|'/..',
+    // strip '/./' (2 passes for overlaps), pop '<seg>/../' left to
+    // right (4 passes — fixture nesting is <= 3)
+    def rdots(e: String): String = {
+      val t0 = s"(CASE WHEN regexp_matches($e, '/\\.\\.?$$') " +
+        s"THEN $e || '/' ELSE $e END)"
+      val t1 = s"regexp_replace($t0, '/{2,}', '/', 'g')"
+      val t2 = (1 to 2).foldLeft(t1)((a, _) =>
+        s"regexp_replace($a, '/\\./', '/', 'g')")
+      (1 to 4).foldLeft(t2)((a, _) =>
+        s"regexp_replace($a, '/[^/]+/\\.\\./', '/', 'g')")
+    }
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://www.' || source || '.example.com/dir/sub/page' ||
+       |      CAST(doc_id AS VARCHAR) || '.html?q=1' AS base_url,
+       |    '<html><body><a href="https://other.example.org/abs/' ||
+       |      CAST(doc_id AS VARCHAR) || '">a</a>' ||
+       |    '<a class=''x'' href=''//cdn.example.net/x' ||
+       |      CAST(doc_id AS VARCHAR) || '.js''>b</a>' ||
+       |    '<a href="/root/a/../b' || CAST(doc_id AS VARCHAR) ||
+       |      '">c</a>' ||
+       |    '<a href=''page' || CAST(doc_id AS VARCHAR) || '''>d</a>' ||
+       |    '<a href=''../up/one' || CAST(doc_id AS VARCHAR) ||
+       |      '''>e</a>' ||
+       |    '<a href=''./same/dir/''>f</a>' ||
+       |    '<a href=''?page=' || CAST(doc_id AS VARCHAR) || '''>g</a>' ||
+       |    '<a href=''#frag''>h</a>' ||
+       |    '<a href=''mailto:x@example.com''>i</a>' ||
+       |    '<a href=''sub//dbl/' || CAST(doc_id AS VARCHAR) ||
+       |      '''>j</a></body></html>' AS html
+       |  FROM documents),
+       |hl AS (
+       |  SELECT doc_id, base_url,
+       |    regexp_extract_all(html,
+       |      '(?is)<a[^>]*?href[ \\t]*=[ \\t]*[''"]([^''"]*)[''"]', 1)
+       |      AS hrefs
+       |  FROM d),
+       |lk AS (
+       |  SELECT doc_id, base_url, CAST(u.i - 1 AS INTEGER) AS link_no,
+       |    trim(hrefs[u.i]) AS h
+       |  FROM hl, unnest(range(1, len(hrefs) + 1)) AS u(i)),
+       |parts AS (
+       |  SELECT doc_id, base_url, link_no, h,
+       |    lower(regexp_extract(base_url,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |    regexp_extract(base_url,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS origin,
+       |    (CASE WHEN regexp_extract(regexp_replace(base_url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+       |        '^([^?#]*)', 1) = '' THEN '/'
+       |      ELSE regexp_extract(regexp_replace(base_url,
+       |        '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', ''),
+       |        '^([^?#]*)', 1) END) AS bpath,
+       |    regexp_extract(base_url, '^([^#]*)', 1) AS bnf,
+       |    regexp_extract(h, '^([^?#]*)', 1) AS hpath,
+       |    regexp_extract(h, '^[^?#]*([?#].*)$$', 1) AS htail
+       |  FROM lk),
+       |res AS (
+       |  SELECT doc_id, link_no, h AS href,
+       |    CASE WHEN scheme = '' THEN NULL
+       |      WHEN h = '' THEN bnf
+       |      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h
+       |      WHEN starts_with(h, '//') THEN scheme || ':' || h
+       |      WHEN starts_with(h, '/')
+       |        THEN origin || ${rdots("hpath")} || htail
+       |      WHEN starts_with(h, '#') THEN bnf || h
+       |      WHEN starts_with(h, '?') THEN origin || bpath || h
+       |      ELSE origin ||
+       |        ${rdots("(regexp_extract(bpath, '^(.*/)', 1) || hpath)")}
+       |        || htail END AS resolved_url
+       |  FROM parts),
+       |cres AS (
+       |  SELECT doc_id * 16 + link_no AS doc_id, resolved_url AS u
+       |  FROM res),
+       |${duckCanonicalCtes("cres", "lr")}
+       |SELECT r.doc_id, r.link_no, r.href, r.resolved_url,
+       |  c.canonical_url
+       |FROM res r JOIN canonlr c ON c.doc_id = r.doc_id * 16 + r.link_no
+       |ORDER BY r.doc_id, r.link_no""".stripMargin
+  }
+
   /** Crawl-delay politeness scheduling
     * ([[graft.operators.Urls.crawlDelays]] +
     * [[graft.operators.Urls.politenessSchedule]], crawling as
@@ -7786,6 +7915,7 @@ object TrainingData {
     "q255_frontier_dedup" -> q255FrontierDedup _,
     "q257_crawl_delay_schedule" -> q257CrawlDelaySchedule _,
     "q259_streaming_frontier" -> q259StreamingFrontier _,
+    "q260_link_resolve" -> q260LinkResolve _,
     "q258_sitemap_seeds" -> q258SitemapSeeds _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
@@ -7913,6 +8043,7 @@ object TrainingData {
     "q255_frontier_dedup" -> q255Sql,
     "q257_crawl_delay_schedule" -> q257Sql,
     "q259_streaming_frontier" -> q259Sql,
+    "q260_link_resolve" -> q260Sql,
     "q258_sitemap_seeds" -> q258Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,

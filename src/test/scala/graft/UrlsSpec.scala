@@ -236,6 +236,60 @@ class UrlsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("resolveUrl: every RFC 3986 reference class against one base") {
+    val base = "https://h.example.com/dir/sub/page.html?q=1"
+    def res(href: String): String = {
+      val schema = StructType(Seq(StructField("b", StringType),
+        StructField("h", StringType)))
+      val r = spark.createDataFrame(
+        new java.util.ArrayList[Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            List(Row(base, href))).asJava), schema)
+        .select(Urls.resolveUrl(col("b"), col("h")).as("r")).collect()(0)
+      if (r.isNullAt(0)) null else r.getString(0)
+    }
+    assert(res("https://o.org/abs") == "https://o.org/abs")
+    assert(res("//cdn.net/x.js") == "https://cdn.net/x.js")
+    assert(res("/root/a/../b") == "https://h.example.com/root/b")
+    assert(res("page2") == "https://h.example.com/dir/sub/page2")
+    assert(res("../up/one") == "https://h.example.com/dir/up/one")
+    assert(res("./same/dir/") == "https://h.example.com/dir/sub/same/dir/")
+    assert(res("?page=2") ==
+      "https://h.example.com/dir/sub/page.html?page=2")
+    assert(res("#frag") ==
+      "https://h.example.com/dir/sub/page.html?q=1#frag")
+    assert(res("") == "https://h.example.com/dir/sub/page.html?q=1")
+    assert(res("mailto:x@y.com") == "mailto:x@y.com")
+    assert(res("sub//dbl") == "https://h.example.com/dir/sub/sub/dbl")
+    // excess '..' drops at the root (RFC 5.2.4); trailing '..' keeps
+    // the directory form; query+fragment ride the resolved path
+    assert(res("../../../deep") == "https://h.example.com/deep")
+    assert(res("..") == "https://h.example.com/dir/")
+    assert(res("a/../b?x=1#y") == "https://h.example.com/dir/sub/b?x=1#y")
+    // a scheme-less base is not resolvable
+    val schema = StructType(Seq(StructField("b", StringType),
+      StructField("h", StringType)))
+    val r = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          List(Row("notabase", "/x"))).asJava), schema)
+      .select(Urls.resolveUrl(col("b"), col("h")).as("r")).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
+  test("extractHrefs: quote styles, attribute order, document order") {
+    val html = "<html><a href=\"/a\">x</a><p><A CLASS='k' HREF='/b'>y</A>" +
+      "<a data-x='1' href = '/c'>z</a><a name='no-href'>w</a></html>"
+    val schema = StructType(Seq(StructField("h", StringType)))
+    val got = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          List(Row(html))).asJava), schema)
+      .select(Urls.extractHrefs(col("h")).as("l")).collect()(0)
+      .getSeq[String](0)
+    assert(got == Seq("/a", "/b", "/c"))
+  }
+
   test("crawlDelays: group selection, max-of-group, junk skip; schedule slots") {
     val txt = "User-agent: Googlebot\nCrawl-delay: 9\n\n" +
       "User-agent: *\nDisallow: /private\nCrawl-delay: 2\nCrawl-delay: 1\n" +
