@@ -568,16 +568,23 @@ object Sampling {
     * Quotas: q_s = ⌊B·n_s/N⌋ plus one bonus for the B − Σ⌊·⌋ sources
     * with the largest remainder (ties → smaller source name) — all
     * exact integer arithmetic on the |sources|-sized count frame,
-    * computed driver-side (sources are driver-bounded by construction).
+    * computed ON THE CLUSTER: the source axis at crawl scale is
+    * registrable DOMAINS (tens of millions on a real frontier), so
+    * nothing source-sized may ever reach the driver. The total, the
+    * leftover-seat count, and the bonus-seat rank are all window
+    * functions over the count frame (one row per source — the axis
+    * already reduced by its aggregate); no collect anywhere.
     *
     * Selection: within each source, documents rank by the cross-engine
     * composite order (md5 bucket, md5 hex, id) — hash-stable, so the
     * selected set is layout- and append-order-independent for fixed
     * source contents — and the rank runs INSIDE (source, bucket)
-    * windows with cross-bucket offsets from a |sources|·nBuckets
-    * count frame (collected, prefix-summed driver-side, broadcast
-    * back): the [[budgetSelect]] two-phase pattern, so no source ever
-    * pays a single-partition window no matter how large.
+    * windows with cross-bucket offsets from a keyed cumulative-sum
+    * window over the (source, bucket) count frame (≤ nBuckets rows per
+    * source key): the [[budgetSelect]] two-phase pattern, so no source
+    * ever pays a single-partition window no matter how large. Buckets
+    * whose offset already meets the quota are pruned BEFORE the rank
+    * window — past-budget data never sorts.
     *
     * @return selected rows: (idCol, srcCol, sel_rank, quota) with
     *         sel_rank 1-based within the source
@@ -588,56 +595,62 @@ object Sampling {
     require(budget >= 0 && nBuckets >= 1,
       s"bad parameters ($budget, $nBuckets)")
     import org.apache.spark.sql.expressions.Window
-    val spark = df.sparkSession
-
-    // All driver-side keying and the quota/offset joins below run on
-    // ONE string form of the source column — Spark's own CAST — so a
-    // non-string source (decimal, date) can't mismatch between a JVM
-    // toString and an implicit join cast. The original-typed column is
-    // carried through untouched and re-exposed in the output.
-    val counts = df.groupBy(col(srcCol).cast("string").as("_src"))
-      .agg(count(lit(1)).as("_n"))
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-      .sortBy(_._1)
-    val totalN = counts.map(_._2).sum
-    if (totalN == 0L || budget == 0L)
+    if (budget == 0L)
       return df.select(col(idCol), col(srcCol))
         .withColumn("sel_rank", lit(0L)).withColumn("quota", lit(0L))
         .filter(lit(false))
-    val floorQ = counts.map { case (s, n) =>
-      (s, n, budget * n / totalN, budget * n % totalN)
-    }
-    val leftover = (budget - floorQ.map(_._3).sum).toInt
-    val bonus = floorQ.sortBy { case (s, _, _, rem) => (-rem, s) }
-      .take(leftover).map(_._1).toSet
-    val quotas = floorQ.map { case (s, n, q0, _) =>
-      (s, math.min(n, q0 + (if (bonus(s)) 1L else 0L)))
-    }
-    val quotaDf = spark.createDataFrame(quotas.toSeq)
-      .toDF("_src", "quota")
 
-    // two-phase per-source rank over the (bucket, md5hex, id) order
+    // All keying and the quota/offset joins below run on ONE string
+    // form of the source column — Spark's own CAST — so a non-string
+    // source (decimal, date) can't mismatch between a JVM toString and
+    // an implicit join cast. The original-typed column is carried
+    // through untouched and re-exposed in the output.
+    // Quota arithmetic rides ONE pass over the counts frame: the total
+    // N, the floor quotas and remainders, the leftover-seat count, and
+    // the seat rank are all window functions over that frame — no
+    // scalar collect, no self-join (a counts.crossJoin(counts.agg(…))
+    // scalar here trips Spark's hidden-attribute self-join ambiguity).
+    // The windows are unkeyed by the apportionment's nature (seats
+    // rank ACROSS sources) but run over one row per source — never the
+    // row axis.
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val seatW = Window.orderBy(col("_rem").desc, col("_src").asc)
+    val quotas = df.groupBy(col(srcCol).cast("string").as("_src"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_tot", sum(col("_n")).over(wAll))
+      .withColumn("_q0", expr(s"(${budget}L * _n) DIV _tot"))
+      .withColumn("_rem", expr(s"(${budget}L * _n) % _tot"))
+      .withColumn("_lseats", lit(budget) - sum(col("_q0")).over(wAll))
+      .withColumn("_seat", row_number().over(seatW).cast("long"))
+      .select(col("_src"),
+        least(col("_n"),
+          col("_q0") +
+            when(col("_seat") <= col("_lseats"), 1L).otherwise(0L))
+          .as("quota"))
+
+    // two-phase per-source rank over the (bucket, md5hex, id) order:
+    // keyed cumulative offsets, then per-(source, bucket) rank windows
     val keyed = df.select(col(idCol).as("_id"), col(srcCol).as("_srcorig"))
       .withColumn("_src", col("_srcorig").cast("string"))
       .withColumn("_b", md5Bucket(col("_id"), nBuckets, salt))
       .withColumn("_hx", md5(concat(col("_id").cast("string"), lit(salt))))
-    val offs: Seq[(String, Int, Long)] = keyed
+    val offW = Window.partitionBy(col("_src")).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offQuota = keyed
       .groupBy(col("_src"), col("_b"))
       .agg(count(lit(1)).as("_c"))
-      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-      .toSeq
-      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
-        val sorted = rows.sortBy(_._2)
-        sorted.map(_._2).zip(sorted.scanLeft(0L)(_ + _._3).init)
-          .map { case (b, off) => (s, b, off) }
-      }
-    val offDf = spark.createDataFrame(offs).toDF("_src", "_b", "_off")
+      .withColumn("_off", coalesce(sum(col("_c")).over(offW), lit(0L)))
+      .join(quotas, Seq("_src"))
+      // a (source, bucket) group whose offset already meets the quota
+      // can never select a row — prune it before the rank window runs
+      .filter(col("_off") < col("quota"))
+      .select(col("_src"), col("_b"), col("_off"), col("quota"))
     val w = Window.partitionBy(col("_src"), col("_b"))
       .orderBy(col("_hx").asc, col("_id").asc)
-    keyed.join(broadcast(offDf), Seq("_src", "_b"))
+    keyed.join(offQuota, Seq("_src", "_b"))
       .withColumn("sel_rank",
         col("_off") + row_number().over(w).cast("long"))
-      .join(broadcast(quotaDf), Seq("_src"))
       .filter(col("sel_rank") <= col("quota"))
       .select(col("_id").as(idCol), col("_srcorig").as(srcCol),
         col("sel_rank"), col("quota"))

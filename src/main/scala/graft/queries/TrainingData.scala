@@ -7621,10 +7621,10 @@ object TrainingData {
     val first = canon.groupBy(col("canonical_url"))
       .agg(min(col("page_id")).as("_fid"))
     // materialized: the frontier is re-read by the budget stage's
-    // driver-side count/offset collects, the budgeted join, and the
-    // q254b meters — without a boundary here the fixture build +
-    // robots window + canonical parse re-execute once per action
-    // (measured 1.7× slower at sf0.1)
+    // count/seat/offset aggregates, the budgeted join, and the q254b
+    // meters — without a boundary here the fixture build + robots
+    // window + canonical parse re-execute once per action (measured
+    // 1.7× slower at sf0.1)
     val frontier = canon.join(first, Seq("canonical_url"))
       .filter(col("page_id") === col("_fid")).drop("_fid")
       .localCheckpoint(true)

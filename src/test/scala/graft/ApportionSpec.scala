@@ -46,6 +46,32 @@ class ApportionSpec extends SparkSpec {
     assert(base.size == 11)
   }
 
+  test("apportionSelect: plan construction launches no jobs (nothing " +
+      "source-axis-sized reaches the driver)") {
+    // the pre-round-14 formulation collected the (source, count) and
+    // (source, bucket, offset) frames at BUILD time — a driver OOM
+    // when the source axis is web domains. The distributed form must
+    // construct lazily: zero Spark jobs until an action runs.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val rows = (1L to 30L).map(i => (i, if (i % 4 == 0) "a" else "b"))
+      val d = Sampling.apportionSelect(table(rows: _*), "id", "src",
+        budget = 9L, nBuckets = 4)
+      d.queryExecution.executedPlan // force full planning, still no jobs
+      Thread.sleep(300) // listener bus is async; a job would register fast
+      assert(jobs.get() == 0,
+        s"apportionSelect ran ${jobs.get()} job(s) during plan construction")
+      assert(d.count() == 9L) // and the plan still selects the budget
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
+
   test("apportionSelect: budget >= N selects everything (capped quotas)") {
     val rows = (1L to 6L).map(i => (i, if (i <= 4) "A" else "B"))
     val got = Sampling.apportionSelect(table(rows: _*), "id", "src",

@@ -175,6 +175,18 @@ class PlanShapeSpec extends SparkSpec {
                               // ONE sum pair over the pair table
                               // (partial buffers cross, one row
                               // broadcasts back onto the 4-row output)
+      "q219_apportion_select", // Hamilton seats: the leftover-seat rank
+                              // window and the N / leftover scalars run
+                              // over the COUNT frame (one row per
+                              // source by construction — the corpus
+                              // count below is an ordinary keyed
+                              // aggregate with partial buffers); the
+                              // selection rank itself is keyed
+                              // (source, bucket) windows
+      "q248_domain_budget",   // the q219 shape over registrable
+                              // domains: seat window + two scalars on
+                              // the per-domain count frame; selection
+                              // windows keyed (domain, bucket)
       "q108_histogram_quantiles") // the rank-walk window runs over the
                               // MERGED HISTOGRAM (≤ bins = 256 rows by
                               // construction) — the corpus scan behind
