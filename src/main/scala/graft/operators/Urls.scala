@@ -196,17 +196,32 @@ object Urls {
   /** Directive rows of the EFFECTIVE group(s) for `agent`: the input
     * rows (any directive class) with headerless rows (gid 0, no UA
     * header) treated as the implicit '*' group at specificity 0, and
-    * only the most specific matching group(s) surviving per domain. */
+    * only the most specific matching group(s) surviving per domain.
+    *
+    * The winning specificity is computed over ALL matching groups —
+    * including groups carrying no directive of the class being
+    * consumed (a matched group with only an empty `Disallow:`
+    * allow-all idiom, or only a `Crawl-delay:` when rules are being
+    * read). RFC 9309 §2.2.1: once the most specific group matches,
+    * every other group is IGNORED — so an empty effective group yields
+    * NO rows for the domain (allow-all / no delay), never a fallback
+    * to the `*` group's directives.
+    */
   private def effectiveGroupRows(grouped: DataFrame, domainCol: String,
       agent: String, rows: DataFrame): DataFrame = {
     val best = groupSpecificity(grouped, domainCol, agent)
-    val withBest = rows.join(best, Seq(domainCol, "_gid"), "left")
-      .withColumn("_b", coalesce(col("_best"),
-        when(col("_gid") === 0, 0).otherwise(-1)))
-      .filter(col("_b") >= 0)
-    val domainMax = withBest.groupBy(col(domainCol))
-      .agg(max(col("_b")).as("_dmax"))
-    withBest.join(domainMax, Seq(domainCol))
+    // implicit '*' group: headerless leading rows (gid 0 carries no
+    // UA line by construction — any UA line starts gid >= 1)
+    val implicit0 = grouped.filter(col("_gid") === 0)
+      .select(col(domainCol)).distinct()
+      .withColumn("_gid", lit(0L))
+      .withColumn("_best", lit(0))
+    val allBest = best.unionByName(implicit0)
+    val domainMax = allBest.filter(col("_best") >= 0)
+      .groupBy(col(domainCol)).agg(max(col("_best")).as("_dmax"))
+    rows.join(allBest, Seq(domainCol, "_gid"), "left")
+      .withColumn("_b", coalesce(col("_best"), lit(-1)))
+      .join(domainMax, Seq(domainCol))
       .filter(col("_b") === col("_dmax"))
   }
 

@@ -5967,13 +5967,20 @@ object TrainingData {
     * LOSE to the longer match) and a double-headed
     * `graftbot`+`extrabot` group (a `*.pdf$` wildcard Disallow, plus
     * Disallow /private, Allow /private/p). Every 7th source has NO robots at
-    * all. The paths hit every divergence: on graftbot-group hosts
-    * /private/p… flips to ALLOWED, /private/ok/… flips to DISALLOWED,
-    * /tmp survives even on even hosts (group exclusivity — `*` rules
-    * must NOT union in), `.pdf` dies to the wildcard and `.pdfx`
-    * proves the `$` anchor. The oracle replays group segmentation
-    * (lag/sum windows), agent-token specificity, the wildcard→regex
-    * translation, and the (len, allow, rule_path) precedence rank.
+    * all. Two RFC most-specific-only edges ride the hash: every
+    * 5th-mod-non-3rd host a graftbot group with ONLY an empty
+    * `Disallow:` (the allow-all idiom) and every (5k+4)-mod-non-3rd
+    * host a graftbot group with ONLY a `Crawl-delay:` — on both, the
+    * matched-but-ruleless group must WIN and allow everything (a
+    * fallback to `*` rules over-blocks). The paths hit every
+    * divergence: on graftbot-group hosts /private/p… flips to ALLOWED,
+    * /private/ok/… flips to DISALLOWED, /tmp survives even on even
+    * hosts (group exclusivity — `*` rules must NOT union in), `.pdf`
+    * dies to the wildcard and `.pdfx` proves the `$` anchor. The
+    * oracle replays group segmentation (lag/sum windows), agent-token
+    * specificity over ALL groups (directive-bearing or not), the
+    * wildcard→regex translation, and the (len, allow, rule_path)
+    * precedence rank.
     */
   def q250RobotsFilter(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
@@ -6008,6 +6015,15 @@ object TrainingData {
             "\nUser-agent: graft\nDisallow: /public\n" +
               "\nUser-agent: graftbot\nUser-agent: extrabot\n" +
               "Disallow: /*.pdf$\nDisallow: /private\nAllow: /private/p\n"))
+            .otherwise(lit("")),
+          // the RFC 9309 most-specific-only edge: a matching group
+          // carrying NO rules of the consumed class must still WIN
+          // (and so allow everything) — the empty-Disallow allow-all
+          // idiom and a Crawl-delay-only group
+          when(srcNum % 5 === 0 && srcNum % 3 =!= 0,
+            lit("\nUser-agent: graftbot\nDisallow:\n")).otherwise(lit("")),
+          when(srcNum % 5 === 4 && srcNum % 3 =!= 0,
+            lit("\nUser-agent: graftbot\nCrawl-delay: 3\n"))
             .otherwise(lit("")))
           .as("robots_txt"))
     graft.operators.Urls.robotsFilter(
@@ -6047,7 +6063,15 @@ object TrainingData {
        |               'Disallow: /*.pdf$$' || chr(10) ||
        |               'Disallow: /private' || chr(10) ||
        |               'Allow: /private/p' || chr(10)
-       |          ELSE '' END) AS txt
+       |          ELSE '' END) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 0
+       |               AND CAST(substr(source, 4) AS INT) % 3 <> 0
+       |          THEN chr(10) || 'User-agent: graftbot' || chr(10) ||
+       |               'Disallow:' || chr(10) ELSE '' END) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 5 = 4
+       |               AND CAST(substr(source, 4) AS INT) % 3 <> 0
+       |          THEN chr(10) || 'User-agent: graftbot' || chr(10) ||
+       |               'Crawl-delay: 3' || chr(10) ELSE '' END) AS txt
        |  FROM (SELECT DISTINCT source FROM documents)
        |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3),
        |lns AS (
@@ -6083,16 +6107,20 @@ object TrainingData {
        |             WHEN starts_with('graftbot', ua) THEN length(ua)
        |             ELSE -1 END) AS best
        |  FROM grp WHERE is_ua GROUP BY host, gid),
+       |aball AS (
+       |  SELECT host, gid, best FROM gbest
+       |  UNION ALL
+       |  SELECT DISTINCT host, 0 AS gid, 0 AS best FROM grp WHERE gid = 0),
+       |dmax AS (SELECT host, max(best) AS dmax FROM aball
+       |         WHERE best >= 0 GROUP BY host),
        |r0 AS (
        |  SELECT g.host, g.rule_type, g.rule_path,
-       |    coalesce(b.best, CASE WHEN g.gid = 0 THEN 0 ELSE -1 END) AS best
-       |  FROM grp g LEFT JOIN gbest b ON b.host = g.host AND b.gid = g.gid
+       |    coalesce(b.best, -1) AS best
+       |  FROM grp g LEFT JOIN aball b ON b.host = g.host AND b.gid = g.gid
        |  WHERE g.rule_type <> '' AND length(g.rule_path) > 0),
-       |r1 AS (SELECT * FROM r0 WHERE best >= 0),
-       |dmax AS (SELECT host, max(best) AS dmax FROM r1 GROUP BY host),
        |rules AS (
        |  SELECT DISTINCT r.host, r.rule_type, r.rule_path
-       |  FROM r1 r JOIN dmax d ON d.host = r.host WHERE r.best = d.dmax),
+       |  FROM r0 r JOIN dmax d ON d.host = r.host WHERE r.best = d.dmax),
        |pat AS (
        |  SELECT host, rule_type, rule_path,
        |    CAST(length(rule_path) AS INTEGER) AS rule_len,
@@ -6895,8 +6923,11 @@ object TrainingData {
     * `graftbot`): per-host robots carry a Googlebot decoy delay (9 s,
     * must be IGNORED), a `*` group whose even hosts declare TWO
     * delays (2 then 1 — the larger must win, the polite reading) plus
-    * a junk non-numeric line (ignored), and every 3rd host a
-    * graftbot-specific 0.5 s that overrides the `*` group entirely.
+    * a junk non-numeric line (ignored), every 3rd host a
+    * graftbot-specific 0.5 s that overrides the `*` group entirely,
+    * and every (4k+2)-mod-non-3rd host a graftbot group with ONLY a
+    * Disallow — it must WIN and suppress the `*` delays (RFC
+    * most-specific-only), dropping those hosts to the 1 s default.
     * Each host's URLs are then slotted (fetch_seq, fetch_offset_ms =
     * (seq−1)·delay·1000): group selection, max-delay, the junk skip,
     * the 1 s default for delay-less and robots-less hosts, and the
@@ -6925,7 +6956,13 @@ object TrainingData {
             .otherwise(lit("")),
           when(srcNum % 3 === 0, lit(
             "\nUser-agent: graftbot\nCrawl-delay: 0.5\nAllow: /x\n"))
-            .otherwise(lit("")))
+            .otherwise(lit("")),
+          // the RFC 9309 most-specific-only edge for DELAYS: a
+          // matching graftbot group with only rules (no Crawl-delay)
+          // must still WIN, suppressing the `*` group's delays —
+          // these hosts fall back to the 1 s default
+          when(srcNum % 4 === 2 && srcNum % 3 =!= 0, lit(
+            "\nUser-agent: graftbot\nDisallow: /y\n")).otherwise(lit("")))
           .as("robots_txt"))
     val delays = graft.operators.Urls.crawlDelays(
       robots, "host", "robots_txt", agent = "graftbot")
@@ -6952,7 +6989,11 @@ object TrainingData {
        |          THEN chr(10) || 'User-agent: graftbot' || chr(10) ||
        |               'Crawl-delay: 0.5' || chr(10) || 'Allow: /x' ||
        |               chr(10)
-       |          ELSE '' END) AS txt
+       |          ELSE '' END) ||
+       |    (CASE WHEN CAST(substr(source, 4) AS INT) % 4 = 2
+       |               AND CAST(substr(source, 4) AS INT) % 3 <> 0
+       |          THEN chr(10) || 'User-agent: graftbot' || chr(10) ||
+       |               'Disallow: /y' || chr(10) ELSE '' END) AS txt
        |  FROM (SELECT DISTINCT source FROM documents)
        |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3),
        |lns AS (
@@ -6990,17 +7031,21 @@ object TrainingData {
        |             WHEN starts_with('graftbot', ua) THEN length(ua)
        |             ELSE -1 END) AS best
        |  FROM grp WHERE is_ua GROUP BY host, gid),
+       |aball AS (
+       |  SELECT host, gid, best FROM gbest
+       |  UNION ALL
+       |  SELECT DISTINCT host, 0 AS gid, 0 AS best FROM grp WHERE gid = 0),
+       |ddmax AS (SELECT host, max(best) AS dmax FROM aball
+       |          WHERE best >= 0 GROUP BY host),
        |d0 AS (
        |  SELECT g.host, CAST(g.dl AS DOUBLE) AS d,
-       |    coalesce(b.best, CASE WHEN g.gid = 0 THEN 0 ELSE -1 END) AS best
-       |  FROM grp g LEFT JOIN gbest b ON b.host = g.host AND b.gid = g.gid
+       |    coalesce(b.best, -1) AS best
+       |  FROM grp g LEFT JOIN aball b ON b.host = g.host AND b.gid = g.gid
        |  WHERE g.dl <> ''),
-       |d1 AS (SELECT * FROM d0 WHERE best >= 0),
-       |ddmax AS (SELECT host, max(best) AS dmax FROM d1 GROUP BY host),
        |del AS (
-       |  SELECT d1.host, max(d1.d) AS delay
-       |  FROM d1 JOIN ddmax ON ddmax.host = d1.host
-       |  WHERE d1.best = ddmax.dmax GROUP BY d1.host),
+       |  SELECT d0.host, max(d0.d) AS delay
+       |  FROM d0 JOIN ddmax ON ddmax.host = d0.host
+       |  WHERE d0.best = ddmax.dmax GROUP BY d0.host),
        |sched AS (
        |  SELECT doc_id, host,
        |    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)

@@ -173,6 +173,31 @@ class UrlsSpec extends SparkSpec {
     assert(got3(2L) == (true, ""))
   }
 
+  test("a matching group with no directives of the consumed class " +
+      "still wins (RFC 9309 most-specific-only)") {
+    // graftbot group holds only the empty-Disallow allow-all idiom:
+    // once it matches, the '*' group is IGNORED entirely — falling
+    // back to '*' rules here would over-block the whole crawl
+    val txt = "User-agent: *\nDisallow: /private\n\n" +
+      "User-agent: graftbot\nDisallow:\n"
+    val got = decideAs("graftbot", txt, 1L -> "https://h.com/private/x")
+    assert(got(1L) == (true, ""))
+    // a rules-only graftbot group suppresses the '*' group's DELAY:
+    // the host gets no delay row (callers default), never 4 s
+    val txt2 = "User-agent: *\nCrawl-delay: 4\n\n" +
+      "User-agent: graftbot\nDisallow: /y\n"
+    assert(Urls.crawlDelays(robotsFixture(txt2), "host", "txt",
+      "graftbot").collect().isEmpty)
+    // and a delay-only graftbot group suppresses the '*' RULES
+    val txt3 = "User-agent: *\nDisallow: /\n\n" +
+      "User-agent: graftbot\nCrawl-delay: 2\n"
+    val got3 = decideAs("graftbot", txt3, 1L -> "https://h.com/anything")
+    assert(got3(1L) == (true, ""))
+    // an unrelated crawler still reads the '*' group as before
+    assert(decideAs("otherbot", txt,
+      1L -> "https://h.com/private/x")(1L) == (false, "/private"))
+  }
+
   test("wildcards: * spans segments, trailing $ anchors, mid-$ literal") {
     val txt = "User-agent: *\nDisallow: /*.pdf$\nAllow: /files/pub*\n" +
       "Disallow: /files\nDisallow: /cgi/a$b\n"
