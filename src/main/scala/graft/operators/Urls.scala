@@ -265,26 +265,32 @@ object Urls {
     * columns when nothing matched.
     *
     * Scale: the effective-rules frame is robots-corpus-bounded; it
-    * BROADCASTS only while its exact cardinality is within
+    * BROADCASTS only while its cardinality is within
     * `broadcastMaxRules` (the Coverage guard convention — a full-web
     * crawl carries rules for tens of millions of hosts, and an
     * unguarded broadcast there is a driver OOM), falling back to a
-    * host-keyed shuffled join past the guard. The URL side is one scan
-    * projected to (id, host, path); the decision is the join + one
-    * id-keyed max_by. Wildcard rules compile per matched row (RLike on
-    * a non-foldable pattern) — bounded by rules-per-host, not corpus
-    * size.
+    * host-keyed shuffled join past the guard. The cardinality comes
+    * from `rulesCountHint` when the caller already knows it (or a
+    * cheap upper bound — the hint only picks broadcast vs shuffle,
+    * never correctness), making plan construction side-effect-free;
+    * without a hint ONE count action runs per call (the honest price
+    * of an exact guard — callers composing several decisions over one
+    * rules corpus should hint). The URL side is one scan projected to
+    * (id, host, path); the decision is the join + one id-keyed max_by.
+    * Wildcard rules compile per matched row (RLike on a non-foldable
+    * pattern) — bounded by rules-per-host, not corpus size.
     */
   def robotsFilter(urls: DataFrame, idCol: String, urlCol: String,
       robots: DataFrame, domainCol: String, txtCol: String,
-      agent: String = "*", broadcastMaxRules: Long = 2000000L): DataFrame = {
+      agent: String = "*", broadcastMaxRules: Long = 2000000L,
+      rulesCountHint: Option[Long] = None): DataFrame = {
     val (host, _) = hostPort(col(urlCol))
     val parsed = urls.select(col(idCol).as("_id"), host.as("host"),
       pathOf(col(urlCol)).as("path"))
     val rules = robotsRules(robots, domainCol, txtCol, agent)
       .withColumnRenamed(domainCol, "host")
       .withColumn("_pat", wildcardPattern(col("rule_path")))
-    val nRules = rules.count()
+    val nRules = rulesCountHint.getOrElse(rules.count())
     val rhs = if (nRules <= broadcastMaxRules) broadcast(rules) else rules
     val matched = parsed.join(rhs, Seq("host"))
       .filter(regexp_like(col("path"), col("_pat")))
@@ -368,21 +374,26 @@ object Urls {
     * the decimal seconds). Hosts without a delay row use
     * `defaultDelaySec`. One host-keyed rank window + one broadcast
     * join of the delay table: the schedule for a 100 TB frontier is
-    * embarrassingly host-parallel.
+    * embarrassingly host-parallel. `delaysCountHint` = the caller's
+    * known delay-table cardinality (or upper bound) — supplying it
+    * makes plan construction side-effect-free; without it ONE count
+    * action runs (the robotsFilter hint convention).
     */
   def politenessSchedule(urls: DataFrame, idCol: String, urlCol: String,
       delays: DataFrame, domainCol: String,
       defaultDelaySec: Double = 1.0,
-      broadcastMaxDelays: Long = 2000000L): DataFrame = {
+      broadcastMaxDelays: Long = 2000000L,
+      delaysCountHint: Option[Long] = None): DataFrame = {
     val (host, _) = hostPort(col(urlCol))
     val keyed = urls.select(col(idCol).as("_id"), host.as("host"))
       .withColumn("fetch_seq", row_number().over(
         Window.partitionBy(col("host")).orderBy(col("_id"))))
     val d0 = delays.select(col(domainCol).as("host"),
       col("crawl_delay_sec"))
-    // same exact-cardinality guard as robotsFilter: a full-web delay
-    // table is host-count-sized
-    val d = if (d0.count() <= broadcastMaxDelays) broadcast(d0) else d0
+    // same cardinality guard as robotsFilter: a full-web delay table
+    // is host-count-sized
+    val nDelays = delaysCountHint.getOrElse(d0.count())
+    val d = if (nDelays <= broadcastMaxDelays) broadcast(d0) else d0
     keyed.join(d, Seq("host"), "left")
       .select(col("_id").as(idCol), col("host"), col("fetch_seq"),
         ((col("fetch_seq") - 1).cast("long") *

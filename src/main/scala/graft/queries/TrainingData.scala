@@ -7652,8 +7652,13 @@ object TrainingData {
       .select(concat(lit("www."), col("source"), lit(".example.com"))
           .as("host"),
         lit("User-agent: *\nDisallow: /private\n").as("robots_txt"))
+    // exactly one Disallow rule per host by construction: hint the
+    // broadcast guard with the host count (a cheap distinct count)
+    // instead of letting robotsFilter run the full robots parse once
+    // more for an exact cardinality
     val allowedIds = graft.operators.Urls.robotsFilter(
-        fetched, "page_id", "url", robots, "host", "robots_txt")
+        fetched, "page_id", "url", robots, "host", "robots_txt",
+        rulesCountHint = Some(robots.count()))
       .filter(col("allowed")).select(col("page_id"))
     val crawlable = fetched.join(allowedIds, Seq("page_id"))
 

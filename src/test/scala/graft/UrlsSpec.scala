@@ -345,6 +345,47 @@ class UrlsSpec extends SparkSpec {
     assert(sched(4L) == (1, 0L)) // no delay row → 1 s default, seq 1
   }
 
+  test("broadcast guards: a cardinality hint makes plan construction " +
+      "action-free; the fallback counts exactly once") {
+    val execs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ql = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = { execs.incrementAndGet(); () }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def settle(): Int = { // the listener bus is async; wait bounded
+      var last = -1; var same = 0
+      while (same < 3) {
+        Thread.sleep(100)
+        val cur = execs.get()
+        if (cur == last) same += 1 else { same = 0; last = cur }
+      }
+      execs.get()
+    }
+    val txt = "User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+    val u = urlFrame(1L -> "https://h.com/private/x",
+      2L -> "https://h.com/a")
+    spark.listenerManager.register(ql)
+    try {
+      Urls.robotsFilter(u, "id", "url", robotsFixture(txt), "host",
+        "txt", rulesCountHint = Some(1L))
+        .queryExecution.executedPlan
+      Urls.politenessSchedule(u, "id", "url",
+        Urls.crawlDelays(robotsFixture(txt), "host", "txt"), "host",
+        delaysCountHint = Some(1L))
+        .queryExecution.executedPlan
+      assert(settle() == 0,
+        s"hinted guard ran ${execs.get()} action(s) at plan build")
+      execs.set(0)
+      Urls.robotsFilter(u, "id", "url", robotsFixture(txt), "host", "txt")
+      assert(settle() == 1,
+        s"fallback guard ran ${execs.get()} actions, expected one count")
+    } finally spark.listenerManager.unregister(ql)
+  }
+
   test("sitemap pointers and locs: global lines, entity unescape, nesting") {
     val txt = "User-agent: *\nDisallow: /x\n" +
       "Sitemap: https://h.com/s1.xml\n# c\nsitemap: https://h.com/s2.xml\n"
