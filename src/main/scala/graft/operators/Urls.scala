@@ -407,13 +407,24 @@ object Urls {
   // that cannot resolve them against the page URL discovers nothing.
 
   /** All `<a href>` values of an HTML column, in document order:
-    * single- or double-quoted attribute values, tags with other
-    * attributes before/after href. Row-local extract-all — zero
-    * exchanges.
+    * single-quoted, double-quoted, or UNQUOTED attribute values (legal
+    * and common in minified HTML — `<a href=/page>`), tags with other
+    * attributes before/after href. The tag name is anchored (`<a` must
+    * be followed by whitespace, so `<area>`/`<abbr>` never feed the
+    * frontier) and the attribute boundary enforced (href preceded by
+    * whitespace or a closing quote, so `data-href=` never matches).
+    * The match captures the value token quotes-and-all — one
+    * alternation group, since extract-all takes a single group index —
+    * and a row-local transform strips one surrounding quote per end.
+    * Zero exchanges.
     */
-  def extractHrefs(html: Column): Column =
-    regexp_extract_all(html,
-      lit("(?is)<a[^>]*?href[ \\t]*=[ \\t]*['\"]([^'\"]*)['\"]"), lit(1))
+  def extractHrefs(html: Column): Column = {
+    val raw = regexp_extract_all(html,
+      lit("(?is)<a\\s(?:[^>]*?[\\s'\"])?href[ \\t]*=[ \\t]*" +
+        "(\"[^\"]*\"|'[^']*'|[^\\s>]+)"), lit(1))
+    transform(raw, v =>
+      regexp_replace(regexp_replace(v, "^['\"]", ""), "['\"]$", ""))
+  }
 
   /** RFC 3986 §5 relative resolution of `href` against absolute
     * `base`, as one row-local native expression:

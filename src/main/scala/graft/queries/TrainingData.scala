@@ -6793,8 +6793,11 @@ object TrainingData {
     * frontier): every page carries one anchor of each RFC 3986
     * reference class (absolute, protocol-relative, root-relative with
     * dot segments, sibling, parent, dot-prefixed with a trailing
-    * slash, query-only, fragment-only, a mailto, and a
-    * double-slash-collapse case), extracted in document order,
+    * slash, query-only, fragment-only, a mailto, a
+    * double-slash-collapse case, and an UNQUOTED minified-HTML value —
+    * plus two extraction decoys that must NOT match: an `<area href>`
+    * (tag name merely starts with 'a') and a `data-href` attribute),
+    * extracted in document order,
     * resolved against the page URL, and canonicalized (the fragment
     * link dedups onto its page; the mailto canonicalizes to NULL —
     * non-hierarchical). The oracle replays extraction, the full
@@ -6818,7 +6821,13 @@ object TrainingData {
       lit("<a href='?page="), id, lit("'>g</a>"),
       lit("<a href='#frag'>h</a>"),
       lit("<a href='mailto:x@example.com'>i</a>"),
-      lit("<a href='sub//dbl/"), id, lit("'>j</a></body></html>"))
+      lit("<a href='sub//dbl/"), id, lit("'>j</a>"),
+      // minified-HTML unquoted value, plus two extraction decoys: a
+      // non-anchor tag whose name merely starts with 'a' and a
+      // data-href attribute — neither may feed the frontier
+      lit("<a href=unq/"), id, lit(">k</a>"),
+      lit("<area href='/map'>m</area><a data-href='/dh'>n</a>"),
+      lit("</body></html>"))
     docs.select(col("doc_id"), base.as("base_url"), html.as("html"))
       .select(col("doc_id"), col("base_url"),
         posexplode(graft.operators.Urls.extractHrefs(col("html")))
@@ -6865,20 +6874,27 @@ object TrainingData {
        |    '<a href=''#frag''>h</a>' ||
        |    '<a href=''mailto:x@example.com''>i</a>' ||
        |    '<a href=''sub//dbl/' || CAST(doc_id AS VARCHAR) ||
-       |      '''>j</a></body></html>' AS html
+       |      '''>j</a>' ||
+       |    '<a href=unq/' || CAST(doc_id AS VARCHAR) || '>k</a>' ||
+       |    '<area href=''/map''>m</area><a data-href=''/dh''>n</a>' ||
+       |    '</body></html>' AS html
        |  FROM documents),
        |hl AS (
        |  SELECT doc_id, base_url,
        |    regexp_extract_all(html,
-       |      '(?is)<a[^>]*?href[ \\t]*=[ \\t]*[''"]([^''"]*)[''"]', 1)
+       |      '(?is)<a\\s(?:[^>]*?[\\s''"])?href[ \\t]*=[ \\t]*' ||
+       |        '("[^"]*"|''[^'']*''|[^\\s>]+)', 1)
        |      AS hrefs
        |  FROM d),
        |lk AS (
        |  SELECT doc_id, base_url, CAST(u.i - 1 AS INTEGER) AS link_no,
-       |    trim(hrefs[u.i]) AS h
+       |    regexp_replace(regexp_replace(hrefs[u.i],
+       |      '^[''"]', ''), '[''"]$$', '') AS h0
        |  FROM hl, unnest(range(1, len(hrefs) + 1)) AS u(i)),
+       |lkt AS (SELECT doc_id, base_url, link_no, h0, trim(h0) AS h
+       |        FROM lk),
        |parts AS (
-       |  SELECT doc_id, base_url, link_no, h,
+       |  SELECT doc_id, base_url, link_no, h0, h,
        |    lower(regexp_extract(base_url,
        |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
        |    regexp_extract(base_url,
@@ -6892,9 +6908,9 @@ object TrainingData {
        |    regexp_extract(base_url, '^([^#]*)', 1) AS bnf,
        |    regexp_extract(h, '^([^?#]*)', 1) AS hpath,
        |    regexp_extract(h, '^[^?#]*([?#].*)$$', 1) AS htail
-       |  FROM lk),
+       |  FROM lkt),
        |res AS (
-       |  SELECT doc_id, link_no, h AS href,
+       |  SELECT doc_id, link_no, h0 AS href,
        |    CASE WHEN scheme = '' THEN NULL
        |      WHEN h = '' THEN bnf
        |      WHEN regexp_matches(h, '^[A-Za-z][A-Za-z0-9+.-]*:') THEN h

@@ -302,9 +302,15 @@ class UrlsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
-  test("extractHrefs: quote styles, attribute order, document order") {
+  test("extractHrefs: quote styles, unquoted values, decoy tags and " +
+      "attributes, document order") {
     val html = "<html><a href=\"/a\">x</a><p><A CLASS='k' HREF='/b'>y</A>" +
-      "<a data-x='1' href = '/c'>z</a><a name='no-href'>w</a></html>"
+      "<a data-x='1' href = '/c'>z</a><a name='no-href'>w</a>" +
+      // minified unquoted value stops at whitespace or '>'
+      "<a href=/d class=z>u</a><a\nhref=rel/e>v</a>" +
+      // decoys: tag names that merely start with 'a'; data-href
+      "<area href='/map'>m</area><abbr href='/ab'>t</abbr>" +
+      "<a data-href='/dh'>n</a></html>"
     val schema = StructType(Seq(StructField("h", StringType)))
     val got = spark.createDataFrame(
       new java.util.ArrayList[Row](
@@ -312,7 +318,7 @@ class UrlsSpec extends SparkSpec {
           List(Row(html))).asJava), schema)
       .select(Urls.extractHrefs(col("h")).as("l")).collect()(0)
       .getSeq[String](0)
-    assert(got == Seq("/a", "/b", "/c"))
+    assert(got == Seq("/a", "/b", "/c", "/d", "rel/e"))
   }
 
   test("crawlDelays: group selection, max-of-group, junk skip; schedule slots") {
