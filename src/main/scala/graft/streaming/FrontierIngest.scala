@@ -58,8 +58,12 @@ object FrontierIngest {
       idCol: String, urlCol: String,
       batchId: Option[Long] = None): Long = {
     val spark = batch.sparkSession
-    val idx = new Path(indexPath)
-    val fs = idx.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    // index and log may live on DIFFERENT filesystems/schemes: derive
+    // each side's handle from its own path (marker/clean/move on the
+    // log side must never run against the index's filesystem)
+    val fsIdx = new Path(indexPath).getFileSystem(hconf)
+    val fsLog = new Path(logPath).getFileSystem(hconf)
 
     def probeAndMaterialize(): DataFrame =
       Urls.probeFrontier(spark, indexPath, batch, idCol, urlCol)
@@ -84,24 +88,25 @@ object FrontierIngest {
         val log = new Path(logPath)
         val urlsDir = new Path(s"$indexPath/urls")
         val marker = BatchCommit.markerPath(logPath, id)
-        if (fs.exists(marker)) {
+        if (fsLog.exists(marker)) {
           // replay of a committed batch: exactly-once no-op
-          BatchCommit.readMarker(fs, marker)
+          BatchCommit.readMarker(fsLog, marker)
         } else {
           // crashed-attempt residue must go BEFORE the recompute, so
           // the probe sees exactly the pre-batch index state
-          cleanBatchFiles(fs, log, id)
-          cleanBatchFiles(fs, urlsDir, id)
+          cleanBatchFiles(fsLog, log, id)
+          cleanBatchFiles(fsIdx, urlsDir, id)
           val surv = probeAndMaterialize()
           val n = surv.count()
           val stagingLog = new Path(s"$logPath.staging-batch-$id")
           val stagingIdx = new Path(s"$indexPath.staging-batch-$id")
-          Seq(stagingLog, stagingIdx).foreach(p => fs.delete(p, true): Unit)
+          fsLog.delete(stagingLog, true): Unit
+          fsIdx.delete(stagingIdx, true): Unit
           surv.write.mode("overwrite").parquet(stagingLog.toString)
           hashes(surv).write.mode("overwrite").parquet(stagingIdx.toString)
-          moveIn(fs, stagingLog, log, id)
-          moveIn(fs, stagingIdx, urlsDir, id)
-          BatchCommit.writeMarker(fs, logPath, id, n)
+          moveIn(fsLog, stagingLog, log, id)
+          moveIn(fsIdx, stagingIdx, urlsDir, id)
+          BatchCommit.writeMarker(fsLog, logPath, id, n)
           n
         }
     }
@@ -111,19 +116,22 @@ object FrontierIngest {
     * [[ingestBatch]] path — Structured Streaming replays a failed
     * batch under the same `batchId` with the same rows, and the keyed
     * commit makes the replay a no-op, so the fetch log is
-    * exactly-once end to end. `Trigger.AvailableNow` drains a backlog
-    * exactly like sequential batch calls; left running, it ingests a
-    * crawl's discovered-URL stream continuously.
+    * exactly-once end to end. The default `Trigger.AvailableNow`
+    * drains the current backlog exactly like sequential batch calls
+    * and then STOPS (the CorpusIngest convention — tests and
+    * drain-style jobs); a long-running crawl passes a processing-time
+    * trigger (e.g. `Trigger.ProcessingTime("30 seconds")`) to keep
+    * ingesting discoveries as they arrive.
     */
   def ingestStream(stream: DataFrame, indexPath: String, logPath: String,
-      idCol: String, urlCol: String,
-      checkpointDir: String): StreamingQuery =
+      idCol: String, urlCol: String, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     stream.writeStream
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         ingestBatch(b.toDF(), indexPath, logPath, idCol, urlCol,
           batchId = Some(id)): Unit
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 }
