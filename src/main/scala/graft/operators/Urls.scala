@@ -23,11 +23,15 @@ import org.apache.spark.sql.types.{ArrayType, IntegerType, StringType}
   *      param text is ASCII in practice; order-insensitive equality is
   *      the point)
   *   6. empty path normalized to `/`
+  *   7. percent-encodings in path and query normalized per RFC 3986
+  *      §6.2.2 ([[pctNormalize]]): uppercase hex, unreserved
+  *      characters decoded, malformed escapes left alone
   *
   * Scope (documented, not silent): no userinfo handling beyond
-  * dropping it with the authority parse, no percent-decoding, no IDN —
-  * those vary per consumer; the six rules above are the
-  * high-agreement core. Registrable-domain extraction uses the
+  * dropping it with the authority parse, no percent handling in the
+  * HOST (encoded hosts are vanishingly rare; IDN is a data table, not
+  * an algorithm), no IDN — those vary per consumer; the seven rules
+  * above are the high-agreement core. Registrable-domain extraction uses the
   * last-two-labels rule with a small built-in table of two-level
   * public suffixes ([[multiPartSuffixes]]) — a full PSL is a data
   * file, not an algorithm change.
@@ -71,6 +75,47 @@ object Urls {
   private def queryOf(url: Column): Column =
     regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)", 1)
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization of a path or
+    * query string: valid `%XX` escapes get UPPERCASE hex
+    * (`%2f` → `%2F`) and escapes of UNRESERVED characters
+    * (ALPHA / DIGIT / `-._~`) DECODE (`%41` → `A`, `%7e` → `~`) —
+    * without this, `%7Euser` and `~user` are two frontier entries for
+    * one page. Invalid sequences (`%zz`, a lone trailing `%`) pass
+    * through untouched — the leave-it-alone rule for malformed
+    * escapes. Decoding an unreserved character can never create a
+    * URL delimiter (`&`, `=`, `/`, `#` are all reserved and stay
+    * encoded), so normalizing BEFORE the query splits into params is
+    * safe.
+    *
+    * Implementation is one split-on-% plus a row-local transform; the
+    * hex value comes from digit positions in a literal table and the
+    * decoded character from a printable-ASCII lookup string — pure
+    * cross-engine arithmetic, no chr()/conv() dialect drift. Zero
+    * exchanges.
+    */
+  private[graft] def pctNormalize(s: Column): Column = {
+    val hexDigits = array("0123456789ABCDEF".map(c => lit(c.toString)): _*)
+    val printable = (32 to 126).map(_.toChar).mkString
+    val parts = split(s, "%", -1)
+    val fixed = transform(
+      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), { p =>
+        val d1 = upper(p.substr(lit(1), lit(1)))
+        val d2 = upper(p.substr(lit(2), lit(1)))
+        val n1 = array_position(hexDigits, d1)
+        val n2 = array_position(hexDigits, d2)
+        val n = ((n1 - 1) * 16 + (n2 - 1)).cast(IntegerType)
+        val valid = n1 > 0 && n2 > 0
+        val unreserved = (n >= 48 && n <= 57) || (n >= 65 && n <= 90) ||
+          (n >= 97 && n <= 122) || n.isin(45, 46, 95, 126)
+        val rest = p.substr(lit(3), length(p))
+        when(valid && unreserved,
+          concat(lit(printable).substr(n - 31, lit(1)), rest))
+          .when(valid, concat(lit("%"), d1, d2, rest))
+          .otherwise(concat(lit("%"), p))
+      })
+    concat(element_at(parts, 1), array_join(fixed, ""))
+  }
+
   /** Query params surviving the tracking filter, sorted. */
   private def keptParams(query: Column): Column = {
     val raw = filter(split(query, "&"), p => length(p) > 0)
@@ -89,8 +134,8 @@ object Urls {
   def canonicalize(url: Column): Column = {
     val scheme = schemeOf(url)
     val (host, port) = hostPort(url)
-    val path = pathOf(url)
-    val query = queryOf(url)
+    val path = pctNormalize(pathOf(url))
+    val query = pctNormalize(queryOf(url))
     val raw = filter(split(query, "&"), p => length(p) > 0)
     val kept = keptParams(query)
     val defaultPort = (scheme === "http" && port === "80") ||

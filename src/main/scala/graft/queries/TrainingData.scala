@@ -5648,10 +5648,20 @@ object TrainingData {
       .when(pmod(col("doc_id"), lit(4)) === 1, lit(":8080"))
       .otherwise(lit("")),
     lit("/Docs/"), col("doc_id").cast("string"),
+    // percent-encoding battery (every 6th doc): %7e decodes to ~, %2f
+    // uppercases but stays encoded (reserved), %41 decodes to A, %zz
+    // and a trailing %4 are malformed and pass through untouched
+    when(pmod(col("doc_id"), lit(6)) === 0, lit("/%7euser/%2fx%41%zz%4"))
+      .otherwise(lit("")),
     when(pmod(col("doc_id"), lit(2)) === 0,
       concat(lit("?utm_source=feed&b="), col("lang"),
         lit("&utm_campaign=spring&a=1&fbclid=XYZ")))
       .otherwise(lit("?z=9&A=2&gclid=g1")),
+    // a pct-encoded QUERY param (every 6k+1 doc, always the odd-query
+    // branch): key p%61th normalizes to 'path' BEFORE the tracking
+    // check and byte-order sort
+    when(pmod(col("doc_id"), lit(6)) === 1, lit("&p%61th=x%2f"))
+      .otherwise(lit("")),
     when(pmod(col("doc_id"), lit(5)) === 0, lit("#sec2"))
       .otherwise(lit("")))
 
@@ -5665,10 +5675,13 @@ object TrainingData {
       |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END)
       |          WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
       |    '/Docs/' || CAST(doc_id AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '/%7euser/%2fx%41%zz%4'
+      |          ELSE '' END) ||
       |    (CASE WHEN doc_id % 2 = 0
       |          THEN '?utm_source=feed&b=' || lang ||
       |               '&utm_campaign=spring&a=1&fbclid=XYZ'
       |          ELSE '?z=9&A=2&gclid=g1' END) ||
+      |    (CASE WHEN doc_id % 6 = 1 THEN '&p%61th=x%2f' ELSE '' END) ||
       |    (CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END)""".stripMargin
 
   def q244UrlCanonicalize(s: SparkSession, dir: String): DataFrame = {
@@ -5692,6 +5705,35 @@ object TrainingData {
     * explicit null). Shared by q244 and the frontier probe q255 so
     * the parser SQL cannot drift per query.
     */
+  /** RFC 3986 §6.2.2 percent normalization in DuckDB's dialect — the
+    * [[graft.operators.Urls.pctNormalize]] replay: split on '%', and
+    * per tail piece uppercase a valid hex pair, decode it when the
+    * code is unreserved (digits 48-57, upper 65-90, lower 97-122, and
+    * `-._~` = 45/46/95/126), pass malformed escapes through. The hex
+    * value comes from strpos against the same digit table the Spark
+    * side uses.
+    */
+  private def duckPctNorm(e: String): String = {
+    val hx = "'0123456789ABCDEF'"
+    def n1 = s"(strpos($hx, upper(p[1])) - 1)"
+    def n2 = s"(strpos($hx, upper(p[2])) - 1)"
+    val nn = s"($n1 * 16 + $n2)"
+    // coalesce: DuckDB's array_to_string([]) is NULL, not '' — a
+    // pct-free string must pass through, not null out
+    s"""(string_split($e, '%') [1] ||
+       |      coalesce(array_to_string(list_transform(string_split($e, '%') [2:],
+       |        p -> CASE
+       |          WHEN strpos($hx, upper(p[1])) > 0
+       |               AND strpos($hx, upper(p[2])) > 0
+       |          THEN (CASE WHEN $nn BETWEEN 48 AND 57
+       |                       OR $nn BETWEEN 65 AND 90
+       |                       OR $nn BETWEEN 97 AND 122
+       |                       OR $nn IN (45, 46, 95, 126)
+       |                THEN chr(CAST($nn AS INTEGER)) || p[3:]
+       |                ELSE '%' || upper(p[1:2]) || p[3:] END)
+       |          ELSE '%' || p END), ''), ''))""".stripMargin
+  }
+
   private def duckCanonicalCtes(src: String, tag: String): String = {
     val tracking = "('fbclid','gclid','msclkid','igshid','mc_eid','ref')"
     val suffixes = graft.operators.Urls.multiPartSuffixes
@@ -5718,11 +5760,16 @@ object TrainingData {
        |    regexp_extract(u,
        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^?#]*\\?([^#]*)', 1) AS query
        |  FROM $src),
+       |pnorm$tag AS (
+       |  SELECT doc_id, scheme, host, port,
+       |    ${duckPctNorm("path0")} AS path0,
+       |    ${duckPctNorm("query")} AS query
+       |  FROM parsed$tag),
        |par$tag AS (
        |  SELECT doc_id, scheme, host, port,
        |    CASE WHEN path0 = '' THEN '/' ELSE path0 END AS path,
        |    list_filter(string_split(query, '&'), p -> length(p) > 0) AS raw
-       |  FROM parsed$tag),
+       |  FROM pnorm$tag),
        |flt$tag AS (
        |  SELECT doc_id, scheme, host, port, path, raw,
        |    list_sort(list_filter(raw, p ->

@@ -69,6 +69,24 @@ class UrlsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("percent-encodings: uppercase hex, unreserved decode, " +
+      "malformed pass-through (RFC 3986 6.2.2)") {
+    // path: %7e → ~ (unreserved), %2f → %2F (reserved stays encoded,
+    // hex uppercased), %41 → A, %zz and a trailing %4 left alone
+    val r = canon(
+      "https://H.example.com/%7euser/%2fx%41%zz%4?p%61th=x%2f&a=1")
+    assert(r.getString(0) ==
+      "https://h.example.com/~user/%2FxA%zz%4?a=1&path=x%2F")
+    // a pct-normalized key joins the tracking check: %75tm_q IS utm_q
+    val t = canon("https://e.com/p?%75tm_q=1&b=2")
+    assert(t.getString(0) == "https://e.com/p?b=2")
+    assert(t.getInt(3) == 1)
+    // '%' alone and '%%' survive untouched
+    assert(canon("https://e.com/a%").getString(0) == "https://e.com/a%")
+    assert(canon("https://e.com/a%%41").getString(0)
+      == "https://e.com/a%A")
+  }
+
   test("param keys compare case-insensitively for tracking, byte-order for sort") {
     val r = canon("https://e.com/p?Z=1&UTM_SOURCE=x&A=2")
     assert(r.getString(0) == "https://e.com/p?A=2&Z=1")
