@@ -225,49 +225,44 @@ object Urls {
           .otherwise(0)).over(w))
   }
 
-  /** Per-(domain, group) agent specificity for `agent`: longest
-    * matching token, '*' counting 0, non-matching groups excluded. */
-  private def groupSpecificity(grouped: DataFrame, domainCol: String,
-      agent: String): DataFrame = {
-    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
-    val matchLen = when(col("_ua") === "*", 0)
-      .when(lit(agentLc).startsWith(col("_ua")), length(col("_ua")))
-      .otherwise(-1)
-    grouped.filter(col("_isUa"))
-      .groupBy(col(domainCol), col("_gid"))
-      .agg(max(matchLen).as("_best"))
-  }
-
   /** Directive rows of the EFFECTIVE group(s) for `agent`: the input
     * rows (any directive class) with headerless rows (gid 0, no UA
     * header) treated as the implicit '*' group at specificity 0, and
     * only the most specific matching group(s) surviving per domain.
     *
-    * The winning specificity is computed over ALL matching groups —
-    * including groups carrying no directive of the class being
-    * consumed (a matched group with only an empty `Disallow:`
-    * allow-all idiom, or only a `Crawl-delay:` when rules are being
-    * read). RFC 9309 §2.2.1: once the most specific group matches,
-    * every other group is IGNORED — so an empty effective group yields
-    * NO rows for the domain (allow-all / no delay), never a fallback
-    * to the `*` group's directives.
+    * The winning specificity is computed over ALL groups — including
+    * groups carrying no directive of the class being consumed (a
+    * matched group with only an empty `Disallow:` allow-all idiom, or
+    * only a `Crawl-delay:` when rules are being read). RFC 9309
+    * §2.2.1: once the most specific group matches, every other group
+    * is IGNORED — so an empty effective group yields NO rows for the
+    * domain (allow-all / no delay), never a fallback to the `*`
+    * group's directives.
+    *
+    * Plan shape: ONE (domain, gid) aggregate over all grouped rows
+    * computes every group's specificity (groups without a UA header —
+    * gid 0 by construction — fold to the implicit '*' at 0), a
+    * domain-keyed window attaches the per-domain winning specificity,
+    * and one keyed join selects the surviving rows — exactly two
+    * references to the parse lineage, so the robots explode+windows
+    * never re-executes per derived frame.
     */
   private def effectiveGroupRows(grouped: DataFrame, domainCol: String,
       agent: String, rows: DataFrame): DataFrame = {
-    val best = groupSpecificity(grouped, domainCol, agent)
-    // implicit '*' group: headerless leading rows (gid 0 carries no
-    // UA line by construction — any UA line starts gid >= 1)
-    val implicit0 = grouped.filter(col("_gid") === 0)
-      .select(col(domainCol)).distinct()
-      .withColumn("_gid", lit(0L))
-      .withColumn("_best", lit(0))
-    val allBest = best.unionByName(implicit0)
-    val domainMax = allBest.filter(col("_best") >= 0)
-      .groupBy(col(domainCol)).agg(max(col("_best")).as("_dmax"))
-    rows.join(allBest, Seq(domainCol, "_gid"), "left")
-      .withColumn("_b", coalesce(col("_best"), lit(-1)))
-      .join(domainMax, Seq(domainCol))
-      .filter(col("_b") === col("_dmax"))
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    val matchLen = when(col("_ua") === "*", 0)
+      .when(lit(agentLc).startsWith(col("_ua")), length(col("_ua")))
+      .otherwise(-1)
+    val best = grouped.groupBy(col(domainCol), col("_gid"))
+      .agg(max(when(col("_isUa"), matchLen)).as("_bua"))
+      .withColumn("_best", coalesce(col("_bua"),
+        when(col("_gid") === 0, 0).otherwise(-1)))
+    val allBest = best.withColumn("_dmax",
+      max(when(col("_best") >= 0, col("_best")))
+        .over(Window.partitionBy(col(domainCol))))
+      .select(col(domainCol), col("_gid"), col("_best"), col("_dmax"))
+    rows.join(allBest, Seq(domainCol, "_gid"))
+      .filter(col("_best") >= 0 && col("_best") === col("_dmax"))
   }
 
   def robotsRules(robots: DataFrame, domainCol: String, txtCol: String,
