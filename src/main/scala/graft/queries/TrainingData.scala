@@ -6980,6 +6980,169 @@ object TrainingData {
        |ORDER BY r.doc_id, r.link_no""".stripMargin
   }
 
+  /** The streaming crawl LOOP composed as a two-hop flagship
+    * (fetch-log → [[graft.operators.Urls.extractHrefs]] →
+    * [[graft.operators.Urls.resolveUrl]] →
+    * [[graft.operators.Urls.canonicalize]] →
+    * [[graft.streaming.FrontierIngest]] → fetch-log → …): hop 2's
+    * input batch is hop 1's DISCOVERIES read back from the fetch log —
+    * the arrow that makes a crawler a loop rather than a pipeline.
+    * Seeds carry four anchors each: a hot root-relative target
+    * (`/art/{id mod 40}` — heavy in-batch collisions, keep-first by
+    * id), a unique sibling-relative page, a tracking respelling of the
+    * seed itself, and a fragment link (both canonicalize onto the
+    * already-fetched seed and must drop via the index). Every page
+    * hop 1 fetches links to one fresh child (absolute) and back to
+    * `/art/0` (fetched in hop 1 — must drop cross-hop). Discovery ids
+    * are a deterministic function of (parent id, anchor position), so
+    * a missed or reordered extraction anywhere breaks the hash. The
+    * oracle replays both hops' greedy semantics: fetched(h) =
+    * first-in-batch canonical occurrences not fetched in any earlier
+    * hop, each hop re-canonicalized through the shared q244 parser.
+    * Output: the final three-hop fetch log. Stream==batch for the
+    * multi-hop composition is proven in StreamingSpec; here the hops
+    * run through the same keyed [[graft.streaming.FrontierIngest
+    * .ingestBatch]] commit path the stream uses.
+    */
+  def q261CrawlLoop(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.FrontierIngest
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      .filter(col("doc_id") < 200)
+    val id = col("doc_id").cast("string")
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val seeds = docs.select(col("doc_id").as("page_id"),
+      concat(lit("https://"), host, lit("/s/"), id).as("url"))
+    val sid = col("page_id").cast("string")
+    val seedHtml = concat(
+      lit("<html><body><a href=\"/art/"),
+      pmod(col("page_id"), lit(40)).cast("string"),
+      lit("\">a</a><a href='p"), sid,
+      lit("'>b</a><a href=\"/s/"), sid, lit("?utm_r=1\">c</a>"),
+      lit("<a href='#top'>d</a></body></html>"))
+
+    // link discovery over a fetched-page frame: ids are
+    // idOffset + parent·16 + anchor position — deterministic and
+    // oracle-replayable, so keep-first-by-id is a total order
+    def discover(pages: DataFrame, idOffset: Long): DataFrame =
+      pages
+        .select(col("page_id"), col("url"),
+          posexplode(graft.operators.Urls.extractHrefs(col("html")))
+            .as(Seq("_ln", "_href")))
+        .select(
+          (lit(idOffset) + col("page_id") * 16 + col("_ln"))
+            .as("page_id"),
+          graft.operators.Urls.resolveUrl(col("url"), col("_href"))
+            .as("url"))
+
+    val idxPath = scratchPath("q261_idx", dir)
+    val logPath = scratchPath("q261_log", dir)
+    Seq(idxPath, logPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true): Unit
+    }
+    // hop 0: the seeds enter the frontier and fetch
+    FrontierIngest.ingestBatch(seeds, idxPath, logPath,
+      "page_id", "url"): Unit
+    // hop 1: links extracted from the fetched seed pages
+    FrontierIngest.ingestBatch(
+      discover(seeds.withColumn("html", seedHtml), 10000000L),
+      idxPath, logPath, "page_id", "url"): Unit
+    // hop 2: links extracted from the pages hop 1 fetched — read back
+    // from the fetch LOG (the loop's defining arrow)
+    val hop2Pages = s.read.parquet(logPath)
+      .filter(col("page_id") >= 10000000L)
+      .select(col("page_id"), col("url"),
+        concat(lit("<html><body><a href=\""), col("canonical_url"),
+          lit("/c1\">x</a><a href='/art/0'>y</a></body></html>"))
+          .as("html"))
+    FrontierIngest.ingestBatch(discover(hop2Pages, 20000000L),
+      idxPath, logPath, "page_id", "url"): Unit
+    s.read.parquet(logPath)
+      .select(col("page_id"),
+        when(col("page_id") >= 20000000L, 2)
+          .when(col("page_id") >= 10000000L, 1)
+          .otherwise(0).cast(IntegerType).as("hop"),
+        col("url"), col("canonical_url"))
+      .orderBy("page_id")
+  }
+
+  val q261Sql: String = {
+    def kept(tag: String, prior: String): String =
+      s"""k$tag AS (
+         |  SELECT c.doc_id, c.canonical_url
+         |  FROM canong$tag c
+         |  JOIN (SELECT canonical_url, min(doc_id) AS fid
+         |        FROM canong$tag WHERE canonical_url IS NOT NULL
+         |        GROUP BY canonical_url) f
+         |    ON f.canonical_url = c.canonical_url AND c.doc_id = f.fid
+         |  $prior)""".stripMargin
+    s"""WITH sds AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    'https://www.' || source || '.example.com/s/' ||
+       |      CAST(doc_id AS VARCHAR) AS u
+       |  FROM documents WHERE doc_id < 200),
+       |h1c AS (
+       |  SELECT 10000000 + doc_id*16 + 0 AS doc_id,
+       |    'https://www.' || source || '.example.com/art/' ||
+       |      CAST(doc_id % 40 AS VARCHAR) AS u
+       |  FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT 10000000 + doc_id*16 + 1,
+       |    'https://www.' || source || '.example.com/s/p' ||
+       |      CAST(doc_id AS VARCHAR)
+       |  FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT 10000000 + doc_id*16 + 2,
+       |    'https://www.' || source || '.example.com/s/' ||
+       |      CAST(doc_id AS VARCHAR) || '?utm_r=1'
+       |  FROM documents WHERE doc_id < 200
+       |  UNION ALL
+       |  SELECT 10000000 + doc_id*16 + 3,
+       |    'https://www.' || source || '.example.com/s/' ||
+       |      CAST(doc_id AS VARCHAR) || '#top'
+       |  FROM documents WHERE doc_id < 200),
+       |${duckCanonicalCtes("sds", "g0")},
+       |${duckCanonicalCtes("h1c", "g1")},
+       |${kept("0", "")},
+       |${kept("1",
+          "WHERE c.canonical_url NOT IN (SELECT canonical_url FROM k0)")},
+       |h2c AS (
+       |  SELECT 20000000 + k1.doc_id*16 + 0 AS doc_id,
+       |    k1.canonical_url || '/c1' AS u
+       |  FROM k1
+       |  UNION ALL
+       |  SELECT 20000000 + k1.doc_id*16 + 1,
+       |    regexp_extract(k1.canonical_url,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) || '/art/0'
+       |  FROM k1),
+       |${duckCanonicalCtes("h2c", "g2")},
+       |${kept("2",
+          "WHERE c.canonical_url NOT IN (SELECT canonical_url FROM k0 " +
+            "UNION ALL SELECT canonical_url FROM k1)")},
+       |raws AS (
+       |  SELECT doc_id, u FROM sds
+       |  UNION ALL SELECT doc_id, u FROM h1c
+       |  UNION ALL SELECT doc_id, u FROM h2c),
+       |logr AS (
+       |  SELECT doc_id FROM k0
+       |  UNION ALL SELECT doc_id FROM k1
+       |  UNION ALL SELECT doc_id FROM k2),
+       |canons AS (
+       |  SELECT doc_id, canonical_url FROM canong0
+       |  UNION ALL SELECT doc_id, canonical_url FROM canong1
+       |  UNION ALL SELECT doc_id, canonical_url FROM canong2)
+       |SELECT l.doc_id AS page_id,
+       |  CAST(CASE WHEN l.doc_id >= 20000000 THEN 2
+       |            WHEN l.doc_id >= 10000000 THEN 1
+       |            ELSE 0 END AS INTEGER) AS hop,
+       |  r.u AS url, c.canonical_url
+       |FROM logr l
+       |JOIN raws r ON r.doc_id = l.doc_id
+       |JOIN canons c ON c.doc_id = l.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** Crawl-delay politeness scheduling
     * ([[graft.operators.Urls.crawlDelays]] +
     * [[graft.operators.Urls.politenessSchedule]], crawling as
@@ -8029,6 +8192,7 @@ object TrainingData {
     "q257_crawl_delay_schedule" -> q257CrawlDelaySchedule _,
     "q259_streaming_frontier" -> q259StreamingFrontier _,
     "q260_link_resolve" -> q260LinkResolve _,
+    "q261_crawl_loop"     -> q261CrawlLoop _,
     "q258_sitemap_seeds" -> q258SitemapSeeds _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
@@ -8157,6 +8321,7 @@ object TrainingData {
     "q257_crawl_delay_schedule" -> q257Sql,
     "q259_streaming_frontier" -> q259Sql,
     "q260_link_resolve" -> q260Sql,
+    "q261_crawl_loop"     -> q261Sql,
     "q258_sitemap_seeds" -> q258Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,

@@ -342,6 +342,71 @@ class StreamingSpec extends SparkSpec {
     assert(streamKept == batchKept, "stream != batch")
   }
 
+  test("two-hop streaming crawl: stream == batch when hop 2's input " +
+      "is hop 1's logged discoveries") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.operators.Urls
+    import graft.streaming.FrontierIngest
+    import org.apache.spark.sql.functions._
+    // six seed pages; each links to a hot root-relative target
+    // (/hot/{id%2}: in-batch keep-first), a unique child, and a
+    // tracking respelling of itself (index dedup)
+    val seeds = (0L until 6L).map(i =>
+      (i, s"https://h${i % 3}.example.com/s/$i",
+        s"""<a href="/hot/${i % 2}">a</a><a href='c$i'>b</a>""" +
+          s"""<a href="/s/$i?utm_x=1">c</a>"""))
+    val seedPages = seeds.toDF("id", "url", "html")
+    def discover(pages: org.apache.spark.sql.DataFrame, off: Long) =
+      pages.select(col("id"), col("url"),
+          posexplode(Urls.extractHrefs(col("html")))
+            .as(Seq("_ln", "_href")))
+        .select((lit(off) + col("id") * 8 + col("_ln")).as("id"),
+          Urls.resolveUrl(col("url"), col("_href")).as("url"))
+    // pages hop 1 fetched, with bodies: one fresh child (absolute) +
+    // a link back to /hot/0 (cross-hop dedup on its host)
+    def secondHop(log: org.apache.spark.sql.DataFrame) =
+      discover(log.filter(col("id") >= 100L)
+        .select(col("id"), col("url"),
+          concat(lit("<a href=\""), col("canonical_url"),
+            lit("/d\">x</a><a href='/hot/0'>y</a>")).as("html")), 10000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-2hop").toString
+
+    // batch path: three sequential keyed ingests, hop 2 from the log
+    FrontierIngest.ingestBatch(seedPages.select("id", "url"),
+      s"$tmp/idxB", s"$tmp/logB", "id", "url", batchId = Some(0L)): Unit
+    val h1 = discover(seedPages, 100L)
+    FrontierIngest.ingestBatch(h1, s"$tmp/idxB", s"$tmp/logB",
+      "id", "url", batchId = Some(1L)): Unit
+    FrontierIngest.ingestBatch(secondHop(spark.read.parquet(s"$tmp/logB")),
+      s"$tmp/idxB", s"$tmp/logB", "id", "url", batchId = Some(2L)): Unit
+    val batchLog = spark.read.parquet(s"$tmp/logB")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+
+    // stream path: each hop drains through ingestStream; hop 2's
+    // batch is read back from the STREAM's own fetch log
+    val input = MemoryStream[(Long, String)]
+    def drain(): Unit = {
+      val q = FrontierIngest.ingestStream(
+        input.toDF().toDF("id", "url"), s"$tmp/idxS", s"$tmp/logS",
+        "id", "url", s"$tmp/ckpt")
+      q.awaitTermination()
+    }
+    def tuples(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    input.addData(seeds.map(s => (s._1, s._2))); drain()
+    input.addData(tuples(h1)); drain()
+    input.addData(tuples(secondHop(spark.read.parquet(s"$tmp/logS"))))
+    drain()
+    val streamLog = spark.read.parquet(s"$tmp/logS")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(streamLog == batchLog, "two-hop stream != batch")
+    // sanity on the loop semantics: hop-2 children fetched, /hot/0 on
+    // host h0 (fetched in hop 1) did NOT re-fetch
+    assert(streamLog.exists(_._2.endsWith("/d")))
+    assert(streamLog.count(_._2 == "https://h0.example.com/hot/0") == 1)
+  }
+
   test("frontier ingest keyed commit: crash replay and duplicate replay are exactly-once") {
     import spark.implicits._
     import graft.streaming.FrontierIngest
