@@ -579,6 +579,92 @@ object Urls {
       Map("n_urls" -> obs.get("n_urls").asInstanceOf[Long]))
   }
 
+  /** Frontier-index maintenance telemetry: [[appendToFrontierIndex]]
+    * documents that duplicate hashes across appends cost bytes, never
+    * correctness — this is the gauge that says WHEN the remedy
+    * ([[compactFrontierIndex]]) is worth running. One row:
+    *
+    *   - `n_files`, `bytes` — the physical layout (a driver-side
+    *     directory listing, the same enumeration every maintenance
+    *     pass performs)
+    *   - `n_rows`, `n_distinct`, `dup_rows`, `bloat_ppm` — actual
+    *     content (one hash-column scan + distinct; bloat_ppm =
+    *     dup_rows·10⁶/n_rows)
+    *   - `n_urls_appended` — the manifest freshness counter, for
+    *     comparing "what writers believe" against the scan
+    *
+    * The [[graft.sinks.Writers.compactPartitionedTable]] reporting
+    * convention: facts a maintenance job logs, not a new contract.
+    */
+  def frontierIndexStats(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import spark.implicits._
+    graft.sinks.Pruning.requireIndexParams(spark, path, "frontier",
+      Map.empty)
+    val urlsDir = new org.apache.hadoop.fs.Path(s"$path/urls")
+    val fs = urlsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = if (fs.exists(urlsDir))
+      fs.listStatus(urlsDir).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      } else Array.empty[org.apache.hadoop.fs.FileStatus]
+    val appended = graft.sinks.Pruning.readIndexMeta(spark, path)
+      .flatMap(_.params.get("n_urls")).getOrElse(0L)
+    val (nRows, nDistinct) = if (files.isEmpty) (0L, 0L) else {
+      val r = spark.read.parquet(s"$path/urls")
+        .agg(count(lit(1)), count_distinct(col("h"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val bloat = if (nRows == 0) 0L else (nRows - nDistinct) * 1000000L / nRows
+    Seq((files.length.toLong, files.map(_.getLen).sum, nRows, nDistinct,
+      nRows - nDistinct, bloat, appended))
+      .toDF("n_files", "bytes", "n_rows", "n_distinct", "dup_rows",
+        "bloat_ppm", "n_urls_appended")
+  }
+
+  /** Rewrite the frontier's hash set as its DISTINCT rows in one file
+    * batch — the remedy [[appendToFrontierIndex]] names for append
+    * bloat. Read-transparent by construction: probes are hash joins,
+    * and the distinct set is the same set. Crash-safe via the
+    * [[graft.sinks.Writers.compactParquet]] discipline (same lock
+    * file, staged write, publish by two metadata-only renames); a
+    * crash never loses the set, a crashed lock must be removed
+    * manually after verifying no writer is live. Single-writer by the
+    * index's own contract. Returns (rows_before, rows_after).
+    */
+  def compactFrontierIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    graft.sinks.Pruning.requireIndexParams(spark, path, "frontier",
+      Map.empty)
+    import org.apache.hadoop.fs.Path
+    val dst = new Path(s"$path/urls")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(s"$path/urls.compact.lock")
+    graft.sinks.Writers.acquireSwapLock(fs, lock, "compactFrontierIndex")
+    var keepLock = false
+    try {
+      val before = spark.read.parquet(dst.toString)
+      val beforeRows = before.count()
+      val distinctDf = before.select(col("h")).distinct()
+        .localCheckpoint(true)
+      val afterRows = distinctDf.count()
+      val bytes = fs.getContentSummary(dst).getLength
+      // distinct rows shrink by the dup share; size the file count off
+      // the deduped estimate so a heavily-bloated index compacts to
+      // proportionally fewer files
+      val estBytes = if (beforeRows == 0) bytes
+        else bytes * afterRows / math.max(beforeRows, 1L)
+      val nFiles = math.max(1L,
+        (estBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val (tmp, bak) = graft.sinks.Writers.swapPaths(dst)
+      distinctDf.repartition(nFiles)
+        .write.mode("overwrite").parquet(tmp.toString)
+      graft.sinks.Writers.publishByRename(fs, dst, tmp, bak,
+        "compactFrontierIndex", onUnrecovered = () => keepLock = true)
+      (beforeRows, afterRows)
+    } finally if (!keepLock) { fs.delete(lock, false); () }
+  }
+
   /** Probe a new batch against the persisted frontier: per input row,
     * (idCol, canonical_url, is_url, in_index, dup_in_batch, fetch)
     * where `fetch` = a parseable URL, never seen by the index, and

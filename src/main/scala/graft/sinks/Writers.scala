@@ -30,7 +30,7 @@ object Writers {
     * enforced externally. Throws IllegalStateException when the lock
     * is already held.
     */
-  private def acquireSwapLock(
+  private[graft] def acquireSwapLock(
       fs: org.apache.hadoop.fs.FileSystem,
       lock: org.apache.hadoop.fs.Path, what: String): Unit = {
     def fail(cause: Throwable): Nothing =

@@ -122,6 +122,51 @@ class CrawlStorySpec extends SparkSpec {
       s"robots leak must evict page 4 via the lower-id twin: $leaked")
   }
 
+  test("mid-crawl frontier-index compaction: bloat gauge, read-" +
+      "transparent rewrite, crawl continues") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-fcompact")
+      .toString
+    def urls(ids: Range, tag: String) =
+      ids.map(i => (i.toLong, s"https://h${i % 7}.example.com/$tag/$i"))
+        .toDF("id", "url")
+    // a rolling crawl: the index accretes appends whose hash sets
+    // overlap heavily (every batch re-appends the first batch's URLs
+    // — dup HASHES, the documented byte cost)
+    Urls.writeFrontierIndex(urls(0 until 50, "a"), "url", tmp)
+    (1 to 4).foreach { _ =>
+      Urls.appendToFrontierIndex(urls(0 until 50, "a"), "url", tmp)
+    }
+    val bloated = Urls.frontierIndexStats(spark, tmp).collect()(0)
+    assert(bloated.getAs[Long]("n_rows") == 250L)
+    assert(bloated.getAs[Long]("n_distinct") == 50L)
+    assert(bloated.getAs[Long]("dup_rows") == 200L)
+    assert(bloated.getAs[Long]("bloat_ppm") == 800000L)
+    assert(bloated.getAs[Long]("n_urls_appended") == 250L)
+    assert(bloated.getAs[Long]("n_files") > 1L)
+
+    // probe results must be IDENTICAL before and after the rewrite
+    val batch = urls(25 until 75, "a")
+    def probe() = Urls.probeFrontier(spark, tmp, batch, "id", "url")
+      .collect().map(r => (r.getLong(0), r.getBoolean(5))).toSet
+    val before = probe()
+    val (nb, na) = Urls.compactFrontierIndex(spark, tmp)
+    assert(nb == 250L && na == 50L)
+    assert(probe() == before, "compaction changed probe results")
+    val clean = Urls.frontierIndexStats(spark, tmp).collect()(0)
+    assert(clean.getAs[Long]("n_rows") == 50L)
+    assert(clean.getAs[Long]("dup_rows") == 0L)
+    assert(clean.getAs[Long]("bloat_ppm") == 0L)
+
+    // and the crawl continues over the compacted index: a fresh batch
+    // appends and the next probe sees it
+    Urls.appendToFrontierIndex(urls(100 until 110, "b"), "url", tmp)
+    val again = Urls.probeFrontier(spark, tmp,
+        urls(100 until 110, "b"), "id", "url")
+      .filter(col("fetch")).count()
+    assert(again == 0L, "post-compaction append not visible to probes")
+  }
+
   test("budget gate: a dropped domain's span donor never scrubs the survivor") {
     val spanS = "every copy of this syndicated notice is identical. " +
       "the notice repeats exactly three sentences verbatim. " +
