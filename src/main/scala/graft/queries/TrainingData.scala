@@ -7162,14 +7162,12 @@ object TrainingData {
     * specificity, and the integer millisecond arithmetic
     * (floor ≡ Spark's non-negative cast).
     */
-  def q257CrawlDelaySchedule(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
-    val host = concat(lit("www."), col("source"), lit(".example.com"))
-    val urls = docs.select(col("doc_id"),
-      concat(lit("https://"), host, lit("/p"),
-        col("doc_id").cast("string")).as("url"))
+  /** The q257 robots-delay fixture (Spark side) — shared with the
+    * q262 dispatch composition; the DuckDB twin is
+    * [[duckDelayRobotsFixture]]. */
+  private def delayRobotsFixture(s: SparkSession, dir: String): DataFrame = {
     val srcNum = expr("CAST(substring(source, 4) AS INT)")
-    val robots = Tables.documents(s, dir).select(col("source")).distinct()
+    Tables.documents(s, dir).select(col("source")).distinct()
       .filter(srcNum % 7 =!= 3)
       .select(concat(lit("www."), col("source"), lit(".example.com"))
           .as("host"),
@@ -7190,18 +7188,27 @@ object TrainingData {
           when(srcNum % 4 === 2 && srcNum % 3 =!= 0, lit(
             "\nUser-agent: graftbot\nDisallow: /y\n")).otherwise(lit("")))
           .as("robots_txt"))
+  }
+
+  def q257CrawlDelaySchedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val urls = docs.select(col("doc_id"),
+      concat(lit("https://"), host, lit("/p"),
+        col("doc_id").cast("string")).as("url"))
     val delays = graft.operators.Urls.crawlDelays(
-      robots, "host", "robots_txt", agent = "graftbot")
+      delayRobotsFixture(s, dir), "host", "robots_txt",
+      agent = "graftbot")
     graft.operators.Urls.politenessSchedule(
         urls, "doc_id", "url", delays, "host")
       .orderBy("doc_id")
   }
 
-  val q257Sql: String =
-    s"""WITH u AS (
-       |  SELECT doc_id, 'www.' || source || '.example.com' AS host
-       |  FROM documents),
-       |rb AS (
+  /** The q257 robots-delay fixture (CTE `rb`, (host, txt)) in DuckDB's
+    * dialect — shared by q257 and the q262 dispatch composition so
+    * the fixture cannot drift between them. */
+  private val duckDelayRobotsFixture: String =
+    s"""rb AS (
        |  SELECT 'www.' || source || '.example.com' AS host,
        |    'User-agent: Googlebot' || chr(10) || 'Crawl-delay: 9' ||
        |      chr(10) || chr(10) ||
@@ -7221,8 +7228,15 @@ object TrainingData {
        |          THEN chr(10) || 'User-agent: graftbot' || chr(10) ||
        |               'Disallow: /y' || chr(10) ELSE '' END) AS txt
        |  FROM (SELECT DISTINCT source FROM documents)
-       |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3),
-       |lns AS (
+       |  WHERE CAST(substr(source, 4) AS INT) % 7 <> 3)""".stripMargin
+
+  /** [[graft.operators.Urls.crawlDelays]] replayed for agent
+    * `graftbot` over a CTE `rb`(host, txt): group segmentation,
+    * all-groups specificity (with the implicit gid-0 '*' group), and
+    * max-delay selection — yields `del`(host, delay). Shared by q257
+    * and q262. */
+  private val duckDelayCtes: String =
+    s"""lns AS (
        |  SELECT host, CAST(u2.i AS INTEGER) AS ln, l[u2.i] AS line
        |  FROM (SELECT host, string_split_regex(txt, '\\r?\\n') AS l FROM rb),
        |    unnest(range(1, len(l) + 1)) AS u2(i)),
@@ -7271,7 +7285,14 @@ object TrainingData {
        |del AS (
        |  SELECT d0.host, max(d0.d) AS delay
        |  FROM d0 JOIN ddmax ON ddmax.host = d0.host
-       |  WHERE d0.best = ddmax.dmax GROUP BY d0.host),
+       |  WHERE d0.best = ddmax.dmax GROUP BY d0.host)""".stripMargin
+
+  val q257Sql: String =
+    s"""WITH u AS (
+       |  SELECT doc_id, 'www.' || source || '.example.com' AS host
+       |  FROM documents),
+       |$duckDelayRobotsFixture,
+       |$duckDelayCtes,
        |sched AS (
        |  SELECT doc_id, host,
        |    CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
@@ -7283,6 +7304,125 @@ object TrainingData {
        |    AS BIGINT) AS fetch_offset_ms
        |FROM sched s LEFT JOIN del ON del.host = s.host
        |ORDER BY s.doc_id""".stripMargin
+
+  /** Per-host SHARDED politeness dispatch — the fetch-side
+    * composition that turns a frontier fetch log into a runnable
+    * crawl plan: [[graft.streaming.FrontierIngest.ingestBatch]]
+    * (discovery batch probed against yesterday's index; respellings
+    * drop via the index, tracking twins via in-batch keep-first) →
+    * [[graft.operators.Urls.crawlDelays]] over the q257 robots
+    * fixture (per-agent groups, crawling as graftbot) →
+    * [[graft.operators.Urls.politenessSchedule]] over the LOG rows
+    * (host-local fetch slots at exact integer millisecond offsets) →
+    * [[graft.operators.Sampling.rendezvousAssign]] on the HOST, so
+    * each host's queue lands wholly on one of four fetcher shards and
+    * politeness is enforceable per fetcher with no cross-shard
+    * coordination. The oracle replays all four stages: frontier
+    * keep-first through the shared q244 parser, the shared delay
+    * CTEs, the rank/offset arithmetic, and the rendezvous
+    * (md5-argmax) shard pick. Scale: the dispatch for a 100 TB
+    * frontier is one probe join + one host-keyed window + a
+    * |shards|-way hash argmax projection — embarrassingly
+    * host-parallel end to end.
+    */
+  def q262PoliteDispatch(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.FrontierIngest
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    def u(idc: org.apache.spark.sql.Column) =
+      concat(lit("https://"), host, lit("/d/"), idc.cast("string"))
+    val crawled = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(u(col("doc_id")).as("url"))
+    val twins = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      .select((col("doc_id") + 500000).as("page_id"),
+        concat(u(col("doc_id")), lit("?utm_x=1")).as("url"))
+    val batch = docs
+      .select(col("doc_id").as("page_id"), u(col("doc_id")).as("url"))
+      .unionByName(twins)
+    val idxPath = scratchPath("q262_idx", dir)
+    val logPath = scratchPath("q262_log", dir)
+    Seq(idxPath, logPath).foreach { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(hp, true): Unit
+    }
+    graft.operators.Urls.writeFrontierIndex(crawled, "url", idxPath)
+    FrontierIngest.ingestBatch(batch, idxPath, logPath,
+      "page_id", "url"): Unit
+    val log = s.read.parquet(logPath)
+    val robots = delayRobotsFixture(s, dir)
+    val delays = graft.operators.Urls.crawlDelays(
+      robots, "host", "robots_txt", agent = "graftbot")
+    // the delay table is bounded by the robots corpus: hint the guard
+    // with the host count instead of paying a count of the parse
+    val sched = graft.operators.Urls.politenessSchedule(
+      log, "page_id", "url", delays, "host",
+      delaysCountHint = Some(robots.count()))
+    graft.operators.Sampling.rendezvousAssign(sched, "host",
+        Seq("cr-a", "cr-b", "cr-c", "cr-d"))
+      .select(col("page_id"), col("host"), col("shard"),
+        col("fetch_seq"), col("fetch_offset_ms"))
+      .orderBy("page_id")
+  }
+
+  val q262Sql: String = {
+    val shardHash =
+      "('0x' || substr(md5(host || ':' || sh), 1, 15))::BIGINT"
+    s"""WITH cr AS (
+       |  SELECT doc_id,
+       |    'https://www.' || source || '.example.com/d/' ||
+       |      CAST(doc_id AS VARCHAR) AS u
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |b AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    'https://www.' || source || '.example.com/d/' ||
+       |      CAST(doc_id AS VARCHAR) AS u
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 500000,
+       |    'https://www.' || source || '.example.com/d/' ||
+       |      CAST(doc_id AS VARCHAR) || '?utm_x=1'
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |${duckCanonicalCtes("cr", "cr")},
+       |${duckCanonicalCtes("b", "b")},
+       |k AS (
+       |  SELECT c.doc_id, c.canonical_url
+       |  FROM canonb c
+       |  JOIN (SELECT canonical_url, min(doc_id) AS fid
+       |        FROM canonb WHERE canonical_url IS NOT NULL
+       |        GROUP BY canonical_url) f
+       |    ON f.canonical_url = c.canonical_url AND c.doc_id = f.fid
+       |  WHERE c.canonical_url NOT IN
+       |    (SELECT canonical_url FROM canoncr
+       |     WHERE canonical_url IS NOT NULL)),
+       |$duckDelayRobotsFixture,
+       |$duckDelayCtes,
+       |lg AS (
+       |  SELECT k.doc_id AS page_id,
+       |    regexp_extract(k.canonical_url, '^https://([^/]*)', 1) AS host
+       |  FROM k),
+       |sched AS (
+       |  SELECT page_id, host,
+       |    CAST(row_number() OVER (PARTITION BY host ORDER BY page_id)
+       |      AS INTEGER) AS fetch_seq
+       |  FROM lg),
+       |pick AS (
+       |  SELECT host, sh AS shard FROM (
+       |    SELECT host, sh, row_number() OVER (PARTITION BY host
+       |      ORDER BY $shardHash DESC, sh DESC) AS rn
+       |    FROM (SELECT DISTINCT host FROM lg)
+       |    CROSS JOIN (VALUES ('cr-a'), ('cr-b'), ('cr-c'), ('cr-d'))
+       |      t(sh))
+       |  WHERE rn = 1)
+       |SELECT s.page_id, s.host, p.shard, s.fetch_seq,
+       |  CAST(CAST(s.fetch_seq - 1 AS BIGINT) *
+       |    CAST(floor(coalesce(del.delay, 1.0) * 1000) AS BIGINT)
+       |    AS BIGINT) AS fetch_offset_ms
+       |FROM sched s
+       |JOIN pick p ON p.host = s.host
+       |LEFT JOIN del ON del.host = s.host
+       |ORDER BY s.page_id""".stripMargin
+  }
 
   /** Sitemap seeding ([[graft.operators.Urls.sitemapPointers]] +
     * [[graft.operators.Urls.sitemapLocs]]): `Sitemap:` pointers are
@@ -8193,6 +8333,7 @@ object TrainingData {
     "q259_streaming_frontier" -> q259StreamingFrontier _,
     "q260_link_resolve" -> q260LinkResolve _,
     "q261_crawl_loop"     -> q261CrawlLoop _,
+    "q262_polite_dispatch" -> q262PoliteDispatch _,
     "q258_sitemap_seeds" -> q258SitemapSeeds _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
@@ -8322,6 +8463,7 @@ object TrainingData {
     "q259_streaming_frontier" -> q259Sql,
     "q260_link_resolve" -> q260Sql,
     "q261_crawl_loop"     -> q261Sql,
+    "q262_polite_dispatch" -> q262Sql,
     "q258_sitemap_seeds" -> q258Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,

@@ -65,16 +65,16 @@ object ScaleData {
     // k ≡ k+ring produced IDENTICAL text — the round-9 sf3 sweep
     // caught q112 measuring 4 pairs of duplicated corpora instead of
     // a 30× corpus). Ring = a-z0-9 (36) + Latin-1 letters À..ÿ minus
-    // ×/÷ (62) + Latin-Extended-A Ā.. (30) = 128 chars, supporting the
-    // round-10 ask's 100-copy (sf10) probe. Source text is
-    // letters-only, so any two distinct rotations share no token;
-    // letters mapping into digits/accented letters is fine for
-    // bench-only fixtures (char lengths, whitespace, and token
-    // boundaries preserved — Spark string ops are char-based).
+    // ×/÷ (62) + Latin Extended-A/B Ā..ǿ (256) = 354 chars,
+    // supporting the round-14 ask's 300-copy (sf30) probe. Source
+    // text is letters-only, so distinct rotations produce distinct
+    // token images; letters mapping into digits/accented letters is
+    // fine for bench-only fixtures (char lengths, whitespace, and
+    // token boundaries preserved — Spark string ops are char-based).
     val alpha = "abcdefghijklmnopqrstuvwxyz0123456789" +
       (0xC0 to 0xFF).filter(c => c != 0xD7 && c != 0xF7)
         .map(_.toChar).mkString +
-      (0x100 until 0x11E).map(_.toChar).mkString
+      (0x100 until 0x200).map(_.toChar).mkString
     require(copies <= alpha.length,
       s"text rotation ring supports at most ${alpha.length} disjoint copies, got $copies")
     write(replicate(read("documents"), copies) { (d, k) =>
