@@ -94,22 +94,35 @@ object Urls {
     * exchanges.
     */
   private[graft] def pctNormalize(s: Column): Column = {
-    val hexDigits = array("0123456789ABCDEF".map(c => lit(c.toString)): _*)
     val printable = (32 to 126).map(_.toChar).mkString
+    // hex-digit value from codepoint arithmetic (ascii of the
+    // uppercased char; -1 = not a hex digit) — a compact expression
+    // tree matters here: this lambda inlines several times per
+    // canonicalize, and an earlier array-lookup formulation measurably
+    // inflated plan compile time on canonicalize-heavy queries
+    def hexVal(ch: Column): Column = {
+      val a = ascii(ch)
+      when(a >= 48 && a <= 57, a - 48)
+        .when(a >= 65 && a <= 70, a - 55)
+        .otherwise(lit(-1))
+    }
     val parts = split(s, "%", -1)
     val fixed = transform(
       slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), { p =>
         val d1 = upper(p.substr(lit(1), lit(1)))
         val d2 = upper(p.substr(lit(2), lit(1)))
-        val n1 = array_position(hexDigits, d1)
-        val n2 = array_position(hexDigits, d2)
-        val n = ((n1 - 1) * 16 + (n2 - 1)).cast(IntegerType)
-        val valid = n1 > 0 && n2 > 0
-        val unreserved = (n >= 48 && n <= 57) || (n >= 65 && n <= 90) ||
-          (n >= 97 && n <= 122) || n.isin(45, 46, 95, 126)
+        val n1 = hexVal(d1)
+        val n2 = hexVal(d2)
+        val n = (n1 * 16 + n2).cast(IntegerType)
+        val valid = n1 >= 0 && n2 >= 0
+        val decoded = lit(printable).substr(n - 31, lit(1))
         val rest = p.substr(lit(3), length(p))
-        when(valid && unreserved,
-          concat(lit(printable).substr(n - 31, lit(1)), rest))
+        // n >= 45 ('-', the smallest unreserved code) keeps the
+        // substr position strictly positive: a negative position
+        // counts from the END of the lookup string, which would make
+        // a control-char escape like %1E masquerade as '~'
+        when(valid && n >= 45 && decoded.rlike("^[A-Za-z0-9._~-]$"),
+          concat(decoded, rest))
           .when(valid, concat(lit("%"), d1, d2, rest))
           .otherwise(concat(lit("%"), p))
       })

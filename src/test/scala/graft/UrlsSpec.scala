@@ -85,6 +85,10 @@ class UrlsSpec extends SparkSpec {
     assert(canon("https://e.com/a%").getString(0) == "https://e.com/a%")
     assert(canon("https://e.com/a%%41").getString(0)
       == "https://e.com/a%A")
+    // control-char escapes uppercase but NEVER decode (%1e is not
+    // unreserved; a lookup off the low end must not alias into '~')
+    assert(canon("https://e.com/a%1e%0a").getString(0)
+      == "https://e.com/a%1E%0A")
   }
 
   test("param keys compare case-insensitively for tracking, byte-order for sort") {
