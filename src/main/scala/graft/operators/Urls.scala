@@ -126,7 +126,12 @@ object Urls {
           .when(valid, concat(lit("%"), d1, d2, rest))
           .otherwise(concat(lit("%"), p))
       })
-    concat(element_at(parts, 1), array_join(fixed, ""))
+    // fast path: most URLs carry no '%' at all — CaseWhen evaluates
+    // branches lazily per row, so the split/transform machinery only
+    // runs on rows that actually contain an escape
+    when(s.contains("%"),
+      concat(element_at(parts, 1), array_join(fixed, "")))
+      .otherwise(s)
   }
 
   /** Query params surviving the tracking filter, sorted. */
