@@ -7424,6 +7424,129 @@ object TrainingData {
        |ORDER BY s.page_id""".stripMargin
   }
 
+  /** Crawl-frontier PRIORITIZATION — what a budgeted crawler fetches
+    * FIRST: deterministic integer PageRank
+    * ([[graft.operators.Graph.pageRank]], the q93 fixed-point recipe)
+    * over the link graph that extraction discovers
+    * ([[graft.operators.Urls.extractHrefs]] →
+    * [[graft.operators.Urls.resolveUrl]] →
+    * [[graft.operators.Urls.canonicalize]]), node ids the 60-bit
+    * canonical-URL hashes the frontier index already keys on.
+    * Self-edges (a page's fragment links and tracking respellings
+    * canonicalize onto the page itself) are dropped; hub pages
+    * (`/art/K`, cited by every seed with id ≡ K mod 40 on its host)
+    * must outrank leaf pages, and the output carries each host's
+    * priority order (rank desc, url — a HOST-KEYED window, never a
+    * global sort). The oracle builds the same edge set, replays all
+    * three integer PR iterations in SQL (the q93 discipline — any
+    * truncation or double-counted edge shifts rank units and breaks
+    * the hash), and re-ranks per host.
+    *
+    * Scale: edges are one row-local extraction projection; PageRank
+    * is the q93 shape (node-sized keyed exchanges per iteration);
+    * the priority window is host-keyed. A 100 TB frontier
+    * prioritization is the same plan with more partitions.
+    */
+  def q263CrawlPriority(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val id = col("doc_id").cast("string")
+    val pageUrl = concat(lit("https://"), host, lit("/s/"), id)
+    val html = concat(
+      lit("<html><body><a href=\"/art/"),
+      pmod(col("doc_id"), lit(40)).cast("string"),
+      lit("\">a</a><a href='p"), id,
+      lit("'>b</a><a href=\"/s/"), id, lit("?utm_r=1\">c</a>"),
+      lit("<a href='#top'>d</a></body></html>"))
+    val links = docs.select(pageUrl.as("src_url"), html.as("html"))
+      .select(col("src_url"),
+        explode(graft.operators.Urls.extractHrefs(col("html")))
+          .as("_href"))
+      .select(col("src_url"),
+        graft.operators.Urls.resolveUrl(col("src_url"), col("_href"))
+          .as("dst_url"))
+    val pairs = links.select(
+        graft.operators.Urls.canonicalize(col("src_url"))
+          .getField("canonical_url").as("src_c"),
+        graft.operators.Urls.canonicalize(col("dst_url"))
+          .getField("canonical_url").as("dst_c"))
+      .filter(col("src_c").isNotNull && col("dst_c").isNotNull &&
+        col("src_c") =!= col("dst_c"))
+    def h(c: org.apache.spark.sql.Column) =
+      graft.functions.TextFunctions.md5Hash60(c)
+    val ranks = graft.operators.Graph.pageRank(
+      pairs.select(h(col("src_c")).as("src"), h(col("dst_c")).as("dst")),
+      "src", "dst", iters = 3)
+    val urls = pairs.select(col("src_c").as("canonical_url"))
+      .unionByName(pairs.select(col("dst_c").as("canonical_url")))
+      .distinct()
+    urls.withColumn("_h", h(col("canonical_url")))
+      .join(ranks.withColumnRenamed("id", "_h"), Seq("_h"))
+      .withColumn("host",
+        regexp_extract(col("canonical_url"), "^https://([^/]*)", 1))
+      .withColumn("host_priority", row_number().over(
+        Window.partitionBy(col("host"))
+          .orderBy(col("rank").desc, col("canonical_url"))))
+      .select(col("canonical_url"), col("host"),
+        col("rank").as("rank_fp"), col("host_priority"))
+      .orderBy("canonical_url")
+  }
+
+  val q263Sql: String = {
+    // one integer PageRank step (the q93 replay): DIV-truncated
+    // per-edge shares, per-dst sums, rational 85/100 damping
+    def prStep(prev: String, out: String): String =
+      s"""s_$out AS (
+         |  SELECT e.dst AS id, sum(p.r // o.deg) AS insum
+         |  FROM edges e JOIN $prev p ON p.id = e.src
+         |  JOIN outdeg o ON o.id = e.src
+         |  GROUP BY e.dst),
+         |$out AS (
+         |  SELECT n.id,
+         |    CAST((SELECT (100 - 85) * unit // 100 FROM params) +
+         |         (85 * COALESCE(s.insum, 0)) // 100 AS BIGINT) AS r
+         |  FROM nodes n LEFT JOIN s_$out s ON s.id = n.id)""".stripMargin
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    'https://www.' || source || '.example.com' AS org
+       |  FROM documents),
+       |ec AS (
+       |  SELECT DISTINCT
+       |    org || '/s/' || CAST(doc_id AS VARCHAR) AS sc,
+       |    org || '/art/' || CAST(doc_id % 40 AS VARCHAR) AS dc
+       |  FROM d
+       |  UNION
+       |  SELECT DISTINCT
+       |    org || '/s/' || CAST(doc_id AS VARCHAR),
+       |    org || '/s/p' || CAST(doc_id AS VARCHAR)
+       |  FROM d),
+       |edges AS (
+       |  SELECT DISTINCT ('0x' || substr(md5(sc), 1, 15))::BIGINT AS src,
+       |    ('0x' || substr(md5(dc), 1, 15))::BIGINT AS dst
+       |  FROM ec),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |params AS (
+       |  SELECT CAST(1000000000000 // count(*) AS BIGINT) AS unit
+       |  FROM nodes),
+       |outdeg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT id, (SELECT unit FROM params) AS r FROM nodes),
+       |${prStep("r0", "r1")},
+       |${prStep("r1", "r2")},
+       |${prStep("r2", "r3")},
+       |urls AS (SELECT sc AS cu FROM ec UNION SELECT dc FROM ec),
+       |j AS (
+       |  SELECT u.cu AS canonical_url,
+       |    regexp_extract(u.cu, '^https://([^/]*)', 1) AS host, r.r
+       |  FROM urls u
+       |  JOIN r3 r ON r.id = ('0x' || substr(md5(u.cu), 1, 15))::BIGINT)
+       |SELECT canonical_url, host, CAST(r AS BIGINT) AS rank_fp,
+       |  CAST(row_number() OVER (PARTITION BY host
+       |    ORDER BY r DESC, canonical_url) AS INTEGER) AS host_priority
+       |FROM j
+       |ORDER BY canonical_url""".stripMargin
+  }
+
   /** Sitemap seeding ([[graft.operators.Urls.sitemapPointers]] +
     * [[graft.operators.Urls.sitemapLocs]]): `Sitemap:` pointers are
     * GLOBAL lines (no agent group) extracted per host; each pointed
@@ -8334,6 +8457,7 @@ object TrainingData {
     "q260_link_resolve" -> q260LinkResolve _,
     "q261_crawl_loop"     -> q261CrawlLoop _,
     "q262_polite_dispatch" -> q262PoliteDispatch _,
+    "q263_crawl_priority" -> q263CrawlPriority _,
     "q258_sitemap_seeds" -> q258SitemapSeeds _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
@@ -8464,6 +8588,7 @@ object TrainingData {
     "q260_link_resolve" -> q260Sql,
     "q261_crawl_loop"     -> q261Sql,
     "q262_polite_dispatch" -> q262Sql,
+    "q263_crawl_priority" -> q263Sql,
     "q258_sitemap_seeds" -> q258Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,

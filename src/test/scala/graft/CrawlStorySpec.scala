@@ -122,6 +122,41 @@ class CrawlStorySpec extends SparkSpec {
       s"robots leak must evict page 4 via the lower-id twin: $leaked")
   }
 
+  test("crawl priority: a hub cited by every page outranks leaf pages " +
+      "on its host") {
+    import spark.implicits._
+    import graft.functions.TextFunctions.md5Hash60
+    // five pages on one host all cite /hub; each also has one unique
+    // leaf child. PageRank over the canonical link graph must put the
+    // hub at host_priority 1
+    val pages = (0 until 5).map { i =>
+      (s"https://h.example.com/s/$i",
+        s"""<a href="/hub">h</a><a href='leaf$i'>l</a>""" +
+          s"""<a href="/s/$i#top">self</a>""")
+    }.toDF("url", "html")
+    val links = pages.select(col("url").as("src_url"),
+        explode(Urls.extractHrefs(col("html"))).as("_href"))
+      .select(col("src_url"),
+        Urls.resolveUrl(col("src_url"), col("_href")).as("dst_url"))
+    val pairs = links.select(
+        Urls.canonicalize(col("src_url")).getField("canonical_url")
+          .as("src_c"),
+        Urls.canonicalize(col("dst_url")).getField("canonical_url")
+          .as("dst_c"))
+      .filter(col("src_c") =!= col("dst_c"))
+    val ranks = graft.operators.Graph.pageRank(
+      pairs.select(md5Hash60(col("src_c")).as("src"),
+        md5Hash60(col("dst_c")).as("dst")), "src", "dst", iters = 3)
+    val hubRank = ranks.filter(col("id") ===
+        md5Hash60(lit("https://h.example.com/hub"))).head.getLong(1)
+    val leafRank = ranks.filter(col("id") ===
+        md5Hash60(lit("https://h.example.com/s/leaf0"))).head.getLong(1)
+    assert(hubRank > leafRank,
+      s"hub ($hubRank) must outrank a leaf ($leafRank)")
+    // self-links (fragment) were dropped: no self-edge in the graph
+    assert(pairs.filter(col("src_c") === col("dst_c")).count() == 0)
+  }
+
   test("mid-crawl frontier-index compaction: bloat gauge, read-" +
       "transparent rewrite, crawl continues") {
     import spark.implicits._
