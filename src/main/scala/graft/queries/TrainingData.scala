@@ -7466,6 +7466,11 @@ object TrainingData {
       .select(col("src_url"),
         graft.operators.Urls.resolveUrl(col("src_url"), col("_href"))
           .as("dst_url"))
+    // materialized: the extraction→resolution→canonicalization chain
+    // is a large expression tree referenced by the edge build, the
+    // node-id map-back, and every PageRank iteration's lineage —
+    // without a boundary it re-executes (and re-compiles) per
+    // consumer (the q254 frontier rationale)
     val pairs = links.select(
         graft.operators.Urls.canonicalize(col("src_url"))
           .getField("canonical_url").as("src_c"),
@@ -7473,6 +7478,7 @@ object TrainingData {
           .getField("canonical_url").as("dst_c"))
       .filter(col("src_c").isNotNull && col("dst_c").isNotNull &&
         col("src_c") =!= col("dst_c"))
+      .localCheckpoint(true)
     def h(c: org.apache.spark.sql.Column) =
       graft.functions.TextFunctions.md5Hash60(c)
     val ranks = graft.operators.Graph.pageRank(
