@@ -423,6 +423,87 @@ object Urls {
         }.as("loc_url"))
   }
 
+  /** Full `<url>` entries of sitemap XML (sitemaps.org §XML format):
+    * one row per entry with the OPTIONAL hint fields —
+    * (keyCol, loc_url, lastmod, changefreq, priority_ppm) — null when
+    * absent; loc whitespace-trimmed and entity-unescaped exactly like
+    * [[sitemapLocs]]; changefreq lowercased; priority parsed through
+    * DECIMAL so `0.7` is exactly 700000 ppm on every engine (a double
+    * multiply truncates 0.7·10⁶ to 699999). Row-local extract-all +
+    * per-block extracts — zero exchanges.
+    */
+  def sitemapEntries(sitemaps: DataFrame, keyCol: String,
+      xmlCol: String): DataFrame = {
+    def field(b: Column, tag: String): Column =
+      regexp_extract(b, s"(?is)<$tag[ \\t]*>(.*?)</$tag[ \\t]*>", 1)
+    val unescaped = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+    val block = explode(regexp_extract_all(col(xmlCol),
+      lit("(?is)<url[ \\t]*>(.*?)</url[ \\t]*>"), lit(1)))
+    def optional(c: Column): Column =
+      when(c === "", lit(null).cast(StringType)).otherwise(c)
+    sitemaps.select(col(keyCol), block.as("_b"))
+      .select(col(keyCol),
+        unescaped.foldLeft(trim(field(col("_b"), "loc"))) {
+          case (c, (e, r)) => regexp_replace(c, e, r)
+        }.as("loc_url"),
+        optional(trim(field(col("_b"), "lastmod"))).as("lastmod"),
+        optional(lower(trim(field(col("_b"), "changefreq"))))
+          .as("changefreq"),
+        (optional(trim(field(col("_b"), "priority")))
+          .cast("decimal(10,6)") * 1000000).cast("long")
+          .as("priority_ppm"))
+  }
+
+  /** Recrawl due-ness from sitemap hints — the freshness half of a
+    * rolling crawl's scheduling: per entry, the hint interval from
+    * `changefreq` (always=0 s, hourly, daily, weekly, monthly=30 d,
+    * yearly=365 d; missing or unrecognized values default to DAILY —
+    * the common crawler reading; `never` means never due from hints),
+    * the lastmod epoch (W3C date `yyyy-MM-dd` or UTC datetime
+    * `yyyy-MM-dd'T'HH:mm:ssZ` — other offsets are out of scope,
+    * documented), and the verdict:
+    *
+    *   - `never` → is_due false
+    *   - no parseable lastmod → is_due TRUE (no freshness info =
+    *     fetch) with a null due_epoch
+    *   - else due_epoch = lastmod + interval, is_due = due_epoch ≤
+    *     `asOfEpochSec`
+    *
+    * `asOfEpochSec` is caller-supplied (never wall-clock — the same
+    * determinism rule as every operator here). One row-local
+    * projection; session time zone is UTC by [[graft.GraftSession]]
+    * convention, so the epoch arithmetic replays on any engine.
+    */
+  def recrawlDue(entries: DataFrame, lastmodCol: String,
+      changefreqCol: String, asOfEpochSec: Long): DataFrame = {
+    val cf = col(changefreqCol)
+    val lm = col(lastmodCol)
+    // try_to_timestamp: malformed lastmod must yield NULL (= no
+    // freshness info), never an ANSI parse error
+    val lmEpoch = unix_timestamp(when(length(lm) === 10,
+        try_to_timestamp(lm, lit("yyyy-MM-dd")))
+      .otherwise(try_to_timestamp(
+        regexp_extract(lm, "^(.*)Z$", 1), lit("yyyy-MM-dd'T'HH:mm:ss"))))
+    val interval = when(cf === "always", 0L)
+      .when(cf === "hourly", 3600L)
+      .when(cf === "daily", 86400L)
+      .when(cf === "weekly", 604800L)
+      .when(cf === "monthly", 2592000L)
+      .when(cf === "yearly", 31536000L)
+      .when(cf === "never", lit(null).cast("long"))
+      .otherwise(86400L)
+    entries
+      .withColumn("interval_sec", interval)
+      .withColumn("due_epoch",
+        when(cf === "never", lit(null).cast("long"))
+          .otherwise(lmEpoch + col("interval_sec")))
+      .withColumn("is_due",
+        when(cf === "never", false)
+          .when(lmEpoch.isNull, true)
+          .otherwise(col("due_epoch") <= asOfEpochSec))
+  }
+
   /** Politeness schedule: given fetchable URLs and per-domain crawl
     * delays, assign each URL its host-local fetch slot —
     * (idCol, host, fetch_seq, fetch_offset_ms) where fetch_seq is the

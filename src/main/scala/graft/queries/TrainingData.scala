@@ -7641,6 +7641,145 @@ object TrainingData {
        |FROM un2 u2 JOIN canonsm c ON c.doc_id = u2.doc_id
        |ORDER BY u2.host, u2.loc_url""".stripMargin
 
+  /** Recrawl scheduling from sitemap freshness hints
+    * ([[graft.operators.Urls.sitemapEntries]] +
+    * [[graft.operators.Urls.recrawlDue]]): each host publishes one
+    * sitemap whose `<url>` entries cycle through every `changefreq`
+    * value (always→yearly, `never`, MISSING, and an unrecognized
+    * token — the last two default to daily), date-only and
+    * UTC-datetime `<lastmod>` forms plus missing lastmod (no
+    * freshness info → due), and sparse `<priority>` values parsed
+    * through DECIMAL (0.7 must be exactly 700000 ppm — a double
+    * multiply truncates). The oracle reassembles the same per-host
+    * XML (string_agg in entry order), re-extracts every block and
+    * field, and replays the interval map, the epoch arithmetic
+    * (session UTC on both engines), and all three due-ness branches.
+    * as-of is a FIXED epoch — wall-clock never enters the plan.
+    */
+  def q264RecrawlSchedule(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+    val id = col("doc_id").cast("string")
+    val host = concat(lit("www."), col("source"), lit(".example.com"))
+    val lastmod = when(pmod(col("doc_id"), lit(11)) === 5,
+        lit(null).cast(StringType))
+      .when(pmod(col("doc_id"), lit(4)) === 0,
+        concat(lit("2026-01-15T0"), pmod(col("doc_id"), lit(10)),
+          lit(":30:00Z")))
+      .otherwise(concat(lit("2026-0"), pmod(col("doc_id"), lit(6)) + 1,
+        lit("-1"), pmod(col("doc_id"), lit(3))))
+    val cf = element_at(typedLit(Seq("always", "hourly", "daily",
+      "weekly", "monthly", "yearly", "never", "", "sometimes")),
+      (pmod(col("doc_id"), lit(9)) + 1).cast(IntegerType))
+    val prio = when(pmod(col("doc_id"), lit(3)) === 0,
+        concat(lit("0."), pmod(col("doc_id"), lit(10))))
+      .otherwise(lit(null).cast(StringType))
+    val entry = concat(
+      lit("<url><loc>https://"), host, lit("/d/"), id, lit("</loc>"),
+      when(lastmod.isNotNull,
+        concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
+        .otherwise(lit("")),
+      when(cf =!= "",
+        concat(lit("<changefreq>"), cf, lit("</changefreq>")))
+        .otherwise(lit("")),
+      when(prio.isNotNull,
+        concat(lit("<priority>"), prio, lit("</priority>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+    val sitemaps = docs
+      .select(host.as("host"), col("doc_id"), entry.as("_e"))
+      .groupBy(col("host"))
+      .agg(concat(lit("<urlset>"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("doc_id").as("k"),
+            col("_e").as("e")))), x => x.getField("e")), ""),
+        lit("</urlset>")).as("xml"))
+    val entries = graft.operators.Urls.sitemapEntries(
+      sitemaps, "host", "xml")
+    graft.operators.Urls.recrawlDue(entries, "lastmod", "changefreq",
+        asOfEpochSec = 1780000000L)
+      .select(col("host"), col("loc_url"), col("lastmod"),
+        col("changefreq"), col("priority_ppm"), col("interval_sec"),
+        col("due_epoch"), col("is_due"))
+      .orderBy("host", "loc_url")
+  }
+
+  val q264Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, 'www.' || source || '.example.com' AS host,
+       |    CASE WHEN doc_id % 11 = 5 THEN NULL
+       |         WHEN doc_id % 4 = 0
+       |         THEN '2026-01-15T0' || CAST(doc_id % 10 AS VARCHAR) ||
+       |              ':30:00Z'
+       |         ELSE '2026-0' || CAST(doc_id % 6 + 1 AS VARCHAR) ||
+       |              '-1' || CAST(doc_id % 3 AS VARCHAR) END AS lm,
+       |    (['always','hourly','daily','weekly','monthly','yearly',
+       |      'never','','sometimes'])[CAST(doc_id % 9 AS INTEGER) + 1]
+       |      AS cf,
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN '0.' || CAST(doc_id % 10 AS VARCHAR)
+       |         ELSE NULL END AS pr
+       |  FROM documents),
+       |ent AS (
+       |  SELECT doc_id, host,
+       |    '<url><loc>https://' || host || '/d/' ||
+       |      CAST(doc_id AS VARCHAR) || '</loc>' ||
+       |    COALESCE('<lastmod>' || lm || '</lastmod>', '') ||
+       |    (CASE WHEN cf <> ''
+       |          THEN '<changefreq>' || cf || '</changefreq>'
+       |          ELSE '' END) ||
+       |    COALESCE('<priority>' || pr || '</priority>', '') ||
+       |    '</url>' AS e
+       |  FROM d),
+       |sm AS (
+       |  SELECT host,
+       |    '<urlset>' || string_agg(e, '' ORDER BY doc_id) ||
+       |      '</urlset>' AS xml
+       |  FROM ent GROUP BY host),
+       |blk AS (
+       |  SELECT host, unnest(regexp_extract_all(xml,
+       |    '(?is)<url[ \\t]*>(.*?)</url[ \\t]*>', 1)) AS b
+       |  FROM sm),
+       |fld AS (
+       |  SELECT host,
+       |    trim(regexp_extract(b, '(?is)<loc[ \\t]*>(.*?)</loc[ \\t]*>',
+       |      1)) AS loc_url,
+       |    NULLIF(trim(regexp_extract(b,
+       |      '(?is)<lastmod[ \\t]*>(.*?)</lastmod[ \\t]*>', 1)), '')
+       |      AS lastmod,
+       |    NULLIF(lower(trim(regexp_extract(b,
+       |      '(?is)<changefreq[ \\t]*>(.*?)</changefreq[ \\t]*>', 1))),
+       |      '') AS changefreq,
+       |    CAST(CAST(NULLIF(trim(regexp_extract(b,
+       |      '(?is)<priority[ \\t]*>(.*?)</priority[ \\t]*>', 1)), '')
+       |      AS DECIMAL(10,6)) * 1000000 AS BIGINT) AS priority_ppm
+       |  FROM blk),
+       |ep AS (
+       |  SELECT *,
+       |    CASE WHEN lastmod IS NULL THEN NULL
+       |         WHEN length(lastmod) = 10
+       |         THEN CAST(epoch(CAST(lastmod AS TIMESTAMP)) AS BIGINT)
+       |         ELSE CAST(epoch(strptime(regexp_extract(lastmod,
+       |           '^(.*)Z$$', 1), '%Y-%m-%dT%H:%M:%S')) AS BIGINT)
+       |         END AS lme,
+       |    CASE WHEN changefreq = 'always' THEN 0
+       |         WHEN changefreq = 'hourly' THEN 3600
+       |         WHEN changefreq = 'daily' THEN 86400
+       |         WHEN changefreq = 'weekly' THEN 604800
+       |         WHEN changefreq = 'monthly' THEN 2592000
+       |         WHEN changefreq = 'yearly' THEN 31536000
+       |         WHEN changefreq = 'never' THEN NULL
+       |         ELSE 86400 END AS interval_sec
+       |  FROM fld)
+       |SELECT host, loc_url, lastmod, changefreq, priority_ppm,
+       |  CAST(interval_sec AS BIGINT) AS interval_sec,
+       |  CAST(CASE WHEN changefreq = 'never' THEN NULL
+       |       ELSE lme + interval_sec END AS BIGINT) AS due_epoch,
+       |  CASE WHEN changefreq = 'never' THEN FALSE
+       |       WHEN lme IS NULL THEN TRUE
+       |       ELSE lme + interval_sec <= 1780000000 END AS is_due
+       |FROM ep
+       |ORDER BY host, loc_url""".stripMargin
+
   /** Semi-hard negative mining
     * ([[graft.operators.Selection.hardNegatives]]): anchors vec_id<20
     * with planted positives (partner = vec_id+20), top-5 semi-hard
@@ -8464,6 +8603,7 @@ object TrainingData {
     "q261_crawl_loop"     -> q261CrawlLoop _,
     "q262_polite_dispatch" -> q262PoliteDispatch _,
     "q263_crawl_priority" -> q263CrawlPriority _,
+    "q264_recrawl_schedule" -> q264RecrawlSchedule _,
     "q258_sitemap_seeds" -> q258SitemapSeeds _,
     "q250_robots_filter" -> q250RobotsFilter _,
     "q251_line_repetition" -> q251LineRepetition _,
@@ -8595,6 +8735,7 @@ object TrainingData {
     "q261_crawl_loop"     -> q261Sql,
     "q262_polite_dispatch" -> q262Sql,
     "q263_crawl_priority" -> q263Sql,
+    "q264_recrawl_schedule" -> q264Sql,
     "q258_sitemap_seeds" -> q258Sql,
     "q250_robots_filter" -> q250Sql,
     "q251_line_repetition" -> q251Sql,

@@ -373,6 +373,54 @@ class UrlsSpec extends SparkSpec {
     assert(sched(4L) == (1, 0L)) // no delay row → 1 s default, seq 1
   }
 
+  test("sitemap entries + recrawl due: hint fields, defaults, never, " +
+      "junk lastmod") {
+    val xml = "<urlset>" +
+      "<url><loc> https://h.com/a </loc><lastmod>2026-01-01</lastmod>" +
+      "<changefreq>weekly</changefreq><priority>0.7</priority></url>" +
+      "<url><loc>https://h.com/b</loc>" +
+      "<lastmod>2026-01-01T06:30:00Z</lastmod>" +
+      "<changefreq>never</changefreq></url>" +
+      "<url><loc>https://h.com/c</loc><changefreq>daily</changefreq>" +
+      "</url>" +
+      "<url><loc>https://h.com/d</loc><lastmod>not-a-date</lastmod>" +
+      "</url>" +
+      "<url><loc>https://h.com/e&amp;x</loc><lastmod>2026-05-28" +
+      "</lastmod><changefreq>sometimes</changefreq></url>" +
+      "</urlset>"
+    val schema = StructType(Seq(StructField("host", StringType),
+      StructField("xml", StringType)))
+    val sm = spark.createDataFrame(
+      new java.util.ArrayList[Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(
+          List(Row("h.com", xml))).asJava), schema)
+    val asOf = 1780000000L // 2026-05-28T22:26:40Z — before e's due
+    val got = graft.operators.Urls.recrawlDue(
+        graft.operators.Urls.sitemapEntries(sm, "host", "xml"),
+        "lastmod", "changefreq", asOf)
+      .collect().map { r =>
+        r.getAs[String]("loc_url") ->
+          (Option(r.getAs[java.lang.Long]("priority_ppm")),
+            Option(r.getAs[java.lang.Long]("due_epoch")),
+            r.getAs[Boolean]("is_due"))
+      }.toMap
+    def day(d: String) =
+      java.time.LocalDate.parse(d).toEpochDay * 86400L
+    // weekly from Jan 1: long overdue; priority exactly 700000 ppm
+    assert(got("https://h.com/a") ==
+      (Some(700000L), Some(day("2026-01-01") + 604800L), true))
+    // never: not due, no due time
+    assert(got("https://h.com/b") == (None, None, false))
+    // no lastmod: no freshness info = fetch
+    assert(got("https://h.com/c") == (None, None, true))
+    // junk lastmod + missing changefreq: unparseable = fetch
+    assert(got("https://h.com/d") == (None, None, true))
+    // entity-unescaped loc; junk changefreq defaults daily; crawled
+    // yesterday → due TOMORROW, not yet due
+    assert(got("https://h.com/e&x") ==
+      (None, Some(day("2026-05-29")), false))
+  }
+
   test("broadcast guards: a cardinality hint makes plan construction " +
       "action-free; the fallback counts exactly once") {
     val execs = new java.util.concurrent.atomic.AtomicInteger(0)
