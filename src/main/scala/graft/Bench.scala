@@ -37,12 +37,23 @@ object Bench {
     // warm pass, and the min is the standard steady-state estimator
     // (JMH-style): what a repeated production job actually costs.
     // Caches persisted by operators are dropped before every sample so
-    // no run inherits another's cached state.
+    // no run inherits another's cached state. That drop covers BOTH
+    // cache surfaces: the SQL cache (clearCache) and the block-manager
+    // blocks left by `localCheckpoint` (invisible to the catalog —
+    // round-14 opt: 270 queries of surviving checkpoint blocks in one
+    // JVM measurably inflated later queries' timings; q228 read 27.6 s
+    // in-suite vs 12.8 s standalone from exactly this debris).
+    def dropRunState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {
+      dropRunState()
       run(fn, name)
       val samples = (1 to 2).map { _ =>
-        spark.catalog.clearCache()
+        dropRunState()
         val t0 = System.nanoTime()
         val ok = run(fn, name)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

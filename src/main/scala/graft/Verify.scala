@@ -26,6 +26,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop run state between queries: localCheckpoint blocks (not in
+      // the SQL cache) otherwise accumulate across the 270+ queries in
+      // this one JVM and slow the tail of the sweep (round-14 opt)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.plans.Checkpoints
 
 /** Distributed BPE (byte-pair-encoding) tokenizer training — the
   * tokenizer-fit step of a training-data pipeline, which the reference
@@ -117,11 +118,14 @@ object Bpe {
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((it, l, r, n))
-        words = words
+        val next = words
           .select(applyMerge(col("_sym"), l, r).as("_sym"), col("_freq"))
           .localCheckpoint(true) // cut the fold lineage per iteration
+        Checkpoints.drop(words) // superseded iteration
+        words = next
       }
     }
+    Checkpoints.drop(words) // merges are driver-side; the frame is dead
     import spark.implicits._
     merges.result().toDF("iter", "left", "right", "pair_count")
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextFunctions
+import graft.plans.Checkpoints
 
 /** Coverage-driven corpus curation: greedy maximum-coverage subset
   * selection (the classic (1−1/e) greedy for submodular coverage,
@@ -112,12 +113,18 @@ object Coverage {
           // checkpoint cuts lineage so round r never replays rounds <r
           val winnerShingles =
             shingles.filter(col("_id") === id).select(col("_h"))
-          covered = Some((covered match {
+          val grown = (covered match {
             case None => winnerShingles
             case Some(c) => c.unionByName(winnerShingles).distinct()
-          }).localCheckpoint(true))
+          }).localCheckpoint(true)
+          covered.foreach(Checkpoints.drop) // superseded covered set
+          covered = Some(grown)
       }
     }
+    // all rounds done: the covered set and the shingle frame are dead
+    // (the result below is driver-side picks only)
+    covered.foreach(Checkpoints.drop)
+    Checkpoints.drop(shingles)
 
     spark.createDataFrame(
       spark.sparkContext.parallelize(picked.toSeq, 1),

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.plans.Checkpoints
+
 /** A near-dup pair result plus the number of degenerate (over-cap)
   * buckets THIS call saw — the reliable, per-call form of the
   * best-effort [[Dedup.lastCappedBucketCount]] global.
@@ -729,13 +731,19 @@ object Dedup {
             // (2) pointer jump: _next = prop's label OF the label. Left
             // join: a label is always a node id, but the coalesce keeps
             // the round total even if a frontier row is missing.
-            prop
+            val jumped = prop
               .join(prop.select(col("id").as("_p"), col("_p").as("_pp")), Seq("_p"), "left")
               .select(col("id"), col("comp"),
                 least(col("_p"), coalesce(col("_pp"), col("_p"))).as("_next"))
               .localCheckpoint(true)
+            Checkpoints.drop(prop) // consumed by the jump — dead
+            jumped
           }
         changed = stepped.filter(col("_next") < col("comp")).count()
+        // the previous round's checkpoint (labels' backing frame) is
+        // dead once `stepped` is materialized — release its blocks
+        // instead of accumulating one node frame per round
+        Checkpoints.drop(labels)
         labels = stepped.select(col("id"), col("_next").as("comp"))
         iter += 1
       }

@@ -80,14 +80,20 @@ object Graph {
           .select(col("_dst").as("id"),
             expr("rank DIV _deg").as("_share"))
           .groupBy(col("id")).agg(sum(col("_share")).as("_insum"))
-        ranks = nodes
+        val next = nodes
           .join(inSums, Seq("id"), "left")
           .select(col("id"),
             (lit(base) + expr(
               s"(CAST($dampingNum AS BIGINT) * coalesce(_insum, CAST(0 AS BIGINT))) " +
                 s"DIV $dampingDen")).as("rank"))
           .localCheckpoint(true)
+        // iteration i's ranks are dead once i+1 is materialized —
+        // release the blocks instead of holding iters× the node frame
+        Checkpoints.drop(ranks)
+        ranks = next
       }
+      // the returned frame is its own checkpoint; nodes is dead
+      Checkpoints.drop(nodes)
       ranks
     } finally edges.unpersist()
   }
@@ -136,14 +142,17 @@ object Graph {
           .select(col("_dst").as("id"),
             expr("rank DIV _deg").as("_share"))
           .groupBy(col("id")).agg(sum(col("_share")).as("_insum"))
-        ranks = nodes
+        val next = nodes
           .join(inSums, Seq("id"), "left")
           .select(col("id"),
             (when(isSeed, lit(seedBase)).otherwise(lit(0L)) + expr(
               s"(CAST($dampingNum AS BIGINT) * coalesce(_insum, CAST(0 AS BIGINT))) " +
                 s"DIV $dampingDen")).as("rank"))
           .localCheckpoint(true)
+        Checkpoints.drop(ranks) // superseded iteration — release blocks
+        ranks = next
       }
+      Checkpoints.drop(nodes) // returned ranks is its own checkpoint
       ranks
     } finally edges.unpersist()
   }
@@ -186,6 +195,7 @@ object Graph {
       val nodes = edges.select(col("_a").as("id")).distinct()
         .localCheckpoint(true)
       var labels = nodes.withColumn("label", col("id"))
+      var labelsOwnCp = false // round 0's labels ride the nodes checkpoint
       for (_ <- 0 until iters) {
         val votes = edges
           .join(labels.select(col("id").as("_b"), col("label").as("_nl")), "_b")
@@ -194,10 +204,14 @@ object Graph {
         val winners = votes
           .withColumn("_rk", row_number().over(w)).filter(col("_rk") === 1)
           .select(col("_a").as("id"), col("_nl").as("_newl"))
-        labels = nodes.join(winners, Seq("id"), "left")
+        val next = nodes.join(winners, Seq("id"), "left")
           .select(col("id"), coalesce(col("_newl"), col("id")).as("label"))
           .localCheckpoint(true)
+        if (labelsOwnCp) Checkpoints.drop(labels) // superseded round
+        labels = next
+        labelsOwnCp = true
       }
+      if (labelsOwnCp) Checkpoints.drop(nodes) // final labels stands alone
       labels
     } finally edges.unpersist()
   }
@@ -404,9 +418,11 @@ object Graph {
       val alive = e.groupBy(col("_s")).agg(count(lit(1)).as("_deg"))
         .filter(col("_deg") >= k)
         .select(col("_s"))
-      e = Checkpoints.serialized(
+      val next = Checkpoints.serialized(
         e.join(alive, Seq("_s"), "left_semi")
           .join(alive.select(col("_s").as("_d")), Seq("_d"), "left_semi"))
+      Checkpoints.drop(e) // superseded round — release the edge blocks
+      e = next
     }
     e.groupBy(col("_s").as("id")).agg(count(lit(1)).as("degree"))
       .orderBy("id")
@@ -444,9 +460,11 @@ object Graph {
     for (_ <- 1 to rounds) {
       val relaxed = dist.join(e, col("id") === col("_s"))
         .select(col("_d").as("id"), (col("dist") + col("_w")).as("dist"))
-      dist = dist.unionByName(relaxed)
+      val next = dist.unionByName(relaxed)
         .groupBy(col("id")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      Checkpoints.drop(dist) // superseded round
+      dist = next
     }
     dist
   }
@@ -629,12 +647,15 @@ object Graph {
             .groupBy(col("_src"))
             .agg(expr("hll_union_agg(_sk)").as("_nb"))
             .withColumnRenamed("_src", "id")
-        b = Checkpoints.serialized(
+        val nextB = Checkpoints.serialized(
           b.join(fromNbrs, Seq("id"), "left_outer")
             .select(col("id"),
               when(col("_nb").isNull, col("_sk"))
                 .otherwise(expr("hll_union(_sk, _nb)")).as("_sk")))
+        Checkpoints.drop(b) // superseded hop — release register blobs
+        b = nextB
       }
+      Checkpoints.drop(e) // all hops materialized; the edge copy is dead
       b.select(col("id"), expr("hll_sketch_estimate(_sk)").as("est_reach"))
     } finally spark.conf.set(threshKey, prevThresh)
   }
@@ -653,9 +674,16 @@ object Graph {
         .join(visited, Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .localCheckpoint(true)
-      visited = visited.unionByName(next).localCheckpoint(true)
+      val grown = visited.unionByName(next).localCheckpoint(true)
+      // the pre-union visited and the consumed frontier are dead once
+      // `grown` and `next` are materialized (at h=1 they are the same
+      // frame — drop is idempotent)
+      Checkpoints.drop(visited)
+      if (frontier ne visited) Checkpoints.drop(frontier)
+      visited = grown
       frontier = next
     }
+    if (frontier ne visited) Checkpoints.drop(frontier)
     visited
   }
 }

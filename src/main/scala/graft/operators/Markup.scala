@@ -23,6 +23,12 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object Markup {
 
+  /** Expression let-binding — see [[graft.functions.Bind]]: one copy
+    * of `e` in the tree however many times `f`'s body references it.
+    */
+  private def bind(e: Column)(f: Column => Column): Column =
+    graft.functions.Bind.once(e)(f)
+
   /** Block boundaries: block-level open/close tags split a document
     * into candidate text blocks; inline tags (<a>, <b>, …) stay inside
     * blocks so link density can be measured per block.
@@ -48,16 +54,17 @@ object Markup {
     * > U+10FFFF, the surrogate range) map to U+FFFD — the HTML5
     * replacement rule, and the DuckDB twin is its native `chr`.
     */
-  private def chrUnicode(cp0: Column): Column = {
+  private def chrUnicode(cp00: Column): Column = bind(cp00) { cp0 =>
     val valid = cp0 >= 1L && cp0 <= 0x10FFFFL &&
       !(cp0 >= 0xD800L && cp0 <= 0xDFFFL)
-    val cp = when(valid, cp0).otherwise(lit(0xFFFDL))
-    val bmp = decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE")
-    val v = cp - 0x10000L
-    val units = concat(
-      lpad(hex(shiftright(v, 10) + 0xD800L), 4, "0"),
-      lpad(hex(v.bitwiseAND(0x3FFL) + 0xDC00L), 4, "0"))
-    when(cp < 0x10000L, bmp).otherwise(decode(unhex(units), "UTF-16BE"))
+    bind(when(valid, cp0).otherwise(lit(0xFFFDL))) { cp =>
+      val bmp = decode(unhex(lpad(hex(cp), 4, "0")), "UTF-16BE")
+      val v = cp - 0x10000L
+      val units = concat(
+        lpad(hex(shiftright(v, 10) + 0xD800L), 4, "0"),
+        lpad(hex(v.bitwiseAND(0x3FFL) + 0xDC00L), 4, "0"))
+      when(cp < 0x10000L, bmp).otherwise(decode(unhex(units), "UTF-16BE"))
+    }
   }
 
   /** Codepoint of one extracted reference body (`8217` or `x2019`). */
@@ -72,23 +79,29 @@ object Markup {
     * decode each extracted codepoint, and re-interleave. Row-local
     * native expressions throughout — no UDF, no exchange.
     */
-  def decodeNumericRefs(c: Column): Column = {
-    val parts = split(c, numRefRe, -1)
-    val refs = regexp_extract_all(c, lit(numRefGroupRe), lit(1))
-    val decoded = transform(refs, r => chrUnicode(refCodepoint(r)))
-    val full = concat(
-      aggregate(
-        zip_with(slice(parts, lit(1), size(refs)), decoded,
-          (p, d) => concat(p, d)),
-        lit(""), (acc, x) => concat(acc, x)),
-      element_at(parts, -1))
+  def decodeNumericRefs(c0: Column): Column = bind(c0) { c =>
     // fast path: no "&#" substring → no reference can match → the
     // decode is the identity. Most blocks of real markup (nav chrome,
     // anchors measured for link density) carry no numeric refs, and
     // the split/extract/interleave machinery is the expensive part of
-    // the strip chain — one instr() guards it. NULL input takes the
-    // otherwise branch and stays NULL either way.
-    when(instr(c, "&#") > 0, full).otherwise(c)
+    // the strip chain — one instr() guards it, and the CaseWhen branch
+    // keeps it lazy. NULL input takes the otherwise branch and stays
+    // NULL either way. The input and both arrays are let-bound
+    // ([[bind]]): c fed four references and each array two — without
+    // the bindings every reference re-instantiated (and re-evaluated)
+    // its whole subtree, the strip-chain input included.
+    when(instr(c, "&#") > 0,
+      bind(split(c, numRefRe, -1)) { parts =>
+        bind(regexp_extract_all(c, lit(numRefGroupRe), lit(1))) { refs =>
+          val decoded = transform(refs, r => chrUnicode(refCodepoint(r)))
+          concat(
+            aggregate(
+              zip_with(slice(parts, lit(1), size(refs)), decoded,
+                (p, d) => concat(p, d)),
+              lit(""), (acc, x) => concat(acc, x)),
+            element_at(parts, -1))
+        }
+      }).otherwise(c)
   }
 
   /** Remove every remaining tag and decode entities — the five named
@@ -116,15 +129,6 @@ object Markup {
     * row): block texts, their lengths, and their anchor-text lengths.
     * Exposed for auditing; [[extractText]] is the consumer.
     */
-  private def blockStats(html: Column): (Column, Column) = {
-    val blocks = split(html, blockSplitRe)
-    val texts = transform(blocks, b => stripTags(b))
-    val anchorLens = transform(blocks, b =>
-      aggregate(regexp_extract_all(b, lit(anchorRe), lit(1)),
-        lit(0), (acc, a) => acc + length(stripTags(a))))
-    (texts, anchorLens)
-  }
-
   /** Boilerplate-filtered extraction: blocks shorter than `minChars`
     * (after tag-strip) or with link density ≥ 1/2 (anchor text is half
     * or more of the block text — navigation, footers, link farms) are
@@ -134,19 +138,36 @@ object Markup {
     *   - `text`: the cleaned, boilerplate-free document text
     *   - `n_blocks`: non-empty candidate blocks seen
     *   - `n_kept`: blocks that survived both rules
+    *
+    * Tree shape (r14 opt): the block array, the stripped/measured
+    * pairs, and each filter stage are LET-BOUND ([[bind]]) — the old
+    * top-level struct let `getField` consumers prune per field, but
+    * every field's copy re-instantiated the whole strip chain (three
+    * evaluations of every regexp over every block per row, and a
+    * triple-size tree for the optimizer). All three fields share one
+    * evaluation now; consumers alias the struct once and read fields
+    * off the alias.
     */
   def extractText(html: Column, minChars: Int): Column = {
     require(minChars >= 1, s"bad minChars $minChars")
-    val (texts, anchorLens) = blockStats(html)
-    val paired = zip_with(texts, anchorLens,
-      (t, al) => struct(t.as("t"), al.as("al")))
-    val nonEmpty = filter(paired, s => length(s.getField("t")) > 0)
-    val kept = filter(nonEmpty, s =>
-      length(s.getField("t")) >= minChars &&
-        s.getField("al") * 2 < length(s.getField("t")))
-    struct(
-      array_join(transform(kept, s => s.getField("t")), " ").as("text"),
-      size(nonEmpty).cast(IntegerType).as("n_blocks"),
-      size(kept).cast(IntegerType).as("n_kept"))
+    bind(split(html, blockSplitRe)) { blocks =>
+      val texts = transform(blocks, b => stripTags(b))
+      val anchorLens = transform(blocks, b =>
+        aggregate(regexp_extract_all(b, lit(anchorRe), lit(1)),
+          lit(0), (acc, a) => acc + length(stripTags(a))))
+      val paired = zip_with(texts, anchorLens,
+        (t, al) => struct(t.as("t"), al.as("al")))
+      bind(filter(paired, s => length(s.getField("t")) > 0)) { nonEmpty =>
+        bind(filter(nonEmpty, s =>
+          length(s.getField("t")) >= minChars &&
+            s.getField("al") * 2 < length(s.getField("t")))) { kept =>
+          struct(
+            array_join(transform(kept, s => s.getField("t")), " ")
+              .as("text"),
+            size(nonEmpty).cast(IntegerType).as("n_blocks"),
+            size(kept).cast(IntegerType).as("n_kept"))
+        }
+      }
+    }
   }
 }

@@ -83,11 +83,19 @@ object Raking {
           col("weight") * (col(target) * col("_N")) / col("_dsum"))
         .drop("_dsum")
     }
+    var prevRound: DataFrame = null // round 0's `cur` is a projection
+    // over the counts checkpoint — tracked separately below
     (1 to iters).foreach { _ =>
       step("_r", "_c", "_tr")
       step("_c", "_r", "_tc")
-      cur = cur.localCheckpoint(true)
+      val next = cur.localCheckpoint(true)
+      if (prevRound != null) graft.plans.Checkpoints.drop(prevRound)
+      prevRound = next
+      cur = next
     }
+    // iters >= 1, so `cur` is its own checkpoint here and the counts
+    // frame (consumed by round 1's materialization) is dead
+    graft.plans.Checkpoints.drop(counts)
     cur.select(col("_r").as(rowCol), col("_c").as(colCol),
       col("n_docs"), col("weight"),
       (col("n_docs").cast(DoubleType) * col("weight")).as("expected"))

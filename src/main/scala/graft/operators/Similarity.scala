@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.VectorFunctions._
+import graft.plans.Checkpoints
 
 /** Approximate-nearest-neighbor search over embedding columns
   * (BASELINE.json north star). Three tiers:
@@ -650,7 +651,9 @@ object Similarity {
         .filter(col("_rn") === 1)
         .select(col("query_id"), col("neighbor_id"), col("rel"),
           lit(i).as("sel_rank"))
-      selected = selected.unionByName(pick).localCheckpoint(true)
+      val grown = selected.unionByName(pick).localCheckpoint(true)
+      Checkpoints.drop(selected) // superseded pick round
+      selected = grown
     }
     selected.withColumn("sel_rank", col("sel_rank").cast(IntegerType))
   }

@@ -389,9 +389,16 @@ object Unigram {
           Seq("_k", "_p"), "left")
         .select(col("_k"), col("_p"),
           (coalesce(col("_c"), lit(0L)) + 1L).as("_c"))
-      vocab = charCounts.unionByName(pruneMulti(emCounts, withMin = false))
+      val next = charCounts.unionByName(pruneMulti(emCounts, withMin = false))
         .localCheckpoint(true)
+      graft.plans.Checkpoints.drop(vocab) // superseded EM round
+      vocab = next
     }
+    // the seed counts were consumed by vocab₀'s materialization and
+    // chars by the rounds' — with the final vocab materialized (iters
+    // ≥ 1) neither lives in any returned frame's lineage
+    graft.plans.Checkpoints.drop(seedCounts)
+    graft.plans.Checkpoints.drop(chars)
     (vocab, words)
   }
 

@@ -53,6 +53,12 @@ object Urls {
     "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
     "co.jp", "co.in", "com.br", "com.mx", "co.nz", "com.sg", "com.cn")
 
+  /** Expression let-binding — see [[graft.functions.Bind]]: one copy
+    * of `e` in the tree however many times `f`'s body references it.
+    */
+  private def bind(e: Column)(f: Column => Column): Column =
+    graft.functions.Bind.once(e)(f)
+
   private def schemeOf(url: Column): Column =
     lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
 
@@ -93,7 +99,7 @@ object Urls {
     * cross-engine arithmetic, no chr()/conv() dialect drift. Zero
     * exchanges.
     */
-  private[graft] def pctNormalize(s: Column): Column = {
+  private[graft] def pctNormalize(s0: Column): Column = bind(s0) { s =>
     val printable = (32 to 126).map(_.toChar).mkString
     // hex-digit value from codepoint arithmetic (ascii of the
     // uppercased char; -1 = not a hex digit) — a compact expression
@@ -106,32 +112,32 @@ object Urls {
         .when(a >= 65 && a <= 70, a - 55)
         .otherwise(lit(-1))
     }
-    val parts = split(s, "%", -1)
-    val fixed = transform(
-      slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), { p =>
-        val d1 = upper(p.substr(lit(1), lit(1)))
-        val d2 = upper(p.substr(lit(2), lit(1)))
-        val n1 = hexVal(d1)
-        val n2 = hexVal(d2)
-        val n = (n1 * 16 + n2).cast(IntegerType)
-        val valid = n1 >= 0 && n2 >= 0
-        val decoded = lit(printable).substr(n - 31, lit(1))
-        val rest = p.substr(lit(3), length(p))
-        // n >= 45 ('-', the smallest unreserved code) keeps the
-        // substr position strictly positive: a negative position
-        // counts from the END of the lookup string, which would make
-        // a control-char escape like %1E masquerade as '~'
-        when(valid && n >= 45 && decoded.rlike("^[A-Za-z0-9._~-]$"),
-          concat(decoded, rest))
-          .when(valid, concat(lit("%"), d1, d2, rest))
-          .otherwise(concat(lit("%"), p))
-      })
     // fast path: most URLs carry no '%' at all — CaseWhen evaluates
-    // branches lazily per row, so the split/transform machinery only
-    // runs on rows that actually contain an escape
-    when(s.contains("%"),
-      concat(element_at(parts, 1), array_join(fixed, "")))
-      .otherwise(s)
+    // branches lazily per row, so the split/transform machinery (bound
+    // once; the tree used to copy the split per reference) only runs
+    // on rows that actually contain an escape
+    when(s.contains("%"), bind(split(s, "%", -1)) { parts =>
+      val fixed = transform(
+        slice(parts, lit(2), greatest(size(parts) - 1, lit(0))), { p =>
+          val d1 = upper(p.substr(lit(1), lit(1)))
+          val d2 = upper(p.substr(lit(2), lit(1)))
+          val n1 = hexVal(d1)
+          val n2 = hexVal(d2)
+          val n = (n1 * 16 + n2).cast(IntegerType)
+          val valid = n1 >= 0 && n2 >= 0
+          val decoded = lit(printable).substr(n - 31, lit(1))
+          val rest = p.substr(lit(3), length(p))
+          // n >= 45 ('-', the smallest unreserved code) keeps the
+          // substr position strictly positive: a negative position
+          // counts from the END of the lookup string, which would make
+          // a control-char escape like %1E masquerade as '~'
+          when(valid && n >= 45 && decoded.rlike("^[A-Za-z0-9._~-]$"),
+            concat(decoded, rest))
+            .when(valid, concat(lit("%"), d1, d2, rest))
+            .otherwise(concat(lit("%"), p))
+        })
+      concat(element_at(parts, 1), array_join(fixed, ""))
+    }).otherwise(s)
   }
 
   /** Query params surviving the tracking filter, sorted. */
@@ -150,33 +156,47 @@ object Urls {
     *   - `n_params_dropped` (tracking params removed)
     */
   def canonicalize(url: Column): Column = {
-    val scheme = schemeOf(url)
+    // Each struct field is an INDEPENDENT compact expression (shared
+    // work deduplicated per field via [[bind]], nothing shared across
+    // fields): `getField` on the result then prunes to exactly the
+    // fields a consumer reads (SimplifyExtractValueOps), while a
+    // consumer keeping the whole struct evaluates each field once.
     val (host, port) = hostPort(url)
-    val path = pctNormalize(pathOf(url))
-    val query = pctNormalize(queryOf(url))
-    val raw = filter(split(query, "&"), p => length(p) > 0)
-    val kept = keptParams(query)
-    val defaultPort = (scheme === "http" && port === "80") ||
-      (scheme === "https" && port === "443")
-    val portPart = when(port === "" || defaultPort, lit(""))
-      .otherwise(concat(lit(":"), port))
-    val queryPart = when(size(kept) > 0,
-      concat(lit("?"), array_join(kept, "&"))).otherwise(lit(""))
-    val canon = when(scheme === "", lit(null).cast(StringType))
-      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val last2 = concat_ws(".",
-      element_at(labels, -2).cast(StringType), element_at(labels, -1))
-    val last3 = concat_ws(".", element_at(labels, -3).cast(StringType),
-      element_at(labels, -2), element_at(labels, -1))
-    val registrable = when(n >= 3 && last2.isin(multiPartSuffixes: _*), last3)
-      .otherwise(when(n >= 2, last2).otherwise(host))
+    val canon = bind(struct(schemeOf(url).as("s"), host.as("h"),
+        port.as("p"), pctNormalize(pathOf(url)).as("pa"),
+        pctNormalize(queryOf(url)).as("q"))) { t =>
+      val scheme = t.getField("s")
+      val prt = t.getField("p")
+      val defaultPort = (scheme === "http" && prt === "80") ||
+        (scheme === "https" && prt === "443")
+      val portPart = when(prt === "" || defaultPort, lit(""))
+        .otherwise(concat(lit(":"), prt))
+      val queryPart = bind(keptParams(t.getField("q"))) { kept =>
+        when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+          .otherwise(lit(""))
+      }
+      when(scheme === "", lit(null).cast(StringType))
+        .otherwise(concat(scheme, lit("://"), t.getField("h"), portPart,
+          t.getField("pa"), queryPart))
+    }
+    val registrable = bind(split(host, "\\.")) { labels =>
+      val n = size(labels)
+      val last2 = concat_ws(".",
+        element_at(labels, -2).cast(StringType), element_at(labels, -1))
+      val last3 = concat_ws(".", element_at(labels, -3).cast(StringType),
+        element_at(labels, -2), element_at(labels, -1))
+      when(n >= 3 && last2.isin(multiPartSuffixes: _*), last3)
+        .otherwise(when(n >= 2, last2).otherwise(host))
+    }
+    val nDropped = bind(pctNormalize(queryOf(url))) { query =>
+      (size(filter(split(query, "&"), p => length(p) > 0)) -
+        size(keptParams(query))).cast(IntegerType)
+    }
     struct(
       canon.as("canonical_url"),
       host.as("host"),
       registrable.as("registrable_domain"),
-      (size(raw) - size(kept)).cast(IntegerType).as("n_params_dropped"))
+      nDropped.as("n_params_dropped"))
   }
 
   /** Parse robots.txt bodies into per-AGENT-GROUP rule rows and select
@@ -586,45 +606,55 @@ object Urls {
     * links dedup onto their page).
     */
   def resolveUrl(base: Column, href: Column): Column = {
-    val h = trim(href)
-    val scheme = schemeOf(base)
-    val origin = regexp_extract(base,
-      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
-    val basePath = pathOf(base)
-    val baseNoFrag = regexp_extract(base, "^([^#]*)", 1)
-    // directory of the base path: up to and including the last '/'
-    val baseDir = regexp_extract(basePath, "^(.*/)", 1)
-    // split href into its path part and the ?query#fragment tail
-    val hPath = regexp_extract(h, "^([^?#]*)", 1)
-    val hTail = regexp_extract(h, "^[^?#]*([?#].*)$", 1)
-    def removeDots(p: Column): Column = {
+    // p (the path being walked) and the §5.2.4 stack are each bound
+    // once ([[bind]]) — the trailing-slash decision references p five
+    // times and the stack twice, which used to copy the aggregate fold
+    // per reference
+    def removeDots(p0: Column): Column = bind(p0) { p =>
       val segs = filter(split(p, "/"),
         s => s =!= "" && s =!= ".")
-      val stack = aggregate(segs,
+      bind(aggregate(segs,
         array().cast(ArrayType(StringType)),
         (acc, s) => when(s === "..",
           slice(acc, lit(1),
             greatest(size(acc) - 1, lit(0)))).otherwise(
-          concat(acc, array(s))))
-      val trailing = when(
-        p.endsWith("/") || p.endsWith("/.") || p.endsWith("/..") ||
-          p === "." || p === "..",
-        when(size(stack) > 0, lit("/")).otherwise(lit("")))
-        .otherwise(lit(""))
-      concat(lit("/"), array_join(stack, "/"), trailing)
+          concat(acc, array(s))))) { stack =>
+        val trailing = when(
+          p.endsWith("/") || p.endsWith("/.") || p.endsWith("/..") ||
+            p === "." || p === "..",
+          when(size(stack) > 0, lit("/")).otherwise(lit("")))
+          .otherwise(lit(""))
+        concat(lit("/"), array_join(stack, "/"), trailing)
+      }
     }
-    when(scheme === "", lit(null).cast(StringType))
-      .when(h === "", baseNoFrag)
-      .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
-      .when(h.startsWith("//"), concat(scheme, lit(":"), h))
-      .when(h.startsWith("/"),
-        concat(origin, removeDots(hPath), hTail))
-      .when(h.startsWith("#"), concat(baseNoFrag, h))
-      .when(h.startsWith("?"), concat(origin, basePath, h))
-      .otherwise(concat(origin,
-        removeDots(concat(coalesce(
-          when(baseDir === "", lit("/")).otherwise(baseDir), lit("/")),
-          hPath)), hTail))
+    bind(struct(trim(href).as("h"), schemeOf(base).as("s"),
+        regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+          .as("o"),
+        pathOf(base).as("bp"),
+        regexp_extract(base, "^([^#]*)", 1).as("bnf"))) { t =>
+      val h = t.getField("h")
+      val scheme = t.getField("s")
+      val origin = t.getField("o")
+      val basePath = t.getField("bp")
+      val baseNoFrag = t.getField("bnf")
+      // directory of the base path: up to and including the last '/'
+      val baseDir = regexp_extract(basePath, "^(.*/)", 1)
+      // split href into its path part and the ?query#fragment tail
+      val hPath = regexp_extract(h, "^([^?#]*)", 1)
+      val hTail = regexp_extract(h, "^[^?#]*([?#].*)$", 1)
+      when(scheme === "", lit(null).cast(StringType))
+        .when(h === "", baseNoFrag)
+        .when(h.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), h)
+        .when(h.startsWith("//"), concat(scheme, lit(":"), h))
+        .when(h.startsWith("/"),
+          concat(origin, removeDots(hPath), hTail))
+        .when(h.startsWith("#"), concat(baseNoFrag, h))
+        .when(h.startsWith("?"), concat(origin, basePath, h))
+        .otherwise(concat(origin,
+          removeDots(concat(coalesce(
+            when(baseDir === "", lit("/")).otherwise(baseDir), lit("/")),
+            hPath)), hTail))
+    }
   }
 
   // ---- persisted frontier index: incremental URL dedup ----
@@ -760,6 +790,8 @@ object Urls {
         .write.mode("overwrite").parquet(tmp.toString)
       graft.sinks.Writers.publishByRename(fs, dst, tmp, bak,
         "compactFrontierIndex", onUnrecovered = () => keepLock = true)
+      // the staged write consumed the distinct set — release its blocks
+      graft.plans.Checkpoints.drop(distinctDf)
       (beforeRows, afterRows)
     } finally if (!keepLock) { fs.delete(lock, false); () }
   }

@@ -31,4 +31,20 @@ object Checkpoints {
 
   def serialized[T](ds: Dataset[T]): Dataset[T] =
     ds.localCheckpoint(eager = true, StorageLevel.MEMORY_AND_DISK_SER)
+
+  /** Release the block-manager blocks behind a local checkpoint once
+    * the frame is DEAD — every consumer itself materialized. Iterative
+    * operators otherwise keep every superseded iteration's blocks
+    * alive until the memory manager evicts them: pure pressure, since
+    * a dead iteration's blocks are never read again (and a local
+    * checkpoint's blocks were never recomputable to begin with, so
+    * keeping them buys no fault tolerance either). Walks the plan for
+    * checkpoint-backed leaves, so it also accepts a projection over a
+    * checkpoint; callers must only hand it frames whose EVERY
+    * checkpoint leaf is dead. No-op on non-checkpointed plans.
+    */
+  def drop(ds: Dataset[_]): Unit =
+    ds.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
 }

@@ -242,6 +242,8 @@ object Writers {
       .option("partitionOverwriteMode", "dynamic")
       .mode(SaveMode.Overwrite)
       .parquet(path)
+    // the write consumed the materialized merge — release its blocks
+    graft.plans.Checkpoints.drop(merged)
   }
 
   /** Range-clustered write: globally range-partition on `clusterCols`

@@ -86,7 +86,11 @@ object CorpusIngest {
         else
           Dedup.writeMinHashIndex(surv, indexPath, idCol, textCol,
             shingleSize, numHashes, bands)
-        surv.count()
+        val n = surv.count()
+        // both sinks consumed the materialization — a long-running
+        // stream must not accumulate one survivors frame per batch
+        graft.plans.Checkpoints.drop(surv)
+        n
 
       case Some(id) =>
         val corpus = new Path(corpusPath)
@@ -113,6 +117,8 @@ object CorpusIngest {
           moveIn(fs, stagingIndex, idx, id)
           // single atomic commit point (see BatchCommit.writeMarker)
           BatchCommit.writeMarker(fs, corpusPath, id, n)
+          // committed: the batch's materialized survivors are dead
+          graft.plans.Checkpoints.drop(surv)
           n
         }
     }

@@ -82,7 +82,11 @@ object FrontierIngest {
         val surv = probeAndMaterialize()
         surv.write.mode("append").parquet(logPath)
         hashes(surv).write.mode("append").parquet(s"$indexPath/urls")
-        surv.count()
+        val n = surv.count()
+        // both sinks consumed the materialization — a long-running
+        // stream must not accumulate one frame per batch
+        graft.plans.Checkpoints.drop(surv)
+        n
 
       case Some(id) =>
         val log = new Path(logPath)
@@ -107,6 +111,8 @@ object FrontierIngest {
           moveIn(fsLog, stagingLog, log, id)
           moveIn(fsIdx, stagingIdx, urlsDir, id)
           BatchCommit.writeMarker(fsLog, logPath, id, n)
+          // committed: the batch's materialized frame is dead
+          graft.plans.Checkpoints.drop(surv)
           n
         }
     }

@@ -28,10 +28,20 @@ object BenchSubset {
         System.err.println(s"[bench-subset] $name failed: ${e.getMessage}")
         false
       }
+    // drop BOTH cache surfaces between samples (the graft.Bench
+    // discipline): the SQL cache and the block-manager blocks left by
+    // localCheckpoint — surviving checkpoint blocks from earlier
+    // queries in a shared JVM inflate later timings (BENCH_NOTES R14.3)
+    def dropRunState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     val results = selected.map { case (name, fn) =>
+      dropRunState()
       run(fn, name) // warm
       val samples = (1 to 2).map { _ =>
-        spark.catalog.clearCache()
+        dropRunState()
         val t0 = System.nanoTime()
         val ok = run(fn, name)
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0

@@ -48,4 +48,42 @@ class CheckpointsSpec extends SparkSpec {
     assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 2L, 4L -> 1L,
       10L -> 2L, 11L -> 1L))
   }
+
+  test("drop releases a dead checkpoint's blocks, also through a projection") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cp = (1L to 100L).toDF("id").localCheckpoint(true)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size)
+    Checkpoints.drop(cp)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+    val cp2 = (1L to 100L).toDF("id").localCheckpoint(true)
+    Checkpoints.drop(cp2.selectExpr("id * 2 AS d")) // projection over cp
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+    Checkpoints.drop((1L to 3L).toDF("id")) // non-checkpointed: no-op
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
+  test("iterative operators release superseded iterations' blocks (r14 opt)") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L))
+      .toDF("src", "dst")
+    val ranks = graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+    ranks.collect()
+    // only the RETURNED frame's own checkpoint may remain — per-round
+    // rank frames and the node frame must have been released
+    val leakedPr = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedPr.size <= 1, s"pageRank leaked blocks: $leakedPr")
+    Checkpoints.drop(ranks)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val comps = graft.operators.Dedup.connectedComponents(pairs)
+    assert(comps.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+    val leakedCc = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedCc.size <= 1, s"connectedComponents leaked blocks: $leakedCc")
+    Checkpoints.drop(comps)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).isEmpty)
+  }
 }
