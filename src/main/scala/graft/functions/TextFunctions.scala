@@ -82,13 +82,33 @@ object TextFunctions {
     * Weights are engine policy (the reference has no equivalent — this is
     * the north-star extension); every term is deterministic arithmetic.
     */
-  def qualityScore(c: Column): Column = {
-    val lenTerm = least(tokenCount(c).cast(DoubleType) / lit(100.0), lit(1.0))
-    val stopTerm = least(stopwordRatio(c, enStopwords) * lit(3.0), lit(1.0))
-    val punctTerm = greatest(lit(1.0) - punctRatio(c) * lit(10.0), lit(0.0))
-    val wordLen = meanTokenLength(c)
-    val wordLenTerm = when(wordLen >= 3.0 && wordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
-    lenTerm * lit(0.3) + stopTerm * lit(0.3) + punctTerm * lit(0.2) + wordLenTerm * lit(0.2)
+  def qualityScore(c0: Column): Column = Bind.once(c0) { c =>
+    // one tokenization + one struct of the four exact counts, let-bound
+    // ([[Bind]]): composed by copy, the four terms re-tokenized the
+    // document ~8× per row (wordLenTerm alone held two copies of the
+    // token aggregate). Arithmetic below is the ORIGINAL expressions in
+    // the original operation order — bit-identical doubles, only the
+    // shared subtrees deduplicated.
+    Bind.once(tokens(c)) { toks =>
+      Bind.once(struct(
+          size(toks).cast(IntegerType).as("n"),
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("len"),
+          stopwordCount(c, enStopwords).as("sw"),
+          punctRatio(c).as("pr"))) { t =>
+        val n = t.getField("n")
+        val nD = greatest(n, lit(1)).cast(DoubleType)
+        val lenTerm = least(n.cast(DoubleType) / lit(100.0), lit(1.0))
+        val stopTerm =
+          least(t.getField("sw").cast(DoubleType) / nD * lit(3.0), lit(1.0))
+        val punctTerm =
+          greatest(lit(1.0) - t.getField("pr") * lit(10.0), lit(0.0))
+        val wordLen = t.getField("len").cast(DoubleType) / nD
+        val wordLenTerm =
+          when(wordLen >= 3.0 && wordLen <= 10.0, lit(1.0)).otherwise(lit(0.5))
+        lenTerm * lit(0.3) + stopTerm * lit(0.3) +
+          punctTerm * lit(0.2) + wordLenTerm * lit(0.2)
+      }
+    }
   }
 
   /** Language profiles for the n-gram/stopword language-ID heuristic. */
@@ -109,14 +129,21 @@ object TextFunctions {
     * priority tiebreak (en > es > de > fr); no hits → "und" (undetermined).
     */
   def langIdHeuristic(c: Column): Column = {
+    // the four stopword-profile counts are let-bound (one regexp count
+    // each) — inlined by copy they re-ran per reference in the CaseWhen
+    // chain, up to ~12 regexp_extract_all evaluations per row
     val scores = langScores(c).toMap
-    val en = scores("en"); val es = scores("es"); val de = scores("de"); val fr = scores("fr")
-    when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
-      .when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
-      .when(en >= es && en >= de && en >= fr, lit("en"))
-      .when(es >= de && es >= fr, lit("es"))
-      .when(de >= fr, lit("de"))
-      .otherwise(lit("fr"))
+    Bind.once(struct(scores("en").as("en"), scores("es").as("es"),
+      scores("de").as("de"), scores("fr").as("fr"))) { s =>
+      val en = s.getField("en"); val es = s.getField("es")
+      val de = s.getField("de"); val fr = s.getField("fr")
+      when(c.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
+        .when(en === 0 && es === 0 && de === 0 && fr === 0, lit("und"))
+        .when(en >= es && en >= de && en >= fr, lit("en"))
+        .when(es >= de && es >= fr, lit("es"))
+        .when(de >= fr, lit("de"))
+        .otherwise(lit("fr"))
+    }
   }
 
   /** Whole-document 64-bit fingerprint over normalized content
