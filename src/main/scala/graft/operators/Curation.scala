@@ -163,32 +163,57 @@ object Curation {
   def gopherRules(df: DataFrame, idCol: String, textCol: String,
       minTokens: Int = 20, maxTokens: Int = 100000,
       maxTopTokenFrac: Double = 0.1): DataFrame = {
-    val toks = nonEmptyTokens(lower(col(textCol)))
-    val n = size(toks)
-    val nD = greatest(n, lit(1)).cast(DoubleType)
+    // One struct column holding all rule verdicts, then a re-select
+    // extracting the fields (r14 opt): composed per-column, the seven
+    // output columns re-instantiated the tokenization ~8× per row and
+    // `keep` re-ran every rule — including the O(u·n) top-token scan —
+    // a second time. The struct alias is referenced by every output
+    // field, so CollapseProject keeps it un-inlined: one evaluation
+    // per row. Counts/rules are the ORIGINAL expressions (bit-identical
+    // doubles), only the shared subtrees are let-bound ([[Bind]]).
     val t = col(textCol)
-    val mwl = meanTokenLength(t)
-    val nStop = stopwordCount(t, enStopwords)
-    val nDigit = length(regexp_replace(t, "[^0-9]", ""))
-    val nChars = greatest(length(t), lit(1)).cast(DoubleType)
-    val topTokCount = array_max(transform(array_distinct(toks),
-      d => size(filter(toks, x => x === d))))
-    val rWc = n >= minTokens && n <= maxTokens
-    val rWl = mwl >= 3.0 && mwl <= 10.0
-    val rSw = nStop >= 2
-    val rSy = nDigit.cast(DoubleType) / nChars <= 0.2
-    val rRe = coalesce(topTokCount.cast(DoubleType) / nD <= maxTopTokenFrac,
-      lit(true))
     def b(c: Column): Column = when(c, 1).otherwise(0).cast(IntegerType)
-    graft.sources.Tables.widen(df).select(
-      col(idCol),
-      n.cast(IntegerType).as("n_tokens"),
-      b(rWc).as("r_wordcount"),
-      b(rWl).as("r_wordlen"),
-      b(rSw).as("r_stopwords"),
-      b(rSy).as("r_symbols"),
-      b(rRe).as("r_repetition"),
-      b(rWc && rWl && rSw && rSy && rRe).as("keep"))
+    val verdicts = graft.functions.Bind.once(
+        nonEmptyTokens(lower(t))) { toks =>
+      graft.functions.Bind.once(struct(
+          size(toks).as("n"),
+          meanTokenLength(t).as("mwl"),
+          stopwordCount(t, enStopwords).as("nstop"),
+          length(regexp_replace(t, "[^0-9]", "")).as("ndigit"),
+          greatest(length(t), lit(1)).cast(DoubleType).as("nchars"),
+          array_max(transform(array_distinct(toks),
+            d => size(filter(toks, x => x === d)))).as("toptok"))) { s =>
+        val n = s.getField("n")
+        val nD = greatest(n, lit(1)).cast(DoubleType)
+        val mwl = s.getField("mwl")
+        val rWc = n >= minTokens && n <= maxTokens
+        val rWl = mwl >= 3.0 && mwl <= 10.0
+        val rSw = s.getField("nstop") >= 2
+        val rSy = s.getField("ndigit").cast(DoubleType) /
+          s.getField("nchars") <= 0.2
+        val rRe = coalesce(
+          s.getField("toptok").cast(DoubleType) / nD <= maxTopTokenFrac,
+          lit(true))
+        struct(
+          n.cast(IntegerType).as("n_tokens"),
+          b(rWc).as("r_wordcount"),
+          b(rWl).as("r_wordlen"),
+          b(rSw).as("r_stopwords"),
+          b(rSy).as("r_symbols"),
+          b(rRe).as("r_repetition"),
+          b(rWc && rWl && rSw && rSy && rRe).as("keep"))
+      }
+    }
+    graft.sources.Tables.widen(df)
+      .select(col(idCol), verdicts.as("_g"))
+      .select(col(idCol),
+        col("_g.n_tokens").as("n_tokens"),
+        col("_g.r_wordcount").as("r_wordcount"),
+        col("_g.r_wordlen").as("r_wordlen"),
+        col("_g.r_stopwords").as("r_stopwords"),
+        col("_g.r_symbols").as("r_symbols"),
+        col("_g.r_repetition").as("r_repetition"),
+        col("_g.keep").as("keep"))
   }
 
   /** Gopher line/paragraph repetition battery (Rae et al. 2021 §A1.1,
@@ -220,30 +245,48 @@ object Curation {
       filter(transform(split(coalesce(col(textCol), lit("")), sep),
           u => trim(u)),
         u => length(u) > 0)
-    def stats(u: Column): (Column, Column, Column, Column) = {
-      val n = size(u)
-      val nd = size(array_distinct(u))
-      val totChars = aggregate(u, lit(0L), (a, x) => a + length(x))
-      val dupChars = aggregate(array_distinct(u), lit(0L), (a, d) =>
-        a + (size(filter(u, x => x === d)) - 1).cast(LongType) * length(d))
-      (n, nd,
-        (n - nd).cast(DoubleType) / greatest(n, lit(1)).cast(DoubleType),
-        dupChars.cast(DoubleType) /
-          greatest(totChars, lit(1L)).cast(DoubleType))
-    }
-    val (nl, _, dlf, dlcf) = stats(units("\\r?\\n"))
-    val (np, _, dpf, dpcf) = stats(units("(?:\\r?\\n){2,}"))
+    // one bound stats struct per granularity, extracted by field in a
+    // second projection (the gopherRules r14-opt shape): per-column
+    // composition re-split the text and re-ran the O(u·n) duplicate-
+    // char scan once per consuming column (`keep` alone re-ran both
+    // granularities' scans). Same expressions, same operation order —
+    // bit-identical doubles.
+    def statsOf(sep: String): Column =
+      graft.functions.Bind.once(units(sep)) { u =>
+        graft.functions.Bind.once(array_distinct(u)) { dis =>
+          graft.functions.Bind.once(struct(
+              size(u).as("n"),
+              size(dis).as("nd"),
+              aggregate(u, lit(0L), (a, x) => a + length(x)).as("tot"),
+              aggregate(dis, lit(0L), (a, d) =>
+                a + (size(filter(u, x => x === d)) - 1).cast(LongType) *
+                  length(d)).as("dup"))) { s =>
+            val n = s.getField("n")
+            struct(
+              n.as("n"),
+              ((n - s.getField("nd")).cast(DoubleType) /
+                greatest(n, lit(1)).cast(DoubleType)).as("f"),
+              (s.getField("dup").cast(DoubleType) /
+                greatest(s.getField("tot"), lit(1L)).cast(DoubleType))
+                .as("cf"))
+          }
+        }
+      }
     def b(c: Column): Column = when(c, 1).otherwise(0).cast(IntegerType)
-    graft.sources.Tables.widen(df).select(
-      col(idCol),
-      nl.cast(IntegerType).as("n_lines"),
-      dlf.as("dup_line_frac"),
-      dlcf.as("dup_line_char_frac"),
-      np.cast(IntegerType).as("n_paras"),
-      dpf.as("dup_para_frac"),
-      dpcf.as("dup_para_char_frac"),
-      b(dlf <= maxDupFrac && dpf <= maxDupFrac &&
-        dlcf <= maxDupCharFrac && dpcf <= maxDupCharFrac).as("keep"))
+    graft.sources.Tables.widen(df)
+      .select(col(idCol),
+        statsOf("\\r?\\n").as("_l"),
+        statsOf("(?:\\r?\\n){2,}").as("_p"))
+      .select(col(idCol),
+        col("_l.n").cast(IntegerType).as("n_lines"),
+        col("_l.f").as("dup_line_frac"),
+        col("_l.cf").as("dup_line_char_frac"),
+        col("_p.n").cast(IntegerType).as("n_paras"),
+        col("_p.f").as("dup_para_frac"),
+        col("_p.cf").as("dup_para_char_frac"),
+        b(col("_l.f") <= maxDupFrac && col("_p.f") <= maxDupFrac &&
+          col("_l.cf") <= maxDupCharFrac && col("_p.cf") <= maxDupCharFrac)
+          .as("keep"))
   }
 
   /** Obfuscation fold for blocklist matching: the normalization that
