@@ -43,10 +43,14 @@ object Bench {
     // round-14 opt: 270 queries of surviving checkpoint blocks in one
     // JVM measurably inflated later queries' timings; q228 read 27.6 s
     // in-suite vs 12.8 s standalone from exactly this debris).
+    // blocking=true: an async unpersist issued right before the timer
+    // starts lets block removal bleed into the timed sample (and the
+    // freed memory may not be back at t0) — r14 ADVICE. Verify keeps
+    // the non-blocking form; it doesn't time anything.
     def dropRunState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     def measure(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Double = {

@@ -28,7 +28,11 @@ object Verify {
       }
       // drop run state between queries: localCheckpoint blocks (not in
       // the SQL cache) otherwise accumulate across the 270+ queries in
-      // this one JVM and slow the tail of the sweep (round-14 opt)
+      // this one JVM and slow the tail of the sweep (round-14 opt).
+      // ASSUMES queries are independent: this sweep kills EVERY
+      // persistent RDD in the JVM, so cross-query shared state backed
+      // by localCheckpoint would be destroyed unrecoverably (lineage is
+      // truncated). Bench/BenchSubset share the same implicit contract.
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))

@@ -62,9 +62,14 @@ object Bleu {
     *
     * Output: one row per order n = 1..maxN.
     */
-  def corpusNgramPrecision(pairs: DataFrame, idCol: String,
+  def corpusNgramPrecision(pairs0: DataFrame, idCol: String,
       candCol: String, refCol: String, maxN: Int): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"bad maxN $maxN")
+    // widen: the maxN-order gram explode (both sides) multiplies each
+    // pair into ~2·maxN·tokens rows — a one-file bench-scale input
+    // would run the whole tokenize+gram chain on ONE scan partition;
+    // no-op at real scale (guide §2.5 input skew)
+    val pairs = graft.sources.Tables.widen(pairs0)
     // ALL orders in one explode → one (id, n, hash) aggregate per side
     // → one join: 2 keyed exchanges total instead of 2·maxN (a
     // per-order formulation re-scans the pair table 2·maxN times).

@@ -67,7 +67,10 @@ object Coverage {
 
     // (id, h): distinct 60-bit shingle tokens per doc; computed once.
     // The distinct's exchange carries (id, hash) only — content-free.
-    val shingles = docs
+    // widen: the shingle explode multiplies each doc into ~length(text)
+    // rows — on a one-file bench-scale input it would run on ONE scan
+    // partition; no-op at real scale (guide §2.5 input skew)
+    val shingles = graft.sources.Tables.widen(docs)
       .select(col(idCol).as("_id"),
         explode(TextFunctions.charNGrams(col(textCol), shingleSize))
           .as("_g"))

@@ -46,7 +46,12 @@ object Entropy {
     */
   def charEntropyProfile(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val counts = docs
+    // widen: the per-char explode below multiplies each doc into
+    // length(text) rows — on a one-file bench-scale input that chain
+    // runs on ONE scan partition (a 30× local slowdown and a straggler
+    // on a cluster); at 100 TB the input already has thousands of
+    // partitions and widen is a no-op (guide §2.5 input skew)
+    val counts = graft.sources.Tables.widen(docs)
       .filter(col(textCol).isNotNull && length(col(textCol)) >= 1)
       .select(col(idCol).as("_id"), length(col(textCol)).cast(LongType).as("_n"),
         explode(TextFunctions.charNGrams(col(textCol), 1)).as("_ch"))

@@ -43,8 +43,18 @@ object Checkpoints {
     * checkpoint; callers must only hand it frames whose EVERY
     * checkpoint leaf is dead. No-op on non-checkpointed plans.
     */
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def drop(ds: Dataset[_]): Unit =
     ds.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
-    }.foreach(_.unpersist(blocking = false))
+    }.foreach { rdd =>
+      // a violated liveness contract otherwise fails far away as an
+      // unrecomputable-checkpoint SparkException; this trail names the
+      // drop site's RDD ids so the distant failure is attributable
+      // (r14 ADVICE — enable debug logging on graft.plans to see it)
+      if (log.isDebugEnabled)
+        log.debug(s"dropping checkpoint blocks of RDD ${rdd.id}")
+      rdd.unpersist(blocking = false)
+    }
 }

@@ -50,14 +50,33 @@ object TrainingData {
   /** Token counting + quality metrics per document (text analysis). */
   def q19TextStats(s: SparkSession, dir: String): DataFrame = {
     val t = col("text")
-    Tables.widen(Tables.documents(s, dir)).select(
-      col("doc_id"),
-      tokenCount(t).as("n_tokens"),
-      bpeishTokenCount(t).as("n_bpeish"),
-      punctCount(t).as("n_punct"),
-      length(t).cast(IntegerType).as("n_chars"),
-      stopwordCount(t, enStopwords).as("n_stopwords"),
-      meanTokenLength(t).as("mean_token_len"))
+    // one let-bound tokenization shared by the three token-derived
+    // stats (composed by copy they re-split the document 3× per row —
+    // the r14 qualityScore lesson); struct-then-reselect so
+    // CollapseProject keeps the shared alias un-inlined. Same
+    // expressions in the same operation order — bit-identical values.
+    val stats = graft.functions.Bind.once(tokens(t)) { toks =>
+      struct(
+        size(toks).cast(IntegerType).as("n_tokens"),
+        bpeishTokenCount(t).as("n_bpeish"),
+        punctCount(t).as("n_punct"),
+        length(t).cast(IntegerType).as("n_chars"),
+        // stopwordCount splits lower(t), not t — its subtree stays
+        // verbatim (lower-then-split vs split-then-lower is not
+        // provably identical for every Unicode mapping)
+        stopwordCount(t, enStopwords).as("n_stopwords"),
+        (aggregate(toks, lit(0L), (acc, x) => acc + length(x))
+          .cast(DoubleType) /
+          greatest(size(toks).cast(IntegerType), lit(1)).cast(DoubleType))
+          .as("mean_token_len"))
+    }
+    Tables.widen(Tables.documents(s, dir))
+      .select(col("doc_id"), stats.as("_s"))
+      .select(col("doc_id"), col("_s.n_tokens").as("n_tokens"),
+        col("_s.n_bpeish").as("n_bpeish"), col("_s.n_punct").as("n_punct"),
+        col("_s.n_chars").as("n_chars"),
+        col("_s.n_stopwords").as("n_stopwords"),
+        col("_s.mean_token_len").as("mean_token_len"))
       .orderBy("doc_id")
   }
 

@@ -32,10 +32,12 @@ object BenchSubset {
     // discipline): the SQL cache and the block-manager blocks left by
     // localCheckpoint — surviving checkpoint blocks from earlier
     // queries in a shared JVM inflate later timings (BENCH_NOTES R14.3)
+    // blocking=true so each timed sample starts from fully-released
+    // state (r14 ADVICE — same rationale as graft.Bench.dropRunState)
     def dropRunState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     val results = selected.map { case (name, fn) =>
       dropRunState()
