@@ -60,21 +60,21 @@ object Quantize {
       quantized: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    def fold(pairProduct: Column): Column =
-      aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
     // norms are per-VECTOR: computed once in each side's projection
     // (|corpus| + |queries| norm folds), never per candidate pair —
-    // the same shape the cross-engine oracle uses. Only the dot fold
-    // runs per pair.
+    // the same shape the cross-engine oracle uses. Only the dot runs
+    // per pair — the native DotProductExpression, bit-identical to the
+    // HOF fold it replaces (same sequential IEEE fold, same casts —
+    // float elements cast to double exactly as x.cast(Double) did)
+    def ndot(a: Column, b: Column): Column =
+      graft.functions.VectorFunctions.dot(a, b)
     val dv = dequantize(col("qvec"), col("qmin"), col("qscale"))
     val c = quantized.select(col(idCol).as("neighbor_id"), dv.as("_cv"),
-      sqrt(fold(zip_with(dv, dv, (x, y) => x * y))).as("_cn"))
+      sqrt(ndot(dv, dv)).as("_cn"))
     val qv = col(vecCol)
     val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
-      sqrt(fold(zip_with(qv, qv,
-        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))).as("_qn"))
-    val dot = fold(zip_with(col("_qv"), col("_cv"),
-      (x, y) => x.cast(DoubleType) * y))
+      sqrt(ndot(qv, qv)).as("_qn"))
+    val dot = ndot(col("_qv"), col("_cv"))
     val denom = col("_qn") * col("_cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))

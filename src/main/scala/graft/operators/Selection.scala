@@ -244,15 +244,17 @@ object Selection {
     * arm's saving). Values are bit-identical: the norm is the same
     * fold either way and multiplication order is preserved.
     */
-  private def fold(pairProduct: Column): Column =
-    aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
+  // native codegen dot (DotProductExpression) — bit-identical to the
+  // HOF `aggregate(zip_with(...))` fold these helpers previously spelt
+  // out (same sequential IEEE fold, casts, null/length semantics), at
+  // a primitive loop instead of a boxed allocation per dimension per
+  // candidate pair (guide §1.2 per-task work)
   private def nrm(v: Column): Column =
-    sqrt(fold(zip_with(v, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType))))
+    sqrt(graft.functions.VectorFunctions.dot(v, v))
   private def cosPre(qv: Column, qn: Column, cv: Column, cn: Column): Column = {
     val denom = qn * cn
     when(denom === 0.0, lit(null).cast(DoubleType))
-      .otherwise(fold(zip_with(qv, cv,
-        (x, y) => x.cast(DoubleType) * y.cast(DoubleType))) / denom)
+      .otherwise(graft.functions.VectorFunctions.dot(qv, cv) / denom)
   }
 
   /** DSIR-style importance scoring (Xie et al., "Data Selection for

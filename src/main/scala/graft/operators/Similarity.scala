@@ -466,16 +466,19 @@ object Similarity {
   def cosineTopKExact(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    def fold(pairProduct: Column): Column =
-      aggregate(pairProduct, lit(0.0), (acc, p) => acc + p)
+    // native codegen dot (DotProductExpression) — documented
+    // bit-identical to the HOF `aggregate(zip_with(...))` fold it
+    // replaces (same left-to-right IEEE fold from +0.0, same casts,
+    // same null/length semantics); the interpreted HOF paid a boxed
+    // allocation + virtual call per dimension PER CANDIDATE PAIR,
+    // which dominated the exact arms (guide §1.2 per-task work)
     def nrm(v: Column): Column =
-      sqrt(fold(zip_with(v, v, (x, y) => x.cast(DoubleType) * y.cast(DoubleType))))
+      sqrt(graft.functions.VectorFunctions.dot(v, v))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       nrm(col(vecCol)).as("_cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       nrm(col(vecCol)).as("_qn"))
-    val dot = fold(zip_with(col("_qv"), col("_cv"),
-      (x, y) => x.cast(DoubleType) * y.cast(DoubleType)))
+    val dot = graft.functions.VectorFunctions.dot(col("_qv"), col("_cv"))
     val denom = col("_qn") * col("_cn")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
