@@ -93,7 +93,11 @@ object Curation {
     */
   def canonicalPerComponent(df: DataFrame, components: DataFrame,
       idCol: String, score: Column): DataFrame = {
-    val scored = df.select(col(idCol).as("_id"), score.as("_score"))
+    // widen: the caller-supplied score column is typically a per-row
+    // tokenization battery (qualityScore) — on a one-file bench-scale
+    // input it would run on the scan's 1-2 partitions; no-op at scale
+    val scored = graft.sources.Tables.widen(df)
+      .select(col(idCol).as("_id"), score.as("_score"))
     val labeled = scored.join(
         components.select(col("id").as("_id"), col("component_id")),
         Seq("_id"), "left")

@@ -718,10 +718,21 @@ object Dedup {
         val propCore = labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), col("comp"),
             least(col("comp"), coalesce(col("_nbr"), col("comp"))).as("_p"))
+        // the convergence meter rides the checkpoint's OWN execution as
+        // an observe() metric instead of a second count job per round —
+        // at ~5 rounds per call and a dozen component calls across the
+        // suite, the saved job floor is real wall time (guide §1.2 —
+        // same CollectMetrics free-rider device as TrainingPipeline's
+        // stage meters). count(when) never returns null, so the read
+        // is total even on an empty frame.
+        val obs = org.apache.spark.sql.Observation()
+        def metered(df: DataFrame): DataFrame =
+          df.observe(obs,
+            count(when(col("_next") < col("comp"), lit(1))).as("_changed"))
         val stepped =
           if (iter < jumpAfter) {
             // ramp rounds: plain propagation, one materialization
-            propCore.select(col("id"), col("comp"), col("_p").as("_next"))
+            metered(propCore.select(col("id"), col("comp"), col("_p").as("_next")))
               .localCheckpoint(true)
           } else {
             // still unconverged past the ramp → deep structure remains.
@@ -731,15 +742,15 @@ object Dedup {
             // (2) pointer jump: _next = prop's label OF the label. Left
             // join: a label is always a node id, but the coalesce keeps
             // the round total even if a frontier row is missing.
-            val jumped = prop
+            val jumped = metered(prop
               .join(prop.select(col("id").as("_p"), col("_p").as("_pp")), Seq("_p"), "left")
               .select(col("id"), col("comp"),
-                least(col("_p"), coalesce(col("_pp"), col("_p"))).as("_next"))
+                least(col("_p"), coalesce(col("_pp"), col("_p"))).as("_next")))
               .localCheckpoint(true)
             Checkpoints.drop(prop) // consumed by the jump — dead
             jumped
           }
-        changed = stepped.filter(col("_next") < col("comp")).count()
+        changed = obs.get("_changed").asInstanceOf[Long]
         // the previous round's checkpoint (labels' backing frame) is
         // dead once `stepped` is materialized — release its blocks
         // instead of accumulating one node frame per round
@@ -1180,7 +1191,24 @@ object Dedup {
       // is the correct shape). One extra count over the (long, long)
       // candidate frame is noise next to the join it right-sizes.
       val spark = df.sparkSession
-      val candsMat = cands.localCheckpoint(true)
+      // The candidate join's exchange rows are ~32-byte probes that
+      // each trigger an O(prefix-bucket) pair expansion — CPU-dense,
+      // byte-light, exactly the shape AQE's byte-targeted coalescing
+      // under-parallelizes (measured: the prefix join + distinct stage
+      // coalesced 32 → 10 partitions at sf0.1, 1.05 s wall on 32 idle
+      // cores). Pin the advisory low for THIS materialization so the
+      // exchange keeps the session partition count; AQE only coalesces
+      // downward, so at scale this means "don't squash", never "split
+      // into millions".
+      // (AQE's parallelism-first coalescing bottoms out at
+      // minPartitionSize — advisoryPartitionSizeInBytes is ignored on
+      // that path — so that is the knob to pin.)
+      val minPartKey = "spark.sql.adaptive.coalescePartitions.minPartitionSize"
+      val prevMinPart = spark.conf.get(minPartKey)
+      spark.conf.set(minPartKey, "64k")
+      val candsMat =
+        try cands.localCheckpoint(true)
+        finally spark.conf.set(minPartKey, prevMinPart)
       val meanSetBytes = Option(sh.agg(avg(col("_n"))).collect()(0).get(0))
         .map(_.asInstanceOf[Double]).getOrElse(0.0) * 8
       val pairBytes = (2 * meanSetBytes + 64).toLong
@@ -1204,7 +1232,18 @@ object Dedup {
         "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
         verifyParts.toString)
       try {
-        candsMat
+        // Broadcast arm: no exchange follows candsMat, so the verify
+        // compute inherits the checkpoint's (AQE-coalesced) partition
+        // count — an explicit round-robin repartition to the measured
+        // verifyParts spreads the merge walks; AQE never coalesces a
+        // user-specified repartition. Keyed arm: the sized-conf
+        // exchanges below handle it (rows there carry the arrays, so
+        // byte-targeted sizing is correct).
+        val verifyBase =
+          if (threshold > 0 && shBytes <= threshold)
+            candsMat.repartition(verifyParts)
+          else candsMat
+        verifyBase
           .join(side(sh.select(col("_id").as("_ida"), col("_sh").as("_sha"),
             col("_n").as("_na"))), Seq("_ida"))
           .join(side(sh.select(col("_id").as("_idb"), col("_sh").as("_shb"),

@@ -69,8 +69,10 @@ object Quantize {
     def ndot(a: Column, b: Column): Column =
       graft.functions.VectorFunctions.dot(a, b)
     val dv = dequantize(col("qvec"), col("qmin"), col("qscale"))
-    val c = quantized.select(col(idCol).as("neighbor_id"), dv.as("_cv"),
-      sqrt(ndot(dv, dv)).as("_cn"))
+    // widen: broadcast-NLJ streamed side (see Similarity.bruteForceTopK)
+    val c = graft.sources.Tables.widen(quantized)
+      .select(col(idCol).as("neighbor_id"), dv.as("_cv"),
+        sqrt(ndot(dv, dv)).as("_cn"))
     val qv = col(vecCol)
     val q = queries.select(col(idCol).as("query_id"), qv.as("_qv"),
       sqrt(ndot(qv, qv)).as("_qn"))

@@ -164,7 +164,8 @@ object Selection {
   def hardNegatives(corpus: DataFrame, anchors: DataFrame,
       positives: DataFrame, idCol: String, vecCol: String, k: Int,
       semiHard: Boolean): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // widen: broadcast-NLJ streamed side (see Similarity.bruteForceTopK)
+    val c = graft.sources.Tables.widen(corpus).select(col(idCol).as("neighbor_id"),
       col(vecCol).as("_cv"), nrm(col(vecCol)).as("_cn"))
     val a = anchors.select(col(idCol).as("query_id"),
       col(vecCol).as("_qv"), nrm(col(vecCol)).as("_qn"))

@@ -30,7 +30,10 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // widen: the broadcast-NLJ streams the corpus side, so its scan
+    // partitioning IS the scoring parallelism — a one-file bench-scale
+    // corpus would score every pair on one core; no-op at real scale
+    val c = graft.sources.Tables.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine"), asc("neighbor_id"))
@@ -47,7 +50,8 @@ object Similarity {
   def dotTopKExact(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // widen: broadcast-NLJ streamed side (see bruteForceTopK)
+    val c = graft.sources.Tables.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("dot"), asc("neighbor_id"))
@@ -70,7 +74,8 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       dim: Int, nBits: Int = 12, multiProbeBits: Int = 1): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // widen: bucket-probe join streams the corpus side (see bruteForceTopK)
+    val c = graft.sources.Tables.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("_sig", lshSignature(col("_cv"), nBits, dim))
     // query probes: own signature + every signature within hamming
     // distance `multiProbeBits` (multi-probe LSH). The XOR masks — all
@@ -162,7 +167,9 @@ object Similarity {
         fitCentroids(corpus, idCol, vecCol, nlist, refineIters, literalCellBudget)
       else centroidSample(corpus, idCol, vecCol, nlist)
 
-    val assigned = assignToCentroid(corpus, centroids, idCol, vecCol,
+    // widen: the list-probe join streams the assigned corpus side —
+    // its scan partitioning is the candidate-scoring parallelism
+    val assigned = assignToCentroid(graft.sources.Tables.widen(corpus), centroids, idCol, vecCol,
       "neighbor_id", literalCellBudget)
     val probed = assignToCentroids(queries, centroids, idCol, vecCol, "query_id", nprobe)
 
@@ -474,7 +481,8 @@ object Similarity {
     // which dominated the exact arms (guide §1.2 per-task work)
     def nrm(v: Column): Column =
       sqrt(graft.functions.VectorFunctions.dot(v, v))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
+    // widen: broadcast-NLJ streamed side (see bruteForceTopK)
+    val c = graft.sources.Tables.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"),
       nrm(col(vecCol)).as("_cn"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
       nrm(col(vecCol)).as("_qn"))
@@ -613,7 +621,8 @@ object Similarity {
     require(lambdaPct >= 0 && lambdaPct <= 100, s"bad lambdaPct $lambdaPct")
     val lam = lambdaPct.toDouble
     val pen = (100 - lambdaPct).toDouble
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    // widen: the shortlist NLJ + decimal-exact dot streams the corpus
+    val c = graft.sources.Tables.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"))
     val wRel = Window.partitionBy(col("query_id"))
       .orderBy(desc("rel"), asc("neighbor_id"))
