@@ -25,7 +25,13 @@ object Bench {
     // returns true on success; failures are visible in the JSON as -1
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         name: String): Boolean =
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      try {
+        // label the query's jobs so the UI / event log attributes every
+        // stage to its query (guide §1.5); thread-local, cleared after
+        spark.sparkContext.setJobDescription(name)
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        finally spark.sparkContext.setJobDescription(null)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         false

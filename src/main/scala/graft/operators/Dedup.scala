@@ -711,6 +711,10 @@ object Dedup {
         if (iter >= maxIter)
           throw new IllegalStateException(
             s"connectedComponents did not converge in $maxIter rounds (graph diameter too large)")
+        // per-round job label (guide §1.5) — attributes the loop's jobs
+        // in the UI/event log; thread-local, callers relabel after
+        pairs.sparkSession.sparkContext
+          .setJobDescription(s"connectedComponents: round $iter")
         val neighborMin = edges
           .join(labels.select(col("id").as("dst"), col("comp").as("_nc")), "dst")
           .groupBy(col("src").as("id")).agg(min(col("_nc")).as("_nbr"))

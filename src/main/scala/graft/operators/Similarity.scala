@@ -74,8 +74,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       dim: Int, nBits: Int = 12, multiProbeBits: Int = 1): DataFrame = {
-    // widen: bucket-probe join streams the corpus side (see bruteForceTopK)
-    val c = graft.sources.Tables.widen(corpus).select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("_cv"))
       .withColumn("_sig", lshSignature(col("_cv"), nBits, dim))
     // query probes: own signature + every signature within hamming
     // distance `multiProbeBits` (multi-probe LSH). The XOR masks — all

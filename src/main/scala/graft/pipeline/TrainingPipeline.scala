@@ -138,6 +138,14 @@ object TrainingPipeline {
     * that data-loss mode must be visible to the pipeline caller.
     */
   def prepareMetered(docs: DataFrame, cfg: Config = Config()): Prepared = {
+    // label each stage's jobs (guide §1.5): the pipeline materializes
+    // stages eagerly, so without labels its dozens of jobs show up as
+    // anonymous withThreadLocalCaptured entries in the UI/event log.
+    // Thread-local; restored by the caller's own description (if any)
+    // being re-set, cleared at return.
+    val sc = docs.sparkSession.sparkContext
+    def label(stage: String): Unit =
+      sc.setJobDescription(s"TrainingPipeline: $stage")
     val meters = scala.collection.mutable.ArrayBuffer.empty[StageMeter]
     // whitespace-token meter aggregates, empty/null-safe (mirrors
     // nonEmptyTokens)
@@ -196,6 +204,7 @@ object TrainingPipeline {
     // (measured 8× on the q59 bench when stage 3 became a join). This
     // is the materialization any production pipeline places between
     // its expensive-transform and multi-pass stages.
+    label("scrub+gate")
     val gated = TextAnalysis.qualityFilter(
       scrubbed, cfg.textCol, cfg.minTokens, cfg.minScore)
       .localCheckpoint(true)
@@ -213,9 +222,11 @@ object TrainingPipeline {
     harvest(2, "scrubbed", obsScrub)
     // 3. exact dedup on content fingerprint — also materialized: it is
     // read by both the near-dup pair builder and the final drop
+    label("exact-dedup")
     val exact = Dedup.dedupByFingerprint(gated, cfg.textCol, cfg.idCol)
       .localCheckpoint(true)
     // 4. near-dup clusters → keep canonical doc per cluster
+    label("near-dup pairs")
     val cp = Dedup.verifiedNearDupPairsMetered(
       exact, cfg.idCol, cfg.textCol, cfg.minJaccard,
       cfg.shingleSize, cfg.numHashes, cfg.bands, cfg.maxBucketSize)
@@ -235,6 +246,7 @@ object TrainingPipeline {
     val nearDeduped =
       if (cfg.dropNearDups) Dedup.dropNearDuplicates(exact, cfg.idCol, pairs)
       else exact
+    label("stage meters")
     meter(3, "gated", gated)
     meter(4, "exact_dedup", exact)
     meter(5, "near_dedup", nearDeduped)
@@ -250,6 +262,7 @@ object TrainingPipeline {
     val substred = cfg.exactSubstrK match {
       case None => nearDeduped
       case Some(k) =>
+        label("exact-substr scrub")
         val scrub = SubstringDedup
           .exactSubstringDedup(nearDeduped, cfg.idCol, cfg.textCol, k)
           .withColumnRenamed("dedup_text", cfg.textCol)
@@ -264,6 +277,7 @@ object TrainingPipeline {
     val tokenized = cfg.wordPieceCfg match {
       case None => substred
       case Some(wp) =>
+        label("wordpiece fit+count")
         val counts = WordPiece.wordPieceTokenCounts(
           substred, cfg.idCol, cfg.textCol,
           wp.maxPieceLen, wp.keepMulti, wp.minCount)
@@ -299,10 +313,12 @@ object TrainingPipeline {
     // near-dup family — the number an eval-contamination review wants
     // in the pipeline report, not in a side query.
     if (cfg.meterStages) {
+      label("split-leak meter")
       val lk = Selection.crossSplitLeaks(assigned, cfg.idCol, pairs)
         .collect()(0).getLong(0)
       meters += StageMeter(8, "split_leaks", lk, 0L)
     }
+    sc.setJobDescription(null)
     Prepared(assigned, cp.cappedBucketCount, meters.toSeq)
   }
 }
