@@ -363,8 +363,12 @@ object Urls {
       agent: String = "*", broadcastMaxRules: Long = 2000000L,
       rulesCountHint: Option[Long] = None): DataFrame = {
     val (host, _) = hostPort(col(urlCol))
-    val parsed = urls.select(col(idCol).as("_id"), host.as("host"),
-      pathOf(col(urlCol)).as("path"))
+    // widen: the rule match below is a per-(page,rule) regexp on the
+    // broadcast join's STREAMED side, so the pages scan partitioning
+    // is the match parallelism (see canonicalHashes; no-op at scale)
+    val parsed = graft.sources.Tables.widen(urls)
+      .select(col(idCol).as("_id"), host.as("host"),
+        pathOf(col(urlCol)).as("path"))
     val rules = robotsRules(robots, domainCol, txtCol, agent)
       .withColumnRenamed(domainCol, "host")
       .withColumn("_pat", wildcardPattern(col("rule_path")))
@@ -666,8 +670,11 @@ object Urls {
   // index holds only the 60-bit md5 hashes of canonical URLs — raw
   // URL text never lands in the index.
 
+  // widen: canonicalize is a per-row regexp battery — a one-file
+  // bench-scale batch would run it on the scan's 1-4 partitions;
+  // stats-guarded no-op at real scale (guide §2.5)
   private def canonicalHashes(urls: DataFrame, urlCol: String) =
-    urls.select(canonicalize(col(urlCol))
+    graft.sources.Tables.widen(urls).select(canonicalize(col(urlCol))
         .getField("canonical_url").as("_c"))
       .filter(col("_c").isNotNull)
       .select(graft.functions.TextFunctions.md5Hash60(col("_c")).as("h"))
@@ -812,7 +819,9 @@ object Urls {
       urls: DataFrame, idCol: String, urlCol: String): DataFrame = {
     graft.sinks.Pruning.requireIndexParams(spark, path, "frontier",
       Map.empty)
-    val canon = urls.select(col(idCol).as("_id"),
+    // widen before the canonicalize battery (see canonicalHashes)
+    val canon = graft.sources.Tables.widen(urls)
+      .select(col(idCol).as("_id"),
         canonicalize(col(urlCol)).getField("canonical_url")
           .as("canonical_url"))
       .withColumn("_h",

@@ -182,10 +182,16 @@ object TrainingPipeline {
     // leaked nav/footer would star unrelated pages into one
     // component). The input meter counts raw (markup) tokens; the
     // scrubbed meter is post-extraction text.
+    // widen the corpus before the per-row-heavy stages 0-2 (markup
+    // extraction + scrub regexes + quality gate): a bench-scale input
+    // is a 2-3-branch union of one-file scans, so the chain otherwise
+    // runs on 2-3 cores (measured: q240's gate checkpoint 2 tasks,
+    // 2.5 s wall); stats-guarded no-op at real scale (guide §2.5)
+    val docsW = graft.sources.Tables.widen(docs)
     val extracted = cfg.htmlExtract match {
-      case None => observed(docs, obsInput)
+      case None => observed(docsW, obsInput)
       case Some(minChars) =>
-        observed(docs, obsInput)
+        observed(docsW, obsInput)
           .withColumn("_x", Markup.extractText(col(cfg.textCol), minChars))
           .withColumn(cfg.textCol, col("_x.text"))
           .withColumn("n_blocks", col("_x.n_blocks"))

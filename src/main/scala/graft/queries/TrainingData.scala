@@ -6894,7 +6894,9 @@ object TrainingData {
       lit("<a href=unq/"), id, lit(">k</a>"),
       lit("<area href='/map'>m</area><a data-href='/dh'>n</a>"),
       lit("</body></html>"))
-    docs.select(col("doc_id"), base.as("base_url"), html.as("html"))
+    // widen: extract/resolve/canonicalize are per-row regexp batteries
+    // over an 11-link explode — single-partition on a one-file scan
+    Tables.widen(docs.select(col("doc_id"), base.as("base_url"), html.as("html")))
       .select(col("doc_id"), col("base_url"),
         posexplode(graft.operators.Urls.extractHrefs(col("html")))
           .as(Seq("link_no", "href")))
@@ -7478,7 +7480,9 @@ object TrainingData {
       lit("\">a</a><a href='p"), id,
       lit("'>b</a><a href=\"/s/"), id, lit("?utm_r=1\">c</a>"),
       lit("<a href='#top'>d</a></body></html>"))
-    val links = docs.select(pageUrl.as("src_url"), html.as("html"))
+    // widen: the extract→resolve→canonicalize battery below is per-row
+    // regexp work on a one-file scan (guide §2.5); no-op at scale
+    val links = Tables.widen(docs.select(pageUrl.as("src_url"), html.as("html")))
       .select(col("src_url"),
         explode(graft.operators.Urls.extractHrefs(col("html")))
           .as("_href"))
@@ -8296,8 +8300,11 @@ object TrainingData {
       .toDF("page_id", "url", "_body")
       .select(col("page_id"), col("url"),
         page(col("page_id"), col("_body")).as("html"))
-    val fetched = base.unionByName(twinsA).unionByName(twinsB)
-      .unionByName(extras)
+    // widen: the robots match + canonicalize below are per-row regexp
+    // batteries, and this 4-branch union of one-file scans would run
+    // them on 4 partitions (guide §2.5); no-op at real scale
+    val fetched = Tables.widen(base.unionByName(twinsA).unionByName(twinsB)
+      .unionByName(extras))
 
     // 1. robots gate: every example.com host disallows /private for
     // every agent; the spamfarm/keeper hosts publish no robots
